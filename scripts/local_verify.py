@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle correctness gate.
+
+Runs graft.Verify via sbt (writes each SparkEntry query result to
+parquet + oracle_sql.json), then executes each oracle SQL in DuckDB
+against the same sf directory and compares: schema (sorted column
+names), row count, and values (floats to 1e-9 relative tolerance, and
+a strict exact-hash check mirroring the driver).
+
+Usage: python3 scripts/local_verify.py [sfdir] [outdir] [query ...]
+"""
+import json
+import math
+import subprocess
+import sys
+import glob
+import os
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+ONLY = set(sys.argv[3:])
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def run_verify():
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}']
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True,
+                       timeout=1800)
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(r.stderr[-4000:])
+        sys.exit("verify run failed")
+    for line in r.stdout.splitlines():
+        if "[verify]" in line:
+            print(line)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
+    problems = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"schema mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return problems
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"row count spark={len(spark_rows)} duck={len(duck_rows)}")
+        return problems
+    # reorder columns by sorted name (mirrors driver)
+    sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    didx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    srows = sorted([tuple(norm_cell(r[i]) for i in sidx) for r in spark_rows], key=repr)
+    drows = sorted([tuple(norm_cell(r[i]) for i in didx) for r in duck_rows], key=repr)
+    nbad = 0
+    for i, (a, b) in enumerate(zip(srows, drows)):
+        for ca, cb in zip(a, b):
+            ok = ca == cb
+            if not ok and isinstance(ca, float) and isinstance(cb, float):
+                ok = math.isclose(ca, cb, rel_tol=1e-9, abs_tol=1e-9)
+                if ok and ca != cb:
+                    problems.append(f"row {i}: float close but not exact: {ca!r} vs {cb!r} (HASH WOULD FAIL)")
+            if not ok:
+                nbad += 1
+                if nbad <= 3:
+                    problems.append(f"row {i}: {a!r} != {b!r}")
+                break
+    if nbad > 3:
+        problems.append(f"... {nbad} mismatched rows total")
+    return problems
+
+
+def main():
+    run_verify()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        if ONLY and name not in ONLY:
+            continue
+        pdir = f"{OUT}/{name}"
+        files = glob.glob(f"{pdir}/*.parquet")
+        if not files:
+            results[name] = ["NO SPARK OUTPUT"]
+            continue
+        sdf = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").fetchall()
+        scols = [d[0] for d in con.description]
+        try:
+            ddf = con.execute(sql).fetchall()
+            dcols = [d[0] for d in con.description]
+        except Exception as e:
+            results[name] = [f"ORACLE SQL ERROR: {e}"]
+            continue
+        results[name] = compare(name, sdf, scols, ddf, dcols)
+    # rows-only queries (no oracle)
+    for pdir in sorted(glob.glob(f"{OUT}/q_*")):
+        name = os.path.basename(pdir)
+        if name in oracle or (ONLY and name not in ONLY):
+            continue
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{pdir}/*.parquet')").fetchone()[0]
+        results[name] = [] if n > 0 else ["rows-only check: 0 rows"]
+    nfail = 0
+    for name, probs in sorted(results.items()):
+        status = "OK " if not probs else "FAIL"
+        if probs:
+            nfail += 1
+        print(f"[{status}] {name}")
+        for p in probs:
+            print(f"       {p}")
+    print(f"\n{len(results) - nfail}/{len(results)} queries match")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,337 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ingest.Sources._
+
+/** Relational operator suite on the star schema (SURVEY.md §2.5).
+  *
+  * The reference implements no joins/aggregations/windows itself, but its
+  * stated goals (reference: README.md:5-6 — real-time monitoring,
+  * anomaly detection, dashboards) and warehouse tail (reference:
+  * imgs/overall-architecture.png) require them; each is expressed as a
+  * declarative DataFrame plan so Catalyst handles pushdown, pruning,
+  * partial aggregation and join strategy selection.
+  *
+  * Scale notes (100 TB): every aggregate here is partial+final
+  * (HashAggregateExec); dimension joins broadcast explicitly; fact-fact
+  * joins shuffle on join keys and rely on AQE for skew; no collect() on
+  * any data path.
+  */
+object Relational {
+
+  /** A1: per-group hash aggregation over the largest fact table —
+    * TPC-H-Q1-shaped pricing summary. Filter is pushed to the parquet
+    * scan; aggregation is map-side partial then final.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J5: multi-way equi-join with explicitly broadcast dimensions
+    * (region/nation are tiny; customer is small relative to orders).
+    * At 100 TB the orders fact never shuffles for the dim joins.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(o_totalprice), 2) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** J6: fact-fact equi-join (lineitem x orders). Both sides shuffle on
+    * the order key; AQE picks sort-merge at scale and can convert to
+    * broadcast if one side's runtime stats allow.
+    */
+  def orderPriorityRevenue(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_discount") > lit(0.02))
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+
+  val orderPriorityRevenueSql: String =
+    """SELECT o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_discount > 0.02
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** O2: top-k by value — planned as TakeOrderedAndProject, so only k
+    * rows per partition survive the map side; no global sort of the fact.
+    */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val topOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM orders
+      |ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** R1: ranking window — top-3 customers by account balance per nation.
+    * Single shuffle on the partition key; ties broken by c_custkey so
+    * the result is deterministic across engines.
+    */
+  def topCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("n_name"), col("rnk"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy(col("n_name"), col("rnk"))
+  }
+
+  val topCustomersPerNationSql: String =
+    """SELECT n_name, rnk, c_custkey, round(c_acctbal, 2) AS c_acctbal
+      |FROM (
+      |  SELECT n_name, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY n_name
+      |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |) WHERE rnk <= 3
+      |ORDER BY n_name, rnk""".stripMargin
+
+  /** R2: analytic window — order-over-order price delta per customer
+    * (lag). Deterministic ordering via (o_orderdate, o_orderkey).
+    */
+  def orderPriceDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .filter(col("prev_price").isNotNull)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") - col("prev_price"), 2).as("price_delta"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val orderPriceDeltaSql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice - prev_price, 2) AS price_delta
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |                               ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+      |  FROM orders
+      |) WHERE prev_price IS NOT NULL
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** A5: rollup (nation x market segment) for warehouse-style cubes.
+    * Grouped-out levels surface as 'ALL' (coalesce) so NULL ordering
+    * differences between engines never matter.
+    */
+  def rollupNationSegment(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy(col("nation"), col("segment"))
+
+  val rollupNationSegmentSql: String =
+    """SELECT coalesce(n_name, 'ALL') AS nation,
+      |  coalesce(c_mktsegment, 'ALL') AS segment,
+      |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, c_mktsegment)
+      |ORDER BY nation, segment""".stripMargin
+
+  /** J8 (anti): data-quality check — customers with no high-value order
+    * (> 250k), counted per nation. Planned as a broadcast/shuffled hash
+    * anti join; never materializes the non-matching side. The filter on
+    * the probe side prunes before the join.
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir).filter(col("o_totalprice") > lit(250000.0)),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy(col("n_name"))
+
+  val customersWithoutOrdersSql: String =
+    """SELECT n_name, count(*) AS n_inactive
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** J8 (semi): customers with at least one high-value order.  */
+  def customersWithBigOrders(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(
+        orders(spark, dir).filter(col("o_totalprice") > lit(400000.0)),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val customersWithBigOrdersSql: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** U1+U2: set operations — segment union minus an except carve-out.
+    * Spark EXCEPT/UNION are set-semantics (dedup) like ANSI SQL's.
+    */
+  def segmentSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+    val negative = c.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    building.union(machinery).except(negative)
+      .orderBy(col("c_custkey"))
+  }
+
+  val segmentSetOpsSql: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal < 0
+      |ORDER BY c_custkey""".stripMargin
+
+  /** A4: exact distinct counts per group (approx_count_distinct is
+    * exercised separately in the test suite — HLL sketches are not
+    * oracle-comparable across engines).
+    */
+  def distinctCustomersPerSegment(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_active_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  val distinctCustomersPerSegmentSql: String =
+    """SELECT c_mktsegment,
+      |  count(DISTINCT o_custkey) AS n_active_cust,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** J7 (range/interval join): orders matched to year buckets via a
+    * BETWEEN condition against a derived (broadcastable) dimension.
+    * The dim side is tiny so Spark plans broadcast nested-loop; at
+    * 100 TB the fact side still streams through without a shuffle.
+    */
+  def ordersPerYearBucket(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val buckets = o
+      .select(year(col("o_orderdate")).as("y")).distinct()
+      .select(
+        col("y").as("bucket_year"),
+        to_timestamp(concat(col("y").cast("string"), lit("-01-01"))).as("bucket_start"),
+        to_timestamp(concat((col("y") + 1).cast("string"), lit("-01-01"))).as("bucket_end"))
+    o.join(broadcast(buckets),
+        col("o_orderdate") >= col("bucket_start") && col("o_orderdate") < col("bucket_end"))
+      .groupBy(col("bucket_year"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("bucket_year"))
+  }
+
+  val ordersPerYearBucketSql: String =
+    """WITH buckets AS (
+      |  SELECT y AS bucket_year,
+      |    make_timestamp(y, 1, 1, 0, 0, 0) AS bucket_start,
+      |    make_timestamp(y + 1, 1, 1, 0, 0, 0) AS bucket_end
+      |  FROM (SELECT DISTINCT year(o_orderdate)::int AS y FROM orders)
+      |)
+      |SELECT bucket_year, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN buckets
+      |  ON o_orderdate >= bucket_start AND o_orderdate < bucket_end
+      |GROUP BY bucket_year
+      |ORDER BY bucket_year""".stripMargin
+
+  /** All relational queries, keyed for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pricing_summary" -> (pricingSummary _),
+    "q_revenue_by_nation" -> (revenueByNation _),
+    "q_order_priority_revenue" -> (orderPriorityRevenue _),
+    "q_top_orders" -> (topOrders _),
+    "q_top_customers_per_nation" -> (topCustomersPerNation _),
+    "q_order_price_delta" -> (orderPriceDelta _),
+    "q_rollup_nation_segment" -> (rollupNationSegment _),
+    "q_customers_without_orders" -> (customersWithoutOrders _),
+    "q_customers_with_big_orders" -> (customersWithBigOrders _),
+    "q_segment_set_ops" -> (segmentSetOps _),
+    "q_distinct_customers_per_segment" -> (distinctCustomersPerSegment _),
+    "q_orders_per_year_bucket" -> (ordersPerYearBucket _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pricing_summary" -> pricingSummarySql,
+    "q_revenue_by_nation" -> revenueByNationSql,
+    "q_order_priority_revenue" -> orderPriorityRevenueSql,
+    "q_top_orders" -> topOrdersSql,
+    "q_top_customers_per_nation" -> topCustomersPerNationSql,
+    "q_order_price_delta" -> orderPriceDeltaSql,
+    "q_rollup_nation_segment" -> rollupNationSegmentSql,
+    "q_customers_without_orders" -> customersWithoutOrdersSql,
+    "q_customers_with_big_orders" -> customersWithBigOrdersSql,
+    "q_segment_set_ops" -> segmentSetOpsSql,
+    "q_distinct_customers_per_segment" -> distinctCustomersPerSegmentSql,
+    "q_orders_per_year_bucket" -> ordersPerYearBucketSql
+  )
+}

@@ -1,0 +1,58 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for every source the engine supports.
+  *
+  * Parquet is the primary analytical format (columnar scan, predicate
+  * pushdown, column pruning — all verified via .explain in the test
+  * suite). CSV covers the reference's batch path (reference:
+  * kafka/sort_the_source.py:13); Kafka/rate cover the streaming path
+  * (reference: streaming/spark_processor.py:28-33, kafka/producer.py:47).
+  */
+object Sources {
+
+  /** Parquet scan of one harness table (S9). Filters/projections placed
+    * on the result reach the scan (PushedFilters / ReadSchema).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** CSV scan with header + inferred schema (S1) — the reference's batch
+    * input path (reference: kafka/sort_the_source.py:13).
+    */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Kafka streaming source (S5) — identical options to the reference
+    * (reference: streaming/spark_processor.py:28-33). Not exercised in
+    * the offline harness (no broker); the streaming test suite swaps in
+    * MemoryStream with the same downstream plan.
+    */
+  def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
+                  startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Rate-paced replay source (T8) — stand-in for the reference's
+    * 1 msg/s producer loop (reference: kafka/producer.py:11,47).
+    */
+  def rateStream(spark: SparkSession, rowsPerSecond: Int = 1): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+}

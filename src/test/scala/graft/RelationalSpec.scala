@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("every relational query returns rows at sf0.001") {
+    Relational.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query key has an oracle") {
+    assert(Relational.queries.keySet == Relational.oracles.keySet)
+  }
+
+  test("pricing summary aggregates are internally consistent") {
+    val row = Relational.pricingSummary(spark, sf)
+      .filter(col("l_returnflag") === "A").collect().head
+    val sumQty = row.getAs[Double]("sum_qty")
+    val avgQty = row.getAs[Double]("avg_qty")
+    val n = row.getAs[Long]("count_order")
+    assert(math.abs(sumQty / n - avgQty) < 0.01)
+  }
+
+  test("filter on lineitem is pushed to the parquet scan") {
+    val df = Relational.pricingSummary(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed filter in plan:\n$p")
+  }
+
+  test("dimension joins in revenueByNation are broadcast") {
+    val p = plan(Relational.revenueByNation(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no SMJ expected for dim joins:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.topOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
+  test("anti join complements the semi join exactly") {
+    val inactive = Relational.customersWithoutOrders(spark, sf)
+      .agg(coalesce(sum(col("n_inactive")), lit(0L))).collect().head.getLong(0)
+    val c = graft.ingest.Sources.customer(spark, sf).count()
+    val active = graft.ingest.Sources.orders(spark, sf)
+      .filter(col("o_totalprice") > lit(250000.0))
+      .select(col("o_custkey")).distinct().count()
+    assert(inactive == c - active)
+  }
+
+  test("set ops: result excludes negative-balance customers") {
+    val res = Relational.segmentSetOps(spark, sf)
+    val negative = graft.ingest.Sources.customer(spark, sf)
+      .filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    assert(res.join(negative, Seq("c_custkey"), "left_semi").count() == 0)
+  }
+
+  test("rank window: at most 3 customers per nation") {
+    val mx = Relational.topCustomersPerNation(spark, sf)
+      .groupBy(col("n_name")).count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(mx <= 3)
+  }
+}
