@@ -11,6 +11,7 @@ Usage: python3 scripts/local_verify.py [sfdir] [outdir] [query ...]
 """
 import json
 import math
+import shutil
 import subprocess
 import sys
 import glob
@@ -27,6 +28,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def run_verify():
+    # Clean stale output: a query that fails this run must not pass on
+    # parquet left over from a previous (successful) run, and renamed or
+    # removed queries must not linger as rows-only passes.
+    shutil.rmtree(OUT, ignore_errors=True)
     cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}']
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True,
                        timeout=1800)
@@ -63,8 +68,14 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     # reorder columns by sorted name (mirrors driver)
     sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
     didx = [duck_cols.index(c) for c in sorted(duck_cols)]
-    srows = sorted([tuple(norm_cell(r[i]) for i in sidx) for r in spark_rows], key=repr)
-    drows = sorted([tuple(norm_cell(r[i]) for i in didx) for r in duck_rows], key=repr)
+    # Sort by a float-rounding key so two rows that differ only by float
+    # noise within tolerance sort identically on both sides (raw repr()
+    # could order them differently and misalign the zip).
+    def sort_key(row):
+        return repr(tuple(
+            float(f"{v:.9g}") if isinstance(v, float) else v for v in row))
+    srows = sorted([tuple(norm_cell(r[i]) for i in sidx) for r in spark_rows], key=sort_key)
+    drows = sorted([tuple(norm_cell(r[i]) for i in didx) for r in duck_rows], key=sort_key)
     nbad = 0
     for i, (a, b) in enumerate(zip(srows, drows)):
         for ca, cb in zip(a, b):

@@ -22,11 +22,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.Relational.queries
+    analytics.Relational.queries ++
+      analytics.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    analytics.Relational.oracles
+    analytics.Relational.oracles ++
+      analytics.Events.oracles
 }

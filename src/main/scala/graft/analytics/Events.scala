@@ -1,0 +1,149 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ingest.Sources._
+
+/** Event-stream batch analytics (SURVEY.md §2.8 L5–L6).
+  *
+  * The reference's stream is a replayed sensor feed (reference:
+  * kafka/producer.py:37-47); the harness `events` table is the bounded
+  * stand-in. Sessionization here is the batch (window-function) twin of
+  * the streaming `session_window` path in graft.streaming.Pipeline —
+  * same gap semantics, oracle-checkable.
+  *
+  * Scale notes (100 TB): sessionization shuffles ONCE on user_id (both
+  * window functions share the same partitioning, and the groupBy on
+  * (user_id, session_id) reuses it — no second exchange); JSON
+  * extraction is a codegen'd scalar expression applied scan-side, so
+  * column pruning still reaches parquet.
+  */
+object Events {
+
+  /** Session gap: a new session starts after 30 idle minutes. Gap
+    * decisions are made on floor-second epoch values so batch, stream
+    * and the DuckDB oracle agree bit-for-bit even though the source
+    * timestamps carry nanoseconds (Spark truncates to micros on read).
+    */
+  val SessionGapSeconds = 1800L
+
+  /** L5: gap-based sessionization via lag + running sum of boundaries.
+    * One shuffle on user_id; session aggregation reuses the same
+    * partitioning (child distribution satisfies groupBy's requirement).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("prev_s", lag(col("epoch_s"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_s").isNull ||
+          col("epoch_s") - col("prev_s") > SessionGapSeconds, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("epoch_s")).as("session_start_s"),
+        max(col("epoch_s")).as("session_end_s"),
+        (max(col("epoch_s")) - min(col("epoch_s"))).as("duration_s"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH base AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+      |    lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_s
+      |  FROM events
+      |), marked AS (
+      |  SELECT user_id, event_id, ts, value, epoch_s,
+      |    CASE WHEN prev_s IS NULL OR epoch_s - prev_s > $SessionGapSeconds
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM base
+      |), numbered AS (
+      |  SELECT user_id, epoch_s, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, session_id,
+      |  count(*) AS n_events,
+      |  min(epoch_s) AS session_start_s,
+      |  max(epoch_s) AS session_end_s,
+      |  max(epoch_s) - min(epoch_s) AS duration_s,
+      |  round(sum(value), 2) AS sum_value
+      |FROM numbered
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** L6: JSON property extraction — `props` is a JSON object column;
+    * `$$.k` is pulled with the codegen'd get_json_object expression
+    * (no UDF), cast, filtered and aggregated.
+    */
+  def eventProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k") > 50)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val eventPropsSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(avg(k), 4) AS avg_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |WHERE k > 50
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Funnel via conditional aggregation (pivot without a second pass):
+    * per-user event-type flags in one shuffle, then a tiny re-agg on the
+    * 8 flag combinations. No `pivot()` metadata query, no collect.
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("has_view"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("has_click"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"))
+      .groupBy(col("has_view"), col("has_click"), col("has_purchase"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("has_view"), col("has_click"), col("has_purchase"))
+
+  val eventFunnelSql: String =
+    """SELECT has_view, has_click, has_purchase, count(*) AS n_users
+      |FROM (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      |  FROM events GROUP BY user_id
+      |)
+      |GROUP BY has_view, has_click, has_purchase
+      |ORDER BY has_view, has_click, has_purchase""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (sessionize _),
+    "q_event_props" -> (eventProps _),
+    "q_event_funnel" -> (eventFunnel _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" -> sessionizeSql,
+    "q_event_props" -> eventPropsSql,
+    "q_event_funnel" -> eventFunnelSql
+  )
+}

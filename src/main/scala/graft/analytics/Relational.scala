@@ -106,16 +106,17 @@ object Relational {
     */
   def topOrders(spark: SparkSession, dir: String): DataFrame =
     orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
       .select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      .limit(10)
 
   val topOrdersSql: String =
     """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
-      |FROM orders
-      |ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC
-      |LIMIT 10""".stripMargin
+      |FROM (SELECT * FROM orders
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
+      |ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin
 
   /** R1: ranking window — top-3 customers by account balance per nation.
     * Single shuffle on the partition key; ties broken by c_custkey so
@@ -231,7 +232,10 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   /** U1+U2: set operations — segment union minus an except carve-out.
-    * Spark EXCEPT/UNION are set-semantics (dedup) like ANSI SQL's.
+    * NOTE: Spark's Dataset.union is UNION ALL (bag semantics), unlike
+    * ANSI SQL UNION; the downstream .except applies set semantics
+    * (dedup), which is what makes the final result match the SQL
+    * UNION/EXCEPT chain here.
     */
   def segmentSetOps(spark: SparkSession, dir: String): DataFrame = {
     val c = customer(spark, dir)
