@@ -23,12 +23,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Relational.queries ++
-      analytics.Events.queries
+      analytics.Events.queries ++
+      analytics.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++
-      analytics.Events.oracles
+      analytics.Events.oracles ++
+      analytics.TextOps.oracles
 }

@@ -1,0 +1,400 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Sources._
+
+/** Text / document pipeline operators (SURVEY.md §2.8 L1–L4) — the
+  * dedup + text-analysis surface a large-scale training-data pipeline
+  * needs, on the harness `documents` table.
+  *
+  * Scale notes (100 TB):
+  *  - Exact dedup groups on md5(text), never on raw text — group keys
+  *    stay 32 bytes regardless of document size, and the shuffle
+  *    carries (hash, doc_id), not the documents.
+  *  - All pairwise ops (Jaccard, MinHash-LSH, SimHash) are BLOCKED on
+  *    (lang, source): candidate pairs are generated only inside a
+  *    block, turning O(n²) into Σ|block|². At cluster scale the block
+  *    key would be the LSH band bucket itself; the shapes below keep
+  *    that join form (groupBy bucket → self-join) so swapping the key
+  *    is a one-line change.
+  *  - No UDFs: shingling/hashing use built-in higher-order functions
+  *    (transform/filter/aggregate) and xxhash64, all Catalyst
+  *    expressions.
+  */
+object TextOps {
+
+  /** Distinct unigram tokens per document, with the blocking keys. */
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  // ---------------------------------------------------------------
+  // L1: exact dedup
+  // ---------------------------------------------------------------
+
+  /** Exact dedup on normalized text: md5(lower(trim(text))) as the
+    * group key; survivor = lowest doc_id; n_copies for audit.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(md5(lower(trim(col("text")))).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(lower(trim(text)))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // L4: token counting / text statistics
+  // ---------------------------------------------------------------
+
+  /** Per-language token statistics. Tokenization = single-space split
+    * (the corpus is space-normalized); mean word length is derived
+    * arithmetically from n_chars and token count so both engines
+    * compute the identical expression.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nToks = size(toks)
+    val nStop = size(filter(toks, t => t === "the" || t === "a"))
+    documents(spark, dir)
+      .select(
+        col("lang"),
+        nToks.cast("double").as("n_tokens"),
+        (nStop.cast("double") / nToks).as("stop_ratio"),
+        ((length(col("text")) - nToks + 1).cast("double") / nToks).as("mean_word_len"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"),
+        round(avg(col("mean_word_len")), 4).as("avg_word_len"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(avg(n_tokens), 4) AS avg_tokens,
+      |  round(avg(stop_ratio), 4) AS avg_stop_ratio,
+      |  round(avg(mean_word_len), 4) AS avg_word_len
+      |FROM (
+      |  SELECT lang,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |                         t -> t IN ('the', 'a'))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS mean_word_len
+      |  FROM documents
+      |)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // L4: quality scoring
+  // ---------------------------------------------------------------
+
+  /** Heuristic quality score (length band + stopword presence + word
+    * shape), bucketed keep/drop — the filter stage of a data pipeline.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nToks = size(toks)
+    val stopRatio = size(filter(toks, t => t === "the" || t === "a"))
+      .cast("double") / nToks
+    val meanWordLen = (length(col("text")) - nToks + 1).cast("double") / nToks
+    val score =
+      when(nToks.between(20, 120), 1).otherwise(0) +
+        when(stopRatio.between(0.01, 0.3), 1).otherwise(0) +
+        when(meanWordLen.between(3.0, 6.0), 1).otherwise(0)
+    documents(spark, dir)
+      .select(col("lang"), score.as("quality_score"))
+      .withColumn("keep", when(col("quality_score") >= 2, 1).otherwise(0))
+      .groupBy(col("lang"), col("keep"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("quality_score")), 4).as("avg_score"))
+      .orderBy(col("lang"), col("keep"))
+  }
+
+  val textQualitySql: String =
+    """SELECT lang, keep, count(*) AS n_docs,
+      |  round(avg(quality_score), 4) AS avg_score
+      |FROM (
+      |  SELECT lang, quality_score,
+      |    CASE WHEN quality_score >= 2 THEN 1 ELSE 0 END AS keep
+      |  FROM (
+      |    SELECT lang,
+      |      (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 120
+      |            THEN 1 ELSE 0 END)
+      |      + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+      |                           t -> t IN ('the', 'a'))) AS DOUBLE)
+      |                / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.3
+      |              THEN 1 ELSE 0 END)
+      |      + (CASE WHEN CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |                / len(string_split(text, ' ')) BETWEEN 3.0 AND 6.0
+      |              THEN 1 ELSE 0 END) AS quality_score
+      |    FROM documents
+      |  )
+      |)
+      |GROUP BY lang, keep
+      |ORDER BY lang, keep""".stripMargin
+
+  // ---------------------------------------------------------------
+  // L4: language-ID heuristic (stopword-profile scoring)
+  // ---------------------------------------------------------------
+
+  /** N-gram/stopword heuristic language ID: the ratio of high-frequency
+    * English function words decides en vs unknown; output is the
+    * confusion matrix against the labeled lang column.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val enRatio = size(filter(toks, t => t === "the" || t === "a"))
+      .cast("double") / size(toks)
+    documents(spark, dir)
+      .select(col("lang"),
+        when(enRatio >= 0.05, "en").otherwise("unk").as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val langIdSql: String =
+    """SELECT lang, predicted, count(*) AS n_docs
+      |FROM (
+      |  SELECT lang,
+      |    CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+      |                       t -> t IN ('the', 'a'))) AS DOUBLE)
+      |              / len(string_split(text, ' ')) >= 0.05
+      |         THEN 'en' ELSE 'unk' END AS predicted
+      |  FROM documents
+      |)
+      |GROUP BY lang, predicted
+      |ORDER BY lang, predicted""".stripMargin
+
+  // ---------------------------------------------------------------
+  // L2: near-dup via n-gram (unigram token-set) Jaccard
+  // ---------------------------------------------------------------
+
+  /** Blocked pairwise Jaccard: distinct tokens exploded, self-joined on
+    * (lang, source, tok) so only in-block pairs materialize, then
+    * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. The join key keeps the
+    * shuffle bounded by Σ block-token-frequency² instead of n².
+    */
+  def nearDupJaccard(spark: SparkSession, dir: String,
+                     threshold: Double = 0.8): DataFrame = {
+    val t = tokens(spark, dir)
+    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("tok"))
+    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("tok"))
+    val inter = a.join(b, Seq("lang", "source", "tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_tok", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_tok", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val nearDupJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |    unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM toks a JOIN toks b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.tok = b.tok
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // L2: MinHash + LSH banding (no SQL oracle — spec-verified recall)
+  // ---------------------------------------------------------------
+
+  val MinHashK = 16 // signature length
+  val LshBands = 4  // bands of r = K/bands rows each
+
+  /** Per-doc MinHash signature columns h0..h{K-1}: min over the doc's
+    * token set of xxhash64(tok, seed_i). One shuffle (groupBy doc_id).
+    */
+  def minHashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until MinHashK)
+      .map(i => min(xxhash64(col("tok"), lit(i))).as(s"h$i"))
+    tokens(spark, dir)
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate pairs via LSH banding: each band of r consecutive
+    * minhashes is hashed into a bucket; docs sharing (block, band,
+    * bucket) become candidates; candidates are scored by signature
+    * agreement (estimated Jaccard) — no second pass over the text.
+    */
+  def minHashLsh(spark: SparkSession, dir: String,
+                 minEstJaccard: Double = 0.75): DataFrame = {
+    val r = MinHashK / LshBands
+    val sigs = minHashSignatures(spark, dir)
+    val bandCols: Seq[Column] = (0 until LshBands).map { band =>
+      xxhash64((band * r until (band + 1) * r).map(i => col(s"h$i")): _*)
+    }
+    val banded = sigs.select(
+      (Seq(col("doc_id"), col("lang"), col("source")) :+
+        posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))): _*)
+    val a = banded.select(col("doc_id").as("doc_a"), col("lang"),
+      col("source"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("lang"),
+      col("source"), col("band"), col("bucket"))
+    val candidates = a.join(b, Seq("lang", "source", "band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sigA = sigs.select(
+      (col("doc_id").as("doc_a") +:
+        (0 until MinHashK).map(i => col(s"h$i").as(s"a$i"))): _*)
+    val sigB = sigs.select(
+      (col("doc_id").as("doc_b") +:
+        (0 until MinHashK).map(i => col(s"h$i").as(s"b$i"))): _*)
+    val agree = (0 until MinHashK)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("est_jaccard", round(agree.cast("double") / MinHashK, 4))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------
+  // L2: SimHash (no SQL oracle — spec-verified)
+  // ---------------------------------------------------------------
+
+  /** 64-bit SimHash per doc: each token's xxhash64 votes ±1 on every
+    * bit; fingerprint bit i is the vote sign. Implemented as 64
+    * conditional-sum aggregates (codegen'd, partial+final) — one
+    * shuffle on doc_id, no UDF.
+    */
+  def simHashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val h = xxhash64(col("tok"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$i")
+    }
+    val fingerprint = (0 until 64).map { i =>
+      shiftleft(when(col(s"s$i") > 0, 1L).otherwise(0L), i)
+    }.reduce(_.bitwiseOR(_))
+    tokens(spark, dir)
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), col("lang"), col("source"),
+        fingerprint.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: block on (lang, source), band the
+    * 64-bit fingerprint into four 16-bit chunks (two docs within
+    * hamming distance 3 share at least one chunk... pigeonhole needs 4
+    * chunks for distance ≤ 3), verify with bit_count(xor) ≤ maxHamming.
+    */
+  def simHashDedup(spark: SparkSession, dir: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val fps = simHashFingerprints(spark, dir)
+    val chunks = (0 until 4).map(c =>
+      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = fps.select(
+      (Seq(col("doc_id"), col("lang"), col("source"), col("simhash")) :+
+        posexplode(array(chunks: _*)).as(Seq("chunk", "chunk_val"))): _*)
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("lang"), col("source"),
+      col("chunk"), col("chunk_val"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("lang"), col("source"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("lang", "source", "chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------
+  // L4: document fingerprinting (winnowing; no SQL oracle)
+  // ---------------------------------------------------------------
+
+  /** Winnowing fingerprints via higher-order functions only: 3-gram
+    * shingle rolling hashes, then the min hash of each width-4 window,
+    * deduplicated — the classic local fingerprint set, computed
+    * entirely scan-side (no shuffle at all until the final ordering).
+    */
+  def docFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nShingle = greatest(size(toks) - 2, lit(1))
+    val shingleHashes = transform(
+      sequence(lit(1), nShingle),
+      i => xxhash64(concat_ws(" ", slice(toks, i, lit(3)))))
+    val w = 4
+    val windows = transform(
+      sequence(lit(1), greatest(size(col("shingle_hashes")) - (w - 1), lit(1))),
+      j => array_min(slice(col("shingle_hashes"), j, lit(w))))
+    documents(spark, dir)
+      .select(col("doc_id"), shingleHashes.as("shingle_hashes"))
+      .select(col("doc_id"),
+        array_distinct(windows).as("fingerprints"))
+      .select(col("doc_id"),
+        size(col("fingerprints")).as("n_fingerprints"),
+        array_min(col("fingerprints")).as("min_fp"),
+        array_max(col("fingerprints")).as("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_token_stats" -> (tokenStats _),
+    "q_text_quality" -> (textQuality _),
+    "q_lang_id" -> (langId _),
+    "q_near_dup_jaccard" -> ((s: SparkSession, d: String) => nearDupJaccard(s, d)),
+    "q_minhash_lsh" -> ((s: SparkSession, d: String) => minHashLsh(s, d)),
+    "q_simhash_dedup" -> ((s: SparkSession, d: String) => simHashDedup(s, d)),
+    "q_doc_fingerprint" -> (docFingerprints _)
+  )
+
+  /** SQL oracles for the DuckDB-expressible subset; the LSH/SimHash/
+    * winnowing entries are hash-function-defined (xxhash64) and are
+    * verified by ScalaTest recall/property specs instead.
+    */
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_token_stats" -> tokenStatsSql,
+    "q_text_quality" -> textQualitySql,
+    "q_lang_id" -> langIdSql,
+    "q_near_dup_jaccard" -> nearDupJaccardSql
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.TextOps
+
+class TextOpsSpec extends SparkSpec {
+
+  test("every text query returns rows; oracle keys are a subset") {
+    assert(TextOps.oracles.keySet.subsetOf(TextOps.queries.keySet))
+    TextOps.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("exact dedup is idempotent and conserves rows") {
+    val docs = graft.ingest.Sources.documents(spark, sf)
+    val deduped = TextOps.dedupExact(spark, sf)
+    // survivors + extra copies == total docs
+    val total = deduped.agg(sum(col("n_copies"))).collect().head.getLong(0)
+    assert(total == docs.count())
+    // survivor ids are distinct
+    assert(deduped.select(col("doc_id")).distinct().count() == deduped.count())
+  }
+
+  test("MinHash-LSH recall: every exact-Jaccard>=0.9 pair surfaces as a candidate") {
+    // ground truth from the oracle-verified exact pairwise query
+    val truth = TextOps.nearDupJaccard(spark, sf, threshold = 0.9)
+      .select(col("doc_a"), col("doc_b"))
+    val found = TextOps.minHashLsh(spark, sf, minEstJaccard = 0.0)
+      .select(col("doc_a"), col("doc_b"))
+    val missed = truth.except(found).count()
+    val truthN = truth.count()
+    assert(truthN > 0, "test corpus has no high-Jaccard pairs — recall test vacuous")
+    // b=4 r=4 banding: P(candidate | J=0.9) = 1-(1-0.9^4)^4 ≈ 0.986;
+    // demand >= 95% recall on the actual corpus
+    assert(missed.toDouble / truthN <= 0.05,
+      s"LSH missed $missed of $truthN true near-dup pairs")
+  }
+
+  test("MinHash estimated Jaccard tracks exact Jaccard") {
+    val exact = TextOps.nearDupJaccard(spark, sf, threshold = 0.8)
+    val est = TextOps.minHashLsh(spark, sf, minEstJaccard = 0.0)
+    val joined = exact.join(est, Seq("doc_a", "doc_b"))
+      .select(avg(abs(col("jaccard") - col("est_jaccard"))).as("mae"))
+      .collect().head.getDouble(0)
+    // 16-hash signatures: stderr ~ sqrt(J(1-J)/16) ~ 0.08; allow 0.15 MAE
+    assert(joined < 0.15, s"MinHash estimate MAE too high: $joined")
+  }
+
+  test("SimHash: identical token sets get identical fingerprints, hamming is symmetric-bounded") {
+    val fps = TextOps.simHashFingerprints(spark, sf)
+    assert(fps.count() == graft.ingest.Sources.documents(spark, sf).count())
+    // token-set-identical pairs (exact Jaccard == 1.0) must have hamming 0
+    val identicalPairs = TextOps.nearDupJaccard(spark, sf, threshold = 1.0)
+    val a = fps.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = fps.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val bad = identicalPairs.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("sim_a") =!= col("sim_b")).count()
+    assert(bad == 0, s"$bad identical-token-set pairs had differing simhash")
+  }
+
+  test("simHashDedup finds all token-set-identical same-block pairs") {
+    val truth = TextOps.nearDupJaccard(spark, sf, threshold = 1.0)
+      .select(col("doc_a"), col("doc_b"))
+    val found = TextOps.simHashDedup(spark, sf, maxHamming = 6)
+      .select(col("doc_a"), col("doc_b"))
+    assert(truth.except(found).count() == 0)
+  }
+
+  test("winnowing fingerprints: deterministic and bounded by shingle count") {
+    val fp1 = TextOps.docFingerprints(spark, sf).collect()
+    val fp2 = TextOps.docFingerprints(spark, sf).collect()
+    assert(fp1.sameElements(fp2))
+    val docs = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    val joined = TextOps.docFingerprints(spark, sf).join(docs, "doc_id")
+      .filter(col("n_fingerprints") > greatest(col("n_tok") - 2, lit(1)))
+    assert(joined.count() == 0, "more fingerprints than shingles")
+  }
+
+  test("tokens explode plan keeps pushdown: only needed columns read from parquet") {
+    val df = TextOps.tokenStats(spark, sf)
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>")
+      || p.contains("ReadSchema: struct<lang:string,text:string>"),
+      s"expected pruned read schema, got:\n$p")
+  }
+}
