@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Relational.queries ++
       analytics.Events.queries ++
-      analytics.TextOps.queries
+      analytics.TextOps.queries ++
+      analytics.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++
       analytics.Events.oracles ++
-      analytics.TextOps.oracles
+      analytics.TextOps.oracles ++
+      analytics.Similarity.oracles
 }

@@ -1,0 +1,246 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ingest.Sources._
+import graft.functions.VectorOps._
+
+/** Similarity search over the embedding column (SURVEY.md §2.8 L3).
+  *
+  * Two paths, same re-rank kernel:
+  *  - Brute-force cosine top-k: exact, used as the baseline and the
+  *    oracle-checked ground truth. The query set broadcasts; the corpus
+  *    streams through a codegen'd dot-product expression
+  *    ([[graft.functions.FloatVectorDot]]) — no shuffle of the corpus.
+  *  - Random-hyperplane LSH: 16 sign bits → 4 bands of 4 bits →
+  *    bucket self-join → exact cosine re-rank of candidates only.
+  *    This is the 100 TB path: candidate generation is Σ bucket²
+  *    instead of |queries| × |corpus|.
+  *
+  * The pairwise near-dup query is the "embedding-cosine near-dup"
+  * dedup mode: at scale its candidate pairs come from the LSH buckets;
+  * the exact-verify stage below is unchanged.
+  */
+object Similarity {
+
+  /** Embeddings with a double-cast copy (for engine-portable math) and
+    * the precomputed L2 norm.
+    */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        vecNorm(col("embedding")).as("nrm"))
+
+  // ---------------------------------------------------------------
+  // Brute-force cosine top-k (oracle-checked)
+  // ---------------------------------------------------------------
+
+  def knnBruteForce(spark: SparkSession, dir: String,
+                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    val c = v.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", vecDot(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val knnBruteForceSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM n WHERE vec_id < 10
+      |), ranked AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(qemb) + 1), k -> qemb[k] * c.emb[k]))
+      |      / (qnrm * c.nrm) AS cos,
+      |    row_number() OVER (
+      |      PARTITION BY query_id
+      |      ORDER BY list_sum(list_transform(range(1, len(qemb) + 1), k -> qemb[k] * c.emb[k]))
+      |                 / (qnrm * c.nrm) DESC,
+      |               c.vec_id ASC) AS rnk
+      |  FROM q JOIN n c ON c.vec_id <> query_id
+      |)
+      |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Embedding-cosine near-dup pairs (oracle-checked exact verify)
+  // ---------------------------------------------------------------
+
+  def embedNearDup(spark: SparkSession, dir: String,
+                   threshold: Double = 0.4): DataFrame = {
+    val v = vectors(spark, dir)
+    val a = v.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        vecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embedNearDupSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_sum(list_transform(range(1, len(a.emb) + 1), k -> a.emb[k] * b.emb[k]))
+      |    / (a.nrm * b.nrm), 6) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, len(a.emb) + 1), k -> a.emb[k] * b.emb[k]))
+      |    / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Per-label centroids (vector aggregate; oracle-checked)
+  // ---------------------------------------------------------------
+
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val pos = v.select(col("label"), col("vec_id"), col("nrm"),
+      posexplode(col("embedding")).as(Seq("k", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cent = pos.groupBy(col("label"), col("k"))
+      .agg(avg(col("x")).as("cv"))
+    val centArr = cent.groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("k"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+    val dotCent = aggregate(
+      zip_with(col("embedding"), col("centroid"),
+        (x, c) => x.cast("double") * c),
+      lit(0.0), (acc, p) => acc + p)
+    val centNorm = sqrt(aggregate(
+      transform(col("centroid"), c => c * c), lit(0.0), (acc, p) => acc + p))
+    v.join(broadcast(centArr), "label")
+      .withColumn("cos_centroid", dotCent / (col("nrm") * centNorm))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("nrm")), 6).as("avg_norm"),
+        round(avg(col("cos_centroid")), 6).as("avg_cos_centroid"))
+      .orderBy(col("label"))
+  }
+
+  val labelCentroidsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |), pos AS (
+      |  SELECT label, vec_id, unnest(emb) AS x,
+      |    unnest(range(1, len(emb) + 1)) AS k
+      |  FROM e
+      |), cent AS (
+      |  SELECT label, k, avg(x) AS cv FROM pos GROUP BY label, k
+      |), dots AS (
+      |  SELECT p.label, p.vec_id,
+      |    sum(p.x * c.cv) AS dot, sum(p.x * p.x) AS v2, sum(c.cv * c.cv) AS c2
+      |  FROM pos p JOIN cent c ON p.label = c.label AND p.k = c.k
+      |  GROUP BY p.label, p.vec_id
+      |)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(avg(sqrt(v2)), 6) AS avg_norm,
+      |  round(avg(dot / (sqrt(v2) * sqrt(c2))), 6) AS avg_cos_centroid
+      |FROM dots
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Random-hyperplane LSH (scale path; spec-verified recall)
+  // ---------------------------------------------------------------
+
+  val LshPlanes = 16
+  val LshChunkBits = 4
+  private val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — the sketch
+    * must be stable across sessions and executors).
+    */
+  private[analytics] val hyperplanes: Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(7)
+    Seq.fill(LshPlanes)(Seq.fill(Dim)((rng.nextGaussian() * 0.5).toFloat))
+  }
+
+  /** 16-bit sign sketch of an embedding column. */
+  private[analytics] def sketch(emb: Column): Column =
+    hyperplanes.zipWithIndex.map { case (plane, h) =>
+      shiftleft(when(vecDot(emb, typedlit(plane)) > 0, 1L).otherwise(0L), h)
+    }.reduce(_.bitwiseOR(_))
+
+  /** Candidate pairs from banded sketch buckets: vec pairs sharing any
+    * 4-bit chunk of the 16-bit sketch. Input df needs (vec_id,
+    * embedding); output (vec_a, vec_b) distinct, vec_a < vec_b.
+    */
+  def lshCandidates(df: DataFrame): DataFrame = {
+    val sk = df.select(col("vec_id"), sketch(col("embedding")).as("sk"))
+    val chunks = (0 until LshPlanes / LshChunkBits).map(c =>
+      shiftright(col("sk"), c * LshChunkBits)
+        .bitwiseAND(lit((1L << LshChunkBits) - 1)))
+    val banded = sk.select(col("vec_id"),
+      posexplode(array(chunks: _*)).as(Seq("chunk", "chunk_val")))
+    val a = banded.select(col("vec_id").as("vec_a"), col("chunk"), col("chunk_val"))
+    val b = banded.select(col("vec_id").as("vec_b"), col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+  }
+
+  /** ANN top-k: LSH candidates re-ranked by exact cosine. Every vector
+    * is a query; only bucket-mates are scored.
+    */
+  def knnLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val v = vectors(spark, dir)
+    val cands = lshCandidates(v)
+    // symmetrize so each side of a pair acts as the query once
+    val sym = cands.union(
+      cands.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    val q = v.select(col("vec_id").as("vec_a"),
+      col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    val c = v.select(col("vec_id").as("vec_b"),
+      col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cos").desc, col("vec_b").asc)
+    sym.join(q, "vec_a").join(c, "vec_b")
+      .withColumn("cos", vecDot(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_a").as("query_id"), col("rnk"),
+        col("vec_b").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_bruteforce" -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
+    "q_embed_near_dup" -> ((s: SparkSession, d: String) => embedNearDup(s, d)),
+    "q_label_centroids" -> (labelCentroids _),
+    "q_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_bruteforce" -> knnBruteForceSql,
+    "q_embed_near_dup" -> embedNearDupSql,
+    "q_label_centroids" -> labelCentroidsSql
+  )
+}

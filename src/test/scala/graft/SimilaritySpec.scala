@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Similarity
+import graft.functions.VectorOps._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("every similarity query returns rows; oracle keys are a subset") {
+    assert(Similarity.oracles.keySet.subsetOf(Similarity.queries.keySet))
+    Similarity.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("custom FloatVectorDot matches the higher-order-function reference bit-for-bit") {
+    val diff = graft.ingest.Sources.embeddings(spark, sf)
+      .select(
+        vecDot(col("embedding"), col("embedding")).as("custom"),
+        vecDotHof(col("embedding"), col("embedding")).as("hof"))
+      .filter(col("custom") =!= col("hof"))
+      .count()
+    assert(diff == 0, s"$diff rows differ between codegen and HOF dot")
+  }
+
+  test("FloatVectorDot runs inside WholeStageCodegen") {
+    val df = graft.ingest.Sources.embeddings(spark, sf)
+      .select(vecDot(col("embedding"), col("embedding")).as("d"))
+    // the "*(n)" prefix marks operators fused into WholeStageCodegen
+    val p = plan(df)
+    assert("""\*\(\d+\) Project \[float_vector_dot""".r.findFirstIn(p).isDefined,
+      s"expected float_vector_dot inside a codegen stage, plan:\n$p")
+    // evaluating must not throw in codegen mode and must be positive
+    val bad = df.filter(col("d") <= 0).count()
+    assert(bad == 0)
+  }
+
+  test("brute-force KNN: rank-1 neighbor is the argmax cosine, k rows per query") {
+    val knn = Similarity.knnBruteForce(spark, sf, nQueries = 5, k = 5)
+    val counts = knn.groupBy(col("query_id")).count().collect()
+    assert(counts.length == 5 && counts.forall(_.getLong(1) == 5))
+    // cosine within a query is non-increasing with rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rnk"))
+    val violations = knn
+      .withColumn("prev_cos", lag(col("cosine"), 1).over(w))
+      .filter(col("prev_cos").isNotNull && col("cosine") > col("prev_cos"))
+      .count()
+    assert(violations == 0)
+  }
+
+  test("LSH recall on planted near-duplicates") {
+    import scala.collection.JavaConverters._
+    val rng = new scala.util.Random(123)
+    val dim = 64
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 40 random base vectors; ids 1000+i are tiny perturbations of i
+    val bases = (0 until 40).map(i => (i.toLong, unit()))
+    val dups = bases.map { case (i, v) =>
+      (1000L + i, v.map(x => x + (rng.nextGaussian() * 0.02).toFloat))
+    }
+    val rows = (bases ++ dups).map { case (id, v) =>
+      org.apache.spark.sql.Row(id, v.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val cands = Similarity.lshCandidates(df)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 40).count(i => cands.contains((i.toLong, 1000L + i)))
+    // cos(base, dup) ≈ 0.99 → per-bit agreement ≈ 0.955 → P(candidate)
+    // = 1-(1-0.955^4)^4 ≈ 0.999; demand ≥ 90% of 40 planted pairs
+    assert(found >= 36, s"LSH found only $found/40 planted near-dup pairs")
+  }
+
+  test("knnLsh output is a subset of exact cosine ordering (no invented neighbors)") {
+    val lsh = Similarity.knnLsh(spark, sf, k = 3)
+    // every reported neighbor pair must be an LSH candidate with correct cosine:
+    // spot-check that reported cosines match the brute-force cosine values
+    val v = graft.ingest.Sources.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        vecNorm(col("embedding")).as("nrm"))
+    val a = v.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val b = v.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val recomputed = lsh.join(a, "query_id").join(b, "neighbor_id")
+      .withColumn("cos2", round(vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .filter(abs(col("cosine") - col("cos2")) > 1e-9)
+      .count()
+    assert(recomputed == 0)
+  }
+}
