@@ -25,7 +25,8 @@ object SparkEntry {
     analytics.Relational.queries ++
       analytics.Events.queries ++
       analytics.TextOps.queries ++
-      analytics.Similarity.queries
+      analytics.Similarity.queries ++
+      analytics.Quality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
     analytics.Relational.oracles ++
       analytics.Events.oracles ++
       analytics.TextOps.oracles ++
-      analytics.Similarity.oracles
+      analytics.Similarity.oracles ++
+      analytics.Quality.oracles
 }

@@ -1,0 +1,143 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ingest.Sources._
+
+/** Sensor-quality analytics (SURVEY.md §2.5 A1–A3, §2.7 X1, §2.2 F1)
+  * — the reference's stated monitoring/anomaly/alerting goals
+  * (reference: README.md:5-6) realized as declarative plans over the
+  * harness `events` stream table (user_id ≈ sensor, value ≈ reading).
+  *
+  * Scale notes (100 TB): tumbling windows are plain hash aggregations
+  * on a derived time key (partial+final, no windowing state); rolling
+  * stats are bounded-frame window functions — one shuffle on the
+  * sensor key, frame buffers hold ≤12 rows regardless of data size.
+  * Timestamps are emitted as formatted strings so engine timestamp
+  * precision (µs vs ns) can never leak into results.
+  */
+object Quality {
+
+  /** X1: Water-Quality-Index-style weighted composite of three sensor
+    * sub-readings, each normalized to its healthy band. Pure Column
+    * arithmetic — codegen-friendly, no UDF (reference intent:
+    * README.md:5-6; sub-index weighting mirrors the WQI dataset lineage
+    * of reference kafka/sort_the_source.py:6).
+    */
+  def wqi(ph: Column, doSat: Column, tds: Column): Column = {
+    // sub-index: 100 at band center, linear falloff to 0 at band edge
+    def sub(c: Column, lo: Double, hi: Double): Column = {
+      val center = lit((lo + hi) / 2)
+      val halfWidth = lit((hi - lo) / 2)
+      greatest(lit(0.0), lit(100.0) * (lit(1.0) - abs(c - center) / halfWidth))
+    }
+    round(sub(ph, 6.5, 8.5) * 0.4 + sub(doSat, 30, 120) * 0.35 +
+      sub(tds, 50, 1500) * 0.25, 4)
+  }
+
+  /** A2: tumbling 1-hour window aggregation per event type — the batch
+    * twin of the streaming windowed aggregation in
+    * graft.streaming.Pipeline.
+    */
+  def sensorHourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"),
+        round(stddev_samp(col("value")), 4).as("sd_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  val sensorHourlySql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  event_type, count(*) AS n,
+      |  round(avg(value), 4) AS avg_value,
+      |  round(min(value), 2) AS min_value,
+      |  round(max(value), 2) AS max_value,
+      |  round(stddev_samp(value), 4) AS sd_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin
+
+  /** A3: rolling z-score anomaly detection — each reading scored
+    * against the trailing 12 readings of the same sensor (current row
+    * excluded so the anomaly can't suppress itself). Only full frames
+    * score, making the result deterministic at any parallelism.
+    */
+  def rollingZscore(spark: SparkSession, dir: String,
+                    zThreshold: Double = 3.0): DataFrame = {
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-12, -1)
+    events(spark, dir)
+      .withColumn("mu", avg(col("value")).over(frame))
+      .withColumn("sd", stddev_samp(col("value")).over(frame))
+      .withColumn("n_frame", count(col("value")).over(frame))
+      .filter(col("n_frame") === 12 && col("sd") > 0)
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"), round(col("z"), 4).as("zscore"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val rollingZscoreSql: String =
+    """SELECT user_id, event_id, round(value, 2) AS value, round(z, 4) AS zscore
+      |FROM (
+      |  SELECT user_id, event_id, value,
+      |    (value - mu) / sd AS z
+      |  FROM (
+      |    SELECT user_id, event_id, value,
+      |      avg(value) OVER w AS mu,
+      |      stddev_samp(value) OVER w AS sd,
+      |      count(value) OVER w AS n_frame
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                 ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+      |  )
+      |  WHERE n_frame = 12 AND sd > 0
+      |)
+      |WHERE abs(z) > 3.0
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** F1: threshold alerting — out-of-band readings rolled up per type
+    * and day (the alert feed a dashboard would consume).
+    */
+  def valueAlerts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("value") < 2.0 || col("value") > 98.0)
+      .groupBy(
+        col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_alerts"),
+        round(avg(col("value")), 2).as("avg_value"))
+      .orderBy(col("event_type"), col("day"))
+
+  val valueAlertsSql: String =
+    """SELECT event_type,
+      |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  count(*) AS n_alerts, round(avg(value), 2) AS avg_value
+      |FROM events
+      |WHERE value < 2.0 OR value > 98.0
+      |GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sensor_hourly" -> (sensorHourly _),
+    "q_rolling_zscore" -> ((s: SparkSession, d: String) => rollingZscore(s, d)),
+    "q_value_alerts" -> (valueAlerts _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sensor_hourly" -> sensorHourlySql,
+    "q_rolling_zscore" -> rollingZscoreSql,
+    "q_value_alerts" -> valueAlertsSql
+  )
+}

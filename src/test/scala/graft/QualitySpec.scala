@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Quality
+
+class QualitySpec extends SparkSpec {
+
+  test("every quality query returns rows and has an oracle") {
+    assert(Quality.queries.keySet == Quality.oracles.keySet)
+    Quality.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("WQI: perfect readings score 100, out-of-band scores degrade monotonically") {
+    import spark.implicits._
+    val df = Seq(
+      (7.5, 75.0, 775.0),  // all band centers → 100
+      (6.5, 75.0, 775.0),  // pH at band edge → loses full pH weight
+      (4.0, 75.0, 775.0),  // pH far out of band → clamped at 0 sub-index
+      (7.5, 30.0, 775.0),  // DO at band edge
+      (7.5, 75.0, 5000.0)  // TDS far out
+    ).toDF("ph", "do_sat", "tds")
+      .withColumn("wqi", Quality.wqi(col("ph"), col("do_sat"), col("tds")))
+    val scores = df.select("wqi").collect().map(_.getDouble(0))
+    assert(scores(0) == 100.0)
+    assert(scores(1) == 60.0)        // 100 - 40 (pH weight)
+    assert(scores(2) == 60.0)        // clamped, not negative
+    assert(scores(3) == 65.0)        // 100 - 35 (DO weight)
+    assert(scores(4) == 75.0)        // 100 - 25 (TDS weight)
+    // monotone: moving pH toward the edge never raises the score
+    val seq = Seq(7.5, 7.0, 6.8, 6.6, 6.5, 5.0).map { p =>
+      Seq((p, 75.0, 775.0)).toDF("ph", "do_sat", "tds")
+        .select(Quality.wqi(col("ph"), col("do_sat"), col("tds")))
+        .collect().head.getDouble(0)
+    }
+    assert(seq == seq.sorted.reverse, s"WQI not monotone in pH distance: $seq")
+  }
+
+  test("rolling z-score only scores full 12-row frames") {
+    // a sensor's first 12 readings can never be scored
+    val z = Quality.rollingZscore(spark, sf, zThreshold = 0.0)
+    val firstEvents = graft.ingest.Sources.events(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)))
+      .filter(col("rn") <= 12)
+      .select(col("event_id"))
+    assert(z.join(firstEvents, "event_id").count() == 0)
+  }
+
+  test("tumbling window agg shuffles once (partial+final hash aggregate)") {
+    val p = plan(Quality.sensorHourly(spark, sf))
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+}
