@@ -26,7 +26,8 @@ object SparkEntry {
       analytics.Events.queries ++
       analytics.TextOps.queries ++
       analytics.Similarity.queries ++
-      analytics.Quality.queries
+      analytics.Quality.queries ++
+      etl.Prep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
