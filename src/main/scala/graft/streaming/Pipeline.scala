@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.model.Schemas
+import graft.model.Schemas.SensorReading
+
+/** The streaming core (SURVEY.md §2.6, reference:
+  * streaming/spark_processor.py) — Kafka-shaped source → CAST →
+  * from_json → flatten → typed coercion, then the analytical tails the
+  * reference documents but never built: watermarked tumbling windows,
+  * session windows, and a stateful per-sensor alert machine.
+  *
+  * Sources are taken as DataFrames so tests drive the identical plans
+  * through MemoryStream; graft.ingest.Sources.kafkaStream produces the
+  * production source with the same (value: binary) contract.
+  *
+  * Scale notes: every stage is keyed on sensor_id, so state (window
+  * partials, session state, alert counters) shards across executors;
+  * watermarks bound state size; checkpointing makes sinks
+  * exactly-once (the reference ran without checkpoints — T3).
+  */
+object Pipeline {
+
+  /** Alert state: consecutive out-of-band readings per sensor. */
+  final case class AlertState(consecutive: Int, lastEventMs: Long)
+
+  /** Emitted when a sensor crosses [[AlertThreshold]] consecutive
+    * out-of-band readings.
+    */
+  final case class Alert(
+      sensor_id: String,
+      alert_time: java.sql.Timestamp,
+      n_consecutive: Int,
+      ph_value: Option[Float],
+      do_value: Option[Float])
+
+  val AlertThreshold = 3
+
+  /** Wire→typed parse. The producer emits every field as a JSON string
+    * under the CSV header names (reference: kafka/producer.py:24,37);
+    * the canonical schema demands typed sensor readings — so parse
+    * with the wire schema and coerce explicitly (J2–J4, P2–P4).
+    */
+  def parseWire(raw: DataFrame): DataFrame =
+    raw.selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json(col("value"), Schemas.wireSchema).alias("data"))
+      .select("data.*")
+      .select(
+        col("WaterbodyName").as("sensor_id"),
+        to_timestamp(col("FullDate")).as("timestamp"),
+        col("pH").cast("float").as("ph_value"),
+        col("`Dissolved Oxygen`").cast("float").as("do_value"),
+        col("`Conductivity @25°C`").cast("float").as("tds_value"))
+
+  /** The reference's own parse — from_json directly against the sensor
+    * schema (reference: streaming/spark_processor.py:37-39). Kept
+    * verbatim because its PERMISSIVE null-on-mismatch behavior against
+    * the actual wire fields is a pinned semantic (SURVEY.md §1.3).
+    */
+  def parseSensorStrict(raw: DataFrame): DataFrame =
+    raw.selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json(col("value"), Schemas.sensorSchema).alias("data"))
+      .select("data.*")
+
+  /** T5+T6: watermarked tumbling 1-hour per-sensor aggregation. In
+    * append mode a window emits exactly once, when the watermark
+    * passes its end — late rows beyond 1 day are dropped.
+    */
+  def windowedStats(readings: DataFrame): DataFrame =
+    readings
+      .withWatermark("timestamp", "1 day")
+      .groupBy(window(col("timestamp"), "1 hour"), col("sensor_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("ph_value")).as("avg_ph"),
+        min(col("do_value")).as("min_do"),
+        max(col("tds_value")).as("max_tds"))
+      .select(col("window.start").as("window_start"),
+        col("sensor_id"), col("n"), col("avg_ph"), col("min_do"), col("max_tds"))
+
+  /** T6: session windows — readings within a 30-minute gap merge. */
+  def sessionStats(readings: DataFrame): DataFrame =
+    readings
+      .withWatermark("timestamp", "1 day")
+      .groupBy(session_window(col("timestamp"), "30 minutes"), col("sensor_id"))
+      .agg(count(lit(1)).as("n"), avg(col("ph_value")).as("avg_ph"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("sensor_id"), col("n"), col("avg_ph"))
+
+  /** Out-of-band predicate (F1 thresholds; missing values don't vote). */
+  private def isOutOfBand(r: SensorReading): Boolean = {
+    val phBad = r.ph_value.exists(p => p < 6.5f || p > 8.5f)
+    val doBad = r.do_value.exists(_ < 30f)
+    phBad || doBad
+  }
+
+  /** T7: per-sensor alert state machine via flatMapGroupsWithState —
+    * an alert fires when [[AlertThreshold]] consecutive out-of-band
+    * readings arrive; a healthy reading resets the streak; state for
+    * sensors silent past the watermark + 1h is evicted by event-time
+    * timeout.
+    */
+  def alerts(readings: Dataset[SensorReading]): Dataset[Alert] = {
+    val spark = readings.sparkSession
+    import spark.implicits._
+
+    def fn(sensorId: String, rows: Iterator[SensorReading],
+           state: GroupState[AlertState]): Iterator[Alert] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = rows.toSeq.sortBy(r =>
+          (Option(r.timestamp).map(_.getTime).getOrElse(0L), r.sensor_id))
+        var st = state.getOption.getOrElse(AlertState(0, 0L))
+        val out = Seq.newBuilder[Alert]
+        sorted.foreach { r =>
+          val ms = Option(r.timestamp).map(_.getTime).getOrElse(st.lastEventMs)
+          st =
+            if (isOutOfBand(r)) {
+              val n = st.consecutive + 1
+              if (n == AlertThreshold)
+                out += Alert(sensorId, r.timestamp, n, r.ph_value, r.do_value)
+              AlertState(n, ms)
+            } else AlertState(0, ms)
+        }
+        state.update(st)
+        if (st.lastEventMs > 0)
+          state.setTimeoutTimestamp(st.lastEventMs + 3600 * 1000)
+        out.result().iterator
+      }
+    }
+
+    readings
+      .withWatermark("timestamp", "1 day")
+      .groupByKey(_.sensor_id)
+      .flatMapGroupsWithState[AlertState, Alert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** S7 stand-in: checkpointed parquet sink, deterministic drain via
+    * AvailableNow (the offline twin of the intended Delta/MinIO sink —
+    * reference: streaming/spark_processor.py:42).
+    */
+  def toParquetSink(df: DataFrame, path: String,
+                    checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** S6: the reference's console sink, config-identical (reference:
+    * streaming/spark_processor.py:43-47).
+    */
+  def toConsole(df: DataFrame): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("console")
+      .option("truncate", "false")
+      .start()
+
+  /** S4: Kafka-sink framing — each row JSON-serialized into `value`
+    * exactly as the reference producer does (reference:
+    * kafka/producer.py:24). Attach to .write.format("kafka") or
+    * .writeStream in a brokered deployment.
+    */
+  def toKafkaJson(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+}

@@ -1,0 +1,162 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.Schemas.SensorReading
+import graft.streaming.Pipeline
+
+class StreamingSpec extends SparkSpec {
+
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def reading(id: String, t: String, ph: Float = 7.5f,
+                      doSat: Float = 80f, tds: Float = 400f): SensorReading =
+    SensorReading(id, ts(t), Some(ph), Some(doSat), Some(tds))
+
+  test("wire parse: stringly JSON coerces to typed sensor readings") {
+    import spark.implicits._
+    val wire =
+      """{"FullDate":"2023-01-01","WaterbodyName":"DARGLE_030",
+        |"pH":"7.9","Dissolved Oxygen":"97.0","Conductivity @25°C":"244.0"}"""
+        .stripMargin.replace("\n", "")
+    val df = Pipeline.parseWire(Seq(wire).toDF("value"))
+    val row = df.collect().head
+    assert(row.getAs[String]("sensor_id") == "DARGLE_030")
+    assert(row.getAs[Timestamp]("timestamp") == ts("2023-01-01 00:00:00"))
+    assert(math.abs(row.getAs[Float]("ph_value") - 7.9f) < 1e-6)
+    assert(df.columns.toSeq == Seq("sensor_id", "timestamp",
+      "ph_value", "do_value", "tds_value"))
+  }
+
+  test("strict parse pins the reference's PERMISSIVE null-on-mismatch (SURVEY §1.3)") {
+    import spark.implicits._
+    // the actual wire fields don't match the sensor schema the
+    // reference declares → every field parses to null
+    val wire = """{"FullDate":"2023-01-01","WaterbodyName":"X","pH":"7.9"}"""
+    val row = Pipeline.parseSensorStrict(Seq(wire).toDF("value")).collect().head
+    assert((0 until row.length).forall(row.isNullAt))
+  }
+
+  test("watermarked tumbling windows: append emits finalized windows, drops late rows") {
+    import spark.implicits._
+    val input = MemoryStream[SensorReading](spark)
+    val q = Pipeline.windowedStats(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("win_out").start()
+    try {
+      input.addData(
+        reading("A", "2024-01-01 00:10:00", ph = 7.0f),
+        reading("A", "2024-01-01 00:20:00", ph = 8.0f),
+        reading("A", "2024-01-01 01:10:00"))
+      q.processAllAvailable()
+      // nothing finalized yet — watermark still at batch-1 max - 1 day
+      assert(spark.table("win_out").count() == 0)
+      // jump event time 3 days ahead: watermark passes the old windows
+      input.addData(reading("A", "2024-01-04 00:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("window_start").cast("string"), col("n"), col("avg_ph"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("2024-01-01 00:00:00", 2L), ("2024-01-01 01:00:00", 1L)))
+      // a row older than watermark is dropped, not re-emitted
+      input.addData(reading("A", "2024-01-01 00:30:00"))
+      input.addData(reading("A", "2024-01-06 00:00:00"))
+      q.processAllAvailable()
+      val n0010 = spark.table("win_out")
+        .filter(col("window_start") === ts("2024-01-01 00:00:00")).count()
+      assert(n0010 == 1, "late row re-opened a finalized window")
+    } finally q.stop()
+  }
+
+  test("session windows merge readings within the 30-minute gap") {
+    import spark.implicits._
+    val input = MemoryStream[SensorReading](spark)
+    val q = Pipeline.sessionStats(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      input.addData(
+        reading("A", "2024-01-01 00:00:00"),
+        reading("A", "2024-01-01 00:10:00"),   // same session
+        reading("A", "2024-01-01 01:00:00"),   // > 30 min gap → new session
+        reading("B", "2024-01-01 00:05:00"))
+      input.addData(reading("A", "2024-01-04 00:00:00")) // advance watermark
+      q.processAllAvailable()
+      val sess = spark.table("sess_out")
+        .filter(col("session_start") < ts("2024-01-02 00:00:00"))
+        .select(col("sensor_id"), col("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(sess == Set(("A", 2L), ("A", 1L), ("B", 1L)))
+    } finally q.stop()
+  }
+
+  test("alert state machine: 3 consecutive out-of-band readings fire once; healthy resets") {
+    import spark.implicits._
+    val input = MemoryStream[SensorReading](spark)
+    val q = Pipeline.alerts(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("alert_out").start()
+    try {
+      input.addData(
+        reading("A", "2024-01-01 00:00:00", ph = 5.0f),  // bad 1
+        reading("A", "2024-01-01 00:10:00", ph = 5.1f),  // bad 2
+        reading("A", "2024-01-01 00:20:00", ph = 5.2f),  // bad 3 → alert
+        reading("A", "2024-01-01 00:30:00", ph = 5.3f),  // bad 4, no new alert
+        reading("B", "2024-01-01 00:00:00", ph = 5.0f),
+        reading("B", "2024-01-01 00:10:00", ph = 7.5f),  // healthy reset
+        reading("B", "2024-01-01 00:20:00", ph = 5.1f),
+        reading("B", "2024-01-01 00:30:00", ph = 5.2f))  // only 2 consecutive
+      q.processAllAvailable()
+      val alerts = spark.table("alert_out").collect()
+      assert(alerts.length == 1, s"expected exactly 1 alert: ${alerts.toSeq}")
+      val a = alerts.head
+      assert(a.getAs[String]("sensor_id") == "A")
+      assert(a.getAs[Timestamp]("alert_time") == ts("2024-01-01 00:20:00"))
+      assert(a.getAs[Int]("n_consecutive") == 3)
+      // the streak persists across micro-batches: a 5th consecutive bad
+      // reading continues the same streak and must not re-fire
+      input.addData(reading("A", "2024-01-01 00:40:00", ph = 5.0f))
+      q.processAllAvailable()
+      assert(spark.table("alert_out").count() == 1)
+    } finally q.stop()
+  }
+
+  test("checkpointed parquet sink is exactly-once across AvailableNow restarts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[SensorReading](spark)
+    input.addData(reading("A", "2024-01-01 00:00:00"),
+      reading("B", "2024-01-01 00:05:00"))
+    val q1 = Pipeline.toParquetSink(input.toDF(), s"$dir/data", s"$dir/chk")
+    q1.awaitTermination()
+    assert(spark.read.parquet(s"$dir/data").count() == 2)
+    // restart with the same checkpoint: already-committed batch not rewritten
+    input.addData(reading("C", "2024-01-01 00:10:00"))
+    val q2 = Pipeline.toParquetSink(input.toDF(), s"$dir/data", s"$dir/chk")
+    q2.awaitTermination()
+    val out = spark.read.parquet(s"$dir/data")
+    assert(out.count() == 3, "restart duplicated or dropped rows")
+    assert(out.select("sensor_id").distinct().count() == 3)
+  }
+
+  test("kafka-sink framing round-trips through the wire parser") {
+    import spark.implicits._
+    val canonical = Seq(reading("DARGLE_030", "2023-01-01 00:00:00",
+      7.9f, 97.0f, 244.0f)).toDS()
+    // canonical → reference wire names → JSON value → parse back
+    val wire = canonical.select(
+      date_format(col("timestamp"), "yyyy-MM-dd").as("FullDate"),
+      col("sensor_id").as("WaterbodyName"),
+      col("ph_value").cast("string").as("pH"),
+      col("do_value").cast("string").as("Dissolved Oxygen"),
+      col("tds_value").cast("string").as("Conductivity @25°C"))
+    val parsed = Pipeline.parseWire(Pipeline.toKafkaJson(wire))
+    val r = parsed.collect().head
+    assert(r.getAs[String]("sensor_id") == "DARGLE_030")
+    assert(math.abs(r.getAs[Float]("do_value") - 97.0f) < 1e-6)
+  }
+}
