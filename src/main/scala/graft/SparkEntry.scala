@@ -27,6 +27,7 @@ object SparkEntry {
       analytics.TextOps.queries ++
       analytics.Similarity.queries ++
       analytics.Quality.queries ++
+      analytics.Multimodal.queries ++
       etl.Prep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

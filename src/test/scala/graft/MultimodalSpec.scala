@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Multimodal
+import graft.analytics.Multimodal.{MediaFeatures, MediaRecord}
+
+class MultimodalSpec extends SparkSpec {
+
+  private def record(id: Long, kind: String, payload: String): MediaRecord =
+    MediaRecord(id, kind, payload.getBytes("UTF-8"), 640, 480, 44100, 1000)
+
+  test("decode stub is deterministic, fixed-width, bounded") {
+    val a = Multimodal.decodeStub("hello world".getBytes)
+    val b = Multimodal.decodeStub("hello world".getBytes)
+    val c = Multimodal.decodeStub("hello worlds".getBytes)
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq)
+    assert(a.length == Multimodal.FeatureDim)
+    assert(a.forall(x => x >= -1.0f && x <= 1.0f))
+  }
+
+  test("pool and frameSample keep shape contracts") {
+    val f = Array.tabulate(16)(_.toFloat)
+    assert(Multimodal.pool(f, 4).toSeq == Seq(1.5f, 5.5f, 9.5f, 13.5f))
+    assert(Multimodal.frameSample(f, 4).toSeq == Seq(0f, 4f, 8f, 12f))
+    intercept[IllegalArgumentException](Multimodal.pool(f, 5))
+  }
+
+  test("extractFeatures preserves rows, ids and byte counts through mapPartitions") {
+    import spark.implicits._
+    val recs = (1L to 100L).map(i => record(i, if (i % 2 == 0) "image" else "audio",
+      s"payload-$i" * (i.toInt % 7 + 1)))
+    val ds = spark.createDataset(recs).repartition(8)
+    val out = Multimodal.extractFeatures(ds).collect()
+    assert(out.length == 100)
+    val byId = out.map(f => f.media_id -> f).toMap
+    recs.foreach { r =>
+      val f = byId(r.media_id)
+      assert(f.n_bytes == r.content.length)
+      assert(f.kind == r.kind)
+      assert(f.features.toSeq == Multimodal.decodeStub(r.content).toSeq)
+    }
+  }
+
+  test("extraction plan is narrow: no shuffle between decode repartition and features") {
+    import spark.implicits._
+    val ds = spark.createDataset((1L to 10L).map(i => record(i, "image", s"p$i")))
+    val sized = Multimodal.repartitionForDecode(ds, totalBytes = 1L << 30,
+      targetBytesPerPartition = 128L << 20)
+    val feats = Multimodal.extractFeatures(sized)
+    assert(feats.rdd.getNumPartitions == 8, "byte-budget partitioning not applied")
+    val p = feats.queryExecution.executedPlan.toString()
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the decode repartition exchange:\n$p")
+  }
+
+  test("binaryFile source reads opaque payload files with metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(s"img_$i.bin"),
+        s"fake-image-bytes-$i".getBytes)
+    }
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    assert(df.count() == 3)
+    val lens = df.select(col("length")).collect().map(_.getLong(0)).toSet
+    assert(lens == Set(18L, 18L, 18L) || lens.forall(_ > 0))
+  }
+
+  test("media feature rollup query returns one row per source") {
+    val out = Multimodal.mediaFeatureRollup(spark, sf)
+    assert(out.count() == 20)
+    assert(out.filter(col("avg_feat_norm") <= 0).count() == 0)
+  }
+}
