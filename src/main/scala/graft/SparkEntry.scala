@@ -28,6 +28,7 @@ object SparkEntry {
       analytics.Similarity.queries ++
       analytics.Quality.queries ++
       analytics.Multimodal.queries ++
+      functions.Aggregators.queries ++
       etl.Prep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       analytics.Events.oracles ++
       analytics.TextOps.oracles ++
       analytics.Similarity.oracles ++
-      analytics.Quality.oracles
+      analytics.Quality.oracles ++
+      functions.Aggregators.oracles
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.Aggregators
+import graft.functions.Aggregators.{Moments, WelfordMoments}
+
+class AggregatorsSpec extends SparkSpec {
+
+  test("welford moments match Spark built-ins on the events table") {
+    val ours = Aggregators.eventMoments(spark, sf)
+    val builtins = graft.ingest.Sources.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(col("value")).as("n2"),
+        round(avg(col("value")), 4).as("mean2"),
+        round(stddev_samp(col("value")), 4).as("sd2"))
+    val joined = ours.join(builtins, "event_type")
+      .filter(col("n") =!= col("n2") ||
+        abs(col("mean_value") - col("mean2")) > 1e-9 ||
+        abs(col("sd_value") - col("sd2")) > 1e-9)
+    assert(joined.count() == 0)
+  }
+
+  test("merge is associative-equivalent: split-and-merge equals sequential reduce") {
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)),
+      Gen.chooseNum(0, 1000)) { (xs: List[Double], splitSeed: Int) =>
+      val seqR = xs.foldLeft(WelfordMoments.zero)(WelfordMoments.reduce)
+      val k = splitSeed % xs.length
+      val (l, r) = xs.splitAt(k)
+      val merged = WelfordMoments.merge(
+        l.foldLeft(WelfordMoments.zero)(WelfordMoments.reduce),
+        r.foldLeft(WelfordMoments.zero)(WelfordMoments.reduce))
+      merged.n == seqR.n &&
+        math.abs(merged.mean - seqR.mean) <= 1e-9 * math.max(1.0, math.abs(seqR.mean)) &&
+        math.abs(merged.m2 - seqR.m2) <= 1e-6 * math.max(1.0, seqR.m2)
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("empty and singleton buffers behave") {
+    assert(WelfordMoments.merge(WelfordMoments.zero, WelfordMoments.zero) == WelfordMoments.zero)
+    val one = WelfordMoments.reduce(WelfordMoments.zero, 42.0)
+    assert(one == Moments(1, 42.0, 0.0))
+    val out = WelfordMoments.finish(one)
+    assert(out.stddev_samp.isNaN)
+  }
+
+  test("approx_count_distinct (HLL++) lands within its error bound (A4/X3)") {
+    val exact = graft.ingest.Sources.orders(spark, sf)
+      .select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    val approx = graft.ingest.Sources.orders(spark, sf)
+      .select(approx_count_distinct(col("o_custkey"), 0.02)).collect().head.getLong(0)
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr < 0.06, s"HLL rel err $relErr (exact=$exact approx=$approx)")
+  }
+}
