@@ -135,15 +135,53 @@ object Events {
       |GROUP BY has_view, has_click, has_purchase
       |ORDER BY has_view, has_click, has_purchase""".stripMargin
 
+  /** J7 (as-of join): each purchase matched to the same user's most
+    * recent prior-or-simultaneous signup. Spark lacks a native as-of
+    * operator; the idiomatic scale form is union-tag + one window pass
+    * — a SINGLE shuffle on user_id, no range join, no state explosion
+    * (the classic merge-join formulation of as-of). The DuckDB oracle
+    * uses its native ASOF JOIN, proving operator equivalence.
+    */
+  def asofSignup(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+    val tagged = e.filter(col("event_type").isin("purchase", "signup"))
+      .withColumn("is_signup", (col("event_type") === "signup").cast("int"))
+    // signups sort before a same-instant purchase so ts >= matches
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_signup").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("signup_event_id",
+        last(when(col("is_signup") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("signup_epoch_s",
+        last(when(col("is_signup") === 1, col("epoch_s")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("signup_event_id"),
+        (col("epoch_s") - col("signup_epoch_s")).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofSignupSql: String =
+    """SELECT p.event_id, p.user_id, s.event_id AS signup_event_id,
+      |  CAST(floor(epoch(p.ts)) AS BIGINT)
+      |    - CAST(floor(epoch(s.ts)) AS BIGINT) AS gap_s
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_event_props" -> (eventProps _),
-    "q_event_funnel" -> (eventFunnel _)
+    "q_event_funnel" -> (eventFunnel _),
+    "q_asof_signup" -> (asofSignup _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
     "q_event_props" -> eventPropsSql,
-    "q_event_funnel" -> eventFunnelSql
+    "q_event_funnel" -> eventFunnelSql,
+    "q_asof_signup" -> asofSignupSql
   )
 }

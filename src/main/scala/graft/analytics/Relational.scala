@@ -308,6 +308,64 @@ object Relational {
       |GROUP BY bucket_year
       |ORDER BY bucket_year""".stripMargin
 
+  /** A5 (cube): region × order-priority cube — all four grouping-set
+    * combinations in one pass (one shuffle; Expand feeds a single
+    * partial+final aggregate). Grouped-out levels surface as 'ALL'.
+    */
+  def cubeRegionPriority(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("region"), col("priority"))
+
+  val cubeRegionPrioritySql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, o_orderpriority)
+      |ORDER BY region, priority""".stripMargin
+
+  /** Pivot with EXPLICIT values — no driver-side distinct-values
+    * metadata query, so the plan stays a single pass even when the
+    * pivot column has unbounded cardinality at scale.
+    */
+  def pivotSegmentByRegion(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("r_name", Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+      .agg(count(lit(1)))
+      .withColumnsRenamed(Map(
+        "AFRICA" -> "africa", "AMERICA" -> "america", "ASIA" -> "asia",
+        "EUROPE" -> "europe", "MIDDLE EAST" -> "middle_east"))
+      .orderBy(col("c_mktsegment"))
+
+  val pivotSegmentByRegionSql: String =
+    """SELECT c_mktsegment,
+      |  count(*) FILTER (r_name = 'AFRICA') AS africa,
+      |  count(*) FILTER (r_name = 'AMERICA') AS america,
+      |  count(*) FILTER (r_name = 'ASIA') AS asia,
+      |  count(*) FILTER (r_name = 'EUROPE') AS europe,
+      |  count(*) FILTER (r_name = 'MIDDLE EAST') AS middle_east
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary" -> (pricingSummary _),
@@ -321,7 +379,9 @@ object Relational {
     "q_customers_with_big_orders" -> (customersWithBigOrders _),
     "q_segment_set_ops" -> (segmentSetOps _),
     "q_distinct_customers_per_segment" -> (distinctCustomersPerSegment _),
-    "q_orders_per_year_bucket" -> (ordersPerYearBucket _)
+    "q_orders_per_year_bucket" -> (ordersPerYearBucket _),
+    "q_cube_region_priority" -> (cubeRegionPriority _),
+    "q_pivot_segment_region" -> (pivotSegmentByRegion _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -336,6 +396,8 @@ object Relational {
     "q_customers_with_big_orders" -> customersWithBigOrdersSql,
     "q_segment_set_ops" -> segmentSetOpsSql,
     "q_distinct_customers_per_segment" -> distinctCustomersPerSegmentSql,
-    "q_orders_per_year_bucket" -> ordersPerYearBucketSql
+    "q_orders_per_year_bucket" -> ordersPerYearBucketSql,
+    "q_cube_region_priority" -> cubeRegionPrioritySql,
+    "q_pivot_segment_region" -> pivotSegmentByRegionSql
   )
 }
