@@ -99,4 +99,15 @@ class SimilaritySpec extends SparkSpec {
       .count()
     assert(recomputed == 0)
   }
+
+  test("float_vector_dot is SQL-callable after registry injection") {
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "float_vector_dot",
+      exprs => graft.functions.FloatVectorDot(exprs.head, exprs(1)))
+    val v = spark.sql(
+      """SELECT float_vector_dot(
+        |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(v == 11.0)
+  }
 }
