@@ -211,23 +211,37 @@ object Similarity {
     * is a query; only bucket-mates are scored.
     */
   def knnLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val v = vectors(spark, dir)
-    val cands = lshCandidates(v)
-    // symmetrize so each side of a pair acts as the query once
-    val sym = cands.union(
-      cands.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
-    val q = v.select(col("vec_id").as("vec_a"),
-      col("embedding").as("qemb"), col("nrm").as("qnrm"))
-    val c = v.select(col("vec_id").as("vec_b"),
-      col("embedding").as("cemb"), col("nrm").as("cnrm"))
-    val w = Window.partitionBy(col("vec_a"))
-      .orderBy(col("cos").desc, col("vec_b").asc)
-    sym.join(q, "vec_a").join(c, "vec_b")
-      .withColumn("cos", vecDot(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm")))
+    // the banded-sketch subtree carries the embedding + norm, so the
+    // bucket self-join yields scoreable pairs directly: 2 scans total,
+    // and keeping BOTH directions of each pair (a ≠ b) makes every
+    // vector a query with no union re-execution of the subtree.
+    val sk = vectors(spark, dir)
+      .withColumn("sk", sketch(col("embedding")))
+    val chunks = (0 until LshPlanes / LshChunkBits).map(c =>
+      shiftright(col("sk"), c * LshChunkBits)
+        .bitwiseAND(lit((1L << LshChunkBits) - 1)))
+    val banded = sk.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(array(chunks: _*)).as(Seq("chunk", "chunk_val")))
+    val a = banded.select(col("vec_id").as("query_id"),
+      col("embedding").as("qemb"), col("nrm").as("qnrm"),
+      col("chunk"), col("chunk_val"))
+    val b = banded.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cemb"), col("nrm").as("cnrm"),
+      col("chunk"), col("chunk_val"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        vecDot(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm")))
+      // pairs colliding in several chunks dedup on the slim
+      // (query, neighbor, cos) projection; cos is identical per dup
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("cos")).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("vec_a").as("query_id"), col("rnk"),
-        col("vec_b").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rnk"))
   }
 

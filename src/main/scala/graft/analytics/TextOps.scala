@@ -25,11 +25,17 @@ import graft.ingest.Sources._
   */
 object TextOps {
 
-  /** Distinct unigram tokens per document, with the blocking keys. */
+  /** Distinct unigram tokens per document, with the blocking keys and
+    * the per-doc token-set size carried on every row — so downstream
+    * pairwise ops never need a second scan/aggregation to recover
+    * |A| and |B|.
+    */
   private def tokens(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).as("n_tok"), explode(col("toks")).as("tok"))
 
   // ---------------------------------------------------------------
   // L1: exact dedup
@@ -191,18 +197,15 @@ object TextOps {
   def nearDupJaccard(spark: SparkSession, dir: String,
                      threshold: Double = 0.8): DataFrame = {
     val t = tokens(spark, dir)
-    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
-    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("tok"))
-    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("tok"))
-    val inter = a.join(b, Seq("lang", "source", "tok"))
+    val a = t.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a"),
+      col("lang"), col("source"), col("tok"))
+    val b = t.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b"),
+      col("lang"), col("source"), col("tok"))
+    a.join(b, Seq("lang", "source", "tok"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_tok", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_tok", "n_b"), "doc_b")
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 6))
@@ -259,33 +262,35 @@ object TextOps {
   def minHashLsh(spark: SparkSession, dir: String,
                  minEstJaccard: Double = 0.75): DataFrame = {
     val r = MinHashK / LshBands
+    // one aggregation produces the signature ARRAY; both the banding
+    // and the agreement estimate read it, so the signature subtree is
+    // computed once per join side — no third scan to re-fetch
+    // signatures for candidate scoring.
     val sigs = minHashSignatures(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig"))
     val bandCols: Seq[Column] = (0 until LshBands).map { band =>
-      xxhash64((band * r until (band + 1) * r).map(i => col(s"h$i")): _*)
+      xxhash64((band * r until (band + 1) * r)
+        .map(i => element_at(col("sig"), i + 1)): _*)
     }
     val banded = sigs.select(
-      (Seq(col("doc_id"), col("lang"), col("source")) :+
+      (Seq(col("doc_id"), col("lang"), col("source"), col("sig")) :+
         posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))): _*)
-    val a = banded.select(col("doc_id").as("doc_a"), col("lang"),
-      col("source"), col("band"), col("bucket"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("lang"),
-      col("source"), col("band"), col("bucket"))
-    val candidates = a.join(b, Seq("lang", "source", "band", "bucket"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("lang"), col("source"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("lang"), col("source"), col("band"), col("bucket"))
+    val agree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    a.join(b, Seq("lang", "source", "band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    val sigA = sigs.select(
-      (col("doc_id").as("doc_a") +:
-        (0 until MinHashK).map(i => col(s"h$i").as(s"a$i"))): _*)
-    val sigB = sigs.select(
-      (col("doc_id").as("doc_b") +:
-        (0 until MinHashK).map(i => col(s"h$i").as(s"b$i"))): _*)
-    val agree = (0 until MinHashK)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    candidates
-      .join(sigA, "doc_a").join(sigB, "doc_b")
       .withColumn("est_jaccard", round(agree.cast("double") / MinHashK, 4))
+      // a pair can collide in several bands — dedup on the pair key;
+      // est_jaccard is identical on every duplicate so first() is exact
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
