@@ -29,6 +29,7 @@ object SparkEntry {
       analytics.Quality.queries ++
       analytics.Multimodal.queries ++
       functions.Aggregators.queries ++
+      operators.Scale.queries ++
       etl.Prep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       analytics.TextOps.oracles ++
       analytics.Similarity.oracles ++
       analytics.Quality.oracles ++
-      functions.Aggregators.oracles
+      functions.Aggregators.oracles ++
+      operators.Scale.oracles
 }

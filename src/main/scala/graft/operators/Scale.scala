@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Sources
+
+/** Scale techniques as first-class operators (builder mandate:
+  * salting for skew, bucketing for co-located joins).
+  *
+  * These don't change results — they change the shuffle shape. Each is
+  * therefore oracle-checkable against its naive form, which is exactly
+  * how the suite verifies them.
+  */
+object Scale {
+
+  /** Two-stage salted aggregation for skewed group keys: stage 1
+    * splits each hot key across `saltBuckets` reducers (groupBy key +
+    * salt), stage 2 combines the partials. Works for any algebraic
+    * aggregate expressed as (partial, combine) pairs — here sum/count,
+    * the TPC-H revenue shape.
+    *
+    * At 100 TB the first shuffle caps any reducer's share of a hot key
+    * at 1/saltBuckets; the second shuffle moves only `keys ×
+    * saltBuckets` pre-aggregated rows. (AQE skew-join handles join
+    * skew; THIS handles aggregation skew, which AQE does not split.)
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: Column,
+                     saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(sum(valueCol).as("_psum"), count(valueCol).as("_pcnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_psum")).as("salted_sum"),
+        sum(col("_pcnt")).as("salted_count"))
+  }
+
+  /** Oracle-checked query: revenue per nation via salted two-stage
+    * aggregation; DuckDB computes the naive GROUP BY — equal results
+    * prove the salt/combine algebra.
+    */
+  def saltedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Sources.orders(spark, dir)
+      .join(broadcast(Sources.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Sources.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+    saltedSumCount(joined, Seq("n_name"), col("o_totalprice"))
+      .select(col("n_name"),
+        round(col("salted_sum"), 2).as("revenue"),
+        col("salted_count").as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  val saltedRevenueSql: String =
+    """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+      |  count(o_totalprice) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Bucketed table writer: co-locates (and pre-sorts) data on the
+    * join/agg key so later joins between tables bucketed the same way
+    * need NO exchange — the SinksSpec-style proof lives in ScaleSpec.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_revenue" -> (saltedRevenue _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_salted_revenue" -> saltedRevenueSql
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted aggregation equals naive groupBy exactly") {
+    val naive = graft.ingest.Sources.orders(spark, sf)
+      .join(broadcast(graft.ingest.Sources.customer(spark, sf)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(graft.ingest.Sources.nation(spark, sf)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(col("o_totalprice")).as("n_orders"))
+    val salted = Scale.saltedRevenue(spark, sf)
+    assert(salted.count() == naive.count())
+    assert(salted.except(naive).count() == 0 && naive.except(salted).count() == 0)
+  }
+
+  test("salted plan has two aggregation exchanges (split + combine)") {
+    val p = plan(Scale.saltedRevenue(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected split+combine exchanges, got $exchanges:\n$p")
+  }
+
+  test("equi-join of co-bucketed tables needs no exchange") {
+    // managed tables land in the default ./spark-warehouse (gitignored);
+    // DROP TABLE below removes the files
+    val n = 8
+    Scale.writeBucketed(
+      graft.ingest.Sources.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "orders_b", "o_custkey", n)
+    Scale.writeBucketed(
+      graft.ingest.Sources.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment")),
+      "customer_b", "c_custkey", n)
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+        !p.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed join should not exchange on the bucket key:\n$p")
+      assert(joined.count() == 5)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
