@@ -103,6 +103,40 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** GPT-2-style pre-tokenizer counting: runs of letters, runs of
+    * digits, and runs of other non-space symbols each count as one
+    * token — the standard proxy for BPE token budgeting when the
+    * merges table isn't on the cluster. Pure regexp expression, so it
+    * runs scan-side with pruning intact.
+    */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    val pattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+    val toks = regexp_extract_all(col("text"), lit(pattern), lit(0))
+    documents(spark, dir)
+      .select(col("lang"), size(toks).cast("double").as("n_bpe"),
+        size(array_distinct(toks)).cast("double").as("n_bpe_distinct"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).cast("long").as("total_bpe_tokens"),
+        round(avg(col("n_bpe")), 4).as("avg_bpe_tokens"),
+        round(avg(col("n_bpe_distinct") / col("n_bpe")), 4).as("avg_distinct_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenBpeSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+      |  round(avg(n_bpe), 4) AS avg_bpe_tokens,
+      |  round(avg(n_bpe_distinct / n_bpe), 4) AS avg_distinct_ratio
+      |FROM (
+      |  SELECT lang,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS DOUBLE) AS n_bpe,
+      |    CAST(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))) AS DOUBLE) AS n_bpe_distinct
+      |  FROM documents
+      |)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------
   // L4: quality scoring
   // ---------------------------------------------------------------
@@ -383,6 +417,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_token_stats" -> (tokenStats _),
+    "q_token_bpe" -> (tokenBpe _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_near_dup_jaccard" -> ((s: SparkSession, d: String) => nearDupJaccard(s, d)),
@@ -398,6 +433,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_token_stats" -> tokenStatsSql,
+    "q_token_bpe" -> tokenBpeSql,
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,
     "q_near_dup_jaccard" -> nearDupJaccardSql
