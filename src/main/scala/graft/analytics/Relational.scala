@@ -366,6 +366,64 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Exact interpolated percentiles per group — Spark `percentile`
+    * and DuckDB `quantile_cont` share the definition, so the oracle is
+    * exact. (approx_percentile sketches are engine-specific and tested
+    * separately for error bounds.)
+    */
+  def orderPricePercentiles(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.95)), 4).as("p95"),
+        round(percentile(col("o_totalprice"), lit(0.99)), 4).as("p99"))
+      .orderBy(col("o_orderpriority"))
+
+  val orderPricePercentilesSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+      |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Explicit GROUPING SETS through the SQL front-end (temp view +
+    * spark.sql) — the third grouping-set form next to rollup/cube,
+    * and coverage for the SQL API path itself.
+    */
+  def groupingSetsNationYear(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir)
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_orders_nation")
+    spark.sql(
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(CAST(yr AS STRING), 'ALL') AS yr,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM graft_orders_nation
+        |GROUP BY GROUPING SETS ((n_name), (yr))
+        |ORDER BY nation, yr""".stripMargin)
+  }
+
+  val groupingSetsNationYearSql: String =
+    """SELECT coalesce(n_name, 'ALL') AS nation,
+      |  coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM (
+      |  SELECT n_name, year(o_orderdate) AS yr, o_totalprice
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |)
+      |GROUP BY GROUPING SETS ((n_name), (yr))
+      |ORDER BY nation, yr""".stripMargin
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary" -> (pricingSummary _),
@@ -381,7 +439,9 @@ object Relational {
     "q_distinct_customers_per_segment" -> (distinctCustomersPerSegment _),
     "q_orders_per_year_bucket" -> (ordersPerYearBucket _),
     "q_cube_region_priority" -> (cubeRegionPriority _),
-    "q_pivot_segment_region" -> (pivotSegmentByRegion _)
+    "q_pivot_segment_region" -> (pivotSegmentByRegion _),
+    "q_order_price_percentiles" -> (orderPricePercentiles _),
+    "q_grouping_sets_nation_year" -> (groupingSetsNationYear _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -398,6 +458,8 @@ object Relational {
     "q_distinct_customers_per_segment" -> distinctCustomersPerSegmentSql,
     "q_orders_per_year_bucket" -> ordersPerYearBucketSql,
     "q_cube_region_priority" -> cubeRegionPrioritySql,
-    "q_pivot_segment_region" -> pivotSegmentByRegionSql
+    "q_pivot_segment_region" -> pivotSegmentByRegionSql,
+    "q_order_price_percentiles" -> orderPricePercentilesSql,
+    "q_grouping_sets_nation_year" -> groupingSetsNationYearSql
   )
 }

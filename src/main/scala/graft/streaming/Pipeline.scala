@@ -142,6 +142,43 @@ object Pipeline {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Calibration event for the stream-stream join (a second live feed
+    * keyed by sensor).
+    */
+  final case class Calibration(
+      cal_sensor_id: String,
+      cal_time: java.sql.Timestamp,
+      offset: Float)
+
+  /** L1 on the wire: streaming exact dedup — duplicate (sensor_id,
+    * timestamp) rows arriving within the watermark horizon are dropped;
+    * state older than the watermark is evicted, so dedup state stays
+    * bounded no matter how long the stream runs.
+    */
+  def dedupStream(readings: DataFrame): DataFrame =
+    readings
+      .withWatermark("timestamp", "1 day")
+      .dropDuplicates(Seq("sensor_id", "timestamp"))
+
+  /** Stream-stream interval join: each reading picks up the
+    * calibration published for its sensor within the preceding hour.
+    * Both sides are watermarked so Spark can bound the join state and
+    * age out unmatched rows — the required shape for unbounded×
+    * unbounded joins.
+    */
+  def joinCalibration(readings: DataFrame,
+                      calibrations: DataFrame): DataFrame = {
+    val r = readings.withWatermark("timestamp", "1 hour")
+    val c = calibrations.withWatermark("cal_time", "2 hours")
+    r.join(c,
+      col("sensor_id") === col("cal_sensor_id") &&
+        col("timestamp") >= col("cal_time") &&
+        col("timestamp") < col("cal_time") + expr("INTERVAL 1 HOUR"))
+      .select(col("sensor_id"), col("timestamp"), col("ph_value"),
+        col("cal_time"), col("offset"),
+        (col("ph_value") + col("offset")).as("ph_calibrated"))
+  }
+
   /** S7 stand-in: checkpointed parquet sink, deterministic drain via
     * AvailableNow (the offline twin of the intended Delta/MinIO sink —
     * reference: streaming/spark_processor.py:42).

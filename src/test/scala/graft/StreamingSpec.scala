@@ -159,4 +159,42 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[String]("sensor_id") == "DARGLE_030")
     assert(math.abs(r.getAs[Float]("do_value") - 97.0f) < 1e-6)
   }
+
+  test("streaming dedup drops exact duplicates within the watermark horizon") {
+    import spark.implicits._
+    val input = MemoryStream[SensorReading](spark)
+    val q = Pipeline.dedupStream(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      val r = reading("A", "2024-01-01 00:00:00")
+      input.addData(r, r, reading("A", "2024-01-01 00:10:00"))
+      q.processAllAvailable()
+      input.addData(r) // duplicate arriving in a later micro-batch
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches readings to in-window calibrations") {
+    import spark.implicits._
+    val readings = MemoryStream[SensorReading](spark)
+    val cals = MemoryStream[Pipeline.Calibration](spark)
+    val q = Pipeline.joinCalibration(readings.toDF(), cals.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cal_out").start()
+    try {
+      cals.addData(Pipeline.Calibration("A", ts("2024-01-01 00:00:00"), 0.5f))
+      readings.addData(
+        reading("A", "2024-01-01 00:10:00", ph = 7.0f), // in window -> joins
+        reading("A", "2024-01-01 02:30:00", ph = 7.2f), // past window -> dropped
+        reading("B", "2024-01-01 00:10:00"))            // no calibration
+      q.processAllAvailable()
+      val rows = spark.table("cal_out").collect()
+      assert(rows.length == 1, s"expected exactly 1 joined row: ${rows.toSeq}")
+      val r = rows.head
+      assert(r.getAs[String]("sensor_id") == "A")
+      assert(math.abs(r.getAs[Float]("ph_calibrated") - 7.5f) < 1e-6)
+    } finally q.stop()
+  }
 }
