@@ -366,6 +366,37 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** U2 (bag semantics): INTERSECT ALL / EXCEPT ALL on the multiset of
+    * customer keys — each appearance of a key counts, distinguishing
+    * these from the set-semantics ops in [[segmentSetOps]].
+    */
+  def orderBagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val building = o.join(
+      broadcast(customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_custkey"))
+    val pricey = o.filter(col("o_totalprice") > lit(150000.0))
+      .select(col("o_custkey"))
+    building.intersectAll(pricey).exceptAll(
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val orderBagSetOpsSql: String =
+    """SELECT o_custkey, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                      WHERE c_mktsegment = 'BUILDING')
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |)
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   /** Exact interpolated percentiles per group — Spark `percentile`
     * and DuckDB `quantile_cont` share the definition, so the oracle is
     * exact. (approx_percentile sketches are engine-specific and tested
@@ -441,7 +472,8 @@ object Relational {
     "q_cube_region_priority" -> (cubeRegionPriority _),
     "q_pivot_segment_region" -> (pivotSegmentByRegion _),
     "q_order_price_percentiles" -> (orderPricePercentiles _),
-    "q_grouping_sets_nation_year" -> (groupingSetsNationYear _)
+    "q_grouping_sets_nation_year" -> (groupingSetsNationYear _),
+    "q_order_bag_set_ops" -> (orderBagSetOps _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -460,6 +492,7 @@ object Relational {
     "q_cube_region_priority" -> cubeRegionPrioritySql,
     "q_pivot_segment_region" -> pivotSegmentByRegionSql,
     "q_order_price_percentiles" -> orderPricePercentilesSql,
-    "q_grouping_sets_nation_year" -> groupingSetsNationYearSql
+    "q_grouping_sets_nation_year" -> groupingSetsNationYearSql,
+    "q_order_bag_set_ops" -> orderBagSetOpsSql
   )
 }
