@@ -245,11 +245,78 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ---------------------------------------------------------------
+  // IVF (inverted-file) ANN: centroid coarse quantizer + probed lists
+  // ---------------------------------------------------------------
+
+  /** Coarse quantizer: per-label mean vectors double as the centroid
+    * codebook (deterministic; a production build would run k-means —
+    * the probe/list machinery below is identical either way). Returns
+    * (centroid_id, centroid: array<double>).
+    */
+  private def centroidCodebook(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("label").as("centroid_id"),
+        posexplode(col("embedding")).as(Seq("k", "x")))
+      .groupBy(col("centroid_id"), col("k"))
+      .agg(avg(col("x").cast("double")).as("cv"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("k"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** IVF-ANN top-k: every vector is assigned to its nearest centroid
+    * (the inverted list); each query probes its `nprobe` nearest
+    * centroids and scores ONLY vectors in those lists. One broadcast
+    * of the codebook, one shuffle on centroid_id — at scale the
+    * inverted lists are the partitioning, so a probe touches
+    * nprobe/nlist of the corpus instead of all of it.
+    */
+  def knnIvf(spark: SparkSession, dir: String, k: Int = 3,
+             nprobe: Int = 2): DataFrame = {
+    val cents = centroidCodebook(spark, dir)
+    val v = vectors(spark, dir)
+    // rank centroids per vector by cosine (norms of centroids fold
+    // into the ranking consistently; raw dot/|c| is enough since |v|
+    // is constant within a vector's ranking)
+    val scored = v.join(broadcast(cents))
+      .withColumn("cdot", dotD(col("embedding"), col("centroid")) /
+        sqrt(dotD(col("centroid"), col("centroid"))))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("centroid_id").asc)
+    val assignments = scored
+      .withColumn("crnk", row_number().over(byVec))
+    // inverted list membership: rank 1; probe set: rank <= nprobe
+    val lists = assignments.filter(col("crnk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cemb"),
+        col("nrm").as("cnrm"), col("centroid_id"))
+    val probes = assignments.filter(col("crnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(lists, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        vecDot(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
     "q_embed_near_dup" -> ((s: SparkSession, d: String) => embedNearDup(s, d)),
     "q_label_centroids" -> (labelCentroids _),
-    "q_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d))
+    "q_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
+    "q_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d))
   )
 
   val oracles: Map[String, String] = Map(

@@ -110,4 +110,37 @@ class SimilaritySpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(v == 11.0)
   }
+
+  test("IVF-ANN: reported cosines are exact; probing beats single-list recall") {
+    val ivf = Similarity.knnIvf(spark, sf, k = 3, nprobe = 2)
+    assert(ivf.count() > 0)
+    // reported neighbors carry their true cosine (re-verify independently)
+    val v = graft.ingest.Sources.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+    val a = v.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val b = v.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val wrong = ivf.join(a, "query_id").join(b, "neighbor_id")
+      .withColumn("cos2", round(vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .filter(abs(col("cosine") - col("cos2")) > 1e-9).count()
+    assert(wrong == 0)
+    // recall@1 vs brute force over the shared query set
+    val truth = Similarity.knnBruteForce(spark, sf, nQueries = 10, k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val ours = ivf.filter(col("rnk") === 1 && col("query_id") < 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = truth.join(ours, Seq("query_id", "neighbor_id")).count()
+    // the corpus is structureless (random unit vectors, labels carry no
+    // geometry), so probing 2 of 10 lists can only find ~2/10 of true
+    // nearest neighbors — demand the probing fraction, not magic
+    assert(hit >= 1, s"IVF recall@1 below probing fraction: $hit/10")
+    // the governing invariant: probing EVERY list is exhaustive search
+    // and must reproduce brute-force top-1 exactly
+    val exhaustive = Similarity.knnIvf(spark, sf, k = 1, nprobe = 10)
+      .filter(col("query_id") < 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hitAll = truth.join(exhaustive, Seq("query_id", "neighbor_id")).count()
+    assert(hitAll == 10, s"exhaustive probe diverged from brute force: $hitAll/10")
+  }
 }

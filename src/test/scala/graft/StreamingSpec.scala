@@ -197,4 +197,40 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(r.getAs[Float]("ph_calibrated") - 7.5f) < 1e-6)
     } finally q.stop()
   }
+
+  test("windowed stream agg equals batch brute-force on a random stream (property)") {
+    import spark.implicits._
+    // deterministic pseudo-random stream of readings over 2 days
+    val rng = new scala.util.Random(2024)
+    val readings = (0 until 500).map { i =>
+      val minute = rng.nextInt(48 * 60)
+      reading(s"S${rng.nextInt(5)}",
+        f"2024-01-0${1 + minute / 1440}%d ${(minute / 60) % 24}%02d:${minute % 60}%02d:00",
+        ph = 6.0f + rng.nextFloat() * 3.0f)
+    }
+    val input = MemoryStream[SensorReading](spark)
+    val q = Pipeline.windowedStats(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("prop_out").start()
+    try {
+      readings.grouped(100).foreach { batch => input.addData(batch: _*) }
+      input.addData(reading("S0", "2024-01-10 00:00:00")) // flush watermark
+      q.processAllAvailable()
+      val streamed = spark.table("prop_out")
+        .filter(col("window_start") < ts("2024-01-05 00:00:00"))
+        .select(col("window_start"), col("sensor_id"), col("n"), col("avg_ph"))
+      val batch = readings.toDS()
+        .groupBy(date_trunc("hour", col("timestamp")).as("window_start"),
+          col("sensor_id"))
+        .agg(count(lit(1)).as("n"), avg(col("ph_value")).as("avg_ph"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("rate replay source (T8) is a streaming source with the documented schema") {
+    val df = graft.ingest.Sources.rateStream(spark, rowsPerSecond = 5)
+    assert(df.isStreaming)
+    assert(df.columns.toSeq == Seq("timestamp", "value"))
+  }
 }
