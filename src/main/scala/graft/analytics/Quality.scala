@@ -129,15 +129,45 @@ object Quality {
       |GROUP BY event_type, day
       |ORDER BY event_type, day""".stripMargin
 
+  /** Data-quality profile of the orders table — the one-pass
+    * null/distinct/range audit a pipeline runs before trusting an
+    * input (motivated by the reference's own wire/schema mismatch,
+    * SURVEY.md §1.3). One scan, one aggregate, no per-column jobs.
+    */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("null_custkey"),
+        countDistinct(col("o_custkey")).as("distinct_custkey"),
+        countDistinct(col("o_orderpriority")).as("distinct_priority"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
+
+  val profileOrdersSql: String =
+    """SELECT count(*) AS n_rows,
+      |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+      |  count(DISTINCT o_custkey) AS distinct_custkey,
+      |  count(DISTINCT o_orderpriority) AS distinct_priority,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price,
+      |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+      |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sensor_hourly" -> (sensorHourly _),
     "q_rolling_zscore" -> ((s: SparkSession, d: String) => rollingZscore(s, d)),
-    "q_value_alerts" -> (valueAlerts _)
+    "q_value_alerts" -> (valueAlerts _),
+    "q_profile_orders" -> (profileOrders _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_sensor_hourly" -> sensorHourlySql,
     "q_rolling_zscore" -> rollingZscoreSql,
-    "q_value_alerts" -> valueAlertsSql
+    "q_value_alerts" -> valueAlertsSql,
+    "q_profile_orders" -> profileOrdersSql
   )
 }
