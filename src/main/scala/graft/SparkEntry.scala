@@ -30,6 +30,7 @@ object SparkEntry {
       analytics.Multimodal.queries ++
       functions.Aggregators.queries ++
       operators.Scale.queries ++
+      sinks.Sinks.queries ++
       etl.Prep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       analytics.Similarity.oracles ++
       analytics.Quality.oracles ++
       functions.Aggregators.oracles ++
-      operators.Scale.oracles
+      operators.Scale.oracles ++
+      sinks.Sinks.oracles
 }

@@ -1,7 +1,9 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.ingest.Sources
 
 /** Batch sinks (SURVEY.md §2.1 S3, S7/S8 stand-ins).
   *
@@ -31,4 +33,45 @@ object Sinks {
       .option("maxRecordsPerFile", 5000000)
       .partitionBy("p_date")
       .parquet(path)
+
+  /** Upsert (MERGE) without a table format: rows of `updates` replace
+    * key-matching rows of `target`; everything else passes through.
+    * Anti-join + union — the updates side is usually small, so Spark
+    * broadcasts it and the target never shuffles. (With a
+    * transactional table format this becomes MERGE INTO; the plan
+    * shape is the same.) Both inputs must share a schema.
+    */
+  def upsert(target: DataFrame, updates: DataFrame,
+             keys: Seq[String]): DataFrame =
+    target.join(updates, keys, "left_anti").unionByName(updates)
+
+  /** Oracle-checked query: double urgent orders' price via upsert (x2 stays exact in binary, so rounding cannot diverge between engines); DuckDB
+    * recomputes with a CASE expression — equality proves the
+    * anti-join/union merge semantics (every key exactly once, updated
+    * rows win).
+    */
+  def upsertOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Sources.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val updates = o.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+    upsert(o, updates, Seq("o_orderkey"))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val upsertOrdersSql: String =
+    """SELECT o_orderkey,
+      |  round(CASE WHEN o_orderpriority = '1-URGENT'
+      |             THEN o_totalprice * 2.0 ELSE o_totalprice END, 2) AS price
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_upsert_orders" -> (upsertOrders _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_upsert_orders" -> upsertOrdersSql
+  )
 }

@@ -142,6 +142,47 @@ object Pipeline {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Running per-sensor statistics maintained with mapGroupsWithState
+    * (the 1-output-per-group sibling of flatMapGroupsWithState): each
+    * micro-batch updates a Welford-style running mean per sensor and
+    * emits the sensor's latest snapshot. Update output mode; state
+    * evicted by event-time timeout like [[alerts]].
+    */
+  final case class SensorStats(sensor_id: String, n: Long, mean_ph: Double)
+
+  def runningStats(readings: Dataset[SensorReading]): Dataset[SensorStats] = {
+    val spark = readings.sparkSession
+    import spark.implicits._
+
+    def fn(sensorId: String, rows: Iterator[SensorReading],
+           state: GroupState[SensorStats]): SensorStats = {
+      if (state.hasTimedOut) {
+        val last = state.get
+        state.remove()
+        last
+      } else {
+        var st = state.getOption.getOrElse(SensorStats(sensorId, 0L, 0.0))
+        var maxMs = 0L
+        rows.foreach { r =>
+          r.ph_value.foreach { ph =>
+            val n = st.n + 1
+            st = SensorStats(sensorId, n, st.mean_ph + (ph - st.mean_ph) / n)
+          }
+          maxMs = math.max(maxMs, Option(r.timestamp).map(_.getTime).getOrElse(0L))
+        }
+        state.update(st)
+        if (maxMs > 0) state.setTimeoutTimestamp(maxMs + 24L * 3600 * 1000)
+        st
+      }
+    }
+
+    readings
+      .withWatermark("timestamp", "1 day")
+      .groupByKey(_.sensor_id)
+      .mapGroupsWithState[SensorStats, SensorStats](
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Calibration event for the stream-stream join (a second live feed
     * keyed by sensor).
     */

@@ -66,4 +66,12 @@ class RelationalSpec extends SparkSpec {
       .agg(max("count")).collect().head.getLong(0)
     assert(mx <= 3)
   }
+
+  test("top-k-per-group plan uses WindowGroupLimit (map-side rank pruning)") {
+    // Catalyst's InsertWindowGroupLimit turns rank<=k into a per-partition
+    // group limit BEFORE the shuffle — at 100 TB only k rows per group per
+    // mapper survive, so no custom top-k operator is needed
+    val p = plan(Relational.topCustomersPerNation(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
+  }
 }

@@ -36,4 +36,23 @@ class SinksSpec extends SparkSpec {
     val full = spark.read.parquet(s"$dir/gold")
     assert(pruned.count() > 0 && pruned.count() < full.count())
   }
+
+  test("upsert keeps every key exactly once and updated rows win") {
+    val out = graft.sinks.Sinks.upsertOrders(spark, sf)
+    val orders = graft.ingest.Sources.orders(spark, sf)
+    assert(out.count() == orders.count())
+    assert(out.select(col("o_orderkey")).distinct().count() == orders.count())
+  }
+
+  test("schema evolution: mergeSchema unifies batches with different columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    import spark.implicits._
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/t/batch=1")
+    Seq((2L, 9.5)).toDF("id", "c").write.parquet(s"$dir/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "a", "c", "batch"))
+    assert(merged.count() == 2)
+    // columns absent in a batch surface as null, not an error
+    assert(merged.filter(col("a").isNull).count() == 1)
+  }
 }

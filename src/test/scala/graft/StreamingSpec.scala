@@ -233,4 +233,27 @@ class StreamingSpec extends SparkSpec {
     assert(df.isStreaming)
     assert(df.columns.toSeq == Seq("timestamp", "value"))
   }
+
+  test("mapGroupsWithState running stats update across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[SensorReading](spark)
+    val q = Pipeline.runningStats(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stats_out").start()
+    try {
+      input.addData(
+        reading("A", "2024-01-01 00:00:00", ph = 7.0f),
+        reading("A", "2024-01-01 00:10:00", ph = 8.0f))
+      q.processAllAvailable()
+      input.addData(reading("A", "2024-01-01 00:20:00", ph = 9.0f))
+      q.processAllAvailable()
+      // memory sink in update mode appends each emitted snapshot;
+      // the LAST snapshot for A must aggregate all three readings
+      val snaps = spark.table("stats_out")
+        .filter(col("sensor_id") === "A").collect()
+      val last = snaps.maxBy(_.getAs[Long]("n"))
+      assert(last.getAs[Long]("n") == 3)
+      assert(math.abs(last.getAs[Double]("mean_ph") - 8.0) < 1e-6)
+    } finally q.stop()
+  }
 }
