@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Sources._
@@ -219,6 +220,58 @@ object TextOps {
       |GROUP BY lang, predicted
       |ORDER BY lang, predicted""".stripMargin
 
+  /** TF-IDF top terms per document: term frequency from the raw token
+    * stream (duplicates count), document frequency from the distinct
+    * stream, idf = ln(N/df). Two aggregations + a broadcast join of
+    * the (tiny) document-frequency table; the corpus is scanned once
+    * per aggregation and never collected.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String,
+                    topK: Int = 3): DataFrame = {
+    val docs = documents(spark, dir)
+    // corpus size as a broadcast one-row frame (no collect on the
+    // driver, works at any scale factor)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = terms.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // rank on the RAW score; round only in the projection so engine
+    // rounding can never reorder near-ties differently
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("raw_tfidf").desc, col("tok").asc)
+    tf.join(broadcast(df_), "tok")
+      .join(broadcast(nDocs))
+      .withColumn("raw_tfidf", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("rnk"), col("tok"),
+        round(col("raw_tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM terms GROUP BY doc_id, tok
+      |), dfreq AS (
+      |  SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM terms)
+      |  GROUP BY tok
+      |), scored AS (
+      |  SELECT doc_id, tok,
+      |    tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df) AS raw_tfidf,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df) DESC,
+      |                                tok ASC) AS rnk
+      |  FROM tf JOIN dfreq USING (tok)
+      |)
+      |SELECT doc_id, rnk, tok, round(raw_tfidf, 6) AS tfidf FROM scored
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   // ---------------------------------------------------------------
   // L2: near-dup via n-gram (unigram token-set) Jaccard
   // ---------------------------------------------------------------
@@ -418,6 +471,7 @@ object TextOps {
     "q_dedup_exact" -> (dedupExact _),
     "q_token_stats" -> (tokenStats _),
     "q_token_bpe" -> (tokenBpe _),
+    "q_tfidf_top_terms" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_near_dup_jaccard" -> ((s: SparkSession, d: String) => nearDupJaccard(s, d)),
@@ -434,6 +488,7 @@ object TextOps {
     "q_dedup_exact" -> dedupExactSql,
     "q_token_stats" -> tokenStatsSql,
     "q_token_bpe" -> tokenBpeSql,
+    "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,
     "q_near_dup_jaccard" -> nearDupJaccardSql

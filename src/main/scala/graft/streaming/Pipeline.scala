@@ -234,6 +234,53 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Lakehouse maintenance sink: each micro-batch UPSERTs into a
+    * parquet gold table via foreachBatch + [[graft.sinks.Sinks.upsert]]
+    * — late/duplicate keys replace their earlier rows instead of
+    * appending. (With a transactional format the body becomes MERGE
+    * INTO; the streaming plumbing is identical.)
+    */
+  def toUpsertSink(df: DataFrame, path: String, checkpoint: String,
+                   keys: Seq[String]): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // write the merged result BESIDE the current table, then swap —
+        // never collect to the driver, never overwrite a directory
+        // while reading it (a transactional format does this swap via
+        // its commit log)
+        val tmp = path + "_staging"
+        if (new java.io.File(path).exists()) {
+          graft.sinks.Sinks.upsert(spark.read.parquet(path), batch, keys)
+            .write.mode("overwrite").parquet(tmp)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(rm)
+            f.delete(): Unit
+          }
+          rm(new java.io.File(path))
+          new java.io.File(tmp).renameTo(new java.io.File(path)): Unit
+        } else batch.write.mode("overwrite").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** T8/S2: rate-paced replay of a bounded frame as a stream — the
+    * Spark-native twin of the reference's 1 msg/s producer loop
+    * (reference: kafka/producer.py:47): the rate source ticks, each
+    * tick joined to the next indexed row.
+    */
+  def replayStream(spark: SparkSession, bounded: DataFrame,
+                   rowsPerSecond: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val indexed = bounded.withColumn("_replay_idx",
+      row_number().over(Window.orderBy(bounded.columns.map(col): _*)) - 1)
+    graft.ingest.Sources.rateStream(spark, rowsPerSecond)
+      .join(broadcast(indexed), col("value") === col("_replay_idx"))
+      .drop("value", "_replay_idx")
+  }
+
   /** S6: the reference's console sink, config-identical (reference:
     * streaming/spark_processor.py:43-47).
     */

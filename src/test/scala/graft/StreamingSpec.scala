@@ -256,4 +256,45 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(last.getAs[Double]("mean_ph") - 8.0) < 1e-6)
     } finally q.stop()
   }
+
+  test("foreachBatch upsert sink: later batches replace matching keys in the gold table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val input = MemoryStream[SensorReading](spark)
+    input.addData(reading("A", "2024-01-01 00:00:00", ph = 7.0f),
+      reading("B", "2024-01-01 00:00:00", ph = 7.2f))
+    val latest = input.toDF().select(col("sensor_id"), col("timestamp"), col("ph_value"))
+    val q1 = Pipeline.toUpsertSink(latest, s"$dir/gold", s"$dir/chk", Seq("sensor_id"))
+    q1.awaitTermination()
+    // second run: A gets a new reading (same key) and C appears
+    input.addData(reading("A", "2024-01-01 01:00:00", ph = 9.0f),
+      reading("C", "2024-01-01 01:00:00", ph = 6.5f))
+    val q2 = Pipeline.toUpsertSink(latest, s"$dir/gold", s"$dir/chk", Seq("sensor_id"))
+    q2.awaitTermination()
+    val gold = spark.read.parquet(s"$dir/gold")
+    assert(gold.count() == 3, "one row per key expected")
+    val aPh = gold.filter(col("sensor_id") === "A")
+      .collect().head.getAs[Float]("ph_value")
+    assert(math.abs(aPh - 9.0f) < 1e-6, "update must win over the original row")
+  }
+
+  test("rate-paced replay emits the bounded frame's rows progressively in order") {
+    import spark.implicits._
+    val bounded = Seq(("r0", 1.0), ("r1", 2.0), ("r2", 3.0)).toDF("tag", "v")
+    val stream = Pipeline.replayStream(spark, bounded, rowsPerSecond = 50)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("replay_out").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("replay_out").count() < 3 &&
+             System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val got = spark.table("replay_out").select(col("tag"))
+        .collect().map(_.getString(0)).toSet
+      assert(got == Set("r0", "r1", "r2"), s"replay incomplete: $got")
+    } finally q.stop()
+  }
 }
