@@ -251,8 +251,10 @@ object Similarity {
 
   /** Coarse quantizer: per-label mean vectors double as the centroid
     * codebook (deterministic; a production build would run k-means —
-    * the probe/list machinery below is identical either way). Returns
-    * (centroid_id, centroid: array<double>).
+    * the probe/list machinery below is identical either way). Emits
+    * float32 centroids with precomputed norms so assignment scoring
+    * runs through the codegen'd [[vecDot]] kernel and never recomputes
+    * a norm per pair.
     */
   private def centroidCodebook(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
@@ -263,11 +265,8 @@ object Similarity {
       .groupBy(col("centroid_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("k"), col("cv")))),
-        s => s.getField("cv")).as("centroid"))
-
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, p) => acc + p)
+        s => s.getField("cv").cast("float")).as("centroid"))
+      .withColumn("cnorm", vecNorm(col("centroid")))
 
   /** IVF-ANN top-k: every vector is assigned to its nearest centroid
     * (the inverted list); each query probes its `nprobe` nearest
@@ -280,12 +279,11 @@ object Similarity {
              nprobe: Int = 2): DataFrame = {
     val cents = centroidCodebook(spark, dir)
     val v = vectors(spark, dir)
-    // rank centroids per vector by cosine (norms of centroids fold
-    // into the ranking consistently; raw dot/|c| is enough since |v|
-    // is constant within a vector's ranking)
+    // rank centroids per vector by cosine (|v| is constant within a
+    // vector's ranking, so dot/|c| suffices)
     val scored = v.join(broadcast(cents))
-      .withColumn("cdot", dotD(col("embedding"), col("centroid")) /
-        sqrt(dotD(col("centroid"), col("centroid"))))
+      .withColumn("cdot",
+        vecDot(col("embedding"), col("centroid")) / col("cnorm"))
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("centroid_id").asc)
     val assignments = scored
