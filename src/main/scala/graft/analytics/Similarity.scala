@@ -256,17 +256,18 @@ object Similarity {
     * runs through the codegen'd [[vecDot]] kernel and never recomputes
     * a norm per pair.
     */
-  private def centroidCodebook(spark: SparkSession, dir: String): DataFrame =
+  private def centroidCodebook(spark: SparkSession, dir: String): DataFrame = {
+    // one aggregation with a per-lane average each — a single shuffle
+    // and a flat codegen'd plan (no posexplode → re-group → re-collect)
+    val laneAvgs = (0 until Dim).map(i =>
+      avg(element_at(col("embedding"), i + 1).cast("double")).as(s"c$i"))
     embeddings(spark, dir)
-      .select(col("label").as("centroid_id"),
-        posexplode(col("embedding")).as(Seq("k", "x")))
-      .groupBy(col("centroid_id"), col("k"))
-      .agg(avg(col("x").cast("double")).as("cv"))
-      .groupBy(col("centroid_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("k"), col("cv")))),
-        s => s.getField("cv").cast("float")).as("centroid"))
+      .groupBy(col("label").as("centroid_id"))
+      .agg(laneAvgs.head, laneAvgs.tail: _*)
+      .select(col("centroid_id"),
+        array((0 until Dim).map(i => col(s"c$i").cast("float")): _*).as("centroid"))
       .withColumn("cnorm", vecNorm(col("centroid")))
+  }
 
   /** IVF-ANN top-k: every vector is assigned to its nearest centroid
     * (the inverted list); each query probes its `nprobe` nearest

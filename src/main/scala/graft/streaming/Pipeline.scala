@@ -274,6 +274,10 @@ object Pipeline {
   def replayStream(spark: SparkSession, bounded: DataFrame,
                    rowsPerSecond: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOTE: the un-partitioned window imposes a total order, i.e. a
+    // single-partition sort — inherent to faithful 1-at-a-time replay
+    // (which is itself serial by definition) and only acceptable here;
+    // never use an un-partitioned window on a data path at scale.
     val indexed = bounded.withColumn("_replay_idx",
       row_number().over(Window.orderBy(bounded.columns.map(col): _*)) - 1)
     graft.ingest.Sources.rateStream(spark, rowsPerSecond)
