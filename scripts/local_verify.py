@@ -70,10 +70,14 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     didx = [duck_cols.index(c) for c in sorted(duck_cols)]
     # Sort by a float-rounding key so two rows that differ only by float
     # noise within tolerance sort identically on both sides (raw repr()
-    # could order them differently and misalign the zip).
+    # could order them differently and misalign the zip). The +0.0
+    # folds -0.0 into 0.0. A pair straddling a 9-sig-digit rounding
+    # boundary can still split keys — accepted residual risk; the
+    # comparison itself stays tolerance-based either way.
     def sort_key(row):
         return repr(tuple(
-            float(f"{v:.9g}") if isinstance(v, float) else v for v in row))
+            float(f"{v + 0.0:.9g}") + 0.0 if isinstance(v, float) else v
+            for v in row))
     srows = sorted([tuple(norm_cell(r[i]) for i in sidx) for r in spark_rows], key=sort_key)
     drows = sorted([tuple(norm_cell(r[i]) for i in didx) for r in duck_rows], key=sort_key)
     nbad = 0

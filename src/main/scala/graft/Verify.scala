@@ -18,11 +18,7 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       // remove stale output first: if this query fails below, leftover
       // parquet from an earlier run must not pass as current results
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(s"$outDir/$name"))
+      sinks.Sinks.deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

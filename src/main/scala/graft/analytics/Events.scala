@@ -89,7 +89,9 @@ object Events {
     */
   def eventProps(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      // try_cast on both engines: a malformed k degrades to null (and
+      // is filtered) instead of aborting one engine but not the other
+      .withColumn("k", get_json_object(col("props"), "$.k").try_cast("int"))
       .filter(col("k") > 50)
       .groupBy(col("event_type"))
       .agg(
@@ -102,7 +104,7 @@ object Events {
     """SELECT event_type, count(*) AS n_events,
       |  round(avg(k), 4) AS avg_k, max(k) AS max_k
       |FROM (SELECT event_type,
-      |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |        TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
       |      FROM events)
       |WHERE k > 50
       |GROUP BY event_type
@@ -162,12 +164,18 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** The oracle truncates ts to microseconds before the ASOF
+    * comparison: Spark reads the nanos column at micro precision, so
+    * both engines must order same-microsecond events identically.
+    */
   val asofSignupSql: String =
     """SELECT p.event_id, p.user_id, s.event_id AS signup_event_id,
       |  CAST(floor(epoch(p.ts)) AS BIGINT)
       |    - CAST(floor(epoch(s.ts)) AS BIGINT) AS gap_s
-      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+      |                FROM events WHERE event_type = 'signup') s
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 

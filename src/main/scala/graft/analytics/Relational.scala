@@ -351,6 +351,11 @@ object Relational {
       .withColumnsRenamed(Map(
         "AFRICA" -> "africa", "AMERICA" -> "america", "ASIA" -> "asia",
         "EUROPE" -> "europe", "MIDDLE EAST" -> "middle_east"))
+      // an unpopulated (segment, region) cell pivots to NULL in Spark
+      // but counts to 0 in SQL conditional aggregation — normalize
+      .select(col("c_mktsegment") +:
+        Seq("africa", "america", "asia", "europe", "middle_east")
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
       .orderBy(col("c_mktsegment"))
 
   val pivotSegmentByRegionSql: String =

@@ -62,21 +62,32 @@ object TextOps {
   // L4: token counting / text statistics
   // ---------------------------------------------------------------
 
+  /** Shared text metrics — single definition point so the three
+    * stats/quality/lang-id queries (and their SQL oracles) cannot
+    * drift apart. Tokenization = single-space split; the corpus is
+    * space-normalized.
+    */
+  private val toksOf = split(col("text"), " ")
+  private val nToksOf = size(toksOf)
+  private val stopwords = Seq("the", "a")
+  private val nStopOf =
+    size(filter(toksOf, t => stopwords.map(t === _).reduce(_ || _)))
+  private val stopRatioOf = nStopOf.cast("double") / nToksOf
+  private val meanWordLenOf =
+    (length(col("text")) - nToksOf + 1).cast("double") / nToksOf
+
   /** Per-language token statistics. Tokenization = single-space split
     * (the corpus is space-normalized); mean word length is derived
     * arithmetically from n_chars and token count so both engines
     * compute the identical expression.
     */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nToks = size(toks)
-    val nStop = size(filter(toks, t => t === "the" || t === "a"))
     documents(spark, dir)
       .select(
         col("lang"),
-        nToks.cast("double").as("n_tokens"),
-        (nStop.cast("double") / nToks).as("stop_ratio"),
-        ((length(col("text")) - nToks + 1).cast("double") / nToks).as("mean_word_len"))
+        nToksOf.cast("double").as("n_tokens"),
+        stopRatioOf.as("stop_ratio"),
+        meanWordLenOf.as("mean_word_len"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -146,15 +157,10 @@ object TextOps {
     * shape), bucketed keep/drop — the filter stage of a data pipeline.
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nToks = size(toks)
-    val stopRatio = size(filter(toks, t => t === "the" || t === "a"))
-      .cast("double") / nToks
-    val meanWordLen = (length(col("text")) - nToks + 1).cast("double") / nToks
     val score =
-      when(nToks.between(20, 120), 1).otherwise(0) +
-        when(stopRatio.between(0.01, 0.3), 1).otherwise(0) +
-        when(meanWordLen.between(3.0, 6.0), 1).otherwise(0)
+      when(nToksOf.between(20, 120), 1).otherwise(0) +
+        when(stopRatioOf.between(0.01, 0.3), 1).otherwise(0) +
+        when(meanWordLenOf.between(3.0, 6.0), 1).otherwise(0)
     documents(spark, dir)
       .select(col("lang"), score.as("quality_score"))
       .withColumn("keep", when(col("quality_score") >= 2, 1).otherwise(0))
@@ -196,12 +202,9 @@ object TextOps {
     * confusion matrix against the labeled lang column.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val enRatio = size(filter(toks, t => t === "the" || t === "a"))
-      .cast("double") / size(toks)
     documents(spark, dir)
       .select(col("lang"),
-        when(enRatio >= 0.05, "en").otherwise("unk").as("predicted"))
+        when(stopRatioOf >= 0.05, "en").otherwise("unk").as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
@@ -409,12 +412,17 @@ object TextOps {
   }
 
   /** Near-dup pairs by SimHash: block on (lang, source), band the
-    * 64-bit fingerprint into four 16-bit chunks (two docs within
-    * hamming distance 3 share at least one chunk... pigeonhole needs 4
-    * chunks for distance ≤ 3), verify with bit_count(xor) ≤ maxHamming.
+    * 64-bit fingerprint into four 16-bit chunks, verify candidates
+    * with bit_count(xor) ≤ maxHamming.
+    *
+    * Recall contract: by pigeonhole, two fingerprints within hamming
+    * distance 3 ALWAYS share at least one of the 4 chunks, so results
+    * are complete for maxHamming ≤ 3. Larger thresholds are best-effort
+    * (a pair with its differing bits spread across all 4 chunks is
+    * never generated as a candidate) — hence the default of 3.
     */
   def simHashDedup(spark: SparkSession, dir: String,
-                   maxHamming: Int = 6): DataFrame = {
+                   maxHamming: Int = 3): DataFrame = {
     val fps = simHashFingerprints(spark, dir)
     val chunks = (0 until 4).map(c =>
       shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))

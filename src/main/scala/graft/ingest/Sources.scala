@@ -29,6 +29,12 @@ object Sources {
     * which Spark 4 rejects outright. Read nanos as LongType (legacy
     * conf) and convert via integer division — nanos-since-epoch exceeds
     * 2^53, so double math would silently lose microseconds.
+    *
+    * NOTE: the conf is session-wide and must stay set while the lazy
+    * plan executes, so it is NOT restored afterwards — any later read
+    * of a TIMESTAMP(NANOS) parquet in the same session will also see
+    * longs (harness tables other than events carry micros, so none are
+    * affected; revisit if new nanos sources appear).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -27,8 +27,10 @@ object Scale {
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: Column,
                      saltBuckets: Int = 16): DataFrame = {
+    // monotonically_increasing_id already encodes the partition in its
+    // high bits, so pmod over it round-robins within every partition
     val salted = df.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets)))
     salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sum(valueCol).as("_psum"), count(valueCol).as("_pcnt"))

@@ -18,6 +18,18 @@ import graft.ingest.Sources
   */
 object Sinks {
 
+  /** Recursive local-filesystem delete with a null guard (listFiles
+    * returns null on I/O error, not an empty array). Shared by the
+    * verify main and the streaming upsert sink.
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
+    f.delete(): Unit
+  }
+
   /** S3: header CSV, the reference prep job's output contract. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -246,20 +246,23 @@ object Pipeline {
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // write the merged result BESIDE the current table, then swap —
-        // never collect to the driver, never overwrite a directory
-        // while reading it (a transactional format does this swap via
-        // its commit log)
+        // write the merged result BESIDE the current table, then swap.
+        // Swap order matters: the live table is moved aside BEFORE the
+        // staging promote and deleted only after, so a crash at any
+        // point leaves either the old or the new table recoverable on
+        // disk (a transactional format replaces this whole dance with
+        // its commit log). Never collects to the driver.
         val tmp = path + "_staging"
+        val backup = path + "_backup"
         if (new java.io.File(path).exists()) {
           graft.sinks.Sinks.upsert(spark.read.parquet(path), batch, keys)
             .write.mode("overwrite").parquet(tmp)
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles.foreach(rm)
-            f.delete(): Unit
-          }
-          rm(new java.io.File(path))
-          new java.io.File(tmp).renameTo(new java.io.File(path)): Unit
+          graft.sinks.Sinks.deleteRecursively(new java.io.File(backup))
+          require(new java.io.File(path).renameTo(new java.io.File(backup)),
+            s"upsert sink: failed to move live table aside: $path")
+          require(new java.io.File(tmp).renameTo(new java.io.File(path)),
+            s"upsert sink: failed to promote staging table: $tmp")
+          graft.sinks.Sinks.deleteRecursively(new java.io.File(backup))
         } else batch.write.mode("overwrite").parquet(path)
       }
       .option("checkpointLocation", checkpoint)
