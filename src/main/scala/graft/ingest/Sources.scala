@@ -52,6 +52,20 @@ object Sources {
   def csv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** JSON-lines scan — the bounded twin of the Kafka JSON wire format
+    * (reference: kafka/producer.py:24): one JSON object per line,
+    * schema supplied explicitly so no inference pass over the data.
+    */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC scan — columnar alternative to parquet, same pushdown and
+    * pruning behavior through the native reader.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Kafka streaming source (S5) — identical options to the reference
     * (reference: streaming/spark_processor.py:28-33). Not exercised in
     * the offline harness (no broker); the streaming test suite swaps in

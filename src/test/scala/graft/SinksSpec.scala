@@ -55,4 +55,27 @@ class SinksSpec extends SparkSpec {
     // columns absent in a batch surface as null, not an error
     assert(merged.filter(col("a").isNull).count() == 1)
   }
+
+  test("ORC round-trip preserves schema and pushes filters to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = graft.ingest.Sources.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    df.write.orc(s"$dir/o")
+    val back = graft.ingest.Sources.orc(spark, s"$dir/o")
+    assert(back.schema == df.schema)
+    assert(back.count() == df.count())
+    val p = plan(back.filter(col("o_totalprice") > 100000.0))
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"expected ORC pushdown:\n$p")
+  }
+
+  test("JSON-lines round-trip with explicit schema (wire-format twin)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val df = graft.ingest.Sources.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"))
+    df.write.json(s"$dir/j")
+    val back = graft.ingest.Sources.jsonLines(spark, s"$dir/j", df.schema)
+    assert(back.schema == df.schema)
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+  }
 }
