@@ -239,8 +239,9 @@ object TextOps {
       explode(split(col("text"), " ")).as("tok"))
     val tf = terms.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = terms.select(col("doc_id"), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // tf has exactly one row per (doc, tok), so counting its rows per
+    // tok IS the document frequency — no separate distinct pass
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // rank on the RAW score; round only in the projection so engine
     // rounding can never reorder near-ties differently
     val w = Window.partitionBy(col("doc_id"))
