@@ -56,4 +56,16 @@ class AggregatorsSpec extends SparkSpec {
     val relErr = math.abs(approx - exact).toDouble / exact
     assert(relErr < 0.06, s"HLL rel err $relErr (exact=$exact approx=$approx)")
   }
+
+  test("approx_percentile lands within its accuracy contract (X3)") {
+    val exact = graft.ingest.Sources.orders(spark, sf)
+      .select(percentile(col("o_totalprice"), lit(0.5))).collect().head.getDouble(0)
+    val approx = graft.ingest.Sources.orders(spark, sf)
+      .select(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)))
+      .collect().head.getDouble(0)
+    // accuracy=1000 -> rank error <= n/1000; translate to a loose value
+    // tolerance via the observed spread
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx median $approx too far from exact $exact")
+  }
 }

@@ -41,4 +41,28 @@ class EventsSpec extends SparkSpec {
       .agg(sum(col("n_users"))).collect().head.getLong(0)
     assert(funnelTotal == users)
   }
+
+  test("sessionization invariants on the real table: intra-gaps <= threshold, inter-gaps > threshold") {
+    import org.apache.spark.sql.expressions.Window
+    val gap = Events.SessionGapSeconds
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val marked = graft.ingest.Sources.events(spark, sf)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("prev_s", lag(col("epoch_s"), 1).over(w))
+      .withColumn("gap_s", col("epoch_s") - col("prev_s"))
+    val sessions = Events.sessionize(spark, sf)
+    // join each event's gap to its session via the start/end interval
+    val joined = marked.filter(col("prev_s").isNotNull)
+      .join(sessions,
+        marked("user_id") === sessions("user_id") &&
+          col("epoch_s").between(col("session_start_s"), col("session_end_s")))
+    // an event inside a session whose predecessor gap exceeded the
+    // threshold must be that session's FIRST event (start boundary)
+    val violations = joined
+      .filter(col("gap_s") > gap && col("epoch_s") =!= col("session_start_s"))
+      .count()
+    assert(violations == 0,
+      "found an over-gap event strictly inside a session")
+  }
 }

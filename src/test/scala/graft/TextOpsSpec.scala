@@ -85,4 +85,51 @@ class TextOpsSpec extends SparkSpec {
       || p.contains("ReadSchema: struct<lang:string,text:string>"),
       s"expected pruned read schema, got:\n$p")
   }
+
+  test("MinHash estimate is close to a KNOWN exact Jaccard on constructed sets") {
+    import spark.implicits._
+    // doc 1 = tokens 0..99, doc 2 = tokens 50..149 -> J = 50/150 = 1/3
+    val d1 = (0 until 100).map(i => s"t$i").mkString(" ")
+    val d2 = (50 until 150).map(i => s"t$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh").toString
+    Seq((1L, d1, "en", "s0"), (2L, d2, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    // reuse the real pipeline on the constructed corpus
+    val sigs = TextOps.minHashSignatures(spark, dir).collect()
+    val byId = sigs.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val agree = (0 until TextOps.MinHashK).count { i =>
+      byId(1L).getAs[Long](s"h$i") == byId(2L).getAs[Long](s"h$i")
+    }
+    val est = agree.toDouble / TextOps.MinHashK
+    // stderr = sqrt(J(1-J)/16) ~ 0.12; allow 3 sigma around 1/3
+    assert(math.abs(est - 1.0 / 3.0) < 0.36, s"minhash estimate $est far from 1/3")
+  }
+
+  test("winnowing guarantee: docs sharing a long token run share a fingerprint") {
+    import spark.implicits._
+    // guarantee: any shared run of >= w + shingle - 1 = 4 + 3 - 1 = 6
+    // tokens forces at least one common selected fingerprint
+    val shared = (0 until 12).map(i => s"common$i").mkString(" ")
+    val d1 = s"alpha beta gamma $shared delta"
+    val d2 = s"omega psi $shared chi phi rho"
+    val dir = java.nio.file.Files.createTempDirectory("graft_win").toString
+    Seq((1L, d1, "en", "s0"), (2L, d2, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    // recompute the full fingerprint sets (not the min/max summary)
+    val toks = split(col("text"), " ")
+    val nShingle = greatest(size(toks) - 2, lit(1))
+    val hashes = transform(sequence(lit(1), nShingle),
+      i => xxhash64(concat_ws(" ", slice(toks, i, lit(3)))))
+    val wins = transform(
+      sequence(lit(1), greatest(size(col("sh")) - 3, lit(1))),
+      j => array_min(slice(col("sh"), j, lit(4))))
+    val fps = graft.ingest.Sources.documents(spark, dir)
+      .select(col("doc_id"), hashes.as("sh"))
+      .select(col("doc_id"), array_distinct(wins).as("fps"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "no shared fingerprint despite a 12-token shared run")
+  }
 }
