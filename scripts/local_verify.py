@@ -124,10 +124,19 @@ def main():
             results[name] = [f"ORACLE SQL ERROR: {e}"]
             continue
         results[name] = compare(name, sdf, scols, ddf, dcols)
-    # rows-only queries (no oracle)
-    for pdir in sorted(glob.glob(f"{OUT}/q_*")):
-        name = os.path.basename(pdir)
-        if name in oracle or (ONLY and name not in ONLY):
+    # rows-only queries (no oracle) — iterate the MANIFEST, not the
+    # directories found: a query that failed (and whose stale dir was
+    # cleaned) must FAIL the gate, not vanish from it
+    manifest_path = f"{OUT}/queries.json"
+    rows_only = set(json.load(open(manifest_path))) - set(oracle) \
+        if os.path.exists(manifest_path) \
+        else {os.path.basename(d) for d in glob.glob(f"{OUT}/q_*")} - set(oracle)
+    for name in sorted(rows_only):
+        if ONLY and name not in ONLY:
+            continue
+        pdir = f"{OUT}/{name}"
+        if not glob.glob(f"{pdir}/*.parquet"):
+            results[name] = ["NO SPARK OUTPUT"]
             continue
         n = con.execute(f"SELECT count(*) FROM read_parquet('{pdir}/*.parquet')").fetchone()[0]
         results[name] = [] if n > 0 else ["rows-only check: 0 rows"]

@@ -44,5 +44,7 @@ object SparkEntry {
       analytics.Quality.oracles ++
       functions.Aggregators.oracles ++
       operators.Scale.oracles ++
-      sinks.Sinks.oracles
+      sinks.Sinks.oracles ++
+      analytics.Multimodal.oracles ++
+      etl.Prep.oracles
 }

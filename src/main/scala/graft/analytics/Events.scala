@@ -147,7 +147,16 @@ object Events {
   def asofSignup(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
       .withColumn("epoch_s", unix_timestamp(col("ts")))
-    val tagged = e.filter(col("event_type").isin("purchase", "signup"))
+    // dedupe same-instant signups per user (keep max event_id) BEFORE
+    // the as-of: DuckDB's ASOF JOIN picks an arbitrary row among
+    // equal-timestamp matches, so ties must not exist on either side
+    val sigW = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val signups = e.filter(col("event_type") === "signup")
+      .withColumn("_rn", row_number().over(sigW))
+      .filter(col("_rn") === 1).drop("_rn")
+    val tagged = e.filter(col("event_type") === "purchase")
+      .unionByName(signups)
       .withColumn("is_signup", (col("event_type") === "signup").cast("int"))
     // signups sort before a same-instant purchase so ts >= matches
     val w = Window.partitionBy(col("user_id"))
@@ -174,8 +183,13 @@ object Events {
       |    - CAST(floor(epoch(s.ts)) AS BIGINT) AS gap_s
       |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
       |      FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
-      |                FROM events WHERE event_type = 'signup') s
+      |ASOF LEFT JOIN (
+      |  SELECT event_id, user_id, ts FROM (
+      |    SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+      |      row_number() OVER (PARTITION BY user_id, date_trunc('microseconds', ts)
+      |                         ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'signup')
+      |  WHERE rn = 1) s
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 

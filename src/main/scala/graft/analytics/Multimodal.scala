@@ -116,19 +116,28 @@ object Multimodal {
     */
   def mediaFeatureRollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // carry the grouping key THROUGH the extraction as the tuple's
+    // second element — one scan, no re-join to recover `source`
+    // (a second scan + shuffle join would be a full extra pass over
+    // the corpus at scale)
     val media = Sources.documents(spark, dir)
-      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
-        col("text").cast("binary").as("content"),
-        lit(0).as("width"), lit(0).as("height"),
-        lit(0).as("sample_rate"), lit(0).as("duration_ms"))
-      .as[MediaRecord]
-    val feats = extractFeatures(media)
+      .select(
+        struct(col("doc_id").as("media_id"), lit("image").as("kind"),
+          col("text").cast("binary").as("content"),
+          lit(0).as("width"), lit(0).as("height"),
+          lit(0).as("sample_rate"), lit(0).as("duration_ms")).as("_1"),
+        col("source").as("_2"))
+      .as[(MediaRecord, String)]
+    val feats = media.mapPartitions { it =>
+      // per-partition setup point (codec init, model load)
+      it.map { case (r, source) =>
+        (r.media_id, source, r.content.length, decodeStub(r.content))
+      }
+    }.toDF("media_id", "source", "n_bytes", "features")
       .withColumn("norm",
         sqrt(aggregate(transform(col("features"),
           x => x.cast("double") * x), lit(0.0), (a, v) => a + v)))
-    val src = Sources.documents(spark, dir)
-      .select(col("doc_id").as("media_id"), col("source"))
-    feats.join(src, "media_id")
+    feats
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_media"),
         round(avg(col("n_bytes")), 2).as("avg_bytes"),

@@ -188,17 +188,26 @@ object Similarity {
       shiftleft(when(vecDot(emb, typedlit(plane)) > 0, 1L).otherwise(0L), h)
     }.reduce(_.bitwiseOR(_))
 
+  /** Banded sketch rows shared by every LSH path: (vec_id, carried
+    * columns, chunk, chunk_val) — one row per 4-bit chunk of the
+    * 16-bit sign sketch. Single definition point for the banding
+    * scheme so the candidate and top-k paths cannot drift.
+    */
+  private def bandedSketch(df: DataFrame, carry: Seq[Column]): DataFrame = {
+    val sk = df.withColumn("_sk", sketch(col("embedding")))
+    val chunks = (0 until LshPlanes / LshChunkBits).map(c =>
+      shiftright(col("_sk"), c * LshChunkBits)
+        .bitwiseAND(lit((1L << LshChunkBits) - 1)))
+    sk.select((col("vec_id") +: carry) :+
+      posexplode(array(chunks: _*)).as(Seq("chunk", "chunk_val")): _*)
+  }
+
   /** Candidate pairs from banded sketch buckets: vec pairs sharing any
     * 4-bit chunk of the 16-bit sketch. Input df needs (vec_id,
     * embedding); output (vec_a, vec_b) distinct, vec_a < vec_b.
     */
   def lshCandidates(df: DataFrame): DataFrame = {
-    val sk = df.select(col("vec_id"), sketch(col("embedding")).as("sk"))
-    val chunks = (0 until LshPlanes / LshChunkBits).map(c =>
-      shiftright(col("sk"), c * LshChunkBits)
-        .bitwiseAND(lit((1L << LshChunkBits) - 1)))
-    val banded = sk.select(col("vec_id"),
-      posexplode(array(chunks: _*)).as(Seq("chunk", "chunk_val")))
+    val banded = bandedSketch(df, Seq.empty)
     val a = banded.select(col("vec_id").as("vec_a"), col("chunk"), col("chunk_val"))
     val b = banded.select(col("vec_id").as("vec_b"), col("chunk"), col("chunk_val"))
     a.join(b, Seq("chunk", "chunk_val"))
@@ -215,13 +224,8 @@ object Similarity {
     // bucket self-join yields scoreable pairs directly: 2 scans total,
     // and keeping BOTH directions of each pair (a ≠ b) makes every
     // vector a query with no union re-execution of the subtree.
-    val sk = vectors(spark, dir)
-      .withColumn("sk", sketch(col("embedding")))
-    val chunks = (0 until LshPlanes / LshChunkBits).map(c =>
-      shiftright(col("sk"), c * LshChunkBits)
-        .bitwiseAND(lit((1L << LshChunkBits) - 1)))
-    val banded = sk.select(col("vec_id"), col("embedding"), col("nrm"),
-      posexplode(array(chunks: _*)).as(Seq("chunk", "chunk_val")))
+    val banded = bandedSketch(vectors(spark, dir),
+      Seq(col("embedding"), col("nrm")))
     val a = banded.select(col("vec_id").as("query_id"),
       col("embedding").as("qemb"), col("nrm").as("qnrm"),
       col("chunk"), col("chunk_val"))
