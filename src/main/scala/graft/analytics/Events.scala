@@ -193,7 +193,31 @@ object Events {
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Array aggregation: each user's distinct event types as a sorted
+    * array — collect_set is unordered by contract, so the sort_array
+    * wrapper is what makes the value deterministic and
+    * oracle-comparable.
+    */
+  def userEventTypes(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sort_array(collect_set(col("event_type"))).as("event_types"),
+        count(lit(1)).as("n_events"))
+      .withColumn("n_types", size(col("event_types")))
+      .orderBy(col("user_id"))
+
+  val userEventTypesSql: String =
+    """SELECT user_id,
+      |  list_sort(list_distinct(list(event_type))) AS event_types,
+      |  count(*) AS n_events,
+      |  len(list_distinct(list(event_type))) AS n_types
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_user_event_types" -> (userEventTypes _),
     "q_sessionize" -> (sessionize _),
     "q_event_props" -> (eventProps _),
     "q_event_funnel" -> (eventFunnel _),
@@ -201,6 +225,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_user_event_types" -> userEventTypesSql,
     "q_sessionize" -> sessionizeSql,
     "q_event_props" -> eventPropsSql,
     "q_event_funnel" -> eventFunnelSql,
