@@ -402,6 +402,28 @@ object Relational {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** Left-outer join with null-aware aggregation: every customer keeps
+    * a row, customers without orders surface with n_orders = 0 (count
+    * of a null column) — completing the join-type matrix next to the
+    * semi/anti/inner/range forms.
+    */
+  def customerOrderCounts(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("revenue"))
+      .orderBy(col("c_custkey"))
+
+  val customerOrderCountsSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  count(o_orderkey) AS n_orders,
+      |  round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_mktsegment
+      |ORDER BY c_custkey""".stripMargin
+
   /** Exact interpolated percentiles per group — Spark `percentile`
     * and DuckDB `quantile_cont` share the definition, so the oracle is
     * exact. (approx_percentile sketches are engine-specific and tested
@@ -478,7 +500,8 @@ object Relational {
     "q_pivot_segment_region" -> (pivotSegmentByRegion _),
     "q_order_price_percentiles" -> (orderPricePercentiles _),
     "q_grouping_sets_nation_year" -> (groupingSetsNationYear _),
-    "q_order_bag_set_ops" -> (orderBagSetOps _)
+    "q_order_bag_set_ops" -> (orderBagSetOps _),
+    "q_customer_order_counts" -> (customerOrderCounts _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -498,6 +521,7 @@ object Relational {
     "q_pivot_segment_region" -> pivotSegmentByRegionSql,
     "q_order_price_percentiles" -> orderPricePercentilesSql,
     "q_grouping_sets_nation_year" -> groupingSetsNationYearSql,
-    "q_order_bag_set_ops" -> orderBagSetOpsSql
+    "q_order_bag_set_ops" -> orderBagSetOpsSql,
+    "q_customer_order_counts" -> customerOrderCountsSql
   )
 }
