@@ -13,7 +13,12 @@ object Bench {
     // Warm up the session (executor threads, codegen compiler, parquet
     // reader classes) so the first timed query doesn't absorb JVM init.
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warm-up must never kill the run — a bad sfDir should surface as
+    // per-query errors in the JSON, not as a silent crash with no output
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up read failed: ${e.getMessage}")
+    }
     // Two timed runs per query, report the min: run 1 is dominated by
     // one-shot plan codegen/compilation, which amortizes to nothing on
     // a long-lived cluster — the min reflects the recurring cost.
