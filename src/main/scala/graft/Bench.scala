@@ -22,8 +22,9 @@ object Bench {
     // Two timed runs per query, report the min: run 1 is dominated by
     // one-shot plan codegen/compilation, which amortizes to nothing on
     // a long-lived cluster — the min reflects the recurring cost.
-    // A failed run must NOT be timed as a (fast) success: failures are
-    // reported as -1 with the name in "errors", never mixed into min().
+    // A failed run must NOT be timed as a (fast) success: a query with
+    // ANY failed run lands in "errors"; its value is the min of the
+    // successful runs, or -1 if none succeeded.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -33,13 +34,13 @@ object Bench {
           None
         }
       }
-      name -> times.minOption
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.minOption.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, None) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, v) if v.size < 2 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.flatten.sum
+    val total = results.values.flatMap(_.minOption).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","errors":$errors}""")
     spark.stop()
   }

@@ -145,18 +145,14 @@ object Events {
     * uses its native ASOF JOIN, proving operator equivalence.
     */
   def asofSignup(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir)
+    // Tie policy: among same-instant signups the MAX event_id wins.
+    // The window below already implements that (ties order event_id
+    // ASC, so last() picks the largest) in ONE scan + one shuffle;
+    // only the DuckDB oracle needs an explicit dedupe, because its
+    // ASOF JOIN picks an arbitrary row among equal timestamps.
+    val tagged = events(spark, dir)
       .withColumn("epoch_s", unix_timestamp(col("ts")))
-    // dedupe same-instant signups per user (keep max event_id) BEFORE
-    // the as-of: DuckDB's ASOF JOIN picks an arbitrary row among
-    // equal-timestamp matches, so ties must not exist on either side
-    val sigW = Window.partitionBy(col("user_id"), col("ts"))
-      .orderBy(col("event_id").desc)
-    val signups = e.filter(col("event_type") === "signup")
-      .withColumn("_rn", row_number().over(sigW))
-      .filter(col("_rn") === 1).drop("_rn")
-    val tagged = e.filter(col("event_type") === "purchase")
-      .unionByName(signups)
+      .filter(col("event_type").isin("purchase", "signup"))
       .withColumn("is_signup", (col("event_type") === "signup").cast("int"))
     // signups sort before a same-instant purchase so ts >= matches
     val w = Window.partitionBy(col("user_id"))

@@ -403,13 +403,16 @@ object Relational {
       |ORDER BY o_custkey""".stripMargin
 
   /** Left-outer join with null-aware aggregation: every customer keeps
-    * a row, customers without orders surface with n_orders = 0 (count
-    * of a null column) — completing the join-type matrix next to the
-    * semi/anti/inner/range forms.
+    * a row; the order side is filtered to high-value orders so a large
+    * fraction of customers genuinely exercises the unmatched path
+    * (n_orders = 0 via count of a null column) AT THE GATE'S SCALE
+    * FACTORS — an unfiltered join would have no unmatched customers at
+    * sf0.01 and the outer semantics would go unverified.
     */
   def customerOrderCounts(spark: SparkSession, dir: String): DataFrame =
     customer(spark, dir)
-      .join(orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .join(orders(spark, dir).filter(col("o_totalprice") > lit(400000.0)),
+        col("c_custkey") === col("o_custkey"), "left_outer")
       .groupBy(col("c_custkey"), col("c_mktsegment"))
       .agg(
         count(col("o_orderkey")).as("n_orders"),
@@ -420,7 +423,9 @@ object Relational {
     """SELECT c_custkey, c_mktsegment,
       |  count(o_orderkey) AS n_orders,
       |  round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
-      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |FROM customer LEFT OUTER JOIN
+      |  (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+      |  ON c_custkey = o_custkey
       |GROUP BY c_custkey, c_mktsegment
       |ORDER BY c_custkey""".stripMargin
 

@@ -15,7 +15,9 @@ object PlanAudit {
         // also match BroadcastExchange/ReusedExchange and inflate the
         // one number this audit exists to surface
         val scans = "FileScan".r.findAllIn(p).length
-        val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+        val shuffles =
+          "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+            .findAllIn(p).length
         val bcast = "BroadcastExchange".r.findAllIn(p).length
         val reused = "ReusedExchange".r.findAllIn(p).length
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length

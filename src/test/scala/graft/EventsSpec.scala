@@ -64,5 +64,16 @@ class EventsSpec extends SparkSpec {
       .count()
     assert(violations == 0,
       "found an over-gap event strictly inside a session")
+    // exact converse (both directions at once): per user, the number
+    // of sessions must equal 1 + number of over-threshold gaps — an
+    // over-eager splitter OR an under-splitter breaks this equality
+    val expected = marked.groupBy(col("user_id"))
+      .agg(sum(when(col("gap_s") > gap, 1).otherwise(0)).as("n_breaks"))
+    val actual = sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val mismatched = expected.join(actual, "user_id")
+      .filter(col("n_sessions") =!= col("n_breaks") + 1)
+      .count()
+    assert(mismatched == 0, "session count != 1 + over-gap count for some user")
   }
 }

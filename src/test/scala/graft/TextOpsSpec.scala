@@ -131,5 +131,14 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
     assert(fps(1L).intersect(fps(2L)).nonEmpty,
       "no shared fingerprint despite a 12-token shared run")
+    // pin the recomputation to the PRODUCTION operator: its summary
+    // columns must equal this test's independently derived sets
+    val prod = TextOps.docFingerprints(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_fingerprints"), r.getAs[Long]("min_fp"), r.getAs[Long]("max_fp")))).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(prod(id) == ((fps(id).size, fps(id).min, fps(id).max)),
+        s"docFingerprints summary diverges from recomputed set for doc $id")
+    }
   }
 }
