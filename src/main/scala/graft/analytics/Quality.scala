@@ -129,6 +129,41 @@ object Quality {
       |GROUP BY event_type, day
       |ORDER BY event_type, day""".stripMargin
 
+  /** A3 (range frame): per-sensor trailing-1-hour rolling sum over the
+    * TIME RANGE, not a row count — the frame width adapts to event
+    * density, which is the correct semantics for rate-style metrics.
+    * Frame bounds are on floor-second epochs so both engines agree.
+    */
+  def rollingHourSum(spark: SparkSession, dir: String): DataFrame = {
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, 0L)
+    events(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("hour_sum", round(sum(col("value")).over(frame), 2))
+      .withColumn("hour_n", count(col("value")).over(frame))
+      // same-second events share a frame value; aggregate to the
+      // (user, second) grain so output is deterministic
+      .groupBy(col("user_id"), col("epoch_s"))
+      .agg(max(col("hour_sum")).as("hour_sum"), max(col("hour_n")).as("hour_n"))
+      .orderBy(col("user_id"), col("epoch_s"))
+  }
+
+  val rollingHourSumSql: String =
+    """SELECT user_id, epoch_s,
+      |  max(hour_sum) AS hour_sum, max(hour_n) AS hour_n
+      |FROM (
+      |  SELECT user_id, epoch_s,
+      |    round(sum(value) OVER w, 2) AS hour_sum,
+      |    count(value) OVER w AS hour_n
+      |  FROM (SELECT user_id, value,
+      |          CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+      |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |)
+      |GROUP BY user_id, epoch_s
+      |ORDER BY user_id, epoch_s""".stripMargin
+
   /** Data-quality profile of the orders table — the one-pass
     * null/distinct/range audit a pipeline runs before trusting an
     * input (motivated by the reference's own wire/schema mismatch,
@@ -161,6 +196,7 @@ object Quality {
     "q_sensor_hourly" -> (sensorHourly _),
     "q_rolling_zscore" -> ((s: SparkSession, d: String) => rollingZscore(s, d)),
     "q_value_alerts" -> (valueAlerts _),
+    "q_rolling_hour_sum" -> (rollingHourSum _),
     "q_profile_orders" -> (profileOrders _)
   )
 
@@ -168,6 +204,7 @@ object Quality {
     "q_sensor_hourly" -> sensorHourlySql,
     "q_rolling_zscore" -> rollingZscoreSql,
     "q_value_alerts" -> valueAlertsSql,
+    "q_rolling_hour_sum" -> rollingHourSumSql,
     "q_profile_orders" -> profileOrdersSql
   )
 }

@@ -487,6 +487,44 @@ object Relational {
       |GROUP BY GROUPING SETS ((n_name), (yr))
       |ORDER BY nation, yr""".stripMargin
 
+  /** R1 (distribution windows): ntile quartiles of account balance per
+    * nation plus percent_rank bounds — the ranking-family functions
+    * beyond row_number. Quartile membership depends only on the total
+    * order (c_acctbal desc, c_custkey), which is unique, so results
+    * are engine-stable.
+    */
+  def balanceQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy(col("n_name"), col("quartile"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"),
+        round(max(col("pr")), 6).as("max_percent_rank"))
+      .orderBy(col("n_name"), col("quartile"))
+  }
+
+  val balanceQuartilesSql: String =
+    """SELECT n_name, quartile, count(*) AS n_cust,
+      |  round(min(c_acctbal), 2) AS min_bal,
+      |  round(max(c_acctbal), 2) AS max_bal,
+      |  round(max(pr), 6) AS max_percent_rank
+      |FROM (
+      |  SELECT n_name, c_acctbal,
+      |    ntile(4) OVER w AS quartile,
+      |    percent_rank() OVER w AS pr
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  WINDOW w AS (PARTITION BY n_name
+      |               ORDER BY c_acctbal DESC, c_custkey ASC)
+      |)
+      |GROUP BY n_name, quartile
+      |ORDER BY n_name, quartile""".stripMargin
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary" -> (pricingSummary _),
@@ -506,7 +544,8 @@ object Relational {
     "q_order_price_percentiles" -> (orderPricePercentiles _),
     "q_grouping_sets_nation_year" -> (groupingSetsNationYear _),
     "q_order_bag_set_ops" -> (orderBagSetOps _),
-    "q_customer_order_counts" -> (customerOrderCounts _)
+    "q_customer_order_counts" -> (customerOrderCounts _),
+    "q_balance_quartiles" -> (balanceQuartiles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -527,6 +566,7 @@ object Relational {
     "q_order_price_percentiles" -> orderPricePercentilesSql,
     "q_grouping_sets_nation_year" -> groupingSetsNationYearSql,
     "q_order_bag_set_ops" -> orderBagSetOpsSql,
-    "q_customer_order_counts" -> customerOrderCountsSql
+    "q_customer_order_counts" -> customerOrderCountsSql,
+    "q_balance_quartiles" -> balanceQuartilesSql
   )
 }
