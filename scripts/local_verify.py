@@ -18,6 +18,7 @@ import glob
 import os
 
 import duckdb
+import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -55,6 +56,47 @@ def norm_cell(v):
             return "NaN"
         return v
     return v
+
+
+def pandas_compare(name, sdf, ddf):
+    """Mirror the DRIVER's compare path: both sides as pandas frames
+    (duckdb hugeint -> float64, arrays -> object of np.ndarray — the
+    exact conversions that bit round 2), columns sorted by name,
+    sort_values over all columns (raises TypeError on unhashable array
+    cells exactly like the driver), then exact cell equality INCLUDING
+    dtype kind (int64 vs float64 hash differently driver-side)."""
+    problems = []
+    scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
+    if scols != dcols:
+        return [f"schema mismatch spark={scols} duck={dcols}"]
+    if len(sdf) != len(ddf):
+        return [f"row count spark={len(sdf)} duck={len(ddf)}"]
+    try:
+        s = sdf[scols].sort_values(scols).reset_index(drop=True)
+        d = ddf[dcols].sort_values(dcols).reset_index(drop=True)
+    except TypeError as e:
+        return [f"DRIVER-STYLE SORT FAILS (unhashable/array column?): {e}"]
+    for c in scols:
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        if sk != dk and not (sk in "iu" and dk in "iu"):
+            problems.append(
+                f"dtype kind mismatch on {c}: spark={s[c].dtype} duck={d[c].dtype}"
+                " (driver hash would fail: int vs float bytes differ)")
+    if problems:
+        return problems
+    for c in scols:
+        a, b = s[c], d[c]
+        if a.dtype.kind == "f":
+            both_nan = a.isna() & b.isna()
+            neq = ~((a == b) | both_nan)
+        else:
+            neq = ~((a == b) | (a.isna() & b.isna()))
+        if neq.any():
+            i = int(neq.idxmax())
+            problems.append(
+                f"{int(neq.sum())} cells differ in {c}; first at sorted row {i}: "
+                f"{a.iloc[i]!r} vs {b.iloc[i]!r}")
+    return problems
 
 
 def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
@@ -123,7 +165,16 @@ def main():
         except Exception as e:
             results[name] = [f"ORACLE SQL ERROR: {e}"]
             continue
-        results[name] = compare(name, sdf, scols, ddf, dcols)
+        probs = compare(name, sdf, scols, ddf, dcols)
+        # second pass through the driver's own conversion path (pandas)
+        try:
+            spdf = pd.read_parquet(pdir)
+            dpdf = con.execute(sql).df()
+            probs += [p for p in pandas_compare(name, spdf, dpdf)
+                      if p not in probs]
+        except Exception as e:
+            probs.append(f"PANDAS PATH ERROR: {e}")
+        results[name] = probs
     # rows-only queries (no oracle) — iterate the MANIFEST, not the
     # directories found: a query that failed (and whose stale dir was
     # cleaned) must FAIL the gate, not vanish from it

@@ -60,7 +60,8 @@ object Events {
       |  SELECT user_id, event_id, ts, value,
       |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
       |    lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
-      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_s
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC) AS prev_s
       |  FROM events
       |), marked AS (
       |  SELECT user_id, event_id, ts, value, epoch_s,
@@ -69,8 +70,10 @@ object Events {
       |  FROM base
       |), numbered AS (
       |  SELECT user_id, epoch_s, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(sum(new_session) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM marked
       |)
       |SELECT user_id, session_id,
@@ -191,21 +194,27 @@ object Events {
 
   /** Array aggregation: each user's distinct event types as a sorted
     * array — collect_set is unordered by contract, so the sort_array
-    * wrapper is what makes the value deterministic and
-    * oracle-comparable.
+    * wrapper is what makes the value deterministic. The gate column is
+    * the ','-joined string form (array cells aren't hashable in the
+    * driver's compare) and the count is emitted as BIGINT on both
+    * engines.
     */
   def userEventTypes(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(col("user_id"))
       .agg(
-        sort_array(collect_set(col("event_type"))).as("event_types"),
+        sort_array(collect_set(col("event_type"))).as("types_arr"),
         count(lit(1)).as("n_events"))
-      .withColumn("n_types", size(col("event_types")))
+      .select(
+        col("user_id"),
+        concat_ws(",", col("types_arr")).as("event_types"),
+        col("n_events"),
+        size(col("types_arr")).cast("bigint").as("n_types"))
       .orderBy(col("user_id"))
 
   val userEventTypesSql: String =
     """SELECT user_id,
-      |  list_sort(list_distinct(list(event_type))) AS event_types,
+      |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
       |  count(*) AS n_events,
       |  len(list_distinct(list(event_type))) AS n_types
       |FROM events

@@ -99,7 +99,8 @@ object Quality {
       |      stddev_samp(value) OVER w AS sd,
       |      count(value) OVER w AS n_frame
       |    FROM events
-      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    WINDOW w AS (PARTITION BY user_id
+      |                 ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC
       |                 ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
       |  )
       |  WHERE n_frame = 12 AND sd > 0
@@ -183,7 +184,7 @@ object Quality {
 
   val profileOrdersSql: String =
     """SELECT count(*) AS n_rows,
-      |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
       |  count(DISTINCT o_custkey) AS distinct_custkey,
       |  count(DISTINCT o_orderpriority) AS distinct_priority,
       |  round(min(o_totalprice), 2) AS min_price,

@@ -30,11 +30,13 @@ object Sources {
     * conf) and convert via integer division — nanos-since-epoch exceeds
     * 2^53, so double math would silently lose microseconds.
     *
-    * NOTE: the conf is session-wide and must stay set while the lazy
-    * plan executes, so it is NOT restored afterwards — any later read
-    * of a TIMESTAMP(NANOS) parquet in the same session will also see
-    * longs (harness tables other than events carry micros, so none are
-    * affected; revisit if new nanos sources appear).
+    * The `nanosAsLong` conf is pinned at session construction in
+    * graft.spark.Sessions, so nanos columns uniformly arrive as longs
+    * regardless of read order. The set below is a fallback for sessions
+    * built elsewhere (e.g. the driver's own session passed to
+    * SparkEntry.entry); it is session-wide and intentionally never
+    * restored — order-dependent conf flips are the failure mode this
+    * design removes.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,35 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place every graft entry point builds its SparkSession from,
+  * so session-scoped behavior is uniform instead of order-dependent on
+  * which query ran first.
+  *
+  * In particular `spark.sql.legacy.parquet.nanosAsLong` is set HERE,
+  * at construction: the harness `events` table stores TIMESTAMP(NANOS)
+  * which Spark 4 otherwise rejects, and flipping the conf lazily (as a
+  * side effect of the first `events()` call) would make every later
+  * nanos-parquet read silently change type depending on call order.
+  * With the conf pinned up front, ALL nanos columns uniformly arrive
+  * as LongType and `graft.ingest.Sources.events` converts explicitly.
+  */
+object Sessions {
+
+  /** Pre-configured builder; callers add master/app-specific confs. */
+  def builder(): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** The standard local session used by Verify/Bench/tools. */
+  def local(cores: String, shufflePartitions: String): SparkSession = {
+    val s = builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

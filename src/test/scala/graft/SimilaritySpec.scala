@@ -152,12 +152,12 @@ class SimilaritySpec extends SparkSpec {
       StructField("b", ArrayType(FloatType), nullable = true)))
     val rows = java.util.Arrays.asList(
       Row(Seq.empty[Float], Seq.empty[Float]),          // empty -> 0.0
-      Row(Seq(1.0f, 2.0f, 5.0f), Seq(3.0f)),           // mismatch -> min length
+      Row(Seq(1.0f, 2.0f, 5.0f), Seq(3.0f)),           // mismatch -> NULL (no silent truncation)
       Row(null, Seq(1.0f)),                             // null -> null (nullIntolerant)
       Row(Seq(1.0f), null))
     val df = spark.createDataFrame(rows, schema)
       .select(vecDot(col("a"), col("b")).as("d"))
     val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    assert(got.toSeq == Seq(Some(0.0), Some(3.0), None, None))
+    assert(got.toSeq == Seq(Some(0.0), None, None, None))
   }
 }
