@@ -23,6 +23,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Relational.queries ++
+      analytics.Stats.queries ++
+      analytics.TimeSeries.queries ++
       analytics.Events.queries ++
       analytics.TextOps.queries ++
       analytics.Similarity.queries ++
@@ -38,6 +40,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++
+      analytics.Stats.oracles ++
+      analytics.TimeSeries.oracles ++
       analytics.Events.oracles ++
       analytics.TextOps.oracles ++
       analytics.Similarity.oracles ++

@@ -26,15 +26,24 @@ object Quality {
     * README.md:5-6; sub-index weighting mirrors the WQI dataset lineage
     * of reference kafka/sort_the_source.py:6).
     */
-  def wqi(ph: Column, doSat: Column, tds: Column): Column = {
+  def wqi(ph: Column, doSat: Column, tds: Column): Column =
+    round(wqiRaw(ph, doSat, tds), 4)
+
+  /** Unrounded WQI — aggregate THIS and round only in the projection:
+    * averaging pre-rounded 4-decimal values lands exactly on .xxxx5
+    * rounding boundaries (e.g. the mean of two 4-decimal numbers),
+    * where Spark (HALF_UP on shortest-decimal) and DuckDB (binary
+    * double) round apart.
+    */
+  def wqiRaw(ph: Column, doSat: Column, tds: Column): Column = {
     // sub-index: 100 at band center, linear falloff to 0 at band edge
     def sub(c: Column, lo: Double, hi: Double): Column = {
       val center = lit((lo + hi) / 2)
       val halfWidth = lit((hi - lo) / 2)
       greatest(lit(0.0), lit(100.0) * (lit(1.0) - abs(c - center) / halfWidth))
     }
-    round(sub(ph, 6.5, 8.5) * 0.4 + sub(doSat, 30, 120) * 0.35 +
-      sub(tds, 50, 1500) * 0.25, 4)
+    sub(ph, 6.5, 8.5) * 0.4 + sub(doSat, 30, 120) * 0.35 +
+      sub(tds, 50, 1500) * 0.25
   }
 
   /** A2: tumbling 1-hour window aggregation per event type — the batch

@@ -1,0 +1,145 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Sources._
+
+/** Statistical / reshaping operators (SURVEY.md §2.5 extensions):
+  * fixed-width histograms, bivariate statistics (corr / covariance /
+  * regression slope), wide→long unpivot, and a blocked fuzzy
+  * (edit-distance) self-join.
+  *
+  * Scale notes (100 TB): the histogram and corr queries are single
+  * hash aggregations on low-cardinality keys — partial aggregation
+  * collapses each executor's input to a handful of rows before the
+  * shuffle, so data volume is irrelevant. The fuzzy join blocks on
+  * p_brand; at cluster scale the block key keeps the pair explosion
+  * per-partition (same shape as the LSH band-bucket joins), and
+  * levenshtein runs codegen'd inside the join condition.
+  */
+object Stats {
+
+  /** Fixed-width histogram of order totals: 20 bins of 30k over
+    * [0, 600k), top bin clamped. floor(x / width) on the same double
+    * gives identical bins in any engine — no width_bucket dependency.
+    */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(
+        least(floor(col("o_totalprice") / 30000.0), lit(19.0))
+          .cast("int").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("bin_lo", (col("bin") * 30000).cast("double"))
+      .select(col("bin"), col("bin_lo"), col("n_orders"))
+      .orderBy(col("bin"))
+
+  val priceHistogramSql: String =
+    """SELECT bin, CAST(bin * 30000 AS DOUBLE) AS bin_lo, count(*) AS n_orders
+      |FROM (SELECT CAST(least(floor(o_totalprice / 30000.0), 19.0) AS INT) AS bin
+      |      FROM orders)
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
+  /** Bivariate statistics per group: Pearson correlation, sample
+    * covariance and OLS slope of extendedprice on quantity. All three
+    * are one-pass partial-aggregatable moments — a single shuffle of
+    * 3 rows per group regardless of input size.
+    */
+  def orderCorrStats(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope_price_per_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val orderCorrStatsSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+      |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_per_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Wide→long unpivot: per-priority metrics melted to (metric, val)
+    * rows — the reshape every feature-extraction pipeline needs before
+    * a generic metric sink. Uses the native unpivot operator (Expand
+    * under the hood, no shuffle beyond the aggregation's own).
+    */
+  def priorityMetricsUnpivot(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("avg_price"), col("max_price")),
+        "metric", "val")
+      .orderBy(col("o_orderpriority"), col("metric"))
+
+  val priorityMetricsUnpivotSql: String =
+    """SELECT o_orderpriority, metric, val FROM (
+      |  UNPIVOT (
+      |    SELECT o_orderpriority,
+      |      CAST(count(*) AS DOUBLE) AS n_orders,
+      |      round(avg(o_totalprice), 4) AS avg_price,
+      |      round(max(o_totalprice), 2) AS max_price
+      |    FROM orders GROUP BY o_orderpriority
+      |  ) ON n_orders, avg_price, max_price INTO NAME metric VALUE val
+      |)
+      |ORDER BY o_orderpriority, metric""".stripMargin
+
+  /** Blocked fuzzy self-join: near-duplicate part names by edit
+    * distance within a brand block. The block bounds the quadratic
+    * pair set (identical shape to the LSH band-bucket join at cluster
+    * scale); the rollup keeps output compact.
+    */
+  def partFuzzyMatch(spark: SparkSession, dir: String,
+                     maxDist: Int = 4): DataFrame = {
+    val p = part(spark, dir).select(
+      col("p_brand"), col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_similar_pairs"),
+        min(col("dist")).cast("bigint").as("min_dist"),
+        round(avg(col("dist")), 4).as("avg_dist"))
+      .orderBy(col("p_brand"))
+  }
+
+  val partFuzzyMatchSql: String =
+    """SELECT a.p_brand, count(*) AS n_similar_pairs,
+      |  CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist,
+      |  round(avg(levenshtein(a.p_name, b.p_name)), 4) AS avg_dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4
+      |GROUP BY a.p_brand
+      |ORDER BY a.p_brand""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_price_histogram" -> (priceHistogram _),
+    "q_order_corr_stats" -> (orderCorrStats _),
+    "q_priority_metrics_unpivot" -> (priorityMetricsUnpivot _),
+    "q_part_fuzzy_match" -> ((s: SparkSession, d: String) => partFuzzyMatch(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_price_histogram" -> priceHistogramSql,
+    "q_order_corr_stats" -> orderCorrStatsSql,
+    "q_priority_metrics_unpivot" -> priorityMetricsUnpivotSql,
+    "q_part_fuzzy_match" -> partFuzzyMatchSql
+  )
+}

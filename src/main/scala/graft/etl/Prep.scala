@@ -63,21 +63,24 @@ object Prep {
 
   val referenceCsv = "/root/reference/kafka/sorted_water_quality.csv"
 
-  /** Rows-only query: the complete reference ETL exercised end-to-end
-    * on the reference's own corpus (no DuckDB oracle — the input is a
-    * CSV outside the harness star schema; correctness is pinned by the
-    * golden round-trip spec instead).
+  /** The complete reference ETL exercised end-to-end on the
+    * reference's own corpus. Oracle reads the same CSV via DuckDB
+    * read_csv — the input sits outside the harness star schema but is
+    * equally visible to both engines, so the hash compare applies.
     */
   def riverPrep(spark: SparkSession, dir: String): DataFrame =
     prepare(reconstructRaw(spark, referenceCsv))
 
-  /** Rows-only query: per-waterbody yearly WQI over the river corpus —
-    * the analytical tail the reference documents but never built
-    * (reference: README.md:5-6), using the X1 composite.
+  /** Per-waterbody yearly WQI over the river corpus — the analytical
+    * tail the reference documents but never built (reference:
+    * README.md:5-6), using the X1 composite.
     */
   def riverWqi(spark: SparkSession, dir: String): DataFrame =
     prepare(reconstructRaw(spark, referenceCsv))
-      .withColumn("wqi", Quality.wqi(
+      // aggregate the RAW wqi; round only in the projection (averaging
+      // pre-rounded values lands exactly on .xxxx5 cross-engine
+      // rounding boundaries)
+      .withColumn("wqi", Quality.wqiRaw(
         col("pH"), col("Dissolved Oxygen"), col("Conductivity @25°C")))
       .groupBy(col("WaterbodyName"),
         year(to_date(col("FullDate"))).as("yr"))
@@ -91,6 +94,42 @@ object Prep {
     "q_river_wqi" -> (riverWqi _)
   )
 
-  /** No oracle entries: inputs live outside the harness schema. */
-  val oracles: Map[String, String] = Map.empty
+  /** Both engines read the reference CSV directly; prep rebuilds
+    * first-of-month FullDate exactly as `prepare` does, and the WQI
+    * formula is inlined with the same literal band constants and
+    * per-row round(,4) as graft.analytics.Quality.wqi.
+    */
+  val riverPrepSql: String =
+    s"""WITH raw AS (
+      |  SELECT CAST(FullDate AS DATE) AS d, WaterbodyName,
+      |    pH, "Dissolved Oxygen", "Conductivity @25°C"
+      |  FROM read_csv('$referenceCsv', header=true)
+      |)
+      |SELECT strftime(make_date(CAST(year(d) AS INT), CAST(month(d) AS INT), 1),
+      |                '%Y-%m-%d') AS FullDate,
+      |  WaterbodyName, pH, "Dissolved Oxygen", "Conductivity @25°C"
+      |FROM raw""".stripMargin
+
+  val riverWqiSql: String =
+    s"""WITH raw AS (
+      |  SELECT CAST(FullDate AS DATE) AS d, WaterbodyName,
+      |    pH AS ph, "Dissolved Oxygen" AS do_sat, "Conductivity @25°C" AS tds
+      |  FROM read_csv('$referenceCsv', header=true)
+      |), scored AS (
+      |  SELECT WaterbodyName, CAST(year(d) AS INT) AS yr,
+      |    greatest(0.0, 100.0 * (1.0 - abs(ph - 7.5) / 1.0)) * 0.4 +
+      |    greatest(0.0, 100.0 * (1.0 - abs(do_sat - 75.0) / 45.0)) * 0.35 +
+      |    greatest(0.0, 100.0 * (1.0 - abs(tds - 775.0) / 725.0)) * 0.25 AS wqi
+      |  FROM raw
+      |)
+      |SELECT WaterbodyName, yr, count(*) AS n_samples,
+      |  round(avg(wqi), 4) AS avg_wqi, round(min(wqi), 4) AS min_wqi
+      |FROM scored
+      |GROUP BY WaterbodyName, yr
+      |ORDER BY WaterbodyName, yr""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_river_prep" -> riverPrepSql,
+    "q_river_wqi" -> riverWqiSql
+  )
 }

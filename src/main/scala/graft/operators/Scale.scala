@@ -65,6 +65,50 @@ object Scale {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Deterministic hash-based train/valid/test split — the sampling
+    * primitive a training-data pipeline needs: reproducible across
+    * runs, engines and cluster sizes (no RNG), stable under
+    * repartitioning, and stratification-friendly (bucket is a pure
+    * function of the row key). md5 is engine-portable; the first 8 hex
+    * chars give a uniform 32-bit value.
+    */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("bigint"), lit(buckets.toLong))
+
+  /** Split assignment: 80/10/10 on the hash bucket of the row key. */
+  def hashSplit(key: Column): Column =
+    when(hashBucket(key) < 80, "train")
+      .when(hashBucket(key) < 90, "valid")
+      .otherwise("test")
+
+  /** Oracle-checked query: orders split 80/10/10 on o_orderkey with
+    * per-split revenue — DuckDB reproduces the same md5 buckets, so
+    * the hash compare proves the split is engine-independent.
+    */
+  def orderSplit(spark: SparkSession, dir: String): DataFrame =
+    Sources.orders(spark, dir)
+      .withColumn("split", hashSplit(col("o_orderkey")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("split"))
+
+  val orderSplitSql: String =
+    """SELECT split, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM (
+      |  SELECT o_totalprice,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT o_totalprice,
+      |          CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+      |               AS BIGINT) % 100 AS b
+      |        FROM orders)
+      |)
+      |GROUP BY split
+      |ORDER BY split""".stripMargin
+
   /** Bucketed table writer: co-locates (and pre-sorts) data on the
     * join/agg key so later joins between tables bucketed the same way
     * need NO exchange — the SinksSpec-style proof lives in ScaleSpec.
@@ -78,10 +122,12 @@ object Scale {
       .saveAsTable(table)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_salted_revenue" -> (saltedRevenue _)
+    "q_salted_revenue" -> (saltedRevenue _),
+    "q_order_split" -> (orderSplit _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q_salted_revenue" -> saltedRevenueSql
+    "q_salted_revenue" -> saltedRevenueSql,
+    "q_order_split" -> orderSplitSql
   )
 }

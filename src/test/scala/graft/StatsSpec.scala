@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Stats, TimeSeries}
+import graft.operators.Scale
+
+/** Stats / reshaping / sampling / time-series operators. */
+class StatsSpec extends SparkSpec {
+
+  test("price histogram bins partition the domain: counts sum to table size") {
+    val h = Stats.priceHistogram(spark, sf).collect()
+    val total = h.map(_.getAs[Long]("n_orders")).sum
+    val nOrders = graft.ingest.Sources.orders(spark, sf).count()
+    assert(total == nOrders, s"histogram lost rows: $total != $nOrders")
+    val bins = h.map(_.getAs[Int]("bin"))
+    assert(bins.forall(b => b >= 0 && b <= 19))
+    assert(bins.distinct.length == bins.length, "duplicate bin rows")
+  }
+
+  test("unpivot emits one row per (group, metric) with matching values") {
+    val wide = graft.ingest.Sources.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("double").as("n_orders"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val long = Stats.priorityMetricsUnpivot(spark, sf)
+      .filter(col("metric") === "n_orders").collect()
+    assert(long.length == wide.size)
+    long.foreach { r =>
+      assert(r.getAs[Double]("val") == wide(r.getString(0)))
+    }
+  }
+
+  test("hash split is deterministic, partition-invariant and ~80/10/10") {
+    val base = Scale.orderSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_orders")).toMap
+    // identical result from a differently-partitioned input: the split
+    // is a pure function of the key, not of physical layout
+    val repart = graft.ingest.Sources.orders(spark, sf).repartition(13)
+      .withColumn("split", Scale.hashSplit(col("o_orderkey")))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(base == repart, s"split not layout-invariant: $base vs $repart")
+    val n = base.values.sum.toDouble
+    assert(math.abs(base("train") / n - 0.8) < 0.05, s"train share off: $base")
+    assert(math.abs(base("valid") / n - 0.1) < 0.04, s"valid share off: $base")
+    assert(math.abs(base("test") / n - 0.1) < 0.04, s"test share off: $base")
+  }
+
+  test("LOCF gap fill: dense grid, carried values, correct gap flags") {
+    import scala.jdk.CollectionConverters._
+    val out = TimeSeries.gapFillLocf(spark, sf)
+    val rows = out.collect()
+    // dense: per user, hr values are exactly [min..max] with no holes
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val hrs = rs.map(_.getAs[Long]("hr")).sorted
+      assert(hrs.last - hrs.head + 1 == hrs.length, s"grid has holes for $u")
+    }
+    // every gap row carries the most recent non-gap value before it
+    byUser.head match { case (_, rs) =>
+      val sortedRs = rs.sortBy(_.getAs[Long]("hr"))
+      var lastObserved: Option[Double] = None
+      sortedRs.foreach { r =>
+        val v = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+        if (!r.getAs[Boolean]("is_gap")) lastObserved = v
+        else assert(v == lastObserved, "gap row does not carry last observation")
+      }
+    }
+    // no gap before the first observation (grid starts at an observation)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val first = rs.minBy(_.getAs[Long]("hr"))
+      assert(!first.getAs[Boolean]("is_gap"), s"grid for $u starts with a gap")
+    }
+  }
+
+  test("fuzzy match distance is symmetric levenshtein and respects the threshold") {
+    // pin the function against a hand-checked pair through production code
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row("kitten", "sitting")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType))))
+    val d = df.select(levenshtein(col("a"), col("b"))).head().getInt(0)
+    assert(d == 3)
+    val agg = Stats.partFuzzyMatch(spark, sf, maxDist = 4).collect()
+    agg.foreach { r =>
+      assert(r.getAs[Long]("min_dist") >= 0 && r.getAs[Long]("min_dist") <= 4)
+      assert(r.getAs[Double]("avg_dist") <= 4.0)
+    }
+  }
+}
