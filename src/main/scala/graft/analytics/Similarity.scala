@@ -253,24 +253,83 @@ object Similarity {
   // IVF (inverted-file) ANN: centroid coarse quantizer + probed lists
   // ---------------------------------------------------------------
 
-  /** Coarse quantizer: per-label mean vectors double as the centroid
-    * codebook (deterministic; a production build would run k-means —
-    * the probe/list machinery below is identical either way). Emits
-    * float32 centroids with precomputed norms so assignment scoring
-    * runs through the codegen'd [[vecDot]] kernel and never recomputes
-    * a norm per pair.
+  /** Iterations of Lloyd refinement for the IVF codebook. */
+  val KmeansIters = 3
+
+  /** Unit-normalized embeddings (float32, so assignment scoring runs
+    * through the codegen'd [[vecDot]] kernel).
     */
-  private def centroidCodebook(spark: SparkSession, dir: String): DataFrame = {
-    // one aggregation with a per-lane average each — a single shuffle
-    // and a flat codegen'd plan (no posexplode → re-group → re-collect)
-    val laneAvgs = (0 until Dim).map(i =>
-      avg(element_at(col("embedding"), i + 1).cast("double")).as(s"c$i"))
-    embeddings(spark, dir)
-      .groupBy(col("label").as("centroid_id"))
-      .agg(laneAvgs.head, laneAvgs.tail: _*)
-      .select(col("centroid_id"),
-        array((0 until Dim).map(i => col(s"c$i").cast("float")): _*).as("centroid"))
+  private def unitVectors(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => (x.cast("double") / col("nrm")).cast("float")).as("u"))
+
+  /** One spherical k-means step over unit vectors: assign each vector
+    * to its max-cosine centroid, then recompute each centroid as the
+    * per-lane mean of its members. Returns the new codebook plus the
+    * objective (Σ cos(u, c_assigned)) of the ASSIGNMENT under the old
+    * codebook — non-decreasing across steps, which is the property the
+    * spec pins. Empty clusters keep their previous centroid.
+    *
+    * The codebook is collected driver-side each step (k × 64 floats —
+    * size-independent of the corpus) and rebroadcast, so every
+    * iteration is one scan + one aggregation with a flat plan: the
+    * standard distributed-k-means shape at any data size.
+    */
+  private[graft] def kmeansStep(
+      spark: SparkSession, unit: DataFrame,
+      cents: Seq[(Int, Seq[Float])]): (Seq[(Int, Seq[Float])], Double) = {
+    import spark.implicits._
+    val centsDF = cents.toDF("centroid_id", "centroid")
       .withColumn("cnorm", vecNorm(col("centroid")))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val laneAvgs = (0 until Dim).map(i =>
+      avg(element_at(col("u"), i + 1).cast("double")).as(s"c$i"))
+    val rows = unit.join(broadcast(centsDF))
+      .withColumn("cos", vecDot(col("u"), col("centroid")) / col("cnorm"))
+      .withColumn("crnk", row_number().over(byVec))
+      .filter(col("crnk") === 1)
+      .groupBy(col("centroid_id"))
+      .agg(sum(col("cos")).as("obj"), laneAvgs: _*)
+      .collect()
+    val updated = rows.map { r =>
+      r.getAs[Int]("centroid_id") ->
+        (0 until Dim).map(i => r.getAs[Double](s"c$i").toFloat)
+    }.toMap
+    val newCents = cents.map { case (id, old) =>
+      id -> updated.getOrElse(id, old).toSeq
+    }
+    (newCents, rows.map(_.getAs[Double]("obj")).sum)
+  }
+
+  /** Coarse quantizer: spherical k-means codebook (SURVEY.md §9 item 2
+    * resolved — label means are now only the deterministic
+    * initialization; [[KmeansIters]] Lloyd steps refine them). Emits
+    * float32 centroids with precomputed norms so probe scoring reuses
+    * the codegen'd [[vecDot]] kernel.
+    */
+  private[graft] def kmeansCodebook(spark: SparkSession, dir: String,
+                                        iters: Int = KmeansIters): DataFrame = {
+    import spark.implicits._
+    val unit = unitVectors(spark, dir)
+    unit.persist()
+    try {
+      val laneAvgs = (0 until Dim).map(i =>
+        avg(element_at(col("u"), i + 1).cast("double")).as(s"c$i"))
+      var cents: Seq[(Int, Seq[Float])] = unit
+        .groupBy(col("label").cast("int").as("centroid_id"))
+        .agg(laneAvgs.head, laneAvgs.tail: _*)
+        .collect()
+        .map(r => r.getAs[Int]("centroid_id") ->
+          (0 until Dim).map(i => r.getAs[Double](s"c$i").toFloat).toSeq)
+        .toSeq.sortBy(_._1)
+      (1 to iters).foreach { _ =>
+        cents = kmeansStep(spark, unit, cents)._1
+      }
+      cents.toDF("centroid_id", "centroid")
+        .withColumn("cnorm", vecNorm(col("centroid")))
+    } finally unit.unpersist()
   }
 
   /** IVF-ANN top-k: every vector is assigned to its nearest centroid
@@ -282,7 +341,7 @@ object Similarity {
     */
   def knnIvf(spark: SparkSession, dir: String, k: Int = 3,
              nprobe: Int = 2): DataFrame = {
-    val cents = centroidCodebook(spark, dir)
+    val cents = kmeansCodebook(spark, dir)
     val v = vectors(spark, dir)
     // rank centroids per vector by cosine (|v| is constant within a
     // vector's ranking, so dot/|c| suffices)
