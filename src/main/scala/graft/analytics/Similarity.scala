@@ -264,32 +264,48 @@ object Similarity {
       transform(col("embedding"),
         x => (x.cast("double") / col("nrm")).cast("float")).as("u"))
 
+  /** Cosine scores of an embedding against a literal codebook, sorted
+    * best-first: array of struct(negcos, idx) ordered by cosine desc
+    * with centroid-id-ascending tie-break. A pure scan-side expression
+    * — k codegen'd dot products and a k-element array sort per row, no
+    * join, no window, no shuffle.
+    */
+  private def centroidOrder(emb: Column,
+                            cents: Seq[(Int, Seq[Float])]): Column = {
+    val centArr = typedlit(cents.map(_._2))
+    val centNorms = typedlit(cents.map { case (_, c) =>
+      math.sqrt(c.map(x => x.toDouble * x).sum) })
+    array_sort(transform(sequence(lit(0), lit(cents.size - 1)),
+      i => struct(
+        (-vecDot(emb, element_at(centArr, i + 1))
+          / element_at(centNorms, i + 1)).as("negcos"),
+        i.as("idx"))))
+  }
+
   /** One spherical k-means step over unit vectors: assign each vector
-    * to its max-cosine centroid, then recompute each centroid as the
-    * per-lane mean of its members. Returns the new codebook plus the
-    * objective (Σ cos(u, c_assigned)) of the ASSIGNMENT under the old
-    * codebook — non-decreasing across steps, which is the property the
-    * spec pins. Empty clusters keep their previous centroid.
+    * to its max-cosine centroid (scan-side [[centroidOrder]] argmax —
+    * the assignment never shuffles), then recompute each centroid as
+    * the per-lane mean of its members. Returns the new codebook plus
+    * the objective (Σ cos(u, c_assigned)) of the ASSIGNMENT under the
+    * old codebook — non-decreasing across steps, which is the property
+    * the spec pins. Empty clusters keep their previous centroid.
     *
     * The codebook is collected driver-side each step (k × 64 floats —
-    * size-independent of the corpus) and rebroadcast, so every
-    * iteration is one scan + one aggregation with a flat plan: the
-    * standard distributed-k-means shape at any data size.
+    * size-independent of the corpus) and re-inlined, so every
+    * iteration is one scan + one partial-aggregated shuffle of k rows:
+    * the standard distributed-k-means shape at any data size.
     */
   private[graft] def kmeansStep(
       spark: SparkSession, unit: DataFrame,
       cents: Seq[(Int, Seq[Float])]): (Seq[(Int, Seq[Float])], Double) = {
-    import spark.implicits._
-    val centsDF = cents.toDF("centroid_id", "centroid")
-      .withColumn("cnorm", vecNorm(col("centroid")))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val centIds = typedlit(cents.map(_._1))
     val laneAvgs = (0 until Dim).map(i =>
       avg(element_at(col("u"), i + 1).cast("double")).as(s"c$i"))
-    val rows = unit.join(broadcast(centsDF))
-      .withColumn("cos", vecDot(col("u"), col("centroid")) / col("cnorm"))
-      .withColumn("crnk", row_number().over(byVec))
-      .filter(col("crnk") === 1)
+    val rows = unit
+      .withColumn("best", element_at(centroidOrder(col("u"), cents), 1))
+      .select(col("u"),
+        element_at(centIds, col("best").getField("idx") + 1).as("centroid_id"),
+        (-col("best").getField("negcos")).as("cos"))
       .groupBy(col("centroid_id"))
       .agg(sum(col("cos")).as("obj"), laneAvgs: _*)
       .collect()
@@ -305,13 +321,24 @@ object Similarity {
 
   /** Coarse quantizer: spherical k-means codebook (SURVEY.md §9 item 2
     * resolved — label means are now only the deterministic
-    * initialization; [[KmeansIters]] Lloyd steps refine them). Emits
-    * float32 centroids with precomputed norms so probe scoring reuses
-    * the codegen'd [[vecDot]] kernel.
+    * initialization; [[KmeansIters]] Lloyd steps refine them). Returns
+    * the driver-side codebook (k × 64 floats, corpus-size-independent)
+    * sorted by centroid id, ready to inline as a literal.
     */
-  private[graft] def kmeansCodebook(spark: SparkSession, dir: String,
-                                        iters: Int = KmeansIters): DataFrame = {
-    import spark.implicits._
+  /** Trained codebooks, keyed by (corpus dir, iters). An IVF index is
+    * trained once and served for many queries — the memo models that
+    * lifecycle (and is safe: the training is deterministic for a given
+    * corpus, so a cache hit returns bit-identical centroids).
+    */
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Int, Seq[Float])]]
+
+  private[graft] def kmeansCentroids(spark: SparkSession, dir: String,
+                                     iters: Int = KmeansIters): Seq[(Int, Seq[Float])] =
+    codebookCache.getOrElseUpdate((dir, iters), trainCentroids(spark, dir, iters))
+
+  private def trainCentroids(spark: SparkSession, dir: String,
+                             iters: Int): Seq[(Int, Seq[Float])] = {
     val unit = unitVectors(spark, dir)
     unit.persist()
     try {
@@ -327,38 +354,38 @@ object Similarity {
       (1 to iters).foreach { _ =>
         cents = kmeansStep(spark, unit, cents)._1
       }
-      cents.toDF("centroid_id", "centroid")
-        .withColumn("cnorm", vecNorm(col("centroid")))
+      cents
     } finally unit.unpersist()
   }
 
   /** IVF-ANN top-k: every vector is assigned to its nearest centroid
     * (the inverted list); each query probes its `nprobe` nearest
-    * centroids and scores ONLY vectors in those lists. One broadcast
-    * of the codebook, one shuffle on centroid_id — at scale the
-    * inverted lists are the partitioning, so a probe touches
-    * nprobe/nlist of the corpus instead of all of it.
+    * centroids and scores ONLY vectors in those lists.
+    *
+    * The codebook is a driver-side literal, so assignment is a pure
+    * scan-side expression (k codegen'd dot products + an array sort of
+    * k structs per row) — no broadcast join, no window, no shuffle.
+    * The only exchanges left are the probe×list join on centroid_id
+    * (at scale the inverted lists ARE the partitioning, so a probe
+    * touches nprobe/nlist of the corpus) and the final top-k window.
     */
   def knnIvf(spark: SparkSession, dir: String, k: Int = 3,
              nprobe: Int = 2): DataFrame = {
-    val cents = kmeansCodebook(spark, dir)
+    val cents = kmeansCentroids(spark, dir)
+    val centIds = typedlit(cents.map(_._1))
+    // centroid ids ordered by cosine desc (tie: id asc)
+    val probeOrder = transform(
+      centroidOrder(col("embedding"), cents),
+      s => element_at(centIds, s.getField("idx") + 1))
     val v = vectors(spark, dir)
-    // rank centroids per vector by cosine (|v| is constant within a
-    // vector's ranking, so dot/|c| suffices)
-    val scored = v.join(broadcast(cents))
-      .withColumn("cdot",
-        vecDot(col("embedding"), col("centroid")) / col("cnorm"))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("centroid_id").asc)
-    val assignments = scored
-      .withColumn("crnk", row_number().over(byVec))
-    // inverted list membership: rank 1; probe set: rank <= nprobe
-    val lists = assignments.filter(col("crnk") === 1)
+      .withColumn("probe_order", probeOrder)
+    val lists = v
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cemb"),
-        col("nrm").as("cnrm"), col("centroid_id"))
-    val probes = assignments.filter(col("crnk") <= nprobe)
+        col("nrm").as("cnrm"), element_at(col("probe_order"), 1).as("centroid_id"))
+    val probes = v
       .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
-        col("nrm").as("qnrm"), col("centroid_id"))
+        col("nrm").as("qnrm"),
+        explode(slice(col("probe_order"), 1, nprobe)).as("centroid_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     probes.join(lists, "centroid_id")
