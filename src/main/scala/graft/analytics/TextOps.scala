@@ -327,12 +327,54 @@ object TextOps {
       |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** L2 (clustering step): near-dup PAIRS → dedup CLUSTERS via
+    * connected components (A≈B, B≈C must collapse {A,B,C} even when
+    * A≉C), with the canonical doc = min doc_id per cluster. The
+    * oracle recomputes components as a recursive-CTE transitive
+    * closure over the same pair graph — feasible because the pair set
+    * is already candidate-pruned (closure is quadratic in component
+    * size, not corpus size).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupJaccard(spark, dir)
+    val comp = graft.operators.Graph.connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    comp.groupBy(col("comp").as("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("v"))),
+            x => x.cast("string"))).as("doc_ids"))
+      .orderBy(col("component"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+      |pairs AS (SELECT doc_a, doc_b FROM ($nearDupJaccardSql)),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs
+      |),
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |reach(v, r) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+      |),
+      |comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v)
+      |SELECT component, count(*) AS n_docs,
+      |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+      |FROM comp
+      |GROUP BY component
+      |ORDER BY component""".stripMargin
+
   // ---------------------------------------------------------------
   // L2: MinHash + LSH banding (no SQL oracle — spec-verified recall)
   // ---------------------------------------------------------------
 
-  val MinHashK = 16 // signature length
-  val LshBands = 4  // bands of r = K/bands rows each
+  val MinHashK = 32 // signature length (σ of the Jaccard estimate ≈ 0.09)
+  val LshBands = 8  // bands of r = K/bands = 4 rows each; recall at
+                    // threshold J: 1-(1-J^4)^8 (≈0.99 at J=0.8)
 
   /** Per-doc MinHash signature columns h0..h{K-1}: min over the doc's
     * token set of xxhash64(tok, seed_i). One shuffle (groupBy doc_id).
@@ -484,6 +526,7 @@ object TextOps {
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_near_dup_jaccard" -> ((s: SparkSession, d: String) => nearDupJaccard(s, d)),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => minHashLsh(s, d)),
     "q_simhash_dedup" -> ((s: SparkSession, d: String) => simHashDedup(s, d)),
     "q_doc_fingerprint" -> (docFingerprints _)
@@ -500,6 +543,7 @@ object TextOps {
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,
-    "q_near_dup_jaccard" -> nearDupJaccardSql
+    "q_near_dup_jaccard" -> nearDupJaccardSql,
+    "q_dedup_clusters" -> dedupClustersSql
   )
 }

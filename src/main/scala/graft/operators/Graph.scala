@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge set — the step that
+  * turns near-duplicate PAIRS (LSH / Jaccard / SimHash output) into
+  * dedup CLUSTERS from which a canonical document is kept. A training
+  * pipeline that drops only pairwise matches under-deduplicates:
+  * A≈B, B≈C must collapse {A,B,C} even when A≉C.
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts as
+  * its own component id; each round every vertex takes the min of its
+  * own label and its neighbors' labels, until a round changes nothing.
+  * Rounds needed = max component diameter — near-dup clusters are
+  * shallow (diameter a handful), so the loop is short regardless of
+  * corpus size. Each round is one self-contained shuffle join; lineage
+  * is truncated per round (localCheckpoint) so the plan stays flat
+  * instead of doubling per iteration.
+  */
+object Graph {
+
+  /** Components of the undirected graph given by (src, dst) edges.
+    * Returns (v, comp) with comp = min vertex id reachable from v.
+    * Only vertices that appear in an edge are labeled (isolated
+    * vertices are trivially their own singleton component).
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("comp", col("v"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each vertex's neighbors' labels, then min with its own
+      val prop = sym.join(labels.withColumnRenamed("v", "dst"), "dst")
+        .select(col("src").as("v"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy(col("v")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "v")
+        .filter(col("comp") =!= col("prev"))
+        .head(1).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+}

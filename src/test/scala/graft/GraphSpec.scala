@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Connected components (the pairs→clusters dedup step). */
+class GraphSpec extends SparkSpec {
+
+  private def edgesDF(pairs: Seq[(Long, Long)]) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(pairs.map(p => Row(p._1, p._2)): _*), schema)
+  }
+
+  test("components: chain needs multi-round propagation; islands stay apart") {
+    // chain 1-2-3-4-5 (diameter 4 — exercises >1 round) + island {10,11}
+    val edges = edgesDF(Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L)))
+    val got = Graph.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).map(got) == Seq.fill(5)(1L), s"chain not collapsed: $got")
+    assert(got(10L) == 10L && got(11L) == 10L, s"island wrong: $got")
+  }
+
+  test("dedup clusters: every near-dup pair lands in one cluster, canonical is min id") {
+    val pairs = graft.analytics.TextOps.nearDupJaccard(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = graft.analytics.TextOps.dedupClusters(spark, sf).collect()
+    val byDoc = clusters.flatMap { r =>
+      r.getAs[String]("doc_ids").split(",").map(_.toLong -> r.getAs[Long]("component"))
+    }.toMap
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.foreach { r =>
+      val ids = r.getAs[String]("doc_ids").split(",").map(_.toLong)
+      assert(ids.min == r.getAs[Long]("component"), "canonical is not min doc_id")
+      assert(ids.length == r.getAs[Long]("n_docs"))
+      assert(ids.length >= 2, "singleton cluster leaked in (vertices come from edges)")
+    }
+  }
+}

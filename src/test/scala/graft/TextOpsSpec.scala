@@ -102,7 +102,8 @@ class TextOpsSpec extends SparkSpec {
       byId(1L).getAs[Long](s"h$i") == byId(2L).getAs[Long](s"h$i")
     }
     val est = agree.toDouble / TextOps.MinHashK
-    // stderr = sqrt(J(1-J)/16) ~ 0.12; allow 3 sigma around 1/3
+    // stderr = sqrt(J(1-J)/K); bound fixed at 3 sigma of the K=16
+    // config (0.36) so raising K only ever tightens the actual noise
     assert(math.abs(est - 1.0 / 3.0) < 0.36, s"minhash estimate $est far from 1/3")
   }
 
