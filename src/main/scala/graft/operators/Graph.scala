@@ -26,11 +26,23 @@ object Graph {
     * vertices are trivially their own singleton component).
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // materialize the symmetric edge list ONCE — it is re-joined every
+    // round (and again by every convergence check), and the upstream
+    // pair-generation plan (an LSH/Jaccard join) is far too expensive
+    // to recompute per round
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("comp", col("v"))
       .localCheckpoint()
+    // convergence test: labels only ever DECREASE under min
+    // propagation, so the (small, exact) Σcomp is strictly monotone
+    // until fixpoint — equal sums ⇔ no label changed. One scalar agg
+    // over checkpointed data per round instead of a join.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("comp"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -40,9 +52,9 @@ object Graph {
       val next = labels.union(prop)
         .groupBy(col("v")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "v")
-        .filter(col("comp") =!= col("prev"))
-        .head(1).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       i += 1
     }

@@ -6,6 +6,7 @@ object MicroBench {
     val sf = "/root/testdata/sf0.1"
     spark.range(1000).selectExpr("sum(id)").collect()
     val qs = Seq(
+      "q_dedup_clusters" -> graft.analytics.TextOps.queries("q_dedup_clusters"),
       "q_knn_ivf" -> graft.analytics.Similarity.queries("q_knn_ivf"),
       "q_knn_lsh" -> graft.analytics.Similarity.queries("q_knn_lsh"),
       "q_part_fuzzy_match" -> graft.analytics.Stats.queries("q_part_fuzzy_match"),
