@@ -160,7 +160,12 @@ def main():
         sdf = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").fetchall()
         scols = [d[0] for d in con.description]
         try:
-            ddf = con.execute(sql).fetchall()
+            # run the (possibly expensive) oracle ONCE; both compare
+            # paths read the materialized result. Types are preserved
+            # (hugeint stays hugeint), so each path still exercises its
+            # own conversion behavior.
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _oracle AS ({sql})")
+            ddf = con.execute("SELECT * FROM _oracle").fetchall()
             dcols = [d[0] for d in con.description]
         except Exception as e:
             results[name] = [f"ORACLE SQL ERROR: {e}"]
@@ -169,7 +174,7 @@ def main():
         # second pass through the driver's own conversion path (pandas)
         try:
             spdf = pd.read_parquet(pdir)
-            dpdf = con.execute(sql).df()
+            dpdf = con.execute("SELECT * FROM _oracle").df()
             probs += [p for p in pandas_compare(name, spdf, dpdf)
                       if p not in probs]
         except Exception as e:

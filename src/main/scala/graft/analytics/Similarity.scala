@@ -259,7 +259,7 @@ object Similarity {
   /** Unit-normalized embeddings (float32, so assignment scoring runs
     * through the codegen'd [[vecDot]] kernel).
     */
-  private def unitVectors(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def unitVectors(spark: SparkSession, dir: String): DataFrame =
     vectors(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"),
         x => (x.cast("double") / col("nrm")).cast("float")).as("u"))
@@ -325,32 +325,51 @@ object Similarity {
     * the driver-side codebook (k × 64 floats, corpus-size-independent)
     * sorted by centroid id, ready to inline as a literal.
     */
-  /** Trained codebooks, keyed by (corpus dir, iters). An IVF index is
-    * trained once and served for many queries — the memo models that
-    * lifecycle (and is safe: the training is deterministic for a given
-    * corpus, so a cache hit returns bit-identical centroids).
+  /** Trained codebooks, keyed by (corpus dir, iters, corpus file
+    * fingerprint). An IVF index is trained once and served for many
+    * queries — the memo models that lifecycle, and the fingerprint
+    * (file names + sizes + mtimes) invalidates it if the data under
+    * the path is rewritten, so a hit always returns centroids of the
+    * data actually on disk (training is deterministic per corpus).
     */
   private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Int, Seq[Float])]]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, String), Seq[(Int, Seq[Float])]]
+
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+  }
 
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String,
                                      iters: Int = KmeansIters): Seq[(Int, Seq[Float])] =
-    codebookCache.getOrElseUpdate((dir, iters), trainCentroids(spark, dir, iters))
+    codebookCache.getOrElseUpdate((dir, iters, corpusFingerprint(spark, dir)),
+      trainCentroids(spark, dir, iters))
+
+  /** Deterministic k-means initialization: per-label means of the unit
+    * vectors (single source of truth — the objective spec starts from
+    * this same init).
+    */
+  private[graft] def initCentroids(unit: DataFrame): Seq[(Int, Seq[Float])] = {
+    val laneAvgs = (0 until Dim).map(i =>
+      avg(element_at(col("u"), i + 1).cast("double")).as(s"c$i"))
+    unit
+      .groupBy(col("label").cast("int").as("centroid_id"))
+      .agg(laneAvgs.head, laneAvgs.tail: _*)
+      .collect()
+      .map(r => r.getAs[Int]("centroid_id") ->
+        (0 until Dim).map(i => r.getAs[Double](s"c$i").toFloat).toSeq)
+      .toSeq.sortBy(_._1)
+  }
 
   private def trainCentroids(spark: SparkSession, dir: String,
                              iters: Int): Seq[(Int, Seq[Float])] = {
     val unit = unitVectors(spark, dir)
     unit.persist()
     try {
-      val laneAvgs = (0 until Dim).map(i =>
-        avg(element_at(col("u"), i + 1).cast("double")).as(s"c$i"))
-      var cents: Seq[(Int, Seq[Float])] = unit
-        .groupBy(col("label").cast("int").as("centroid_id"))
-        .agg(laneAvgs.head, laneAvgs.tail: _*)
-        .collect()
-        .map(r => r.getAs[Int]("centroid_id") ->
-          (0 until Dim).map(i => r.getAs[Double](s"c$i").toFloat).toSeq)
-        .toSeq.sortBy(_._1)
+      var cents = initCentroids(unit)
       (1 to iters).foreach { _ =>
         cents = kmeansStep(spark, unit, cents)._1
       }

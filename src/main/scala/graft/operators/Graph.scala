@@ -39,9 +39,10 @@ object Graph {
     // convergence test: labels only ever DECREASE under min
     // propagation, so the (small, exact) Σcomp is strictly monotone
     // until fixpoint — equal sums ⇔ no label changed. One scalar agg
-    // over checkpointed data per round instead of a join.
+    // over checkpointed data per round instead of a join. coalesce
+    // covers the empty-graph case (sum over no rows is NULL).
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("comp"))).head().getLong(0)
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -51,13 +52,15 @@ object Graph {
         .select(col("src").as("v"), col("comp"))
       val next = labels.union(prop)
         .groupBy(col("v")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the unpersist below
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
+      labels.unpersist() // superseded round — don't pin maxIters copies
       labels = next
       i += 1
     }
+    sym.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     labels
   }

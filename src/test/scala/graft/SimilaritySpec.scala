@@ -145,23 +145,9 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("spherical k-means objective is non-decreasing across Lloyd steps") {
-    import spark.implicits._
-    val unit = graft.ingest.Sources.embeddings(spark, sf)
-      .select(col("vec_id"), col("label"),
-        vecNorm(col("embedding")).as("nrm"), col("embedding"))
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => (x.cast("double") / col("nrm")).cast("float")).as("u"))
-    // deterministic init: per-label means (the round-2 codebook)
-    val laneAvgs = (0 until 64).map(i =>
-      avg(element_at(col("u"), i + 1).cast("double")).as(s"c$i"))
-    var cents: Seq[(Int, Seq[Float])] = unit
-      .groupBy(col("label").cast("int").as("centroid_id"))
-      .agg(laneAvgs.head, laneAvgs.tail: _*)
-      .collect()
-      .map(r => r.getAs[Int]("centroid_id") ->
-        (0 until 64).map(i => r.getAs[Double](s"c$i").toFloat).toSeq)
-      .toSeq.sortBy(_._1)
+    // the production normalization + init, not a re-implementation
+    val unit = Similarity.unitVectors(spark, sf)
+    var cents = Similarity.initCentroids(unit)
     val objectives = (1 to 4).map { _ =>
       val (next, obj) = Similarity.kmeansStep(spark, unit, cents)
       cents = next
