@@ -194,6 +194,75 @@ object TextOps {
       |ORDER BY lang, keep""".stripMargin
 
   // ---------------------------------------------------------------
+  // L4: repetition filtering (Gopher-rules-style quality signals)
+  // ---------------------------------------------------------------
+
+  /** Per-document repetition metrics, computed entirely scan-side with
+    * higher-order functions — zero shuffles per document, so at 100 TB
+    * this is a pure map stage that scales with executor count:
+    *  - uniq_ratio: distinct-token fraction (low ⇒ looping text)
+    *  - top_tok_frac: share of the single most frequent token
+    *  - dup_bigram_frac: fraction of bigram slots that are repeats
+    * Exposed separately so specs can pin the metrics on crafted docs.
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val uniq = array_distinct(toks)
+    val topCount = array_max(
+      transform(uniq, t => size(filter(toks, x => x === t))))
+    val bigrams = transform(sequence(lit(1), nTok - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    docs.select(col("doc_id"), col("lang"),
+      (size(uniq).cast("double") / nTok).as("uniq_ratio"),
+      (topCount.cast("double") / nTok).as("top_tok_frac"),
+      (lit(1.0) - size(array_distinct(bigrams)).cast("double") / (nTok - 1))
+        .as("dup_bigram_frac"))
+  }
+
+  /** Repetition-based quality filter rollup: flag documents whose
+    * repetition signals cross the Gopher-style thresholds, report the
+    * per-language flag rate and mean signals.
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(documents(spark, dir))
+      .withColumn("flagged",
+        when(col("uniq_ratio") < 0.35 || col("top_tok_frac") > 0.20 ||
+          col("dup_bigram_frac") > 0.10, 1).otherwise(0))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("flagged")).cast("long").as("n_flagged"),
+        round(avg(col("uniq_ratio")), 4).as("avg_uniq_ratio"),
+        round(avg(col("top_tok_frac")), 4).as("avg_top_tok_frac"),
+        round(avg(col("dup_bigram_frac")), 4).as("avg_dup_bigram_frac"))
+      .orderBy(col("lang"))
+
+  val docRepetitionSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(flagged) AS BIGINT) AS n_flagged,
+      |  round(avg(uniq_ratio), 4) AS avg_uniq_ratio,
+      |  round(avg(top_tok_frac), 4) AS avg_top_tok_frac,
+      |  round(avg(dup_bigram_frac), 4) AS avg_dup_bigram_frac
+      |FROM (
+      |  SELECT lang, uniq_ratio, top_tok_frac, dup_bigram_frac,
+      |    CASE WHEN uniq_ratio < 0.35 OR top_tok_frac > 0.20
+      |              OR dup_bigram_frac > 0.10 THEN 1 ELSE 0 END AS flagged
+      |  FROM (
+      |    SELECT lang,
+      |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+      |      CAST(list_max(list_transform(list_distinct(toks),
+      |             t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+      |        / len(toks) AS top_tok_frac,
+      |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+      |               i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+      |        / (len(toks) - 1) AS dup_bigram_frac
+      |    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+      |  )
+      |)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   // L4: language-ID heuristic (stopword-profile scoring)
   // ---------------------------------------------------------------
 
@@ -525,6 +594,7 @@ object TextOps {
     "q_tfidf_top_terms" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
+    "q_doc_repetition" -> (docRepetition _),
     "q_near_dup_jaccard" -> ((s: SparkSession, d: String) => nearDupJaccard(s, d)),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => minHashLsh(s, d)),
@@ -543,6 +613,7 @@ object TextOps {
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,
+    "q_doc_repetition" -> docRepetitionSql,
     "q_near_dup_jaccard" -> nearDupJaccardSql,
     "q_dedup_clusters" -> dedupClustersSql
   )

@@ -109,6 +109,46 @@ object Scale {
       |GROUP BY split
       |ORDER BY split""".stripMargin
 
+  /** Deterministic stratified sampling: each stratum gets its own
+    * sampling rate, applied as a threshold on the row key's hash
+    * bucket. Purely scan-side (a filter over a hash of the key — no
+    * shuffle, no RNG, no state), so at 100 TB it rides the parquet
+    * scan, parallelizes with executor count, and re-runs reproduce the
+    * exact same sample regardless of partitioning or cluster size.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit(defaultRate * 100)) {
+      case (acc, (s, r)) => when(stratum === s, lit(r * 100)).otherwise(acc)
+    }
+    df.filter(hashBucket(key) < threshold)
+  }
+
+  /** Oracle-checked query: language-stratified document sample (en
+    * kept at 50%, es at 25%, the long tail at 10%) — the corpus-mix
+    * rebalancing step of a training-data pipeline. DuckDB reproduces
+    * the identical sample from the same md5 buckets.
+    */
+  def stratifiedDocSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Sources.documents(spark, dir), col("doc_id"),
+      col("lang"), Map("en" -> 0.5, "es" -> 0.25), defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val stratifiedDocSampleSql: String =
+    """SELECT doc_id, lang, source
+      |FROM (
+      |  SELECT doc_id, lang, source,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS BIGINT) % 100 AS b,
+      |    CASE WHEN lang = 'es' THEN 25.0 WHEN lang = 'en' THEN 50.0
+      |         ELSE 10.0 END AS threshold
+      |  FROM documents
+      |)
+      |WHERE b < threshold
+      |ORDER BY doc_id""".stripMargin
+
   /** Bucketed table writer: co-locates (and pre-sorts) data on the
     * join/agg key so later joins between tables bucketed the same way
     * need NO exchange — the SinksSpec-style proof lives in ScaleSpec.
@@ -123,11 +163,13 @@ object Scale {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_revenue" -> (saltedRevenue _),
-    "q_order_split" -> (orderSplit _)
+    "q_order_split" -> (orderSplit _),
+    "q_stratified_sample" -> (stratifiedDocSample _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_salted_revenue" -> saltedRevenueSql,
-    "q_order_split" -> orderSplitSql
+    "q_order_split" -> orderSplitSql,
+    "q_stratified_sample" -> stratifiedDocSampleSql
   )
 }

@@ -57,4 +57,29 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("stratified sample: per-stratum rates honored, shuffle-free, stable") {
+    val docs = graft.ingest.Sources.documents(spark, sf)
+    val sampled = Scale.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.5, "es" -> 0.25), defaultRate = 0.1)
+    // a filter is the whole plan — no Exchange anywhere
+    assert(!plan(sampled).contains("Exchange"),
+      s"stratified sample must not shuffle:\n${plan(sampled)}")
+    // per-stratum rate lands near its target (hash uniformity; the
+    // strata at sf0.001 are small, so bounds are loose but one-sided
+    // errors like swapped thresholds still fail)
+    val totals = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = sampled.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(l: String) = kept.getOrElse(l, 0L).toDouble / totals(l)
+    assert(rate("en") > 0.25 && rate("en") < 0.75, s"en rate ${rate("en")}")
+    assert(rate("es") < 0.5, s"es rate ${rate("es")}")
+    // deterministic: re-evaluation yields the identical id set
+    val a = sampled.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val b = Scale.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.5, "es" -> 0.25), defaultRate = 0.1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }

@@ -142,4 +142,35 @@ class TextOpsSpec extends SparkSpec {
         s"docFingerprints summary diverges from recomputed set for doc $id")
     }
   }
+
+  test("repetition metrics pin to hand-computed values on crafted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 tokens, 3 distinct, top tok "a" ×4, bigrams: a a,a a,a b,b c,c a → 4 distinct of 5
+      (1L, "a a a b c a", "en"),
+      // fully unique: ratios at the clean extreme
+      (2L, "w x y z", "en"),
+      // pure loop: 1 distinct token, 1 distinct bigram
+      (3L, "q q q q q", "en")
+    ).toDF("doc_id", "text", "lang")
+    val m = TextOps.repetitionMetrics(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("uniq_ratio"), r.getAs[Double]("top_tok_frac"),
+          r.getAs[Double]("dup_bigram_frac")))).toMap
+    assert(m(1L) == ((3.0 / 6, 4.0 / 6, 1.0 - 4.0 / 5)))
+    assert(m(2L) == ((1.0, 0.25, 0.0)))
+    assert(m(3L) == ((0.2, 1.0, 0.75)))
+  }
+
+  test("docRepetition flag counts are consistent with per-doc metrics") {
+    val docs = graft.ingest.Sources.documents(spark, sf)
+    val perDoc = TextOps.repetitionMetrics(docs)
+      .filter(col("uniq_ratio") < 0.35 || col("top_tok_frac") > 0.20 ||
+        col("dup_bigram_frac") > 0.10)
+      .count()
+    val rollup = TextOps.docRepetition(spark, sf)
+      .agg(sum(col("n_flagged"))).collect().head.getLong(0)
+    assert(rollup == perDoc)
+    assert(rollup > 0, "thresholds flag nothing at test scale — vacuous filter")
+  }
 }
