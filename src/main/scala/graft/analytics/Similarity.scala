@@ -419,17 +419,86 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ---------------------------------------------------------------
+  // L3: int8 scalar quantization (oracle-checked)
+  // ---------------------------------------------------------------
+
+  /** Per-lane asymmetric int8 quantization of the embedding column —
+    * the compression step before an ANN index ships to serving (4×
+    * smaller than float32). Lane ranges come from one global aggregate
+    * (128 partial-merge min/max — a single 1-row frame, broadcast to
+    * the scan); codes use a floor quantizer (engine-portable — no
+    * round-half-mode dependence), reconstruction at bucket midpoints.
+    *
+    * Output per label: exact code checksum (BIGINT — proves every one
+    * of n×64 codes matches the oracle bit-for-bit) and mean
+    * reconstruction MSE (×1e6). At 100 TB: one scan for ranges, one
+    * scan to encode; both pure map/agg, no shuffle of the vectors.
+    */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val lanes = 0 until Dim
+    def x(i: Int) = element_at(col("embedding"), i + 1).cast("double")
+    val mmAggs = lanes.flatMap(i => Seq(
+      min(x(i)).as(s"mn$i"), max(x(i)).as(s"mx$i")))
+    val mm = embeddings(spark, dir).agg(mmAggs.head, mmAggs.tail: _*)
+    def rng(i: Int) = col(s"mx$i") - col(s"mn$i")
+    def code(i: Int) = least(
+      floor((x(i) - col(s"mn$i")) * 256.0 / rng(i)).cast("long"), lit(255L))
+    def err(i: Int) = {
+      val recon = col(s"mn$i") + (code(i).cast("double") + 0.5) * rng(i) / 256.0
+      (x(i) - recon) * (x(i) - recon)
+    }
+    embeddings(spark, dir)
+      .crossJoin(broadcast(mm))
+      .select(col("label"),
+        lanes.map(code).reduce(_ + _).as("sum_codes"),
+        (lanes.map(err).reduce(_ + _) / Dim).as("mse"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sum_codes")).cast("long").as("code_checksum"),
+        round(avg(col("mse")) * 1e6, 2).as("avg_mse_e6"))
+      .orderBy(col("label"))
+  }
+
+  val quantizeInt8Sql: String = {
+    val lanes = 0 until Dim
+    val mmAggs = lanes.map(i =>
+      s"min(CAST(embedding[${i + 1}] AS DOUBLE)) AS mn$i, " +
+        s"max(CAST(embedding[${i + 1}] AS DOUBLE)) AS mx$i").mkString(", ")
+    def x(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+    def code(i: Int) =
+      s"LEAST(CAST(floor((${x(i)} - mn$i) * 256.0 / (mx$i - mn$i)) AS BIGINT), 255)"
+    def err(i: Int) =
+      s"power(${x(i)} - (mn$i + (CAST(c$i AS DOUBLE) + 0.5) * (mx$i - mn$i) / 256.0), 2)"
+    val codeCols = lanes.map(i => s"${code(i)} AS c$i").mkString(", ")
+    val sumCodes = lanes.map(i => s"c$i").mkString(" + ")
+    val sumErr = lanes.map(err).mkString(" + ")
+    s"""WITH mm AS (SELECT $mmAggs FROM embeddings),
+       |coded AS (
+       |  SELECT label, embedding, $codeCols, ${lanes.map(i => s"mn$i, mx$i").mkString(", ")}
+       |  FROM embeddings, mm
+       |)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(sum($sumCodes) AS BIGINT) AS code_checksum,
+       |  round(avg(($sumErr) / ${Dim}) * 1e6, 2) AS avg_mse_e6
+       |FROM coded
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
     "q_embed_near_dup" -> ((s: SparkSession, d: String) => embedNearDup(s, d)),
     "q_label_centroids" -> (labelCentroids _),
     "q_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
-    "q_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d))
+    "q_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
+    "q_embed_quantize" -> (quantizeInt8 _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_knn_bruteforce" -> knnBruteForceSql,
     "q_embed_near_dup" -> embedNearDupSql,
-    "q_label_centroids" -> labelCentroidsSql
+    "q_label_centroids" -> labelCentroidsSql,
+    "q_embed_quantize" -> quantizeInt8Sql
   )
 }

@@ -177,4 +177,26 @@ class SimilaritySpec extends SparkSpec {
     val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     assert(got.toSeq == Seq(Some(0.0), None, None, None))
   }
+
+  test("int8 quantization: counts conserved, error under the uniform bound") {
+    val corpus = graft.ingest.Sources.embeddings(spark, sf)
+    val n = corpus.count()
+    val rows = Similarity.quantizeInt8(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n)
+    // the widest lane bounds every per-lane squared error by
+    // (bucket_width/2)^2 = (rng/512)^2, so it bounds the MSE too
+    val maxRng = corpus
+      .select(explode(col("embedding")).as("xf"))
+      .select(col("xf").cast("double").as("x"))
+      .agg(max(col("x")) - min(col("x"))).collect().head.getDouble(0)
+    val bound = math.pow(maxRng / 512.0, 2) * 1e6
+    rows.foreach { r =>
+      val mse = r.getAs[Double]("avg_mse_e6")
+      assert(mse > 0 && mse <= bound,
+        s"label ${r.get(0)}: avg_mse_e6 $mse outside (0, $bound]")
+      val checksum = r.getAs[Long]("code_checksum")
+      val maxSum = 255L * 64 * r.getAs[Long]("n_vecs")
+      assert(checksum > 0 && checksum < maxSum)
+    }
+  }
 }
