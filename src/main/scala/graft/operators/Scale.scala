@@ -149,6 +149,92 @@ object Scale {
       |WHERE b < threshold
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Z-order layout (multi-dimensional data skipping)
+  // ---------------------------------------------------------------
+
+  /** Morton/Z-value of two pre-bucketed 8-bit coordinates: interleaves
+    * the bits so rows close in BOTH dimensions get close z-values.
+    * Pure bit arithmetic (shift/and/multiply on BIGINT) — identical
+    * results in any engine, codegen-friendly in Spark.
+    */
+  def zValue(xb: Column, yb: Column): Column =
+    (0 until 8).map { i =>
+      shiftright(xb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(yb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Scale a numeric column into 0..255 given its global min/max —
+    * the floor scaler is engine-portable (no rounding modes) and the
+    * +1 on the range keeps the max value inside bucket 255.
+    */
+  def byteBucket(x: Column, mn: Column, mx: Column): Column =
+    floor((x.cast("double") - mn) * 256.0 / (mx - mn + 1.0)).cast("long")
+
+  /** Z-order layout writer: range-partition + sort on the z-value, so
+    * every output file covers a narrow rectangle in (x, y) — parquet
+    * min/max stats then let scans skip files for predicates on EITHER
+    * dimension. This is the layout step a 100 TB table needs before
+    * serving multi-dimensional filters; a single-column sort gives
+    * skipping on one dimension only.
+    */
+  def writeZOrdered(df: DataFrame, z: Column, path: String,
+                    nFiles: Int): Unit =
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Oracle-checked query: orders mapped onto a 256×256 z-grid over
+    * (customer, order day); per z-bucket row counts and coordinate
+    * extents. The extents make the locality measurable — and the
+    * DuckDB hash-match proves the whole bit-interleave pipeline is
+    * engine-exact.
+    */
+  def zOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_custkey")
+    val y = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val mm = Sources.orders(spark, dir).agg(
+      min(x).cast("double").as("mnx"), max(x).cast("double").as("mxx"),
+      min(y).cast("double").as("mny"), max(y).cast("double").as("mxy"))
+    val xb = byteBucket(x, col("mnx"), col("mxx"))
+    val yb = byteBucket(y, col("mny"), col("mxy"))
+    Sources.orders(spark, dir)
+      .crossJoin(broadcast(mm))
+      .select(shiftright(zValue(xb, yb), 10).as("z_bucket"),
+        xb.as("xb"), yb.as("yb"))
+      .groupBy(col("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xb")).as("min_xb"), max(col("xb")).as("max_xb"),
+        min(col("yb")).as("min_yb"), max(col("yb")).as("max_yb"))
+      .orderBy(col("z_bucket"))
+  }
+
+  val zOrderStatsSql: String = {
+    def bucket(v: String, mn: String, mx: String) =
+      s"CAST(floor((CAST($v AS DOUBLE) - $mn) * 256.0 / ($mx - $mn + 1.0)) AS BIGINT)"
+    val z = (0 until 8).map { i =>
+      s"((xb >> $i) & 1) * ${1L << (2 * i)} + ((yb >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH mm AS (
+       |  SELECT CAST(min(o_custkey) AS DOUBLE) AS mnx,
+       |         CAST(max(o_custkey) AS DOUBLE) AS mxx,
+       |         CAST(min(date_diff('day', DATE '1970-01-01', o_orderdate)) AS DOUBLE) AS mny,
+       |         CAST(max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS DOUBLE) AS mxy
+       |  FROM orders),
+       |coords AS (
+       |  SELECT ${bucket("o_custkey", "mnx", "mxx")} AS xb,
+       |         ${bucket("date_diff('day', DATE '1970-01-01', o_orderdate)", "mny", "mxy")} AS yb
+       |  FROM orders, mm)
+       |SELECT ($z) >> 10 AS z_bucket, count(*) AS n_rows,
+       |  min(xb) AS min_xb, max(xb) AS max_xb,
+       |  min(yb) AS min_yb, max(yb) AS max_yb
+       |FROM coords
+       |GROUP BY z_bucket
+       |ORDER BY z_bucket""".stripMargin
+  }
+
   /** Bucketed table writer: co-locates (and pre-sorts) data on the
     * join/agg key so later joins between tables bucketed the same way
     * need NO exchange — the SinksSpec-style proof lives in ScaleSpec.
@@ -164,12 +250,14 @@ object Scale {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_revenue" -> (saltedRevenue _),
     "q_order_split" -> (orderSplit _),
-    "q_stratified_sample" -> (stratifiedDocSample _)
+    "q_stratified_sample" -> (stratifiedDocSample _),
+    "q_zorder_bucket" -> (zOrderStats _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_salted_revenue" -> saltedRevenueSql,
     "q_order_split" -> orderSplitSql,
-    "q_stratified_sample" -> stratifiedDocSampleSql
+    "q_stratified_sample" -> stratifiedDocSampleSql,
+    "q_zorder_bucket" -> zOrderStatsSql
   )
 }

@@ -82,4 +82,36 @@ class ScaleSpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("z-order layout: per-file extents shrink in BOTH dimensions") {
+    val x = col("o_custkey")
+    val y = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val orders = graft.ingest.Sources.orders(spark, sf)
+    val mm = orders.agg(
+      min(x).cast("double").as("mnx"), max(x).cast("double").as("mxx"),
+      min(y).cast("double").as("mny"), max(y).cast("double").as("mxy"))
+    val coords = orders.crossJoin(broadcast(mm)).select(
+      Scale.byteBucket(x, col("mnx"), col("mxx")).as("xb"),
+      Scale.byteBucket(y, col("mny"), col("mxy")).as("yb"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val nFiles = 8
+    Scale.writeZOrdered(coords, Scale.zValue(col("xb"), col("yb")),
+      s"$dir/z", nFiles)
+    // mean per-file span in each dimension, as a fraction of the
+    // global 0..255 span; a z-ordered layout shrinks BOTH (a plain
+    // sort on xb would leave the yb span at ~1.0)
+    def meanSpans(path: String): (Double, Double) = {
+      val byFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col("xb")) - min(col("xb"))).as("sx"),
+          (max(col("yb")) - min(col("yb"))).as("sy"))
+        .agg(avg(col("sx")), avg(col("sy"))).collect().head
+      (byFile.getDouble(0) / 255.0, byFile.getDouble(1) / 255.0)
+    }
+    val (zx, zy) = meanSpans(s"$dir/z")
+    assert(zx < 0.75 && zy < 0.75,
+      s"z-order should bound both dimensions: x-span $zx, y-span $zy")
+    // row-identical to the input (layout changes, content doesn't)
+    assert(spark.read.parquet(s"$dir/z").count() == coords.count())
+  }
 }
