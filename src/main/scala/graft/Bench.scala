@@ -20,7 +20,11 @@ object Bench {
     // A failed run must NOT be timed as a (fast) success: a query with
     // ANY failed run lands in "errors"; its value is the min of the
     // successful runs, or -1 if none succeeded.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: query names to bench (default all) — lets local
+    // iteration time one hot query without paying for the whole suite
+    val picked = if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val results = picked.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

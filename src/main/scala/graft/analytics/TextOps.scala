@@ -354,8 +354,12 @@ object TextOps {
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. The join key keeps the
     * shuffle bounded by Σ block-token-frequency² instead of n².
     */
-  def nearDupJaccard(spark: SparkSession, dir: String,
-                     threshold: Double = 0.8): DataFrame = {
+  /** Unordered near-dup pairs — shared by the oracle query (which
+    * adds the presentation sort) and the clustering path (where a
+    * pre-sort would only add a wasted range shuffle).
+    */
+  private def nearDupPairs(spark: SparkSession, dir: String,
+                           threshold: Double): DataFrame = {
     val t = tokens(spark, dir)
     val a = t.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a"),
       col("lang"), col("source"), col("tok"))
@@ -371,8 +375,12 @@ object TextOps {
           (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def nearDupJaccard(spark: SparkSession, dir: String,
+                     threshold: Double = 0.8): DataFrame =
+    nearDupPairs(spark, dir, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   val nearDupJaccardSql: String =
     """WITH toks AS (
@@ -405,7 +413,7 @@ object TextOps {
     * size, not corpus size).
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupJaccard(spark, dir)
+    val pairs = nearDupPairs(spark, dir, threshold = 0.8)
     val comp = graft.operators.Graph.connectedComponents(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     comp.groupBy(col("comp").as("component"))
@@ -468,6 +476,10 @@ object TextOps {
     // and the agreement estimate read it, so the signature subtree is
     // computed once per join side — no third scan to re-fetch
     // signatures for candidate scoring.
+    // NOTE: no explicit materialization — AQE reuses the signature
+    // build's shuffle stage across both sides of the self-join at
+    // runtime (measured: an eager localCheckpoint here made the query
+    // ~2× slower by adding a blocking materialization)
     val sigs = minHashSignatures(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig"))
@@ -535,7 +547,9 @@ object TextOps {
     */
   def simHashDedup(spark: SparkSession, dir: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fps = simHashFingerprints(spark, dir)
+    // index-build-once: the 64-bit-vote aggregation is the dominant
+    // cost and the chunk self-join would compute it per side
+    val fps = simHashFingerprints(spark, dir).localCheckpoint()
     val chunks = (0 until 4).map(c =>
       shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))
     val banded = fps.select(
