@@ -292,6 +292,47 @@ object TextOps {
       |GROUP BY lang, predicted
       |ORDER BY lang, predicted""".stripMargin
 
+  /** Sketch-based heavy hitters: per-language top-k tokens via the
+    * approx_top_k aggregate (a bounded-memory frequency sketch —
+    * the 100 TB answer to "top terms" where an exact groupBy over the
+    * full vocabulary would shuffle billions of distinct keys; with
+    * maxItemsTracked ≥ the true vocabulary it degrades gracefully to
+    * exact counts, which is what the DuckDB oracle verifies). The
+    * sketch's own output order is implementation-defined, so rows are
+    * re-ranked deterministically (count desc, token asc).
+    */
+  def approxTopTokens(spark: SparkSession, dir: String,
+                      k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(expr(s"approx_top_k(tok, $k, 10000)").as("top"))
+      .select(col("lang"), explode(col("top")).as("s"))
+      .select(col("lang"), col("s.item").as("tok"),
+        col("s.count").as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("tok"), col("cnt"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val approxTopTokensSql: String =
+    """SELECT lang, rnk, tok, cnt FROM (
+      |  SELECT lang, tok, cnt,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY cnt DESC, tok ASC) AS rnk
+      |  FROM (
+      |    SELECT lang, tok, count(*) AS cnt
+      |    FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |          FROM documents)
+      |    GROUP BY lang, tok
+      |  )
+      |)
+      |WHERE rnk <= 5
+      |ORDER BY lang, rnk""".stripMargin
+
   /** TF-IDF top terms per document: term frequency from the raw token
     * stream (duplicates count), document frequency from the distinct
     * stream, idf = ln(N/df). Two aggregations + a broadcast join of
@@ -454,14 +495,20 @@ object TextOps {
                     // threshold J: 1-(1-J^4)^8 (≈0.99 at J=0.8)
 
   /** Per-doc MinHash signature columns h0..h{K-1}: min over the doc's
-    * token set of xxhash64(tok, seed_i). One shuffle (groupBy doc_id).
+    * token set of xxhash64(tok, seed_i). Computed entirely scan-side
+    * with higher-order functions (no explode, no shuffle): the
+    * signature build is a pure map stage, so at 100 TB it scales with
+    * executor count and the only shuffle in the LSH pipeline is the
+    * band-bucket join itself.
     */
   def minHashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until MinHashK)
-      .map(i => min(xxhash64(col("tok"), lit(i))).as(s"h$i"))
-    tokens(spark, dir)
-      .groupBy(col("doc_id"), col("lang"), col("source"))
-      .agg(aggs.head, aggs.tail: _*)
+    val toks = array_distinct(split(col("text"), " "))
+    val sigCols = (0 until MinHashK).map(i =>
+      array_min(transform(col("toks"), t => xxhash64(t, lit(i)))).as(s"h$i"))
+    documents(spark, dir)
+      .select((Seq(col("doc_id"), col("lang"), col("source")) :+
+        toks.as("toks")): _*)
+      .select((Seq(col("doc_id"), col("lang"), col("source")) ++ sigCols): _*)
   }
 
   /** Candidate pairs via LSH banding: each band of r consecutive
@@ -476,13 +523,13 @@ object TextOps {
     // and the agreement estimate read it, so the signature subtree is
     // computed once per join side — no third scan to re-fetch
     // signatures for candidate scoring.
-    // NOTE: no explicit materialization — AQE reuses the signature
-    // build's shuffle stage across both sides of the self-join at
-    // runtime (measured: an eager localCheckpoint here made the query
-    // ~2× slower by adding a blocking materialization)
+    // index-build-once: the signature map stage has no shuffle for AQE
+    // to reuse across the self-join sides, so materialize the (slim:
+    // K longs + keys per doc) signature table before banding
     val sigs = minHashSignatures(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig"))
+      .localCheckpoint()
     val bandCols: Seq[Column] = (0 until LshBands).map { band =>
       xxhash64((band * r until (band + 1) * r)
         .map(i => element_at(col("sig"), i + 1)): _*)
@@ -520,17 +567,19 @@ object TextOps {
     * shuffle on doc_id, no UDF.
     */
   def simHashFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val h = xxhash64(col("tok"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"s$i")
-    }
+    // scan-side: hash each distinct token once, then take the 64 bit
+    // votes with array filters — a pure map stage (no explode/shuffle).
+    // Bit i's vote sum over ±1 is 2·(#hashes with bit i set) − n, so
+    // the sign test `sum > 0` becomes `2·count > n`.
+    val hs = transform(array_distinct(split(col("text"), " ")),
+      t => xxhash64(t))
     val fingerprint = (0 until 64).map { i =>
-      shiftleft(when(col(s"s$i") > 0, 1L).otherwise(0L), i)
+      val ones = size(filter(col("hs"),
+        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+      shiftleft(when(ones * 2 > size(col("hs")), 1L).otherwise(0L), i)
     }.reduce(_.bitwiseOR(_))
-    tokens(spark, dir)
-      .groupBy(col("doc_id"), col("lang"), col("source"))
-      .agg(bitSums.head, bitSums.tail: _*)
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), hs.as("hs"))
       .select(col("doc_id"), col("lang"), col("source"),
         fingerprint.as("simhash"))
   }
@@ -609,6 +658,7 @@ object TextOps {
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_doc_repetition" -> (docRepetition _),
+    "q_approx_top_tokens" -> ((s: SparkSession, d: String) => approxTopTokens(s, d)),
     "q_near_dup_jaccard" -> ((s: SparkSession, d: String) => nearDupJaccard(s, d)),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => minHashLsh(s, d)),
@@ -628,6 +678,7 @@ object TextOps {
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,
     "q_doc_repetition" -> docRepetitionSql,
+    "q_approx_top_tokens" -> approxTopTokensSql,
     "q_near_dup_jaccard" -> nearDupJaccardSql,
     "q_dedup_clusters" -> dedupClustersSql
   )

@@ -149,6 +149,36 @@ object Scale {
       |WHERE b < threshold
       |ORDER BY doc_id""".stripMargin
 
+  /** Oracle-checked query: urgent-order lineitem revenue by year with
+    * the lineitem side bloom-pruned on the urgent orderkeys before the
+    * join ([[graft.functions.BloomOps]]). Equal to the plain join —
+    * the oracle computes exactly that — while only the bloom-surviving
+    * fraction of the fact table reaches the join shuffle.
+    */
+  def bloomPrunedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Sources.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val pruned = graft.functions.BloomOps.bloomPrune(
+      Sources.lineitem(spark, dir), col("l_orderkey"),
+      urgent, col("o_orderkey"), expectedItems = 1000000L)
+    pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_year"))
+  }
+
+  val bloomPrunedRevenueSql: String =
+    """SELECT year(o_orderdate) AS o_year, count(*) AS n_lineitems,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY year(o_orderdate)
+      |ORDER BY o_year""".stripMargin
+
   // ---------------------------------------------------------------
   // Z-order layout (multi-dimensional data skipping)
   // ---------------------------------------------------------------
@@ -251,13 +281,15 @@ object Scale {
     "q_salted_revenue" -> (saltedRevenue _),
     "q_order_split" -> (orderSplit _),
     "q_stratified_sample" -> (stratifiedDocSample _),
-    "q_zorder_bucket" -> (zOrderStats _)
+    "q_zorder_bucket" -> (zOrderStats _),
+    "q_bloom_pruned_join" -> (bloomPrunedRevenue _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_salted_revenue" -> saltedRevenueSql,
     "q_order_split" -> orderSplitSql,
     "q_stratified_sample" -> stratifiedDocSampleSql,
-    "q_zorder_bucket" -> zOrderStatsSql
+    "q_zorder_bucket" -> zOrderStatsSql,
+    "q_bloom_pruned_join" -> bloomPrunedRevenueSql
   )
 }

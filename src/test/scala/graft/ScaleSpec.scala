@@ -83,6 +83,23 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bloom prune: no false negatives, real pruning, predicate in plan") {
+    val li = graft.ingest.Sources.lineitem(spark, sf)
+    val urgent = graft.ingest.Sources.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val pruned = graft.functions.BloomOps.bloomPrune(
+      li, col("l_orderkey"), urgent, col("o_orderkey"), 100000L)
+    assert(plan(pruned).contains("might_contain"),
+      "bloom predicate should be in the probe-side plan")
+    val truePositives = li.join(urgent,
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // every true match survives (no false negatives)...
+    assert(pruned.count() >= truePositives.count())
+    // ...and the filter actually prunes (urgent is ~1/5 of orders)
+    assert(pruned.count() < li.count())
+  }
+
   test("z-order layout: per-file extents shrink in BOTH dimensions") {
     val x = col("o_custkey")
     val y = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
