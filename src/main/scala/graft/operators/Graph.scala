@@ -29,13 +29,21 @@ object Graph {
     // materialize the symmetric edge list ONCE — it is re-joined every
     // round (and again by every convergence check), and the upstream
     // pair-generation plan (an LSH/Jaccard join) is far too expensive
-    // to recompute per round
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // to recompute per round. Symmetrize via explode, not
+    // union(edges, edges.swapped): a union of the same un-cached
+    // subtree executes the pair-generation join twice when this
+    // checkpoint materializes; explode reads it once.
+    val sym = edges
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    // lazy checkpoint: the labelSum action right below materializes it,
+    // so init costs one job instead of two (same trick each round)
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("comp", col("v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // convergence test: labels only ever DECREASE under min
     // propagation, so the (small, exact) Σcomp is strictly monotone
     // until fixpoint — equal sums ⇔ no label changed. One scalar agg
@@ -47,11 +55,16 @@ object Graph {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // each vertex's neighbors' labels, then min with its own
+      // each vertex's neighbors' labels, then min with its own.
+      // Materialized eagerly: the pointer-jump self-join below reads
+      // hop TWICE, and without a checkpoint both reads would recompute
+      // the propagation join+agg — doubling every round's real work
+      // (noise locally, the dominant cost at scale).
       val prop = sym.join(labels.withColumnRenamed("v", "dst"), "dst")
         .select(col("src").as("v"), col("comp"))
       val hop = labels.union(prop)
         .groupBy(col("v")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
       // pointer jump: follow the label one more step (comp := comp of
       // comp). Label values are vertex ids, so the self-join always
       // resolves; min-propagation alone needs diameter rounds, the
@@ -62,11 +75,16 @@ object Graph {
         hop.select(col("v").as("c2v"), col("comp").as("c2")),
         col("comp") === col("c2v"), "left")
         .select(col("v"), coalesce(col("c2"), col("comp")).as("comp"))
-        .localCheckpoint() // eager: materialized before the unpersist below
+        // lazy: the labelSum action below runs ONE job that both
+        // computes the jump and persists it; materialization still
+        // precedes the unpersists of the superseded round, which only
+        // happen after labelSum returns
+        .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels.unpersist() // superseded round — don't pin maxIters copies
+      hop.unpersist()    // folded into next; only next carries forward
       labels = next
       i += 1
     }

@@ -201,6 +201,20 @@ object Pipeline {
       .withWatermark("timestamp", "1 day")
       .dropDuplicates(Seq("sensor_id", "timestamp"))
 
+  /** Stream-static enrichment join: each streaming reading picks up
+    * its waterbody's dimension row (the sensor-metadata join J5 on the
+    * live path). The static side is a bounded table — no watermark and
+    * no join state: Spark re-plans it per micro-batch, so a dimension
+    * refresh on disk is visible to the next batch. Broadcast keeps the
+    * per-batch join shuffle-free at any stream rate.
+    */
+  def enrichReadings(readings: DataFrame, dim: DataFrame): DataFrame =
+    readings.join(
+      broadcast(dim.select(col("sensor_id"), col("river"), col("basin"))),
+      Seq("sensor_id"), "left")
+      .select(col("sensor_id"), col("timestamp"), col("ph_value"),
+        col("river"), col("basin"))
+
   /** Stream-stream interval join: each reading picks up the
     * calibration published for its sensor within the preceding hour.
     * Both sides are watermarked so Spark can bound the join state and

@@ -176,6 +176,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each reading to its dimension row, statelessly") {
+    import spark.implicits._
+    val dim = Seq(
+      ("A", "Dargle", "Eastern"),
+      ("B", "Liffey", "Eastern")).toDF("sensor_id", "river", "basin")
+    val input = MemoryStream[SensorReading](spark)
+    val q = Pipeline.enrichReadings(input.toDF(), dim)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      input.addData(
+        reading("A", "2024-01-01 00:00:00"),
+        reading("C", "2024-01-01 00:05:00")) // no dim row -> kept with nulls
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => (r.getAs[String]("sensor_id"), Option(r.getAs[String]("river"))))
+        .toSet
+      assert(rows == Set(("A", Some("Dargle")), ("C", None)))
+      // stateless: a stream-static join keeps no state-store rows
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static join must not allocate streaming state")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches readings to in-window calibrations") {
     import spark.implicits._
     val readings = MemoryStream[SensorReading](spark)
