@@ -650,6 +650,132 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // L4+: benchmark contamination & unigram-LM scoring over a
+  // train/eval hash split (the split rule is operators.Scale's —
+  // engine-independent md5 bucketing, oracle-proved by q_order_split)
+  // ---------------------------------------------------------------
+
+  /** Train bucket predicate: md5(doc_id) bucket < 80 (80/20 split). */
+  private def isTrain: Column =
+    graft.operators.Scale.hashBucket(col("doc_id")) < 80
+
+  /** Distinct (doc_id, gram) pairs, gram = md5 of each n-token
+    * window. Generated scan-side with higher-order functions — no
+    * shuffle, no explode-then-window: sequence+transform build all
+    * window hashes per doc in one codegen'd projection. Docs shorter
+    * than n tokens yield no grams (explode of an empty array).
+    * md5 keeps the gram key engine-portable for the oracle; at
+    * cluster scale a 64-bit hash (xxhash64) halves the shuffle width.
+    */
+  private def docGrams(spark: SparkSession, dir: String,
+                       n: Int): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(n))))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+
+  /** Benchmark-contamination check: for each eval-split document, how
+    * many of its distinct 8-gram shingles also appear anywhere in the
+    * train split. The train gram set is reduced to DISTINCT grams
+    * before the join, so the shuffle carries each train gram once —
+    * at 100 TB this is a shuffle join on a 32-byte key, optionally
+    * pre-filtered by a bloom of the (much smaller) eval gram set.
+    * Docs with fewer than 8 tokens produce no grams and are absent,
+    * matching the SQL oracle.
+    */
+  def contamination(spark: SparkSession, dir: String,
+                    n: Int = 8): DataFrame = {
+    val grams = docGrams(spark, dir, n)
+    val evalGrams = grams.filter(!isTrain)
+    val trainGrams = grams.filter(isTrain).select(col("gram")).distinct()
+    evalGrams
+      .join(trainGrams.withColumn("hit", lit(1)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_shared"))
+      .withColumn("contam_ratio",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationSql: String =
+    """WITH split AS (
+      |  SELECT doc_id, text,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS BIGINT) % 100 < 80 AS is_train
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, is_train, string_split(text, ' ') AS t FROM split
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, is_train,
+      |    md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS gram
+      |  FROM (SELECT doc_id, is_train, t,
+      |          unnest(range(1, greatest(len(t) - 6, 1))) AS i
+      |        FROM toks)
+      |), tr AS (SELECT DISTINCT gram FROM grams WHERE is_train)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |  count(tr.gram) AS n_shared,
+      |  round(CAST(count(tr.gram) AS DOUBLE) / count(*), 6) AS contam_ratio
+      |FROM grams g LEFT JOIN tr ON g.gram = tr.gram
+      |WHERE NOT g.is_train
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  /** Unigram-LM quality score: a Laplace-smoothed unigram model is
+    * fit on the train split's token counts and every eval document is
+    * scored by its average negative log-likelihood (the KenLM-style
+    * perplexity proxy used to filter web corpora). All relational:
+    * token counts are one hash aggregation, the corpus constants (N
+    * tokens, V vocab) one tiny broadcast, scoring a left join + avg.
+    * Unseen tokens get probability 1/(N+V).
+    */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val trainTok = docs.filter(isTrain)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val counts = trainTok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val stats = trainTok.agg(count(lit(1)).as("n"),
+      countDistinct(col("tok")).as("v"))
+    val evalTok = docs.filter(!isTrain)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    evalTok
+      .join(counts, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(-log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("n") + col("v")))), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmPerplexitySql: String =
+    """WITH split AS (
+      |  SELECT doc_id, text,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS BIGINT) % 100 < 80 AS is_train
+      |  FROM documents
+      |), ttok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok
+      |  FROM split WHERE is_train
+      |), counts AS (
+      |  SELECT tok, count(*) AS c FROM ttok GROUP BY tok
+      |), stats AS (
+      |  SELECT count(*) AS n, count(DISTINCT tok) AS v FROM ttok
+      |), etok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM split WHERE NOT is_train
+      |)
+      |SELECT doc_id, count(*) AS n_tok,
+      |  round(avg(-ln((coalesce(c, 0) + 1.0) / (n + v))), 6) AS avg_nll
+      |FROM etok LEFT JOIN counts USING (tok) CROSS JOIN stats
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_token_stats" -> (tokenStats _),
@@ -663,7 +789,9 @@ object TextOps {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => minHashLsh(s, d)),
     "q_simhash_dedup" -> ((s: SparkSession, d: String) => simHashDedup(s, d)),
-    "q_doc_fingerprint" -> (docFingerprints _)
+    "q_doc_fingerprint" -> (docFingerprints _),
+    "q_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
+    "q_lm_perplexity" -> (lmPerplexity _)
   )
 
   /** SQL oracles for the DuckDB-expressible subset; the LSH/SimHash/
@@ -680,6 +808,8 @@ object TextOps {
     "q_doc_repetition" -> docRepetitionSql,
     "q_approx_top_tokens" -> approxTopTokensSql,
     "q_near_dup_jaccard" -> nearDupJaccardSql,
-    "q_dedup_clusters" -> dedupClustersSql
+    "q_dedup_clusters" -> dedupClustersSql,
+    "q_contamination" -> contaminationSql,
+    "q_lm_perplexity" -> lmPerplexitySql
   )
 }

@@ -173,4 +173,44 @@ class TextOpsSpec extends SparkSpec {
     assert(rollup == perDoc)
     assert(rollup > 0, "thresholds flag nothing at test scale — vacuous filter")
   }
+
+  test("contamination: only eval-split docs, ratio bounded, planted dups detected") {
+    val out = TextOps.contamination(spark, sf).collect()
+    val trainIds = graft.ingest.Sources.documents(spark, sf)
+      .filter(graft.operators.Scale.hashBucket(col("doc_id")) < 80)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(!trainIds.contains(r.getAs[Long]("doc_id")),
+        "a train-split doc leaked into the contamination report")
+      val (n, s) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"))
+      assert(s >= 0 && s <= n)
+      assert(math.abs(r.getAs[Double]("contam_ratio") - s.toDouble / n) < 1e-6)
+    }
+    // the corpus plants near-duplicates; some straddle the 80/20 split,
+    // so a fully-contained eval doc (ratio 1.0) must exist
+    assert(out.exists(_.getAs[Double]("contam_ratio") >= 0.99),
+      "no contaminated eval doc found — check the gram join")
+  }
+
+  test("lm perplexity: scores bounded by the unseen-token ceiling, seen-token floor") {
+    import spark.implicits._
+    val docs = graft.ingest.Sources.documents(spark, sf)
+    val trainTok = docs
+      .filter(graft.operators.Scale.hashBucket(col("doc_id")) < 80)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = trainTok.count().toDouble
+    val v = trainTok.distinct().count().toDouble
+    val maxC = trainTok.groupBy(col("tok")).count()
+      .agg(max(col("count"))).head().getLong(0).toDouble
+    val ceiling = math.log(n + v)           // all tokens unseen
+    val floor = -math.log((maxC + 1) / (n + v)) // all tokens = most frequent
+    val scores = TextOps.lmPerplexity(spark, sf)
+      .select(col("avg_nll")).as[Double].collect()
+    assert(scores.nonEmpty)
+    assert(scores.forall(s => s > 0 && s <= ceiling + 1e-6))
+    assert(scores.forall(s => s >= floor - 1e-6))
+    // non-degenerate: the model separates documents
+    assert(scores.distinct.length > 1)
+  }
 }
