@@ -221,7 +221,36 @@ object Events {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** The same as-of semantics as [[asofSignup]], but executed by the
+    * engine's own whole-operator implementation
+    * ([[graft.plans.AsOfJoinPlan]]: custom logical node → planner
+    * strategy → streamed merge exec) instead of the union-tag window
+    * rewrite. Shares q_asof_signup's DuckDB ASOF JOIN oracle — the
+    * hash gate proves the custom operator row-for-row correct.
+    * The merge exec keeps O(1) per-partition state, vs the window
+    * form's running per-user state; tie policy (max signup event_id
+    * at equal ts) is expressed as the right-side tie-break ordering.
+    */
+  def asofSignupCustom(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("epoch_s"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event_id"),
+        col("user_id").as("s_user_id"), col("ts").as("s_ts"),
+        col("epoch_s").as("s_epoch_s"))
+    graft.plans.AsOfJoinPlan.join(purchases, signups,
+      leftKey = "user_id", rightKey = "s_user_id",
+      leftTimeCol = "ts", rightTimeCol = "s_ts",
+      rightTieBreakCols = Seq("signup_event_id"))
+      .select(col("event_id"), col("user_id"), col("signup_event_id"),
+        (col("epoch_s") - col("s_epoch_s")).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_custom" -> (asofSignupCustom _),
     "q_user_event_types" -> (userEventTypes _),
     "q_sessionize" -> (sessionize _),
     "q_event_props" -> (eventProps _),
@@ -230,6 +259,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_asof_custom" -> asofSignupSql,
     "q_user_event_types" -> userEventTypesSql,
     "q_sessionize" -> sessionizeSql,
     "q_event_props" -> eventPropsSql,

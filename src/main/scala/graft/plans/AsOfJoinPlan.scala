@@ -1,0 +1,191 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, Ascending, GenericInternalRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** A whole-operator as-of join, implemented the Spark-native way for
+  * an operator Catalyst lacks (SURVEY.md §2.5 J7; builder-prompt
+  * preference (c)): a custom logical node, a planner strategy, and a
+  * physical merge exec, injectable via SparkSessionExtensions.
+  *
+  * Semantics (matching DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k AND
+  * l.t >= r.t`): every left row is emitted once, joined to the LAST
+  * right row (in (key, time, tieBreak) order) of the same key whose
+  * time is <= the left row's time, or to nulls when no such row
+  * exists.
+  *
+  * Scale design: the exec demands ClusteredDistribution on the key
+  * from both children and a (key, time) sort — EnsureRequirements
+  * inserts the hash exchanges and sorts exactly as it does for a
+  * sort-merge join, so the operator shuffles each side ONCE and then
+  * streams both sorted partitions through a two-pointer merge with
+  * O(1) state (one buffered right row): no per-key buffering of the
+  * full right group (the union-tag window alternative in
+  * [[graft.analytics.Events.asofSignup]] carries every signup row
+  * through a window state instead). AQE still plans the exchanges; a
+  * 1000-executor run partitions by key like any equi-join.
+  */
+object AsOfJoinPlan {
+
+  /** Logical node. Children are already-analyzed plans and the key /
+    * time / tie-break expressions are resolved attributes, so the node
+    * itself is resolved on construction.
+    */
+  final case class AsOfJoin(
+      left: LogicalPlan,
+      right: LogicalPlan,
+      leftKeys: Seq[Expression],
+      rightKeys: Seq[Expression],
+      leftTime: Expression,
+      rightTime: Expression,
+      rightTieBreak: Seq[Expression]) extends BinaryNode {
+
+    // left outer: right side becomes nullable on no-match
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Plans the logical AsOfJoin into its exec. Injected either via
+    * `SparkSessionExtensions.injectPlannerStrategy` or
+    * `spark.experimental.extraStrategies` (see [[join]]).
+    */
+  object AsOfJoinStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
+        AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Physical streamed merge as-of join.
+    *
+    * Both inputs arrive hash-clustered on the key and sorted by
+    * (key, time[, tieBreak]) — declared below, enforced by
+    * EnsureRequirements. Per partition a single forward pass advances
+    * the right iterator while its (key, time) is <= the current left
+    * row's, remembering only the most recent in-range right row; left
+    * rows with a null key or null time never match (SQL join-key
+    * semantics).
+    */
+  final case class AsOfJoinExec(
+      leftKeys: Seq[Expression],
+      rightKeys: Seq[Expression],
+      leftTime: Expression,
+      rightTime: Expression,
+      rightTieBreak: Seq[Expression],
+      left: SparkPlan,
+      right: SparkPlan) extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      (rightKeys ++ (rightTime +: rightTieBreak)).map(SortOrder(_, Ascending)))
+
+    override def outputOrdering: Seq[SortOrder] =
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    protected override def doExecute(): RDD[InternalRow] = {
+      val keyTypes = leftKeys.map(_.dataType)
+      val timeType = leftTime.dataType
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+        val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+        val lTimeProj = UnsafeProjection.create(Seq(leftTime), left.output)
+        val rTimeProj = UnsafeProjection.create(Seq(rightTime), right.output)
+        val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+        val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+        val nullRight = new GenericInternalRow(right.output.length)
+        val joined = new JoinedRow
+        val outProj = UnsafeProjection.create(output, output)
+        val rBuf = rIter.buffered
+
+        new Iterator[InternalRow] {
+          // the last right row seen with key == current left key and
+          // time <= current left time (copied: UnsafeRows are reused)
+          private var best: InternalRow = _
+          private var bestKey: InternalRow = _
+
+          override def hasNext: Boolean = lIter.hasNext
+
+          override def next(): InternalRow = {
+            val lRow = lIter.next()
+            val lKey = lKeyProj(lRow)
+            val lTime = lTimeProj(lRow)
+            if (lKey.anyNull || lTime.isNullAt(0)) {
+              // null key / null time never matches anything
+              outProj(joined(lRow, nullRight))
+            } else {
+              // drop a buffered match from an earlier, different key
+              if (bestKey != null && keyOrd.compare(bestKey, lKey) != 0) {
+                best = null; bestKey = null
+              }
+              // advance right up to (and including) the left position
+              var advancing = true
+              while (advancing && rBuf.hasNext) {
+                val rKey = rKeyProj(rBuf.head)
+                val kCmp = if (rKey.anyNull) -1 else keyOrd.compare(rKey, lKey)
+                if (kCmp < 0) { rBuf.next() } // behind (or null key): skip
+                else if (kCmp > 0) { advancing = false } // ahead: stop
+                else {
+                  val rTime = rTimeProj(rBuf.head)
+                  if (!rTime.isNullAt(0) &&
+                      timeOrd.compare(rTime, lTime) <= 0) {
+                    best = rBuf.next().copy()
+                    bestKey = rKeyProj(best).copy()
+                  } else if (rTime.isNullAt(0)) {
+                    rBuf.next() // null time never matches
+                  } else {
+                    advancing = false // right time ahead of left: stop
+                  }
+                }
+              }
+              outProj(joined(lRow, if (best != null) best else nullRight))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** DataFrame-level API. Columns are resolved by NAME against each
+    * side's analyzed output (as-of keys are always concrete columns).
+    * Registers the strategy on the session once (idempotent) so plain
+    * sessions work without `.withExtensions`.
+    */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTimeCol: String, rightTimeCol: String,
+           rightTieBreakCols: Seq[String] = Nil): DataFrame = {
+    val spark = leftDf.sparkSession
+    GraftBridge.addStrategy(spark, AsOfJoinStrategy)
+    val l = leftDf.queryExecution.analyzed
+    val r = rightDf.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
+    GraftBridge.ofRows(spark,
+      AsOfJoin(l, r,
+        Seq(attr(l, leftKey)), Seq(attr(r, rightKey)),
+        attr(l, leftTimeCol), attr(r, rightTimeCol),
+        rightTieBreakCols.map(attr(r, _))))
+  }
+}

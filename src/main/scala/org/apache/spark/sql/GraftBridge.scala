@@ -22,4 +22,24 @@ object GraftBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "internal")
+
+  /** Build a DataFrame over a custom logical plan (the `private[sql]`
+    * Dataset.ofRows) — how a custom operator's DataFrame API hands its
+    * LogicalPlan back to the session.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to an already-built session —
+    * the runtime twin of SparkSessionExtensions.injectPlannerStrategy
+    * for sessions not constructed with `.withExtensions`.
+    */
+  def addStrategy(spark: SparkSession,
+                  strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    if (!s.experimental.extraStrategies.contains(strategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ strategy
+  }
 }
