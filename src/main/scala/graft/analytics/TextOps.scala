@@ -690,7 +690,10 @@ object TextOps {
     */
   def contamination(spark: SparkSession, dir: String,
                     n: Int = 8): DataFrame = {
-    val grams = docGrams(spark, dir, n)
+    // the eval and train branches both consume the gram table —
+    // materialize it once (scan + 8-gram md5 explode + distinct are
+    // the expensive part), same discipline as Graph.connectedComponents
+    val grams = docGrams(spark, dir, n).localCheckpoint()
     val evalGrams = grams.filter(!isTrain)
     val trainGrams = grams.filter(isTrain).select(col("gram")).distinct()
     evalGrams
@@ -704,10 +707,9 @@ object TextOps {
   }
 
   val contaminationSql: String =
-    """WITH split AS (
+    s"""WITH split AS (
       |  SELECT doc_id, text,
-      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-      |         AS BIGINT) % 100 < 80 AS is_train
+      |    ${graft.operators.Scale.hashBucketSql("doc_id")} < 80 AS is_train
       |  FROM documents
       |), toks AS (
       |  SELECT doc_id, is_train, string_split(text, ' ') AS t FROM split
@@ -739,8 +741,10 @@ object TextOps {
     val trainTok = docs.filter(isTrain)
       .select(explode(split(col("text"), " ")).as("tok"))
     val counts = trainTok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val stats = trainTok.agg(count(lit(1)).as("n"),
-      countDistinct(col("tok")).as("v"))
+    // corpus constants derive from the tiny per-token count table —
+    // re-aggregating trainTok would re-scan and re-explode the corpus
+    val stats = counts.agg(sum(col("c")).as("n"),
+      count(lit(1)).as("v"))
     val evalTok = docs.filter(!isTrain)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     evalTok
@@ -754,10 +758,9 @@ object TextOps {
   }
 
   val lmPerplexitySql: String =
-    """WITH split AS (
+    s"""WITH split AS (
       |  SELECT doc_id, text,
-      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-      |         AS BIGINT) % 100 < 80 AS is_train
+      |    ${graft.operators.Scale.hashBucketSql("doc_id")} < 80 AS is_train
       |  FROM documents
       |), ttok AS (
       |  SELECT unnest(string_split(text, ' ')) AS tok

@@ -76,6 +76,13 @@ object Scale {
     pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("bigint"), lit(buckets.toLong))
 
+  /** DuckDB twin of [[hashBucket]], interpolated into every oracle
+    * that splits/samples on the hash — ONE SQL form of the rule, so a
+    * change to the bucketing can't silently diverge per oracle.
+    */
+  def hashBucketSql(key: String): String =
+    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
   /** Split assignment: 80/10/10 on the hash bucket of the row key. */
   def hashSplit(key: Column): Column =
     when(hashBucket(key) < 80, "train")
@@ -95,15 +102,14 @@ object Scale {
       .orderBy(col("split"))
 
   val orderSplitSql: String =
-    """SELECT split, count(*) AS n_orders,
+    s"""SELECT split, count(*) AS n_orders,
       |  round(sum(o_totalprice), 2) AS revenue
       |FROM (
       |  SELECT o_totalprice,
       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
       |         ELSE 'test' END AS split
       |  FROM (SELECT o_totalprice,
-      |          CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
-      |               AS BIGINT) % 100 AS b
+      |          ${hashBucketSql("o_orderkey")} AS b
       |        FROM orders)
       |)
       |GROUP BY split
@@ -137,11 +143,10 @@ object Scale {
       .orderBy(col("doc_id"))
 
   val stratifiedDocSampleSql: String =
-    """SELECT doc_id, lang, source
+    s"""SELECT doc_id, lang, source
       |FROM (
       |  SELECT doc_id, lang, source,
-      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-      |         AS BIGINT) % 100 AS b,
+      |    ${hashBucketSql("doc_id")} AS b,
       |    CASE WHEN lang = 'es' THEN 25.0 WHEN lang = 'en' THEN 50.0
       |         ELSE 10.0 END AS threshold
       |  FROM documents

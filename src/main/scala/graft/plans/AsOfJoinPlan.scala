@@ -45,6 +45,17 @@ object AsOfJoinPlan {
       rightTime: Expression,
       rightTieBreak: Seq[Expression]) extends BinaryNode {
 
+    // The node is resolved on construction, so the analyzer never
+    // type-checks it — validate here: comparing a right row with an
+    // ordering built from the LEFT types would silently misread bytes.
+    require(leftKeys.length == rightKeys.length &&
+      leftKeys.zip(rightKeys).forall { case (l, r) =>
+        GraftBridge.sameType(l.dataType, r.dataType) },
+      s"as-of key types differ: ${leftKeys.map(_.dataType)} vs " +
+        s"${rightKeys.map(_.dataType)}")
+    require(GraftBridge.sameType(leftTime.dataType, rightTime.dataType),
+      s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+
     // left outer: right side becomes nullable on no-match
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -97,6 +108,12 @@ object AsOfJoinPlan {
 
     override def outputOrdering: Seq[SortOrder] =
       (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+    // rows stream out exactly as the (shuffled) left child delivered
+    // them — advertising that clustering lets a downstream groupBy /
+    // join on the key reuse the exchange instead of shuffling again
+    override def outputPartitioning =
+      left.outputPartitioning
 
     override protected def withNewChildrenInternal(
         newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =

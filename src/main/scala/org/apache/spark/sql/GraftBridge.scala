@@ -31,6 +31,22 @@ object GraftBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** `DataType.sameType` (ignore-nullability equality) is
+    * `private[sql]` — bridged for custom-plan type validation.
+    */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+               b: org.apache.spark.sql.types.DataType): Boolean =
+    a.sameType(b)
+
+  /** The planner strategies a SparkSessionExtensions instance would
+    * contribute to a session built `.withExtensions` — `private[sql]`,
+    * exposed so specs can prove the injection actually registers the
+    * engine's strategies (not just that the lambda doesn't throw).
+    */
+  def plannerStrategies(ext: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+
   /** Idempotently add a planner strategy to an already-built session —
     * the runtime twin of SparkSessionExtensions.injectPlannerStrategy
     * for sessions not constructed with `.withExtensions`.

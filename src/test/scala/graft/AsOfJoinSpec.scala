@@ -57,16 +57,29 @@ class AsOfJoinSpec extends SparkSpec {
       "custom as-of join diverges from the union-tag window rewrite")
   }
 
-  test("extensions-built session plans the as-of strategy without manual registration") {
-    // a session constructed .withExtensions(GraftExtensions) must plan
-    // AsOfJoin via the injected strategy (no GraftBridge.addStrategy)
-    val active = org.apache.spark.sql.SparkSession.getActiveSession.get
-    val ext = new graft.functions.GraftExtensions
+  test("GraftExtensions injects the as-of planner strategy") {
+    // prove the .withExtensions path registers the strategy (without
+    // tearing down the shared test session to build a fresh one):
+    // apply the extensions object and inspect what it contributes
     val e = new org.apache.spark.sql.SparkSessionExtensions
-    ext(e) // smoke: injection lambda itself is sound
-    // and the shared session path (addStrategy) is idempotent
-    val n0 = crafted().count()
-    val n1 = crafted().count()
-    assert(n0 == n1 && active != null)
+    new graft.functions.GraftExtensions()(e)
+    val injected = org.apache.spark.sql.GraftBridge
+      .plannerStrategies(e, spark)
+    assert(injected.contains(AsOfJoinPlan.AsOfJoinStrategy),
+      s"extensions contributed: $injected")
+    // and the strategy itself plans the logical node into the exec
+    val node = crafted().queryExecution.optimizedPlan
+      .collectFirst { case a: AsOfJoinPlan.AsOfJoin => a }.get
+    val planned = AsOfJoinPlan.AsOfJoinStrategy(node)
+    assert(planned.exists(_.isInstanceOf[AsOfJoinPlan.AsOfJoinExec]))
+  }
+
+  test("mismatched key/time types are rejected at construction, not silently merged") {
+    import spark.implicits._
+    val l = Seq((1L, "A", 100L)).toDF("id", "k", "t")
+    val rIntTime = Seq((2, "A", 100)).toDF("rid", "rk", "rt") // rt: int
+    intercept[IllegalArgumentException] {
+      AsOfJoinPlan.join(l, rIntTime, "k", "rk", "t", "rt")
+    }
   }
 }
