@@ -596,11 +596,21 @@ object TextOps {
     */
   def simHashDedup(spark: SparkSession, dir: String,
                    maxHamming: Int = 3): DataFrame = {
+    // pigeonhole completeness: two hashes within hamming h must agree
+    // on at least one of h+1 disjoint chunks — size the banding to the
+    // requested radius instead of pinning 4 chunks (which is complete
+    // only for h <= 3). More chunks = more candidate pairs, so the
+    // chunk count is the smallest 64-divisor that covers the radius.
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val nChunks = Seq(1, 2, 4, 8, 16).find(_ >= maxHamming + 1).get
+    val width = 64 / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     // index-build-once: the 64-bit-vote aggregation is the dominant
     // cost and the chunk self-join would compute it per side
     val fps = simHashFingerprints(spark, dir).localCheckpoint()
-    val chunks = (0 until 4).map(c =>
-      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))
+    val chunks = (0 until nChunks).map(c =>
+      shiftright(col("simhash"), c * width).bitwiseAND(lit(mask)))
     val banded = fps.select(
       (Seq(col("doc_id"), col("lang"), col("source"), col("simhash")) :+
         posexplode(array(chunks: _*)).as(Seq("chunk", "chunk_val"))): _*)

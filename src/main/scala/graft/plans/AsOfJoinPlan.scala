@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, Ascending, GenericInternalRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, Ascending, GenericInternalRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** A whole-operator as-of join, implemented the Spark-native way for
@@ -63,6 +64,31 @@ object AsOfJoinPlan {
     override protected def withNewChildrenInternal(
         newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Predicate pushdown through the custom node — the optimizer-rule
+    * rung of the extension ladder. Stock PushDownPredicates stops at
+    * any LogicalPlan it doesn't know, so a filter written above the
+    * as-of join would otherwise execute join-side and the parquet scan
+    * would lose its PushedFilters. As-of semantics are per-left-row
+    * (every left row joins independently of other LEFT rows), so any
+    * deterministic predicate over left columns alone commutes with the
+    * join; right-side predicates do NOT (dropping a right row changes
+    * which row is "last at or before" for surviving left rows).
+    */
+  object AsOfJoinFilterPushdown extends Rule[LogicalPlan]
+      with PredicateHelper {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, j: AsOfJoin) =>
+        val (pushable, kept) = splitConjunctivePredicates(cond)
+          .partition(p => p.deterministic &&
+            p.references.subsetOf(j.left.outputSet))
+        if (pushable.isEmpty) f
+        else {
+          val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+          kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        }
+    }
   }
 
   /** Plans the logical AsOfJoin into its exec. Injected either via
@@ -193,6 +219,7 @@ object AsOfJoinPlan {
            rightTieBreakCols: Seq[String] = Nil): DataFrame = {
     val spark = leftDf.sparkSession
     GraftBridge.addStrategy(spark, AsOfJoinStrategy)
+    GraftBridge.addOptimization(spark, AsOfJoinFilterPushdown)
     val l = leftDf.queryExecution.analyzed
     val r = rightDf.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =

@@ -16,9 +16,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
-  /** Pre-configured builder; callers add master/app-specific confs. */
+  /** Pre-configured builder; callers add master/app-specific confs.
+    * The engine's SparkSessionExtensions are installed here, so every
+    * graft session plans the custom operators (as-of strategy, its
+    * pushdown rule, SQL function registration) with the rules inside
+    * the optimizer's main fixed-point batch — an injected pushdown
+    * interleaves with stock PushDownPredicates, which the runtime
+    * `experimental.extraOptimizations` fallback (a late, separate
+    * batch) cannot do.
+    */
   def builder(): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -58,4 +58,14 @@ object GraftBridge {
       s.experimental.extraStrategies =
         s.experimental.extraStrategies :+ strategy
   }
+
+  /** Runtime twin of SparkSessionExtensions.injectOptimizerRule. */
+  def addOptimization(spark: SparkSession,
+                      rule: org.apache.spark.sql.catalyst.rules.Rule[
+                        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    if (!s.experimental.extraOptimizations.contains(rule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ rule
+  }
 }

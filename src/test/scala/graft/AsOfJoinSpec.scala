@@ -74,6 +74,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(planned.exists(_.isInstanceOf[AsOfJoinPlan.AsOfJoinExec]))
   }
 
+  test("left-only filters push through the custom join down to the parquet scan") {
+    // a predicate written ABOVE the as-of join, referencing only left
+    // columns, must cross the custom node (AsOfJoinFilterPushdown) and
+    // land in the scan's PushedFilters — and it must filter correctly
+    val base = graft.analytics.Events.asofSignupCustom(spark, sf)
+    val filtered = base.filter(col("user_id") < 50)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(user_id,50)"),
+      s"left filter did not reach the scan:\n$plan")
+    val expected = base.collect().count(_.getAs[Long]("user_id") < 50)
+    assert(filtered.count() == expected)
+    // a right-side predicate must NOT push through (it would change
+    // which signup is 'last at or before' for surviving purchases)
+    val rightFiltered = base.filter(col("signup_event_id") > 0)
+    val optimized = rightFiltered.queryExecution.optimizedPlan
+    val joinNode = optimized.collectFirst {
+      case a: AsOfJoinPlan.AsOfJoin => a }.get
+    assert(joinNode.right.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.map(_.name).exists(_ == "signup_event_id") => f
+    }.isEmpty, "right-side predicate was illegally pushed below the as-of join")
+  }
+
   test("mismatched key/time types are rejected at construction, not silently merged") {
     import spark.implicits._
     val l = Seq((1L, "A", 100L)).toDF("id", "k", "t")

@@ -67,6 +67,29 @@ class TextOpsSpec extends SparkSpec {
     assert(truth.except(found).count() == 0)
   }
 
+  test("simHashDedup is pigeonhole-complete at radius 7 (8-chunk banding)") {
+    // ground truth by brute force: every same-block pair within
+    // hamming 7 — the radius the old fixed 4-chunk banding could miss
+    val fps = TextOps.simHashFingerprints(spark, sf)
+    val a = fps.select(col("doc_id").as("doc_a"), col("lang"),
+      col("source"), col("simhash").as("sim_a"))
+    val b = fps.select(col("doc_id").as("doc_b"), col("lang"),
+      col("source"), col("simhash").as("sim_b"))
+    val truth = a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 7)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val found = TextOps.simHashDedup(spark, sf, maxHamming = 7)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    assert(truth.count() > 0, "no pairs within hamming 7 — vacuous")
+    assert(truth.except(found).count() == 0,
+      "banded dedup missed a pair the pigeonhole guarantees")
+    assert(found.except(truth).count() == 0,
+      "banded dedup emitted a pair outside the radius/blocks")
+  }
+
   test("winnowing fingerprints: deterministic and bounded by shingle count") {
     val fp1 = TextOps.docFingerprints(spark, sf).collect()
     val fp2 = TextOps.docFingerprints(spark, sf).collect()
