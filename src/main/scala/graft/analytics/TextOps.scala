@@ -789,6 +789,48 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-source quota capping (domain caps): keep at most `cap` docs
+    * per (lang, source), chosen deterministically by hash order (then
+    * doc_id to break hash ties) — the corpus-mix control that stops a
+    * crawl's giant domains from dominating a training set. One window
+    * (rank within the partition key) over one shuffle; at 100 TB the
+    * heavy groups are exactly what the cap trims, and the hash order
+    * makes the kept subset stable under re-partitioning and re-runs.
+    * Emitted as a per-group rollup (kept/dropped) so the gate result
+    * stays small while the row_number path is fully exercised.
+    */
+  def sourceQuota(spark: SparkSession, dir: String,
+                  cap: Int = 40): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(graft.operators.Scale.hashBucket(col("doc_id")),
+        col("doc_id"))
+    documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("rn") <= cap, col("doc_id"))).as("first_kept_doc"),
+        max(when(col("rn") <= cap, col("doc_id"))).as("last_kept_doc"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val sourceQuotaSql: String =
+    s"""WITH ranked AS (
+      |  SELECT lang, source, doc_id,
+      |    row_number() OVER (
+      |      PARTITION BY lang, source
+      |      ORDER BY ${graft.operators.Scale.hashBucketSql("doc_id")}, doc_id
+      |    ) AS rn
+      |  FROM documents
+      |)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  min(CASE WHEN rn <= 40 THEN doc_id END) AS first_kept_doc,
+      |  max(CASE WHEN rn <= 40 THEN doc_id END) AS last_kept_doc
+      |FROM ranked
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_token_stats" -> (tokenStats _),
@@ -804,7 +846,8 @@ object TextOps {
     "q_simhash_dedup" -> ((s: SparkSession, d: String) => simHashDedup(s, d)),
     "q_doc_fingerprint" -> (docFingerprints _),
     "q_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
-    "q_lm_perplexity" -> (lmPerplexity _)
+    "q_lm_perplexity" -> (lmPerplexity _),
+    "q_source_quota" -> ((s: SparkSession, d: String) => sourceQuota(s, d))
   )
 
   /** SQL oracles for the DuckDB-expressible subset; the LSH/SimHash/
@@ -823,6 +866,7 @@ object TextOps {
     "q_near_dup_jaccard" -> nearDupJaccardSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_contamination" -> contaminationSql,
-    "q_lm_perplexity" -> lmPerplexitySql
+    "q_lm_perplexity" -> lmPerplexitySql,
+    "q_source_quota" -> sourceQuotaSql
   )
 }

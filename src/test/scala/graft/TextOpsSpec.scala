@@ -90,6 +90,21 @@ class TextOpsSpec extends SparkSpec {
       "banded dedup emitted a pair outside the radius/blocks")
   }
 
+  test("sourceQuota keeps exactly min(cap, group size) per (lang, source)") {
+    val cap = 7
+    val rows = TextOps.sourceQuota(spark, sf, cap = cap).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(kept == math.min(cap.toLong, n),
+        s"${r.getAs[String]("lang")}/${r.getAs[String]("source")}: " +
+          s"kept $kept of $n with cap $cap")
+    }
+    // non-vacuous: at least one group actually hit the cap
+    assert(rows.exists(_.getAs[Long]("n_docs") > cap),
+      "no group exceeds the cap at test scale — quota never exercised")
+  }
+
   test("winnowing fingerprints: deterministic and bounded by shingle count") {
     val fp1 = TextOps.docFingerprints(spark, sf).collect()
     val fp2 = TextOps.docFingerprints(spark, sf).collect()
