@@ -689,6 +689,69 @@ object TextOps {
           .otherwise(array().cast("array<string>"))).as("gram"))
       .distinct()
 
+  /** N-gram (shingle) Jaccard near-dup: same blocked pair-generation
+    * shape as the unigram [[nearDupPairs]], but over distinct n-token
+    * shingle hashes — word *sequences*, not word sets, so reordered
+    * documents stop counting as duplicates. The shingle build is the
+    * same scan-side sequence+transform as [[docGrams]]; the only
+    * shuffles are the gram join and the pair aggregation.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, n: Int = 3,
+                   threshold: Double = 0.6): DataFrame = {
+    val t = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(n))))))
+          .otherwise(array().cast("array<string>"))).as("grams"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("grams")).as("n_gram"), explode(col("grams")).as("gram"))
+    val a = t.select(col("doc_id").as("doc_a"), col("n_gram").as("n_a"),
+      col("lang"), col("source"), col("gram"))
+    val b = t.select(col("doc_id").as("doc_b"), col("n_gram").as("n_b"),
+      col("lang"), col("source"), col("gram"))
+    a.join(b, Seq("lang", "source", "gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source, string_split(text, ' ') AS t
+      |  FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, lang, source,
+      |    md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS gram
+      |  FROM (SELECT doc_id, lang, source, t,
+      |          unnest(range(1, greatest(len(t) - 1, 1))) AS i
+      |        FROM toks)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_gram FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM grams a JOIN grams b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(n_inter AS DOUBLE) / (sa.n_gram + sb.n_gram - n_inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_gram + sb.n_gram - n_inter), 6) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Benchmark-contamination check: for each eval-split document, how
     * many of its distinct 8-gram shingles also appear anywhere in the
     * train split. The train gram set is reduced to DISTINCT grams
@@ -847,7 +910,8 @@ object TextOps {
     "q_doc_fingerprint" -> (docFingerprints _),
     "q_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_lm_perplexity" -> (lmPerplexity _),
-    "q_source_quota" -> ((s: SparkSession, d: String) => sourceQuota(s, d))
+    "q_source_quota" -> ((s: SparkSession, d: String) => sourceQuota(s, d)),
+    "q_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d))
   )
 
   /** SQL oracles for the DuckDB-expressible subset; the LSH/SimHash/
@@ -867,6 +931,7 @@ object TextOps {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_contamination" -> contaminationSql,
     "q_lm_perplexity" -> lmPerplexitySql,
-    "q_source_quota" -> sourceQuotaSql
+    "q_source_quota" -> sourceQuotaSql,
+    "q_ngram_jaccard" -> ngramJaccardSql
   )
 }

@@ -90,6 +90,40 @@ class TextOpsSpec extends SparkSpec {
       "banded dedup emitted a pair outside the radius/blocks")
   }
 
+  test("ngram Jaccard: bounded scores, same-block exact text dups score 1.0") {
+    val out = TextOps.ngramJaccard(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0 && j <= 1.0 + 1e-9, s"jaccard out of range: $j")
+    }
+    // independent formulation: brute-force blocked cross-join with
+    // array_intersect (no gram explode, no join-on-gram) must produce
+    // the identical pair set and scores
+    val toks = split(col("text"), " ")
+    val grams = array_distinct(when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => md5(concat_ws(" ", slice(toks, i, lit(3))))))
+      .otherwise(array().cast("array<string>")))
+    val d = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), grams.as("g"))
+    val ni = size(array_intersect(col("x.g"), col("y.g")))
+    val truth = d.as("x").join(d.as("y"),
+        col("x.lang") === col("y.lang") &&
+          col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .withColumn("jaccard", round(ni.cast("double") /
+        (size(col("x.g")) + size(col("y.g")) - ni), 6))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("x.doc_id"), col("y.doc_id"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = out.map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    assert(truth == got,
+      s"join-based ngram Jaccard disagrees with brute force: " +
+        s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
   test("sourceQuota keeps exactly min(cap, group size) per (lang, source)") {
     val cap = 7
     val rows = TextOps.sourceQuota(spark, sf, cap = cap).collect()
