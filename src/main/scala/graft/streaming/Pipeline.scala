@@ -142,6 +142,83 @@ object Pipeline {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** T7 on the Spark-4-native state API: the same alert machine as
+    * [[alerts]], expressed as a `StatefulProcessor` for
+    * `transformWithState` — typed per-key ValueState, explicit
+    * event-time timers for state eviction (register on activity,
+    * delete the superseded timer; a stale timer that still fires is
+    * ignored unless the sensor has truly been silent past the
+    * horizon). Requires the RocksDB state store provider, which is
+    * what a 100 TB deployment runs anyway: state lives off-heap and
+    * spills to disk instead of competing with execution memory.
+    */
+  class AlertProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, SensorReading, Alert] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState, ExpiredTimerInfo}
+    import org.apache.spark.sql.Encoders
+
+    private val EvictAfterMs: Long = 3600L * 1000
+
+    @transient private var state: ValueState[AlertState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[AlertState]("alert",
+        Encoders.product[AlertState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[SensorReading],
+        timerValues: TimerValues): Iterator[Alert] = {
+      val sorted = rows.toSeq.sortBy(r =>
+        (Option(r.timestamp).map(_.getTime).getOrElse(0L), r.sensor_id))
+      val prev =
+        if (state.exists()) state.get() else AlertState(0, 0L)
+      var st = prev
+      val out = Seq.newBuilder[Alert]
+      sorted.foreach { r =>
+        val ms = Option(r.timestamp).map(_.getTime).getOrElse(st.lastEventMs)
+        st =
+          if (isOutOfBand(r)) {
+            val n = st.consecutive + 1
+            if (n == AlertThreshold)
+              out += Alert(key, r.timestamp, n, r.ph_value, r.do_value)
+            AlertState(n, ms)
+          } else AlertState(0, ms)
+      }
+      state.update(st)
+      if (st.lastEventMs > 0 && st.lastEventMs != prev.lastEventMs) {
+        if (prev.lastEventMs > 0)
+          getHandle.deleteTimer(prev.lastEventMs + EvictAfterMs)
+        getHandle.registerTimer(st.lastEventMs + EvictAfterMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Alert] = {
+      // a superseded timer can still fire; only evict if the sensor
+      // has genuinely been silent for the whole horizon
+      if (state.exists() &&
+          expiredTimerInfo.getExpiryTimeInMs() >=
+            state.get().lastEventMs + EvictAfterMs)
+        state.clear()
+      Iterator.empty
+    }
+  }
+
+  def alertsTws(readings: Dataset[SensorReading]): Dataset[Alert] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import org.apache.spark.sql.Encoders
+    implicit val alertEnc: org.apache.spark.sql.Encoder[Alert] =
+      Encoders.product[Alert]
+    readings
+      .withWatermark("timestamp", "1 day")
+      .groupByKey(_.sensor_id)(Encoders.STRING)
+      .transformWithState(new AlertProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Running per-sensor statistics maintained with mapGroupsWithState
     * (the 1-output-per-group sibling of flatMapGroupsWithState): each
     * micro-batch updates a Welford-style running mean per sensor and

@@ -125,6 +125,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState alert machine matches the flatMapGroupsWithState semantics") {
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[SensorReading](spark)
+    val q = Pipeline.alertsTws(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("alert_tws_out").start()
+    try {
+      input.addData(
+        reading("A", "2024-01-01 00:00:00", ph = 5.0f),  // bad 1
+        reading("A", "2024-01-01 00:10:00", ph = 5.1f),  // bad 2
+        reading("A", "2024-01-01 00:20:00", ph = 5.2f),  // bad 3 → alert
+        reading("A", "2024-01-01 00:30:00", ph = 5.3f),  // bad 4, no new alert
+        reading("B", "2024-01-01 00:00:00", ph = 5.0f),
+        reading("B", "2024-01-01 00:10:00", ph = 7.5f),  // healthy reset
+        reading("B", "2024-01-01 00:20:00", ph = 5.1f),
+        reading("B", "2024-01-01 00:30:00", ph = 5.2f))  // only 2 consecutive
+      q.processAllAvailable()
+      val alerts = spark.table("alert_tws_out").collect()
+      assert(alerts.length == 1, s"expected exactly 1 alert: ${alerts.toSeq}")
+      val a = alerts.head
+      assert(a.getAs[String]("sensor_id") == "A")
+      assert(a.getAs[Timestamp]("alert_time") == ts("2024-01-01 00:20:00"))
+      assert(a.getAs[Int]("n_consecutive") == 3)
+      // streak continues across micro-batches without re-firing
+      input.addData(reading("A", "2024-01-01 00:40:00", ph = 5.0f))
+      q.processAllAvailable()
+      assert(spark.table("alert_tws_out").count() == 1)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("checkpointed parquet sink is exactly-once across AvailableNow restarts") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
