@@ -74,7 +74,9 @@ def pandas_compare(name, sdf, ddf):
     try:
         s = sdf[scols].sort_values(scols).reset_index(drop=True)
         d = ddf[dcols].sort_values(dcols).reset_index(drop=True)
-    except TypeError as e:
+    except (TypeError, ValueError) as e:
+        # array-valued cells raise ValueError ("truth value of an
+        # array is ambiguous"), unhashable types raise TypeError
         return [f"DRIVER-STYLE SORT FAILS (unhashable/array column?): {e}"]
     for c in scols:
         sk, dk = s[c].dtype.kind, d[c].dtype.kind

@@ -22,6 +22,10 @@ object Bench {
     // successful runs, or -1 if none succeeded.
     // optional args: query names to bench (default all) — lets local
     // iteration time one hot query without paying for the whole suite
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(",")} — benching nothing " +
+        "would read as 'no regression'")
     val picked = if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
     val results = picked.map { case (name, fn) =>

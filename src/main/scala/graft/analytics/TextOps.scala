@@ -209,15 +209,34 @@ object TextOps {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val uniq = array_distinct(toks)
-    val topCount = array_max(
-      transform(uniq, t => size(filter(toks, x => x === t))))
-    val bigrams = transform(sequence(lit(1), nTok - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    // top-token count in ONE linear pass: longest run of equal
+    // adjacent tokens after a sort — not the quadratic
+    // per-distinct-token filter scan, which on a 10k-token doc with 5k
+    // distinct tokens would do ~50M comparisons inside one projection
+    val topCount = aggregate(
+      array_sort(toks),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    // guard nTok == 1: unguarded sequence(1, 0) is DESCENDING in
+    // Spark and element_at(toks, 0) throws. With the guard the
+    // bigram set is empty and dup_bigram_frac = 1 - 0/0 = NULL —
+    // identical to the DuckDB oracle's NULL for one-token docs.
+    val bigrams = when(nTok >= 2,
+      transform(sequence(lit(1), nTok - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
     docs.select(col("doc_id"), col("lang"),
       (size(uniq).cast("double") / nTok).as("uniq_ratio"),
       (topCount.cast("double") / nTok).as("top_tok_frac"),
-      (lit(1.0) - size(array_distinct(bigrams)).cast("double") / (nTok - 1))
-        .as("dup_bigram_frac"))
+      (lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+        (nTok - 1).cast("double")).as("dup_bigram_frac"))
   }
 
   /** Repetition-based quality filter rollup: flag documents whose
@@ -305,10 +324,20 @@ object TextOps {
                       k: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("tok").asc)
+    // over-fetch 4k from the sketch, then re-rank deterministically
+    // (cnt DESC, tok ASC) and cut to k: approx_top_k breaks count
+    // ties arbitrarily, so asking for exactly k could return a
+    // different tie-member than the oracle's ordering at the rank-k
+    // boundary. With vocab <= maxItemsTracked the counts are exact,
+    // so the margin makes the boundary deterministic unless a single
+    // tie group spans more than 3k tokens. (At a scale factor where
+    // per-lang vocab exceeds 10000, counts go approximate and this
+    // query's oracle no longer applies — raise maxItemsTracked with
+    // corpus vocabulary.)
     documents(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("lang"))
-      .agg(expr(s"approx_top_k(tok, $k, 10000)").as("top"))
+      .agg(expr(s"approx_top_k(tok, ${4 * k}, 10000)").as("top"))
       .select(col("lang"), explode(col("top")).as("s"))
       .select(col("lang"), col("s.item").as("tok"),
         col("s.count").as("cnt"))
@@ -399,14 +428,21 @@ object TextOps {
     * adds the presentation sort) and the clustering path (where a
     * pre-sort would only add a wasted range shuffle).
     */
-  private def nearDupPairs(spark: SparkSession, dir: String,
-                           threshold: Double): DataFrame = {
-    val t = tokens(spark, dir)
-    val a = t.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a"),
-      col("lang"), col("source"), col("tok"))
-    val b = t.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b"),
-      col("lang"), col("source"), col("tok"))
-    a.join(b, Seq("lang", "source", "tok"))
+  /** Blocked pairwise Jaccard over any per-doc item stream — THE
+    * single pair-generation/scoring pipeline behind both the unigram
+    * (nearDupJaccard) and shingle (ngramJaccard) near-dup queries.
+    * `items` must carry (doc_id, lang, source, n_item, item) with
+    * items distinct per doc; the join runs only inside a
+    * (lang, source) block and the per-pair aggregation recovers
+    * |A∩B| while n_item rides along so |A∪B| needs no second scan.
+    */
+  private def pairwiseJaccard(items: DataFrame,
+                              threshold: Double): DataFrame = {
+    val a = items.select(col("doc_id").as("doc_a"),
+      col("n_item").as("n_a"), col("lang"), col("source"), col("item"))
+    val b = items.select(col("doc_id").as("doc_b"),
+      col("n_item").as("n_b"), col("lang"), col("source"), col("item"))
+    a.join(b, Seq("lang", "source", "item"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"),
@@ -417,6 +453,14 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  private def nearDupPairs(spark: SparkSession, dir: String,
+                           threshold: Double): DataFrame =
+    pairwiseJaccard(
+      tokens(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tok").as("n_item"), col("tok").as("item")),
+      threshold)
 
   def nearDupJaccard(spark: SparkSession, dir: String,
                      threshold: Double = 0.8): DataFrame =
@@ -670,60 +714,47 @@ object TextOps {
   private def isTrain: Column =
     graft.operators.Scale.hashBucket(col("doc_id")) < 80
 
-  /** Distinct (doc_id, gram) pairs, gram = md5 of each n-token
-    * window. Generated scan-side with higher-order functions — no
-    * shuffle, no explode-then-window: sequence+transform build all
-    * window hashes per doc in one codegen'd projection. Docs shorter
-    * than n tokens yield no grams (explode of an empty array).
-    * md5 keeps the gram key engine-portable for the oracle; at
-    * cluster scale a 64-bit hash (xxhash64) halves the shuffle width.
+  /** The distinct n-token shingle hashes of `text`, as one guarded
+    * scan-side expression — THE single definition of a "gram" shared
+    * by contamination and ngramJaccard (and mirrored by their
+    * oracles), so the shingle rule cannot drift per consumer.
+    * sequence+transform build all window hashes in one codegen'd
+    * projection; docs shorter than n tokens yield an empty array (the
+    * unguarded sequence(1, 0) would be DESCENDING). md5 keeps the
+    * gram engine-portable for the oracles; at cluster scale a 64-bit
+    * hash (xxhash64) halves the shuffle width.
     */
+  private def gramArray(n: Int): Column = {
+    val toks = split(col("text"), " ")
+    array_distinct(when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Distinct (doc_id, gram) pairs via [[gramArray]]. */
   private def docGrams(spark: SparkSession, dir: String,
                        n: Int): DataFrame =
     documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        explode(when(size(col("toks")) >= n,
-          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-            i => md5(concat_ws(" ", slice(col("toks"), i, lit(n))))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-      .distinct()
+      .select(col("doc_id"), explode(gramArray(n)).as("gram"))
 
-  /** N-gram (shingle) Jaccard near-dup: same blocked pair-generation
-    * shape as the unigram [[nearDupPairs]], but over distinct n-token
-    * shingle hashes — word *sequences*, not word sets, so reordered
-    * documents stop counting as duplicates. The shingle build is the
-    * same scan-side sequence+transform as [[docGrams]]; the only
-    * shuffles are the gram join and the pair aggregation.
+  /** N-gram (shingle) Jaccard near-dup: [[pairwiseJaccard]] over the
+    * [[gramArray]] shingle hashes instead of unigram token sets —
+    * word *sequences*, not word sets, so reordered documents stop
+    * counting as duplicates. The only shuffles are the gram join and
+    * the pair aggregation.
     */
   def ngramJaccard(spark: SparkSession, dir: String, n: Int = 3,
-                   threshold: Double = 0.6): DataFrame = {
-    val t = documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(when(size(col("toks")) >= n,
-          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-            i => md5(concat_ws(" ", slice(col("toks"), i, lit(n))))))
-          .otherwise(array().cast("array<string>"))).as("grams"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(col("grams")).as("n_gram"), explode(col("grams")).as("gram"))
-    val a = t.select(col("doc_id").as("doc_a"), col("n_gram").as("n_a"),
-      col("lang"), col("source"), col("gram"))
-    val b = t.select(col("doc_id").as("doc_b"), col("n_gram").as("n_b"),
-      col("lang"), col("source"), col("gram"))
-    a.join(b, Seq("lang", "source", "gram"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"),
-        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+                   threshold: Double = 0.6): DataFrame =
+    pairwiseJaccard(
+      documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          gramArray(n).as("grams"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(col("grams")).as("n_item"),
+          explode(col("grams")).as("item")),
+      threshold)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   val ngramJaccardSql: String =
     """WITH toks AS (

@@ -96,8 +96,11 @@ object Prep {
 
   /** Both engines read the reference CSV directly; prep rebuilds
     * first-of-month FullDate exactly as `prepare` does, and the WQI
-    * formula is inlined with the same literal band constants and
-    * per-row round(,4) as graft.analytics.Quality.wqi.
+    * formula is inlined with the same literal band constants as
+    * graft.analytics.Quality.wqiRaw — deliberately UNROUNDED per row:
+    * per-row round(,4) before the yearly average lands on .xxxx5
+    * binary-vs-decimal boundaries where the engines disagree, so
+    * rounding happens once, after aggregation.
     */
   val riverPrepSql: String =
     s"""WITH raw AS (
