@@ -98,6 +98,36 @@ class AsOfJoinSpec extends SparkSpec {
     }.isEmpty, "right-side predicate was illegally pushed below the as-of join")
   }
 
+  test("randomized differential: merge exec equals brute-force as-of on 2k rows") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260812)
+    val keys = (0 until 12).map(i => s"K$i")
+    // duplicate times on both sides are deliberate: ties exercise the
+    // tie-break ordering and the inclusive <= bound
+    val left = (1 to 1200).map(i =>
+      (i.toLong, keys(rng.nextInt(keys.length)), rng.nextInt(300).toLong))
+    val right = (1 to 800).map(i =>
+      (i.toLong, keys(rng.nextInt(keys.length)), rng.nextInt(300).toLong))
+    val lDf = left.toDF("lid", "k", "t")
+    val rDf = right.toDF("rid", "rk", "rt")
+    val out = AsOfJoinPlan.join(lDf, rDf, "k", "rk", "t", "rt",
+        rightTieBreakCols = Seq("rid"))
+      .select(col("lid"), col("rid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // brute force: for each left row, the right row of the same key
+    // with max rt <= t, ties broken by max rid
+    val expected = left.map { case (lid, k, t) =>
+      val m = right.filter { case (_, rk, rt) => rk == k && rt <= t }
+        .sortBy { case (rid, _, rt) => (rt, rid) }.lastOption.map(_._1)
+      lid -> m
+    }.toMap
+    assert(out.size == left.size, "custom as-of dropped/duplicated left rows")
+    val diffs = expected.collect {
+      case (lid, e) if out(lid) != e => (lid, e, out(lid)) }
+    assert(diffs.isEmpty, s"mismatches (first 5): ${diffs.take(5)}")
+  }
+
   test("mismatched key/time types are rejected at construction, not silently merged") {
     import spark.implicits._
     val l = Seq((1L, "A", 100L)).toDF("id", "k", "t")
