@@ -58,16 +58,26 @@ object Quality {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("avg_value"),
+        // value is 2-decimal data: aggregate EXACT integer cents and
+        // round once in integer space — round(avg(double),4) lands on
+        // .xxxx5 boundaries at sf>=0.1 where Spark (shortest-decimal
+        // HALF_UP) and DuckDB (binary) disagree. cents*100/n is the
+        // avg in 1e-4 units; round → integer; /10000.0 is exact.
+        sum(round(col("value") * 100).cast("long")).as("cents"),
         round(min(col("value")), 2).as("min_value"),
         round(max(col("value")), 2).as("max_value"),
         round(stddev_samp(col("value")), 4).as("sd_value"))
+      .select(col("hour_start"), col("event_type"), col("n"),
+        (round(col("cents") * lit(100.0) / col("n")).cast("long") /
+          lit(10000.0)).as("avg_value"),
+        col("min_value"), col("max_value"), col("sd_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
   val sensorHourlySql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
       |  event_type, count(*) AS n,
-      |  round(avg(value), 4) AS avg_value,
+      |  CAST(round(sum(CAST(round(value * 100) AS BIGINT)) * 100.0
+      |             / count(*)) AS BIGINT) / 10000.0 AS avg_value,
       |  round(min(value), 2) AS min_value,
       |  round(max(value), 2) AS max_value,
       |  round(stddev_samp(value), 4) AS sd_value
@@ -127,13 +137,20 @@ object Quality {
         col("event_type"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_alerts"),
-        round(avg(col("value")), 2).as("avg_value"))
+        // exact-cents average (see sensorHourly): cents/n is the avg
+        // in 1e-2 units; round once as an integer, then exact /100.0
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("event_type"), col("day"), col("n_alerts"),
+        (round(col("cents").cast("double") / col("n_alerts")).cast("long") /
+          lit(100.0)).as("avg_value"))
       .orderBy(col("event_type"), col("day"))
 
   val valueAlertsSql: String =
     """SELECT event_type,
       |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-      |  count(*) AS n_alerts, round(avg(value), 2) AS avg_value
+      |  count(*) AS n_alerts,
+      |  CAST(round(sum(CAST(round(value * 100) AS BIGINT)) * 1.0
+      |             / count(*)) AS BIGINT) / 100.0 AS avg_value
       |FROM events
       |WHERE value < 2.0 OR value > 98.0
       |GROUP BY event_type, day
