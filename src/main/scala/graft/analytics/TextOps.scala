@@ -443,7 +443,16 @@ object TextOps {
     val b = items.select(col("doc_id").as("doc_b"),
       col("n_item").as("n_b"), col("lang"), col("source"), col("item"))
     a.join(b, Seq("lang", "source", "item"))
-      .filter(col("doc_a") < col("doc_b"))
+      // size-ratio prune (exact): J(A,B) <= min/max, so J >= t forces
+      // t*|B| <= |A| <= |B|/t — dissimilar-size pairs are dropped per
+      // matched item, BEFORE the per-pair aggregation shuffle. This is
+      // the standard length filter of exact set-similarity joins. The
+      // 1e-6 slack keeps the prune lossless against the final filter,
+      // which compares round(J, 6) — a pair whose true J sits just
+      // below t can still round up to t there.
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_a") * lit(threshold - 1e-6) <= col("n_b") &&
+        col("n_b") * lit(threshold - 1e-6) <= col("n_a"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"),
         first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
