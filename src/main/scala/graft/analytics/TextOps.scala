@@ -26,17 +26,16 @@ import graft.ingest.Sources._
   */
 object TextOps {
 
-  /** Distinct unigram tokens per document, with the blocking keys and
-    * the per-doc token-set size carried on every row — so downstream
-    * pairwise ops never need a second scan/aggregation to recover
-    * |A| and |B|.
+  /** Distinct unigram token SET per document (array form), with the
+    * blocking keys and the per-doc set size — the docSets shape
+    * [[pairwiseJaccard]] consumes, so downstream pairwise ops never
+    * need a second scan/aggregation to recover |A| and |B|.
     */
-  private def tokens(spark: SparkSession, dir: String): DataFrame =
+  private def tokenSets(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(split(col("text"), " ")).as("toks"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(col("toks")).as("n_tok"), explode(col("toks")).as("tok"))
+        array_distinct(split(col("text"), " ")).as("set"))
+      .withColumn("n_item", size(col("set")))
 
   // ---------------------------------------------------------------
   // L1: exact dedup
@@ -436,26 +435,69 @@ object TextOps {
     * (lang, source) block and the per-pair aggregation recovers
     * |A∩B| while n_item rides along so |A∪B| needs no second scan.
     */
-  private def pairwiseJaccard(items: DataFrame,
+  private def pairwiseJaccard(docSets: DataFrame,
                               threshold: Double): DataFrame = {
-    val a = items.select(col("doc_id").as("doc_a"),
+    // All bounds below use a 1e-6-relaxed threshold: the final filter
+    // compares round(J, 6) >= t, so a pair whose true J sits just
+    // below t can still round up to t — every prune must keep it.
+    val tR = threshold - 1e-6
+    // `docSets` carries (doc_id, lang, source, n_item, set) with `set`
+    // the distinct item array. It feeds three branches (df counts,
+    // prefix generation, final verification), so materialize it once —
+    // rows are doc-sized, making the checkpoint no bigger than the
+    // scan it came from; without it the shingle/tokenize expression
+    // re-runs per consumer (runtime AQE reuse cannot canonicalize the
+    // three different exchanges above it).
+    val sets = docSets.localCheckpoint()
+    val items = sets.select(col("doc_id"), col("lang"), col("source"),
+      col("n_item"), explode(col("set")).as("item"))
+    // AllPairs/ppjoin prefix filtering (Bayardo et al., WWW'07; same
+    // scheme as Spark MLlib's set-similarity join). Order each doc's
+    // items by ascending document frequency inside its (lang, source)
+    // block (ties by item — any total order works, rare-first makes
+    // candidates collapse): a pair with J >= t has overlap
+    // o >= ceil(t*max(|A|,|B|)), so its first-in-order common item
+    // lies within the first |X| - ceil(t*|X|) + 1 items of BOTH docs
+    // (pigeonhole on the suffix). Joining only those prefixes — each
+    // doc's RAREST grams — generates the candidate set; frequent
+    // boilerplate shingles never reach the join, so candidate count
+    // scales with rare-gram collisions instead of freq² of the most
+    // common gram. That is the property that survives a 100 TB corpus.
+    val df = items.groupBy(col("lang"), col("source"), col("item"))
+      .agg(count(lit(1)).as("df"))
+    // the prefix feeds BOTH sides of the candidate self-join —
+    // checkpoint it so the df-join + window run once, not per side
+    val prefix = items.join(df, Seq("lang", "source", "item"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("item"))))
+      .filter(col("pos") <=
+        col("n_item") - ceil(col("n_item") * lit(tR)) + 1)
+      .select(col("doc_id"), col("n_item"), col("lang"), col("source"),
+        col("item"))
+      .localCheckpoint()
+    val a = prefix.select(col("doc_id").as("doc_a"),
       col("n_item").as("n_a"), col("lang"), col("source"), col("item"))
-    val b = items.select(col("doc_id").as("doc_b"),
+    val b = prefix.select(col("doc_id").as("doc_b"),
       col("n_item").as("n_b"), col("lang"), col("source"), col("item"))
-    a.join(b, Seq("lang", "source", "item"))
-      // size-ratio prune (exact): J(A,B) <= min/max, so J >= t forces
-      // t*|B| <= |A| <= |B|/t — dissimilar-size pairs are dropped per
-      // matched item, BEFORE the per-pair aggregation shuffle. This is
-      // the standard length filter of exact set-similarity joins. The
-      // 1e-6 slack keeps the prune lossless against the final filter,
-      // which compares round(J, 6) — a pair whose true J sits just
-      // below t can still round up to t there.
+    // size-ratio prune (exact): J(A,B) <= min/max, so J >= t forces
+    // t*|B| <= |A| <= |B|/t — the standard length filter of exact
+    // set-similarity joins, applied per matched prefix item.
+    val cand = a.join(b, Seq("lang", "source", "item"))
       .filter(col("doc_a") < col("doc_b") &&
-        col("n_a") * lit(threshold - 1e-6) <= col("n_b") &&
-        col("n_b") * lit(threshold - 1e-6) <= col("n_a"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"),
-        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+        col("n_a") * lit(tR) <= col("n_b") &&
+        col("n_b") * lit(tR) <= col("n_a"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact verification: candidates re-join the full per-doc item
+    // sets (a shuffle join on doc_id — never a broadcast assumption)
+    // and the true intersection comes from one codegen'd
+    // array_intersect per surviving pair.
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("set").as("set_a"), col("n_item").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("set").as("set_b"), col("n_item").as("n_b")), Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 6))
@@ -465,11 +507,7 @@ object TextOps {
 
   private def nearDupPairs(spark: SparkSession, dir: String,
                            threshold: Double): DataFrame =
-    pairwiseJaccard(
-      tokens(spark, dir)
-        .select(col("doc_id"), col("lang"), col("source"),
-          col("n_tok").as("n_item"), col("tok").as("item")),
-      threshold)
+    pairwiseJaccard(tokenSets(spark, dir), threshold)
 
   def nearDupJaccard(spark: SparkSession, dir: String,
                      threshold: Double = 0.8): DataFrame =
@@ -758,10 +796,8 @@ object TextOps {
     pairwiseJaccard(
       documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("source"),
-          gramArray(n).as("grams"))
-        .select(col("doc_id"), col("lang"), col("source"),
-          size(col("grams")).as("n_item"),
-          explode(col("grams")).as("item")),
+          gramArray(n).as("set"))
+        .withColumn("n_item", size(col("set"))),
       threshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
