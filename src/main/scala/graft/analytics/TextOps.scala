@@ -578,27 +578,47 @@ object TextOps {
       |ORDER BY component""".stripMargin
 
   // ---------------------------------------------------------------
-  // L2: MinHash + LSH banding (no SQL oracle — spec-verified recall)
+  // L2: MinHash + LSH banding (oracle-checked: the hash family is
+  // engine-portable, so DuckDB reproduces signatures bit-for-bit)
   // ---------------------------------------------------------------
 
   val MinHashK = 32 // signature length (σ of the Jaccard estimate ≈ 0.09)
   val LshBands = 8  // bands of r = K/bands = 4 rows each; recall at
                     // threshold J: 1-(1-J^4)^8 (≈0.99 at J=0.8)
+  /** Largest prime below 2^32 — modulus of the seeded hash family. */
+  val MinHashP = 4294967291L
+
+  /** Engine-portable 32-bit hash of every element of a string array:
+    * conv(md5[off..off+7], 16, 10) — the same value DuckDB's
+    * ('0x' || substr(md5(x), off, 8))::BIGINT yields, so hash-defined
+    * operators built on it are oracle-checkable. off = 1 and 9 give
+    * two independent words per element; seeded families derive
+    * h_i = (h1 + i*h2) mod [[MinHashP]], which stays under 2^38 —
+    * ANSI-overflow-safe. At cluster scale swap in xxhash64: identical
+    * shapes, one hash call instead of an md5 (the md5 here buys the
+    * cross-engine correctness gate, not speed).
+    */
+  private def md5Word(arr: Column, off: Int): Column =
+    transform(arr, t =>
+      conv(substring(md5(t), off, 8), 16, 10).cast("long"))
 
   /** Per-doc MinHash signature columns h0..h{K-1}: min over the doc's
-    * token set of xxhash64(tok, seed_i). Computed entirely scan-side
-    * with higher-order functions (no explode, no shuffle): the
-    * signature build is a pure map stage, so at 100 TB it scales with
-    * executor count and the only shuffle in the LSH pipeline is the
+    * token set of (h1 + i*h2) mod P. Computed entirely scan-side with
+    * higher-order functions (no explode, no shuffle): the signature
+    * build is a pure map stage, so at 100 TB it scales with executor
+    * count and the only shuffle in the LSH pipeline is the
     * band-bucket join itself.
     */
   def minHashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val toks = array_distinct(split(col("text"), " "))
     val sigCols = (0 until MinHashK).map(i =>
-      array_min(transform(col("toks"), t => xxhash64(t, lit(i)))).as(s"h$i"))
+      array_min(zip_with(col("h1"), col("h2"),
+        (a, b) => (a + lit(i.toLong) * b) % lit(MinHashP))).as(s"h$i"))
     documents(spark, dir)
       .select((Seq(col("doc_id"), col("lang"), col("source")) :+
         toks.as("toks")): _*)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5Word(col("toks"), 1).as("h1"), md5Word(col("toks"), 9).as("h2"))
       .select((Seq(col("doc_id"), col("lang"), col("source")) ++ sigCols): _*)
   }
 
@@ -622,8 +642,8 @@ object TextOps {
         array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig"))
       .localCheckpoint()
     val bandCols: Seq[Column] = (0 until LshBands).map { band =>
-      xxhash64((band * r until (band + 1) * r)
-        .map(i => element_at(col("sig"), i + 1)): _*)
+      md5(concat_ws(",", (band * r until (band + 1) * r)
+        .map(i => element_at(col("sig"), i + 1)): _*))
     }
     val banded = sigs.select(
       (Seq(col("doc_id"), col("lang"), col("source"), col("sig")) :+
@@ -638,7 +658,9 @@ object TextOps {
       lit(0), (acc, v) => acc + v)
     a.join(b, Seq("lang", "source", "band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("est_jaccard", round(agree.cast("double") / MinHashK, 4))
+      // n/32 is binary-exact with 5 decimal digits, so round(·, 5) is
+      // the identity in BOTH engines — no rounding ambiguity at all
+      .withColumn("est_jaccard", round(agree.cast("double") / MinHashK, 5))
       // a pair can collide in several bands — dedup on the pair key;
       // est_jaccard is identical on every duplicate so first() is exact
       .groupBy(col("doc_a"), col("doc_b"))
@@ -648,31 +670,78 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DuckDB twin of the FULL LSH pipeline — portable hash words,
+    * seeded signature mins, md5 band buckets, candidate join,
+    * signature-agreement estimate — so the hash compare proves the
+    * whole index construction is engine-independent, not just the
+    * final scores.
+    */
+  val minHashLshSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |    unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+      |  FROM toks
+      |), sig AS (
+      |  SELECT doc_id, lang, source, i,
+      |    min((h1 + i * h2) % 4294967291) AS m
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) seeds
+      |  GROUP BY doc_id, lang, source, i
+      |), band AS (
+      |  SELECT doc_id, lang, source, i // 4 AS band,
+      |    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+      |  FROM sig GROUP BY doc_id, lang, source, i // 4
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM band a JOIN band b USING (lang, source, band, bucket)
+      |  WHERE a.doc_id < b.doc_id
+      |), agree AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS n_eq
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+      |  GROUP BY c.doc_a, c.doc_b
+      |)
+      |SELECT doc_a, doc_b, round(n_eq / 32.0, 5) AS est_jaccard
+      |FROM agree
+      |WHERE n_eq / 32.0 >= 0.75
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------
-  // L2: SimHash (no SQL oracle — spec-verified)
+  // L2: SimHash (oracle-checked: fingerprints derive from the same
+  // engine-portable md5 words as MinHash, and the banding is
+  // pigeonhole-complete at the default radius, so DuckDB's
+  // brute-force same-block hamming join is the exact oracle)
   // ---------------------------------------------------------------
 
-  /** 64-bit SimHash per doc: each token's xxhash64 votes ±1 on every
-    * bit; fingerprint bit i is the vote sign. Implemented as 64
-    * conditional-sum aggregates (codegen'd, partial+final) — one
-    * shuffle on doc_id, no UDF.
+  /** 64-bit SimHash per doc: each token contributes two portable
+    * 32-bit hash words ([[md5Word]] at offsets 1 and 9 = fingerprint
+    * bits 0..31 and 32..63); every bit gets a ±1 vote and fingerprint
+    * bit i is the vote sign. Implemented as 64 conditional-count
+    * array filters (codegen'd, pure map stage — no explode, no UDF,
+    * no shuffle). Bit i's vote sum over ±1 is
+    * 2·(#hashes with bit i set) − n, so the sign test `sum > 0`
+    * becomes `2·count > n`.
     */
   def simHashFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    // scan-side: hash each distinct token once, then take the 64 bit
-    // votes with array filters — a pure map stage (no explode/shuffle).
-    // Bit i's vote sum over ±1 is 2·(#hashes with bit i set) − n, so
-    // the sign test `sum > 0` becomes `2·count > n`.
-    val hs = transform(array_distinct(split(col("text"), " ")),
-      t => xxhash64(t))
-    val fingerprint = (0 until 64).map { i =>
-      val ones = size(filter(col("hs"),
+    def word(hs: Column): Column = (0 until 32).map { i =>
+      val ones = size(filter(hs,
         h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
-      shiftleft(when(ones * 2 > size(col("hs")), 1L).otherwise(0L), i)
+      shiftleft(when(ones * 2 > size(hs), 1L).otherwise(0L), i)
     }.reduce(_.bitwiseOR(_))
     documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), hs.as("hs"))
       .select(col("doc_id"), col("lang"), col("source"),
-        fingerprint.as("simhash"))
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5Word(col("toks"), 1).as("h1"), md5Word(col("toks"), 9).as("h2"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        word(col("h1"))
+          .bitwiseOR(shiftleft(word(col("h2")), 32)).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash: block on (lang, source), band the
@@ -720,6 +789,46 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Brute-force same-block hamming join over DuckDB-recomputed
+    * fingerprints (two 32-bit words — (1::BIGINT << 63) has no home in
+    * a signed BIGINT build, two words do). Deliberately NOT a
+    * replication of the chunk banding: the banding is
+    * pigeonhole-complete at the default radius, so banded Spark
+    * output ≡ brute force — the hash compare is a standing proof of
+    * that completeness claim, query by query.
+    */
+  val simHashDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |    unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+      |  FROM toks
+      |), votes AS (
+      |  SELECT doc_id, lang, source, i,
+      |    sum(CASE WHEN i < 32 THEN (h1 >> i) & 1
+      |             ELSE (h2 >> (i - 32)) & 1 END) AS ones,
+      |    count(*) AS n
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bitidx
+      |  GROUP BY doc_id, lang, source, i
+      |), fp AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(sum(CASE WHEN i < 32 AND 2 * ones > n
+      |                  THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN i >= 32 AND 2 * ones > n
+      |                  THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM votes GROUP BY doc_id, lang, source
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+      |FROM fp a JOIN fp b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------
   // L4: document fingerprinting (winnowing; no SQL oracle)
@@ -990,11 +1099,15 @@ object TextOps {
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d))
   )
 
-  /** SQL oracles for the DuckDB-expressible subset; the LSH/SimHash/
-    * winnowing entries are hash-function-defined (xxhash64) and are
-    * verified by ScalaTest recall/property specs instead.
+  /** SQL oracles for the DuckDB-expressible subset. MinHash and
+    * SimHash are built on the engine-portable [[md5Word]] family, so
+    * both are fully oracle-checked; the winnowing fingerprint entry
+    * remains hash-function-defined (xxhash64) and is verified by
+    * ScalaTest property specs instead.
     */
   val oracles: Map[String, String] = Map(
+    "q_minhash_lsh" -> minHashLshSql,
+    "q_simhash_dedup" -> simHashDedupSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_token_stats" -> tokenStatsSql,
     "q_token_bpe" -> tokenBpeSql,
