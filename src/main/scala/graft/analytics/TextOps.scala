@@ -831,20 +831,25 @@ object TextOps {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------
-  // L4: document fingerprinting (winnowing; no SQL oracle)
+  // L4: document fingerprinting (winnowing; oracle-checked — the
+  // shingle hash is the portable 32-bit md5 word, so DuckDB rebuilds
+  // the identical fingerprint sets with list comprehensions)
   // ---------------------------------------------------------------
 
   /** Winnowing fingerprints via higher-order functions only: 3-gram
-    * shingle rolling hashes, then the min hash of each width-4 window,
-    * deduplicated — the classic local fingerprint set, computed
-    * entirely scan-side (no shuffle at all until the final ordering).
+    * shingle rolling hashes (positional, NOT distinct — winnowing
+    * windows are positional), then the min hash of each width-4
+    * window, deduplicated — the classic local fingerprint set,
+    * computed entirely scan-side (no shuffle at all until the final
+    * ordering).
     */
   def docFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nShingle = greatest(size(toks) - 2, lit(1))
     val shingleHashes = transform(
       sequence(lit(1), nShingle),
-      i => xxhash64(concat_ws(" ", slice(toks, i, lit(3)))))
+      i => conv(substring(md5(concat_ws(" ", slice(toks, i, lit(3)))),
+        1, 8), 16, 10).cast("long"))
     val w = 4
     val windows = transform(
       sequence(lit(1), greatest(size(col("shingle_hashes")) - (w - 1), lit(1))),
@@ -859,6 +864,26 @@ object TextOps {
         array_max(col("fingerprints")).as("max_fp"))
       .orderBy(col("doc_id"))
   }
+
+  val docFingerprintsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    [CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+      |                          1, 8)) AS BIGINT)
+      |     FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS hs
+      |  FROM t
+      |), win AS (
+      |  SELECT doc_id,
+      |    list_distinct([list_min(hs[j:j+3])
+      |                   FOR j IN range(1, greatest(len(hs) - 3, 1) + 1)]) AS fps
+      |  FROM sh
+      |)
+      |SELECT doc_id, len(fps) AS n_fingerprints,
+      |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+      |FROM win
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // L4+: benchmark contamination & unigram-LM scoring over a
@@ -1099,15 +1124,15 @@ object TextOps {
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d))
   )
 
-  /** SQL oracles for the DuckDB-expressible subset. MinHash and
-    * SimHash are built on the engine-portable [[md5Word]] family, so
-    * both are fully oracle-checked; the winnowing fingerprint entry
-    * remains hash-function-defined (xxhash64) and is verified by
-    * ScalaTest property specs instead.
+  /** SQL oracles for the DuckDB-expressible subset. MinHash, SimHash
+    * and the winnowing fingerprints are built on the engine-portable
+    * [[md5Word]] hash family, so every text operator here is fully
+    * oracle-checked.
     */
   val oracles: Map[String, String] = Map(
     "q_minhash_lsh" -> minHashLshSql,
     "q_simhash_dedup" -> simHashDedupSql,
+    "q_doc_fingerprint" -> docFingerprintsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_token_stats" -> tokenStatsSql,
     "q_token_bpe" -> tokenBpeSql,

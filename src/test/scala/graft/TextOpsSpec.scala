@@ -194,7 +194,8 @@ class TextOpsSpec extends SparkSpec {
     val toks = split(col("text"), " ")
     val nShingle = greatest(size(toks) - 2, lit(1))
     val hashes = transform(sequence(lit(1), nShingle),
-      i => xxhash64(concat_ws(" ", slice(toks, i, lit(3)))))
+      i => conv(substring(md5(concat_ws(" ", slice(toks, i, lit(3)))),
+        1, 8), 16, 10).cast("long"))
     val wins = transform(
       sequence(lit(1), greatest(size(col("sh")) - 3, lit(1))),
       j => array_min(slice(col("sh"), j, lit(4))))
