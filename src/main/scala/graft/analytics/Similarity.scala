@@ -174,12 +174,23 @@ object Similarity {
   val LshChunkBits = 4
   private val Dim = 64
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed — the sketch
-    * must be stable across sessions and executors).
+  /** Deterministic hyperplanes, derived per (plane, dim) from the same
+    * engine-portable md5-word rule the text LSH family uses: weight =
+    * float32((h1 / 2^32) * 2 − 1) with h1 the first 8 md5-hex chars of
+    * "p_d". Every step (exact power-of-two division, ×2, −1, float32
+    * rounding) is bit-reproducible in DuckDB SQL, so the full sketch
+    * pipeline is oracle-checkable — not merely stable across sessions
+    * and executors.
     */
   private[analytics] val hyperplanes: Seq[Seq[Float]] = {
-    val rng = new scala.util.Random(7)
-    Seq.fill(LshPlanes)(Seq.fill(Dim)((rng.nextGaussian() * 0.5).toFloat))
+    def weight(p: Int, d: Int): Float = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${p}_${d}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      ((h1.toDouble / 4294967296.0) * 2 - 1).toFloat
+    }
+    Seq.tabulate(LshPlanes)(p => Seq.tabulate(Dim)(d => weight(p, d)))
   }
 
   /** 16-bit sign sketch of an embedding column. */
@@ -215,6 +226,53 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"))
       .distinct()
   }
+
+  /** DuckDB twin of the FULL random-hyperplane pipeline: md5-derived
+    * plane weights, 16 sign-bit sketch, 4-bit chunk banding, candidate
+    * join, exact-cosine re-rank — double-accumulated dot products in
+    * array order on both engines, the pattern q_knn_bruteforce's hash
+    * match already proves stable.
+    */
+  val knnLshSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings
+      |), planes AS (
+      |  SELECT p, list_transform(range(0, 64), d ->
+      |    CAST(CAST((CAST(('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),
+      |                            1, 8)) AS BIGINT)
+      |               / 4294967296.0) * 2 - 1 AS REAL) AS DOUBLE)) AS w
+      |  FROM (SELECT unnest(range(0, 16)) AS p)
+      |), sk AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+      |                                k -> emb[k] * w[k])) > 0
+      |             THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sk
+      |  FROM n CROSS JOIN planes
+      |  GROUP BY vec_id
+      |), banded AS (
+      |  SELECT vec_id, c AS chunk, (sk >> (c * 4)) & 15 AS chunk_val
+      |  FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS c)
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      |  FROM banded a JOIN banded b USING (chunk, chunk_val)
+      |  WHERE a.vec_id <> b.vec_id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_sum(list_transform(range(1, 65), k -> q.emb[k] * c.emb[k]))
+      |      / (q.nrm * c.nrm) AS cos,
+      |    row_number() OVER (
+      |      PARTITION BY query_id
+      |      ORDER BY list_sum(list_transform(range(1, 65), k -> q.emb[k] * c.emb[k]))
+      |                 / (q.nrm * c.nrm) DESC,
+      |               neighbor_id ASC) AS rnk
+      |  FROM cand JOIN n q ON q.vec_id = query_id
+      |            JOIN n c ON c.vec_id = neighbor_id
+      |)
+      |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
 
   /** ANN top-k: LSH candidates re-ranked by exact cosine. Every vector
     * is a query; only bucket-mates are scored.
@@ -496,6 +554,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_knn_lsh" -> knnLshSql,
     "q_knn_bruteforce" -> knnBruteForceSql,
     "q_embed_near_dup" -> embedNearDupSql,
     "q_label_centroids" -> labelCentroidsSql,
