@@ -29,6 +29,7 @@ object SparkEntry {
       analytics.TextOps.queries ++
       analytics.Similarity.queries ++
       analytics.Quality.queries ++
+      analytics.Privacy.queries ++
       analytics.Multimodal.queries ++
       functions.Aggregators.queries ++
       operators.Scale.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       analytics.TextOps.oracles ++
       analytics.Similarity.oracles ++
       analytics.Quality.oracles ++
+      analytics.Privacy.oracles ++
       functions.Aggregators.oracles ++
       operators.Scale.oracles ++
       sinks.Sinks.oracles ++

@@ -1,0 +1,70 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Sources
+
+/** Privacy / pseudonymization operators — the de-identification pass a
+  * training-data pipeline runs before a dataset leaves its enclave.
+  *
+  * Scale notes (100 TB): masking is a pure scan-side projection (no
+  * shuffle at all); the k-anonymity audit adds ONE hash shuffle on the
+  * quasi-identifier tuple — the same shape as any groupBy, so skew
+  * handling (salting, AQE) applies unchanged. Nothing here ever
+  * carries the raw identifier past the projection that hashes it.
+  */
+object Privacy {
+
+  /** Pseudonymize the customer dimension and audit its re-identification
+    * risk in one pass:
+    *  - `pseudo_id`: 64-bit md5 prefix of the key — stable join key
+    *    across releases, not reversible without the key list.
+    *  - `name_token`: md5 of c_name. TPC-H names embed the row key
+    *    ("Customer#000000001"), so the name is a DIRECT identifier —
+    *    tokenized, not truncated.
+    *  - `balance_band`: c_acctbal generalized to its 100-wide band
+    *    (k-anonymity generalization, keeps the column analytically
+    *    useful).
+    *  - `group_k`: the anonymity-set size of the row's quasi-identifier
+    *    tuple (nation, segment, band) — rows with small `group_k` are
+    *    the re-identification risk a release gate would block on.
+    */
+  def piiMask(spark: SparkSession, dir: String): DataFrame = {
+    val masked = Sources.customer(spark, dir).select(
+      substring(md5(col("c_custkey").cast("string")), 1, 16).as("pseudo_id"),
+      md5(col("c_name")).as("name_token"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"),
+      (floor(col("c_acctbal") / 100) * 100).cast("long").as("balance_band"))
+    masked
+      .withColumn("group_k", count(lit(1)).over(
+        Window.partitionBy(col("nation"), col("segment"),
+          col("balance_band"))))
+      .orderBy(col("pseudo_id"))
+  }
+
+  val piiMaskSql: String =
+    """WITH masked AS (
+      |  SELECT
+      |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS pseudo_id,
+      |    md5(c_name) AS name_token,
+      |    CAST(c_nationkey AS BIGINT) AS nation,
+      |    c_mktsegment AS segment,
+      |    CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS balance_band
+      |  FROM customer
+      |)
+      |SELECT pseudo_id, name_token, nation, segment, balance_band,
+      |  count(*) OVER (PARTITION BY nation, segment, balance_band) AS group_k
+      |FROM masked
+      |ORDER BY pseudo_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_mask" -> (piiMask _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pii_mask" -> piiMaskSql
+  )
+}

@@ -182,16 +182,20 @@ object Similarity {
     * pipeline is oracle-checkable — not merely stable across sessions
     * and executors.
     */
-  private[analytics] val hyperplanes: Seq[Seq[Float]] = {
-    def weight(p: Int, d: Int): Float = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${p}_${d}".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-      ((h1.toDouble / 4294967296.0) * 2 - 1).toFloat
-    }
-    Seq.tabulate(LshPlanes)(p => Seq.tabulate(Dim)(d => weight(p, d)))
+  /** Driver-side twin of the engine-portable 32-bit md5 word (first 8
+    * md5-hex chars as an unsigned int) — the same value DuckDB's
+    * ('0x' || substr(md5(s), 1, 8))::BIGINT yields for the same
+    * string, so constants derived from it are SQL-reproducible.
+    */
+  private def md5Word32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
   }
+
+  private[analytics] val hyperplanes: Seq[Seq[Float]] =
+    Seq.tabulate(LshPlanes)(p => Seq.tabulate(Dim)(d =>
+      ((md5Word32(s"${p}_${d}").toDouble / 4294967296.0) * 2 - 1).toFloat))
 
   /** 16-bit sign sketch of an embedding column. */
   private[analytics] def sketch(emb: Column): Column =
@@ -544,7 +548,75 @@ object Similarity {
        |ORDER BY label""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // Johnson–Lindenstrauss random projection (oracle-checked)
+  // ---------------------------------------------------------------
+
+  /** Projected dimensionality of [[randomProjection]]. */
+  val RpDims = 16
+
+  /** ±1 projection matrix, signs from the md5-word parity of "rp_p_d"
+    * — SQL-reproducible like [[hyperplanes]].
+    */
+  private[analytics] val rpSigns: Seq[Seq[Float]] =
+    Seq.tabulate(RpDims)(p => Seq.tabulate(Dim)(d =>
+      if (md5Word32(s"rp_${p}_${d}") % 2 == 0) 1.0f else -1.0f))
+
+  /** Johnson–Lindenstrauss dimension reduction 64 → 16: a ±1 sign
+    * matrix (Achlioscas-style) applied scan-side — [[RpDims]] codegen'd
+    * dot products per row, scaled by 1/√16 (an exact power-of-two
+    * division). Output keeps the first two components plus the
+    * projected norm and its ratio to the original norm — the JL
+    * distance-preservation property made visible (ratio ≈ 1). No
+    * shuffle at all until the presentation sort; at 100 TB this is the
+    * cheap front half of any ANN/sketch pipeline that can't afford
+    * 64-dim candidate scoring.
+    */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val projCols = rpSigns.map(s =>
+      (vecDot(col("embedding"), typedlit(s)) / 4.0))
+    vectors(spark, dir)
+      .select(col("vec_id"), col("nrm"), array(projCols: _*).as("proj"))
+      .select(col("vec_id"), col("nrm"), col("proj"),
+        sqrt(aggregate(col("proj"), lit(0.0),
+          (acc, x) => acc + x * x)).as("pnorm"))
+      .select(col("vec_id"),
+        round(element_at(col("proj"), 1), 6).as("p0"),
+        round(element_at(col("proj"), 2), 6).as("p1"),
+        round(col("pnorm"), 6).as("proj_norm"),
+        round(col("pnorm") / col("nrm"), 6).as("norm_ratio"))
+      .orderBy(col("vec_id"))
+  }
+
+  val randomProjectionSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings
+      |), signs AS (
+      |  SELECT p, list_transform(range(0, 64), d ->
+      |    CASE WHEN CAST(('0x' || substr(md5('rp_' || p::VARCHAR || '_'
+      |                                    || d::VARCHAR), 1, 8)) AS BIGINT)
+      |              % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) AS s
+      |  FROM (SELECT unnest(range(0, 16)) AS p)
+      |), pr AS (
+      |  SELECT vec_id, nrm, p,
+      |    list_sum(list_transform(range(1, 65), k -> emb[k] * s[k])) / 4.0 AS v
+      |  FROM n CROSS JOIN signs
+      |), agg AS (
+      |  SELECT vec_id, any_value(nrm) AS nrm, list(v ORDER BY p) AS proj
+      |  FROM pr GROUP BY vec_id
+      |)
+      |SELECT vec_id,
+      |  round(proj[1], 6) AS p0, round(proj[2], 6) AS p1,
+      |  round(sqrt(list_sum(list_transform(proj, x -> x * x))), 6) AS proj_norm,
+      |  round(sqrt(list_sum(list_transform(proj, x -> x * x))) / nrm, 6) AS norm_ratio
+      |FROM agg
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_random_projection" -> (randomProjection _),
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
     "q_embed_near_dup" -> ((s: SparkSession, d: String) => embedNearDup(s, d)),
     "q_label_centroids" -> (labelCentroids _),
@@ -554,6 +626,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_random_projection" -> randomProjectionSql,
     "q_knn_lsh" -> knnLshSql,
     "q_knn_bruteforce" -> knnBruteForceSql,
     "q_embed_near_dup" -> embedNearDupSql,

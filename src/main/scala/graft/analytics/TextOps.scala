@@ -1104,7 +1104,103 @@ object TextOps {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // L1+: chunk-level exact dedup (substring dedup) and deterministic
+  // weighted sampling
+  // ---------------------------------------------------------------
+
+  /** Chunk width (tokens) of the substring-dedup pass. */
+  val ChunkW = 8
+
+  /** Exact SUBSTRING-level dedup: split each doc into non-overlapping
+    * [[ChunkW]]-token chunks (full chunks only), hash each chunk, and
+    * count how many of a doc's chunks also occur anywhere else in the
+    * corpus — the boilerplate/template-contamination signal that
+    * document-level exact dedup misses. Shapes: one explode, one
+    * count aggregation on the 32-byte chunk hash, one join back, one
+    * per-doc aggregation — every shuffle key is a hash, never text.
+    * Docs shorter than one full chunk carry no chunks and are absent,
+    * like the other gram-based operators.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nFull = floor(size(toks) / ChunkW).cast("int")
+    val chunkArr = when(size(toks) >= ChunkW,
+      transform(sequence(lit(0), nFull - 1),
+        c => md5(concat_ws(" ", slice(toks, c * ChunkW + 1, lit(ChunkW))))))
+      .otherwise(array().cast("array<string>"))
+    val chunks = documents(spark, dir)
+      .select(col("doc_id"), explode(chunkArr).as("chunk"))
+    val freq = chunks.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_occ"))
+    chunks.join(freq, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_chunks"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val chunkDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |ch AS (
+      |  SELECT doc_id,
+      |    unnest([md5(array_to_string(toks[(c*8+1):(c*8+8)], ' '))
+      |            FOR c IN range(0, CAST(floor(len(toks) / 8) AS BIGINT))]) AS chunk
+      |  FROM t WHERE len(toks) >= 8
+      |), freq AS (SELECT chunk, count(*) AS n_occ FROM ch GROUP BY chunk)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |          / count(*), 6) AS dup_ratio
+      |FROM ch JOIN freq USING (chunk)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic quality-weighted downsampling: each doc keeps with
+    * probability n_tok% (capped at 95) — longer docs are likelier to
+    * survive — decided by the SAME engine-portable md5 bucket rule as
+    * the train/valid/test split, so the sample is reproducible on any
+    * engine at any cluster size (no RNG, no seed plumbing, no
+    * coordination between executors). Output audits the sampling per
+    * (lang, source): docs in/kept and the kept token mass, all exact
+    * integers — no float aggregate to drift at scale.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), nTok.as("n_tok"))
+      .withColumn("keep",
+        graft.operators.Scale.hashBucket(col("doc_id")) <
+          least(col("n_tok"), lit(95)))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tok").cast("long"))
+          .otherwise(0L)).as("kept_tok_sum"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH d AS (
+      |  SELECT lang, source,
+      |    ${graft.operators.Scale.hashBucketSql("doc_id")} <
+      |      least(len(string_split(text, ' ')), 95) AS keep,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents
+      |)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tok_sum
+      |FROM d
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_dedup" -> (chunkDedup _),
+    "q_weighted_sample" -> (weightedSample _),
     "q_dedup_exact" -> (dedupExact _),
     "q_token_stats" -> (tokenStats _),
     "q_token_bpe" -> (tokenBpe _),
@@ -1130,6 +1226,8 @@ object TextOps {
     * oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "q_chunk_dedup" -> chunkDedupSql,
+    "q_weighted_sample" -> weightedSampleSql,
     "q_minhash_lsh" -> minHashLshSql,
     "q_simhash_dedup" -> simHashDedupSql,
     "q_doc_fingerprint" -> docFingerprintsSql,

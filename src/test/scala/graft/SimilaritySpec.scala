@@ -199,4 +199,30 @@ class SimilaritySpec extends SparkSpec {
       assert(checksum > 0 && checksum < maxSum)
     }
   }
+
+  test("randomProjection: JL norm concentration + independently derived basis projection") {
+    import spark.implicits._
+    val ratios = Similarity.randomProjection(spark, sf).collect()
+      .map(_.getAs[Double]("norm_ratio"))
+    // ±1/√16 projections concentrate ||proj||/||x|| around 1
+    assert(ratios.forall(r => r > 0.3 && r < 1.9),
+      s"JL ratio out of band: ${ratios.min}..${ratios.max}")
+    // basis vector e_0: component p is exactly sign(p, 0)/4 — recompute
+    // the sign rule independently of the production constant
+    def w32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def expSign(p: Int): Double = if (w32(s"rp_${p}_0") % 2 == 0) 0.25 else -0.25
+    val dir = java.nio.file.Files.createTempDirectory("graft_rp").toString
+    Seq((0L, 1.0f +: Array.fill(63)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val row = Similarity.randomProjection(spark, dir).collect().head
+    assert(row.getAs[Double]("p0") == expSign(0), "p0 sign/scale mismatch")
+    assert(row.getAs[Double]("p1") == expSign(1), "p1 sign/scale mismatch")
+    assert(row.getAs[Double]("norm_ratio") == 1.0,
+      "basis vector must project to norm ratio exactly 1 under ±1 signs")
+  }
 }

@@ -286,4 +286,36 @@ class TextOpsSpec extends SparkSpec {
     // non-degenerate: the model separates documents
     assert(scores.distinct.length > 1)
   }
+
+  test("chunkDedup: planted duplicate chunk flagged in both docs, short docs absent") {
+    import spark.implicits._
+    val shared = (0 until 8).map(i => s"dup$i").mkString(" ")
+    val uniqA = (0 until 8).map(i => s"ua$i").mkString(" ")
+    val uniqB = (0 until 8).map(i => s"ub$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    Seq(
+      (1L, s"$shared $uniqA", "en", "s0"), // chunks: [shared, uniqA]
+      (2L, s"$shared $uniqB", "en", "s0"), // chunks: [shared, uniqB]
+      (3L, "tiny doc", "en", "s0")) //        < 8 tokens → no chunks
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextOps.chunkDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup")))).toMap
+    assert(out.keySet == Set(1L, 2L), s"unexpected docs: ${out.keySet}")
+    assert(out(1L) == ((2L, 1L)) && out(2L) == ((2L, 1L)),
+      s"expected 1 of 2 chunks duplicated per doc, got $out")
+  }
+
+  test("weightedSample: kept counts bounded, deterministic, never above the group") {
+    val out = TextOps.weightedSample(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      // every kept doc has at least one token, so token mass >= kept
+      assert(r.getAs[Long]("kept_tok_sum") >= r.getAs[Long]("n_kept"))
+    }
+    // hash-decided sample: bit-identical on re-run, no RNG state
+    assert(TextOps.weightedSample(spark, sf).collect().sameElements(out))
+  }
 }
