@@ -429,6 +429,52 @@ object Relational {
       |GROUP BY c_custkey, c_mktsegment
       |ORDER BY c_custkey""".stripMargin
 
+  /** FULL OUTER join (J8's missing quadrant): a filtered customer dim
+    * against a filtered per-customer order rollup, so BOTH unmatched
+    * sides genuinely occur — customers outside the segment appear only
+    * on the order side, customers without 1995 orders only on the dim
+    * side. Presence flags + coalesced keys make the null semantics
+    * the tested surface. Same shuffle shape as any equi-join; at
+    * scale a full outer can't broadcast either side, so this stays a
+    * shuffle join on the key by construction.
+    */
+  def customerOrderFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders_95"),
+        round(sum(col("o_totalprice")), 2).as("rev_95"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.as("in_segment"),
+        col("o_custkey").isNotNull.as("ordered_95"),
+        coalesce(col("n_orders_95"), lit(0L)).as("n_orders_95"),
+        coalesce(col("rev_95"), lit(0.0)).as("rev_95"))
+      .orderBy(col("custkey"))
+  }
+
+  val customerOrderFullOuterSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer
+      |  WHERE c_mktsegment = 'BUILDING'
+      |), o AS (
+      |  SELECT o_custkey, count(*) AS n_orders_95,
+      |    round(sum(o_totalprice), 2) AS rev_95
+      |  FROM orders WHERE year(o_orderdate) = 1995
+      |  GROUP BY o_custkey
+      |)
+      |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+      |  c_custkey IS NOT NULL AS in_segment,
+      |  o_custkey IS NOT NULL AS ordered_95,
+      |  CAST(coalesce(n_orders_95, 0) AS BIGINT) AS n_orders_95,
+      |  coalesce(rev_95, 0.0) AS rev_95
+      |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
   /** Exact interpolated percentiles per group — Spark `percentile`
     * and DuckDB `quantile_cont` share the definition, so the oracle is
     * exact. (approx_percentile sketches are engine-specific and tested
@@ -545,6 +591,7 @@ object Relational {
     "q_grouping_sets_nation_year" -> (groupingSetsNationYear _),
     "q_order_bag_set_ops" -> (orderBagSetOps _),
     "q_customer_order_counts" -> (customerOrderCounts _),
+    "q_full_outer_join" -> (customerOrderFullOuter _),
     "q_balance_quartiles" -> (balanceQuartiles _)
   )
 
@@ -567,6 +614,7 @@ object Relational {
     "q_grouping_sets_nation_year" -> groupingSetsNationYearSql,
     "q_order_bag_set_ops" -> orderBagSetOpsSql,
     "q_customer_order_counts" -> customerOrderCountsSql,
+    "q_full_outer_join" -> customerOrderFullOuterSql,
     "q_balance_quartiles" -> balanceQuartilesSql
   )
 }

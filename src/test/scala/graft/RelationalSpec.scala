@@ -74,4 +74,17 @@ class RelationalSpec extends SparkSpec {
     val p = plan(Relational.topCustomersPerNation(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
   }
+
+  test("full outer join: both unmatched quadrants genuinely occur") {
+    val out = Relational.customerOrderFullOuter(spark, sf).collect()
+    // dim-only rows (in segment, no 1995 orders)
+    assert(out.exists(r =>
+      r.getAs[Boolean]("in_segment") && !r.getAs[Boolean]("ordered_95")))
+    // order-only rows (1995 orders from outside the segment)
+    assert(out.exists(r =>
+      !r.getAs[Boolean]("in_segment") && r.getAs[Boolean]("ordered_95")))
+    // coalesced key is never null and each row comes from somewhere
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("custkey")) &&
+      (r.getAs[Boolean]("in_segment") || r.getAs[Boolean]("ordered_95"))))
+  }
 }
