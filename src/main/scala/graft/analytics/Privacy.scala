@@ -19,11 +19,14 @@ object Privacy {
 
   /** Pseudonymize the customer dimension and audit its re-identification
     * risk in one pass:
-    *  - `pseudo_id`: 64-bit md5 prefix of the key — stable join key
-    *    across releases, not reversible without the key list.
-    *  - `name_token`: md5 of c_name. TPC-H names embed the row key
-    *    ("Customer#000000001"), so the name is a DIRECT identifier —
-    *    tokenized, not truncated.
+    *  - `pseudo_id`: 64-bit md5 prefix of SALT + key — a stable join
+    *    key across releases. The salt below is a fixture constant so
+    *    the DuckDB oracle can reproduce it; in production it is the
+    *    secret a KMS injects (HMAC), because an UNSALTED hash of an
+    *    enumerable key is reversible by brute-force enumeration.
+    *  - `name_token`: salted md5 of c_name. TPC-H names embed the row
+    *    key ("Customer#000000001"), so the name is a DIRECT identifier
+    *    — tokenized, not truncated, same salt rule.
     *  - `balance_band`: c_acctbal generalized to its 100-wide band
     *    (k-anonymity generalization, keeps the column analytically
     *    useful).
@@ -31,10 +34,14 @@ object Privacy {
     *    tuple (nation, segment, band) — rows with small `group_k` are
     *    the re-identification risk a release gate would block on.
     */
+  /** Stand-in for the deployment secret (see [[piiMask]] scaladoc). */
+  val PseudoSalt = "graft-pii-v1:"
+
   def piiMask(spark: SparkSession, dir: String): DataFrame = {
     val masked = Sources.customer(spark, dir).select(
-      substring(md5(col("c_custkey").cast("string")), 1, 16).as("pseudo_id"),
-      md5(col("c_name")).as("name_token"),
+      substring(md5(concat(lit(PseudoSalt),
+        col("c_custkey").cast("string"))), 1, 16).as("pseudo_id"),
+      md5(concat(lit(PseudoSalt), col("c_name"))).as("name_token"),
       col("c_nationkey").cast("long").as("nation"),
       col("c_mktsegment").as("segment"),
       (floor(col("c_acctbal") / 100) * 100).cast("long").as("balance_band"))
@@ -46,10 +53,10 @@ object Privacy {
   }
 
   val piiMaskSql: String =
-    """WITH masked AS (
+    s"""WITH masked AS (
       |  SELECT
-      |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS pseudo_id,
-      |    md5(c_name) AS name_token,
+      |    substr(md5('$PseudoSalt' || CAST(c_custkey AS VARCHAR)), 1, 16) AS pseudo_id,
+      |    md5('$PseudoSalt' || c_name) AS name_token,
       |    CAST(c_nationkey AS BIGINT) AS nation,
       |    c_mktsegment AS segment,
       |    CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS balance_band

@@ -174,14 +174,6 @@ object Similarity {
   val LshChunkBits = 4
   private val Dim = 64
 
-  /** Deterministic hyperplanes, derived per (plane, dim) from the same
-    * engine-portable md5-word rule the text LSH family uses: weight =
-    * float32((h1 / 2^32) * 2 − 1) with h1 the first 8 md5-hex chars of
-    * "p_d". Every step (exact power-of-two division, ×2, −1, float32
-    * rounding) is bit-reproducible in DuckDB SQL, so the full sketch
-    * pipeline is oracle-checkable — not merely stable across sessions
-    * and executors.
-    */
   /** Driver-side twin of the engine-portable 32-bit md5 word (first 8
     * md5-hex chars as an unsigned int) — the same value DuckDB's
     * ('0x' || substr(md5(s), 1, 8))::BIGINT yields for the same
@@ -193,9 +185,38 @@ object Similarity {
     java.lang.Long.parseLong(hex.substring(0, 8), 16)
   }
 
+  /** Exact md5-word uniform in [0, 1): h/2^32 is a power-of-two
+    * division of an integer, so both engines produce the identical
+    * double.
+    */
+  private def md5Uniform(s: String): Double =
+    md5Word32(s).toDouble / 4294967296.0
+
+  /** Deterministic GAUSSIAN hyperplanes: weight(p, d) is Irwin–Hall —
+    * the sum of 12 exact md5-word uniforms ("p_d_j", j = 0..11) minus
+    * 6 — giving mean 0 / variance 1 per coordinate. Gaussian matters:
+    * sign-LSH's collision law Pr[sign differs] = θ/π needs
+    * spherically-symmetric plane normals, which uniform-in-cube
+    * weights do not give (they bias recall by direction). Irwin–Hall
+    * over Box–Muller because it is PURE ARITHMETIC: left-to-right
+    * double addition and one float32 rounding reproduce bit-for-bit
+    * in DuckDB SQL, while ln/cos are not guaranteed bit-identical
+    * across libm implementations.
+    */
   private[analytics] val hyperplanes: Seq[Seq[Float]] =
-    Seq.tabulate(LshPlanes)(p => Seq.tabulate(Dim)(d =>
-      ((md5Word32(s"${p}_${d}").toDouble / 4294967296.0) * 2 - 1).toFloat))
+    Seq.tabulate(LshPlanes)(p => Seq.tabulate(Dim) { d =>
+      val s = (0 until 12).map(j => md5Uniform(s"${p}_${d}_$j")).sum
+      (s - 6.0).toFloat
+    })
+
+  /** The 12-term uniform sum of one hyperplane weight, as DuckDB SQL
+    * over lambda variables `p`/`d` — interpolated into [[knnLshSql]]
+    * so the SQL twin cannot drift from [[hyperplanes]]. SQL's
+    * left-associative `+` matches Scala's foldLeft sum order.
+    */
+  private def planeWeightSqlSum: String = (0 until 12).map(j =>
+    "CAST(('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR || '_" + j +
+      "'), 1, 8)) AS BIGINT) / 4294967296.0").mkString(" + ")
 
   /** 16-bit sign sketch of an embedding column. */
   private[analytics] def sketch(emb: Column): Column =
@@ -238,15 +259,14 @@ object Similarity {
     * match already proves stable.
     */
   val knnLshSql: String =
-    """WITH n AS (
+    s"""WITH n AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
       |  FROM embeddings
       |), planes AS (
       |  SELECT p, list_transform(range(0, 64), d ->
-      |    CAST(CAST((CAST(('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),
-      |                            1, 8)) AS BIGINT)
-      |               / 4294967296.0) * 2 - 1 AS REAL) AS DOUBLE)) AS w
+      |    CAST(CAST(($planeWeightSqlSum
+      |               - 6) AS REAL) AS DOUBLE)) AS w
       |  FROM (SELECT unnest(range(0, 16)) AS p)
       |), sk AS (
       |  SELECT vec_id,
@@ -563,7 +583,7 @@ object Similarity {
       if (md5Word32(s"rp_${p}_${d}") % 2 == 0) 1.0f else -1.0f))
 
   /** Johnson–Lindenstrauss dimension reduction 64 → 16: a ±1 sign
-    * matrix (Achlioscas-style) applied scan-side — [[RpDims]] codegen'd
+    * matrix (Achlioptas-style) applied scan-side — [[RpDims]] codegen'd
     * dot products per row, scaled by 1/√16 (an exact power-of-two
     * division). Output keeps the first two components plus the
     * projected norm and its ratio to the original norm — the JL

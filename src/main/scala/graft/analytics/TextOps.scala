@@ -588,19 +588,24 @@ object TextOps {
   /** Largest prime below 2^32 — modulus of the seeded hash family. */
   val MinHashP = 4294967291L
 
-  /** Engine-portable 32-bit hash of every element of a string array:
-    * conv(md5[off..off+7], 16, 10) — the same value DuckDB's
+  /** Engine-portable hash words: [[md5Hex]] digests every element of a
+    * string array ONCE (the digest is the dominant cost — two separate
+    * md5-then-substring transforms would hash every token twice, and
+    * Spark's subexpression elimination cannot hoist across different
+    * lambda scopes); [[hexWord]] then extracts a 32-bit word as
+    * conv(hex[off..off+7], 16, 10) — the same value DuckDB's
     * ('0x' || substr(md5(x), off, 8))::BIGINT yields, so hash-defined
-    * operators built on it are oracle-checkable. off = 1 and 9 give
-    * two independent words per element; seeded families derive
+    * operators built on these are oracle-checkable. off = 1 and 9
+    * give two independent words per element; seeded families derive
     * h_i = (h1 + i*h2) mod [[MinHashP]], which stays under 2^38 —
     * ANSI-overflow-safe. At cluster scale swap in xxhash64: identical
-    * shapes, one hash call instead of an md5 (the md5 here buys the
+    * shapes, one cheaper hash call (the md5 here buys the
     * cross-engine correctness gate, not speed).
     */
-  private def md5Word(arr: Column, off: Int): Column =
-    transform(arr, t =>
-      conv(substring(md5(t), off, 8), 16, 10).cast("long"))
+  private def md5Hex(arr: Column): Column = transform(arr, t => md5(t))
+
+  private def hexWord(hexArr: Column, off: Int): Column =
+    transform(hexArr, s => conv(substring(s, off, 8), 16, 10).cast("long"))
 
   /** Per-doc MinHash signature columns h0..h{K-1}: min over the doc's
     * token set of (h1 + i*h2) mod P. Computed entirely scan-side with
@@ -618,7 +623,9 @@ object TextOps {
       .select((Seq(col("doc_id"), col("lang"), col("source")) :+
         toks.as("toks")): _*)
       .select(col("doc_id"), col("lang"), col("source"),
-        md5Word(col("toks"), 1).as("h1"), md5Word(col("toks"), 9).as("h2"))
+        md5Hex(col("toks")).as("mds"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        hexWord(col("mds"), 1).as("h1"), hexWord(col("mds"), 9).as("h2"))
       .select((Seq(col("doc_id"), col("lang"), col("source")) ++ sigCols): _*)
   }
 
@@ -720,7 +727,7 @@ object TextOps {
   // ---------------------------------------------------------------
 
   /** 64-bit SimHash per doc: each token contributes two portable
-    * 32-bit hash words ([[md5Word]] at offsets 1 and 9 = fingerprint
+    * 32-bit hash words ([[hexWord]] at offsets 1 and 9 = fingerprint
     * bits 0..31 and 32..63); every bit gets a ±1 vote and fingerprint
     * bit i is the vote sign. Implemented as 64 conditional-count
     * array filters (codegen'd, pure map stage — no explode, no UDF,
@@ -738,7 +745,9 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
       .select(col("doc_id"), col("lang"), col("source"),
-        md5Word(col("toks"), 1).as("h1"), md5Word(col("toks"), 9).as("h2"))
+        md5Hex(col("toks")).as("mds"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        hexWord(col("mds"), 1).as("h1"), hexWord(col("mds"), 9).as("h2"))
       .select(col("doc_id"), col("lang"), col("source"),
         word(col("h1"))
           .bitwiseOR(shiftleft(word(col("h2")), 32)).as("simhash"))
@@ -1131,12 +1140,15 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
     val chunks = documents(spark, dir)
       .select(col("doc_id"), explode(chunkArr).as("chunk"))
+    // cross-document occurrence: a chunk repeated only WITHIN one doc
+    // is self-repetition (docRepetition's signal), not boilerplate —
+    // count distinct docs per chunk, not occurrences
     val freq = chunks.groupBy(col("chunk"))
-      .agg(count(lit(1)).as("n_occ"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
     chunks.join(freq, Seq("chunk"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_ratio",
         round(col("n_dup").cast("double") / col("n_chunks"), 6))
       .orderBy(col("doc_id"))
@@ -1150,10 +1162,11 @@ object TextOps {
       |    unnest([md5(array_to_string(toks[(c*8+1):(c*8+8)], ' '))
       |            FOR c IN range(0, CAST(floor(len(toks) / 8) AS BIGINT))]) AS chunk
       |  FROM t WHERE len(toks) >= 8
-      |), freq AS (SELECT chunk, count(*) AS n_occ FROM ch GROUP BY chunk)
+      |), freq AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs_with
+      |            FROM ch GROUP BY chunk)
       |SELECT doc_id, count(*) AS n_chunks,
-      |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-      |  round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |  CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  round(CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
       |          / count(*), 6) AS dup_ratio
       |FROM ch JOIN freq USING (chunk)
       |GROUP BY doc_id
@@ -1161,10 +1174,14 @@ object TextOps {
 
   /** Deterministic quality-weighted downsampling: each doc keeps with
     * probability n_tok% (capped at 95) — longer docs are likelier to
-    * survive — decided by the SAME engine-portable md5 bucket rule as
-    * the train/valid/test split, so the sample is reproducible on any
-    * engine at any cluster size (no RNG, no seed plumbing, no
-    * coordination between executors). Output audits the sampling per
+    * survive — decided by the same engine-portable md5 bucket rule as
+    * the train/valid/test split but on a SALTED key ("sample:" +
+    * doc_id): the raw-doc_id buckets already assign train/valid/test,
+    * and an unsalted reuse would correlate the keep decision with
+    * split membership (short docs would vanish from valid/test
+    * entirely). Reproducible on any engine at any cluster size — no
+    * RNG, no seed plumbing, no coordination. Output audits the
+    * sampling per
     * (lang, source): docs in/kept and the kept token mass, all exact
     * integers — no float aggregate to drift at scale.
     */
@@ -1173,7 +1190,8 @@ object TextOps {
     documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), nTok.as("n_tok"))
       .withColumn("keep",
-        graft.operators.Scale.hashBucket(col("doc_id")) <
+        graft.operators.Scale.hashBucket(
+          concat(lit("sample:"), col("doc_id").cast("string"))) <
           least(col("n_tok"), lit(95)))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1186,7 +1204,7 @@ object TextOps {
   val weightedSampleSql: String =
     s"""WITH d AS (
       |  SELECT lang, source,
-      |    ${graft.operators.Scale.hashBucketSql("doc_id")} <
+      |    ${graft.operators.Scale.hashBucketSql("'sample:' || CAST(doc_id AS VARCHAR)")} <
       |      least(len(string_split(text, ' ')), 95) AS keep,
       |    len(string_split(text, ' ')) AS n_tok
       |  FROM documents
@@ -1222,7 +1240,7 @@ object TextOps {
 
   /** SQL oracles for the DuckDB-expressible subset. MinHash, SimHash
     * and the winnowing fingerprints are built on the engine-portable
-    * [[md5Word]] hash family, so every text operator here is fully
+    * [[md5Hex]]/[[hexWord]] hash family, so every text operator here is fully
     * oracle-checked.
     */
   val oracles: Map[String, String] = Map(

@@ -293,18 +293,24 @@ class TextOpsSpec extends SparkSpec {
     val uniqA = (0 until 8).map(i => s"ua$i").mkString(" ")
     val uniqB = (0 until 8).map(i => s"ub$i").mkString(" ")
     val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    val selfRep = (0 until 8).map(i => s"rep$i").mkString(" ")
     Seq(
       (1L, s"$shared $uniqA", "en", "s0"), // chunks: [shared, uniqA]
       (2L, s"$shared $uniqB", "en", "s0"), // chunks: [shared, uniqB]
-      (3L, "tiny doc", "en", "s0")) //        < 8 tokens → no chunks
+      (3L, "tiny doc", "en", "s0"), //        < 8 tokens → no chunks
+      (4L, s"$selfRep $selfRep", "en", "s0")) // same chunk twice, ONE doc
       .toDF("doc_id", "text", "lang", "source")
       .write.parquet(s"$dir/documents.parquet")
     val out = TextOps.chunkDedup(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup")))).toMap
-    assert(out.keySet == Set(1L, 2L), s"unexpected docs: ${out.keySet}")
+    assert(out.keySet == Set(1L, 2L, 4L), s"unexpected docs: ${out.keySet}")
     assert(out(1L) == ((2L, 1L)) && out(2L) == ((2L, 1L)),
       s"expected 1 of 2 chunks duplicated per doc, got $out")
+    // self-repetition within a single doc is NOT cross-document
+    // boilerplate — docRepetition owns that signal
+    assert(out(4L) == ((2L, 0L)),
+      s"same-doc repeats must not count as duplicates, got ${out(4L)}")
   }
 
   test("weightedSample: kept counts bounded, deterministic, never above the group") {
