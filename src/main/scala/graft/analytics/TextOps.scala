@@ -1216,7 +1216,88 @@ object TextOps {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** End-to-end corpus curation in ONE declarative DAG — the composite
+    * funnel a training-data pipeline actually runs, with a per-stage
+    * audit: quality gate (length + distinct-token ratio) → exact dedup
+    * among the passers (survivor = min doc_id per normalized-text
+    * hash) → per-source quota (the hash-ordered cap of sourceQuota) →
+    * deterministic weighted sample (weightedSample's salted rule).
+    * Stages are FLAGS over one scan (three window shuffles + one
+    * aggregation), never materialized intermediates — Catalyst
+    * pipelines the whole funnel and at 100 TB no stage rewrites the
+    * corpus. The audit row per (lang, source) is the monotone funnel
+    * n_raw ≥ n_quality ≥ n_unique ≥ n_quota ≥ n_sampled.
+    */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      md5(lower(trim(col("text")))).as("h"),
+      size(toks).as("n_tok"),
+      (size(array_distinct(toks)).cast("double") / size(toks))
+        .as("uniq_ratio"))
+    val q = base.withColumn("q_pass",
+      col("n_tok") >= 10 && col("uniq_ratio") > 0.3)
+    // partitioning each window by the upstream flag keeps rejected
+    // docs from consuming dedup/quota ranks without a second pass
+    val dedup = q.withColumn("dup_rk", row_number().over(
+      Window.partitionBy(col("h"), col("q_pass")).orderBy(col("doc_id"))))
+      .withColumn("uniq", col("q_pass") && col("dup_rk") === 1)
+    val quota = dedup.withColumn("quota_rk", row_number().over(
+      Window.partitionBy(col("lang"), col("source"), col("uniq"))
+        .orderBy(graft.operators.Scale.hashBucket(col("doc_id")),
+          col("doc_id"))))
+      .withColumn("quota_keep", col("uniq") && col("quota_rk") <= 40)
+    val sampled = quota.withColumn("kept", col("quota_keep") &&
+      graft.operators.Scale.hashBucket(
+        concat(lit("sample:"), col("doc_id").cast("string"))) <
+        least(col("n_tok"), lit(95)))
+    sampled.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("q_pass"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("quota_keep"), 1L).otherwise(0L)).as("n_quota"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val corpusCurationSql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, lang, source,
+      |    md5(lower(trim(text))) AS h,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS uniq_ratio
+      |  FROM documents
+      |), q AS (
+      |  SELECT *, n_tok >= 10 AND uniq_ratio > 0.3 AS q_pass FROM base
+      |), dedup AS (
+      |  SELECT *, q_pass AND row_number() OVER (
+      |      PARTITION BY h, q_pass ORDER BY doc_id) = 1 AS uniq
+      |  FROM q
+      |), quota AS (
+      |  SELECT *, uniq AND row_number() OVER (
+      |      PARTITION BY lang, source, uniq
+      |      ORDER BY ${graft.operators.Scale.hashBucketSql("doc_id")}, doc_id
+      |    ) <= 40 AS quota_keep
+      |  FROM dedup
+      |), sampled AS (
+      |  SELECT *, quota_keep AND
+      |    ${graft.operators.Scale.hashBucketSql("'sample:' || CAST(doc_id AS VARCHAR)")}
+      |      < least(n_tok, 95) AS kept
+      |  FROM quota
+      |)
+      |SELECT lang, source, count(*) AS n_raw,
+      |  CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |  CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(sum(CASE WHEN quota_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quota,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM sampled
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_curation" -> (corpusCuration _),
     "q_chunk_dedup" -> (chunkDedup _),
     "q_weighted_sample" -> (weightedSample _),
     "q_dedup_exact" -> (dedupExact _),
@@ -1244,6 +1325,7 @@ object TextOps {
     * oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "q_corpus_curation" -> corpusCurationSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_minhash_lsh" -> minHashLshSql,

@@ -313,6 +313,24 @@ class TextOpsSpec extends SparkSpec {
       s"same-doc repeats must not count as duplicates, got ${out(4L)}")
   }
 
+  test("corpusCuration: funnel counts are monotone and dedup consistent") {
+    val out = TextOps.corpusCuration(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (raw, q, u, qt, s) = (r.getAs[Long]("n_raw"),
+        r.getAs[Long]("n_quality"), r.getAs[Long]("n_unique"),
+        r.getAs[Long]("n_quota"), r.getAs[Long]("n_sampled"))
+      assert(raw >= q && q >= u && u >= qt && qt >= s,
+        s"funnel not monotone: $raw >= $q >= $u >= $qt >= $s")
+      assert(qt <= 40, s"quota stage exceeded its cap: $qt")
+    }
+    // corpus-wide: some stage must actually reject something at
+    // sf0.001 (exact dups and short docs are planted in the fixture)
+    val totalRaw = out.map(_.getAs[Long]("n_raw")).sum
+    val totalSampled = out.map(_.getAs[Long]("n_sampled")).sum
+    assert(totalSampled < totalRaw, "curation funnel rejected nothing")
+  }
+
   test("weightedSample: kept counts bounded, deterministic, never above the group") {
     val out = TextOps.weightedSample(spark, sf).collect()
     assert(out.nonEmpty)
