@@ -17,6 +17,9 @@ import graft.ingest.Sources
   */
 object Privacy {
 
+  /** Stand-in for the deployment secret (see [[piiMask]] scaladoc). */
+  val PseudoSalt = "graft-pii-v1:"
+
   /** Pseudonymize the customer dimension and audit its re-identification
     * risk in one pass:
     *  - `pseudo_id`: 64-bit md5 prefix of SALT + key — a stable join
@@ -34,9 +37,6 @@ object Privacy {
     *    tuple (nation, segment, band) — rows with small `group_k` are
     *    the re-identification risk a release gate would block on.
     */
-  /** Stand-in for the deployment secret (see [[piiMask]] scaladoc). */
-  val PseudoSalt = "graft-pii-v1:"
-
   def piiMask(spark: SparkSession, dir: String): DataFrame = {
     val masked = Sources.customer(spark, dir).select(
       substring(md5(concat(lit(PseudoSalt),

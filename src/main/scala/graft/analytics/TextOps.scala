@@ -1081,11 +1081,30 @@ object TextOps {
     * Emitted as a per-group rollup (kept/dropped) so the gate result
     * stays small while the row_number path is fully exercised.
     */
+  /** Per-(lang, source) quota cap — ONE constant shared by
+    * sourceQuota, corpusCuration, their oracles and their specs, so
+    * the funnel cannot silently diverge from the standalone operator.
+    */
+  val QuotaCap = 40
+
+  /** Salted quota-ordering key, hashBucket("quota:" + doc_id) — ONE
+    * definition for the Spark and SQL twins. Salted for the same
+    * reason as the sampling key: the raw-doc_id buckets already
+    * assign train/valid/test, and ordering the quota by them would
+    * keep ONLY low-bucket (all-train) docs once a source exceeds the
+    * cap, emptying valid/test downstream of the curation.
+    */
+  private def quotaOrder: Column =
+    graft.operators.Scale.hashBucket(
+      concat(lit("quota:"), col("doc_id").cast("string")))
+
+  private val quotaOrderSql: String =
+    graft.operators.Scale.hashBucketSql("'quota:' || CAST(doc_id AS VARCHAR)")
+
   def sourceQuota(spark: SparkSession, dir: String,
-                  cap: Int = 40): DataFrame = {
+                  cap: Int = QuotaCap): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("source"))
-      .orderBy(graft.operators.Scale.hashBucket(col("doc_id")),
-        col("doc_id"))
+      .orderBy(quotaOrder, col("doc_id"))
     documents(spark, dir)
       .withColumn("rn", row_number().over(w))
       .groupBy(col("lang"), col("source"))
@@ -1101,14 +1120,14 @@ object TextOps {
       |  SELECT lang, source, doc_id,
       |    row_number() OVER (
       |      PARTITION BY lang, source
-      |      ORDER BY ${graft.operators.Scale.hashBucketSql("doc_id")}, doc_id
+      |      ORDER BY $quotaOrderSql, doc_id
       |    ) AS rn
       |  FROM documents
       |)
       |SELECT lang, source, count(*) AS n_docs,
-      |  CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  min(CASE WHEN rn <= 40 THEN doc_id END) AS first_kept_doc,
-      |  max(CASE WHEN rn <= 40 THEN doc_id END) AS last_kept_doc
+      |  CAST(sum(CASE WHEN rn <= $QuotaCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  min(CASE WHEN rn <= $QuotaCap THEN doc_id END) AS first_kept_doc,
+      |  max(CASE WHEN rn <= $QuotaCap THEN doc_id END) AS last_kept_doc
       |FROM ranked
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
@@ -1185,14 +1204,24 @@ object TextOps {
     * (lang, source): docs in/kept and the kept token mass, all exact
     * integers — no float aggregate to drift at scale.
     */
+  /** The salted keep rule over columns (doc_id, n_tok) — ONE
+    * definition for the Spark and SQL twins, shared by weightedSample
+    * and corpusCuration's sampling stage.
+    */
+  private def sampleKeep: Column =
+    graft.operators.Scale.hashBucket(
+      concat(lit("sample:"), col("doc_id").cast("string"))) <
+      least(col("n_tok"), lit(95))
+
+  private val sampleKeepSql: String =
+    s"${graft.operators.Scale.hashBucketSql("'sample:' || CAST(doc_id AS VARCHAR)")}" +
+      " < least(n_tok, 95)"
+
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(split(col("text"), " "))
     documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), nTok.as("n_tok"))
-      .withColumn("keep",
-        graft.operators.Scale.hashBucket(
-          concat(lit("sample:"), col("doc_id").cast("string"))) <
-          least(col("n_tok"), lit(95)))
+      .withColumn("keep", sampleKeep)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -1202,12 +1231,12 @@ object TextOps {
   }
 
   val weightedSampleSql: String =
-    s"""WITH d AS (
-      |  SELECT lang, source,
-      |    ${graft.operators.Scale.hashBucketSql("'sample:' || CAST(doc_id AS VARCHAR)")} <
-      |      least(len(string_split(text, ' ')), 95) AS keep,
+    s"""WITH d0 AS (
+      |  SELECT doc_id, lang, source,
       |    len(string_split(text, ' ')) AS n_tok
       |  FROM documents
+      |), d AS (
+      |  SELECT lang, source, n_tok, $sampleKeepSql AS keep FROM d0
       |)
       |SELECT lang, source, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -1222,7 +1251,7 @@ object TextOps {
     * among the passers (survivor = min doc_id per normalized-text
     * hash) → per-source quota (the hash-ordered cap of sourceQuota) →
     * deterministic weighted sample (weightedSample's salted rule).
-    * Stages are FLAGS over one scan (three window shuffles + one
+    * Stages are FLAGS over one scan (two window shuffles + one
     * aggregation), never materialized intermediates — Catalyst
     * pipelines the whole funnel and at 100 TB no stage rewrites the
     * corpus. The audit row per (lang, source) is the monotone funnel
@@ -1245,13 +1274,9 @@ object TextOps {
       .withColumn("uniq", col("q_pass") && col("dup_rk") === 1)
     val quota = dedup.withColumn("quota_rk", row_number().over(
       Window.partitionBy(col("lang"), col("source"), col("uniq"))
-        .orderBy(graft.operators.Scale.hashBucket(col("doc_id")),
-          col("doc_id"))))
-      .withColumn("quota_keep", col("uniq") && col("quota_rk") <= 40)
-    val sampled = quota.withColumn("kept", col("quota_keep") &&
-      graft.operators.Scale.hashBucket(
-        concat(lit("sample:"), col("doc_id").cast("string"))) <
-        least(col("n_tok"), lit(95)))
+        .orderBy(quotaOrder, col("doc_id"))))
+      .withColumn("quota_keep", col("uniq") && col("quota_rk") <= QuotaCap)
+    val sampled = quota.withColumn("kept", col("quota_keep") && sampleKeep)
     sampled.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("q_pass"), 1L).otherwise(0L)).as("n_quality"),
@@ -1278,13 +1303,11 @@ object TextOps {
       |), quota AS (
       |  SELECT *, uniq AND row_number() OVER (
       |      PARTITION BY lang, source, uniq
-      |      ORDER BY ${graft.operators.Scale.hashBucketSql("doc_id")}, doc_id
-      |    ) <= 40 AS quota_keep
+      |      ORDER BY $quotaOrderSql, doc_id
+      |    ) <= $QuotaCap AS quota_keep
       |  FROM dedup
       |), sampled AS (
-      |  SELECT *, quota_keep AND
-      |    ${graft.operators.Scale.hashBucketSql("'sample:' || CAST(doc_id AS VARCHAR)")}
-      |      < least(n_tok, 95) AS kept
+      |  SELECT *, quota_keep AND $sampleKeepSql AS kept
       |  FROM quota
       |)
       |SELECT lang, source, count(*) AS n_raw,

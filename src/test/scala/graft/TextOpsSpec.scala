@@ -322,7 +322,7 @@ class TextOpsSpec extends SparkSpec {
         r.getAs[Long]("n_quota"), r.getAs[Long]("n_sampled"))
       assert(raw >= q && q >= u && u >= qt && qt >= s,
         s"funnel not monotone: $raw >= $q >= $u >= $qt >= $s")
-      assert(qt <= 40, s"quota stage exceeded its cap: $qt")
+      assert(qt <= TextOps.QuotaCap, s"quota stage exceeded its cap: $qt")
     }
     // corpus-wide: some stage must actually reject something at
     // sf0.001 (exact dups and short docs are planted in the fixture)
