@@ -1319,7 +1319,50 @@ object TextOps {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** Vocabulary coverage / OOV audit: build the global top-V token
+    * vocabulary (count-desc, token-asc tie-break — deterministic on
+    * any engine) and report per-language token totals and
+    * out-of-vocabulary counts. The vocab is selected with
+    * orderBy+limit — a distributed TakeOrdered, never a
+    * single-partition window — so at 100 TB the top-V over millions
+    * of distinct tokens is a per-partition top-V + k-row merge, and
+    * the vocab side of the coverage join broadcasts. Output is all
+    * exact integers.
+    */
+  def vocabOov(spark: SparkSession, dir: String, v: Int = 16): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(v)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy(col("lang"))
+  }
+
+  val vocabOovSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+      |    ORDER BY c DESC, tok ASC LIMIT 16)
+      |)
+      |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tok,
+      |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |FROM toks t LEFT JOIN vocab v USING (tok)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_oov" -> ((s: SparkSession, d: String) => vocabOov(s, d)),
     "q_corpus_curation" -> (corpusCuration _),
     "q_chunk_dedup" -> (chunkDedup _),
     "q_weighted_sample" -> (weightedSample _),
@@ -1348,6 +1391,7 @@ object TextOps {
     * oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "q_vocab_oov" -> vocabOovSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_weighted_sample" -> weightedSampleSql,

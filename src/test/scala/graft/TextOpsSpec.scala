@@ -313,6 +313,20 @@ class TextOpsSpec extends SparkSpec {
       s"same-doc repeats must not count as duplicates, got ${out(4L)}")
   }
 
+  test("vocabOov: OOV bounded by totals, nonzero on the >16-token fixture vocab, plan broadcasts the vocab") {
+    val out = TextOps.vocabOov(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tok"))
+      assert(r.getAs[Long]("n_docs") >= 1)
+    }
+    // fixture vocabulary exceeds V=16 distinct tokens, so a real OOV
+    // tail must exist somewhere
+    assert(out.map(_.getAs[Long]("n_oov")).sum > 0, "no OOV tokens found")
+    val p = plan(TextOps.vocabOov(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+  }
+
   test("corpusCuration: funnel counts are monotone and dedup consistent") {
     val out = TextOps.corpusCuration(spark, sf).collect()
     assert(out.nonEmpty)
