@@ -313,6 +313,55 @@ class TextOpsSpec extends SparkSpec {
       s"same-doc repeats must not count as duplicates, got ${out(4L)}")
   }
 
+  test("prefix-filtered Jaccard equals brute force on randomized clustered docs") {
+    import spark.implicits._
+    // seeded generator: clusters of near-duplicate variants with sizes
+    // straddling the size-ratio prune boundary (drop/add up to 3 of
+    // ~4..40 tokens), plus unrelated noise docs — the adversarial
+    // input for the AllPairs prefix length and the t-relaxed prune
+    val rng = new scala.util.Random(4242)
+    val vocab = (0 until 200).map(i => s"w$i")
+    var id = -1L
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    (0 until 25).foreach { _ =>
+      val k = 4 + rng.nextInt(37)
+      val base = rng.shuffle(vocab).take(k)
+      (0 until 1 + rng.nextInt(4)).foreach { _ =>
+        val dropped = base.drop(rng.nextInt(4).min(base.size - 1))
+        val added = dropped ++ rng.shuffle(vocab).take(rng.nextInt(4))
+        id += 1
+        docs += ((id, rng.shuffle(added.distinct).mkString(" ")))
+      }
+    }
+    (0 until 30).foreach { _ =>
+      id += 1
+      docs += ((id,
+        rng.shuffle(vocab).take(2 + rng.nextInt(30)).mkString(" ")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pj").toString
+    docs.toSeq.map { case (i, t) => (i, t, "en", "s0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val prod = TextOps.nearDupJaccard(spark, dir, threshold = 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val toks = array_distinct(split(col("text"), " "))
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), toks.as("t"))
+    val ni = size(array_intersect(col("x.t"), col("y.t")))
+    val truth = d.as("x")
+      .join(d.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("j", round(ni.cast("double") /
+        (size(col("x.t")) + size(col("y.t")) - ni), 6))
+      .filter(col("j") >= 0.8)
+      .select(col("x.doc_id"), col("y.doc_id"), col("j"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(truth.nonEmpty, "generator produced no near-dup pairs — vacuous run")
+    assert(prod == truth,
+      s"prefix-filtered differs from brute force: only-prod=${prod -- truth}, only-truth=${truth -- prod}")
+  }
+
   test("vocabOov: OOV bounded by totals, nonzero on the >16-token fixture vocab, plan broadcasts the vocab") {
     val out = TextOps.vocabOov(spark, sf).collect()
     assert(out.nonEmpty)
