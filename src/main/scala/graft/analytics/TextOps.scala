@@ -607,18 +607,18 @@ object TextOps {
   private def hexWord(hexArr: Column, off: Int): Column =
     transform(hexArr, s => conv(substring(s, off, 8), 16, 10).cast("long"))
 
-  /** Per-doc MinHash signature columns h0..h{K-1}: min over the doc's
-    * token set of (h1 + i*h2) mod P. Computed entirely scan-side with
-    * higher-order functions (no explode, no shuffle): the signature
-    * build is a pure map stage, so at 100 TB it scales with executor
-    * count and the only shuffle in the LSH pipeline is the
-    * band-bucket join itself.
+  /** (doc_id, lang, source, sig): the K-lane MinHash signature array,
+    * min over the doc's token set of (h1 + i*h2) mod P per seed —
+    * computed by the codegen'd one-pass kernel
+    * [[graft.functions.MinHashSigs]] (all K lanes in a single token
+    * traversal; the HOF formulation re-walked the arrays K times).
+    * Entirely scan-side (no explode, no shuffle): the signature build
+    * is a pure map stage, so at 100 TB it scales with executor count
+    * and the only shuffle in the LSH pipeline is the band-bucket join
+    * itself.
     */
-  def minHashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  private def sigArrays(spark: SparkSession, dir: String): DataFrame = {
     val toks = array_distinct(split(col("text"), " "))
-    val sigCols = (0 until MinHashK).map(i =>
-      array_min(zip_with(col("h1"), col("h2"),
-        (a, b) => (a + lit(i.toLong) * b) % lit(MinHashP))).as(s"h$i"))
     documents(spark, dir)
       .select((Seq(col("doc_id"), col("lang"), col("source")) :+
         toks.as("toks")): _*)
@@ -626,8 +626,19 @@ object TextOps {
         md5Hex(col("toks")).as("mds"))
       .select(col("doc_id"), col("lang"), col("source"),
         hexWord(col("mds"), 1).as("h1"), hexWord(col("mds"), 9).as("h2"))
-      .select((Seq(col("doc_id"), col("lang"), col("source")) ++ sigCols): _*)
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.MinHashOps.minhashSigs(
+          col("h1"), col("h2"), MinHashK, MinHashP).as("sig"))
   }
+
+  /** Column-per-lane view (h0..h{K-1}) of [[sigArrays]] — the public
+    * signature surface the specs pin lane by lane.
+    */
+  def minHashSignatures(spark: SparkSession, dir: String): DataFrame =
+    sigArrays(spark, dir)
+      .select((Seq(col("doc_id"), col("lang"), col("source")) ++
+        (0 until MinHashK).map(i =>
+          element_at(col("sig"), i + 1).as(s"h$i"))): _*)
 
   /** Candidate pairs via LSH banding: each band of r consecutive
     * minhashes is hashed into a bucket; docs sharing (block, band,
@@ -637,17 +648,14 @@ object TextOps {
   def minHashLsh(spark: SparkSession, dir: String,
                  minEstJaccard: Double = 0.75): DataFrame = {
     val r = MinHashK / LshBands
-    // one aggregation produces the signature ARRAY; both the banding
-    // and the agreement estimate read it, so the signature subtree is
-    // computed once per join side — no third scan to re-fetch
-    // signatures for candidate scoring.
+    // one kernel invocation produces the signature ARRAY; both the
+    // banding and the agreement estimate read it, so the signature
+    // subtree is computed once per join side — no third scan to
+    // re-fetch signatures for candidate scoring.
     // index-build-once: the signature map stage has no shuffle for AQE
     // to reuse across the self-join sides, so materialize the (slim:
     // K longs + keys per doc) signature table before banding
-    val sigs = minHashSignatures(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig"))
-      .localCheckpoint()
+    val sigs = sigArrays(spark, dir).localCheckpoint()
     val bandCols: Seq[Column] = (0 until LshBands).map { band =>
       md5(concat_ws(",", (band * r until (band + 1) * r)
         .map(i => element_at(col("sig"), i + 1)): _*))

@@ -313,6 +313,39 @@ class TextOpsSpec extends SparkSpec {
       s"same-doc repeats must not count as duplicates, got ${out(4L)}")
   }
 
+  test("MinHashSigs kernel: lane-exact vs HOF reference, inside WholeStageCodegen, null on degenerate input") {
+    import graft.functions.MinHashOps._
+    val words = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"),
+        transform(array_distinct(split(col("text"), " ")),
+          t => md5(t)).as("mds"))
+      .select(col("doc_id"),
+        transform(col("mds"),
+          s => conv(substring(s, 1, 8), 16, 10).cast("long")).as("h1"),
+        transform(col("mds"),
+          s => conv(substring(s, 9, 8), 16, 10).cast("long")).as("h2"))
+    val diff = words.select(
+      minhashSigs(col("h1"), col("h2"), TextOps.MinHashK, TextOps.MinHashP).as("kernel"),
+      minhashSigsHof(col("h1"), col("h2"), TextOps.MinHashK, TextOps.MinHashP).as("hof"))
+      .filter(col("kernel") =!= col("hof")).count()
+    assert(diff == 0, s"$diff rows differ between kernel and HOF signatures")
+    // codegen assertion on a transform-free input: the HOF word
+    // projections upstream are themselves non-codegen, so the fused
+    // stage must be demonstrated with plain CreateArray inputs
+    val p = plan(spark.range(100)
+      .select(array(col("id"), col("id") + 1).as("h1"),
+        array(col("id") * 3, col("id") + 7).as("h2"))
+      .select(minhashSigs(col("h1"), col("h2"), 4, 97L).as("s")))
+    assert("""\*\(\d+\) Project \[.*minhash_sigs""".r.findFirstIn(p).isDefined,
+      s"expected minhash_sigs inside a codegen stage, plan:\n$p")
+    // degenerate: empty word arrays produce NULL, never a MAX_VALUE sig
+    import spark.implicits._
+    val empty = Seq((Array.empty[Long], Array.empty[Long])).toDF("h1", "h2")
+      .select(minhashSigs(col("h1"), col("h2"), 4, 97L).as("s"))
+      .collect().head
+    assert(empty.isNullAt(0), "empty input must yield a NULL signature")
+  }
+
   test("prefix-filtered Jaccard equals brute force on randomized clustered docs") {
     import spark.implicits._
     // seeded generator: clusters of near-duplicate variants with sizes
