@@ -737,18 +737,15 @@ object TextOps {
   /** 64-bit SimHash per doc: each token contributes two portable
     * 32-bit hash words ([[hexWord]] at offsets 1 and 9 = fingerprint
     * bits 0..31 and 32..63); every bit gets a ±1 vote and fingerprint
-    * bit i is the vote sign. Implemented as 64 conditional-count
-    * array filters (codegen'd, pure map stage — no explode, no UDF,
-    * no shuffle). Bit i's vote sum over ±1 is
+    * bit i is the vote sign. Implemented by the codegen'd one-pass
+    * kernel [[graft.functions.SimHashPack]] (64 vote counters filled
+    * in a single token traversal — the HOF form took 64
+    * size(filter(...)) passes), a pure map stage: no explode, no UDF,
+    * no shuffle. Bit i's vote sum over ±1 is
     * 2·(#hashes with bit i set) − n, so the sign test `sum > 0`
     * becomes `2·count > n`.
     */
-  def simHashFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    def word(hs: Column): Column = (0 until 32).map { i =>
-      val ones = size(filter(hs,
-        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
-      shiftleft(when(ones * 2 > size(hs), 1L).otherwise(0L), i)
-    }.reduce(_.bitwiseOR(_))
+  def simHashFingerprints(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
@@ -757,9 +754,8 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"),
         hexWord(col("mds"), 1).as("h1"), hexWord(col("mds"), 9).as("h2"))
       .select(col("doc_id"), col("lang"), col("source"),
-        word(col("h1"))
-          .bitwiseOR(shiftleft(word(col("h2")), 32)).as("simhash"))
-  }
+        graft.functions.MinHashOps.simhashPack(col("h1"), col("h2"))
+          .as("simhash"))
 
   /** Near-dup pairs by SimHash: block on (lang, source), band the
     * 64-bit fingerprint into four 16-bit chunks, verify candidates

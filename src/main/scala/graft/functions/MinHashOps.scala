@@ -111,7 +111,113 @@ case class MinHashSigs(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for the SimHash fingerprint hot path.
+  *
+  * The HOF formulation takes 64 `size(filter(hs, bit-test))` passes
+  * over the word arrays per document. This expression folds both
+  * 32-bit words of every token into 64 bit-vote counters in ONE
+  * traversal and packs the majority bits into the 64-bit fingerprint
+  * (word-1 bits 0..31, word-2 bits 32..63 — the same layout as the
+  * HOF build it replaces).
+  *
+  * Vote rule matches the HOF form exactly: bit i is set iff
+  * 2 * (#tokens with bit i set) > numElements, with null elements
+  * never voting but still counted in the denominator (filter drops
+  * them, size does not). An empty array packs to 0L, as 64 zero
+  * majorities did before.
+  */
+case class SimHashPack(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<long> arguments, got $l and $r")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_pack"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    val cnt = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      if (!x.isNullAt(t)) {
+        val w = x.getLong(t)
+        var i = 0
+        while (i < 32) { cnt(i) += ((w >> i) & 1L).toInt; i += 1 }
+      }
+      if (!y.isNullAt(t)) {
+        val w = y.getLong(t)
+        var i = 0
+        while (i < 32) { cnt(32 + i) += ((w >> i) & 1L).toInt; i += 1 }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (2 * cnt(i) > n) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val t = ctx.freshName("t")
+      val w = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $cnt = new int[64];
+         |  for (int $t = 0; $t < $n; $t++) {
+         |    if (!$x.isNullAt($t)) {
+         |      long $w = $x.getLong($t);
+         |      for (int $i = 0; $i < 32; $i++) {
+         |        $cnt[$i] += (int) (($w >> $i) & 1L);
+         |      }
+         |    }
+         |    if (!$y.isNullAt($t)) {
+         |      long $w = $y.getLong($t);
+         |      for (int $i = 0; $i < 32; $i++) {
+         |        $cnt[32 + $i] += (int) (($w >> $i) & 1L);
+         |      }
+         |    }
+         |  }
+         |  long $fp = 0L;
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if (2 * $cnt[$i] > $n) $fp |= (1L << $i);
+         |  }
+         |  ${ev.value} = $fp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SimHashPack =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHashOps {
+
+  /** Codegen'd one-pass 64-bit SimHash fingerprint. */
+  def simhashPack(h1: Column, h2: Column): Column =
+    GraftBridge.column(SimHashPack(
+      GraftBridge.expression(h1), GraftBridge.expression(h2)))
 
   /** Codegen'd K-lane MinHash signature array. */
   def minhashSigs(h1: Column, h2: Column, k: Int, p: Long): Column =

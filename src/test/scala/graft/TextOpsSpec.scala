@@ -346,6 +346,30 @@ class TextOpsSpec extends SparkSpec {
     assert(empty.isNullAt(0), "empty input must yield a NULL signature")
   }
 
+  test("SimHashPack kernel: bit-exact vs the 64-filter HOF reference") {
+    import graft.functions.MinHashOps._
+    val words = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"),
+        transform(array_distinct(split(col("text"), " ")),
+          t => md5(t)).as("mds"))
+      .select(col("doc_id"),
+        transform(col("mds"),
+          s => conv(substring(s, 1, 8), 16, 10).cast("long")).as("h1"),
+        transform(col("mds"),
+          s => conv(substring(s, 9, 8), 16, 10).cast("long")).as("h2"))
+    def word(hs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 32).map { i =>
+      val ones = size(filter(hs,
+        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+      shiftleft(when(ones * 2 > size(hs), 1L).otherwise(0L), i)
+    }.reduce(_.bitwiseOR(_))
+    val diff = words.select(
+      simhashPack(col("h1"), col("h2")).as("kernel"),
+      word(col("h1")).bitwiseOR(shiftleft(word(col("h2")), 32)).as("hof"))
+      .filter(col("kernel") =!= col("hof")).count()
+    assert(diff == 0, s"$diff rows differ between kernel and HOF fingerprints")
+  }
+
   test("prefix-filtered Jaccard equals brute force on randomized clustered docs") {
     import spark.implicits._
     // seeded generator: clusters of near-duplicate variants with sizes
