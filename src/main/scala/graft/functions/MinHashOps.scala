@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -28,6 +29,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashSigs(left: Expression, right: Expression,
                        k: Int, p: Long)
     extends BinaryExpression {
+
+  // fail at plan time, not from generated code mid-job: p = 0 would
+  // divide by zero, p > 2^62 would overflow cur + step, k <= 0 would
+  // allocate a negative array
+  require(k > 0 && p > 0 && p <= (1L << 62),
+    s"minhash_sigs needs k > 0 and 0 < p <= 2^62, got k=$k p=$p")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -53,8 +60,17 @@ case class MinHashSigs(left: Expression, right: Expression,
     while (t < n) {
       if (!x.isNullAt(t) && !y.isNullAt(t)) {
         seen = true
+        // normalize into [0, p): the conditional-subtract loop below
+        // assumes non-negative operands, and Java's % keeps the
+        // dividend's sign. This computes the MATHEMATICAL mod —
+        // identical to the HOF `(h1 + i*h2) % p` for the pipeline's
+        // non-negative md5 words, and well-defined (not drifting
+        // negative) for full-range signed inputs like the documented
+        // xxhash64 swap, where the reference side must use pmod too.
         var cur = x.getLong(t) % p
-        val step = y.getLong(t) % p
+        if (cur < 0) cur += p
+        var step = y.getLong(t) % p
+        if (step < 0) step += p
         var i = 0
         while (i < k) {
           if (cur < mins(i)) mins(i) = cur
@@ -65,7 +81,9 @@ case class MinHashSigs(left: Expression, right: Expression,
       }
       t += 1
     }
-    if (seen) new GenericArrayData(mins) else null
+    // primitive-array result — GenericArrayData would box all K longs
+    // per row, pure GC churn on the signature map stage
+    if (seen) UnsafeArrayData.fromPrimitiveArray(mins) else null
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -89,7 +107,9 @@ case class MinHashSigs(left: Expression, right: Expression,
          |    if ($x.isNullAt($t) || $y.isNullAt($t)) continue;
          |    $seen = true;
          |    long $cur = $x.getLong($t) % ${p}L;
+         |    if ($cur < 0) $cur += ${p}L;
          |    long $step = $y.getLong($t) % ${p}L;
+         |    if ($step < 0) $step += ${p}L;
          |    for (int $i = 0; $i < $k; $i++) {
          |      if ($cur < $mins[$i]) $mins[$i] = $cur;
          |      $cur += $step;
@@ -97,8 +117,8 @@ case class MinHashSigs(left: Expression, right: Expression,
          |    }
          |  }
          |  if ($seen) {
-         |    ${ev.value} =
-         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |      .UnsafeArrayData.fromPrimitiveArray($mins);
          |  } else {
          |    ${ev.isNull} = true;
          |  }
@@ -235,4 +255,18 @@ object MinHashOps {
     array((0 until k).map(i =>
       array_min(zip_with(h1, h2,
         (a, b) => (a + lit(i.toLong) * b) % lit(p)))): _*)
+
+  /** HOF reference for [[SimHashPack]] — the 64 size(filter(...))
+    * formulation the kernel replaced, kept HERE (not re-implemented in
+    * tests) so both reference implementations of the hash family live
+    * in one place.
+    */
+  def simhashPackHof(h1: Column, h2: Column): Column = {
+    def word(hs: Column): Column = (0 until 32).map { i =>
+      val ones = size(filter(hs,
+        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+      shiftleft(when(ones * 2 > size(hs), 1L).otherwise(0L), i)
+    }.reduce(_.bitwiseOR(_))
+    word(h1).bitwiseOR(shiftleft(word(h2), 32))
+  }
 }

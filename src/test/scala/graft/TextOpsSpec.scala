@@ -313,22 +313,29 @@ class TextOpsSpec extends SparkSpec {
       s"same-doc repeats must not count as duplicates, got ${out(4L)}")
   }
 
+  // the md5-word projection both kernel parity specs run on — one copy
+  private def md5Words = graft.ingest.Sources.documents(spark, sf)
+    .select(col("doc_id"),
+      transform(array_distinct(split(col("text"), " ")),
+        t => md5(t)).as("mds"))
+    .select(col("doc_id"),
+      transform(col("mds"),
+        s => conv(substring(s, 1, 8), 16, 10).cast("long")).as("h1"),
+      transform(col("mds"),
+        s => conv(substring(s, 9, 8), 16, 10).cast("long")).as("h2"))
+
   test("MinHashSigs kernel: lane-exact vs HOF reference, inside WholeStageCodegen, null on degenerate input") {
     import graft.functions.MinHashOps._
-    val words = graft.ingest.Sources.documents(spark, sf)
-      .select(col("doc_id"),
-        transform(array_distinct(split(col("text"), " ")),
-          t => md5(t)).as("mds"))
-      .select(col("doc_id"),
-        transform(col("mds"),
-          s => conv(substring(s, 1, 8), 16, 10).cast("long")).as("h1"),
-        transform(col("mds"),
-          s => conv(substring(s, 9, 8), 16, 10).cast("long")).as("h2"))
-    val diff = words.select(
+    val words = md5Words
+    val cmp = words.select(
       minhashSigs(col("h1"), col("h2"), TextOps.MinHashK, TextOps.MinHashP).as("kernel"),
       minhashSigsHof(col("h1"), col("h2"), TextOps.MinHashK, TextOps.MinHashP).as("hof"))
-      .filter(col("kernel") =!= col("hof")).count()
+    // null-safe inequality: a kernel regressing to all-NULL must FAIL,
+    // not have its rows dropped by three-valued =!= logic
+    val diff = cmp.filter(!(col("kernel") <=> col("hof"))).count()
     assert(diff == 0, s"$diff rows differ between kernel and HOF signatures")
+    assert(cmp.filter(col("kernel").isNotNull).count() > 0,
+      "parity comparison vacuous: kernel returned no non-null rows")
     // codegen assertion on a transform-free input: the HOF word
     // projections upstream are themselves non-codegen, so the fused
     // stage must be demonstrated with plain CreateArray inputs
@@ -346,28 +353,24 @@ class TextOpsSpec extends SparkSpec {
     assert(empty.isNullAt(0), "empty input must yield a NULL signature")
   }
 
-  test("SimHashPack kernel: bit-exact vs the 64-filter HOF reference") {
+  test("SimHashPack kernel: bit-exact vs the 64-filter HOF reference, inside WholeStageCodegen") {
     import graft.functions.MinHashOps._
-    val words = graft.ingest.Sources.documents(spark, sf)
-      .select(col("doc_id"),
-        transform(array_distinct(split(col("text"), " ")),
-          t => md5(t)).as("mds"))
-      .select(col("doc_id"),
-        transform(col("mds"),
-          s => conv(substring(s, 1, 8), 16, 10).cast("long")).as("h1"),
-        transform(col("mds"),
-          s => conv(substring(s, 9, 8), 16, 10).cast("long")).as("h2"))
-    def word(hs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      (0 until 32).map { i =>
-      val ones = size(filter(hs,
-        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
-      shiftleft(when(ones * 2 > size(hs), 1L).otherwise(0L), i)
-    }.reduce(_.bitwiseOR(_))
-    val diff = words.select(
+    val cmp = md5Words.select(
       simhashPack(col("h1"), col("h2")).as("kernel"),
-      word(col("h1")).bitwiseOR(shiftleft(word(col("h2")), 32)).as("hof"))
-      .filter(col("kernel") =!= col("hof")).count()
+      simhashPackHof(col("h1"), col("h2")).as("hof"))
+    val diff = cmp.filter(!(col("kernel") <=> col("hof"))).count()
     assert(diff == 0, s"$diff rows differ between kernel and HOF fingerprints")
+    assert(cmp.filter(col("kernel").isNotNull).count() > 0,
+      "parity comparison vacuous: kernel returned no non-null rows")
+    // codegen-stage assertion on a transform-free input, as for
+    // minhash_sigs: an uncompilable doGenCode silently falls back to
+    // interpreted eval and stays bit-correct — catch it here
+    val p = plan(spark.range(100)
+      .select(array(col("id"), col("id") + 1).as("h1"),
+        array(col("id") * 3, col("id") + 7).as("h2"))
+      .select(simhashPack(col("h1"), col("h2")).as("s")))
+    assert("""\*\(\d+\) Project \[.*simhash_pack""".r.findFirstIn(p).isDefined,
+      s"expected simhash_pack inside a codegen stage, plan:\n$p")
   }
 
   test("prefix-filtered Jaccard equals brute force on randomized clustered docs") {
