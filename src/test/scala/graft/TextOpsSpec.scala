@@ -353,6 +353,30 @@ class TextOpsSpec extends SparkSpec {
     assert(empty.isNullAt(0), "empty input must yield a NULL signature")
   }
 
+  test("MinHashSigs kernel: floor-mod contract holds on full-range signed words") {
+    import graft.functions.MinHashOps._
+    import spark.implicits._
+    // signed inputs are the documented xxhash64 swap; lanes must
+    // match pmod (mathematical mod), never drift negative
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(50)(
+      (Array.fill(8)(rng.nextLong()), Array.fill(8)(rng.nextLong())))
+    val df = rows.toDF("h1", "h2")
+    val p = 4294967291L
+    val ref = array((0 until 8).map(i =>
+      array_min(zip_with(col("h1"), col("h2"),
+        (a, b) => pmod(pmod(a, lit(p)) + lit(i.toLong) * pmod(b, lit(p)),
+          lit(p))))): _*)
+    val out = df.select(
+      minhashSigs(col("h1"), col("h2"), 8, p).as("kernel"), ref.as("ref"))
+      .collect()
+    out.foreach { r =>
+      val k = r.getSeq[Long](0)
+      assert(k == r.getSeq[Long](1), s"kernel $k != floor-mod ref")
+      assert(k.forall(v => v >= 0 && v < p), s"lane out of [0,p): $k")
+    }
+  }
+
   test("SimHashPack kernel: bit-exact vs the 64-filter HOF reference, inside WholeStageCodegen") {
     import graft.functions.MinHashOps._
     val cmp = md5Words.select(
