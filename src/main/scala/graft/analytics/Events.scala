@@ -29,11 +29,13 @@ object Events {
     */
   val SessionGapSeconds = 1800L
 
-  /** L5: gap-based sessionization via lag + running sum of boundaries.
-    * One shuffle on user_id; session aggregation reuses the same
-    * partitioning (child distribution satisfies groupBy's requirement).
+  /** Un-ordered session table: the shared build behind [[sessionize]]
+    * (which only adds the presentation sort) and the interval-overlap
+    * join in [[TimeSeries.intervalOverlap]] (which must NOT inherit a
+    * global sort mid-pipeline — the range-bucket join repartitions
+    * right after, and Catalyst does not remove a sort under a join).
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     events(spark, dir)
@@ -52,11 +54,22 @@ object Events {
         max(col("epoch_s")).as("session_end_s"),
         (max(col("epoch_s")) - min(col("epoch_s"))).as("duration_s"),
         round(sum(col("value")), 2).as("sum_value"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
-  val sessionizeSql: String =
-    s"""WITH base AS (
+  /** L5: gap-based sessionization via lag + running sum of boundaries.
+    * One shuffle on user_id; session aggregation reuses the same
+    * partitioning (child distribution satisfies groupBy's requirement).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessions(spark, dir).orderBy(col("user_id"), col("session_id"))
+
+  /** Shared session-assignment CTE chain (base → marked → numbered):
+    * every event tagged with its gap-session id. Spliced into both
+    * [[sessionizeSql]] and the interval-overlap oracle in
+    * [[TimeSeries]] so the two gates pin the SAME session definition.
+    */
+  val sessionCtesSql: String =
+    s"""base AS (
       |  SELECT user_id, event_id, ts, value,
       |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
       |    lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
@@ -75,7 +88,10 @@ object Events {
       |      ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC
       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM marked
-      |)
+      |)""".stripMargin
+
+  val sessionizeSql: String =
+    s"""WITH $sessionCtesSql
       |SELECT user_id, session_id,
       |  count(*) AS n_events,
       |  min(epoch_s) AS session_start_s,

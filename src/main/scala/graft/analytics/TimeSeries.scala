@@ -64,11 +64,188 @@ object TimeSeries {
       |  ON g.user_id = h.user_id AND g.hr = h.hr
       |ORDER BY g.user_id, g.hr""".stripMargin
 
+  /** Yearly cohort retention over customers' order history: customers
+    * are cohorted by the year of their first order; each later active
+    * year lands in (cohort_yr, yr_offset) with distinct-customer
+    * counts and a retention ratio against the cohort's size.
+    *
+    * Scale notes (100 TB): ONE shuffle on o_custkey builds both the
+    * cohort label and the distinct active-year set (collect_set is
+    * bounded by the observation span in years, not by order count);
+    * the explode + (cohort, offset) re-aggregation move only
+    * customer × active-year rows. The retention ratio is a window
+    * over the tiny aggregated cube, never over the raw data.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("bigint").as("yr"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("yr")).as("cohort_yr"), collect_set(col("yr")).as("yrs"))
+    val byCohort = Window.partitionBy(col("cohort_yr")).orderBy(col("yr_offset"))
+    perCust
+      .select(col("cohort_yr"), explode(col("yrs")).as("yr"))
+      .withColumn("yr_offset", col("yr") - col("cohort_yr"))
+      .groupBy(col("cohort_yr"), col("yr_offset"))
+      .agg(count(lit(1)).as("n_cust"))
+      .withColumn("retention",
+        round(col("n_cust") / first(col("n_cust")).over(byCohort), 4))
+      .orderBy(col("cohort_yr"), col("yr_offset"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH cy AS (
+      |  SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr
+      |  FROM orders
+      |), cohorts AS (
+      |  SELECT o_custkey, min(yr) AS cohort_yr FROM cy GROUP BY o_custkey
+      |), cells AS (
+      |  SELECT c.cohort_yr, cy.yr - c.cohort_yr AS yr_offset, count(*) AS n_cust
+      |  FROM cy JOIN cohorts c USING (o_custkey)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cohort_yr, yr_offset, n_cust,
+      |  round(n_cust / (first_value(n_cust) OVER (
+      |    PARTITION BY cohort_yr ORDER BY yr_offset)), 4) AS retention
+      |FROM cells
+      |ORDER BY cohort_yr, yr_offset""".stripMargin
+
+  /** Exact trailing 7-day distinct actives per day, by self-expansion:
+    * each distinct (user, active-day) pair fans out to the ≤ 7 window
+    * days it contributes to, then ONE distinct-count per window day
+    * finishes the job. The alternative — re-scanning a 7-day slice per
+    * calendar day — reads every row 7× from storage; the expansion
+    * materializes the same 7× only as in-flight shuffle rows, after
+    * per-user dedup has already collapsed events to active days.
+    * Same-day actives ride along as a conditional distinct (offset 0).
+    *
+    * Window days past the last observed day cover a partial trailing
+    * range and are clipped against the global max, carried as a
+    * broadcast scalar (1-row BNLJ, same shape as the corpus-size
+    * scalar in TextOps).
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val perUser = ev
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("d"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("d")).as("ds"))
+      .select(col("user_id"), explode(col("ds")).as("d"))
+    val maxDay = ev.agg(max(expr("unix_timestamp(ts) DIV 86400")).as("max_d"))
+    perUser
+      .select(col("user_id"), col("d"),
+        explode(sequence(col("d"), col("d") + 6)).as("day"))
+      .join(broadcast(maxDay), col("day") <= col("max_d"))
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(col("user_id")).as("users_7d"),
+        countDistinct(when(col("day") === col("d"), col("user_id"))).as("users_1d"))
+      .orderBy(col("day"))
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+      |  FROM events
+      |), ex AS (
+      |  SELECT user_id, d, d + g.o AS day
+      |  FROM ud CROSS JOIN generate_series(0, 6) AS g(o)
+      |)
+      |SELECT day,
+      |  count(DISTINCT user_id) AS users_7d,
+      |  count(DISTINCT CASE WHEN day = d THEN user_id END) AS users_1d
+      |FROM ex
+      |WHERE day <= (SELECT max(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+      |              FROM events)
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
+  /** Each error event opens a ±[[IncidentPadSeconds]] incident window. */
+  val IncidentPadSeconds = 600L
+
+  /** Bucket width for the banded interval join. On the harness data
+    * sessions and incident windows both span single-digit hours, so
+    * 1-hour buckets keep the fan-out per interval small while the
+    * per-bucket group stays far below a reducer's memory.
+    */
+  val OverlapBucketSeconds = 3600L
+
+  /** Interval-overlap join: user sessions (from the shared gap-session
+    * build) × incident windows around error events — which sessions
+    * overlapped an incident, how many, and for how long.
+    *
+    * Spark has no interval-join operator and the naive formulation is
+    * a broadcast-nested-loop over an inequality. The scale form is the
+    * banded join every big engine uses for range joins: both interval
+    * sets fan out to the fixed-width time buckets they cover, the join
+    * is an EQUI-join on bucket + exact overlap residual, and each
+    * overlapping pair is emitted exactly once by keeping only the
+    * FIRST bucket the two intervals share (b = max of the two start
+    * buckets) — no distinct pass. Cost scales with overlapping bucket
+    * pairs, not |sessions| × |incidents|; at 100 TB the bucket width
+    * is the one knob, and AQE re-splits any hot bucket.
+    */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val W = OverlapBucketSeconds
+    val ses = Events.sessions(spark, dir)
+      .select(col("user_id"), col("session_id"),
+        col("session_start_s").as("s_lo"), col("session_end_s").as("s_hi"))
+      .withColumn("b", explode(sequence(
+        expr(s"s_lo DIV $W"), expr(s"s_hi DIV $W"))))
+    val inc = events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+        (unix_timestamp(col("ts")) - IncidentPadSeconds).as("i_lo"),
+        (unix_timestamp(col("ts")) + IncidentPadSeconds).as("i_hi"))
+      .withColumn("b", explode(sequence(
+        expr(s"i_lo DIV $W"), expr(s"i_hi DIV $W"))))
+    ses.join(inc, Seq("b"))
+      .filter(col("s_lo") <= col("i_hi") && col("i_lo") <= col("s_hi") &&
+        col("b") === greatest(expr(s"s_lo DIV $W"), expr(s"i_lo DIV $W")))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_incidents"),
+        sum(least(col("s_hi"), col("i_hi")) -
+          greatest(col("s_lo"), col("i_lo"))).as("overlap_s"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** The oracle states overlap directly as the inequality join over
+    * the SAME session definition (shared CTE chain) — proving both the
+    * banding's completeness (no pair missed by bucket clipping) and
+    * its exactly-once emission (no pair double-counted).
+    */
+  val intervalOverlapSql: String =
+    s"""WITH ${Events.sessionCtesSql},
+      |sessions AS (
+      |  SELECT user_id, session_id,
+      |    min(epoch_s) AS s_lo, max(epoch_s) AS s_hi
+      |  FROM numbered GROUP BY user_id, session_id
+      |), incidents AS (
+      |  SELECT event_id AS incident_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) - $IncidentPadSeconds AS i_lo,
+      |    CAST(floor(epoch(ts)) AS BIGINT) + $IncidentPadSeconds AS i_hi
+      |  FROM events WHERE event_type = 'error'
+      |)
+      |SELECT s.user_id, s.session_id,
+      |  count(*) AS n_incidents,
+      |  CAST(sum(least(s.s_hi, i.i_hi) - greatest(s.s_lo, i.i_lo)) AS BIGINT)
+      |    AS overlap_s
+      |FROM sessions s JOIN incidents i
+      |  ON s.s_lo <= i.i_hi AND i.i_lo <= s.s_hi
+      |GROUP BY s.user_id, s.session_id
+      |ORDER BY s.user_id, s.session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_gap_fill_locf" -> (gapFillLocf _)
+    "q_gap_fill_locf" -> (gapFillLocf _),
+    "q_cohort_retention" -> (cohortRetention _),
+    "q_rolling_active_users" -> (rollingActiveUsers _),
+    "q_interval_overlap" -> (intervalOverlap _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q_gap_fill_locf" -> gapFillLocfSql
+    "q_gap_fill_locf" -> gapFillLocfSql,
+    "q_cohort_retention" -> cohortRetentionSql,
+    "q_rolling_active_users" -> rollingActiveUsersSql,
+    "q_interval_overlap" -> intervalOverlapSql
   )
 }

@@ -282,7 +282,59 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Snapshot/delta boundary for [[incrementalAgg]]: orders strictly
+    * before this date form the "yesterday's snapshot" side, the rest
+    * the fresh delta partition.
+    */
+  val IncrCutoff = "2000-01-01"
+
+  /** Incremental aggregate maintenance: the snapshot aggregate (orders
+    * before [[IncrCutoff]]) merged with the delta partition's aggregate
+    * (orders on/after it) by re-aggregating algebraic partials —
+    * sum/count merge across the union, avg is derived from the merged
+    * partials at the end (it does not merge directly). The oracle
+    * recomputes the aggregate over ALL orders in one pass: equality IS
+    * the statement that the incremental plan maintains the view.
+    *
+    * At 100 TB this is the difference between aggregating one day's
+    * partition and re-scanning seven years; both sub-scans here push
+    * their disjoint date filters into the parquet reader, and a real
+    * deployment would read the snapshot side from the previously
+    * materialized partials rather than re-deriving them.
+    *
+    * avg_price divides the ROUNDED revenue on both engines: once the
+    * merged sum round-trips to the same double, the division is
+    * bit-identical — deriving from the raw sums would let a 1-ulp
+    * summation-order difference surface in the 4th decimal.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("o_totalprice")).as("_psum"), count(lit(1)).as("_pcnt"))
+    val orders = Sources.orders(spark, dir)
+    val cutoff = lit(IncrCutoff).cast("timestamp")
+    partials(orders.filter(col("o_orderdate") < cutoff))
+      .unionByName(partials(orders.filter(col("o_orderdate") >= cutoff)))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("_psum")).as("_sum"), sum(col("_pcnt")).as("n_orders"))
+      .select(col("o_orderpriority"),
+        round(col("_sum"), 2).as("revenue"),
+        col("n_orders"),
+        round(round(col("_sum"), 2) / col("n_orders"), 4).as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val incrementalAggSql: String =
+    """SELECT o_orderpriority,
+      |  round(sum(o_totalprice), 2) AS revenue,
+      |  count(*) AS n_orders,
+      |  round(round(sum(o_totalprice), 2) / count(*), 4) AS avg_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_agg" -> (incrementalAgg _),
     "q_salted_revenue" -> (saltedRevenue _),
     "q_order_split" -> (orderSplit _),
     "q_stratified_sample" -> (stratifiedDocSample _),
@@ -291,6 +343,7 @@ object Scale {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_incremental_agg" -> incrementalAggSql,
     "q_salted_revenue" -> saltedRevenueSql,
     "q_order_split" -> orderSplitSql,
     "q_stratified_sample" -> stratifiedDocSampleSql,

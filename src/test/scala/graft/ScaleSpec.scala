@@ -5,6 +5,27 @@ import graft.operators.Scale
 
 class ScaleSpec extends SparkSpec {
 
+  test("incremental snapshot+delta merge equals the one-pass aggregate, filters pushed") {
+    val incr = Scale.incrementalAgg(spark, sf)
+    val naive = graft.ingest.Sources.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("o_totalprice")).as("_sum"), count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+        round(col("_sum"), 2).as("revenue"),
+        col("n_orders"),
+        round(round(col("_sum"), 2) / col("n_orders"), 4).as("avg_price"))
+    assert(incr.count() == naive.count())
+    assert(incr.except(naive).count() == 0 && naive.except(incr).count() == 0)
+    // both sub-scans must push their date filter into parquet — the
+    // whole point is that the delta side reads one partition, not all
+    val p = plan(incr)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate")
+      || p.contains("LessThan(o_orderdate"),
+      s"snapshot date filter not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"delta date filter not pushed:\n$p")
+  }
+
   test("salted aggregation equals naive groupBy exactly") {
     val naive = graft.ingest.Sources.orders(spark, sf)
       .join(broadcast(graft.ingest.Sources.customer(spark, sf)),

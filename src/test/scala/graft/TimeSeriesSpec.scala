@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{Events, TimeSeries}
+
+/** Properties of the time-axis analytics that the DuckDB hash gates
+  * can't see from the outside: the banded interval join's equivalence
+  * to the brute-force inequality join, the rolling-window expansion's
+  * equivalence to per-day re-scans, and the cohort cube's internal
+  * consistency.
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  test("banded interval join equals the brute-force inequality join") {
+    val banded = TimeSeries.intervalOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_incidents"), r.getAs[Long]("overlap_s"))).toMap
+
+    val ses = Events.sessions(spark, sf)
+      .select(col("user_id"), col("session_id"),
+        col("session_start_s").as("s_lo"), col("session_end_s").as("s_hi"))
+    val inc = graft.ingest.Sources.events(spark, sf)
+      .filter(col("event_type") === "error")
+      .select(
+        (unix_timestamp(col("ts")) - TimeSeries.IncidentPadSeconds).as("i_lo"),
+        (unix_timestamp(col("ts")) + TimeSeries.IncidentPadSeconds).as("i_hi"))
+    // brute force: broadcast-nested-loop over the raw inequality
+    val brute = ses.join(broadcast(inc),
+        col("s_lo") <= col("i_hi") && col("i_lo") <= col("s_hi"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_incidents"),
+        sum(least(col("s_hi"), col("i_hi")) -
+          greatest(col("s_lo"), col("i_lo"))).as("overlap_s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_incidents"), r.getAs[Long]("overlap_s"))).toMap
+
+    assert(banded == brute,
+      s"banding diverges from brute force: ${banded.size} vs ${brute.size} pairs")
+    assert(banded.nonEmpty, "no overlapping session/incident pairs at all")
+  }
+
+  test("banded interval join stays an equi-join (no nested-loop, no cartesian)") {
+    val p = plan(TimeSeries.intervalOverlap(spark, sf))
+    assert(!p.contains("CartesianProduct"), "banded join planned a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "banded join fell back to a nested loop — banding didn't produce an equi-key")
+  }
+
+  test("rolling 7-day distinct actives equals per-day recomputation") {
+    val out = TimeSeries.rollingActiveUsers(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("users_7d"), r.getAs[Long]("users_1d"))).toMap
+
+    val pairs = graft.ingest.Sources.events(spark, sf)
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = pairs.map(_._2)
+    assert(out.keySet == (days.min to days.max).toSet,
+      "output days are not exactly the observed calendar range")
+    out.foreach { case (day, (w7, w1)) =>
+      val expected7 = pairs.collect {
+        case (u, d) if d >= day - 6 && d <= day => u
+      }.distinct.length.toLong
+      val expected1 = pairs.collect { case (u, d) if d == day => u }
+        .distinct.length.toLong
+      assert(w7 == expected7, s"users_7d wrong on day $day: $w7 != $expected7")
+      assert(w1 == expected1, s"users_1d wrong on day $day: $w1 != $expected1")
+    }
+  }
+
+  test("cohort cube is internally consistent") {
+    val rows = TimeSeries.cohortRetention(spark, sf).collect()
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_yr"))
+    byCohort.foreach { case (c, rs) =>
+      val offsets = rs.map(_.getAs[Long]("yr_offset"))
+      assert(offsets.contains(0L), s"cohort $c missing its own offset-0 cell")
+      val base = rs.find(_.getAs[Long]("yr_offset") == 0L).get
+      assert(base.getAs[Double]("retention") == 1.0,
+        s"cohort $c offset-0 retention must be 1.0")
+      rs.foreach { r =>
+        assert(r.getAs[Double]("retention") <= 1.0 &&
+          r.getAs[Double]("retention") > 0.0)
+        assert(r.getAs[Long]("n_cust") <= base.getAs[Long]("n_cust"),
+          s"cohort $c has an offset larger than its base")
+      }
+    }
+    // offset-0 cells partition all customers: every customer is in
+    // exactly one cohort (its first-order year)
+    val totalBase = byCohort.values
+      .map(_.find(_.getAs[Long]("yr_offset") == 0L).get.getAs[Long]("n_cust")).sum
+    val nCustomers = graft.ingest.Sources.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(totalBase == nCustomers,
+      s"cohort bases sum to $totalBase but there are $nCustomers ordering customers")
+  }
+}
