@@ -23,6 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Relational.queries ++
+      analytics.Affinity.queries ++
       analytics.Stats.queries ++
       analytics.TimeSeries.queries ++
       analytics.Events.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++
+      analytics.Affinity.oracles ++
       analytics.Stats.oracles ++
       analytics.TimeSeries.oracles ++
       analytics.Events.oracles ++

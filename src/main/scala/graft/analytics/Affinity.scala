@@ -1,0 +1,177 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Sources._
+
+/** Product-affinity analytics over the order/lineitem fact: market-
+  * basket co-occurrence and PageRank centrality on the co-purchase
+  * graph. Together with [[graft.operators.Graph.connectedComponents]]
+  * these cover the graph-shaped end of the operator inventory: counting
+  * on pair joins, and iterative propagation with a driver-side loop.
+  *
+  * Scale notes (100 TB): the pair join is keyed on l_orderkey, so the
+  * fan-out per key is (parts-per-order choose 2) — bounded by basket
+  * size, never by catalog size; a pathological mega-basket would be
+  * capped upstream (the harness max is 20 lines). PageRank's per-
+  * iteration cost is one join + one aggregation on the edge list,
+  * re-partitioned once and reused via localCheckpoint, the same
+  * lineage-truncation pattern as connectedComponents.
+  */
+object Affinity {
+
+  /** Pairs must co-occur in at least this many distinct orders. */
+  val MinSupport = 2
+
+  /** Fixed-point scale for PageRank integer arithmetic. */
+  val PrScale = 1000000000000L
+
+  /** PageRank iterations (fixed — part of the operator's contract). */
+  val PrIters = 3
+
+  /** Distinct (order, part) incidence — the basket relation both
+    * operators start from.
+    */
+  private def orderParts(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+
+  /** Market-basket co-occurrence: part pairs bought together in at
+    * least [[MinSupport]] distinct orders, with per-part order
+    * frequencies and lift. Lift is derived from exact integer counts
+    * (support·n_orders / (cnt_a·cnt_b)), so both engines divide the
+    * same integers and produce bit-identical doubles.
+    */
+  def partCopurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ol = orderParts(spark, dir)
+    val a = ol.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = ol.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+    val freq = ol.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val nOrders = ol.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    pairs
+      .join(broadcast(freq.select(col("l_partkey").as("part_a"),
+        col("cnt").as("cnt_a"))), Seq("part_a"))
+      .join(broadcast(freq.select(col("l_partkey").as("part_b"),
+        col("cnt").as("cnt_b"))), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("cnt_a"), col("cnt_b"),
+        round((col("support") * col("n_orders")) /
+          (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  val partCopurchaseSql: String =
+    s"""WITH ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |    count(*) AS support
+      |  FROM ol a JOIN ol b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $MinSupport
+      |), freq AS (
+      |  SELECT l_partkey, count(*) AS cnt FROM ol GROUP BY 1
+      |), n AS (
+      |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM ol
+      |)
+      |SELECT part_a, part_b, support, fa.cnt AS cnt_a, fb.cnt AS cnt_b,
+      |  round((support * n_orders) / (fa.cnt * fb.cnt), 6) AS lift
+      |FROM pairs
+      |JOIN freq fa ON part_a = fa.l_partkey
+      |JOIN freq fb ON part_b = fb.l_partkey
+      |CROSS JOIN n
+      |ORDER BY part_a, part_b""".stripMargin
+
+  /** PageRank over the co-purchase graph (edges = pairs with support ≥
+    * [[MinSupport]], symmetrized), [[PrIters]] iterations, damping
+    * 0.85 — entirely in FIXED-POINT integer arithmetic: ranks are
+    * [[PrScale]]-scaled BIGINTs, each neighbor contribution is
+    * rank DIV degree and the damping step is (85·Σ) DIV 100. Floating
+    * sums are order-dependent across engines and iterations amplify
+    * the divergence; integer sums are associative, so the oracle
+    * (the same recurrence unrolled as CTEs) matches bit-for-bit —
+    * and, at scale, so does any re-run of the job, making the
+    * operator's output stable under retries and AQE re-planning.
+    * Truncation loses < 1 unit per (edge, iteration) of 10^12 total
+    * mass — the spec pins the conservation bound.
+    */
+  def partPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val ol = orderParts(spark, dir)
+    val a = ol.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = ol.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val halfEdges = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+    // symmetrize; graph.pagerank truncates the lineage of this pair
+    // join before the iteration loop re-joins the edge list
+    val edges = halfEdges
+      .select(explode(array(
+        struct(col("part_a").as("src"), col("part_b").as("dst")),
+        struct(col("part_b").as("src"), col("part_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    graft.operators.Graph.pagerank(edges, iters = PrIters, scale = PrScale)
+      .select(col("v").as("part"), col("r").as("pr"))
+      .orderBy(col("pr").desc, col("part").asc)
+  }
+
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+      |  SELECT d.v, ($PrScale * 15) // (100 * nn.n) +
+      |    (85 * coalesce(c.contrib, 0)) // 100 AS r, d.d
+      |  FROM deg d
+      |  LEFT JOIN (
+      |    SELECT e.dst AS v, CAST(sum(r.r // r.d) AS BIGINT) AS contrib
+      |    FROM edges e JOIN $prev r ON e.src = r.v
+      |    GROUP BY e.dst) c ON d.v = c.v
+      |  CROSS JOIN nn
+      |)""".stripMargin
+
+  val partPagerankSql: String = {
+    val iters = (1 to PrIters)
+      .map(i => prIterSql(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), halfe AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM ol a JOIN ol b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $MinSupport
+      |), edges AS (
+      |  SELECT pa AS src, pb AS dst FROM halfe
+      |  UNION ALL
+      |  SELECT pb, pa FROM halfe
+      |), deg AS (
+      |  SELECT src AS v, count(*) AS d FROM edges GROUP BY 1
+      |), nn AS (
+      |  SELECT count(*) AS n FROM deg
+      |), r0 AS (
+      |  SELECT v, $PrScale // nn.n AS r, d FROM deg CROSS JOIN nn
+      |),
+      |$iters
+      |SELECT v AS part, CAST(r AS BIGINT) AS pr
+      |FROM r$PrIters
+      |ORDER BY pr DESC, part ASC""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_part_copurchase" -> (partCopurchase _),
+    "q_part_pagerank" -> (partPagerank _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_part_copurchase" -> partCopurchaseSql,
+    "q_part_pagerank" -> partPagerankSql
+  )
+}

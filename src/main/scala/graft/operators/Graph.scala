@@ -92,4 +92,48 @@ object Graph {
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     labels
   }
+
+  /** Fixed-point PageRank over a DIRECTED edge list (symmetrize first
+    * for undirected graphs), damping 0.85, a fixed iteration count.
+    *
+    * Ranks are `scale`-scaled BIGINTs and every step is integer
+    * arithmetic (contribution = rank DIV out-degree, damping =
+    * (85·Σ) DIV 100): integer sums are associative, so the result is
+    * bit-identical across engines, partitionings, retries and AQE
+    * re-plans — which is what makes the operator oracle-checkable and
+    * its output stable in a 1000-executor pipeline. Truncation loses
+    * under one unit per (edge, iteration) of `scale` total mass.
+    *
+    * Only vertices with at least one OUTGOING edge are ranked (on a
+    * symmetrized graph that is every non-isolated vertex, and there
+    * are no dangling sinks). Returns (v, r, d): rank and out-degree.
+    */
+  def pagerank(edges: DataFrame, iters: Int = 3,
+               scale: Long = 1000000000000L): DataFrame = {
+    // the edge list is re-joined every iteration — truncate whatever
+    // lineage produced it (typically an expensive pair join)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val n = deg.count() // scalar init constant, not a per-row loop
+    require(n > 0, "pagerank needs a non-empty edge list")
+    var ranks = deg.select(col("v"), lit(scale / n).as("r"), col("d"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), expr("r DIV d").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("contrib"))
+      val next = deg.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          expr(s"(${scale}L * 15) DIV (100 * ${n}L) + " +
+            "(85 * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100").as("r"),
+          col("d"))
+        .localCheckpoint(eager = false)
+      next.count() // materialize before unpersisting the superseded round
+      ranks.unpersist()
+      ranks = next
+    }
+    e.unpersist()
+    ranks
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.analytics.Affinity
+import graft.operators.Graph
+
+class AffinitySpec extends SparkSpec {
+
+  private def edgeDf(pairs: (Long, Long)*) = {
+    val rows = pairs.flatMap { case (a, b) => Seq(Row(a, b), Row(b, a)) }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+  }
+
+  test("co-purchase counts equal a brute-force basket recount") {
+    val out = Affinity.partCopurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("support")).toMap
+    val baskets = graft.ingest.Sources.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val brute = baskets.values.flatMap { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= Affinity.MinSupport).toMap
+    assert(out == brute, s"support mismatch: ${out.size} vs ${brute.size} pairs")
+    assert(out.nonEmpty, "no co-purchased pairs at all")
+  }
+
+  test("co-purchase lift is the exact integer-count ratio") {
+    val rows = Affinity.partCopurchase(spark, sf).collect()
+    val nOrders = graft.ingest.Sources.lineitem(spark, sf)
+      .select(col("l_orderkey")).distinct().count()
+    rows.foreach { r =>
+      val expect = BigDecimal(
+        r.getAs[Long]("support").toDouble * nOrders /
+          (r.getAs[Long]("cnt_a") * r.getAs[Long]("cnt_b")))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("lift") - expect) < 1e-9,
+        s"lift mismatch on ${r.getLong(0)},${r.getLong(1)}")
+    }
+  }
+
+  test("pagerank on a crafted star: hub outranks leaves, leaves tie") {
+    // star 1-(2,3,4): hub collects three full contributions, each leaf
+    // one third of the hub's
+    val pr = Graph.pagerank(edgeDf((1L, 2L), (1L, 3L), (1L, 4L)), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("r")).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L))
+    assert(pr(1L) > pr(2L), "hub must outrank a leaf")
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L),
+      "symmetric leaves must tie exactly (integer determinism)")
+  }
+
+  test("pagerank conserves scaled mass up to truncation loss") {
+    val scale = 1000000000000L
+    val pr = Graph.pagerank(
+      edgeDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)),
+      iters = 4, scale = scale)
+      .agg(sum(col("r"))).head().getLong(0)
+    // each iteration loses < 1 unit per edge-end + 1 per damping DIV
+    assert(pr <= scale, s"mass created: $pr > $scale")
+    assert(pr >= scale - 1000L, s"mass lost beyond truncation bound: $pr")
+  }
+
+  test("pagerank on a regular graph is uniform and iteration-invariant") {
+    // 4-cycle: every vertex identical by symmetry at every iteration
+    val pr = Graph.pagerank(edgeDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)),
+      iters = 5)
+      .collect().map(_.getAs[Long]("r")).toSet
+    assert(pr.size == 1, s"regular graph must rank uniformly, got $pr")
+  }
+}
