@@ -219,7 +219,68 @@ object Quality {
       |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
       |FROM orders""".stripMargin
 
+  /** Robust anomaly detection via median absolute deviation: per
+    * event type, the median value, the MAD, and how many readings sit
+    * beyond the classic 3σ-equivalent fence (3 · 1.4826 · MAD — the
+    * consistency constant scales MAD to σ under normality). Mean/σ
+    * fences move with the outliers they hunt; median/MAD don't, which
+    * is why sensor-quality pipelines fence on MAD.
+    *
+    * Three passes over the same event_type partitioning (median →
+    * deviations → fence count), each re-join a 5-row broadcast —
+    * at 100 TB the data shuffles once per pass and the per-group
+    * scalars ride the broadcast, never a wide join. Spark
+    * `percentile` and DuckDB `quantile_cont` share the interpolation
+    * rule, so medians compare exactly.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val fences = dev.groupBy(col("event_type"))
+      .agg(min(col("med")).as("med"),
+        percentile(col("adev"), lit(0.5)).as("mad"),
+        count(lit(1)).as("n"))
+    dev.join(broadcast(fences.select(col("event_type"),
+        col("mad"), col("n"))), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(min(col("n")).as("n"),
+        round(min(col("med")), 4).as("med_value"),
+        round(min(col("mad")), 4).as("mad"),
+        sum(when(col("adev") > expr("3 * 1.4826 * mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_rate", round(col("n_outliers") / col("n"), 6))
+      .orderBy(col("event_type"))
+  }
+
+  val madOutliersSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type
+      |), dev AS (
+      |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      |  FROM events e JOIN med m USING (event_type)
+      |), fences AS (
+      |  SELECT event_type, min(med) AS med,
+      |    quantile_cont(adev, 0.5) AS mad, count(*) AS n
+      |  FROM dev GROUP BY event_type
+      |)
+      |SELECT d.event_type, f.n AS n,
+      |  round(f.med, 4) AS med_value,
+      |  round(f.mad, 4) AS mad,
+      |  CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * f.mad
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * f.mad
+      |                      THEN 1 ELSE 0 END) AS BIGINT) / f.n, 6)
+      |    AS outlier_rate
+      |FROM dev d JOIN fences f USING (event_type)
+      |GROUP BY d.event_type, f.n, f.med, f.mad
+      |ORDER BY d.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad_outliers" -> (madOutliers _),
     "q_sensor_hourly" -> (sensorHourly _),
     "q_rolling_zscore" -> ((s: SparkSession, d: String) => rollingZscore(s, d)),
     "q_value_alerts" -> (valueAlerts _),
@@ -228,6 +289,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mad_outliers" -> madOutliersSql,
     "q_sensor_hourly" -> sensorHourlySql,
     "q_rolling_zscore" -> rollingZscoreSql,
     "q_value_alerts" -> valueAlertsSql,

@@ -235,7 +235,64 @@ object TimeSeries {
       |GROUP BY s.user_id, s.session_id
       |ORDER BY s.user_id, s.session_id""".stripMargin
 
+  /** EMA smoothing factor as an integer percentage (α = 0.25). */
+  val EmaAlphaPct = 25L
+
+  /** Per-user exponential moving average of the sensor value — the
+    * classic order-sensitive sequential aggregate Spark has no native
+    * operator for (an EMA cannot be expressed as a window frame: each
+    * state depends on the previous STATE, not the previous rows).
+    *
+    * The scale form: ONE shuffle groups each user's readings, an
+    * explicit sort key (epoch-µs, event_id) fixes the order inside the
+    * collected array, and a codegen'd `aggregate` HOF folds the
+    * recurrence ema' = (α·x + (1-α)·ema) DIV 1 — in FIXED-POINT integer
+    * cents, so the fold is associative-safe (same value on any engine,
+    * any partitioning; a float fold would drift by summation order and
+    * the oracle's list_reduce would diverge). State per user is one
+    * long; array size is bounded by per-key history, the knob a real
+    * deployment caps with windowed retention.
+    */
+  def sensorEma(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        // 2-decimal data → exact integer cents (see Quality.sensorHourly)
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("us"), col("event_id"),
+          col("cents")))).as("seq"))
+      .withColumn("cs", expr("transform(seq, s -> s.cents)"))
+      .withColumn("ema_cents", expr(
+        s"""aggregate(slice(cs, 2, size(cs) - 1), cs[0],
+           |  (acc, x) -> ($EmaAlphaPct * x + ${100 - EmaAlphaPct} * acc) DIV 100)
+           |""".stripMargin))
+      .select(col("user_id"), col("n_events"),
+        col("ema_cents"),
+        (col("ema_cents") / 100.0).as("ema_value"))
+      .orderBy(col("user_id"))
+
+  val sensorEmaSql: String =
+    s"""WITH seqd AS (
+      |  SELECT user_id,
+      |    list(CAST(round(value * 100) AS BIGINT)
+      |         ORDER BY date_trunc('microseconds', ts), event_id) AS cs,
+      |    count(*) AS n_events
+      |  FROM events
+      |  GROUP BY user_id
+      |)
+      |SELECT user_id, n_events,
+      |  list_reduce(cs, (acc, x) ->
+      |    ($EmaAlphaPct * x + ${100 - EmaAlphaPct} * acc) // 100) AS ema_cents,
+      |  list_reduce(cs, (acc, x) ->
+      |    ($EmaAlphaPct * x + ${100 - EmaAlphaPct} * acc) // 100) / 100.0
+      |    AS ema_value
+      |FROM seqd
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sensor_ema" -> (sensorEma _),
     "q_gap_fill_locf" -> (gapFillLocf _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_rolling_active_users" -> (rollingActiveUsers _),
@@ -243,6 +300,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sensor_ema" -> sensorEmaSql,
     "q_gap_fill_locf" -> gapFillLocfSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_rolling_active_users" -> rollingActiveUsersSql,

@@ -46,6 +46,34 @@ object Sinks {
       .partitionBy("p_date")
       .parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetFileBytes` each. Streaming sinks and per-batch
+    * upserts accrete small files; at 100 TB a scan's task count (and
+    * the NameNode/liststatus pressure) is proportional to file count,
+    * so periodic compaction is part of operating the gold tables.
+    *
+    * Sizing reads the INPUT's on-disk footprint (compressed) and
+    * coalesce()s — a narrow, shuffle-free repack; the rewrite cost is
+    * one read + one write of the partition being compacted. Content is
+    * unchanged (row-identical, any order).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // same swap discipline as the upsert sink: the directory flips
+    // from old to new layout in two renames, never a partial mix
+    val old = new org.apache.hadoop.fs.Path(path + "_precompact")
+    fs.rename(hPath, old)
+    fs.rename(tmp, hPath)
+    fs.delete(old, true)
+  }
+
   /** Upsert (MERGE) without a table format: rows of `updates` replace
     * key-matching rows of `target`; everything else passes through.
     * Anti-join + union — the updates side is usually small, so Spark

@@ -78,4 +78,24 @@ class SinksSpec extends SparkSpec {
     assert(back.schema == df.schema)
     assert(back.except(df).count() == 0 && df.except(back).count() == 0)
   }
+
+  test("compaction collapses a fragmented table without changing content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val path = s"$dir/t"
+    val df = graft.ingest.Sources.orders(spark, sf)
+    df.repartition(40).write.parquet(path) // fragment: 40 small files
+    def parquetFiles() = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before >= 40, s"fixture not fragmented: $before files")
+    Sinks.compact(spark, path, targetFileBytes = 10L * 1024 * 1024)
+    val after = parquetFiles()
+    assert(after < before / 4, s"compaction barely helped: $before -> $after")
+    val back = spark.read.parquet(path)
+    assert(back.count() == df.count())
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+    // no leftover staging/backup dirs from the swap
+    assert(!new java.io.File(path + "_compacting").exists())
+    assert(!new java.io.File(path + "_precompact").exists())
+  }
 }

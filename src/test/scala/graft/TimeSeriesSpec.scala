@@ -69,6 +69,53 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("fixed-point EMA equals a driver-side sequential fold") {
+    val out = TimeSeries.sensorEma(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("ema_cents")).toMap
+    val seqs = graft.ingest.Sources.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(t => (t._1, t._2)).map(_._3)).toMap
+    val a = TimeSeries.EmaAlphaPct
+    seqs.foreach { case (u, cs) =>
+      val expect = cs.tail.foldLeft(cs.head) {
+        (acc, x) => (a * x + (100 - a) * acc) / 100
+      }
+      assert(out(u) == expect, s"EMA fold mismatch for user $u")
+    }
+    assert(out.keySet == seqs.keySet)
+  }
+
+  test("MAD fence flags exactly the points beyond 3*1.4826*MAD") {
+    import graft.analytics.Quality
+    val rows = Quality.madOutliers(spark, sf).collect()
+    val vals = graft.ingest.Sources.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def interp(xs: Array[Double], q: Double): Double = {
+      val pos = q * (xs.length - 1)
+      val lo = pos.toInt
+      if (lo == xs.length - 1) xs(lo)
+      else xs(lo) + (pos - lo) * (xs(lo + 1) - xs(lo))
+    }
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val xs = vals(et)
+      val med = interp(xs, 0.5)
+      val mad = interp(xs.map(v => math.abs(v - med)).sorted, 0.5)
+      val fence = 3 * 1.4826 * mad
+      val expected = xs.count(v => math.abs(v - med) > fence).toLong
+      assert(r.getAs[Long]("n_outliers") == expected,
+        s"outlier count mismatch for $et")
+      assert(math.abs(r.getAs[Double]("mad") -
+        BigDecimal(mad).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("cohort cube is internally consistent") {
     val rows = TimeSeries.cohortRetention(spark, sf).collect()
     val byCohort = rows.groupBy(_.getAs[Long]("cohort_yr"))
