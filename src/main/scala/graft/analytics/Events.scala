@@ -265,7 +265,46 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Event-type transition matrix (first-order Markov): for each
+    * (type → next type) bigram within a user's timeline, the count and
+    * the transition probability. One shuffle on user_id for the lead
+    * window; the bigram aggregation and the per-source normalization
+    * run over the tiny 5×5 cube. Probabilities are ratios of exact
+    * integer counts, so both engines divide the same longs.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val bySrc = Window.partitionBy(col("event_type"))
+    events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(bySrc), 6))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH nx AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC)
+      |      AS next_type
+      |  FROM events
+      |), bi AS (
+      |  SELECT event_type, next_type, count(*) AS n
+      |  FROM nx WHERE next_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |)
+      |SELECT event_type, next_type, n,
+      |  round(n / (sum(n) OVER (PARTITION BY event_type)), 6) AS p
+      |FROM bi
+      |ORDER BY event_type, next_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (eventTransitions _),
     "q_asof_custom" -> (asofSignupCustom _),
     "q_user_event_types" -> (userEventTypes _),
     "q_sessionize" -> (sessionize _),
@@ -275,6 +314,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" -> eventTransitionsSql,
     "q_asof_custom" -> asofSignupSql,
     "q_user_event_types" -> userEventTypesSql,
     "q_sessionize" -> sessionizeSql,

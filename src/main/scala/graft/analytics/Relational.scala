@@ -572,7 +572,78 @@ object Relational {
       |ORDER BY n_name, quartile""".stripMargin
 
   /** All relational queries, keyed for SparkEntry. */
+  /** Table diff / reconciliation: classify every key of two table
+    * versions as added / removed / changed / same, with the absolute
+    * value drift — the audit that runs after any upsert/backfill to
+    * prove what a data delivery actually did. The "next-day version"
+    * here is derived deterministically from the same base (a slice
+    * dropped, a slice repriced ×1.1, a slice of new keys appended) so
+    * both engines diff identical inputs.
+    *
+    * One full-outer join on the key — at 100 TB both sides shuffle
+    * once on o_orderkey and the classification is a scan-side CASE;
+    * the output aggregate is 4 rows. ×1.1 repricing and the abs-delta
+    * sum stay on exact-double arithmetic until the final round.
+    */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val left = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val dropped = col("o_orderstatus") === "F" && col("o_orderkey") % 100 < 10
+    val repriced = col("o_orderstatus") === "O" && col("o_orderkey") % 100 < 5
+    val right = left.filter(!dropped)
+      .withColumn("o_totalprice",
+        when(repriced, col("o_totalprice") * 1.1).otherwise(col("o_totalprice")))
+      .unionByName(left.filter(col("o_orderstatus") === "P")
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    val l = left.select(col("o_orderkey"),
+      col("o_totalprice").as("l_price"), col("o_orderstatus").as("l_status"))
+    val r = right.select(col("o_orderkey"),
+      col("o_totalprice").as("r_price"), col("o_orderstatus").as("r_status"))
+    l.join(r, Seq("o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("r_status").isNull, "removed")
+          .when(col("l_status").isNull, "added")
+          .when(col("l_price") =!= col("r_price") ||
+            col("l_status") =!= col("r_status"), "changed")
+          .otherwise("same"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(abs(coalesce(col("r_price"), lit(0.0)) -
+          coalesce(col("l_price"), lit(0.0)))), 2).as("abs_drift"))
+      .orderBy(col("change_type"))
+  }
+
+  val tableDiffSql: String =
+    """WITH left_v AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |), right_v AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderstatus = 'O' AND o_orderkey % 100 < 5
+      |         THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM left_v
+      |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 100 < 10)
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+      |  FROM left_v WHERE o_orderstatus = 'P'
+      |), diff AS (
+      |  SELECT
+      |    CASE WHEN r.o_orderstatus IS NULL THEN 'removed'
+      |         WHEN l.o_orderstatus IS NULL THEN 'added'
+      |         WHEN l.o_totalprice <> r.o_totalprice
+      |           OR l.o_orderstatus <> r.o_orderstatus THEN 'changed'
+      |         ELSE 'same' END AS change_type,
+      |    abs(coalesce(r.o_totalprice, 0) - coalesce(l.o_totalprice, 0)) AS d
+      |  FROM left_v l FULL OUTER JOIN right_v r
+      |    ON l.o_orderkey = r.o_orderkey
+      |)
+      |SELECT change_type, count(*) AS n_rows, round(sum(d), 2) AS abs_drift
+      |FROM diff
+      |GROUP BY change_type
+      |ORDER BY change_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_diff" -> (tableDiff _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_revenue_by_nation" -> (revenueByNation _),
     "q_order_priority_revenue" -> (orderPriorityRevenue _),
@@ -596,6 +667,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_table_diff" -> tableDiffSql,
     "q_pricing_summary" -> pricingSummarySql,
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_order_priority_revenue" -> orderPriorityRevenueSql,

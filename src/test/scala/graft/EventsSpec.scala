@@ -76,4 +76,16 @@ class EventsSpec extends SparkSpec {
       .count()
     assert(mismatched == 0, "session count != 1 + over-gap count for some user")
   }
+
+  test("transition matrix rows normalize and bigram mass equals events minus users") {
+    val rows = Events.eventTransitions(spark, sf).collect()
+    val ev = graft.ingest.Sources.events(spark, sf)
+    val expectedBigrams = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expectedBigrams,
+      "each user contributes exactly (events - 1) transitions")
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val pSum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"row $src sums to $pSum")
+    }
+  }
 }

@@ -87,4 +87,20 @@ class RelationalSpec extends SparkSpec {
     assert(out.forall(r => !r.isNullAt(r.fieldIndex("custkey")) &&
       (r.getAs[Boolean]("in_segment") || r.getAs[Boolean]("ordered_95"))))
   }
+
+  test("table diff classifies every reconciliation class with exact counts") {
+    val out = Relational.tableDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"), r.getAs[Double]("abs_drift"))).toMap
+    val orders = graft.ingest.Sources.orders(spark, sf)
+    val nRemoved = orders.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 100 < 10).count()
+    val nChanged = orders.filter(col("o_orderstatus") === "O" && col("o_orderkey") % 100 < 5).count()
+    val nAdded = orders.filter(col("o_orderstatus") === "P").count()
+    val total = orders.count()
+    assert(out("removed")._1 == nRemoved)
+    assert(out("added")._1 == nAdded)
+    assert(out("changed")._1 == nChanged, "every repriced row must differ (price > 0)")
+    assert(out("same")._1 == total - nRemoved - nChanged)
+    assert(out("same")._2 == 0.0, "unchanged rows must show zero drift")
+    assert(out("changed")._2 > 0.0 && out("removed")._2 > 0.0 && out("added")._2 > 0.0)
+  }
 }
