@@ -279,7 +279,51 @@ object Quality {
       |GROUP BY d.event_type, f.n, f.med, f.mad
       |ORDER BY d.event_type""".stripMargin
 
+  /** A2 (hopping variant): sliding 1-hour windows every 15 minutes
+    * via Spark's native `window()` generator — each event lands in 4
+    * overlapping windows scan-side (a generator, no self-join), then
+    * one aggregation keyed on the window start. The oracle rebuilds
+    * the same assignment arithmetically (window starts are the 900 s
+    * ticks in (t−3600, t]), proving the generator's alignment.
+    * Exact-cents sums and the integer-space avg follow
+    * [[sensorHourly]].
+    */
+  def hoppingStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(
+        col("window.start").cast("long").as("win_start_s"),
+        col("n"),
+        col("cents"),
+        (round(col("cents") * lit(100.0) / col("n")).cast("long") /
+          lit(10000.0)).as("avg_value"))
+      .orderBy(col("win_start_s"))
+
+  val hoppingStatsSql: String =
+    """WITH ticks AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), ex AS (
+      |  -- a 3600 s window hopping every 900 s covers each tick exactly
+      |  -- 4 times: starts (t//900 - o)*900 for o in 0..3 (constant
+      |  -- series; DuckDB can't lateral-join generate_series on t)
+      |  SELECT (t // 900 - g.o) * 900 AS win_start_s, cents
+      |  FROM ticks CROSS JOIN generate_series(0, 3) AS g(o)
+      |)
+      |SELECT win_start_s, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS cents,
+      |  CAST(round(sum(cents) * 100.0 / count(*)) AS BIGINT) / 10000.0
+      |    AS avg_value
+      |FROM ex
+      |GROUP BY win_start_s
+      |ORDER BY win_start_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hopping_stats" -> (hoppingStats _),
     "q_mad_outliers" -> (madOutliers _),
     "q_sensor_hourly" -> (sensorHourly _),
     "q_rolling_zscore" -> ((s: SparkSession, d: String) => rollingZscore(s, d)),
@@ -289,6 +333,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hopping_stats" -> hoppingStatsSql,
     "q_mad_outliers" -> madOutliersSql,
     "q_sensor_hourly" -> sensorHourlySql,
     "q_rolling_zscore" -> rollingZscoreSql,

@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.ingest.Sources._
 
@@ -137,7 +138,69 @@ object Stats {
       |GROUP BY a.p_brand
       |ORDER BY a.p_brand""".stripMargin
 
+  /** Cross-tabulation with expected frequencies and per-cell χ²
+    * contributions: market segment × region over customers. The test
+    * statistic's ingredients stay per-cell (no cross-cell float sum,
+    * which would be summation-order-dependent): obs/row/col totals
+    * are exact integers (window sums over the 25-cell cube), and each
+    * cell's expected count and contribution divide the SAME integers
+    * on both engines. The deviation is squared in exact-long space
+    * ((obs·n − rt·ct)² — |d| < 2⁵³ up to ~10⁸ customers) before the
+    * one double division.
+    */
+  def segmentRegionCrosstab(spark: SparkSession, dir: String): DataFrame = {
+    val cells = customer(spark, dir)
+      .join(broadcast(nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("c_mktsegment"), col("r_name"))
+      .agg(count(lit(1)).as("obs"))
+    val byRow = Window.partitionBy(col("c_mktsegment"))
+    val byCol = Window.partitionBy(col("r_name"))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("rt", sum(col("obs")).over(byRow))
+      .withColumn("ct", sum(col("obs")).over(byCol))
+      .withColumn("n", sum(col("obs")).over(all))
+      .withColumn("expected",
+        round((col("rt") * col("ct")) / col("n"), 4))
+      // d·d, not pow(d, 2): libm pow is only ~1-ulp accurate and the
+      // two engines link different libms; the product is IEEE-exact
+      .withColumn("d",
+        (col("obs") * col("n") - col("rt") * col("ct")).cast("double"))
+      .withColumn("chi2_contrib", round(
+        (col("d") * col("d")) /
+          ((col("rt") * col("ct")).cast("double") * col("n")), 6))
+      .select(col("c_mktsegment"), col("r_name"), col("obs"),
+        col("expected"), col("chi2_contrib"))
+      .orderBy(col("c_mktsegment"), col("r_name"))
+  }
+
+  val segmentRegionCrosstabSql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment, r_name, count(*) AS obs
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT c_mktsegment, r_name, obs,
+      |    CAST(sum(obs) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS rt,
+      |    CAST(sum(obs) OVER (PARTITION BY r_name) AS BIGINT) AS ct,
+      |    CAST(sum(obs) OVER () AS BIGINT) AS n
+      |  FROM cells
+      |)
+      |SELECT c_mktsegment, r_name, obs,
+      |  round((rt * ct) / n, 4) AS expected,
+      |  round((CAST(obs * n - rt * ct AS DOUBLE) *
+      |         CAST(obs * n - rt * ct AS DOUBLE)) /
+      |        (CAST(rt * ct AS DOUBLE) * n), 6) AS chi2_contrib
+      |FROM tot
+      |ORDER BY c_mktsegment, r_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crosstab_chi2" -> (segmentRegionCrosstab _),
     "q_price_histogram" -> (priceHistogram _),
     "q_order_corr_stats" -> (orderCorrStats _),
     "q_priority_metrics_unpivot" -> (priorityMetricsUnpivot _),

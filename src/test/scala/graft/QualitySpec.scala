@@ -56,4 +56,15 @@ class QualitySpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
   }
+
+  test("hopping windows cover each event exactly 4 times and tile the timeline") {
+    import graft.analytics.Quality
+    val rows = Quality.hoppingStats(spark, sf).collect()
+    val nEvents = graft.ingest.Sources.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == 4 * nEvents,
+      "every event must land in exactly 4 hopping windows")
+    val starts = rows.map(_.getAs[Long]("win_start_s"))
+    assert(starts.forall(_ % 900 == 0), "window starts must align to the 900s slide")
+    assert(starts.distinct.length == starts.length, "duplicate window rows")
+  }
 }

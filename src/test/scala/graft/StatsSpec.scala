@@ -90,4 +90,22 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_dist") <= 4.0)
     }
   }
+
+  test("crosstab marginals reconcile and chi2 contributions are non-negative") {
+    val rows = Stats.segmentRegionCrosstab(spark, sf).collect()
+    val nCustomers = graft.ingest.Sources.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("obs")).sum == nCustomers)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2_contrib") >= 0.0)
+      assert(r.getAs[Double]("expected") > 0.0)
+    }
+    // expected frequencies reconstruct the grand total per row-group
+    val bySeg = rows.groupBy(_.getString(0))
+    bySeg.foreach { case (seg, rs) =>
+      val expSum = rs.map(_.getAs[Double]("expected")).sum
+      val obsSum = rs.map(_.getAs[Long]("obs")).sum.toDouble
+      assert(math.abs(expSum - obsSum) < 0.01,
+        s"row $seg: expected-sum $expSum != marginal $obsSum")
+    }
+  }
 }
