@@ -31,7 +31,14 @@ object Affinity {
   val PrIters = 3
 
   /** Distinct (order, part) incidence — the basket relation both
-    * operators start from.
+    * operators start from. Deliberately NOT materialized: the subtree
+    * feeds four consumers and they don't collapse into
+    * ReusedQueryStages (renamed join sides canonicalize differently),
+    * but a measured localCheckpoint made both queries ~45% SLOWER —
+    * a 2-column pruned parquet scan + partial-aggregated distinct is
+    * cheaper to recompute than to materialize and re-read. (Contrast
+    * pairwiseJaccard's `sets`, whose shingle expressions are the
+    * dominant cost and DO pay off to checkpoint.)
     */
   private def orderParts(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
