@@ -81,6 +81,21 @@ object Pipeline {
       .select(col("window.start").as("window_start"),
         col("sensor_id"), col("n"), col("avg_ph"), col("min_do"), col("max_tds"))
 
+  /** A2/T6 (hopping variant): sliding 1-hour windows every 15 minutes
+    * on the stream — the streaming twin of
+    * [[graft.analytics.Quality.hoppingStats]] (same generator, same
+    * window arithmetic; each reading lands in 4 overlapping windows
+    * scan-side before the stateful aggregation). Watermark bounds the
+    * open-window state to (late-bound + window length) per sensor.
+    */
+  def hoppingStats(readings: DataFrame): DataFrame =
+    readings
+      .withWatermark("timestamp", "1 day")
+      .groupBy(window(col("timestamp"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), avg(col("ph_value")).as("avg_ph"))
+      .select(col("window.start").as("window_start"),
+        col("n"), col("avg_ph"))
+
   /** T6: session windows — readings within a 30-minute gap merge. */
   def sessionStats(readings: DataFrame): DataFrame =
     readings

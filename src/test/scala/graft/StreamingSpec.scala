@@ -295,6 +295,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping stream agg equals the batch hopping aggregation (property)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4096)
+    val readings = (0 until 400).map { i =>
+      val minute = rng.nextInt(24 * 60)
+      reading(s"S${rng.nextInt(4)}",
+        f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00",
+        ph = 6.0f + rng.nextFloat() * 3.0f)
+    }
+    val input = MemoryStream[SensorReading](spark)
+    val q = Pipeline.hoppingStats(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hop_out").start()
+    try {
+      readings.grouped(80).foreach { batch => input.addData(batch: _*) }
+      input.addData(reading("S0", "2024-01-10 00:00:00")) // flush watermark
+      q.processAllAvailable()
+      val streamed = spark.table("hop_out")
+        .filter(col("window_start") < ts("2024-01-05 00:00:00"))
+      val batch = readings.toDS()
+        .groupBy(window(col("timestamp"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), avg(col("ph_value")).as("avg_ph"))
+        .select(col("window.start").as("window_start"), col("n"), col("avg_ph"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+      // every reading is counted exactly 4 times across overlapping windows
+      assert(streamed.agg(sum(col("n"))).head().getLong(0) == 4L * readings.size)
+    } finally q.stop()
+  }
+
   test("rate replay source (T8) is a streaming source with the documented schema") {
     val df = graft.ingest.Sources.rateStream(spark, rowsPerSecond = 5)
     assert(df.isStreaming)
