@@ -473,19 +473,28 @@ object TextOps {
       .filter(col("pos") <=
         col("n_item") - ceil(col("n_item") * lit(tR)) + 1)
       .select(col("doc_id"), col("n_item"), col("lang"), col("source"),
-        col("item"))
+        col("item"), col("pos"))
       .localCheckpoint()
     val a = prefix.select(col("doc_id").as("doc_a"),
-      col("n_item").as("n_a"), col("lang"), col("source"), col("item"))
+      col("n_item").as("n_a"), col("lang"), col("source"), col("item"),
+      col("pos").as("pos_a"))
     val b = prefix.select(col("doc_id").as("doc_b"),
-      col("n_item").as("n_b"), col("lang"), col("source"), col("item"))
+      col("n_item").as("n_b"), col("lang"), col("source"), col("item"),
+      col("pos").as("pos_b"))
     // size-ratio prune (exact): J(A,B) <= min/max, so J >= t forces
     // t*|B| <= |A| <= |B|/t — the standard length filter of exact
     // set-similarity joins, applied per matched prefix item.
+    // Positional prune (ppjoin): past positions pos_a/pos_b, at most
+    // 1 + min(n_a − pos_a, n_b − pos_b) common items remain, and
+    // J >= t needs overlap o >= ceil(t/(1+t)·(n_a+n_b)). Per-match
+    // ANY-semantics is safe: a viable pair's EARLIEST common item has
+    // the loosest bound, so at least one matched row survives.
     val cand = a.join(b, Seq("lang", "source", "item"))
       .filter(col("doc_a") < col("doc_b") &&
         col("n_a") * lit(tR) <= col("n_b") &&
-        col("n_b") * lit(tR) <= col("n_a"))
+        col("n_b") * lit(tR) <= col("n_a") &&
+        lit(1) + least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) >=
+          ceil((col("n_a") + col("n_b")) * lit(tR / (1 + tR))))
       .select(col("doc_a"), col("doc_b")).distinct()
     // exact verification: candidates re-join the full per-doc item
     // sets (a shuffle join on doc_id — never a broadcast assumption)
