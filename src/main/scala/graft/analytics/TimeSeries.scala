@@ -182,25 +182,22 @@ object TimeSeries {
     * FIRST bucket the two intervals share (b = max of the two start
     * buckets) — no distinct pass. Cost scales with overlapping bucket
     * pairs, not |sessions| × |incidents|; at 100 TB the bucket width
-    * is the one knob, and AQE re-splits any hot bucket.
+    * is the one knob, and AQE re-splits any hot bucket. The banding
+    * itself is the reusable [[graft.operators.Intervals.overlapJoin]]
+    * operator (property-tested against a nested-loop on random
+    * intervals).
     */
   def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val W = OverlapBucketSeconds
     val ses = Events.sessions(spark, dir)
       .select(col("user_id"), col("session_id"),
         col("session_start_s").as("s_lo"), col("session_end_s").as("s_hi"))
-      .withColumn("b", explode(sequence(
-        expr(s"s_lo DIV $W"), expr(s"s_hi DIV $W"))))
     val inc = events(spark, dir)
       .filter(col("event_type") === "error")
       .select(col("event_id").as("incident_id"),
         (unix_timestamp(col("ts")) - IncidentPadSeconds).as("i_lo"),
         (unix_timestamp(col("ts")) + IncidentPadSeconds).as("i_hi"))
-      .withColumn("b", explode(sequence(
-        expr(s"i_lo DIV $W"), expr(s"i_hi DIV $W"))))
-    ses.join(inc, Seq("b"))
-      .filter(col("s_lo") <= col("i_hi") && col("i_lo") <= col("s_hi") &&
-        col("b") === greatest(expr(s"s_lo DIV $W"), expr(s"i_lo DIV $W")))
+    graft.operators.Intervals.overlapJoin(ses, inc,
+      "s_lo", "s_hi", "i_lo", "i_hi", OverlapBucketSeconds)
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_incidents"),

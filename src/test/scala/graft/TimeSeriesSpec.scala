@@ -141,4 +141,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(totalBase == nCustomers,
       s"cohort bases sum to $totalBase but there are $nCustomers ordering customers")
   }
+
+  test("generic overlap join equals a nested loop on random intervals (property)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rng = new scala.util.Random(7341)
+    // random intervals, including negatives (exercises trunc-div
+    // bucketing around zero), touching endpoints and containments
+    def mk(prefix: String, n: Int) = (0 until n).map { i =>
+      val lo = rng.nextLong() % 100000L - 20000L
+      Row(prefix match { case "l" => i.toLong; case _ => 1000L + i },
+        lo, lo + rng.nextInt(5000).toLong)
+    }
+    def df(rows: Seq[Row], id: String, lo: String, hi: String) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField(id, LongType),
+          StructField(lo, LongType), StructField(hi, LongType))))
+    val l = df(mk("l", 120), "lid", "l_lo", "l_hi")
+    val r = df(mk("r", 90), "rid", "r_lo", "r_hi")
+    val banded = graft.operators.Intervals
+      .overlapJoin(l, r, "l_lo", "l_hi", "r_lo", "r_hi", bucket = 1024)
+      .select(col("lid"), col("rid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val brute = l.crossJoin(r)
+      .filter(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select(col("lid"), col("rid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(banded.length == banded.distinct.length,
+      "banded join emitted a pair more than once")
+    assert(banded.toSet == brute.toSet,
+      s"banded ${banded.length} pairs != brute ${brute.length}")
+    assert(brute.nonEmpty, "degenerate fixture: no overlaps at all")
+  }
 }
