@@ -303,7 +303,63 @@ object Events {
       |FROM bi
       |ORDER BY event_type, next_type""".stripMargin
 
+  /** SCD2 (slowly-changing-dimension type-2) build from a change log:
+    * each user's event-type stream becomes validity intervals
+    * [valid_from, valid_to), with consecutive duplicates collapsed
+    * first (an SCD row opens only when the attribute CHANGES) and the
+    * open row carrying a null valid_to. The warehouse op every
+    * dimension pipeline runs over CDC feeds.
+    *
+    * Both window passes (the dedup lag and the interval lead) share
+    * the user_id partitioning — ONE shuffle; the second window runs
+    * on the already-collapsed rows.
+    */
+  def scd2Status(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val collapsed = events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    // second pass orders by the same keys over the collapsed rows —
+    // same partitioning, no second exchange
+    collapsed
+      .withColumn("valid_from", unix_timestamp(col("ts")))
+      .withColumn("valid_to", lead(unix_timestamp(col("ts")), 1).over(byUser))
+      .select(col("user_id"), col("event_type").as("status"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val scd2StatusSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(event_type, 1) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC)
+      |      AS prev_type
+      |  FROM events
+      |), collapsed AS (
+      |  SELECT user_id, event_id, ts, event_type
+      |  FROM ordered
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |)
+      |SELECT user_id, event_type AS status,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+      |  lead(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC)
+      |    AS valid_to,
+      |  (lead(ts, 1) OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC)
+      |    IS NULL) AS is_current
+      |FROM collapsed
+      |ORDER BY user_id, valid_from""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_status" -> (scd2Status _),
     "q_event_transitions" -> (eventTransitions _),
     "q_asof_custom" -> (asofSignupCustom _),
     "q_user_event_types" -> (userEventTypes _),
@@ -314,6 +370,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2_status" -> scd2StatusSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_asof_custom" -> asofSignupSql,
     "q_user_event_types" -> userEventTypesSql,

@@ -88,4 +88,34 @@ class EventsSpec extends SparkSpec {
       assert(math.abs(pSum - 1.0) < 1e-4, s"row $src sums to $pSum")
     }
   }
+
+  test("SCD2 intervals tile each user's timeline with one open row") {
+    val rows = Events.scd2Status(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r.getAs[Long]("valid_from"),
+        Option(r.getAs[Any]("valid_to")).map(_.toString).getOrElse("~")))
+      // exactly one open (current) row per user, and it is the last
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1,
+        s"user $u must have exactly one open SCD row")
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to")),
+        s"user $u: last interval must be open")
+      // closed intervals chain: valid_to == next row's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"),
+            s"user $u: intervals do not tile")
+          // consecutive duplicates collapsed: status must change
+          assert(a.getAs[String]("status") != b.getAs[String]("status") ||
+            a.getAs[Long]("valid_from") != b.getAs[Long]("valid_from"),
+            s"user $u: un-collapsed duplicate row")
+        case _ =>
+      }
+      // statuses alternate (no adjacent equal statuses survive collapse)
+      sorted.map(_.getAs[String]("status")).sliding(2).foreach {
+        case Array(x, y) => assert(x != y, s"user $u: adjacent equal status")
+        case _ =>
+      }
+    }
+    assert(rows.nonEmpty)
+  }
 }
