@@ -642,7 +642,65 @@ object Relational {
       |GROUP BY change_type
       |ORDER BY change_type""".stripMargin
 
+  /** Top-3 suppliers per nation by revenue, with each supplier's share
+    * of its nation's total. Aggregates the fact FIRST (one shuffle on
+    * l_suppkey collapses 100 TB to |suppliers| rows), THEN broadcast-
+    * joins the dims — joining before aggregating would drag supplier
+    * attributes through the fact shuffle for nothing. Revenue is
+    * summed in exact integer cents, so the share is a ratio of the
+    * same longs on both engines and ranking ties are impossible to
+    * mis-order (cents desc, name asc is a total order).
+    */
+  def supplierShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("line_cents"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("line_cents")).as("cents"))
+      .join(broadcast(supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+    val byNation = Window.partitionBy(col("n_name"))
+    rev
+      .withColumn("nation_cents", sum(col("cents")).over(byNation))
+      .withColumn("rk", row_number().over(
+        byNation.orderBy(col("cents").desc, col("s_name").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("n_name"), col("s_name"),
+        (col("cents") / 100.0).as("revenue"),
+        round(col("cents") / col("nation_cents"), 6).as("share"),
+        col("rk"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  val supplierShareSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |                  AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY l_suppkey
+      |), j AS (
+      |  SELECT n_name, s_name, cents,
+      |    CAST(sum(cents) OVER (PARTITION BY n_name) AS BIGINT)
+      |      AS nation_cents,
+      |    row_number() OVER (PARTITION BY n_name
+      |                       ORDER BY cents DESC, s_name ASC) AS rk
+      |  FROM rev
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |)
+      |SELECT n_name, s_name,
+      |  cents / 100.0 AS revenue,
+      |  round(cents / nation_cents, 6) AS share,
+      |  rk
+      |FROM j
+      |WHERE rk <= 3
+      |ORDER BY n_name, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_supplier_share" -> (supplierShare _),
     "q_table_diff" -> (tableDiff _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_revenue_by_nation" -> (revenueByNation _),
@@ -667,6 +725,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_supplier_share" -> supplierShareSql,
     "q_table_diff" -> tableDiffSql,
     "q_pricing_summary" -> pricingSummarySql,
     "q_revenue_by_nation" -> revenueByNationSql,

@@ -103,4 +103,34 @@ class RelationalSpec extends SparkSpec {
     assert(out("same")._2 == 0.0, "unchanged rows must show zero drift")
     assert(out("changed")._2 > 0.0 && out("removed")._2 > 0.0 && out("added")._2 > 0.0)
   }
+
+  test("supplier share: top-3 ranks, descending revenue, share against nation total") {
+    val rows = Relational.supplierShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nationTotals = graft.ingest.Sources.lineitem(spark, sf)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("c"))
+      .groupBy(col("l_suppkey")).agg(sum(col("c")).as("cents"))
+      .join(graft.ingest.Sources.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.ingest.Sources.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(sum(col("cents")).as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (nation, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRank.map(_.getAs[Int]("rk")).toSeq == (1 to byRank.length),
+        s"$nation ranks not 1..k")
+      assert(byRank.length <= 3)
+      val revs = byRank.map(_.getAs[Double]("revenue"))
+      assert(revs.sorted.reverse.toSeq == revs.toSeq, s"$nation not rank-ordered")
+      byRank.foreach { r =>
+        val expect = BigDecimal(r.getAs[Double]("revenue") * 100 /
+          nationTotals(nation)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getAs[Double]("share") - expect) < 1e-6,
+          s"$nation share off for ${r.getString(1)}")
+      }
+    }
+  }
 }
