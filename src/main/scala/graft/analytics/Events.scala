@@ -358,7 +358,67 @@ object Events {
       |FROM collapsed
       |ORDER BY user_id, valid_from""".stripMargin
 
+  /** Strictly-ORDERED funnel (contrast [[eventFunnel]]'s unordered
+    * flags): a click converts only if it happens on/after the user's
+    * first view, a purchase only on/after that first qualifying
+    * click. Three cascaded per-user min-aggregations — each stage is
+    * one shuffle on user_id over an already-filtered slice, and the
+    * stage outputs (one row per user) broadcast back onto the next
+    * stage's slice, so the event fact never re-shuffles. Conversion
+    * rates are ratios of exact integer counts.
+    */
+  def orderedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(broadcast(v), Seq("user_id"))
+      .filter(col("t") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(c), Seq("user_id"))
+      .filter(col("t") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
+    val nv = v.agg(count(lit(1)).as("n_view")).select(col("n_view"))
+    val nc = c.agg(count(lit(1)).as("n_click")).select(col("n_click"))
+    val np = p.agg(count(lit(1)).as("n_purchase")).select(col("n_purchase"))
+    nv.crossJoin(nc).crossJoin(np)
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click") / col("n_view"), 6).as("view_to_click"),
+        round(col("n_purchase") / col("n_click"), 6).as("click_to_purchase"))
+  }
+
+  val orderedFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, min(t) AS t_view FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT ev.user_id, min(t) AS t_click
+      |  FROM ev JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND t >= t_view
+      |  GROUP BY ev.user_id
+      |), p AS (
+      |  SELECT ev.user_id, min(t) AS t_purchase
+      |  FROM ev JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND t >= t_click
+      |  GROUP BY ev.user_id
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_click,
+      |  (SELECT count(*) FROM p) AS n_purchase,
+      |  round((SELECT count(*) FROM c) / (SELECT count(*) FROM v), 6)
+      |    AS view_to_click,
+      |  round((SELECT count(*) FROM p) / (SELECT count(*) FROM c), 6)
+      |    AS click_to_purchase""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ordered_funnel" -> (orderedFunnel _),
     "q_scd2_status" -> (scd2Status _),
     "q_event_transitions" -> (eventTransitions _),
     "q_asof_custom" -> (asofSignupCustom _),
@@ -370,6 +430,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ordered_funnel" -> orderedFunnelSql,
     "q_scd2_status" -> scd2StatusSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_asof_custom" -> asofSignupSql,

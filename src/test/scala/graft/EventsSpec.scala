@@ -118,4 +118,22 @@ class EventsSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  test("ordered funnel is monotone and never exceeds the unordered funnel") {
+    val r = Events.orderedFunnel(spark, sf).head()
+    val (nv, nc, np) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"),
+      r.getAs[Long]("n_purchase"))
+    assert(nv >= nc && nc >= np, s"funnel not monotone: $nv >= $nc >= $np")
+    assert(nv > 0)
+    // unordered upper bound: users with both view and click flags
+    val unordered = Events.eventFunnel(spark, sf).collect()
+    val unorderedVC = unordered.filter(x =>
+      x.getAs[Int]("has_view") == 1 && x.getAs[Int]("has_click") == 1)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(nc <= unorderedVC,
+      s"ordered click-converts $nc exceed unordered view+click users $unorderedVC")
+    assert(math.abs(r.getAs[Double]("view_to_click") -
+      BigDecimal(nc.toDouble / nv).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }
