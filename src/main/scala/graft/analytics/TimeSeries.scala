@@ -131,14 +131,21 @@ object TimeSeries {
       .agg(collect_set(col("d")).as("ds"))
       .select(col("user_id"), explode(col("ds")).as("d"))
     val maxDay = ev.agg(max(expr("unix_timestamp(ts) DIV 86400")).as("max_d"))
+    // dedup to one row per (user, window-day) WITHOUT a new exchange:
+    // the explode preserves the user_id hash partitioning, which
+    // satisfies the (user_id, day) clustering requirement — then the
+    // final distinct-counts degrade to plain count/sum over the
+    // deduped rows (no two-pass countDistinct expand).
     perUser
       .select(col("user_id"), col("d"),
         explode(sequence(col("d"), col("d") + 6)).as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(when(col("day") === col("d"), 1L).otherwise(0L)).as("active_today"))
       .join(broadcast(maxDay), col("day") <= col("max_d"))
       .groupBy(col("day"))
       .agg(
-        countDistinct(col("user_id")).as("users_7d"),
-        countDistinct(when(col("day") === col("d"), col("user_id"))).as("users_1d"))
+        count(lit(1)).as("users_7d"),
+        sum(col("active_today")).as("users_1d"))
       .orderBy(col("day"))
   }
 
