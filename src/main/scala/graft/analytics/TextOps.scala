@@ -1084,6 +1084,89 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+
+  /** Bigram LM scoring (the [[lmPerplexity]] upgrade a real quality
+    * filter runs): per eval document, the average negative log
+    * likelihood under a Laplace-smoothed bigram model fitted on the
+    * train split — P(w2|w1) = (c(w1 w2)+1) / (ctx(w1)+V), with ctx the
+    * count of train bigrams opening with w1 and V the train unigram
+    * vocabulary. All model counts are exact integers; the only float
+    * is the final ln of identical int ratios on both engines.
+    *
+    * Bigram generation is scan-side (one guarded transform, no
+    * self-join); model lookup is a shuffle join on the bigram string
+    * and on the context token — at 100 TB both sides partial-aggregate
+    * before shuffling and nothing is assumed broadcastable except the
+    * 1-row vocabulary scalar.
+    */
+  def lmBigram(spark: SparkSession, dir: String): DataFrame = {
+    def bigrams(c: Column): Column = {
+      val t = split(c, " ")
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", slice(t, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docs = documents(spark, dir)
+    val trainBg = docs.filter(isTrain)
+      .select(explode(bigrams(col("text"))).as("bg"))
+    val c2 = trainBg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    // context counts derive from the already-aggregated bigram table
+    // (sum of c12 per opening token), not a corpus re-scan
+    val ctx = c2
+      .select(substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
+      .groupBy(col("w1")).agg(sum(col("c12")).as("ctx"))
+    val vocab = docs.filter(isTrain)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    docs.filter(!isTrain)
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+      .join(c2, Seq("bg"), "left")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigram"),
+        round(avg(-log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("ctx"), lit(0L)) + col("v")))), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmBigramSql: String =
+    s"""WITH split AS (
+      |  SELECT doc_id, text,
+      |    ${graft.operators.Scale.hashBucketSql("doc_id")} < 80 AS is_train
+      |  FROM documents
+      |), tb AS (
+      |  SELECT array_to_string(list_slice(t, i, i + 1), ' ') AS bg
+      |  FROM (SELECT string_split(text, ' ') AS t
+      |        FROM split WHERE is_train),
+      |    unnest(range(1, len(t))) AS u(i)
+      |), c2 AS (
+      |  SELECT bg, count(*) AS c12 FROM tb GROUP BY bg
+      |), ctx AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS ctx
+      |  FROM c2 GROUP BY 1
+      |), vocab AS (
+      |  SELECT count(DISTINCT tok) AS v
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |        FROM split WHERE is_train)
+      |), eb AS (
+      |  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |        FROM split WHERE NOT is_train),
+      |    unnest(range(1, len(t))) AS u(i)
+      |)
+      |SELECT doc_id, count(*) AS n_bigram,
+      |  round(avg(-ln((coalesce(c12, 0) + 1.0) /
+      |                (coalesce(ctx, 0) + v))), 6) AS avg_nll
+      |FROM eb
+      |LEFT JOIN c2 USING (bg)
+      |LEFT JOIN ctx ON split_part(bg, ' ', 1) = w1
+      |CROSS JOIN vocab
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-source quota capping (domain caps): keep at most `cap` docs
     * per (lang, source), chosen deterministically by hash order (then
     * doc_id to break hash ties) — the corpus-mix control that stops a
@@ -1394,6 +1477,7 @@ object TextOps {
     "q_doc_fingerprint" -> (docFingerprints _),
     "q_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_lm_perplexity" -> (lmPerplexity _),
+    "q_lm_bigram" -> (lmBigram _),
     "q_source_quota" -> ((s: SparkSession, d: String) => sourceQuota(s, d)),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d))
   )
@@ -1423,6 +1507,7 @@ object TextOps {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_contamination" -> contaminationSql,
     "q_lm_perplexity" -> lmPerplexitySql,
+    "q_lm_bigram" -> lmBigramSql,
     "q_source_quota" -> sourceQuotaSql,
     "q_ngram_jaccard" -> ngramJaccardSql
   )

@@ -489,4 +489,33 @@ class TextOpsSpec extends SparkSpec {
     // hash-decided sample: bit-identical on re-run, no RNG state
     assert(TextOps.weightedSample(spark, sf).collect().sameElements(out))
   }
+
+  test("bigram LM: NLL bounds and bigram mass per eval doc") {
+    val rows = TextOps.lmBigram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // model-wide bounds: smoothed probability is in (0, 1) strictly
+    // (c12 <= ctx and V > 1), so 0 < avg_nll <= ln(maxCtx + V)
+    val docs = graft.ingest.Sources.documents(spark, sf)
+      .withColumn("is_train",
+        graft.operators.Scale.hashBucket(col("doc_id")) < 80)
+    val v = docs.filter(col("is_train"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    val maxCtx = docs.filter(col("is_train"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).count().agg(max(col("count"))).head().getLong(0)
+    val ub = math.log(maxCtx.toDouble + v)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("avg_nll")
+      assert(nll > 0.0 && nll <= ub + 1e-9,
+        s"doc ${r.getLong(0)}: avg_nll $nll outside (0, $ub]")
+    }
+    // each eval doc contributes exactly (tokens - 1) bigrams
+    val expected = docs.filter(!col("is_train"))
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).as("nb"))
+      .filter(col("nb") >= 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("nb").toLong).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getAs[Long]("n_bigram")).toMap
+      == expected, "bigram mass mismatch")
+  }
 }
