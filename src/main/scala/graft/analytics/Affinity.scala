@@ -172,13 +172,87 @@ object Affinity {
       |ORDER BY pr DESC, part ASC""".stripMargin
   }
 
+
+  /** Triangle counting + local clustering coefficient on the
+    * co-purchase graph. Canonical (a<b) half-edges self-join twice —
+    * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a<b<c counts each triangle exactly
+    * once; the per-vertex coefficient 2·tri / (deg·(deg−1)) divides
+    * exact integers, so both engines emit identical doubles. Two
+    * shuffle joins on edge endpoints; at 100 TB the standard
+    * degree-ordered orientation (joining only low→high degree) bounds
+    * the wedge explosion — here the support-≥2 pruning already keeps
+    * the edge list sparse.
+    */
+  def partTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val ol = orderParts(spark, dir)
+    val a = ol.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = ol.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val half = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+      .select(col("part_a").as("u"), col("part_b").as("v"))
+      .localCheckpoint() // feeds 3 join legs + the degree table
+    val deg = half.select(explode(array(col("u"), col("v"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val tri = half.select(col("u").as("x"), col("v").as("y"))
+      .join(half.select(col("u").as("y"), col("v").as("z")), Seq("y"))
+      .join(half.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"))
+    val triPerVertex = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("tri"))
+    deg.join(triPerVertex, Seq("p"), "left")
+      .select(col("p").as("part"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("clustering", when(col("deg") < 2, lit(0.0))
+        .otherwise(round((lit(2) * col("tri")) /
+          (col("deg") * (col("deg") - 1)), 6)))
+      .orderBy(col("part"))
+  }
+
+  val partTrianglesSql: String =
+    s"""WITH ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), half AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM ol a JOIN ol b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $MinSupport
+      |), deg AS (
+      |  SELECT p, count(*) AS deg FROM (
+      |    SELECT u AS p FROM half UNION ALL SELECT v FROM half
+      |  ) GROUP BY p
+      |), tri AS (
+      |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM half e1
+      |  JOIN half e2 ON e1.v = e2.u
+      |  JOIN half e3 ON e3.u = e1.u AND e3.v = e2.v
+      |), tpv AS (
+      |  SELECT p, count(*) AS tri FROM (
+      |    SELECT x AS p FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri
+      |  ) GROUP BY p
+      |)
+      |SELECT deg.p AS part, deg.deg,
+      |  coalesce(tpv.tri, 0) AS tri,
+      |  CASE WHEN deg.deg < 2 THEN 0.0
+      |       ELSE round((2 * coalesce(tpv.tri, 0)) /
+      |                  (deg.deg * (deg.deg - 1)), 6) END AS clustering
+      |FROM deg LEFT JOIN tpv USING (p)
+      |ORDER BY part""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_part_copurchase" -> (partCopurchase _),
+    "q_part_triangles" -> (partTriangles _),
     "q_part_pagerank" -> (partPagerank _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_part_copurchase" -> partCopurchaseSql,
+    "q_part_triangles" -> partTrianglesSql,
     "q_part_pagerank" -> partPagerankSql
   )
 }

@@ -74,4 +74,39 @@ class AffinitySpec extends SparkSpec {
       .collect().map(_.getAs[Long]("r")).toSet
     assert(pr.size == 1, s"regular graph must rank uniformly, got $pr")
   }
+
+  test("triangle counts equal a brute-force recount and coefficients stay in [0,1]") {
+    val rows = Affinity.partTriangles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // brute-force: rebuild the support-filtered half-edge set and count
+    val baskets = graft.ingest.Sources.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairCounts = baskets.values.flatMap { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    // NOT `collect { case (e, c) if ... => e }.toSet`: collect on a Map
+    // with a pair-valued function builds another MAP, so edge tuples
+    // (a, b) collapse by key a and most edges vanish silently
+    val edges = pairCounts.filter(_._2 >= Affinity.MinSupport).keySet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triPerVertex = adj.map { case (p, ns) =>
+      p -> ns.toSeq.combinations(2).count {
+        case Seq(x, y) => adj(x).contains(y)
+        case _ => false
+      }.toLong
+    }
+    rows.foreach { r =>
+      val (p, deg, tri, cc) = (r.getLong(0), r.getAs[Long]("deg"),
+        r.getAs[Long]("tri"), r.getAs[Double]("clustering"))
+      assert(deg == adj(p).size.toLong, s"degree mismatch at $p")
+      assert(tri == triPerVertex(p), s"triangle count mismatch at $p")
+      assert(cc >= 0.0 && cc <= 1.0, s"clustering out of range at $p")
+      assert(tri <= deg * (deg - 1) / 2, s"more triangles than wedges at $p")
+    }
+    assert(rows.map(_.getLong(0)).toSet == adj.keySet)
+  }
 }
