@@ -635,7 +635,88 @@ object Similarity {
       |FROM agg
       |ORDER BY vec_id""".stripMargin
 
+
+  /** Cluster-separation audit (embedding QA): every vector scored
+    * against ALL label centroids — own-centroid cosine vs the best
+    * foreign centroid. Per label: how many vectors a nearest-centroid
+    * classifier would mis-assign, and the mean separation margin. The
+    * operator a pipeline runs before trusting labels for IVF routing
+    * or stratified sampling.
+    *
+    * The 10×64 centroid table broadcasts; each vector computes all 10
+    * cosines scan-side via the `aggregate` fold (no shuffle beyond the
+    * centroid build and the final per-label rollup).
+    */
+  def labelSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val pos = v.select(col("label"),
+      posexplode(col("embedding")).as(Seq("k", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val centArr = pos.groupBy(col("label"), col("k"))
+      .agg(avg(col("x")).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("k"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+      .select(col("label").as("c_label"), col("centroid"))
+    val dotCent = aggregate(
+      zip_with(col("embedding"), col("centroid"),
+        (x, c) => x.cast("double") * c),
+      lit(0.0), (acc, p) => acc + p)
+    val centNorm = sqrt(aggregate(
+      transform(col("centroid"), c => c * c), lit(0.0), (acc, p) => acc + p))
+    v.crossJoin(broadcast(centArr))
+      .withColumn("cos", dotCent / (col("nrm") * centNorm))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("c_label") === col("label"), col("cos"))).as("own_cos"),
+        max(when(col("c_label") =!= col("label"), col("cos"))).as("best_other"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("best_other") > col("own_cos"), 1L).otherwise(0L))
+          .as("n_confused"),
+        round(avg(col("own_cos") - col("best_other")), 6).as("avg_margin"))
+      .orderBy(col("label"))
+  }
+
+  val labelSeparationSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |), pos AS (
+      |  SELECT label, vec_id, unnest(emb) AS x,
+      |    unnest(range(1, len(emb) + 1)) AS k
+      |  FROM e
+      |), cent AS (
+      |  SELECT label, k, avg(x) AS cv FROM pos GROUP BY label, k
+      |), cn AS (
+      |  SELECT label AS c_label, sqrt(sum(cv * cv)) AS cnorm
+      |  FROM cent GROUP BY 1
+      |), dots AS (
+      |  SELECT p.vec_id, p.label, c.label AS c_label,
+      |    sum(p.x * c.cv) AS dot, sum(p.x * p.x) AS v2
+      |  FROM pos p JOIN cent c ON p.k = c.k
+      |  GROUP BY 1, 2, 3
+      |), cos AS (
+      |  SELECT d.vec_id, d.label,
+      |    max(CASE WHEN d.c_label = d.label
+      |             THEN d.dot / (sqrt(d.v2) * cn.cnorm) END) AS own_cos,
+      |    max(CASE WHEN d.c_label <> d.label
+      |             THEN d.dot / (sqrt(d.v2) * cn.cnorm) END) AS best_other
+      |  FROM dots d JOIN cn ON d.c_label = cn.c_label
+      |  GROUP BY 1, 2
+      |)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(sum(CASE WHEN best_other > own_cos THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_confused,
+      |  round(avg(own_cos - best_other), 6) AS avg_margin
+      |FROM cos
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_separation" -> (labelSeparation _),
     "q_random_projection" -> (randomProjection _),
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
     "q_embed_near_dup" -> ((s: SparkSession, d: String) => embedNearDup(s, d)),
@@ -651,6 +732,7 @@ object Similarity {
     "q_knn_bruteforce" -> knnBruteForceSql,
     "q_embed_near_dup" -> embedNearDupSql,
     "q_label_centroids" -> labelCentroidsSql,
+    "q_label_separation" -> labelSeparationSql,
     "q_embed_quantize" -> quantizeInt8Sql
   )
 }

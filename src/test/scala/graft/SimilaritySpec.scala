@@ -225,4 +225,40 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getAs[Double]("norm_ratio") == 1.0,
       "basis vector must project to norm ratio exactly 1 under ±1 signs")
   }
+
+  test("label separation: cosine bounds, confusion counts, margin sanity") {
+    val rows = Similarity.labelSeparation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nVecs = graft.ingest.Sources.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs,
+      "every vector must land in exactly one label row")
+    rows.foreach { r =>
+      val (n, conf, margin) = (r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("n_confused"), r.getAs[Double]("avg_margin"))
+      assert(conf >= 0 && conf <= n)
+      // margins are differences of cosines: bounded by [-2, 2]
+      assert(margin >= -2.0 && margin <= 2.0)
+    }
+    // driver-side recompute: same centroids, same margins (to rounding)
+    val vecs = graft.ingest.Sources.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    val cents = vecs.groupBy(_._2).map { case (l, vs) =>
+      val dim = vs.head._3.length
+      l -> Array.tabulate(dim)(k => vs.map(_._3(k)).sum / vs.length)
+    }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val margins = vecs.map { case (_, l, e) =>
+      val own = cos(e, cents(l))
+      val other = cents.collect { case (cl, c) if cl != l => cos(e, c) }.max
+      l -> (own - other)
+    }.groupBy(_._1).view.mapValues(ms => ms.map(_._2).sum / ms.length).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("avg_margin") - margins(r.getInt(0))) < 1e-4,
+        s"margin recompute mismatch for ${r.getInt(0)}")
+    }
+  }
 }
