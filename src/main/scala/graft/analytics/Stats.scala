@@ -199,8 +199,42 @@ object Stats {
       |FROM tot
       |ORDER BY c_mktsegment, r_name""".stripMargin
 
+
+  /** 2-D heatmap binning for dashboards (the reference's stated tail:
+    * monitoring dashboards over the sensor feed): hour-of-day ×
+    * fixed-width value band, with counts and the exact-cents average
+    * per cell. One hash aggregation over ≤ 24×10 cells — partial
+    * aggregation collapses each executor's input before the shuffle,
+    * so the heatmap costs one scan at any data size.
+    */
+  def valueHeatmap(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(hour(col("ts")).as("hod"),
+        least(floor(col("value") / 50.0), lit(9.0)).cast("int").as("bin"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("hod"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(col("hod"), col("bin"), col("n"),
+        (round(col("cents") * lit(100.0) / col("n")).cast("long") /
+          lit(10000.0)).as("avg_value"))
+      .orderBy(col("hod"), col("bin"))
+
+  val valueHeatmapSql: String =
+    """SELECT hod, bin, count(*) AS n,
+      |  CAST(round(sum(cents) * 100.0 / count(*)) AS BIGINT) / 10000.0
+      |    AS avg_value
+      |FROM (
+      |  SELECT hour(ts) AS hod,
+      |    CAST(least(floor(value / 50.0), 9.0) AS INT) AS bin,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |)
+      |GROUP BY hod, bin
+      |ORDER BY hod, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crosstab_chi2" -> (segmentRegionCrosstab _),
+    "q_value_heatmap" -> (valueHeatmap _),
     "q_price_histogram" -> (priceHistogram _),
     "q_order_corr_stats" -> (orderCorrStats _),
     "q_priority_metrics_unpivot" -> (priorityMetricsUnpivot _),
@@ -208,6 +242,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_value_heatmap" -> valueHeatmapSql,
     "q_price_histogram" -> priceHistogramSql,
     "q_order_corr_stats" -> orderCorrStatsSql,
     "q_priority_metrics_unpivot" -> priorityMetricsUnpivotSql,

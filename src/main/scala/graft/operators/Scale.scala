@@ -80,8 +80,8 @@ object Scale {
     * that splits/samples on the hash — ONE SQL form of the rule, so a
     * change to the bucketing can't silently diverge per oracle.
     */
-  def hashBucketSql(key: String): String =
-    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+  def hashBucketSql(key: String, buckets: Int = 100): String =
+    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8)) AS BIGINT) % $buckets"
 
   /** Split assignment: 80/10/10 on the hash bucket of the row key. */
   def hashSplit(key: Column): Column =
@@ -333,8 +333,39 @@ object Scale {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+
+  /** Feature-hashing (the "hashing trick") encode: each categorical
+    * feature value maps to a fixed-dimension index via the engine-
+    * portable md5 bucket — no vocabulary build, no fit step, stable
+    * across runs/engines/cluster sizes, which is what lets a 100 TB
+    * featurization job run as a pure scan-side map. Emitted as the
+    * sorted index list per row (the driver compare can't hash arrays,
+    * so it rides as a joined string); collisions are the technique's
+    * documented trade-off and land as duplicate indices.
+    */
+  val FeatureDim = 64
+
+  def featureHash(spark: SparkSession, dir: String): DataFrame =
+    Sources.customer(spark, dir)
+      .select(col("c_custkey"),
+        concat_ws(",", transform(array_sort(array(
+          hashBucket(concat(lit("seg:"), col("c_mktsegment")), FeatureDim),
+          hashBucket(concat(lit("nat:"), col("c_nationkey").cast("string")),
+            FeatureDim))), x => x.cast("string"))).as("feature_idx"))
+      .orderBy(col("c_custkey"))
+
+  val featureHashSql: String =
+    s"""SELECT c_custkey,
+      |  array_to_string(list_sort([
+      |    ${hashBucketSql("'seg:' || c_mktsegment", FeatureDim)},
+      |    ${hashBucketSql("'nat:' || CAST(c_nationkey AS VARCHAR)", FeatureDim)}
+      |  ]), ',') AS feature_idx
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incremental_agg" -> (incrementalAgg _),
+    "q_feature_hash" -> (featureHash _),
     "q_salted_revenue" -> (saltedRevenue _),
     "q_order_split" -> (orderSplit _),
     "q_stratified_sample" -> (stratifiedDocSample _),
@@ -344,6 +375,7 @@ object Scale {
 
   val oracles: Map[String, String] = Map(
     "q_incremental_agg" -> incrementalAggSql,
+    "q_feature_hash" -> featureHashSql,
     "q_salted_revenue" -> saltedRevenueSql,
     "q_order_split" -> orderSplitSql,
     "q_stratified_sample" -> stratifiedDocSampleSql,

@@ -152,4 +152,26 @@ class ScaleSpec extends SparkSpec {
     // row-identical to the input (layout changes, content doesn't)
     assert(spark.read.parquet(s"$dir/z").count() == coords.count())
   }
+
+  test("feature hashing: indices bounded, deterministic, category-consistent") {
+    val out = Scale.featureHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val again = Scale.featureHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == again, "feature hashing must be deterministic")
+    out.values.foreach { s =>
+      val idx = s.split(",").map(_.toInt)
+      assert(idx.length == 2, s"expected 2 features, got $s")
+      assert(idx.forall(i => i >= 0 && i < Scale.FeatureDim))
+      assert(idx.sorted.sameElements(idx), "indices must be emitted sorted")
+    }
+    // same (segment, nation) => same encoding — pure function of categories
+    val cust = graft.ingest.Sources.customer(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        (r.getAs[String]("c_mktsegment"), r.getAs[Int]("c_nationkey"))).toMap
+    val byCat = cust.groupBy(_._2).view.mapValues(_.keys.map(out).toSet)
+    byCat.foreach { case (cat, encs) =>
+      assert(encs.size == 1, s"category $cat produced ${encs.size} encodings")
+    }
+  }
 }

@@ -108,4 +108,17 @@ class StatsSpec extends SparkSpec {
         s"row $seg: expected-sum $expSum != marginal $obsSum")
     }
   }
+
+  test("value heatmap tiles all events into valid (hour, bin) cells") {
+    val rows = Stats.valueHeatmap(spark, sf).collect()
+    val total = graft.ingest.Sources.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("hod") >= 0 && r.getAs[Int]("hod") <= 23)
+      assert(r.getAs[Int]("bin") >= 0 && r.getAs[Int]("bin") <= 9)
+      assert(r.getAs[Long]("n") > 0)
+    }
+    assert(rows.map(r => (r.getAs[Int]("hod"), r.getAs[Int]("bin"))).distinct.length
+      == rows.length, "duplicate heatmap cells")
+  }
 }
