@@ -314,13 +314,24 @@ object Events {
     * the user_id partitioning — ONE shuffle; the second window runs
     * on the already-collapsed rows.
     */
-  def scd2Status(spark: SparkSession, dir: String): DataFrame = {
+  /** The collapsed change log behind [[scd2Status]] and
+    * [[scd2Lookup]]: one row per (user, status CHANGE), duplicates
+    * dropped, original event_id kept as the deterministic tie-break
+    * for same-second changes.
+    */
+  private def scd2Collapsed(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
-    val collapsed = events(spark, dir)
+    events(spark, dir)
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev_type").isNull ||
         col("prev_type") =!= col("event_type"))
+  }
+
+  def scd2Status(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val collapsed = scd2Collapsed(spark, dir)
     // second pass orders by the same keys over the collapsed rows —
     // same partitioning, no second exchange
     collapsed
@@ -417,9 +428,68 @@ object Events {
       |  round((SELECT count(*) FROM p) / (SELECT count(*) FROM c), 6)
       |    AS click_to_purchase""".stripMargin
 
+
+  /** Point-in-time SCD2 lookup through the engine's own whole-operator
+    * as-of join ([[graft.plans.AsOfJoinPlan]]): each purchase fetches
+    * the user's status as of ONE SECOND BEFORE the purchase — the
+    * attribution question ("what state converted?"), and a second,
+    * differently-shaped workload for the custom operator (LONG time
+    * axis, a derived dimension instead of a raw fact). Purchases with
+    * no prior state (the user's very first event) surface as 'none'
+    * via the operator's left-outer semantics.
+    */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        (unix_timestamp(col("ts")) - 1).as("probe_t"))
+    val dim = scd2Collapsed(spark, dir)
+      .select(col("user_id").as("d_user"), col("event_id").as("d_eid"),
+        col("event_type").as("status"),
+        unix_timestamp(col("ts")).as("d_from"))
+    graft.plans.AsOfJoinPlan.join(purchases, dim,
+      leftKey = "user_id", rightKey = "d_user",
+      leftTimeCol = "probe_t", rightTimeCol = "d_from",
+      rightTieBreakCols = Seq("d_eid"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("status"), lit("none")).as("prev_status"))
+      .orderBy(col("event_id"))
+  }
+
+  val scd2LookupSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(event_type, 1) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC)
+      |      AS prev_type
+      |  FROM events
+      |), dim AS (
+      |  SELECT user_id, event_id AS d_eid, event_type AS status,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS d_from
+      |  FROM ordered
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |), p AS (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) - 1 AS probe_t
+      |  FROM events WHERE event_type = 'purchase'
+      |), m AS (
+      |  SELECT p.event_id, d.status,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY d.d_from DESC, d.d_eid DESC) AS rn
+      |  FROM p JOIN dim d
+      |    ON p.user_id = d.user_id AND d.d_from <= p.probe_t
+      |)
+      |SELECT p.event_id, p.user_id,
+      |  coalesce(m.status, 'none') AS prev_status
+      |FROM p LEFT JOIN (SELECT event_id, status FROM m WHERE rn = 1) m
+      |  USING (event_id)
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ordered_funnel" -> (orderedFunnel _),
     "q_scd2_status" -> (scd2Status _),
+    "q_scd2_lookup" -> (scd2Lookup _),
     "q_event_transitions" -> (eventTransitions _),
     "q_asof_custom" -> (asofSignupCustom _),
     "q_user_event_types" -> (userEventTypes _),
@@ -432,6 +502,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "q_ordered_funnel" -> orderedFunnelSql,
     "q_scd2_status" -> scd2StatusSql,
+    "q_scd2_lookup" -> scd2LookupSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_asof_custom" -> asofSignupSql,
     "q_user_event_types" -> userEventTypesSql,

@@ -136,4 +136,37 @@ class EventsSpec extends SparkSpec {
       BigDecimal(nc.toDouble / nv).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("SCD2 lookup via the custom as-of exec equals a window-join rewrite") {
+    val custom = Events.scd2Lookup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val dim = graft.ingest.Sources.events(spark, sf)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id").as("d_user"), col("event_id").as("d_eid"),
+        col("event_type").as("status"), unix_timestamp(col("ts")).as("d_from"))
+    val p = graft.ingest.Sources.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        (unix_timestamp(col("ts")) - 1).as("probe_t"))
+    val byPurchase = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("d_from").desc, col("d_eid").desc)
+    val matched = p.join(broadcast(dim),
+        col("user_id") === col("d_user") && col("d_from") <= col("probe_t"))
+      .withColumn("rn", row_number().over(byPurchase))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("status"))
+    val rewrite = p.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("status"), lit("none")).as("prev_status"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(custom == rewrite,
+      s"custom as-of diverges from window rewrite on ${
+        custom.count { case (k, v) => rewrite.get(k) != Some(v) }} purchases")
+    assert(custom.values.exists(_ != "none") && custom.values.exists(_ == "none"),
+      "fixture should exercise both matched and first-event purchases")
+  }
 }
