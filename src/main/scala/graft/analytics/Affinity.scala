@@ -45,6 +45,31 @@ object Affinity {
       .select(col("l_orderkey"), col("l_partkey"))
       .distinct()
 
+
+  /** Support-filtered canonical half-edges (part_a < part_b) of the
+    * co-purchase graph — the ONE definition shared by co-occurrence,
+    * PageRank and triangle counting (and mirrored once in SQL by
+    * [[halfEdgesSql]]), so the support rule cannot drift per consumer.
+    */
+  private def halfEdges(spark: SparkSession, dir: String): DataFrame = {
+    val ol = orderParts(spark, dir)
+    val a = ol.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = ol.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+  }
+
+  /** DuckDB twin of [[halfEdges]] as a CTE body over `ol`. */
+  private def halfEdgesSql(aName: String, bName: String): String =
+    s"""SELECT a.l_partkey AS $aName, b.l_partkey AS $bName, count(*) AS support
+      |  FROM ol a JOIN ol b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $MinSupport""".stripMargin
+
   /** Market-basket co-occurrence: part pairs bought together in at
     * least [[MinSupport]] distinct orders, with per-part order
     * frequencies and lift. Lift is derived from exact integer counts
@@ -53,20 +78,16 @@ object Affinity {
     */
   def partCopurchase(spark: SparkSession, dir: String): DataFrame = {
     val ol = orderParts(spark, dir)
-    val a = ol.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = ol.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val pairs = a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= MinSupport)
+    val pairs = halfEdges(spark, dir)
+    // freq has one row per catalog part — it scales with the catalog,
+    // so no forced broadcast hint (AQE picks broadcast when it fits)
     val freq = ol.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
     val nOrders = ol.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     pairs
-      .join(broadcast(freq.select(col("l_partkey").as("part_a"),
-        col("cnt").as("cnt_a"))), Seq("part_a"))
-      .join(broadcast(freq.select(col("l_partkey").as("part_b"),
-        col("cnt").as("cnt_b"))), Seq("part_b"))
+      .join(freq.select(col("l_partkey").as("part_a"),
+        col("cnt").as("cnt_a")), Seq("part_a"))
+      .join(freq.select(col("l_partkey").as("part_b"),
+        col("cnt").as("cnt_b")), Seq("part_b"))
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("support"),
         col("cnt_a"), col("cnt_b"),
@@ -79,12 +100,7 @@ object Affinity {
     s"""WITH ol AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       |), pairs AS (
-      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-      |    count(*) AS support
-      |  FROM ol a JOIN ol b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      |  GROUP BY 1, 2
-      |  HAVING count(*) >= $MinSupport
+      |  ${halfEdgesSql("part_a", "part_b")}
       |), freq AS (
       |  SELECT l_partkey, count(*) AS cnt FROM ol GROUP BY 1
       |), n AS (
@@ -112,17 +128,9 @@ object Affinity {
     * mass — the spec pins the conservation bound.
     */
   def partPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val ol = orderParts(spark, dir)
-    val a = ol.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = ol.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val halfEdges = a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= MinSupport)
     // symmetrize; graph.pagerank truncates the lineage of this pair
     // join before the iteration loop re-joins the edge list
-    val edges = halfEdges
+    val edges = halfEdges(spark, dir)
       .select(explode(array(
         struct(col("part_a").as("src"), col("part_b").as("dst")),
         struct(col("part_b").as("src"), col("part_a").as("dst")))).as("e"))
@@ -150,11 +158,7 @@ object Affinity {
     s"""WITH ol AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       |), halfe AS (
-      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      |  FROM ol a JOIN ol b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      |  GROUP BY 1, 2
-      |  HAVING count(*) >= $MinSupport
+      |  ${halfEdgesSql("pa", "pb")}
       |), edges AS (
       |  SELECT pa AS src, pb AS dst FROM halfe
       |  UNION ALL
@@ -184,14 +188,7 @@ object Affinity {
     * the edge list sparse.
     */
   def partTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val ol = orderParts(spark, dir)
-    val a = ol.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = ol.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val half = a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= MinSupport)
+    val half = halfEdges(spark, dir)
       .select(col("part_a").as("u"), col("part_b").as("v"))
       .localCheckpoint() // feeds 3 join legs + the degree table
     val deg = half.select(explode(array(col("u"), col("v"))).as("p"))
@@ -215,11 +212,7 @@ object Affinity {
     s"""WITH ol AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       |), half AS (
-      |  SELECT a.l_partkey AS u, b.l_partkey AS v
-      |  FROM ol a JOIN ol b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      |  GROUP BY 1, 2
-      |  HAVING count(*) >= $MinSupport
+      |  ${halfEdgesSql("u", "v")}
       |), deg AS (
       |  SELECT p, count(*) AS deg FROM (
       |    SELECT u AS p FROM half UNION ALL SELECT v FROM half

@@ -373,23 +373,26 @@ object Events {
     * flags): a click converts only if it happens on/after the user's
     * first view, a purchase only on/after that first qualifying
     * click. Three cascaded per-user min-aggregations — each stage is
-    * one shuffle on user_id over an already-filtered slice, and the
-    * stage outputs (one row per user) broadcast back onto the next
-    * stage's slice, so the event fact never re-shuffles. Conversion
-    * rates are ratios of exact integer counts.
+    * one shuffle on user_id over an already-filtered slice, and each
+    * stage output (one row per converting user) joins the next stage's
+    * slice on the same user_id partitioning. Conversion rates are
+    * ratios of exact integer counts.
     */
   def orderedFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .select(col("user_id"), col("event_type"),
         unix_timestamp(col("ts")).as("t"))
+    // the per-user stage gates scale with the user base, so no forced
+    // broadcast hints — the joins shuffle on user_id (same partitioning
+    // as the aggregations that produced them; AQE may still broadcast)
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
     val c = ev.filter(col("event_type") === "click")
-      .join(broadcast(v), Seq("user_id"))
+      .join(v, Seq("user_id"))
       .filter(col("t") >= col("t_view"))
       .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
     val p = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(c), Seq("user_id"))
+      .join(c, Seq("user_id"))
       .filter(col("t") >= col("t_click"))
       .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
     val nv = v.agg(count(lit(1)).as("n_view")).select(col("n_view"))

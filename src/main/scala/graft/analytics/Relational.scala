@@ -644,8 +644,8 @@ object Relational {
 
   /** Top-3 suppliers per nation by revenue, with each supplier's share
     * of its nation's total. Aggregates the fact FIRST (one shuffle on
-    * l_suppkey collapses 100 TB to |suppliers| rows), THEN broadcast-
-    * joins the dims — joining before aggregating would drag supplier
+    * l_suppkey collapses 100 TB to |suppliers| rows), THEN joins the
+    * dims — joining before aggregating would drag supplier
     * attributes through the fact shuffle for nothing. Revenue is
     * summed in exact integer cents, so the share is a ratio of the
     * same longs on both engines and ranking ties are impossible to
@@ -658,7 +658,10 @@ object Relational {
           .cast("long").as("line_cents"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("line_cents")).as("cents"))
-      .join(broadcast(supplier(spark, dir)),
+      // supplier scales with SF (unlike the fixed 25-nation dim), so
+      // only nation carries a forced broadcast hint; the supplier join
+      // runs on the already-aggregated one-row-per-supplier side
+      .join(supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))

@@ -243,6 +243,7 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "q_value_heatmap" -> valueHeatmapSql,
+    "q_crosstab_chi2" -> segmentRegionCrosstabSql,
     "q_price_histogram" -> priceHistogramSql,
     "q_order_corr_stats" -> orderCorrStatsSql,
     "q_priority_metrics_unpivot" -> priorityMetricsUnpivotSql,

@@ -250,8 +250,9 @@ object TimeSeries {
     * The scale form: ONE shuffle groups each user's readings, an
     * explicit sort key (epoch-µs, event_id) fixes the order inside the
     * collected array, and a codegen'd `aggregate` HOF folds the
-    * recurrence ema' = (α·x + (1-α)·ema) DIV 1 — in FIXED-POINT integer
-    * cents, so the fold is associative-safe (same value on any engine,
+    * recurrence ema' = ⌊(α·x + (1−α)·ema) / 100⌋ — in FIXED-POINT
+    * integer cents with explicit FLOOR division, so the fold is exact
+    * on any engine even for negative readings (same value on any engine,
     * any partitioning; a float fold would drift by summation order and
     * the oracle's list_reduce would diverge). State per user is one
     * long; array size is bounded by per-key history, the knob a real
@@ -268,9 +269,15 @@ object TimeSeries {
         sort_array(collect_list(struct(col("us"), col("event_id"),
           col("cents")))).as("seq"))
       .withColumn("cs", expr("transform(seq, s -> s.cents)"))
+      // floor division on BOTH engines: Spark DIV truncates toward
+      // zero while DuckDB // floors, so a negative EMA state would
+      // diverge by one unit — n - pmod(n, 100) is the exact floor
+      // multiple in pure integer arithmetic (same class of fix as
+      // MinHashSigs' floor-mod contract)
       .withColumn("ema_cents", expr(
         s"""aggregate(slice(cs, 2, size(cs) - 1), cs[0],
-           |  (acc, x) -> ($EmaAlphaPct * x + ${100 - EmaAlphaPct} * acc) DIV 100)
+           |  (acc, x) -> (($EmaAlphaPct * x + ${100 - EmaAlphaPct} * acc)
+           |    - pmod($EmaAlphaPct * x + ${100 - EmaAlphaPct} * acc, 100)) DIV 100)
            |""".stripMargin))
       .select(col("user_id"), col("n_events"),
         col("ema_cents"),

@@ -64,14 +64,29 @@ object Sinks {
     val bytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "_precompact")
+    // a leftover backup from a crashed prior run would make the first
+    // rename nest/fail silently — clear it up front (the live table at
+    // `path` is still the source of truth at this point)
+    if (fs.exists(old)) require(fs.delete(old, true),
+      s"cannot clear stale backup $old")
     spark.read.parquet(path).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // same swap discipline as the upsert sink: the directory flips
-    // from old to new layout in two renames, never a partial mix
-    val old = new org.apache.hadoop.fs.Path(path + "_precompact")
-    fs.rename(hPath, old)
-    fs.rename(tmp, hPath)
-    fs.delete(old, true)
+    // from old to new layout in two renames, never a partial mix.
+    // Hadoop rename reports failure by RETURNING false — each step is
+    // checked, and the backup is deleted only after a verified swap
+    // (a false anywhere leaves either the original or the backup
+    // intact on disk).
+    require(fs.rename(hPath, old), s"compact: backup rename failed for $path")
+    if (!fs.rename(tmp, hPath)) {
+      val restored = fs.rename(old, hPath)
+      throw new IllegalStateException(
+        s"compact: swap rename failed for $path" +
+          (if (restored) " (original restored)"
+           else s" AND restore failed — original preserved at $old"))
+    }
+    require(fs.delete(old, true), s"compact: backup cleanup failed at $old")
   }
 
   /** Upsert (MERGE) without a table format: rows of `updates` replace

@@ -29,3 +29,31 @@ abstract class SparkSpec extends AnyFunSuite {
   def optimized(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.optimizedPlan.toString()
 }
+
+/** Contract guards over the whole driver surface — catches a query
+  * registered without its oracle (which would silently degrade the
+  * correctness gate to a rows-only check for that operator).
+  */
+class SparkEntryContractSpec extends SparkSpec {
+
+  /** The only queries ALLOWED to ship without a DuckDB oracle, each
+    * with the reason pinned here.
+    */
+  val rowsOnlyAllowed = Set(
+    "q_knn_ivf",         // codebook from driver-side Lloyd float means
+    "q_media_features")  // stubbed decode (no codec libs offline)
+
+  test("every query has an oracle unless explicitly allowed rows-only") {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    val missing = q -- o -- rowsOnlyAllowed
+    assert(missing.isEmpty,
+      s"queries silently lacking oracles: ${missing.toSeq.sorted.mkString(", ")}")
+    val stale = rowsOnlyAllowed -- q
+    assert(stale.isEmpty, s"rows-only allowance for unknown queries: $stale")
+    val shadowed = rowsOnlyAllowed & o
+    assert(shadowed.isEmpty,
+      s"queries both allowed rows-only AND carrying an oracle: $shadowed")
+  }
+}

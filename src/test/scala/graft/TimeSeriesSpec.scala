@@ -82,7 +82,7 @@ class TimeSeriesSpec extends SparkSpec {
     val a = TimeSeries.EmaAlphaPct
     seqs.foreach { case (u, cs) =>
       val expect = cs.tail.foldLeft(cs.head) {
-        (acc, x) => (a * x + (100 - a) * acc) / 100
+        (acc, x) => Math.floorDiv(a * x + (100 - a) * acc, 100)
       }
       assert(out(u) == expect, s"EMA fold mismatch for user $u")
     }
