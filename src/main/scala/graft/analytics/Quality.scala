@@ -322,8 +322,84 @@ object Quality {
       |GROUP BY win_start_s
       |ORDER BY win_start_s""".stripMargin
 
+
+  /** Declarative data-quality expectations: a rule set evaluated in
+    * ONE conditional-aggregation pass over the fact (plus one anti-join
+    * for the referential rule — the only expectation that needs a
+    * second table), emitted as (rule, n_rows, n_violations, rate).
+    * The "expectations suite" every ingestion pipeline gates on; at
+    * 100 TB the row rules cost a single scan regardless of rule count,
+    * because each rule is a codegen'd CASE inside the same aggregate.
+    */
+  def orderExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val rowRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "price_positive" -> (col("o_totalprice") > 0),
+      "date_in_range" -> (col("o_orderdate").isNotNull &&
+        col("o_orderdate") >= lit("1990-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2005-01-01").cast("timestamp")),
+      "priority_in_domain" -> col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+      "status_not_null" -> col("o_orderstatus").isNotNull)
+    val onePass = o.agg(
+      count(lit(1)).as("n_rows"),
+      rowRules.map { case (name, pred) =>
+        sum(when(!pred, 1L).otherwise(0L)).as(name)
+      }: _*)
+    val rowResults = onePass.unpivot(
+      Array(col("n_rows")),
+      rowRules.map { case (n, _) => col(n) }.toArray,
+      "rule", "n_violations")
+    val nOrders = o.count()
+    val orphans = o.join(customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(nOrders).as("n_rows"), lit("custkey_referential").as("rule"),
+        col("n_violations"))
+    rowResults.unionByName(orphans)
+      .select(col("rule"), col("n_rows"),
+        col("n_violations"),
+        round(col("n_violations") / col("n_rows"), 6).as("violation_rate"))
+      .orderBy(col("rule"))
+  }
+
+  val orderExpectationsSql: String =
+    """WITH agg AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN NOT (o_totalprice > 0)
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+      |    CAST(sum(CASE WHEN NOT (o_orderdate IS NOT NULL
+      |        AND o_orderdate >= TIMESTAMP '1990-01-01'
+      |        AND o_orderdate < TIMESTAMP '2005-01-01')
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS date_in_range,
+      |    CAST(sum(CASE WHEN o_orderpriority NOT IN
+      |        ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+      |        OR o_orderpriority IS NULL
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS priority_in_domain,
+      |    CAST(sum(CASE WHEN o_orderstatus IS NULL
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS status_not_null
+      |  FROM orders
+      |), rows_u AS (
+      |  SELECT rule, n_rows, n_violations FROM (
+      |    UNPIVOT agg ON price_positive, date_in_range,
+      |      priority_in_domain, status_not_null
+      |    INTO NAME rule VALUE n_violations
+      |  )
+      |), ref AS (
+      |  SELECT 'custkey_referential' AS rule,
+      |    (SELECT count(*) FROM orders) AS n_rows,
+      |    (SELECT count(*) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                       WHERE c.c_custkey = o.o_custkey)) AS n_violations
+      |)
+      |SELECT rule, n_rows, n_violations,
+      |  round(n_violations / n_rows, 6) AS violation_rate
+      |FROM (SELECT * FROM rows_u UNION ALL SELECT rule, n_rows, n_violations FROM ref)
+      |ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hopping_stats" -> (hoppingStats _),
+    "q_order_expectations" -> (orderExpectations _),
     "q_mad_outliers" -> (madOutliers _),
     "q_sensor_hourly" -> (sensorHourly _),
     "q_rolling_zscore" -> ((s: SparkSession, d: String) => rollingZscore(s, d)),
@@ -334,6 +410,7 @@ object Quality {
 
   val oracles: Map[String, String] = Map(
     "q_hopping_stats" -> hoppingStatsSql,
+    "q_order_expectations" -> orderExpectationsSql,
     "q_mad_outliers" -> madOutliersSql,
     "q_sensor_hourly" -> sensorHourlySql,
     "q_rolling_zscore" -> rollingZscoreSql,

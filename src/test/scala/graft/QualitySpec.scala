@@ -67,4 +67,27 @@ class QualitySpec extends SparkSpec {
     assert(starts.forall(_ % 900 == 0), "window starts must align to the 900s slide")
     assert(starts.distinct.length == starts.length, "duplicate window rows")
   }
+
+  test("expectations: one row per rule, violations bounded, clean rules zero") {
+    import graft.analytics.Quality
+    val rows = Quality.orderExpectations(spark, sf).collect()
+    val nOrders = graft.ingest.Sources.orders(spark, sf).count()
+    val expectedRules = Set("price_positive", "date_in_range",
+      "priority_in_domain", "status_not_null", "custkey_referential")
+    assert(rows.map(_.getString(0)).toSet == expectedRules)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nOrders)
+      val v = r.getAs[Long]("n_violations")
+      assert(v >= 0 && v <= nOrders)
+      assert(r.getAs[Double]("violation_rate") ==
+        BigDecimal(v.toDouble / nOrders).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the synthetic data is clean — a nonzero count would mean the rule
+    // itself is wrong (inverted predicate, bad domain list)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_violations") == 0L,
+        s"clean fixture violates ${r.getString(0)}")
+    }
+  }
 }
