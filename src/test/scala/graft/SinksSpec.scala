@@ -97,5 +97,11 @@ class SinksSpec extends SparkSpec {
     // no leftover staging/backup dirs from the swap
     assert(!new java.io.File(path + "_compacting").exists())
     assert(!new java.io.File(path + "_precompact").exists())
+    // a stale backup from a "crashed" earlier run must not break or
+    // corrupt the next compaction (it is cleared up front)
+    new java.io.File(path + "_precompact").mkdirs()
+    Sinks.compact(spark, path, targetFileBytes = 10L * 1024 * 1024)
+    assert(spark.read.parquet(path).count() == df.count())
+    assert(!new java.io.File(path + "_precompact").exists())
   }
 }
