@@ -303,17 +303,6 @@ object Events {
       |FROM bi
       |ORDER BY event_type, next_type""".stripMargin
 
-  /** SCD2 (slowly-changing-dimension type-2) build from a change log:
-    * each user's event-type stream becomes validity intervals
-    * [valid_from, valid_to), with consecutive duplicates collapsed
-    * first (an SCD row opens only when the attribute CHANGES) and the
-    * open row carrying a null valid_to. The warehouse op every
-    * dimension pipeline runs over CDC feeds.
-    *
-    * Both window passes (the dedup lag and the interval lead) share
-    * the user_id partitioning — ONE shuffle; the second window runs
-    * on the already-collapsed rows.
-    */
   /** The collapsed change log behind [[scd2Status]] and
     * [[scd2Lookup]]: one row per (user, status CHANGE), duplicates
     * dropped, original event_id kept as the deterministic tie-break
@@ -328,6 +317,17 @@ object Events {
         col("prev_type") =!= col("event_type"))
   }
 
+  /** SCD2 (slowly-changing-dimension type-2) build from a change log:
+    * each user's event-type stream becomes validity intervals
+    * [valid_from, valid_to), with consecutive duplicates collapsed
+    * first (an SCD row opens only when the attribute CHANGES) and the
+    * open row carrying a null valid_to. The warehouse op every
+    * dimension pipeline runs over CDC feeds.
+    *
+    * Both window passes (the dedup lag and the interval lead) share
+    * the user_id partitioning — ONE shuffle; the second window runs
+    * on the already-collapsed rows.
+    */
   def scd2Status(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)

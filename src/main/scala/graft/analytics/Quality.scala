@@ -341,20 +341,26 @@ object Quality {
       "priority_in_domain" -> col("o_orderpriority").isin(
         "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
       "status_not_null" -> col("o_orderstatus").isNotNull)
+    // a NULL predicate is a VIOLATION, not a pass: `when(!pred)` alone
+    // would send NULL to otherwise(0) while the oracle's CASE counts
+    // it — coalesce pins both engines to the same dirty-input policy
     val onePass = o.agg(
       count(lit(1)).as("n_rows"),
       rowRules.map { case (name, pred) =>
-        sum(when(!pred, 1L).otherwise(0L)).as(name)
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
       }: _*)
     val rowResults = onePass.unpivot(
       Array(col("n_rows")),
       rowRules.map { case (n, _) => col(n) }.toArray,
       "rule", "n_violations")
-    val nOrders = o.count()
+    // n_rows rides a lazy 1-row broadcast (corpus-size scalar pattern)
+    // — an eager o.count() here would block at plan-construction time
+    // and bill an extra synchronous scan
     val orphans = o.join(customer(spark, dir),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
-      .select(lit(nOrders).as("n_rows"), lit("custkey_referential").as("rule"),
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("n_rows"))))
+      .select(col("n_rows"), lit("custkey_referential").as("rule"),
         col("n_violations"))
     rowResults.unionByName(orphans)
       .select(col("rule"), col("n_rows"),
@@ -366,17 +372,17 @@ object Quality {
   val orderExpectationsSql: String =
     """WITH agg AS (
       |  SELECT count(*) AS n_rows,
-      |    CAST(sum(CASE WHEN NOT (o_totalprice > 0)
+      |    CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
       |        THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
-      |    CAST(sum(CASE WHEN NOT (o_orderdate IS NOT NULL
+      |    CAST(sum(CASE WHEN NOT coalesce(o_orderdate IS NOT NULL
       |        AND o_orderdate >= TIMESTAMP '1990-01-01'
-      |        AND o_orderdate < TIMESTAMP '2005-01-01')
+      |        AND o_orderdate < TIMESTAMP '2005-01-01', FALSE)
       |        THEN 1 ELSE 0 END) AS BIGINT) AS date_in_range,
-      |    CAST(sum(CASE WHEN o_orderpriority NOT IN
-      |        ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
-      |        OR o_orderpriority IS NULL
+      |    CAST(sum(CASE WHEN NOT coalesce(o_orderpriority IN
+      |        ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'),
+      |        FALSE)
       |        THEN 1 ELSE 0 END) AS BIGINT) AS priority_in_domain,
-      |    CAST(sum(CASE WHEN o_orderstatus IS NULL
+      |    CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IS NOT NULL, FALSE)
       |        THEN 1 ELSE 0 END) AS BIGINT) AS status_not_null
       |  FROM orders
       |), rows_u AS (

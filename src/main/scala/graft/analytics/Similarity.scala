@@ -665,8 +665,11 @@ object Similarity {
       lit(0.0), (acc, p) => acc + p)
     val centNorm = sqrt(aggregate(
       transform(col("centroid"), c => c * c), lit(0.0), (acc, p) => acc + p))
+    // cosines are rounded to 9 decimals BEFORE the max/compare: the
+    // confusion count is an integer derived from floats, and a 1-ulp
+    // centroid-sum difference (partial-agg order) must not flip it
     v.crossJoin(broadcast(centArr))
-      .withColumn("cos", dotCent / (col("nrm") * centNorm))
+      .withColumn("cos", round(dotCent / (col("nrm") * centNorm), 9))
       .groupBy(col("vec_id"), col("label"))
       .agg(
         max(when(col("c_label") === col("label"), col("cos"))).as("own_cos"),
@@ -701,9 +704,9 @@ object Similarity {
       |), cos AS (
       |  SELECT d.vec_id, d.label,
       |    max(CASE WHEN d.c_label = d.label
-      |             THEN d.dot / (sqrt(d.v2) * cn.cnorm) END) AS own_cos,
+      |             THEN round(d.dot / (sqrt(d.v2) * cn.cnorm), 9) END) AS own_cos,
       |    max(CASE WHEN d.c_label <> d.label
-      |             THEN d.dot / (sqrt(d.v2) * cn.cnorm) END) AS best_other
+      |             THEN round(d.dot / (sqrt(d.v2) * cn.cnorm), 9) END) AS best_other
       |  FROM dots d JOIN cn ON d.c_label = cn.c_label
       |  GROUP BY 1, 2
       |)

@@ -26,6 +26,8 @@ object Intervals {
                   rightLo: String, rightHi: String,
                   bucket: Long): DataFrame = {
     require(bucket > 0, s"bucket width must be positive, got $bucket")
+    require(!left.columns.contains("_b") && !right.columns.contains("_b"),
+      "overlapJoin reserves the column name _b; rename it on the input")
     val lb = left.withColumn("_b", explode(sequence(
       expr(s"$leftLo DIV $bucket"), expr(s"$leftHi DIV $bucket"))))
     val rb = right.withColumn("_b", explode(sequence(
