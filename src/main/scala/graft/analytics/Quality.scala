@@ -323,6 +323,28 @@ object Quality {
       |ORDER BY win_start_s""".stripMargin
 
 
+
+  /** The generic one-pass row-rule evaluator behind
+    * [[orderExpectations]] (and directly spec-testable on crafted
+    * dirty data): each rule becomes a conditional sum in ONE
+    * aggregation, unpivoted to (rule, n_rows, n_violations).
+    *
+    * A NULL predicate is a VIOLATION, not a pass: `when(!pred)` alone
+    * would send NULL to otherwise(0) while a SQL CASE counts it —
+    * coalesce pins every engine to the same dirty-input policy.
+    */
+  def rowExpectations(df: DataFrame,
+                      rules: Seq[(String, Column)]): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      rules.map { case (name, pred) =>
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
+      }: _*)
+      .unpivot(
+        Array(col("n_rows")),
+        rules.map { case (n, _) => col(n) }.toArray,
+        "rule", "n_violations")
+
   /** Declarative data-quality expectations: a rule set evaluated in
     * ONE conditional-aggregation pass over the fact (plus one anti-join
     * for the referential rule — the only expectation that needs a
@@ -341,18 +363,7 @@ object Quality {
       "priority_in_domain" -> col("o_orderpriority").isin(
         "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
       "status_not_null" -> col("o_orderstatus").isNotNull)
-    // a NULL predicate is a VIOLATION, not a pass: `when(!pred)` alone
-    // would send NULL to otherwise(0) while the oracle's CASE counts
-    // it — coalesce pins both engines to the same dirty-input policy
-    val onePass = o.agg(
-      count(lit(1)).as("n_rows"),
-      rowRules.map { case (name, pred) =>
-        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
-      }: _*)
-    val rowResults = onePass.unpivot(
-      Array(col("n_rows")),
-      rowRules.map { case (n, _) => col(n) }.toArray,
-      "rule", "n_violations")
+    val rowResults = rowExpectations(o, rowRules)
     // n_rows rides a lazy 1-row broadcast (corpus-size scalar pattern)
     // — an eager o.count() here would block at plan-construction time
     // and bill an extra synchronous scan

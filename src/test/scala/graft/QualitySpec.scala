@@ -90,4 +90,27 @@ class QualitySpec extends SparkSpec {
         s"clean fixture violates ${r.getString(0)}")
     }
   }
+
+  test("rowExpectations counts NULL predicates as violations (dirty data)") {
+    import graft.analytics.Quality
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val rows = java.util.Arrays.asList(
+      Row(10.0, "A"),   // clean
+      Row(-1.0, "A"),   // price violation
+      Row(null, "B"),   // NULL price -> violation (not a silent pass)
+      Row(5.0, null),   // NULL status -> violation
+      Row(null, null))  // both
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("price", DoubleType), StructField("status", StringType))))
+    val out = Quality.rowExpectations(df, Seq(
+      "price_positive" -> (col("price") > 0),
+      "status_in_domain" -> col("status").isin("A", "B"))).collect()
+      .map(r => r.getString(1) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_violations"))).toMap
+    assert(out("price_positive") == (5L, 3L),
+      s"NULL price must count as violation: ${out("price_positive")}")
+    assert(out("status_in_domain") == (5L, 2L),
+      s"NULL status must count as violation: ${out("status_in_domain")}")
+  }
 }
