@@ -232,9 +232,84 @@ object Stats {
       |GROUP BY hod, bin
       |ORDER BY hod, bin""".stripMargin
 
+
+  /** Equi-depth decile table of order values: ntile(10) over a TOTAL
+    * order (value, then key — ties must not float between deciles or
+    * the per-bucket extrema drift), with per-decile count/min/max/sum.
+    * The complement of the fixed-width [[priceHistogram]]: bucket
+    * WIDTH adapts, bucket MASS is constant — the binning used for
+    * quantile-calibrated features. One range-partitioned sort at
+    * scale (Spark plans the window's global order as a range
+    * exchange, the same shape as a global sort).
+    */
+  def priceDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"),
+        round(sum(col("o_totalprice")), 2).as("mass"))
+      .orderBy(col("decile"))
+  }
+
+  val priceDecilesSql: String =
+    """SELECT decile, count(*) AS n,
+      |  round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi,
+      |  round(sum(o_totalprice), 2) AS mass
+      |FROM (
+      |  SELECT o_totalprice,
+      |    ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+      |  FROM orders
+      |)
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
+  /** Shipping-lag distribution: days between order date and line ship
+    * date, bucketed per priority — the fulfillment-latency histogram
+    * behind any operations dashboard. datediff on both engines is
+    * exact calendar-day arithmetic; the join broadcasts nothing (fact
+    * × fact on the order key, the J6 shape).
+    */
+  def shippingLag(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+      // the harness data contains ship-before-order lines; they all
+      // land in ONE explicit anomaly bucket (-1) instead of an
+      // open-ended negative range — a data-quality signal, not noise
+      .withColumn("lag_bucket",
+        greatest(least(floor(col("lag_days") / 30.0), lit(4.0)), lit(-1.0))
+          .cast("int"))
+      .groupBy(col("o_orderpriority"), col("lag_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lag_days")).cast("bigint").as("min_lag"),
+        max(col("lag_days")).cast("bigint").as("max_lag"))
+      .orderBy(col("o_orderpriority"), col("lag_bucket"))
+
+  val shippingLagSql: String =
+    """SELECT o_orderpriority, lag_bucket, count(*) AS n,
+      |  CAST(min(lag_days) AS BIGINT) AS min_lag,
+      |  CAST(max(lag_days) AS BIGINT) AS max_lag
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    datediff('day', o_orderdate, l_shipdate) AS lag_days,
+      |    CAST(greatest(least(
+      |      floor(datediff('day', o_orderdate, l_shipdate) / 30.0), 4.0), -1.0)
+      |         AS INT) AS lag_bucket
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |GROUP BY o_orderpriority, lag_bucket
+      |ORDER BY o_orderpriority, lag_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crosstab_chi2" -> (segmentRegionCrosstab _),
     "q_value_heatmap" -> (valueHeatmap _),
+    "q_price_deciles" -> (priceDeciles _),
+    "q_shipping_lag" -> (shippingLag _),
     "q_price_histogram" -> (priceHistogram _),
     "q_order_corr_stats" -> (orderCorrStats _),
     "q_priority_metrics_unpivot" -> (priorityMetricsUnpivot _),
@@ -243,6 +318,8 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "q_value_heatmap" -> valueHeatmapSql,
+    "q_price_deciles" -> priceDecilesSql,
+    "q_shipping_lag" -> shippingLagSql,
     "q_crosstab_chi2" -> segmentRegionCrosstabSql,
     "q_price_histogram" -> priceHistogramSql,
     "q_order_corr_stats" -> orderCorrStatsSql,

@@ -121,4 +121,38 @@ class StatsSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Int]("hod"), r.getAs[Int]("bin"))).distinct.length
       == rows.length, "duplicate heatmap cells")
   }
+
+  test("deciles are equi-depth, ordered, and mass-conserving") {
+    val rows = Stats.priceDeciles(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val total = graft.ingest.Sources.orders(spark, sf).count()
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sum == total)
+    assert(ns.max - ns.min <= 1, s"equi-depth violated: ${ns.toSeq}")
+    // deciles partition the value axis: hi(d) <= lo(d+1)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9,
+          s"decile overlap at ${a.getAs[Int]("decile")}")
+      case _ =>
+    }
+  }
+
+  test("shipping lag buckets cover every lineitem with sane bounds") {
+    val rows = Stats.shippingLag(spark, sf).collect()
+    val total = graft.ingest.Sources.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("lag_bucket")
+      assert(b >= -1 && b <= 4)
+      assert(r.getAs[Long]("min_lag") <= r.getAs[Long]("max_lag"))
+      if (b == -1) assert(r.getAs[Long]("max_lag") < 0,
+        "anomaly bucket must hold only ship-before-order lines")
+      else if (b < 4) {
+        assert(r.getAs[Long]("min_lag") >= 30L * b &&
+          r.getAs[Long]("max_lag") < 30L * (b + 1),
+          s"bucket $b bounds: ${r.getAs[Long]("min_lag")}..${r.getAs[Long]("max_lag")}")
+      } else assert(r.getAs[Long]("min_lag") >= 120L)
+    }
+  }
 }
