@@ -44,7 +44,11 @@ object Bench {
     val errors = results.collect { case (k, v) if v.size < 2 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.flatMap(_.minOption).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","errors":$errors}""")
+    // Per-query detail first, compact total summary as the FINAL line:
+    // the driver keeps only the output tail, and a 99-entry map on the
+    // same line as the total previously truncated the total away.
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","runs":2,"agg":"min","errors":$errors}""")
     spark.stop()
   }
 }

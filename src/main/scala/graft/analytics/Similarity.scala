@@ -407,15 +407,22 @@ object Similarity {
     * the driver-side codebook (k × 64 floats, corpus-size-independent)
     * sorted by centroid id, ready to inline as a literal.
     */
-  /** Trained codebooks, keyed by (corpus dir, iters, corpus file
-    * fingerprint). An IVF index is trained once and served for many
-    * queries — the memo models that lifecycle, and the fingerprint
-    * (file names + sizes + mtimes) invalidates it if the data under
-    * the path is rewritten, so a hit always returns centroids of the
-    * data actually on disk (training is deterministic per corpus).
+  /** Trained codebooks, keyed by (corpus dir, iters) and stamped with
+    * the corpus file fingerprint they were trained on. An IVF index is
+    * trained once and served for many queries — the memo models that
+    * lifecycle, and the fingerprint (file names + sizes + mtimes)
+    * invalidates it if the data under the path is rewritten, so a hit
+    * always returns centroids of the data actually on disk (training
+    * is deterministic per corpus). Keeping the fingerprint in the
+    * VALUE rather than the key bounds the cache to one codebook per
+    * (dir, iters): rewriting a corpus evicts the stale entry instead
+    * of leaking every superseded k×64 codebook on the driver.
     */
   private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, String), Seq[(Int, Seq[Float])]]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), (String, Seq[(Int, Seq[Float])])]
+
+  /** Test seam: observed cache size (bounded by distinct (dir, iters)). */
+  private[graft] def codebookCacheSize: Int = codebookCache.size
 
   private def corpusFingerprint(spark: SparkSession, dir: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
@@ -426,9 +433,16 @@ object Similarity {
   }
 
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String,
-                                     iters: Int = KmeansIters): Seq[(Int, Seq[Float])] =
-    codebookCache.getOrElseUpdate((dir, iters, corpusFingerprint(spark, dir)),
-      trainCentroids(spark, dir, iters))
+                                     iters: Int = KmeansIters): Seq[(Int, Seq[Float])] = {
+    val fp = corpusFingerprint(spark, dir)
+    codebookCache.get((dir, iters)) match {
+      case Some((`fp`, cents)) => cents
+      case _ =>
+        val cents = trainCentroids(spark, dir, iters)
+        codebookCache.put((dir, iters), (fp, cents))
+        cents
+    }
+  }
 
   /** Deterministic k-means initialization: per-label means of the unit
     * vectors (single source of truth — the objective spec starts from

@@ -437,10 +437,17 @@ object TextOps {
     */
   private def pairwiseJaccard(docSets: DataFrame,
                               threshold: Double): DataFrame = {
-    // All bounds below use a 1e-6-relaxed threshold: the final filter
-    // compares round(J, 6) >= t, so a pair whose true J sits just
-    // below t can still round up to t — every prune must keep it.
-    val tR = threshold - 1e-6
+    // All bounds below compare in EXACT scaled-integer space with the
+    // threshold as the rational tNum/tDen. The final filter compares
+    // round(J, 6) >= threshold, which admits J >= threshold - 5e-7;
+    // tNum = round(threshold*1e6) - 1 guarantees tNum/tDen <=
+    // threshold - 5e-7, so every prune keeps every pair the gate can
+    // accept. A floating ceil((n_a+n_b)*t/(1+t)) can land one above
+    // the exact rational bound and over-prune a viable candidate
+    // before verification — integer cross-multiplication cannot.
+    val tDen = 1000000L
+    val tNum = math.round(threshold * tDen) - 1
+    require(tNum > 0, s"threshold too small for rational prunes: $threshold")
     // `docSets` carries (doc_id, lang, source, n_item, set) with `set`
     // the distinct item array. It feeds three branches (df counts,
     // prefix generation, final verification), so materialize it once —
@@ -470,8 +477,10 @@ object TextOps {
     val prefix = items.join(df, Seq("lang", "source", "item"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("item"))))
-      .filter(col("pos") <=
-        col("n_item") - ceil(col("n_item") * lit(tR)) + 1)
+      // pos <= n - ceil(t*n) + 1  ⟺  ceil(t*n) <= n - pos + 1  ⟺
+      // t*n <= n - pos + 1 (RHS integral)  ⟺  tNum*n <= (n-pos+1)*tDen
+      .filter(lit(tNum) * col("n_item") <=
+        (col("n_item") - col("pos") + 1) * lit(tDen))
       .select(col("doc_id"), col("n_item"), col("lang"), col("source"),
         col("item"), col("pos"))
       .localCheckpoint()
@@ -486,15 +495,18 @@ object TextOps {
     // set-similarity joins, applied per matched prefix item.
     // Positional prune (ppjoin): past positions pos_a/pos_b, at most
     // 1 + min(n_a − pos_a, n_b − pos_b) common items remain, and
-    // J >= t needs overlap o >= ceil(t/(1+t)·(n_a+n_b)). Per-match
-    // ANY-semantics is safe: a viable pair's EARLIEST common item has
-    // the loosest bound, so at least one matched row survives.
+    // J >= t needs overlap o >= t/(1+t)·(n_a+n_b); with t = tNum/tDen
+    // that is o·(tNum+tDen) >= tNum·(n_a+n_b), compared exactly in
+    // integers. Per-match ANY-semantics is safe: a viable pair's
+    // EARLIEST common item has the loosest bound, so at least one
+    // matched row survives.
     val cand = a.join(b, Seq("lang", "source", "item"))
       .filter(col("doc_a") < col("doc_b") &&
-        col("n_a") * lit(tR) <= col("n_b") &&
-        col("n_b") * lit(tR) <= col("n_a") &&
-        lit(1) + least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) >=
-          ceil((col("n_a") + col("n_b")) * lit(tR / (1 + tR))))
+        lit(tNum) * col("n_a") <= col("n_b") * lit(tDen) &&
+        lit(tNum) * col("n_b") <= col("n_a") * lit(tDen) &&
+        (lit(1) + least(col("n_a") - col("pos_a"),
+          col("n_b") - col("pos_b"))) * lit(tNum + tDen) >=
+          lit(tNum) * (col("n_a") + col("n_b")))
       .select(col("doc_a"), col("doc_b")).distinct()
     // exact verification: candidates re-join the full per-doc item
     // sets (a shuffle join on doc_id — never a broadcast assumption)

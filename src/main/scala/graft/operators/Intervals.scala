@@ -20,18 +20,39 @@ object Intervals {
     * touching endpoints match). Bound columns must be integral
     * (epoch seconds, positions, ...); all columns of both sides pass
     * through. Column names must not collide across sides.
+    *
+    * Every row is validated BEFORE the fan-out: `hi < lo` (where
+    * Spark's `sequence()` would silently generate a descending range
+    * and the join semantics stop meaning overlap) and spans wider than
+    * `maxSpanBuckets` buckets (where one corrupt interval would fan
+    * out to millions of rows and dominate the shuffle) fail the job
+    * with the offending bounds in the message, rather than poisoning
+    * the result. The cap is a data-quality contract: size it to the
+    * widest interval the domain can legitimately produce.
     */
   def overlapJoin(left: DataFrame, right: DataFrame,
                   leftLo: String, leftHi: String,
                   rightLo: String, rightHi: String,
-                  bucket: Long): DataFrame = {
+                  bucket: Long, maxSpanBuckets: Long = 1L << 20): DataFrame = {
     require(bucket > 0, s"bucket width must be positive, got $bucket")
+    require(maxSpanBuckets > 0,
+      s"maxSpanBuckets must be positive, got $maxSpanBuckets")
     require(!left.columns.contains("_b") && !right.columns.contains("_b"),
       "overlapJoin reserves the column name _b; rename it on the input")
-    val lb = left.withColumn("_b", explode(sequence(
-      expr(s"$leftLo DIV $bucket"), expr(s"$leftHi DIV $bucket"))))
-    val rb = right.withColumn("_b", explode(sequence(
-      expr(s"$rightLo DIV $bucket"), expr(s"$rightHi DIV $bucket"))))
+    // The guard lives INSIDE the exploded expression so Catalyst can
+    // never prune it away from the data path: invalid rows raise at
+    // execution with row context instead of silently fanning out.
+    def buckets(lo: String, hi: String) = {
+      val span = expr(s"$hi DIV $bucket") - expr(s"$lo DIV $bucket")
+      when(col(hi) >= col(lo) && span <= maxSpanBuckets,
+        sequence(expr(s"$lo DIV $bucket"), expr(s"$hi DIV $bucket")))
+        .otherwise(raise_error(concat(
+          lit(s"overlapJoin: invalid or oversized interval [$lo,$hi]=["),
+          col(lo).cast("string"), lit(","), col(hi).cast("string"),
+          lit(s"] (bucket=$bucket, maxSpanBuckets=$maxSpanBuckets)"))))
+    }
+    val lb = left.withColumn("_b", explode(buckets(leftLo, leftHi)))
+    val rb = right.withColumn("_b", explode(buckets(rightLo, rightHi)))
     lb.join(rb, Seq("_b"))
       .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi) &&
         col("_b") === greatest(

@@ -302,35 +302,43 @@ object Scale {
     * deployment would read the snapshot side from the previously
     * materialized partials rather than re-deriving them.
     *
-    * avg_price divides the ROUNDED revenue on both engines: once the
-    * merged sum round-trips to the same double, the division is
-    * bit-identical — deriving from the raw sums would let a 1-ulp
-    * summation-order difference surface in the 4th decimal.
+    * The merged sum runs in exact integer cents (2-decimal money data)
+    * so the partial-merge order is irrelevant — integer addition is
+    * associative, floats are not, and a 1-ulp difference landing on a
+    * .005 boundary would otherwise flip the rounded revenue vs the
+    * oracle's single-pass sum. revenue and avg_price are then pure
+    * integer-ratio derivations, bit-identical on both engines.
     */
   def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
     def partials(df: DataFrame): DataFrame = df
       .groupBy(col("o_orderpriority"))
-      .agg(sum(col("o_totalprice")).as("_psum"), count(lit(1)).as("_pcnt"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("_pcents"),
+        count(lit(1)).as("_pcnt"))
     val orders = Sources.orders(spark, dir)
     val cutoff = lit(IncrCutoff).cast("timestamp")
     partials(orders.filter(col("o_orderdate") < cutoff))
       .unionByName(partials(orders.filter(col("o_orderdate") >= cutoff)))
       .groupBy(col("o_orderpriority"))
-      .agg(sum(col("_psum")).as("_sum"), sum(col("_pcnt")).as("n_orders"))
+      .agg(sum(col("_pcents")).as("_cents"), sum(col("_pcnt")).as("n_orders"))
       .select(col("o_orderpriority"),
-        round(col("_sum"), 2).as("revenue"),
+        (col("_cents") / 100.0).as("revenue"),
         col("n_orders"),
-        round(round(col("_sum"), 2) / col("n_orders"), 4).as("avg_price"))
+        (round(col("_cents") * lit(100.0) / col("n_orders")).cast("long") /
+          10000.0).as("avg_price"))
       .orderBy(col("o_orderpriority"))
   }
 
   val incrementalAggSql: String =
     """SELECT o_orderpriority,
-      |  round(sum(o_totalprice), 2) AS revenue,
-      |  count(*) AS n_orders,
-      |  round(round(sum(o_totalprice), 2) / count(*), 4) AS avg_price
-      |FROM orders
-      |GROUP BY o_orderpriority
+      |  cents / 100.0 AS revenue,
+      |  n_orders,
+      |  CAST(round(cents * 100.0 / n_orders) AS BIGINT) / 10000.0 AS avg_price
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY o_orderpriority)
       |ORDER BY o_orderpriority""".stripMargin
 
 

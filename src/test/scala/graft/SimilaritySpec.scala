@@ -226,6 +226,33 @@ class SimilaritySpec extends SparkSpec {
       "basis vector must project to norm ratio exactly 1 under ±1 signs")
   }
 
+  test("codebook cache: corpus rewrite evicts the stale entry, size stays bounded") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    def corpus(shift: Float) = (0 until 30).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat + shift).toSeq,
+        i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cb").toString
+    corpus(0.0f).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val before = Similarity.codebookCacheSize
+    val first = Similarity.kmeansCentroids(spark, dir, iters = 1)
+    assert(Similarity.codebookCacheSize == before + 1)
+    assert(Similarity.kmeansCentroids(spark, dir, iters = 1) eq first,
+      "unchanged corpus must hit the memo, not retrain")
+    // rewrite the corpus under the same dir: the fingerprint changes,
+    // the entry is REPLACED (not accumulated) and reflects the new data
+    Thread.sleep(1100) // mtime granularity can be 1s on some filesystems
+    corpus(5.0f).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val second = Similarity.kmeansCentroids(spark, dir, iters = 1)
+    assert(Similarity.codebookCacheSize == before + 1,
+      "rewriting a corpus must evict, not leak, the superseded codebook")
+    assert(!(second eq first) && second != first,
+      "post-rewrite centroids must come from the new data")
+  }
+
   test("label separation: cosine bounds, confusion counts, margin sanity") {
     val rows = Similarity.labelSeparation(spark, sf).collect()
     assert(rows.nonEmpty)

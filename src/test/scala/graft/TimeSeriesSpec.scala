@@ -173,4 +173,43 @@ class TimeSeriesSpec extends SparkSpec {
       s"banded ${banded.length} pairs != brute ${brute.length}")
     assert(brute.nonEmpty, "degenerate fixture: no overlaps at all")
   }
+
+  test("overlap join fails loud on inverted intervals and oversized spans") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def df(rows: Seq[Row], id: String, lo: String, hi: String) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField(id, LongType),
+          StructField(lo, LongType), StructField(hi, LongType))))
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    val good = df(Seq(Row(1L, 0L, 10L)), "rid", "r_lo", "r_hi")
+    // hi < lo: sequence() would silently generate a DESCENDING range —
+    // must raise with the offending bounds instead
+    val inverted = df(Seq(Row(1L, 100L, 50L)), "lid", "l_lo", "l_hi")
+    val e1 = intercept[Exception] {
+      graft.operators.Intervals
+        .overlapJoin(inverted, good, "l_lo", "l_hi", "r_lo", "r_hi",
+          bucket = 10).collect()
+    }
+    assert(msgs(e1).contains("overlapJoin") && msgs(e1).contains("100"),
+      s"expected guarded failure naming the bounds, got: ${msgs(e1)}")
+    // a span wider than maxSpanBuckets would fan out to millions of
+    // rows — must raise, not dominate the shuffle
+    val wide = df(Seq(Row(1L, 0L, 1000000L)), "lid", "l_lo", "l_hi")
+    val e2 = intercept[Exception] {
+      graft.operators.Intervals
+        .overlapJoin(wide, good, "l_lo", "l_hi", "r_lo", "r_hi",
+          bucket = 10, maxSpanBuckets = 1000).collect()
+    }
+    assert(msgs(e2).contains("oversized"),
+      s"expected span-cap failure, got: ${msgs(e2)}")
+    // valid rows at the default cap are untouched
+    val ok = graft.operators.Intervals
+      .overlapJoin(good.withColumnRenamed("rid", "lid")
+          .withColumnRenamed("r_lo", "l_lo").withColumnRenamed("r_hi", "l_hi"),
+        good, "l_lo", "l_hi", "r_lo", "r_hi", bucket = 10)
+    assert(ok.count() == 1)
+  }
 }
