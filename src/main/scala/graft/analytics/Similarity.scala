@@ -338,62 +338,103 @@ object Similarity {
   /** Iterations of Lloyd refinement for the IVF codebook. */
   val KmeansIters = 3
 
-  /** Unit-normalized embeddings (float32, so assignment scoring runs
-    * through the codegen'd [[vecDot]] kernel).
+  /** Fixed-point scale for the quantized unit vectors and centroids:
+    * lane values live in [-IvfScale, IvfScale]. 1e4 keeps every
+    * intermediate exact — per-lane products <= 1e8, 64-lane dots and
+    * centroid norms <= 6.4e9 — all well inside Long AND inside
+    * double's 2^53 exact-integer range, so the assignment score
+    * (dot / sqrt(||c||²)) is the same IEEE double on any engine.
     */
-  private[graft] def unitVectors(spark: SparkSession, dir: String): DataFrame =
-    vectors(spark, dir).select(col("vec_id"), col("label"),
-      transform(col("embedding"),
-        x => (x.cast("double") / col("nrm")).cast("float")).as("u"))
+  val IvfScale = 10000L
 
-  /** Cosine scores of an embedding against a literal codebook, sorted
-    * best-first: array of struct(negcos, idx) ordered by cosine desc
-    * with centroid-id-ascending tie-break. A pure scan-side expression
-    * — k codegen'd dot products and a k-element array sort per row, no
-    * join, no window, no shuffle.
+  /** Quantized unit vector: float32 normalize (one well-defined
+    * rounding), then scale to integer ten-thousandths. Everything
+    * downstream of this expression is exact integer arithmetic —
+    * which is what makes the whole Lloyd recurrence, and therefore
+    * q_knn_ivf, oracle-checkable: integer sums are associative, so
+    * partial-aggregation order (and a DuckDB re-run) cannot drift
+    * the codebook. Same recipe as the fixed-point PageRank/EMA
+    * operators ([[graft.operators.Graph]]).
     */
-  private def centroidOrder(emb: Column,
-                            cents: Seq[(Int, Seq[Float])]): Column = {
+  private def quantExpr(emb: Column, nrm: Column): Column =
+    transform(emb, x =>
+      round((x.cast("double") / nrm).cast("float").cast("double")
+        * IvfScale).cast("long"))
+
+  /** Embeddings as quantized unit vectors (vec_id, label, q). */
+  private[graft] def quantVectors(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir).select(col("vec_id"), col("label"),
+      quantExpr(col("embedding"), col("nrm")).as("q"))
+
+  /** Exact integer dot product of two long arrays. */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+
+  /** Scores of a quantized vector against a literal integer codebook,
+    * sorted best-first: array of struct(negscore, idx) ordered by
+    * cosine-proportional score desc with centroid-id-ascending
+    * tie-break. score = dot(q, c) / ||c|| — the ||q|| factor is
+    * constant per row and drops out of the argmax. A pure scan-side
+    * expression — k exact integer dots and a k-element array sort per
+    * row, no join, no window, no shuffle. The dot is exact, ||c||² is
+    * exact, and sqrt/divide are single correctly-rounded IEEE ops, so
+    * the ordering is engine-independent.
+    */
+  private def centroidOrder(q: Column,
+                            cents: Seq[(Int, Seq[Long])]): Column = {
     val centArr = typedlit(cents.map(_._2))
     val centNorms = typedlit(cents.map { case (_, c) =>
-      math.sqrt(c.map(x => x.toDouble * x).sum) })
+      math.sqrt(c.map(x => x * x).sum.toDouble) })
     array_sort(transform(sequence(lit(0), lit(cents.size - 1)),
       i => struct(
-        (-vecDot(emb, element_at(centArr, i + 1))
-          / element_at(centNorms, i + 1)).as("negcos"),
+        (-(intDot(q, element_at(centArr, i + 1)).cast("double")
+          / element_at(centNorms, i + 1))).as("negscore"),
         i.as("idx"))))
   }
 
-  /** One spherical k-means step over unit vectors: assign each vector
-    * to its max-cosine centroid (scan-side [[centroidOrder]] argmax —
-    * the assignment never shuffles), then recompute each centroid as
-    * the per-lane mean of its members. Returns the new codebook plus
-    * the objective (Σ cos(u, c_assigned)) of the ASSIGNMENT under the
-    * old codebook — non-decreasing across steps, which is the property
-    * the spec pins. Empty clusters keep their previous centroid.
+  /** One spherical k-means step over quantized unit vectors: assign
+    * each vector to its max-score centroid (scan-side [[centroidOrder]]
+    * argmax — the assignment never shuffles), then recompute each
+    * centroid as the per-lane floor-mean of its members' EXACT integer
+    * lane sums. Returns the new codebook plus the objective
+    * (Σ cos(q, c_assigned)) of the ASSIGNMENT under the old codebook —
+    * non-decreasing across steps up to the floor quantization, which
+    * is the property the spec pins. Empty clusters keep their previous
+    * centroid.
     *
-    * The codebook is collected driver-side each step (k × 64 floats —
+    * The floor-mean (floor(sum/n), both engines as one double divide +
+    * floor over exact integer operands) rather than the raw sum keeps
+    * centroid lanes bounded by IvfScale at ANY corpus size — lane sums
+    * stay exact up to ~9e14 members and nothing downstream can
+    * overflow.
+    *
+    * The codebook is collected driver-side each step (k × 64 longs —
     * size-independent of the corpus) and re-inlined, so every
     * iteration is one scan + one partial-aggregated shuffle of k rows:
     * the standard distributed-k-means shape at any data size.
     */
   private[graft] def kmeansStep(
-      spark: SparkSession, unit: DataFrame,
-      cents: Seq[(Int, Seq[Float])]): (Seq[(Int, Seq[Float])], Double) = {
+      spark: SparkSession, qv: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): (Seq[(Int, Seq[Long])], Double) = {
     val centIds = typedlit(cents.map(_._1))
-    val laneAvgs = (0 until Dim).map(i =>
-      avg(element_at(col("u"), i + 1).cast("double")).as(s"c$i"))
-    val rows = unit
-      .withColumn("best", element_at(centroidOrder(col("u"), cents), 1))
-      .select(col("u"),
+    val laneSums = (0 until Dim).map(i =>
+      sum(element_at(col("q"), i + 1)).as(s"c$i"))
+    val qnorm = sqrt(aggregate(transform(col("q"), x => x * x),
+      lit(0L), (acc, p) => acc + p).cast("double"))
+    val rows = qv
+      .withColumn("best", element_at(centroidOrder(col("q"), cents), 1))
+      .select(col("q"),
         element_at(centIds, col("best").getField("idx") + 1).as("centroid_id"),
-        (-col("best").getField("negcos")).as("cos"))
+        (-col("best").getField("negscore") / qnorm).as("cos"))
       .groupBy(col("centroid_id"))
-      .agg(sum(col("cos")).as("obj"), laneAvgs: _*)
+      .agg(sum(col("cos")).as("obj"),
+        (count(lit(1)).as("n") +: laneSums): _*)
       .collect()
     val updated = rows.map { r =>
+      val n = r.getAs[Long]("n")
       r.getAs[Int]("centroid_id") ->
-        (0 until Dim).map(i => r.getAs[Double](s"c$i").toFloat)
+        (0 until Dim).map(i =>
+          math.floor(r.getAs[Long](s"c$i").toDouble / n).toLong)
     }.toMap
     val newCents = cents.map { case (id, old) =>
       id -> updated.getOrElse(id, old).toSeq
@@ -419,7 +460,7 @@ object Similarity {
     * of leaking every superseded k×64 codebook on the driver.
     */
   private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), (String, Seq[(Int, Seq[Float])])]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), (String, Seq[(Int, Seq[Long])])]
 
   /** Test seam: observed cache size (bounded by distinct (dir, iters)). */
   private[graft] def codebookCacheSize: Int = codebookCache.size
@@ -433,7 +474,7 @@ object Similarity {
   }
 
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String,
-                                     iters: Int = KmeansIters): Seq[(Int, Seq[Float])] = {
+                                     iters: Int = KmeansIters): Seq[(Int, Seq[Long])] = {
     val fp = corpusFingerprint(spark, dir)
     codebookCache.get((dir, iters)) match {
       case Some((`fp`, cents)) => cents
@@ -444,33 +485,37 @@ object Similarity {
     }
   }
 
-  /** Deterministic k-means initialization: per-label means of the unit
-    * vectors (single source of truth — the objective spec starts from
-    * this same init).
+  /** Deterministic k-means initialization: per-label floor-means of
+    * the quantized unit vectors (single source of truth — the
+    * objective spec starts from this same init).
     */
-  private[graft] def initCentroids(unit: DataFrame): Seq[(Int, Seq[Float])] = {
-    val laneAvgs = (0 until Dim).map(i =>
-      avg(element_at(col("u"), i + 1).cast("double")).as(s"c$i"))
-    unit
+  private[graft] def initCentroids(qv: DataFrame): Seq[(Int, Seq[Long])] = {
+    val laneSums = (0 until Dim).map(i =>
+      sum(element_at(col("q"), i + 1)).as(s"c$i"))
+    qv
       .groupBy(col("label").cast("int").as("centroid_id"))
-      .agg(laneAvgs.head, laneAvgs.tail: _*)
+      .agg(count(lit(1)).as("n"), laneSums: _*)
       .collect()
-      .map(r => r.getAs[Int]("centroid_id") ->
-        (0 until Dim).map(i => r.getAs[Double](s"c$i").toFloat).toSeq)
+      .map { r =>
+        val n = r.getAs[Long]("n")
+        r.getAs[Int]("centroid_id") ->
+          (0 until Dim).map(i =>
+            math.floor(r.getAs[Long](s"c$i").toDouble / n).toLong).toSeq
+      }
       .toSeq.sortBy(_._1)
   }
 
   private def trainCentroids(spark: SparkSession, dir: String,
-                             iters: Int): Seq[(Int, Seq[Float])] = {
-    val unit = unitVectors(spark, dir)
-    unit.persist()
+                             iters: Int): Seq[(Int, Seq[Long])] = {
+    val qv = quantVectors(spark, dir)
+    qv.persist()
     try {
-      var cents = initCentroids(unit)
+      var cents = initCentroids(qv)
       (1 to iters).foreach { _ =>
-        cents = kmeansStep(spark, unit, cents)._1
+        cents = kmeansStep(spark, qv, cents)._1
       }
       cents
-    } finally unit.unpersist()
+    } finally qv.unpersist()
   }
 
   /** IVF-ANN top-k: every vector is assigned to its nearest centroid
@@ -488,9 +533,10 @@ object Similarity {
              nprobe: Int = 2): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
     val centIds = typedlit(cents.map(_._1))
-    // centroid ids ordered by cosine desc (tie: id asc)
+    // centroid ids ordered by quantized score desc (tie: id asc) —
+    // the same exact-integer ranking the codebook was trained under
     val probeOrder = transform(
-      centroidOrder(col("embedding"), cents),
+      centroidOrder(quantExpr(col("embedding"), col("nrm")), cents),
       s => element_at(centIds, s.getField("idx") + 1))
     val v = vectors(spark, dir)
       .withColumn("probe_order", probeOrder)
@@ -513,6 +559,99 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB twin of the COMPLETE IVF pipeline: quantized unit vectors,
+    * per-label floor-mean init, [[KmeansIters]] unrolled fixed-point
+    * Lloyd steps (each = one assignment CTE + one floor-mean CTE, the
+    * same recipe as the fixed-point PageRank oracle), final probe
+    * ordering, inverted lists, and the exact-cosine re-rank. The
+    * recurrence is hash-checkable at all only because every score
+    * compares exact integers through one sqrt + one divide.
+    */
+  val knnIvfSql: String = {
+    // assignment of every vector under codebook `cPrev`
+    def assign(id: String, cPrev: String): String =
+      s"""$id AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY score DESC, cid ASC) AS rnk
+         |  FROM (
+         |    SELECT qv.vec_id, cc.cid,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |             k -> qv.q[k] * cc.c[k])) AS DOUBLE)
+         |        / sqrt(CAST(list_sum(list_transform(cc.c, x -> x * x))
+         |                    AS DOUBLE)) AS score
+         |    FROM qv CROSS JOIN $cPrev cc)
+         |)""".stripMargin
+    // floor-mean update from `assignId`; empty clusters carry `cPrev`
+    def mean(id: String, assignId: String, cPrev: String): String =
+      s"""$id AS (
+         |  SELECT p.cid, COALESCE(m.c, p.c) AS c
+         |  FROM $cPrev p LEFT JOIN (
+         |    SELECT cid,
+         |      list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT)
+         |           ORDER BY k) AS c
+         |    FROM (
+         |      SELECT a.cid, l.k,
+         |        CAST(sum(qv.q[l.k]) AS BIGINT) AS s, count(*) AS cnt
+         |      FROM qv
+         |      JOIN (SELECT vec_id, cid FROM $assignId WHERE rnk = 1) a
+         |        USING (vec_id)
+         |      CROSS JOIN lanes l
+         |      GROUP BY a.cid, l.k)
+         |    GROUP BY cid) m ON m.cid = p.cid
+         |)""".stripMargin
+    val steps = (1 to KmeansIters).map(i =>
+      assign(s"a$i", s"c${i - 1}") + ",\n" +
+        mean(s"c$i", s"a$i", s"c${i - 1}")).mkString(",\n")
+    s"""WITH n AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT vec_id, label,
+       |    list_transform(emb, x ->
+       |      CAST(round(CAST(CAST(x / nrm AS REAL) AS DOUBLE) * $IvfScale)
+       |           AS BIGINT)) AS q
+       |  FROM n
+       |), lanes AS (
+       |  SELECT unnest(range(1, 65)) AS k
+       |), c0 AS (
+       |  SELECT label AS cid,
+       |    list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY k) AS c
+       |  FROM (
+       |    SELECT qv.label, l.k,
+       |      CAST(sum(qv.q[l.k]) AS BIGINT) AS s, count(*) AS cnt
+       |    FROM qv CROSS JOIN lanes l
+       |    GROUP BY qv.label, l.k)
+       |  GROUP BY label
+       |),
+       |$steps,
+       |${assign("probe", s"c$KmeansIters")},
+       |lists AS (
+       |  SELECT vec_id AS neighbor_id, cid FROM probe WHERE rnk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM probe WHERE rnk <= 2
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      k -> qn.emb[k] * cn.emb[k])) / (qn.nrm * cn.nrm) AS cos,
+       |    row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY list_sum(list_transform(range(1, 65),
+       |                 k -> qn.emb[k] * cn.emb[k])) / (qn.nrm * cn.nrm) DESC,
+       |               neighbor_id ASC) AS rnk
+       |  FROM probes JOIN lists USING (cid)
+       |  JOIN n qn ON qn.vec_id = query_id
+       |  JOIN n cn ON cn.vec_id = neighbor_id
+       |  WHERE query_id <> neighbor_id
+       |)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -746,6 +885,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_random_projection" -> randomProjectionSql,
     "q_knn_lsh" -> knnLshSql,
+    "q_knn_ivf" -> knnIvfSql,
     "q_knn_bruteforce" -> knnBruteForceSql,
     "q_embed_near_dup" -> embedNearDupSql,
     "q_label_centroids" -> labelCentroidsSql,

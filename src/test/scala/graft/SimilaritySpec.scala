@@ -145,18 +145,18 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("spherical k-means objective is non-decreasing across Lloyd steps") {
-    // the production normalization + init, not a re-implementation
-    val unit = Similarity.unitVectors(spark, sf)
-    var cents = Similarity.initCentroids(unit)
+    // the production quantization + init, not a re-implementation
+    val qv = Similarity.quantVectors(spark, sf)
+    var cents = Similarity.initCentroids(qv)
     val objectives = (1 to 4).map { _ =>
-      val (next, obj) = Similarity.kmeansStep(spark, unit, cents)
+      val (next, obj) = Similarity.kmeansStep(spark, qv, cents)
       cents = next
       obj
     }
     objectives.sliding(2).foreach { case Seq(a, b) =>
-      // float32 centroid quantization can cost a hair of objective;
-      // allow only that much slack
-      assert(b >= a - 1e-4, s"objective decreased: $objectives")
+      // the floor-mean integer quantization (1 part in IvfScale per
+      // lane) can cost a hair of objective; allow only that much slack
+      assert(b >= a - 1e-3, s"objective decreased: $objectives")
     }
     assert(objectives.last > objectives.head, s"no improvement at all: $objectives")
   }

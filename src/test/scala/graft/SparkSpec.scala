@@ -40,7 +40,6 @@ class SparkEntryContractSpec extends SparkSpec {
     * with the reason pinned here.
     */
   val rowsOnlyAllowed = Set(
-    "q_knn_ivf",         // codebook from driver-side Lloyd float means
     "q_media_features")  // stubbed decode (no codec libs offline)
 
   test("every query has an oracle unless explicitly allowed rows-only") {
