@@ -8,13 +8,17 @@ import graft.ingest.Sources
 /** Multimodal column plumbing (builder mandate: image/audio/video as
   * opaque binary columns with typed metadata).
   *
-  * The decode step is STUBBED — this container ships no codec
-  * libraries, so [[decodeStub]] produces a deterministic fake feature
-  * vector from the bytes. Everything AROUND the stub is real and
-  * tested: the schema, the binaryFile source, the mapPartitions batch
-  * shape (one iterator per partition — where a real implementation
-  * amortizes codec/model setup), the partitioning strategy, and the
-  * downstream aggregation plan.
+  * IMAGE decode is REAL: [[decodeImage]] runs the JDK's own codecs
+  * (javax.imageio — PNG/JPEG/GIF/BMP, no external jars) and extracts a
+  * grid-pooled luminance feature vector from the actual pixels. Audio/
+  * video decode remains STUBBED — this container ships no codec
+  * libraries for those — via [[decodeStub]], a deterministic fake
+  * feature vector from the bytes; [[decode]] routes by kind and falls
+  * back to the stub when the payload is not a decodable image.
+  * Everything around the decoders is real and tested: the schema, the
+  * binaryFile source, the mapPartitions batch shape (one iterator per
+  * partition — where codec/model setup amortizes), the partitioning
+  * strategy, and the downstream aggregation plan.
   *
   * Scale notes (100 TB of media): records carry bytes, so the governing
   * knob is bytes-per-partition, not rows — repartitionForDecode targets
@@ -59,6 +63,55 @@ object Multimodal {
     acc.map(a => (a.toDouble / Long.MaxValue).toFloat)
   }
 
+  /** REAL image decode + feature extraction via the JDK's bundled
+    * codecs: parse the payload with javax.imageio, then average-pool
+    * the luminance channel (Rec. 601 weights) over a √dim × √dim
+    * grid — a deterministic, resolution-independent pixel signature
+    * in [0, 1] per lane. Returns None when the bytes are not a
+    * decodable image (caller falls back to the stub), so a corrupt
+    * payload degrades instead of failing the partition.
+    */
+  def decodeImage(content: Array[Byte],
+                  dim: Int = FeatureDim): Option[Array[Float]] = {
+    val grid = math.sqrt(dim).toInt
+    require(grid * grid == dim, s"decodeImage needs a square dim, got $dim")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val acc = new Array[Double](dim)
+      val cnt = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        val gy = y * grid / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+          val b = gy * grid + x * grid / w
+          acc(b) += lum
+          cnt(b) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some(Array.tabulate(dim)(i =>
+        if (cnt(i) == 0) 0.0f else (acc(i) / cnt(i)).toFloat))
+    }
+  }
+
+  /** Kind-routed decode: real pixels for images, deterministic stub
+    * for audio/video (codec libs absent) and for image payloads the
+    * JDK cannot parse.
+    */
+  def decode(kind: String, content: Array[Byte],
+             dim: Int = FeatureDim): Array[Float] =
+    if (kind == "image") decodeImage(content, dim).getOrElse(decodeStub(content, dim))
+    else decodeStub(content, dim)
+
   /** "Resize" analog: average-pool a feature vector down to `outDim`
     * lanes — the deterministic twin of image downscaling.
     */
@@ -100,10 +153,12 @@ object Multimodal {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      // per-partition setup would happen here (codec init, model load)
+      // per-partition codec setup: no disk-backed ImageIO cache on
+      // executors (decode stays in-memory); model load would go here
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         MediaFeatures(r.media_id, r.kind, r.content.length,
-          decodeStub(r.content))
+          decode(r.kind, r.content))
       }
     }
   }
@@ -130,8 +185,9 @@ object Multimodal {
       .as[(MediaRecord, String)]
     val feats = media.mapPartitions { it =>
       // per-partition setup point (codec init, model load)
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { case (r, source) =>
-        (r.media_id, source, r.content.length, decodeStub(r.content))
+        (r.media_id, source, r.content.length, decode(r.kind, r.content))
       }
     }.toDF("media_id", "source", "n_bytes", "features")
       .withColumn("norm",

@@ -67,6 +67,37 @@ class MultimodalSpec extends SparkSpec {
     assert(lens == Set(18L, 18L, 18L) || lens.forall(_ > 0))
   }
 
+  test("real PNG decode: crafted image yields pinned grid-luminance features") {
+    import spark.implicits._
+    // 8x8 PNG, left half black, right half white: the 4x4 luminance
+    // grid must come out exactly [0,0,1,1] per row (Rec.601 weights
+    // sum to 1 at full white)
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val expected = Seq.tabulate(16)(i => if (i % 4 < 2) 0.0f else 1.0f)
+    // direct decode
+    assert(Multimodal.decodeImage(png).map(_.toSeq).contains(expected),
+      "grid-luminance features off the crafted PNG diverge")
+    // through the full executor-side extraction path
+    val rec = MediaRecord(7L, "image", png, 8, 8, 0, 0)
+    val out = Multimodal.extractFeatures(spark.createDataset(Seq(rec))).collect()
+    assert(out.head.features.toSeq == expected)
+    assert(out.head.n_bytes == png.length)
+    // non-image payloads under kind=image fall back to the stub
+    // rather than failing the partition
+    val junk = "not-a-png".getBytes("UTF-8")
+    assert(Multimodal.decode("image", junk).toSeq ==
+      Multimodal.decodeStub(junk).toSeq)
+    // audio stays on the stub even for decodable image bytes
+    assert(Multimodal.decode("audio", png).toSeq ==
+      Multimodal.decodeStub(png).toSeq)
+  }
+
   test("media feature rollup query returns one row per source") {
     val out = Multimodal.mediaFeatureRollup(spark, sf)
     assert(out.count() == 20)
