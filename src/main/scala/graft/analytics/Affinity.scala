@@ -177,25 +177,65 @@ object Affinity {
   }
 
 
+  /** Vertex degrees of a canonical (u < v) undirected half-edge set. */
+  private[graft] def degrees(half: DataFrame): DataFrame =
+    half.select(explode(array(col("u"), col("v"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+
+  /** Degree-ordered orientation: each undirected edge becomes ONE
+    * directed edge low ≺ high under the total order
+    * (deg, vertex id) — the standard preparation (Schank–Wagner /
+    * compact-forward) that bounds every vertex's out-degree by
+    * O(√m), so wedge generation is Σ C(outdeg, 2) ≤ m^{3/2} even on
+    * a power-law graph where a hub's undirected wedge count is
+    * quadratic. `ddeg` (the head's degree) rides along so the wedge
+    * filter can re-apply the same order without another join.
+    */
+  private[graft] def orientEdges(half: DataFrame, deg: DataFrame): DataFrame =
+    half
+      .join(deg.select(col("p").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("p").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(when(
+        col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("src"), col("v").as("dst"), col("dv").as("ddeg")))
+        .otherwise(
+          struct(col("v").as("src"), col("u").as("dst"), col("du").as("ddeg")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddeg").as("ddeg"))
+
+  /** Out-wedges (x→y, x→z) with y ≺ z under the degree order — each
+    * triangle produces exactly one, closed by the oriented edge y→z.
+    */
+  private[graft] def orientedWedges(dirE: DataFrame): DataFrame =
+    dirE.select(col("src").as("x"), col("dst").as("y"), col("ddeg").as("dy"))
+      .join(dirE.select(col("src").as("x"), col("dst").as("z"),
+        col("ddeg").as("dz")), Seq("x"))
+      .filter(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+
   /** Triangle counting + local clustering coefficient on the
-    * co-purchase graph. Canonical (a<b) half-edges self-join twice —
-    * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a<b<c counts each triangle exactly
-    * once; the per-vertex coefficient 2·tri / (deg·(deg−1)) divides
-    * exact integers, so both engines emit identical doubles. Two
-    * shuffle joins on edge endpoints; at 100 TB the standard
-    * degree-ordered orientation (joining only low→high degree) bounds
-    * the wedge explosion — here the support-≥2 pruning already keeps
-    * the edge list sparse.
+    * co-purchase graph, via degree-ordered orientation: edges point
+    * low ≺ high by (degree, id), wedges fan out only from each
+    * vertex's OUT-edges ([[orientedWedges]]), and the closing edge
+    * join finishes the triangle. Each triangle {a ≺ b ≺ c} is counted
+    * exactly once as (a→b, a→c) closed by b→c — the same multiset of
+    * triangles as the id-ordered e(a,b)⋈e(b,c)⋈e(a,c) join (the
+    * oracle keeps that form), but with wedge cost Σ C(outdeg, 2) ≤
+    * m^{3/2} instead of a hub's quadratic in-degree×out-degree — the
+    * property that survives a skewed co-purchase graph at 100×. The
+    * per-vertex coefficient 2·tri / (deg·(deg−1)) divides exact
+    * integers, so both engines emit identical doubles.
     */
   def partTriangles(spark: SparkSession, dir: String): DataFrame = {
     val half = halfEdges(spark, dir)
       .select(col("part_a").as("u"), col("part_b").as("v"))
-      .localCheckpoint() // feeds 3 join legs + the degree table
-    val deg = half.select(explode(array(col("u"), col("v"))).as("p"))
-      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
-    val tri = half.select(col("u").as("x"), col("v").as("y"))
-      .join(half.select(col("u").as("y"), col("v").as("z")), Seq("y"))
-      .join(half.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"))
+      .localCheckpoint() // feeds the degree table + the orientation join
+    val deg = degrees(half)
+    val dirE = orientEdges(half, deg)
+      .localCheckpoint() // feeds both wedge legs + the closing leg
+    val tri = orientedWedges(dirE)
+      .join(dirE.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
     val triPerVertex = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("tri"))

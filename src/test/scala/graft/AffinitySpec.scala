@@ -109,4 +109,36 @@ class AffinitySpec extends SparkSpec {
     }
     assert(rows.map(_.getLong(0)).toSet == adj.keySet)
   }
+
+  test("degree orientation bounds hub wedges: star graph generates O(1), not O(deg²)") {
+    // hub 50 sits in the MIDDLE of the id range with 80 spokes: the
+    // id-ordered wedge join e(x,50)⋈e(50,z) would generate 40×40
+    // center wedges; degree orientation points every spoke AT the hub
+    // (out-degree 0), so wedges come only from the planted triangle
+    val spokes = ((1L to 40L) ++ (60L to 99L)).map(i =>
+      (math.min(i, 50L), math.max(i, 50L)))
+    val tri = Seq((1L, 2L)) // closes triangle {1, 2, 50}
+    val rows = (spokes ++ tri).map { case (u, v) => Row(u, v) }
+    val half = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("u", LongType), StructField("v", LongType))))
+    val deg = Affinity.degrees(half)
+    val dirE = Affinity.orientEdges(half, deg)
+    // every oriented edge must point low-to-high degree (tie: id)
+    val degMap = deg.collect().map(r => r.getLong(0) -> r.getAs[Long]("deg")).toMap
+    dirE.collect().foreach { r =>
+      val (s, d) = (r.getAs[Long]("src"), r.getAs[Long]("dst"))
+      assert(Ordering[(Long, Long)].lt((degMap(s), s), (degMap(d), d)),
+        s"mis-oriented edge $s->$d")
+      assert(r.getAs[Long]("ddeg") == degMap(d), s"stale ddeg on $s->$d")
+    }
+    val wedges = Affinity.orientedWedges(dirE)
+    assert(wedges.count() == 1,
+      "hub spokes must generate no wedges under degree orientation")
+    val triangles = wedges
+      .join(dirE.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+    assert(triangles.count() == 1, "exactly the planted triangle")
+    assert(triangles.select(col("x"), col("y"), col("z")).collect().map(r =>
+      Set(r.getLong(0), r.getLong(1), r.getLong(2))).head == Set(1L, 2L, 50L))
+  }
 }
