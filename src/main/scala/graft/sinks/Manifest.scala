@@ -1,0 +1,193 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Manifest-committed parquet table — the minimal transactional layer
+  * the offline container can host (the seam where Delta/Iceberg slots
+  * in; reference intent: streaming/spark_processor.py:42's Delta sink).
+  *
+  * Layout:
+  * {{{
+  *   path/data/<token>-<n>.parquet     immutable data files
+  *   path/_manifests/manifest-<v>      one line per live data file
+  * }}}
+  *
+  * Protocol: writers STAGE new immutable files under `data/` (invisible
+  * to readers), then COMMIT by renaming a fully-written temp manifest
+  * to the next version — one atomic rename is the entire visibility
+  * switch. Readers resolve the highest committed manifest and read
+  * exactly the files it lists. A crash at ANY point before the rename
+  * leaves the previous snapshot fully readable (the crash-injection
+  * spec pins this); orphaned staged files are garbage, not corruption,
+  * and [[vacuum]] reaps them. Old snapshots stay readable until
+  * vacuumed, so a reader holding a resolved manifest never races a
+  * compaction swap — the half-swapped-directory window of a
+  * rename-the-directory scheme does not exist here.
+  *
+  * Concurrency: the commit rename uses FileContext semantics (fail on
+  * existing destination), so two racing committers cannot both claim a
+  * version — the loser retries against the next version. Single-writer
+  * per table remains the intended deployment (as with Delta, multiple
+  * writers additionally need conflict checking between snapshots).
+  */
+object ManifestTable {
+
+  private val DataDir = "data"
+  private val ManifestDir = "_manifests"
+  private val ManifestPrefix = "manifest-"
+  private val MaxCommitRetries = 20
+
+  private def fsOf(spark: SparkSession,
+                   p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(path: String, v: Long) =
+    new org.apache.hadoop.fs.Path(
+      s"$path/$ManifestDir/$ManifestPrefix%09d".format(v))
+
+  /** Committed manifest versions, ascending (empty for a fresh path). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val mdir = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+    val fs = fsOf(spark, mdir)
+    if (!fs.exists(mdir)) Seq.empty
+    else fs.listStatus(mdir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .map(_.stripPrefix(ManifestPrefix).toLong)
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    versions(spark, path).lastOption
+
+  /** Relative file names of snapshot `version` (default: latest). */
+  def snapshotFiles(spark: SparkSession, path: String,
+                    version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val mp = manifestPath(path, v)
+    val fs = fsOf(spark, mp)
+    val in = fs.open(mp)
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+    } finally in.close()
+  }
+
+  /** The snapshot as a DataFrame — exactly the committed files. */
+  def read(spark: SparkSession, path: String,
+           version: Option[Long] = None): DataFrame = {
+    val files = snapshotFiles(spark, path, version)
+      .map(f => s"$path/$DataDir/$f")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Stage `df` as new immutable files under `data/` WITHOUT making
+    * them visible: write to a hidden staging dir (dot-prefixed, so a
+    * directory-level parquet scan would skip it anyway), then move
+    * each part file to a collision-free name. Crashing here leaves
+    * only unreferenced garbage.
+    */
+  private[graft] def stage(df: DataFrame, path: String): Seq[String] = {
+    val spark = df.sparkSession
+    val token = java.util.UUID.randomUUID().toString
+    val stagingDir = new org.apache.hadoop.fs.Path(s"$path/.staging-$token")
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/$DataDir")
+    val fs = fsOf(spark, stagingDir)
+    df.write.mode(SaveMode.Overwrite).parquet(stagingDir.toString)
+    fs.mkdirs(dataDir)
+    val parts = fs.listStatus(stagingDir).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val names = parts.zipWithIndex.map { case (src, i) =>
+      val name = s"$token-$i.parquet"
+      require(fs.rename(src, new org.apache.hadoop.fs.Path(dataDir, name)),
+        s"stage: failed to place $src as $name")
+      name
+    }
+    fs.delete(stagingDir, true)
+    names
+  }
+
+  /** Atomically publish a snapshot consisting of exactly `files`
+    * (names relative to `data/`). The temp manifest is fully written
+    * and fsync-closed BEFORE the rename, and the rename refuses an
+    * existing destination — so a version is either invisible or
+    * complete, never partial, and racing committers cannot overwrite
+    * each other.
+    */
+  private[graft] def commit(spark: SparkSession, path: String,
+                            files: Seq[String]): Long = {
+    val mdir = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+    val fs = fsOf(spark, mdir)
+    fs.mkdirs(mdir)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      mdir.toUri, spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var v = latestVersion(spark, path).getOrElse(-1L) + 1
+    while (attempt < MaxCommitRetries) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        mdir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      try {
+        // Options.Rename.NONE: fail (don't overwrite) if the version
+        // was claimed between our listing and now
+        fc.rename(tmp, manifestPath(path, v))
+        return v
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.io.IOException =>
+          fs.delete(tmp, false)
+          v = math.max(v + 1, latestVersion(spark, path).getOrElse(-1L) + 1)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"commit: lost $MaxCommitRetries version races at $path")
+  }
+
+  /** Replace the table content with `df` in one atomic commit. The
+    * previous snapshot stays fully readable throughout (and after,
+    * until vacuumed).
+    */
+  def replace(df: DataFrame, path: String): Long =
+    commit(df.sparkSession, path, stage(df, path))
+
+  /** Small-file compaction as a normal snapshot commit: rewrite the
+    * latest snapshot into ~`targetFileBytes` files and publish. No
+    * directory swap — a reader mid-scan on the old manifest keeps its
+    * files until [[vacuum]] reaps them.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val dataDir = s"$path/$DataDir"
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(dataDir))
+    val files = snapshotFiles(spark, path, None)
+    val bytes = files.map(f => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dataDir/$f")).getLen).sum
+    val n = math.max(1, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    replace(read(spark, path).coalesce(n), path)
+  }
+
+  /** Retention: keep the newest `keepVersions` manifests, delete older
+    * ones, and delete every data file (including crashed-writer
+    * orphans) not referenced by a kept manifest. `keepVersions >= 2`
+    * protects readers that resolved the previous snapshot before a
+    * concurrent commit.
+    */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 1, "vacuum must keep at least the live snapshot")
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val live = keep.flatMap(v => snapshotFiles(spark, path, Some(v))).toSet
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/$DataDir")
+    val fs = fsOf(spark, dataDir)
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
+      if (!live.contains(st.getPath.getName))
+        fs.delete(st.getPath, false): Unit
+    }
+    drop.foreach(v => fs.delete(manifestPath(path, v), false): Unit)
+  }
+}

@@ -61,6 +61,15 @@ object Sinks {
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // self-heal a crash inside a PRIOR compact's swap window: if the
+    // live path is gone but the backup survives, the backup IS the
+    // table — restore it before doing anything else. (For a
+    // swap-window-free protocol use ManifestTable, which commits by
+    // manifest rename and never moves the live directory.)
+    val healPath = new org.apache.hadoop.fs.Path(path + "_precompact")
+    if (!fs.exists(hPath) && fs.exists(healPath))
+      require(fs.rename(healPath, hPath),
+        s"compact: found orphaned backup $healPath but could not restore it")
     val bytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")

@@ -341,10 +341,17 @@ object Pipeline {
       .start()
 
   /** Lakehouse maintenance sink: each micro-batch UPSERTs into a
-    * parquet gold table via foreachBatch + [[graft.sinks.Sinks.upsert]]
-    * — late/duplicate keys replace their earlier rows instead of
-    * appending. (With a transactional format the body becomes MERGE
-    * INTO; the streaming plumbing is identical.)
+    * manifest-committed gold table via foreachBatch +
+    * [[graft.sinks.Sinks.upsert]] — late/duplicate keys replace their
+    * earlier rows instead of appending. The merged snapshot is STAGED
+    * as new immutable files while the current snapshot stays live,
+    * then published by [[graft.sinks.ManifestTable]]'s single atomic
+    * manifest rename: a crash at any point leaves the previous
+    * snapshot fully readable, with no directory-swap window at all.
+    * Retention keeps the prior snapshot for in-flight readers; older
+    * files are vacuumed per batch. (With Delta/Iceberg the body
+    * becomes MERGE INTO; the streaming plumbing is identical.) Never
+    * collects to the driver.
     */
   def toUpsertSink(df: DataFrame, path: String, checkpoint: String,
                    keys: Seq[String]): StreamingQuery =
@@ -352,24 +359,14 @@ object Pipeline {
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // write the merged result BESIDE the current table, then swap.
-        // Swap order matters: the live table is moved aside BEFORE the
-        // staging promote and deleted only after, so a crash at any
-        // point leaves either the old or the new table recoverable on
-        // disk (a transactional format replaces this whole dance with
-        // its commit log). Never collects to the driver.
-        val tmp = path + "_staging"
-        val backup = path + "_backup"
-        if (new java.io.File(path).exists()) {
-          graft.sinks.Sinks.upsert(spark.read.parquet(path), batch, keys)
-            .write.mode("overwrite").parquet(tmp)
-          graft.sinks.Sinks.deleteRecursively(new java.io.File(backup))
-          require(new java.io.File(path).renameTo(new java.io.File(backup)),
-            s"upsert sink: failed to move live table aside: $path")
-          require(new java.io.File(tmp).renameTo(new java.io.File(path)),
-            s"upsert sink: failed to promote staging table: $tmp")
-          graft.sinks.Sinks.deleteRecursively(new java.io.File(backup))
-        } else batch.write.mode("overwrite").parquet(path)
+        import graft.sinks.ManifestTable
+        val merged =
+          if (ManifestTable.latestVersion(spark, path).isDefined)
+            graft.sinks.Sinks.upsert(ManifestTable.read(spark, path),
+              batch, keys)
+          else batch
+        ManifestTable.replace(merged, path)
+        ManifestTable.vacuum(spark, path, keepVersions = 2)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -104,4 +104,95 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == df.count())
     assert(!new java.io.File(path + "_precompact").exists())
   }
+
+  test("compact self-heals a crash inside the swap window (backup-only state)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_heal").toString
+    val path = s"$dir/t"
+    val df = graft.ingest.Sources.nation(spark, sf)
+    df.write.parquet(path)
+    // simulate a crash between the two swap renames: live dir moved to
+    // the backup name, promote never happened
+    assert(new java.io.File(path)
+      .renameTo(new java.io.File(path + "_precompact")))
+    Sinks.compact(spark, path)
+    assert(spark.read.parquet(path).count() == df.count(),
+      "compact must restore the backup as the live table before sizing")
+    assert(!new java.io.File(path + "_precompact").exists())
+  }
+}
+
+class ManifestSpec extends SparkSpec {
+  import graft.sinks.ManifestTable
+
+  test("replace commits atomically; crash before manifest rename leaves old snapshot readable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val path = s"$dir/t"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    assert(ManifestTable.replace(v1, path) == 0L)
+    assert(ManifestTable.read(spark, path).count() == 2)
+    // CRASH INJECTION: a writer stages its files (the expensive part)
+    // and dies before the manifest rename — the one atomic step.
+    // Readers must still see snapshot 0, and the orphans must not
+    // leak into any read.
+    val orphans = ManifestTable.stage(Seq((9L, "z")).toDF("id", "s"), path)
+    assert(orphans.nonEmpty)
+    assert(ManifestTable.latestVersion(spark, path).contains(0L))
+    assert(ManifestTable.read(spark, path).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L), "staged-but-uncommitted files leaked into a read")
+    // a later successful commit is unaffected by the dead writer
+    val v2 = Seq((1L, "a2"), (3L, "c")).toDF("id", "s")
+    ManifestTable.replace(v2, path)
+    assert(ManifestTable.read(spark, path).collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L))
+    // the PREVIOUS snapshot remains readable (no swap window ever)
+    assert(ManifestTable.read(spark, path, Some(0L))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("compact rewrites files without a visibility gap; vacuum reaps history and orphans") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcompact").toString
+    val path = s"$dir/t"
+    val df = (1L to 1000L).toDF("id").repartition(20)
+    ManifestTable.replace(df, path)
+    val fragmented = ManifestTable.snapshotFiles(spark, path, None)
+    assert(fragmented.size >= 20)
+    ManifestTable.compact(spark, path, targetFileBytes = 64L * 1024 * 1024)
+    val compacted = ManifestTable.snapshotFiles(spark, path, None)
+    assert(compacted.size < fragmented.size / 4,
+      s"compaction barely helped: ${fragmented.size} -> ${compacted.size}")
+    assert(ManifestTable.read(spark, path).count() == 1000)
+    // pre-compact snapshot files still on disk for in-flight readers
+    assert(ManifestTable.read(spark, path, Some(0L)).count() == 1000)
+    // leave a crashed-writer orphan, then vacuum to 1 version:
+    // old manifests, their files, and the orphan all disappear
+    ManifestTable.stage(Seq(0L).toDF("id"), path)
+    ManifestTable.vacuum(spark, path, keepVersions = 1)
+    assert(ManifestTable.versions(spark, path) == Seq(1L))
+    val left = new java.io.File(s"$path/data").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet // ignore crc sidecars
+    assert(left == compacted.toSet,
+      s"vacuum left unexpected files: ${left -- compacted.toSet}")
+    assert(ManifestTable.read(spark, path).count() == 1000)
+  }
+
+  test("racing committers cannot overwrite each other's version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrace").toString
+    val path = s"$dir/t"
+    ManifestTable.replace(Seq(1L).toDF("id"), path)
+    // stage two writers, then commit both: versions must differ and
+    // both manifests must survive intact
+    val f1 = ManifestTable.stage(Seq(2L).toDF("id"), path)
+    val f2 = ManifestTable.stage(Seq(3L).toDF("id"), path)
+    val c1 = ManifestTable.commit(spark, path, f1)
+    val c2 = ManifestTable.commit(spark, path, f2)
+    assert(c1 != c2)
+    assert(ManifestTable.versions(spark, path).size == 3)
+    assert(ManifestTable.read(spark, path, Some(c1))
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(ManifestTable.read(spark, path, Some(c2))
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }

@@ -368,11 +368,15 @@ class StreamingSpec extends SparkSpec {
       reading("C", "2024-01-01 01:00:00", ph = 6.5f))
     val q2 = Pipeline.toUpsertSink(latest, s"$dir/gold", s"$dir/chk", Seq("sensor_id"))
     q2.awaitTermination()
-    val gold = spark.read.parquet(s"$dir/gold")
+    val gold = graft.sinks.ManifestTable.read(spark, s"$dir/gold")
     assert(gold.count() == 3, "one row per key expected")
     val aPh = gold.filter(col("sensor_id") === "A")
       .collect().head.getAs[Float]("ph_value")
     assert(math.abs(aPh - 9.0f) < 1e-6, "update must win over the original row")
+    // retention: the per-batch vacuum keeps at most 2 manifests and
+    // exactly their files on disk — the sink cannot accrete history
+    val vs = graft.sinks.ManifestTable.versions(spark, s"$dir/gold")
+    assert(vs.size <= 2, s"vacuum must bound manifest history, got $vs")
   }
 
   test("rate-paced replay emits the bounded frame's rows progressively in order") {
