@@ -326,18 +326,22 @@ object Pipeline {
         (col("ph_value") + col("offset")).as("ph_calibrated"))
   }
 
-  /** S7 stand-in: checkpointed parquet sink, deterministic drain via
-    * AvailableNow (the offline twin of the intended Delta/MinIO sink —
-    * reference: streaming/spark_processor.py:42).
+  /** S7 stand-in: checkpointed parquet sink (the offline twin of the
+    * intended Delta/MinIO sink — reference: spark_processor.py:42).
+    * Default trigger drains deterministically via AvailableNow; pass
+    * `Trigger.ProcessingTime(...)` for the reference's actual run mode
+    * (a forever-running job, reference: spark_processor.py:43-50) —
+    * the checkpoint protocol is identical, which is what the
+    * mid-stream-kill soak spec pins.
     */
-  def toParquetSink(df: DataFrame, path: String,
-                    checkpoint: String): StreamingQuery =
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append)
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** Lakehouse maintenance sink: each micro-batch UPSERTs into a

@@ -186,6 +186,48 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("sensor_id").distinct().count() == 3)
   }
 
+  test("ProcessingTime soak: continuous trigger, mid-stream kill, exactly-once recovery") {
+    // the reference's ACTUAL run mode (spark_processor.py:43-50):
+    // a forever-running ProcessingTime job. Feed it while it runs,
+    // kill it mid-stream (not at a drain boundary), restart from the
+    // checkpoint, drain, and demand exactly-once end to end.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    val input = MemoryStream[SensorReading](spark)
+    val ids = (1 to 40).map(i => f"S$i%02d")
+    input.addData(ids.take(10).map(id => reading(id, "2024-01-01 00:00:00")): _*)
+    val q1 = Pipeline.toParquetSink(input.toDF(), s"$dir/data", s"$dir/chk",
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      // keep feeding WHILE the continuous trigger runs
+      val deadline = System.currentTimeMillis() + 30000
+      var fed = 10
+      while (fed < 40 && System.currentTimeMillis() < deadline) {
+        input.addData(ids.slice(fed, fed + 10)
+          .map(id => reading(id, "2024-01-01 00:00:00")): _*)
+        fed += 10
+        Thread.sleep(120)
+      }
+      assert(fed == 40, "feeder starved")
+      // wait until the job has committed SOMETHING but not necessarily
+      // everything, then kill it mid-stream
+      while (!new java.io.File(s"$dir/data").exists() &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally q1.stop()
+    q1.awaitTermination()
+    val afterKill = spark.read.parquet(s"$dir/data").count()
+    assert(afterKill >= 1, "soak fixture: nothing committed before the kill")
+    // restart from the same checkpoint and drain the remainder
+    val q2 = Pipeline.toParquetSink(input.toDF(), s"$dir/data", s"$dir/chk")
+    q2.awaitTermination()
+    val out = spark.read.parquet(s"$dir/data")
+    assert(out.count() == 40,
+      s"exactly-once violated: ${out.count()} rows for 40 fed (pre-kill $afterKill)")
+    assert(out.select("sensor_id").distinct().count() == 40,
+      "duplicate sensor rows after recovery")
+  }
+
   test("kafka-sink framing round-trips through the wire parser") {
     import spark.implicits._
     val canonical = Seq(reading("DARGLE_030", "2023-01-01 00:00:00",
