@@ -98,6 +98,45 @@ object Sinks {
     require(fs.delete(old, true), s"compact: backup cleanup failed at $old")
   }
 
+  /** S8 warehouse egress — the named entry point for the reference
+    * architecture's PostgreSQL tail (imgs/overall-architecture.png:
+    * processor → warehouse → Grafana). A thin, contract-enforcing
+    * wrapper over `df.write.jdbc`:
+    *
+    *  - fails FAST on the driver node when no JDBC driver on the
+    *    classpath accepts the url (this offline container ships
+    *    none), instead of launching a distributed write that dies in
+    *    every task with a ClassNotFoundException;
+    *  - bounds write parallelism (`maxConnections` → numPartitions):
+    *    every task holds one warehouse connection, and a 1000-
+    *    partition frame must not open 1000 of them;
+    *  - batches rows (`batchSize` → JDBC batch inserts), the knob
+    *    that dominates egress throughput.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                user: String = "", password: String = "",
+                batchSize: Int = 10000,
+                maxConnections: Int = 8): Unit = {
+    require(url.startsWith("jdbc:"), s"not a JDBC url: $url")
+    require(batchSize > 0 && maxConnections > 0,
+      s"writeJdbc: batchSize/maxConnections must be positive")
+    try java.sql.DriverManager.getDriver(url)
+    catch {
+      case e: java.sql.SQLException =>
+        throw new IllegalStateException(
+          s"writeJdbc: no JDBC driver on the classpath accepts '$url' — " +
+            "ship the driver jar (e.g. org.postgresql:postgresql) via " +
+            "--jars/extraClassPath before pointing the warehouse sink " +
+            "at a real database", e)
+    }
+    val props = new java.util.Properties()
+    if (user.nonEmpty) props.setProperty("user", user)
+    if (password.nonEmpty) props.setProperty("password", password)
+    props.setProperty("batchsize", batchSize.toString)
+    props.setProperty("numPartitions", maxConnections.toString)
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
   /** Upsert (MERGE) without a table format: rows of `updates` replace
     * key-matching rows of `target`; everything else passes through.
     * Anti-join + union — the updates side is usually small, so Spark

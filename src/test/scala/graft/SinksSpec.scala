@@ -121,6 +121,169 @@ class SinksSpec extends SparkSpec {
   }
 }
 
+/** In-JVM mock JDBC stack (dynamic proxies): records the SQL the
+  * writer prepares and the batching behavior, so the warehouse sink's
+  * contract is testable with zero driver jars. local[n] executors
+  * share the JVM, so DriverManager registration and the static
+  * recorders are visible to the write tasks.
+  */
+object MockJdbc {
+  val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val batched = new java.util.concurrent.atomic.AtomicInteger(0)
+  val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+  // (name, jdbc type) of the mock database's single table, set by the
+  // recorded CREATE TABLE — lets post-write schema probes succeed
+  @volatile private var created: Seq[(String, Int)] = Seq.empty
+
+  def reset(): Unit = {
+    statements.clear(); batched.set(0); connections.set(0); created = Seq.empty
+  }
+
+  private def recordSql(s: String): Unit = {
+    statements.add(s)
+    val create = "(?is)CREATE\\s+TABLE\\s+\\S+\\s*\\((.*)\\)".r
+    s.trim match {
+      case create(colList) =>
+        created = colList.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          .map { c =>
+            val name = c.split("\\s+").head.replaceAll("[\"`]", "")
+            val tpe = if (c.toUpperCase.contains("INT")) java.sql.Types.INTEGER
+              else java.sql.Types.VARCHAR
+            name -> tpe
+          }
+      case _ =>
+    }
+  }
+
+  private def proxy(iface: Class[_], sql: String = ""): AnyRef =
+    java.lang.reflect.Proxy.newProxyInstance(iface.getClassLoader,
+      Array(iface), (_, m, args) => invoke(m, args, sql))
+
+  private def invoke(m: java.lang.reflect.Method, args: Array[AnyRef],
+                     sql: String): AnyRef = m.getName match {
+    case "prepareStatement" | "createStatement" =>
+      val s = if (args != null && args.nonEmpty) args(0) match {
+        case str: String => recordSql(str); str
+        case _ => ""
+      } else ""
+      proxy(m.getReturnType, s)
+    case "executeUpdate" | "execute" if args != null && args.nonEmpty =>
+      args(0) match { case str: String => recordSql(str); case _ => }
+      default(m.getReturnType)
+    case "executeQuery" if sql.contains("WHERE 1=0") && created.isEmpty =>
+      // pre-create probes report "no such table" (SQLState 42*, which
+      // the default dialect classifies as object-not-found): the write
+      // takes the CREATE TABLE + INSERT path, all mock-recordable
+      throw new java.sql.SQLException(s"mock: no such table ($sql)", "42P01")
+    case "getColumnCount" => Integer.valueOf(created.size)
+    case "getColumnName" | "getColumnLabel" =>
+      created(args(0).asInstanceOf[Integer] - 1)._1
+    case "getColumnType" =>
+      Integer.valueOf(created(args(0).asInstanceOf[Integer] - 1)._2)
+    case "getColumnTypeName" =>
+      if (created(args(0).asInstanceOf[Integer] - 1)._2 ==
+        java.sql.Types.INTEGER) "INTEGER" else "VARCHAR"
+    case "getPrecision" =>
+      Integer.valueOf(
+        if (created(args(0).asInstanceOf[Integer] - 1)._2 ==
+          java.sql.Types.INTEGER) 10 else 255)
+    case "isSigned" => java.lang.Boolean.TRUE
+    case "isNullable" =>
+      Integer.valueOf(java.sql.ResultSetMetaData.columnNullable)
+    case "addBatch" => batched.incrementAndGet(); null
+    case "executeBatch" => Array.empty[Int]
+    case "supportsBatchUpdates" | "supportsTransactions" => java.lang.Boolean.TRUE
+    case "isClosed" => java.lang.Boolean.FALSE
+    case _ => default(m.getReturnType)
+  }
+
+  private def default(rt: Class[_]): AnyRef =
+    if (rt == java.lang.Void.TYPE) null
+    else if (rt == java.lang.Boolean.TYPE) java.lang.Boolean.FALSE
+    else if (rt == java.lang.Integer.TYPE) Integer.valueOf(0)
+    else if (rt == java.lang.Long.TYPE) java.lang.Long.valueOf(0L)
+    else if (rt.isPrimitive) Integer.valueOf(0)
+    else if (rt == classOf[String]) "mock"
+    else if (rt.isArray)
+      java.lang.reflect.Array.newInstance(rt.getComponentType, 0)
+    else if (rt.isInterface) proxy(rt)
+    else null
+
+  private[graft] def newConnection(): java.sql.Connection = {
+    connections.incrementAndGet()
+    proxy(classOf[java.sql.Connection]).asInstanceOf[java.sql.Connection]
+  }
+
+  lazy val registered: Unit =
+    java.sql.DriverManager.registerDriver(new MockJdbcDriver)
+}
+
+/** Top-level on purpose: Spark re-resolves the driver by its CANONICAL
+  * class name (DriverRegistry.register), which differs from the binary
+  * name for nested classes and would throw ClassNotFoundException.
+  */
+class MockJdbcDriver extends java.sql.Driver {
+  override def acceptsURL(url: String): Boolean =
+    url != null && url.startsWith("jdbc:graftmock:")
+  override def connect(url: String,
+                       info: java.util.Properties): java.sql.Connection =
+    if (!acceptsURL(url)) null else MockJdbc.newConnection()
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def getParentLogger: java.util.logging.Logger =
+    java.util.logging.Logger.getGlobal
+  override def getPropertyInfo(url: String, info: java.util.Properties) =
+    Array.empty[java.sql.DriverPropertyInfo]
+  override def jdbcCompliant(): Boolean = true
+}
+
+class JdbcSinkSpec extends SparkSpec {
+
+  test("writeJdbc fails fast and diagnosably when no driver accepts the url") {
+    val df = graft.ingest.Sources.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"))
+    val e = intercept[IllegalStateException] {
+      graft.sinks.Sinks.writeJdbc(df, "jdbc:postgresql://wh:5432/gold", "t")
+    }
+    assert(e.getMessage.contains("no JDBC driver") &&
+      e.getMessage.contains("jdbc:postgresql"),
+      s"unhelpful offline failure: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      graft.sinks.Sinks.writeJdbc(df, "postgresql://wh/gold", "t")
+    }
+  }
+
+  test("writeJdbc contract via mock driver: batched INSERTs, bounded connections") {
+    MockJdbc.registered
+    MockJdbc.reset()
+    val df = graft.ingest.Sources.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name")).repartition(13)
+    val n = df.count()
+    graft.sinks.Sinks.writeJdbc(df, "jdbc:graftmock:wh", "gold.nations",
+      maxConnections = 3)
+    // every row reached a JDBC batch exactly once
+    assert(MockJdbc.batched.get() == n,
+      s"expected $n addBatch calls, got ${MockJdbc.batched.get()}")
+    // the fresh table is created with both columns, then the prepared
+    // INSERT names the table and binds both columns
+    val stmts = MockJdbc.statements.toArray.map(_.toString)
+    val create = stmts.find(_.toUpperCase.startsWith("CREATE TABLE"))
+    assert(create.exists(c => c.contains("gold.nations") &&
+      c.contains("n_nationkey") && c.contains("n_name")),
+      s"bad/missing CREATE TABLE: $stmts")
+    val insert = stmts.find(_.toUpperCase.startsWith("INSERT"))
+    assert(insert.isDefined, s"no INSERT prepared: ${stmts.toSeq}")
+    assert(insert.get.contains("gold.nations") &&
+      insert.get.count(_ == '?') == 2, s"bad INSERT shape: ${insert.get}")
+    // parallelism bound: 13 input partitions must coalesce to <= 3
+    // write connections (+2 driver-side: the exists/create probe and
+    // the post-write schema resolve); 13 unbounded tasks would show
+    // 15 here
+    assert(MockJdbc.connections.get() <= 5,
+      s"connection bound violated: ${MockJdbc.connections.get()}")
+  }
+}
+
 class ManifestSpec extends SparkSpec {
   import graft.sinks.ManifestTable
 
