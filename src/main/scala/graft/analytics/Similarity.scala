@@ -357,6 +357,11 @@ object Similarity {
     * operators ([[graft.operators.Graph]]).
     */
   private def quantExpr(emb: Column, nrm: Column): Column =
+    // transform() keeps the expression tree COMPACT (one lambda, not
+    // 64 unrolled element_at chains): an unrolled form measured 2.4 MB
+    // task binaries and seconds of Janino compile per stage, far
+    // outweighing the interpreted-lambda cost of one pass over the
+    // lanes. Callers evaluate it once per row behind a projection.
     transform(emb, x =>
       round((x.cast("double") / nrm).cast("float").cast("double")
         * IvfScale).cast("long"))
@@ -366,9 +371,11 @@ object Similarity {
     vectors(spark, dir).select(col("vec_id"), col("label"),
       quantExpr(col("embedding"), col("nrm")).as("q"))
 
-  /** Exact integer dot product of two long arrays. */
-  private def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+  /** Exact integer dot product of two long arrays (codegen'd kernel —
+    * the lambda-frame `aggregate(zip_with(...))` form costs ~4× the
+    * whole IVF query at k dots per row).
+    */
+  private def intDot(a: Column, b: Column): Column = vecDotLong(a, b)
 
   /** Scores of a quantized vector against a literal integer codebook,
     * sorted best-first: array of struct(negscore, idx) ordered by
@@ -382,14 +389,18 @@ object Similarity {
     */
   private def centroidOrder(q: Column,
                             cents: Seq[(Int, Seq[Long])]): Column = {
-    val centArr = typedlit(cents.map(_._2))
-    val centNorms = typedlit(cents.map { case (_, c) =>
-      math.sqrt(c.map(x => x * x).sum.toDouble) })
-    array_sort(transform(sequence(lit(0), lit(cents.size - 1)),
-      i => struct(
-        (-(intDot(q, element_at(centArr, i + 1)).cast("double")
-          / element_at(centNorms, i + 1))).as("negscore"),
-        i.as("idx"))))
+    // one struct per centroid, UNROLLED (k is a plan-time constant):
+    // each dot is the codegen'd kernel over a literal centroid array,
+    // where a transform() lambda over the codebook would evaluate
+    // every dot interpreted. `q` should be a projected column
+    // reference so the quantization isn't re-inlined k times.
+    val entries = cents.zipWithIndex.map { case ((_, c), i) =>
+      val norm = math.sqrt(c.map(x => x * x).sum.toDouble)
+      struct(
+        (-(intDot(q, typedlit(c)).cast("double") / lit(norm))).as("negscore"),
+        lit(i).as("idx"))
+    }
+    array_sort(array(entries: _*))
   }
 
   /** One spherical k-means step over quantized unit vectors: assign
@@ -419,8 +430,7 @@ object Similarity {
     val centIds = typedlit(cents.map(_._1))
     val laneSums = (0 until Dim).map(i =>
       sum(element_at(col("q"), i + 1)).as(s"c$i"))
-    val qnorm = sqrt(aggregate(transform(col("q"), x => x * x),
-      lit(0L), (acc, p) => acc + p).cast("double"))
+    val qnorm = sqrt(vecDotLong(col("q"), col("q")).cast("double"))
     val rows = qv
       .withColumn("best", element_at(centroidOrder(col("q"), cents), 1))
       .select(col("q"),
@@ -524,29 +534,40 @@ object Similarity {
     *
     * The codebook is a driver-side literal, so assignment is a pure
     * scan-side expression (k codegen'd dot products + an array sort of
-    * k structs per row) — no broadcast join, no window, no shuffle.
-    * The only exchanges left are the probe×list join on centroid_id
-    * (at scale the inverted lists ARE the partitioning, so a probe
-    * touches nprobe/nlist of the corpus) and the final top-k window.
+    * k structs per row) — no broadcast join, no window, no shuffle —
+    * and the assigned frame is MATERIALIZED once (localCheckpoint):
+    * that materialization IS the index build (the inverted lists), so
+    * the list side and the probe side read index rows instead of each
+    * re-running the scan + k-dot assignment. The only exchanges left
+    * are the probe×list join on centroid_id (at scale the inverted
+    * lists ARE the partitioning, so a probe touches nprobe/nlist of
+    * the corpus) and the final top-k window.
     */
   def knnIvf(spark: SparkSession, dir: String, k: Int = 3,
              nprobe: Int = 2): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
     val centIds = typedlit(cents.map(_._1))
     // centroid ids ordered by quantized score desc (tie: id asc) —
-    // the same exact-integer ranking the codebook was trained under
+    // the same exact-integer ranking the codebook was trained under.
+    // q is projected FIRST so the 64-lane quantization is computed
+    // once per row, not once per centroid dot.
     val probeOrder = transform(
-      centroidOrder(quantExpr(col("embedding"), col("nrm")), cents),
+      centroidOrder(col("q"), cents),
       s => element_at(centIds, s.getField("idx") + 1))
-    val v = vectors(spark, dir)
+    val index = vectors(spark, dir)
+      .withColumn("q", quantExpr(col("embedding"), col("nrm")))
       .withColumn("probe_order", probeOrder)
-    val lists = v
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        element_at(col("probe_order"), 1).as("own_cid"),
+        slice(col("probe_order"), 1, nprobe).as("probe_cids"))
+      .localCheckpoint() // the index build: feeds both join sides
+    val lists = index
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cemb"),
-        col("nrm").as("cnrm"), element_at(col("probe_order"), 1).as("centroid_id"))
-    val probes = v
+        col("nrm").as("cnrm"), col("own_cid").as("centroid_id"))
+    val probes = index
       .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"),
-        explode(slice(col("probe_order"), 1, nprobe)).as("centroid_id"))
+        explode(col("probe_cids")).as("centroid_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     probes.join(lists, "centroid_id")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the embedding hot path.
   *
@@ -79,11 +79,81 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product of two long arrays — the IVF fixed-point
+  * hot path ([[graft.analytics.Similarity]]): quantized vectors score
+  * against k codebook centroids per row, and the lambda-frame
+  * formulation (`aggregate(zip_with(...))`) costs ~4× the whole
+  * query. Long arithmetic wraps on overflow like any JVM long; the
+  * IVF quant scale bounds every product far inside the exact range
+  * (see IvfScale), so no checked math in the loop. Length mismatch
+  * returns NULL, same contract as [[FloatVectorDot]].
+  */
+case class LongVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got $l and $r")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_vector_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) {
+      null
+    } else {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
 
   /** Codegen'd float32 dot product (double accumulator). */
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVectorDot(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd exact integer dot product of two long arrays. */
+  def vecDotLong(a: Column, b: Column): Column =
+    GraftBridge.column(LongVectorDot(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** L2 norm via the same codegen'd kernel. */

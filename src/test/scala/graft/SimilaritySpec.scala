@@ -23,6 +23,43 @@ class SimilaritySpec extends SparkSpec {
     assert(diff == 0, s"$diff rows differ between codegen and HOF dot")
   }
 
+  test("LongVectorDot matches the HOF fold bit-for-bit and handles edge cases") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(LongType), nullable = true),
+      StructField("b", ArrayType(LongType), nullable = true)))
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 50).map { _ =>
+      val n = rng.nextInt(64) + 1
+      Row(Seq.fill(n)(rng.nextLong() % 10000L), Seq.fill(n)(rng.nextLong() % 10000L))
+    } ++ Seq(
+      Row(Seq.empty[Long], Seq.empty[Long]), // empty -> 0
+      Row(Seq(1L, 2L), Seq(3L)),             // mismatch -> NULL
+      Row(null, Seq(1L)), Row(Seq(1L), null))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .select(vecDotLong(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, p) => acc + p).as("hof"))
+    val bad = df.filter(
+      (col("fast").isNull =!= col("hof").isNull) ||
+        (col("fast").isNotNull && col("fast") =!= col("hof"))).count()
+    // zip_with pads the short side with NULL, so the fold also nulls
+    // the ragged row — the two formulations agree on every row
+    assert(bad == 0, s"LongVectorDot diverged from the fold on $bad rows")
+    assert(df.filter(col("fast").isNull).count() == 3,
+      "ragged + two null-input rows must be NULL")
+    // codegen: the kernel must fuse into a WholeStageCodegen stage
+    // (over a real scan — a local relation constant-folds away)
+    val q = graft.ingest.Sources.embeddings(spark, sf)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 10000).cast("long")).as("q"))
+      .select(vecDotLong(col("q"), col("q")).as("d"))
+    val p = plan(q)
+    assert("""\*\(\d+\) Project \[long_vector_dot""".r.findFirstIn(p).isDefined,
+      s"expected long_vector_dot inside a codegen stage, plan:\n$p")
+  }
+
   test("FloatVectorDot runs inside WholeStageCodegen") {
     val df = graft.ingest.Sources.embeddings(spark, sf)
       .select(vecDot(col("embedding"), col("embedding")).as("d"))
