@@ -31,6 +31,7 @@ object SparkEntry {
       analytics.Similarity.queries ++
       analytics.Quality.queries ++
       analytics.Privacy.queries ++
+      analytics.Packing.queries ++
       analytics.Multimodal.queries ++
       functions.Aggregators.queries ++
       operators.Scale.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       analytics.Similarity.oracles ++
       analytics.Quality.oracles ++
       analytics.Privacy.oracles ++
+      analytics.Packing.oracles ++
       functions.Aggregators.oracles ++
       operators.Scale.oracles ++
       sinks.Sinks.oracles ++

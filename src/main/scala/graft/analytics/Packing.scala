@@ -1,0 +1,209 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ingest.Sources
+
+/** Sequence-assembly operators for LLM training-data preparation
+  * (SURVEY.md §2.8 extension surface): packing documents into
+  * fixed-size context windows, temperature-scaled source mixing, and
+  * sliding-window chunking for embedding/RAG pipelines. All three are
+  * pure integer/one-sqrt arithmetic so their DuckDB oracles hash-match
+  * exactly (same discipline as the fixed-point PageRank/EMA/IVF
+  * family).
+  */
+object Packing {
+
+  /** Context-window size (tokens) for sequence packing. */
+  val PackWindow = 512L
+
+  /** Chunk size / stride (tokens) for sliding-window chunking. */
+  val ChunkSize = 64L
+  val ChunkStride = 48L
+
+  /** Token budget used for the expected-epochs column of the mixture
+    * weights (a typical "how many epochs of each source does one
+    * training run consume" planning number).
+    */
+  val MixTokenBudget = 1000000L
+
+  private def toks(c: org.apache.spark.sql.Column) = size(split(c, " "))
+
+  /** Concat-and-chunk sequence packing (the GPT-style packing used to
+    * build fixed-length training sequences): documents concatenate in
+    * a deterministic order (doc_id) into one token stream PER
+    * LANGUAGE, and the stream is cut every [[PackWindow]] tokens.
+    * Emitted per (lang, window): how many documents contribute, how
+    * many of them are continuation fragments (started in an earlier
+    * window), the window's token fill and fill fraction — the
+    * fragmentation/efficiency report a packing job is run for.
+    *
+    * Scale: the running offset is a prefix sum windowed BY LANGUAGE —
+    * each language's stream packs independently and in parallel, the
+    * standard sharding of a packing job (at 100 TB the shard key
+    * becomes (lang, shard) with per-shard offsets merged by one
+    * 2-phase prefix sum; the per-shard plan is exactly this one). The
+    * window fan-out per document is ceil(n/W) — proportional to its
+    * token count, never to corpus size.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = Sources.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks(col("text")).cast("long").as("n_tok"))
+      .withColumn("s", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+    val W = PackWindow
+    d.withColumn("window_id",
+        explode(sequence(expr(s"s DIV $W"), expr(s"(s + n_tok - 1) DIV $W"))))
+      .withColumn("win_tokens",
+        least(col("s") + col("n_tok"), (col("window_id") + 1) * W) -
+          greatest(col("s"), col("window_id") * W))
+      .groupBy(col("lang"), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s") < col("window_id") * W, 1L).otherwise(0L))
+          .as("n_frag"),
+        sum(col("win_tokens")).as("n_tokens"))
+      .withColumn("fill_frac", round(col("n_tokens") / lit(W.toDouble), 6))
+      .orderBy(col("lang"), col("window_id"))
+  }
+
+  val seqPackSql: String = {
+    val W = PackWindow
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), off AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    COALESCE(CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS s
+      |  FROM d
+      |), win AS (
+      |  SELECT lang, doc_id, n_tok, s, ws.w AS window_id,
+      |    least(s + n_tok, (ws.w + 1) * $W) - greatest(s, ws.w * $W)
+      |      AS win_tokens
+      |  FROM off JOIN (SELECT unnest(range(0, 16384)) AS w) ws
+      |    ON ws.w BETWEEN s // $W AND (s + n_tok - 1) // $W
+      |)
+      |SELECT lang, window_id, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN s < window_id * $W THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_frag,
+      |  CAST(sum(win_tokens) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(win_tokens) AS BIGINT) / ${W.toDouble}, 6) AS fill_frac
+      |FROM win
+      |GROUP BY lang, window_id
+      |ORDER BY lang, window_id""".stripMargin
+  }
+
+  /** Temperature-scaled source mixing weights (the "alpha sampling" of
+    * multilingual/multi-source LLM training, α = 1/2): each source's
+    * sampling weight ∝ sqrt(its token count), which up-weights small
+    * sources relative to proportional sampling. α = 1/2 exactly
+    * BECAUSE sqrt is a single correctly-rounded IEEE op on every
+    * engine — pow(x, 0.3) is libm-dependent and would break the hash
+    * gate. The normalizer is a PREFIX sum in source order (both
+    * engines fold left-to-right over the ordered 20-row frame), so
+    * the double is bit-identical. expected_epochs = how many passes
+    * over the source one [[MixTokenBudget]]-token run makes at that
+    * weight — the oversampling report a mixture is planned with.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Sources.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(toks(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("w_raw", sqrt(col("n_tokens")))
+    val prefix = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    bySource
+      .withColumn("cum", sum(col("w_raw")).over(prefix))
+      .withColumn("total", max(col("cum")).over(all))
+      .withColumn("weight", round(col("w_raw") / col("total"), 6))
+      .withColumn("expected_epochs",
+        round(col("weight") * MixTokenBudget / col("n_tokens"), 4))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("expected_epochs"))
+      .orderBy(col("source"))
+  }
+
+  val mixWeightsSql: String =
+    s"""WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY source
+      |), c AS (
+      |  SELECT source, n_docs, n_tokens, sqrt(n_tokens) AS w_raw,
+      |    sum(sqrt(n_tokens)) OVER (ORDER BY source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM s
+      |), t AS (
+      |  SELECT *, max(cum) OVER () AS total FROM c
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  round(w_raw / total, 6) AS weight,
+      |  round(round(w_raw / total, 6) * $MixTokenBudget / n_tokens, 4)
+      |    AS expected_epochs
+      |FROM t
+      |ORDER BY source""".stripMargin
+
+  /** Sliding-window chunking with overlap (embedding/RAG prep): each
+    * document yields chunks of [[ChunkSize]] tokens starting every
+    * [[ChunkStride]] tokens (overlap = size − stride), the last chunk
+    * truncated at the document end; a document shorter than one chunk
+    * yields exactly one. Emitted per (doc, chunk): token start and
+    * length — the table an embedding job maps over. Pure scan-side
+    * explode: fan-out is ceil-proportional to each doc's token count,
+    * no shuffle until the presentation sort.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val (c, s) = (ChunkSize, ChunkStride)
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).cast("long").as("n_tok"))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= c, lit(1L))
+          .otherwise(lit(1L) + expr(s"(n_tok - $c + $s - 1) DIV $s")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * s).as("start_tok"),
+        (least(col("n_tok"), col("chunk_id") * s + c) - col("chunk_id") * s)
+          .as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val docChunksSql: String = {
+    val (c, s) = (ChunkSize, ChunkStride)
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN n_tok <= $c THEN 1
+      |         ELSE 1 + (n_tok - $c + $s - 1) // $s END AS n_chunks
+      |  FROM d
+      |)
+      |SELECT doc_id, cs.c AS chunk_id,
+      |  cs.c * $s AS start_tok,
+      |  least(n_tok, cs.c * $s + $c) - cs.c * $s AS n_chunk_tokens
+      |FROM n JOIN (SELECT unnest(range(0, 4096)) AS c) cs
+      |  ON cs.c < n_chunks
+      |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_pack" -> (seqPack _),
+    "q_mix_weights" -> (mixWeights _),
+    "q_doc_chunks" -> (docChunks _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_seq_pack" -> seqPackSql,
+    "q_mix_weights" -> mixWeightsSql,
+    "q_doc_chunks" -> docChunksSql
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Packing
+
+class PackingSpec extends SparkSpec {
+
+  test("seq packing conserves tokens and fills every non-final window exactly") {
+    val packed = Packing.seqPack(spark, sf).collect()
+    assert(packed.nonEmpty)
+    val totalByLang = graft.ingest.Sources.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = packed.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      // token conservation: window fills partition the language stream
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalByLang(lang),
+        s"$lang: packed tokens != corpus tokens")
+      // window ids are dense 0..max
+      val ids = rows.map(_.getAs[Long]("window_id")).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq, s"$lang: window gaps")
+      // every window but the last is EXACTLY full
+      val last = ids.max
+      rows.filter(_.getAs[Long]("window_id") != last).foreach { r =>
+        assert(r.getAs[Long]("n_tokens") == Packing.PackWindow,
+          s"$lang window ${r.getAs[Long]("window_id")}: not full")
+        assert(r.getAs[Double]("fill_frac") == 1.0)
+      }
+      // fragments never exceed doc count; window 0 has no fragments
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_frag") <= r.getAs[Long]("n_docs"))
+      }
+      assert(rows.find(_.getAs[Long]("window_id") == 0L)
+        .get.getAs[Long]("n_frag") == 0L)
+    }
+  }
+
+  test("mixture weights: sum to 1, sqrt-temperature flattens vs proportional") {
+    val rows = Packing.mixWeights(spark, sf).collect()
+    assert(rows.length >= 2)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    // alpha=1/2 up-weights small sources and down-weights large ones
+    // relative to proportional sampling
+    rows.foreach { r =>
+      val prop = r.getAs[Long]("n_tokens") / total
+      val w = r.getAs[Double]("weight")
+      if (prop < 1.0 / rows.length) assert(w > prop * 0.999,
+        s"${r.getString(0)}: small source not up-weighted ($w vs $prop)")
+      // epochs recompute: weight * budget / tokens
+      val epochs = w * Packing.MixTokenBudget / r.getAs[Long]("n_tokens")
+      assert(math.abs(r.getAs[Double]("expected_epochs") - epochs) < 1e-3)
+    }
+    // weight is monotone in token count (sqrt is monotone)
+    val sorted = rows.sortBy(_.getAs[Long]("n_tokens"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("weight") <= b.getAs[Double]("weight") + 1e-9)
+    }
+  }
+
+  test("doc chunks tile every document with the configured overlap") {
+    val chunks = Packing.docChunks(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val nTok = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == nTok.keySet, "every doc must yield chunks")
+    chunks.foreach { case (doc, rows) =>
+      val sortedRows = rows.sortBy(_.getAs[Long]("chunk_id"))
+      val n = nTok(doc)
+      // starts advance by exactly the stride; first starts at 0
+      sortedRows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_id") == i.toLong)
+        assert(r.getAs[Long]("start_tok") == i * Packing.ChunkStride)
+        assert(r.getAs[Long]("n_chunk_tokens") > 0)
+        assert(r.getAs[Long]("start_tok") + r.getAs[Long]("n_chunk_tokens") <= n)
+      }
+      // the last chunk reaches the document end; coverage is complete
+      val lastRow = sortedRows.last
+      assert(lastRow.getAs[Long]("start_tok") +
+        lastRow.getAs[Long]("n_chunk_tokens") == n,
+        s"doc $doc: chunks do not reach the end")
+      // no earlier truncated chunk: all but last are full size
+      sortedRows.dropRight(1).foreach { r =>
+        assert(r.getAs[Long]("n_chunk_tokens") == Packing.ChunkSize,
+          s"doc $doc chunk ${r.getAs[Long]("chunk_id")}: truncated mid-doc")
+      }
+      // a doc shorter than one chunk yields exactly one chunk
+      if (n <= Packing.ChunkSize) assert(sortedRows.length == 1)
+    }
+  }
+}
