@@ -748,6 +748,108 @@ object TextOps {
       |WHERE n_eq / 32.0 >= 0.75
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Incremental (cross-snapshot) dedup — the DAILY-pipeline shape:
+    * dedup today's batch (doc_id ≡ 4 mod 5, the deterministic batch
+    * marker) against the HISTORICAL corpus through the MinHash band
+    * index, emitting one verdict row per batch document. The point of
+    * the operator is its cost shape: the batch probes the history's
+    * bucket index with an equi-join, so a day's run costs
+    * O(batch × collisions), never O(corpus²) — and never re-pairs
+    * history with itself. In production the history side of `banded`
+    * is not recomputed: it IS the stored index table (the
+    * ManifestTable gold-table path), appended after each batch
+    * passes; intra-batch duplicates are the separate minHashLsh run.
+    *
+    * Verdict ties break deterministically (est desc, oldest history
+    * doc first); batch docs with no colliding bucket emit is_dup=0
+    * with null match columns, so the output is a total function of
+    * the batch.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       minEstJaccard: Double = 0.75): DataFrame = {
+    val r = MinHashK / LshBands
+    val sigs = sigArrays(spark, dir).localCheckpoint()
+    val bandCols: Seq[Column] = (0 until LshBands).map { band =>
+      md5(concat_ws(",", (band * r until (band + 1) * r)
+        .map(i => element_at(col("sig"), i + 1)): _*))
+    }
+    val banded = sigs.select(
+      (Seq(col("doc_id"), col("lang"), col("source"), col("sig")) :+
+        posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))): _*)
+    val isBatch = col("doc_id") % 5 === 4
+    val hist = banded.filter(!isBatch)
+      .select(col("doc_id").as("dup_of"), col("sig").as("sig_h"),
+        col("lang"), col("source"), col("band"), col("bucket"))
+    val batch = banded.filter(isBatch)
+    val agree = aggregate(
+      zip_with(col("sig"), col("sig_h"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val best = batch.join(hist, Seq("lang", "source", "band", "bucket"))
+      .withColumn("est_jaccard", round(agree.cast("double") / MinHashK, 5))
+      .groupBy(col("doc_id"), col("dup_of"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("est_jaccard").desc, col("dup_of").asc)))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("dup_of"), col("est_jaccard"))
+    sigs.filter(isBatch).select(col("doc_id")).distinct()
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        col("dup_of"), col("est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: same portable index pipeline as [[minHashLshSql]],
+    * restricted to batch-probes-history candidates, with the same
+    * deterministic best-match tie-break and total-function output.
+    */
+  val incrementalDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |    unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+      |  FROM toks
+      |), sig AS (
+      |  SELECT doc_id, lang, source, i,
+      |    min((h1 + i * h2) % 4294967291) AS m
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) seeds
+      |  GROUP BY doc_id, lang, source, i
+      |), band AS (
+      |  SELECT doc_id, lang, source, i // 4 AS band,
+      |    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+      |  FROM sig GROUP BY doc_id, lang, source, i // 4
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id, b.doc_id AS dup_of
+      |  FROM band a JOIN band b USING (lang, source, band, bucket)
+      |  WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+      |), agree AS (
+      |  SELECT c.doc_id, c.dup_of,
+      |    sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS n_eq
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_id
+      |  JOIN sig sb ON sb.doc_id = c.dup_of AND sb.i = sa.i
+      |  GROUP BY c.doc_id, c.dup_of
+      |), best AS (
+      |  SELECT doc_id, dup_of, round(n_eq / 32.0, 5) AS est_jaccard,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY round(n_eq / 32.0, 5) DESC, dup_of ASC) AS rk
+      |  FROM agree
+      |  WHERE n_eq / 32.0 >= 0.75
+      |)
+      |SELECT d.doc_id,
+      |  CASE WHEN b.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+      |  b.dup_of, b.est_jaccard
+      |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 4) d
+      |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------
   // L2: SimHash (oracle-checked: fingerprints derive from the same
   // engine-portable md5 words as MinHash, and the banding is
@@ -1485,6 +1587,7 @@ object TextOps {
     "q_near_dup_jaccard" -> ((s: SparkSession, d: String) => nearDupJaccard(s, d)),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => minHashLsh(s, d)),
+    "q_incr_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "q_simhash_dedup" -> ((s: SparkSession, d: String) => simHashDedup(s, d)),
     "q_doc_fingerprint" -> (docFingerprints _),
     "q_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
@@ -1505,6 +1608,7 @@ object TextOps {
     "q_chunk_dedup" -> chunkDedupSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_minhash_lsh" -> minHashLshSql,
+    "q_incr_dedup" -> incrementalDedupSql,
     "q_simhash_dedup" -> simHashDedupSql,
     "q_doc_fingerprint" -> docFingerprintsSql,
     "q_dedup_exact" -> dedupExactSql,

@@ -490,6 +490,48 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.weightedSample(spark, sf).collect().sameElements(out))
   }
 
+  test("incremental dedup: total over the batch, matches only history, agrees with full LSH") {
+    val out = TextOps.incrementalDedup(spark, sf).collect()
+    val batchIds = graft.ingest.Sources.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // total function of the batch: one verdict per batch doc
+    assert(out.map(_.getLong(0)).toSet == batchIds)
+    assert(out.length == batchIds.size)
+    out.foreach { r =>
+      val dup = r.getAs[Long]("is_dup")
+      if (dup == 1L) {
+        val m = r.getAs[Long]("dup_of")
+        assert(m % 5 != 4, s"batch doc ${r.getLong(0)} matched batch doc $m")
+        assert(r.getAs[Double]("est_jaccard") >= 0.75)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("dup_of")))
+        assert(r.isNullAt(r.fieldIndex("est_jaccard")))
+      }
+    }
+    // consistency with the full pairwise LSH: every cross-boundary
+    // LSH pair implies the batch side is flagged, with est at least
+    // as good as that pair's
+    val lsh = TextOps.minHashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("est_jaccard")))
+    val verdicts = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("is_dup"), Option(r.get(r.fieldIndex("est_jaccard")))
+        .map(_.asInstanceOf[Double]))).toMap
+    lsh.foreach { case (a, b, est) =>
+      val (batchDoc, histDoc) =
+        if (a % 5 == 4 && b % 5 != 4) (a, b)
+        else if (b % 5 == 4 && a % 5 != 4) (b, a)
+        else (-1L, -1L)
+      if (batchDoc >= 0) {
+        val (isDup, bestEst) = verdicts(batchDoc)
+        assert(isDup == 1L,
+          s"LSH pair ($batchDoc, $histDoc) not flagged incrementally")
+        assert(bestEst.exists(_ >= est - 1e-9),
+          s"best match for $batchDoc worse than known pair est $est")
+      }
+    }
+  }
+
   test("bigram LM: NLL bounds and bigram mass per eval doc") {
     val rows = TextOps.lmBigram(spark, sf).collect()
     assert(rows.nonEmpty)
