@@ -8,13 +8,15 @@ import graft.ingest.Sources
 /** Multimodal column plumbing (builder mandate: image/audio/video as
   * opaque binary columns with typed metadata).
   *
-  * IMAGE decode is REAL: [[decodeImage]] runs the JDK's own codecs
-  * (javax.imageio — PNG/JPEG/GIF/BMP, no external jars) and extracts a
-  * grid-pooled luminance feature vector from the actual pixels. Audio/
-  * video decode remains STUBBED — this container ships no codec
-  * libraries for those — via [[decodeStub]], a deterministic fake
+  * IMAGE and AUDIO decode are REAL: [[decodeImage]] runs the JDK's
+  * own image codecs (javax.imageio — PNG/JPEG/GIF/BMP, no external
+  * jars) and extracts a grid-pooled luminance feature vector from the
+  * actual pixels; [[decodeAudio]] parses PCM audio (javax.sound —
+  * WAV/AIFF/AU) and extracts the segmented RMS energy envelope from
+  * the actual samples. Video decode remains STUBBED — this container
+  * ships no video codecs — via [[decodeStub]], a deterministic fake
   * feature vector from the bytes; [[decode]] routes by kind and falls
-  * back to the stub when the payload is not a decodable image.
+  * back to the stub when the payload is not decodable.
   * Everything around the decoders is real and tested: the schema, the
   * binaryFile source, the mapPartitions batch shape (one iterator per
   * partition — where codec/model setup amortizes), the partitioning
@@ -103,14 +105,78 @@ object Multimodal {
     }
   }
 
-  /** Kind-routed decode: real pixels for images, deterministic stub
-    * for audio/video (codec libs absent) and for image payloads the
-    * JDK cannot parse.
+  /** REAL audio decode via the JDK's bundled codecs
+    * (javax.sound.sampled — WAV/AIFF/AU PCM, no external jars):
+    * parse the payload, fold channels, and compute the RMS level of
+    * `dim` equal time segments, normalized to [0, 1] — the classic
+    * audio energy envelope. The per-segment sum of squares is exact
+    * integer arithmetic over the 16-bit samples (one sqrt + divide at
+    * the end), so the features are deterministic bit-for-bit. Returns
+    * None for payloads the JDK cannot parse or non-16-bit encodings
+    * (caller falls back to the stub).
+    */
+  def decodeAudio(content: Array[Byte],
+                  dim: Int = FeatureDim): Option[Array[Float]] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (in == null) None
+    else try {
+      val fmt = in.getFormat
+      val pcm = fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      if (!pcm || fmt.getSampleSizeInBits != 16) None
+      else {
+        val bytes = in.readAllBytes()
+        val ch = fmt.getChannels
+        val big = fmt.isBigEndian
+        val nFrames = bytes.length / (2 * ch)
+        if (nFrames == 0) None
+        else {
+          val sq = new Array[Long](dim)
+          val cnt = new Array[Long](dim)
+          var f = 0
+          while (f < nFrames) {
+            // fold channels by summing (mono downmix up to a constant)
+            var acc = 0L
+            var c = 0
+            while (c < ch) {
+              val o = (f * ch + c) * 2
+              val s =
+                if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+                else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+              acc += s
+              c += 1
+            }
+            val x = acc / ch
+            val b = f * dim / nFrames
+            sq(b) += x * x
+            cnt(b) += 1
+            f += 1
+          }
+          Some(Array.tabulate(dim)(i =>
+            if (cnt(i) == 0) 0.0f
+            else (math.sqrt(sq(i).toDouble / cnt(i)) / 32768.0).toFloat))
+        }
+      }
+    } catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  /** Kind-routed decode: real pixels for images, real PCM envelope
+    * for audio, deterministic stub for video (codec libs absent) and
+    * for payloads the JDK cannot parse.
     */
   def decode(kind: String, content: Array[Byte],
              dim: Int = FeatureDim): Array[Float] =
-    if (kind == "image") decodeImage(content, dim).getOrElse(decodeStub(content, dim))
-    else decodeStub(content, dim)
+    kind match {
+      case "image" =>
+        decodeImage(content, dim).getOrElse(decodeStub(content, dim))
+      case "audio" =>
+        decodeAudio(content, dim).getOrElse(decodeStub(content, dim))
+      case _ => decodeStub(content, dim)
+    }
 
   /** "Resize" analog: average-pool a feature vector down to `outDim`
     * lanes — the deterministic twin of image downscaling.

@@ -93,9 +93,44 @@ class MultimodalSpec extends SparkSpec {
     val junk = "not-a-png".getBytes("UTF-8")
     assert(Multimodal.decode("image", junk).toSeq ==
       Multimodal.decodeStub(junk).toSeq)
-    // audio stays on the stub even for decodable image bytes
+    // image bytes under kind=audio are not parseable audio -> stub
     assert(Multimodal.decode("audio", png).toSeq ==
       Multimodal.decodeStub(png).toSeq)
+    // video is always the stub (no codecs shipped)
+    assert(Multimodal.decode("video", png).toSeq ==
+      Multimodal.decodeStub(png).toSeq)
+  }
+
+  test("real WAV decode: crafted PCM yields the pinned RMS energy envelope") {
+    // 1600 mono 16-bit samples at 8 kHz: first half silence, second
+    // half a +/-16384 square wave. Segment RMS is EXACT: 16 segments
+    // of 100 samples -> first 8 are 0.0, last 8 are 16384/32768 = 0.5
+    // (integer sums of squares, one exact sqrt of a power of two).
+    val n = 1600
+    val pcm = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val s: Short = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (s & 0xff).toByte            // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    val expected = Seq.tabulate(16)(i => if (i < 8) 0.0f else 0.5f)
+    assert(Multimodal.decodeAudio(wav).map(_.toSeq).contains(expected),
+      "RMS envelope off the crafted WAV diverges")
+    // through the full executor-side extraction path
+    import spark.implicits._
+    val rec = MediaRecord(11L, "audio", wav, 0, 0, 8000, 200)
+    val out = Multimodal.extractFeatures(spark.createDataset(Seq(rec))).collect()
+    assert(out.head.features.toSeq == expected)
+    // WAV bytes under kind=video still use the stub
+    assert(Multimodal.decode("video", wav).toSeq ==
+      Multimodal.decodeStub(wav).toSeq)
   }
 
   test("media feature rollup query returns one row per source") {
