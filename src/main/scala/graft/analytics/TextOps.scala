@@ -638,9 +638,15 @@ object TextOps {
     * and the only shuffle in the LSH pipeline is the band-bucket join
     * itself.
     */
-  private def sigArrays(spark: SparkSession, dir: String): DataFrame = {
+  /** Frame-based variant of [[sigArrays]]: works on ANY frame with
+    * (doc_id, text, lang, source) — including a STREAMING one (every
+    * step is a scan-side expression), which is what lets the
+    * stream-static dedup ([[graft.streaming.Pipeline]]) share the
+    * exact signature rule with the batch index.
+    */
+  private[graft] def sigArraysOf(docs: DataFrame): DataFrame = {
     val toks = array_distinct(split(col("text"), " "))
-    documents(spark, dir)
+    docs
       .select((Seq(col("doc_id"), col("lang"), col("source")) :+
         toks.as("toks")): _*)
       .select(col("doc_id"), col("lang"), col("source"),
@@ -650,6 +656,54 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"),
         graft.functions.MinHashOps.minhashSigs(
           col("h1"), col("h2"), MinHashK, MinHashP).as("sig"))
+  }
+
+  private def sigArrays(spark: SparkSession, dir: String): DataFrame =
+    sigArraysOf(documents(spark, dir))
+
+  /** Public index builder: MinHash band-bucket rows of any (doc_id,
+    * text, lang, source) frame — the static side of the streaming
+    * dedup probe, and what a production table stores per snapshot.
+    */
+  def bandIndexOf(docs: DataFrame): DataFrame = bandedOf(sigArraysOf(docs))
+
+  /** Band-bucket rows of a signature frame: one row per (doc, band)
+    * with the md5 bucket of that band's r consecutive minhashes —
+    * THE banding rule, shared by the pairwise LSH, the incremental
+    * dedup, and the streaming probe so they cannot drift.
+    */
+  private[graft] def bandedOf(sigs: DataFrame): DataFrame = {
+    val r = MinHashK / LshBands
+    val bandCols: Seq[Column] = (0 until LshBands).map { band =>
+      md5(concat_ws(",", (band * r until (band + 1) * r)
+        .map(i => element_at(col("sig"), i + 1)): _*))
+    }
+    sigs.select(
+      (Seq(col("doc_id"), col("lang"), col("source"), col("sig")) :+
+        posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))): _*)
+  }
+
+  /** Signature-agreement estimate between two sig columns. */
+  private[graft] def sigAgreement(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / MinHashK, 5)
+
+  /** Smallest band index on which the two signatures agree lane-for-
+    * lane (Int.MaxValue if none) — lets a band-bucket join emit each
+    * colliding pair EXACTLY once (keep only the row whose band equals
+    * this) with zero state: the same first-shared-bucket discipline as
+    * [[graft.operators.Intervals.overlapJoin]], which is what the
+    * STREAMING dedup probe needs (a stateful per-pair dropDuplicates
+    * would grow without bound on an unbounded stream).
+    */
+  private[graft] def firstAgreeingBand(a: Column, b: Column): Column = {
+    val r = MinHashK / LshBands
+    least((0 until LshBands).map { band =>
+      val laneEq = (band * r until (band + 1) * r)
+        .map(i => element_at(a, i + 1) === element_at(b, i + 1))
+        .reduce(_ && _)
+      when(laneEq, lit(band)).otherwise(lit(Int.MaxValue))
+    }: _*)
   }
 
   /** Column-per-lane view (h0..h{K-1}) of [[sigArrays]] — the public
@@ -668,7 +722,6 @@ object TextOps {
     */
   def minHashLsh(spark: SparkSession, dir: String,
                  minEstJaccard: Double = 0.75): DataFrame = {
-    val r = MinHashK / LshBands
     // one kernel invocation produces the signature ARRAY; both the
     // banding and the agreement estimate read it, so the signature
     // subtree is computed once per join side — no third scan to
@@ -677,26 +730,16 @@ object TextOps {
     // to reuse across the self-join sides, so materialize the (slim:
     // K longs + keys per doc) signature table before banding
     val sigs = sigArrays(spark, dir).localCheckpoint()
-    val bandCols: Seq[Column] = (0 until LshBands).map { band =>
-      md5(concat_ws(",", (band * r until (band + 1) * r)
-        .map(i => element_at(col("sig"), i + 1)): _*))
-    }
-    val banded = sigs.select(
-      (Seq(col("doc_id"), col("lang"), col("source"), col("sig")) :+
-        posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))): _*)
+    val banded = bandedOf(sigs)
     val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("lang"), col("source"), col("band"), col("bucket"))
     val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
       col("lang"), col("source"), col("band"), col("bucket"))
-    val agree = aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
     a.join(b, Seq("lang", "source", "band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       // n/32 is binary-exact with 5 decimal digits, so round(·, 5) is
       // the identity in BOTH engines — no rounding ambiguity at all
-      .withColumn("est_jaccard", round(agree.cast("double") / MinHashK, 5))
+      .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b")))
       // a pair can collide in several bands — dedup on the pair key;
       // est_jaccard is identical on every duplicate so first() is exact
       .groupBy(col("doc_a"), col("doc_b"))
@@ -767,26 +810,15 @@ object TextOps {
     */
   def incrementalDedup(spark: SparkSession, dir: String,
                        minEstJaccard: Double = 0.75): DataFrame = {
-    val r = MinHashK / LshBands
     val sigs = sigArrays(spark, dir).localCheckpoint()
-    val bandCols: Seq[Column] = (0 until LshBands).map { band =>
-      md5(concat_ws(",", (band * r until (band + 1) * r)
-        .map(i => element_at(col("sig"), i + 1)): _*))
-    }
-    val banded = sigs.select(
-      (Seq(col("doc_id"), col("lang"), col("source"), col("sig")) :+
-        posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))): _*)
+    val banded = bandedOf(sigs)
     val isBatch = col("doc_id") % 5 === 4
     val hist = banded.filter(!isBatch)
       .select(col("doc_id").as("dup_of"), col("sig").as("sig_h"),
         col("lang"), col("source"), col("band"), col("bucket"))
     val batch = banded.filter(isBatch)
-    val agree = aggregate(
-      zip_with(col("sig"), col("sig_h"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
     val best = batch.join(hist, Seq("lang", "source", "band", "bucket"))
-      .withColumn("est_jaccard", round(agree.cast("double") / MinHashK, 5))
+      .withColumn("est_jaccard", sigAgreement(col("sig"), col("sig_h")))
       .groupBy(col("doc_id"), col("dup_of"))
       .agg(first(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)

@@ -307,6 +307,39 @@ object Pipeline {
       .select(col("sensor_id"), col("timestamp"), col("ph_value"),
         col("river"), col("basin"))
 
+  /** Streaming incremental dedup — the live twin of
+    * [[graft.analytics.TextOps.incrementalDedup]]: incoming documents
+    * compute their MinHash signature + band buckets SCAN-SIDE (the
+    * same codegen kernel and banding rule as the batch index, shared
+    * through `TextOps.bandIndexOf` so the two cannot drift) and probe
+    * a STATIC history index with a stateless stream-static equi-join.
+    * Emits EXACTLY one row per (incoming doc, matched history doc)
+    * with the signature-agreement estimate ≥ `minEst` — a pair
+    * colliding in several bands is emitted only on its FIRST
+    * lane-agreeing band (a pure expression over the two signatures,
+    * the first-shared-bucket discipline of `Intervals.overlapJoin`),
+    * so the whole operator is STATELESS: no watermark, no
+    * dropDuplicates state growing with the stream, and the join
+    * itself keeps no state either (the static side is re-planned per
+    * micro-batch, so appending yesterday's batch to the index table
+    * is visible to the next batch — the daily-accretion lifecycle).
+    */
+  def dedupProbeStream(docs: DataFrame, historyIndex: DataFrame,
+                       minEst: Double = 0.75): DataFrame = {
+    import graft.analytics.TextOps
+    val probe = TextOps.bandIndexOf(docs)
+    val hist = historyIndex.select(col("doc_id").as("dup_of"),
+      col("sig").as("sig_h"), col("lang"), col("source"),
+      col("band"), col("bucket"))
+    probe.join(hist, Seq("lang", "source", "band", "bucket"))
+      .filter(col("band") ===
+        TextOps.firstAgreeingBand(col("sig"), col("sig_h")))
+      .withColumn("est_jaccard",
+        TextOps.sigAgreement(col("sig"), col("sig_h")))
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("doc_id"), col("dup_of"), col("est_jaccard"))
+  }
+
   /** Stream-stream interval join: each reading picks up the
     * calibration published for its sensor within the preceding hour.
     * Both sides are watermarked so Spark can bound the join state and

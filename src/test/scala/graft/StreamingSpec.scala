@@ -421,6 +421,46 @@ class StreamingSpec extends SparkSpec {
     assert(vs.size <= 2, s"vacuum must bound manifest history, got $vs")
   }
 
+  test("stream-static dedup probe: copies flag against history, novel docs pass, exactly-once per pair") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "src0"),
+      (2L, "completely different historical content about rivers and sensors", "en", "src0"),
+      (3L, "ein ganz anderes deutsches dokument ohne duplikate", "de", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val index = graft.analytics.TextOps.bandIndexOf(history).cache()
+    val input = MemoryStream[(Long, String, String, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "source")
+    val out = Pipeline.dedupProbeStream(docs, index)
+    assert(out.isStreaming, "probe must stay a streaming frame")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_probe").start()
+    try {
+      input.addData(
+        // exact copy of history doc 1 -> must flag with est 1.0
+        (100L, "the quick brown fox jumps over the lazy dog again and again", "en", "src0"),
+        // novel doc -> must pass clean
+        (101L, "entirely novel text that matches nothing in the history", "en", "src0"),
+        // copy of doc 1 but in ANOTHER block -> blocked probes miss it
+        (102L, "the quick brown fox jumps over the lazy dog again and again", "en", "src9"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_probe").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(100L),
+        s"expected only the in-block copy to flag, got ${rows.toSeq}")
+      // exactly ONE row despite the pair agreeing in all 8 bands
+      assert(rows.length == 1, s"pair emitted ${rows.length}x (band dupes)")
+      assert(rows.head.getAs[Long]("dup_of") == 1L)
+      assert(rows.head.getAs[Double]("est_jaccard") == 1.0)
+      // second batch: same novel doc id space continues statelessly
+      input.addData(
+        (103L, "completely different historical content about rivers and sensors", "en", "src0"))
+      q.processAllAvailable()
+      val rows2 = spark.table("dedup_probe").collect()
+      assert(rows2.map(r => (r.getLong(0), r.getAs[Long]("dup_of"))).toSet ==
+        Set((100L, 1L), (103L, 2L)))
+    } finally q.stop()
+  }
+
   test("rate-paced replay emits the bounded frame's rows progressively in order") {
     import spark.implicits._
     val bounded = Seq(("r0", 1.0), ("r1", 2.0), ("r2", 3.0)).toDF("tag", "v")
