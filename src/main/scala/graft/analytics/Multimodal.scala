@@ -150,7 +150,10 @@ object Multimodal {
               c += 1
             }
             val x = acc / ch
-            val b = f * dim / nFrames
+            // long math: f * dim overflows Int past ~134M frames
+            // (≈50 min of stereo 44.1 kHz) and would silently divert
+            // a decodable file to the stub via the catch-all
+            val b = (f.toLong * dim / nFrames).toInt
             sq(b) += x * x
             cnt(b) += 1
             f += 1

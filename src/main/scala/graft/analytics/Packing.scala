@@ -19,6 +19,19 @@ object Packing {
   /** Context-window size (tokens) for sequence packing. */
   val PackWindow = 512L
 
+  /** Hard cap on windows per language stream / chunks per document —
+    * PART OF THE OPERATOR CONTRACT, not a tuning knob: the DuckDB
+    * twins expand windows/chunks from a constant series (DuckDB v1.0
+    * has no lateral generate_series over a column), so past these
+    * bounds the oracle would silently truncate. The Spark side
+    * therefore FAILS LOUD at the same bound (raise_error with the
+    * offending stream/doc) instead of diverging. sf0.1 uses < 2% of
+    * either cap; a deployment that legitimately needs more raises
+    * both constants together.
+    */
+  val MaxPackWindows = 16384L
+  val MaxChunksPerDoc = 4096L
+
   /** Chunk size / stride (tokens) for sliding-window chunking. */
   val ChunkSize = 64L
   val ChunkStride = 48L
@@ -56,7 +69,12 @@ object Packing {
       .withColumn("s", coalesce(sum(col("n_tok")).over(w), lit(0L)))
     val W = PackWindow
     d.withColumn("window_id",
-        explode(sequence(expr(s"s DIV $W"), expr(s"(s + n_tok - 1) DIV $W"))))
+        explode(when(expr(s"(s + n_tok - 1) DIV $W") < MaxPackWindows,
+          sequence(expr(s"s DIV $W"), expr(s"(s + n_tok - 1) DIV $W")))
+          .otherwise(raise_error(concat(
+            lit(s"seqPack: stream for lang "), col("lang"),
+            lit(s" exceeds MaxPackWindows=$MaxPackWindows windows of $W" +
+              " tokens — raise the cap (and the oracle series) together"))))))
       .withColumn("win_tokens",
         least(col("s") + col("n_tok"), (col("window_id") + 1) * W) -
           greatest(col("s"), col("window_id") * W))
@@ -167,7 +185,13 @@ object Packing {
       .withColumn("n_chunks",
         when(col("n_tok") <= c, lit(1L))
           .otherwise(lit(1L) + expr(s"(n_tok - $c + $s - 1) DIV $s")))
-      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk_id", explode(
+        when(col("n_chunks") <= MaxChunksPerDoc,
+          sequence(lit(0L), col("n_chunks") - 1))
+          .otherwise(raise_error(concat(
+            lit("docChunks: doc "), col("doc_id").cast("string"),
+            lit(s" exceeds MaxChunksPerDoc=$MaxChunksPerDoc — raise the" +
+              " cap (and the oracle series) together"))))))
       .select(col("doc_id"), col("chunk_id"),
         (col("chunk_id") * s).as("start_tok"),
         (least(col("n_tok"), col("chunk_id") * s + c) - col("chunk_id") * s)

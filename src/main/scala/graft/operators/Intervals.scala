@@ -44,11 +44,16 @@ object Intervals {
     // execution with row context instead of silently fanning out.
     def buckets(lo: String, hi: String) = {
       val span = expr(s"$hi DIV $bucket") - expr(s"$lo DIV $bucket")
+      // NULL bounds fall to the otherwise-branch (NULL comparison is
+      // not true); coalesce keeps the error message non-null so the
+      // failure still names the offending row instead of
+      // null-propagating into a bare "null" RuntimeException
+      def shown(c: String) = coalesce(col(c).cast("string"), lit("NULL"))
       when(col(hi) >= col(lo) && span <= maxSpanBuckets,
         sequence(expr(s"$lo DIV $bucket"), expr(s"$hi DIV $bucket")))
         .otherwise(raise_error(concat(
           lit(s"overlapJoin: invalid or oversized interval [$lo,$hi]=["),
-          col(lo).cast("string"), lit(","), col(hi).cast("string"),
+          shown(lo), lit(","), shown(hi),
           lit(s"] (bucket=$bucket, maxSpanBuckets=$maxSpanBuckets)"))))
     }
     val lb = left.withColumn("_b", explode(buckets(leftLo, leftHi)))

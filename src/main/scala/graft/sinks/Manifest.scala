@@ -136,11 +136,20 @@ object ManifestTable {
         fc.rename(tmp, manifestPath(path, v))
         return v
       } catch {
+        // ONLY a claimed version is a race worth retrying — hadoop's
+        // and nio's already-exists both; any other IOException
+        // (permissions, quota, dead namenode) is a real failure and
+        // must surface with its cause, not be ground through 20
+        // retries into a misleading "lost races" error
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.io.IOException =>
+             _: java.nio.file.FileAlreadyExistsException =>
           fs.delete(tmp, false)
           v = math.max(v + 1, latestVersion(spark, path).getOrElse(-1L) + 1)
           attempt += 1
+        case e: java.io.IOException =>
+          fs.delete(tmp, false)
+          throw new IllegalStateException(
+            s"commit: cannot publish manifest v$v at $path", e)
       }
     }
     throw new IllegalStateException(
@@ -153,6 +162,22 @@ object ManifestTable {
     */
   def replace(df: DataFrame, path: String): Long =
     commit(df.sparkSession, path, stage(df, path))
+
+  /** Pre-manifest data at `path`: a gold table written by a plain
+    * directory-layout sink (parquet part files at the path root).
+    * Lets a manifest-committing writer MIGRATE instead of silently
+    * shadowing years of accumulated rows on its first commit. The
+    * legacy files are left in place (they are invisible to manifest
+    * readers and to vacuum, which only touches `data/`).
+    */
+  def readLegacyParquet(spark: SparkSession,
+                        path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, p)
+    val hasParts = fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (hasParts) Some(spark.read.parquet(path)) else None
+  }
 
   /** Small-file compaction as a normal snapshot commit: rewrite the
     * latest snapshot into ~`targetFileBytes` files and publish. No
@@ -171,12 +196,19 @@ object ManifestTable {
   }
 
   /** Retention: keep the newest `keepVersions` manifests, delete older
-    * ones, and delete every data file (including crashed-writer
-    * orphans) not referenced by a kept manifest. `keepVersions >= 2`
+    * ones, and delete every data file not referenced by a kept
+    * manifest — EXCEPT unreferenced files younger than `minOrphanAge`:
+    * a concurrent writer stages its files into `data/` BEFORE its
+    * manifest rename, and a vacuum racing that window must not delete
+    * a commit-in-flight out from under it (the committed manifest
+    * would point at vanished files). Crashed-writer orphans age past
+    * the window and are reaped by the next vacuum. `keepVersions >= 2`
     * protects readers that resolved the previous snapshot before a
     * concurrent commit.
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
+             minOrphanAge: java.time.Duration =
+               java.time.Duration.ofMinutes(15)): Unit = {
     require(keepVersions >= 1, "vacuum must keep at least the live snapshot")
     val vs = versions(spark, path)
     if (vs.isEmpty) return
@@ -184,8 +216,10 @@ object ManifestTable {
     val live = keep.flatMap(v => snapshotFiles(spark, path, Some(v))).toSet
     val dataDir = new org.apache.hadoop.fs.Path(s"$path/$DataDir")
     val fs = fsOf(spark, dataDir)
+    val cutoff = System.currentTimeMillis() - minOrphanAge.toMillis
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
-      if (!live.contains(st.getPath.getName))
+      if (!live.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
         fs.delete(st.getPath, false): Unit
     }
     drop.foreach(v => fs.delete(manifestPath(path, v), false): Unit)

@@ -401,7 +401,13 @@ object Pipeline {
           if (ManifestTable.latestVersion(spark, path).isDefined)
             graft.sinks.Sinks.upsert(ManifestTable.read(spark, path),
               batch, keys)
-          else batch
+          else ManifestTable.readLegacyParquet(spark, path) match {
+            // migration: a gold table from the previous swap-based
+            // sink (plain parquet at the path root) folds into
+            // snapshot 0 instead of being silently shadowed
+            case Some(legacy) => graft.sinks.Sinks.upsert(legacy, batch, keys)
+            case None => batch
+          }
         ManifestTable.replace(merged, path)
         ManifestTable.vacuum(spark, path, keepVersions = 2)
       }

@@ -328,10 +328,17 @@ class ManifestSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() == 1000)
     // pre-compact snapshot files still on disk for in-flight readers
     assert(ManifestTable.read(spark, path, Some(0L)).count() == 1000)
-    // leave a crashed-writer orphan, then vacuum to 1 version:
-    // old manifests, their files, and the orphan all disappear
+    // a FRESH unreferenced file is a possible commit-in-flight: the
+    // default orphan-age grace must protect it from a racing vacuum
     ManifestTable.stage(Seq(0L).toDF("id"), path)
     ManifestTable.vacuum(spark, path, keepVersions = 1)
+    val protectedFiles = new java.io.File(s"$path/data").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(protectedFiles.size > compacted.size,
+      "vacuum deleted a fresh staged file inside the grace window")
+    // past the grace window the orphan is garbage and is reaped
+    ManifestTable.vacuum(spark, path, keepVersions = 1,
+      minOrphanAge = java.time.Duration.ZERO)
     assert(ManifestTable.versions(spark, path) == Seq(1L))
     val left = new java.io.File(s"$path/data").listFiles()
       .map(_.getName).filterNot(_.startsWith(".")).toSet // ignore crc sidecars

@@ -399,6 +399,11 @@ class StreamingSpec extends SparkSpec {
   test("foreachBatch upsert sink: later batches replace matching keys in the gold table") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    // a pre-existing gold table from the OLD plain-directory sink must
+    // be migrated into snapshot 0, not silently shadowed
+    Seq(("LEGACY", java.sql.Timestamp.valueOf("2023-12-31 00:00:00"), 5.5f))
+      .toDF("sensor_id", "timestamp", "ph_value")
+      .write.parquet(s"$dir/gold")
     val input = MemoryStream[SensorReading](spark)
     input.addData(reading("A", "2024-01-01 00:00:00", ph = 7.0f),
       reading("B", "2024-01-01 00:00:00", ph = 7.2f))
@@ -411,10 +416,12 @@ class StreamingSpec extends SparkSpec {
     val q2 = Pipeline.toUpsertSink(latest, s"$dir/gold", s"$dir/chk", Seq("sensor_id"))
     q2.awaitTermination()
     val gold = graft.sinks.ManifestTable.read(spark, s"$dir/gold")
-    assert(gold.count() == 3, "one row per key expected")
+    assert(gold.count() == 4, "legacy row + one row per streamed key expected")
     val aPh = gold.filter(col("sensor_id") === "A")
       .collect().head.getAs[Float]("ph_value")
     assert(math.abs(aPh - 9.0f) < 1e-6, "update must win over the original row")
+    assert(gold.filter(col("sensor_id") === "LEGACY").count() == 1,
+      "pre-manifest gold rows must survive the migration")
     // retention: the per-batch vacuum keeps at most 2 manifests and
     // exactly their files on disk — the sink cannot accrete history
     val vs = graft.sinks.ManifestTable.versions(spark, s"$dir/gold")

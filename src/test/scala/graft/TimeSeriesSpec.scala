@@ -205,6 +205,19 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(msgs(e2).contains("oversized"),
       s"expected span-cap failure, got: ${msgs(e2)}")
+    // NULL bounds (e.g. from an upstream outer join): the overlap
+    // predicate's inferred not-null constraints push below the
+    // fan-out, so the row is DROPPED before it can explode or join —
+    // never a null-message crash (and the guard's message coalesces
+    // NULL for any plan where the inference doesn't fire)
+    val withNull = df(Seq(Row(1L, 5L, 9L)), "lid", "l_lo", "l_hi")
+      .union(spark.sql("SELECT 2L, CAST(NULL AS LONG), 9L"))
+    val out3 = graft.operators.Intervals
+      .overlapJoin(withNull, good, "l_lo", "l_hi", "r_lo", "r_hi",
+        bucket = 10)
+      .select(col("lid")).collect().map(_.getLong(0)).toSet
+    assert(out3 == Set(1L),
+      s"NULL-bound row must drop, valid row must join: got $out3")
     // valid rows at the default cap are untouched
     val ok = graft.operators.Intervals
       .overlapJoin(good.withColumnRenamed("rid", "lid")
