@@ -108,6 +108,56 @@ object Graph {
     * symmetrized graph that is every non-isolated vertex, and there
     * are no dangling sinks). Returns (v, r, d): rank and out-degree.
     */
+  /** Convergence-driven PageRank: iterate until the total absolute
+    * rank movement Σ|r − r'| drops to `tolerance` (in `scale` units)
+    * or `maxIters`. EXACT integer ranks are what make this
+    * well-defined — the fixed point is a literal equality test, not
+    * an ulp-chase — though DIV truncation can in principle settle
+    * into a tiny oscillation instead of a point, which is what the
+    * tolerance absorbs. Each round costs one extra self-join over the
+    * (v, r) frames for the delta sum; the fixed-iteration [[pagerank]]
+    * stays the oracle-checked operator (its iteration count is part
+    * of its contract), this variant is the operational
+    * "run to convergence" entry point. Returns (ranks, roundsRun).
+    */
+  def pagerankConverged(edges: DataFrame, maxIters: Int = 50,
+                        tolerance: Long = 0L,
+                        scale: Long = 1000000000000L): (DataFrame, Int) = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val n = deg.count()
+    require(n > 0, "pagerank needs a non-empty edge list")
+    var ranks = deg.select(col("v"), lit(scale / n).as("r"), col("d"))
+      .localCheckpoint(eager = false)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), expr("r DIV d").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("contrib"))
+      val next = deg.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          expr(s"(${scale}L * 15) DIV (100 * ${n}L) + " +
+            "(85 * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100").as("r"),
+          col("d"))
+        .localCheckpoint(eager = false)
+      // one action computes the movement AND materializes `next`
+      val moved = next.join(
+        ranks.select(col("v"), col("r").as("r_prev")), Seq("v"))
+        .agg(coalesce(sum(abs(col("r") - col("r_prev"))), lit(0L)))
+        .head().getLong(0)
+      converged = moved <= tolerance
+      ranks.unpersist()
+      ranks = next
+      rounds += 1
+    }
+    e.unpersist()
+    require(converged,
+      s"pagerankConverged: not within $tolerance after $maxIters rounds")
+    (ranks, rounds)
+  }
+
   def pagerank(edges: DataFrame, iters: Int = 3,
                scale: Long = 1000000000000L): DataFrame = {
     // the edge list is re-joined every iteration — truncate whatever

@@ -67,6 +67,22 @@ class AffinitySpec extends SparkSpec {
     assert(pr >= scale - 1000L, s"mass lost beyond truncation bound: $pr")
   }
 
+  test("convergence-driven pagerank reaches the fixed point of the fixed-iters operator") {
+    val edges = edgeDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (2L, 4L))
+    val (pr, rounds) = Graph.pagerankConverged(edges, maxIters = 50)
+    assert(rounds > 1 && rounds < 50, s"suspicious convergence in $rounds rounds")
+    val fixed = pr.collect().map(r => r.getLong(0) -> r.getAs[Long]("r")).toMap
+    // running the FIXED-iteration operator at >= the convergence round
+    // count lands on the same integer vector (the fixed point)
+    val more = Graph.pagerank(edges, iters = rounds + 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("r")).toMap
+    assert(fixed == more,
+      s"converged vector is not the fixed point: $fixed vs $more")
+    // mass is conserved up to truncation, as for the fixed-iters op
+    val total = fixed.values.sum
+    assert(total <= 1000000000000L && total >= 1000000000000L - 1000L)
+  }
+
   test("pagerank on a regular graph is uniform and iteration-invariant") {
     // 4-cycle: every vertex identical by symmetry at every iteration
     val pr = Graph.pagerank(edgeDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)),
