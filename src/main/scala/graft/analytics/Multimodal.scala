@@ -47,22 +47,35 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** Deterministic stand-in for decode + feature extraction: a rolling
-    * polynomial hash of the payload bytes folded into [[FeatureDim]]
-    * float lanes in [-1, 1]. A real deployment swaps ONLY this
-    * function for a codec + model call; the signature (bytes in, fixed
-    * -width float vector out) is the real contract.
+  /** Modulus / seed / multiplier of the stub's rolling hash. The rule
+    * is ENGINE-PORTABLE on purpose (the same discipline as the
+    * md5-word LSH family): h_i = (31·h_{i−1} + byte_i) mod P from
+    * h_0 = [[StubSeed]], lane l = (Σ h_i over i ≡ l mod dim) mod P —
+    * every step stays far inside exact BIGINT range, and the closed
+    * form h_i = 31^i·(seed + Σ byte_j·31^(−j)) mod P lets a SQL twin
+    * rebuild the identical features with a powers table + one modular
+    * prefix sum (no per-byte recursion), which is what upgrades
+    * q_media_features from rows-only to a full hash gate.
+    */
+  val StubPrime = 1000000007L
+  val StubSeed = 17L
+
+  /** Deterministic stand-in for decode + feature extraction: a modular
+    * rolling polynomial hash of the payload bytes folded into
+    * [[FeatureDim]] float lanes in [0, 1). A real deployment swaps
+    * ONLY this function for a codec + model call; the signature
+    * (bytes in, fixed-width float vector out) is the real contract.
     */
   def decodeStub(content: Array[Byte], dim: Int = FeatureDim): Array[Float] = {
     val acc = new Array[Long](dim)
-    var h = 1125899906842597L
+    var h = StubSeed
     var i = 0
     while (i < content.length) {
-      h = h * 31 + (content(i) & 0xff)
-      acc(i % dim) ^= h
+      h = (h * 31 + (content(i) & 0xff)) % StubPrime
+      acc(i % dim) = (acc(i % dim) + h) % StubPrime
       i += 1
     }
-    acc.map(a => (a.toDouble / Long.MaxValue).toFloat)
+    acc.map(a => (a.toDouble / StubPrime).toFloat)
   }
 
   /** REAL image decode + feature extraction via the JDK's bundled
@@ -232,11 +245,15 @@ object Multimodal {
     }
   }
 
-  /** Rows-only harness query: treat each document's UTF-8 bytes as an
-    * opaque payload, run the full decode→feature→aggregate plumbing,
-    * and roll up feature norms per source. Exercises the real plan
+  /** Harness query: treat each document's UTF-8 bytes as an opaque
+    * payload, run the full decode→feature→aggregate plumbing, and
+    * roll up feature norms per source. Exercises the real plan
     * (binary cast, mapPartitions extraction, final aggregation) on
-    * driver-shipped data.
+    * driver-shipped data — and since the stub's hash rule is
+    * engine-portable, the whole pipeline is DuckDB-hash-gated
+    * (norms are averaged over their 6-decimal roundings summed in
+    * exact integer micros, so partial-agg order cannot drift the
+    * last decimal).
     */
   def mediaFeatureRollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -262,18 +279,81 @@ object Multimodal {
       .withColumn("norm",
         sqrt(aggregate(transform(col("features"),
           x => x.cast("double") * x), lit(0.0), (a, v) => a + v)))
+      .withColumn("norm_e6",
+        round(round(col("norm"), 6) * 1e6).cast("long"))
     feats
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_media"),
-        round(avg(col("n_bytes")), 2).as("avg_bytes"),
-        round(avg(col("norm")), 6).as("avg_feat_norm"))
+        sum(col("n_bytes").cast("long")).as("_bytes"),
+        sum(col("norm_e6")).as("_ne6"))
+      .select(col("source"), col("n_media"),
+        round(col("_bytes") / col("n_media"), 2).as("avg_bytes"),
+        round(col("_ne6") / (col("n_media") * lit(1000000.0)), 6)
+          .as("avg_feat_norm"))
       .orderBy(col("source"))
+  }
+
+  /** DuckDB twin of the COMPLETE stub pipeline via the closed form:
+    * a recursive powers table (31^k and 31^(−k) mod P), one modular
+    * prefix sum per doc, per-lane modular sums, float32 lanes, the
+    * same fold-order norm, and exact-micros averaging. The text is
+    * ASCII (asserted by spec), so ord(char) == UTF-8 byte.
+    */
+  val mediaFeatureRollupSql: String = {
+    val p = StubPrime
+    val inv31 = BigInt(31).modPow(BigInt(p - 2), BigInt(p)).toLong
+    s"""WITH RECURSIVE pows(k, p31, pinv) AS (
+      |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT k + 1, (p31 * 31) % $p, (pinv * $inv31) % $p
+      |  FROM pows WHERE k < 700
+      |), d AS (
+      |  SELECT doc_id, source, text, length(text) AS n FROM documents
+      |), chars AS (
+      |  SELECT doc_id, source, n, pw.k AS i,
+      |    ord(substr(text, pw.k + 1, 1)) AS b, pw.p31, pw.pinv
+      |  FROM d JOIN pows pw ON pw.k < n
+      |), cums AS (
+      |  SELECT doc_id, source, n, i, p31,
+      |    CAST(sum((b * pinv) % $p) OVER (PARTITION BY doc_id ORDER BY i)
+      |         % $p AS BIGINT) AS c
+      |  FROM chars
+      |), hs AS (
+      |  -- h_i = 31^(i+1)*seed + SUM_(j<=i) b_j*31^(i-j)
+      |  --     = 31^i * (31*seed + Σ b_j*31^(-j))   (all mod P)
+      |  SELECT doc_id, source, i % $FeatureDim AS lane,
+      |    (((${StubSeed * 31} + c) % $p) * p31) % $p AS h
+      |  FROM cums
+      |), lanes AS (
+      |  SELECT doc_id, source, lane, CAST(sum(h) % $p AS BIGINT) AS acc
+      |  FROM hs GROUP BY doc_id, source, lane
+      |), feats AS (
+      |  SELECT doc_id, source,
+      |    list(CAST(CAST(CAST(acc AS DOUBLE) / $p AS REAL) AS DOUBLE)
+      |         ORDER BY lane) AS f
+      |  FROM lanes GROUP BY doc_id, source
+      |), norms AS (
+      |  SELECT doc_id, source,
+      |    CAST(round(round(sqrt(list_sum(list_transform(f, x -> x * x))), 6)
+      |               * 1e6) AS BIGINT) AS norm_e6
+      |  FROM feats
+      |), sized AS (
+      |  SELECT doc_id, source, length(text) AS n_bytes FROM documents
+      |)
+      |SELECT s.source, count(*) AS n_media,
+      |  round(CAST(sum(s.n_bytes) AS BIGINT) / count(*), 2) AS avg_bytes,
+      |  round(CAST(sum(norm_e6) AS BIGINT) / (count(*) * 1000000.0), 6)
+      |    AS avg_feat_norm
+      |FROM sized s JOIN norms USING (doc_id, source)
+      |GROUP BY s.source
+      |ORDER BY s.source""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> (mediaFeatureRollup _)
   )
 
-  /** No oracle: the feature stub is hash-defined; spec-verified. */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q_media_features" -> mediaFeatureRollupSql
+  )
 }

@@ -138,4 +138,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() == 20)
     assert(out.filter(col("avg_feat_norm") <= 0).count() == 0)
   }
+
+  test("oracle precondition: fixture text is pure ASCII (char count == byte count)") {
+    // the DuckDB twin reads bytes via ord(substr(text, ...)) and sizes
+    // via length(text) — both equal the UTF-8 byte view ONLY for
+    // ASCII. If the fixture ever grows non-ASCII text this must fail
+    // here, not as an inscrutable hash mismatch in the driver gate.
+    val nonAscii = graft.ingest.Sources.documents(spark, sf)
+      .filter(length(col("text")) =!= octet_length(col("text")))
+      .count()
+    assert(nonAscii == 0, s"$nonAscii docs with non-ASCII text")
+  }
+
+  test("stub features: modular closed form matches the iterative loop") {
+    // the oracle rebuilds the stub via h_i = 31^i*(31*seed + sum b_j*31^-j)
+    // mod P; verify the algebra against the production loop on a
+    // random payload, driver-side
+    val rng = new scala.util.Random(5)
+    val bytes = Array.fill(333)((rng.nextInt(95) + 32).toByte)
+    val p = Multimodal.StubPrime
+    val inv31 = BigInt(31).modPow(BigInt(p - 2), BigInt(p)).toLong
+    val dim = Multimodal.FeatureDim
+    val acc = new Array[Long](dim)
+    var c = 0L
+    var pinv = 1L
+    var p31 = 1L
+    for (i <- bytes.indices) {
+      c = (c + (bytes(i) & 0xff) * pinv) % p
+      val h = (((Multimodal.StubSeed * 31 + c) % p) * p31) % p
+      acc(i % dim) = (acc(i % dim) + h) % p
+      pinv = pinv * inv31 % p
+      p31 = p31 * 31 % p
+    }
+    val closed = acc.map(a => (a.toDouble / p).toFloat).toSeq
+    assert(closed == Multimodal.decodeStub(bytes).toSeq,
+      "closed-form stub diverges from the iterative loop")
+  }
 }

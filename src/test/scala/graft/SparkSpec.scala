@@ -37,10 +37,12 @@ abstract class SparkSpec extends AnyFunSuite {
 class SparkEntryContractSpec extends SparkSpec {
 
   /** The only queries ALLOWED to ship without a DuckDB oracle, each
-    * with the reason pinned here.
+    * with the reason pinned here. EMPTY since round 4: every query on
+    * the surface carries a hash-compared oracle (the last holdout,
+    * q_media_features, gained one when the decode stub moved to an
+    * engine-portable modular hash rule).
     */
-  val rowsOnlyAllowed = Set(
-    "q_media_features")  // stubbed decode (no codec libs offline)
+  val rowsOnlyAllowed = Set.empty[String]
 
   test("every query has an oracle unless explicitly allowed rows-only") {
     val q = graft.SparkEntry.queries.keySet
