@@ -60,6 +60,14 @@ object Multimodal {
   val StubPrime = 1000000007L
   val StubSeed = 17L
 
+  /** Oracle payload-length cap: the SQL twin expands bytes from a
+    * recursive powers table of this depth (DuckDB v1.0 has no lateral
+    * series over a column). Part of the ORACLE contract — the spec
+    * asserts the fixture stays under it so growth fails loudly there,
+    * not as an inscrutable driver hash mismatch.
+    */
+  val StubOracleMaxLen = 700L
+
   /** Deterministic stand-in for decode + feature extraction: a modular
     * rolling polynomial hash of the payload bytes folded into
     * [[FeatureDim]] float lanes in [0, 1). A real deployment swaps
@@ -306,7 +314,7 @@ object Multimodal {
       |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
       |  UNION ALL
       |  SELECT k + 1, (p31 * 31) % $p, (pinv * $inv31) % $p
-      |  FROM pows WHERE k < 700
+      |  FROM pows WHERE k < $StubOracleMaxLen
       |), d AS (
       |  SELECT doc_id, source, text, length(text) AS n FROM documents
       |), chars AS (
@@ -340,11 +348,14 @@ object Multimodal {
       |), sized AS (
       |  SELECT doc_id, source, length(text) AS n_bytes FROM documents
       |)
+      |-- LEFT JOIN keeps the twin TOTAL: a zero-length payload has no
+      |-- chars rows (and so no norms row) but Spark still emits it
+      |-- with a zero feature vector (norm 0)
       |SELECT s.source, count(*) AS n_media,
       |  round(CAST(sum(s.n_bytes) AS BIGINT) / count(*), 2) AS avg_bytes,
-      |  round(CAST(sum(norm_e6) AS BIGINT) / (count(*) * 1000000.0), 6)
-      |    AS avg_feat_norm
-      |FROM sized s JOIN norms USING (doc_id, source)
+      |  round(CAST(sum(COALESCE(norm_e6, 0)) AS BIGINT)
+      |        / (count(*) * 1000000.0), 6) AS avg_feat_norm
+      |FROM sized s LEFT JOIN norms USING (doc_id, source)
       |GROUP BY s.source
       |ORDER BY s.source""".stripMargin
   }

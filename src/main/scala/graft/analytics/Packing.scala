@@ -72,7 +72,8 @@ object Packing {
         explode(when(expr(s"(s + n_tok - 1) DIV $W") < MaxPackWindows,
           sequence(expr(s"s DIV $W"), expr(s"(s + n_tok - 1) DIV $W")))
           .otherwise(raise_error(concat(
-            lit(s"seqPack: stream for lang "), col("lang"),
+            lit(s"seqPack: stream for lang "),
+            coalesce(col("lang"), lit("NULL")),
             lit(s" exceeds MaxPackWindows=$MaxPackWindows windows of $W" +
               " tokens — raise the cap (and the oracle series) together"))))))
       .withColumn("win_tokens",
@@ -103,7 +104,7 @@ object Packing {
       |  SELECT lang, doc_id, n_tok, s, ws.w AS window_id,
       |    least(s + n_tok, (ws.w + 1) * $W) - greatest(s, ws.w * $W)
       |      AS win_tokens
-      |  FROM off JOIN (SELECT unnest(range(0, 16384)) AS w) ws
+      |  FROM off JOIN (SELECT unnest(range(0, $MaxPackWindows)) AS w) ws
       |    ON ws.w BETWEEN s // $W AND (s + n_tok - 1) // $W
       |)
       |SELECT lang, window_id, count(*) AS n_docs,
@@ -189,7 +190,8 @@ object Packing {
         when(col("n_chunks") <= MaxChunksPerDoc,
           sequence(lit(0L), col("n_chunks") - 1))
           .otherwise(raise_error(concat(
-            lit("docChunks: doc "), col("doc_id").cast("string"),
+            lit("docChunks: doc "),
+            coalesce(col("doc_id").cast("string"), lit("NULL")),
             lit(s" exceeds MaxChunksPerDoc=$MaxChunksPerDoc — raise the" +
               " cap (and the oracle series) together"))))))
       .select(col("doc_id"), col("chunk_id"),
@@ -214,7 +216,7 @@ object Packing {
       |SELECT doc_id, cs.c AS chunk_id,
       |  cs.c * $s AS start_tok,
       |  least(n_tok, cs.c * $s + $c) - cs.c * $s AS n_chunk_tokens
-      |FROM n JOIN (SELECT unnest(range(0, 4096)) AS c) cs
+      |FROM n JOIN (SELECT unnest(range(0, $MaxChunksPerDoc)) AS c) cs
       |  ON cs.c < n_chunks
       |ORDER BY doc_id, chunk_id""".stripMargin
   }

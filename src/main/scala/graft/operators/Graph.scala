@@ -131,31 +131,37 @@ object Graph {
       .localCheckpoint(eager = false)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < maxIters) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst").as("v"), expr("r DIV d").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("contrib"))
-      val next = deg.join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          expr(s"(${scale}L * 15) DIV (100 * ${n}L) + " +
-            "(85 * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100").as("r"),
-          col("d"))
-        .localCheckpoint(eager = false)
-      // one action computes the movement AND materializes `next`
-      val moved = next.join(
-        ranks.select(col("v"), col("r").as("r_prev")), Seq("v"))
-        .agg(coalesce(sum(abs(col("r") - col("r_prev"))), lit(0L)))
-        .head().getLong(0)
-      converged = moved <= tolerance
-      ranks.unpersist()
-      ranks = next
-      rounds += 1
-    }
-    e.unpersist()
-    require(converged,
-      s"pagerankConverged: not within $tolerance after $maxIters rounds")
-    (ranks, rounds)
+    try {
+      while (!converged && rounds < maxIters) {
+        val contrib = e
+          .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+          .select(col("dst").as("v"), expr("r DIV d").as("c"))
+          .groupBy(col("v")).agg(sum(col("c")).as("contrib"))
+        val next = deg.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            expr(s"(${scale}L * 15) DIV (100 * ${n}L) + " +
+              "(85 * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100").as("r"),
+            col("d"))
+          .localCheckpoint(eager = false)
+        // one action computes the movement AND materializes `next`
+        val moved = next.join(
+          ranks.select(col("v"), col("r").as("r_prev")), Seq("v"))
+          .agg(coalesce(sum(abs(col("r") - col("r_prev"))), lit(0L)))
+          .head().getLong(0)
+        converged = moved <= tolerance
+        ranks.unpersist()
+        ranks = next
+        rounds += 1
+      }
+      if (!converged) {
+        // don't leave the last round pinned in executor storage on the
+        // failure path — this is the operational long-lived entry point
+        ranks.unpersist()
+        throw new IllegalStateException(
+          s"pagerankConverged: not within $tolerance after $maxIters rounds")
+      }
+      (ranks, rounds)
+    } finally e.unpersist(): Unit
   }
 
   def pagerank(edges: DataFrame, iters: Int = 3,

@@ -56,8 +56,15 @@ object Intervals {
           shown(lo), lit(","), shown(hi),
           lit(s"] (bucket=$bucket, maxSpanBuckets=$maxSpanBuckets)"))))
     }
-    val lb = left.withColumn("_b", explode(buckets(leftLo, leftHi)))
-    val rb = right.withColumn("_b", explode(buckets(rightLo, rightHi)))
+    // NULL-bound rows DROP (the overlap predicate could never match
+    // them) — pinned HERE so the semantics don't depend on whether
+    // Catalyst's inferred not-null constraints happen to push below
+    // the explode (they usually do, but constraintPropagation is a
+    // config, not a contract)
+    val lb = left.filter(col(leftLo).isNotNull && col(leftHi).isNotNull)
+      .withColumn("_b", explode(buckets(leftLo, leftHi)))
+    val rb = right.filter(col(rightLo).isNotNull && col(rightHi).isNotNull)
+      .withColumn("_b", explode(buckets(rightLo, rightHi)))
     lb.join(rb, Seq("_b"))
       .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi) &&
         col("_b") === greatest(

@@ -119,6 +119,16 @@ object ManifestTable {
                             files: Seq[String]): Long = {
     val mdir = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
     val fs = fsOf(spark, mdir)
+    // re-validate the staged files immediately before publishing: a
+    // vacuum racing a SLOW stage→commit gap (beyond the orphan-age
+    // grace, or under clock skew) may have reaped them, and a
+    // committed manifest pointing at vanished files is the one state
+    // the protocol must never produce — fail the commit instead
+    val missing = files.filterNot(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$DataDir/$f")))
+    require(missing.isEmpty,
+      s"commit: staged files vanished before publish (vacuumed?): " +
+        s"${missing.mkString(", ")} — re-stage and retry")
     fs.mkdirs(mdir)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       mdir.toUri, spark.sparkContext.hadoopConfiguration)

@@ -148,6 +148,14 @@ class MultimodalSpec extends SparkSpec {
       .filter(length(col("text")) =!= octet_length(col("text")))
       .count()
     assert(nonAscii == 0, s"$nonAscii docs with non-ASCII text")
+    // the oracle's recursive powers table only reaches
+    // StubOracleMaxLen bytes — a longer fixture doc would silently
+    // truncate in the twin; fail HERE instead
+    val tooLong = graft.ingest.Sources.documents(spark, sf)
+      .filter(octet_length(col("text")) >= Multimodal.StubOracleMaxLen)
+      .count()
+    assert(tooLong == 0,
+      s"$tooLong docs at/over the ${Multimodal.StubOracleMaxLen}-byte oracle cap")
   }
 
   test("stub features: modular closed form matches the iterative loop") {
