@@ -347,6 +347,26 @@ class ManifestSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() == 1000)
   }
 
+  test("commit refuses to publish a manifest over vanished staged files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mreval").toString
+    val path = s"$dir/t"
+    ManifestTable.replace(Seq(1L).toDF("id"), path)
+    val staged = ManifestTable.stage(Seq(2L).toDF("id"), path)
+    // simulate a vacuum (or skewed-clock reaper) racing the
+    // stage->commit gap: the staged file is gone by publish time
+    staged.foreach(f =>
+      assert(new java.io.File(s"$path/data/$f").delete()))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, path, staged)
+    }
+    assert(e.getMessage.contains("vanished"),
+      s"expected a vanished-files refusal, got: ${e.getMessage}")
+    // the table is untouched: latest is still the good snapshot
+    assert(ManifestTable.read(spark, path).collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
   test("racing committers cannot overwrite each other's version") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mrace").toString
