@@ -305,7 +305,91 @@ object Stats {
       |GROUP BY o_orderpriority, lag_bucket
       |ORDER BY o_orderpriority, lag_bucket""".stripMargin
 
+  /** Bin width (tokens) and dense bin count for [[snapshotDrift]]. */
+  val DriftBinWidth = 50L
+  val DriftBins = 20
+
+  /** Snapshot distribution-drift monitor — the acceptance check a
+    * production pipeline runs before admitting a new batch: compare
+    * the batch's token-length distribution (doc_id ≡ 4 mod 5, the
+    * same deterministic batch marker as the incremental dedup)
+    * against the historical corpus over [[DriftBins]] dense
+    * fixed-width bins, with a χ² contribution per bin. Laplace +1
+    * smoothing keeps every expected count positive, and every number
+    * derives from exact integer counts through deterministic double
+    * ops (products ≤ 1e10 are exact; one divide, one square, one
+    * divide), so the hash gate holds. The dense bin spine (every bin
+    * 0..19 present on both sides, zero-filled) is what makes the
+    * engines agree on row count regardless of which bins the data
+    * happens to hit. One scan + one tiny aggregation — the operator
+    * costs a histogram at any corpus size.
+    */
+  def snapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ingest.Sources.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("bin", least(expr(s"n_tok DIV $DriftBinWidth"),
+        lit(DriftBins - 1L)))
+      .withColumn("is_batch", (col("doc_id") % 5 === 4).cast("long"))
+    val counts = docs.groupBy(col("bin"))
+      .agg(sum(lit(1L) - col("is_batch")).as("h"),
+        sum(col("is_batch")).as("b"))
+    val spine = spark.range(DriftBins).select(col("id").as("bin"))
+    val dense = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("h"), lit(0L)).as("n_hist"),
+        coalesce(col("b"), lit(0L)).as("n_batch"))
+    val tot = Window.partitionBy()
+    dense
+      .withColumn("ht", sum(col("n_hist")).over(tot))
+      .withColumn("bt", sum(col("n_batch")).over(tot))
+      .withColumn("expected",
+        (col("n_hist") + 1) * (col("bt") + DriftBins) /
+          (col("ht") + DriftBins))
+      .withColumn("chi2",
+        round(((col("n_batch") + 1) - col("expected")) *
+          ((col("n_batch") + 1) - col("expected")) / col("expected"), 6))
+      .select(col("bin"), (col("bin") * DriftBinWidth).as("lo_tok"),
+        col("n_hist"), col("n_batch"),
+        round(col("expected"), 6).as("expected_batch"),
+        col("chi2"))
+      .orderBy(col("bin"))
+  }
+
+  val snapshotDriftSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS is_batch
+      |  FROM documents
+      |), binned AS (
+      |  SELECT least(n_tok // $DriftBinWidth, ${DriftBins - 1}) AS bin,
+      |    CAST(sum(1 - is_batch) AS BIGINT) AS h,
+      |    CAST(sum(is_batch) AS BIGINT) AS b
+      |  FROM d GROUP BY 1
+      |), dense AS (
+      |  SELECT s.bin, COALESCE(h, 0) AS n_hist, COALESCE(b, 0) AS n_batch
+      |  FROM (SELECT unnest(range(0, $DriftBins)) AS bin) s
+      |  LEFT JOIN binned USING (bin)
+      |), t AS (
+      |  SELECT *, CAST(sum(n_hist) OVER () AS BIGINT) AS ht,
+      |    CAST(sum(n_batch) OVER () AS BIGINT) AS bt
+      |  FROM dense
+      |)
+      |SELECT bin, bin * $DriftBinWidth AS lo_tok, n_hist, n_batch,
+      |  round((n_hist + 1) * (bt + $DriftBins) / (ht + $DriftBins), 6)
+      |    AS expected_batch,
+      |  round(((n_batch + 1) - (n_hist + 1) * (bt + $DriftBins)
+      |                         / (ht + $DriftBins))
+      |      * ((n_batch + 1) - (n_hist + 1) * (bt + $DriftBins)
+      |                         / (ht + $DriftBins))
+      |      / ((n_hist + 1) * (bt + $DriftBins) / (ht + $DriftBins)), 6)
+      |    AS chi2
+      |FROM t
+      |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_drift" -> (snapshotDrift _),
     "q_crosstab_chi2" -> (segmentRegionCrosstab _),
     "q_value_heatmap" -> (valueHeatmap _),
     "q_price_deciles" -> (priceDeciles _),
@@ -317,6 +401,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_snapshot_drift" -> snapshotDriftSql,
     "q_value_heatmap" -> valueHeatmapSql,
     "q_price_deciles" -> priceDecilesSql,
     "q_shipping_lag" -> shippingLagSql,

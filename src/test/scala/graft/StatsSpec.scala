@@ -155,4 +155,33 @@ class StatsSpec extends SparkSpec {
       } else assert(r.getAs[Long]("min_lag") >= 120L)
     }
   }
+
+  test("snapshot drift: dense bins, conserved counts, chi2 recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Stats.snapshotDrift(spark, sf).collect()
+    // dense spine: EVERY bin present exactly once, in order
+    assert(rows.map(_.getLong(0)).toSeq ==
+      (0L until graft.analytics.Stats.DriftBins).toSeq)
+    val docs = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect()
+    val nBatch = docs.count(_.getLong(0) % 5 == 4)
+    val nHist = docs.length - nBatch
+    assert(rows.map(_.getAs[Long]("n_hist")).sum == nHist)
+    assert(rows.map(_.getAs[Long]("n_batch")).sum == nBatch)
+    // chi2 recompute from the emitted integer counts
+    val k = graft.analytics.Stats.DriftBins
+    rows.foreach { r =>
+      val (h, b) = (r.getAs[Long]("n_hist"), r.getAs[Long]("n_batch"))
+      val exp = (h + 1).toDouble * (nBatch + k) / (nHist + k)
+      assert(math.abs(r.getAs[Double]("expected_batch") - exp) < 1e-5)
+      val chi2 = (b + 1 - exp) * (b + 1 - exp) / exp
+      assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-5,
+        s"bin ${r.getLong(0)}: chi2 off")
+      assert(r.getAs[Double]("chi2") >= 0.0)
+    }
+    // the split is ~80/20 of the same corpus: no bin should scream
+    val worst = rows.map(_.getAs[Double]("chi2")).max
+    assert(worst < 50.0, s"same-distribution split drifted: chi2=$worst")
+  }
 }
