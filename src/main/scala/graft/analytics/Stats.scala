@@ -388,7 +388,90 @@ object Stats {
       |FROM t
       |ORDER BY bin""".stripMargin
 
+  /** Distribution-matched resampling — the CORRECTIVE action after
+    * [[snapshotDrift]] flags a batch: per length bin, down-sample the
+    * batch toward the history's (Laplace-smoothed) share with
+    * keep_rate = min(1, target_share / batch_share), decided per doc
+    * by the engine-portable md5-word uniform (u = word32/2^32 — the
+    * proven [[graft.operators.Scale.hashBucket]] family), so the SAME
+    * documents are kept on any engine, partitioning or rerun. The
+    * rate is a ratio of exact integer products and the comparison is
+    * one exact double, so the whole operator hash-gates. One scan +
+    * one tiny broadcast join at any corpus size.
+    */
+  def lengthResample(spark: SparkSession, dir: String): DataFrame = {
+    val k = DriftBins
+    val base = graft.ingest.Sources.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("bin", least(expr(s"n_tok DIV $DriftBinWidth"),
+        lit(DriftBins - 1L)))
+      .withColumn("is_batch", (col("doc_id") % 5 === 4).cast("long"))
+    val tot = Window.partitionBy()
+    val rates = base.groupBy(col("bin"))
+      .agg(sum(lit(1L) - col("is_batch")).as("h"),
+        sum(col("is_batch")).as("b"))
+      .withColumn("ht", sum(col("h")).over(tot))
+      .withColumn("bt", sum(col("b")).over(tot))
+      .withColumn("keep_rate", least(lit(1.0),
+        ((col("h") + 1) * (col("bt") + k)).cast("double") /
+          ((col("b") + 1) * (col("ht") + k))))
+      .select(col("bin"), col("keep_rate"))
+    val u = conv(substring(md5(concat(lit("resample:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint").cast("double") / 4294967296.0
+    base.filter(col("is_batch") === 1L)
+      .join(broadcast(rates), Seq("bin"))
+      .withColumn("kept", u < col("keep_rate"))
+      .groupBy(col("bin"), col("keep_rate"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tok"))
+      .select(col("bin"), col("n_batch"),
+        round(col("keep_rate"), 6).as("keep_rate"),
+        col("n_kept"), col("kept_tok"))
+      .orderBy(col("bin"))
+  }
+
+  val lengthResampleSql: String = {
+    val k = DriftBins
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    least(CAST(len(string_split(text, ' ')) AS BIGINT)
+      |          // $DriftBinWidth, ${DriftBins - 1}) AS bin,
+      |    CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS is_batch
+      |  FROM documents
+      |), counts AS (
+      |  SELECT bin,
+      |    CAST(sum(1 - is_batch) AS BIGINT) AS h,
+      |    CAST(sum(is_batch) AS BIGINT) AS b
+      |  FROM d GROUP BY bin
+      |), rates AS (
+      |  SELECT bin, least(1.0,
+      |    CAST((h + 1) * (CAST(sum(b) OVER () AS BIGINT) + $k) AS DOUBLE)
+      |      / ((b + 1) * (CAST(sum(h) OVER () AS BIGINT) + $k)))
+      |    AS keep_rate
+      |  FROM counts
+      |), scored AS (
+      |  SELECT d.bin, d.n_tok, r.keep_rate,
+      |    CAST(('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)),
+      |                         1, 8)) AS BIGINT) / 4294967296.0
+      |      < r.keep_rate AS kept
+      |  FROM d JOIN rates r USING (bin)
+      |  WHERE d.is_batch = 1
+      |)
+      |SELECT bin, count(*) AS n_batch,
+      |  round(keep_rate, 6) AS keep_rate,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tok
+      |FROM scored
+      |GROUP BY bin, keep_rate
+      |ORDER BY bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_resample" -> (lengthResample _),
     "q_snapshot_drift" -> (snapshotDrift _),
     "q_crosstab_chi2" -> (segmentRegionCrosstab _),
     "q_value_heatmap" -> (valueHeatmap _),
@@ -401,6 +484,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_length_resample" -> lengthResampleSql,
     "q_snapshot_drift" -> snapshotDriftSql,
     "q_value_heatmap" -> valueHeatmapSql,
     "q_price_deciles" -> priceDecilesSql,

@@ -184,4 +184,26 @@ class StatsSpec extends SparkSpec {
     val worst = rows.map(_.getAs[Double]("chi2")).max
     assert(worst < 50.0, s"same-distribution split drifted: chi2=$worst")
   }
+
+  test("length resample: bounded rates, kept subset, deterministic reruns") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Stats.lengthResample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, rate, kept) = (r.getAs[Long]("n_batch"),
+        r.getAs[Double]("keep_rate"), r.getAs[Long]("n_kept"))
+      assert(rate > 0.0 && rate <= 1.0, s"bin ${r.getLong(0)}: rate $rate")
+      assert(kept >= 0 && kept <= nb, s"bin ${r.getLong(0)}: kept > batch")
+      // a full-keep bin keeps everything (rate 1.0 ⇒ u < 1.0 always)
+      if (rate == 1.0) assert(kept == nb, s"bin ${r.getLong(0)}: rate-1 bin dropped docs")
+    }
+    // batch docs are conserved across bins
+    val nBatch = graft.ingest.Sources.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 4).count()
+    assert(rows.map(_.getAs[Long]("n_batch")).sum == nBatch)
+    // determinism: a rerun keeps the IDENTICAL documents
+    val again = graft.analytics.Stats.lengthResample(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getAs[Long]("n_kept"))).toSeq ==
+      again.map(r => (r.getLong(0), r.getAs[Long]("n_kept"))).toSeq)
+  }
 }
