@@ -309,6 +309,33 @@ object Stats {
   val DriftBinWidth = 50L
   val DriftBins = 20
 
+  /** THE binned-document base shared by the drift monitor and its
+    * corrective resampler — (doc_id, n_tok, bin, is_batch), with the
+    * batch marker from [[graft.operators.Scale.isBatch]]. One
+    * definition point: the pair is designed to act on the SAME
+    * histogram, and a binning edit applied to one operator only would
+    * silently decouple the monitor from its corrective action while
+    * both still self-hash-match.
+    */
+  private def binnedDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.ingest.Sources.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("bin", least(expr(s"n_tok DIV $DriftBinWidth"),
+        lit(DriftBins - 1L)))
+      .withColumn("is_batch",
+        graft.operators.Scale.isBatch(col("doc_id")).cast("long"))
+
+  /** DuckDB twin of [[binnedDocs]] as a CTE body named `d`. */
+  private def binnedDocsSql: String =
+    s"""SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    least(CAST(len(string_split(text, ' ')) AS BIGINT)
+      |          // $DriftBinWidth, ${DriftBins - 1}) AS bin,
+      |    CASE WHEN ${graft.operators.Scale.isBatchSql("doc_id")}
+      |         THEN 1 ELSE 0 END AS is_batch
+      |  FROM documents""".stripMargin
+
   /** Snapshot distribution-drift monitor — the acceptance check a
     * production pipeline runs before admitting a new batch: compare
     * the batch's token-length distribution (doc_id ≡ 4 mod 5, the
@@ -325,12 +352,7 @@ object Stats {
     * costs a histogram at any corpus size.
     */
   def snapshotDrift(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.ingest.Sources.documents(spark, dir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("bin", least(expr(s"n_tok DIV $DriftBinWidth"),
-        lit(DriftBins - 1L)))
-      .withColumn("is_batch", (col("doc_id") % 5 === 4).cast("long"))
+    val docs = binnedDocs(spark, dir)
     val counts = docs.groupBy(col("bin"))
       .agg(sum(lit(1L) - col("is_batch")).as("h"),
         sum(col("is_batch")).as("b"))
@@ -358,12 +380,9 @@ object Stats {
 
   val snapshotDriftSql: String =
     s"""WITH d AS (
-      |  SELECT doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-      |    CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS is_batch
-      |  FROM documents
+      |  $binnedDocsSql
       |), binned AS (
-      |  SELECT least(n_tok // $DriftBinWidth, ${DriftBins - 1}) AS bin,
+      |  SELECT bin,
       |    CAST(sum(1 - is_batch) AS BIGINT) AS h,
       |    CAST(sum(is_batch) AS BIGINT) AS b
       |  FROM d GROUP BY 1
@@ -396,17 +415,15 @@ object Stats {
     * proven [[graft.operators.Scale.hashBucket]] family), so the SAME
     * documents are kept on any engine, partitioning or rerun. The
     * rate is a ratio of exact integer products and the comparison is
-    * one exact double, so the whole operator hash-gates. One scan +
-    * one tiny broadcast join at any corpus size.
+    * one exact double, so the whole operator hash-gates. TWO scans of
+    * the table (one builds the 20-row rate histogram that broadcasts,
+    * one streams the batch through the rates) + one tiny broadcast
+    * join at any corpus size — the histogram side is a
+    * partial-aggregated 2-column scan.
     */
   def lengthResample(spark: SparkSession, dir: String): DataFrame = {
     val k = DriftBins
-    val base = graft.ingest.Sources.documents(spark, dir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("bin", least(expr(s"n_tok DIV $DriftBinWidth"),
-        lit(DriftBins - 1L)))
-      .withColumn("is_batch", (col("doc_id") % 5 === 4).cast("long"))
+    val base = binnedDocs(spark, dir)
     val tot = Window.partitionBy()
     val rates = base.groupBy(col("bin"))
       .agg(sum(lit(1L) - col("is_batch")).as("h"),
@@ -417,9 +434,8 @@ object Stats {
         ((col("h") + 1) * (col("bt") + k)).cast("double") /
           ((col("b") + 1) * (col("ht") + k))))
       .select(col("bin"), col("keep_rate"))
-    val u = conv(substring(md5(concat(lit("resample:"),
-      col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("bigint").cast("double") / 4294967296.0
+    val u = graft.operators.Scale.md5Uniform(
+      concat(lit("resample:"), col("doc_id").cast("string")))
     base.filter(col("is_batch") === 1L)
       .join(broadcast(rates), Seq("bin"))
       .withColumn("kept", u < col("keep_rate"))
@@ -436,12 +452,7 @@ object Stats {
   val lengthResampleSql: String = {
     val k = DriftBins
     s"""WITH d AS (
-      |  SELECT doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-      |    least(CAST(len(string_split(text, ' ')) AS BIGINT)
-      |          // $DriftBinWidth, ${DriftBins - 1}) AS bin,
-      |    CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS is_batch
-      |  FROM documents
+      |  $binnedDocsSql
       |), counts AS (
       |  SELECT bin,
       |    CAST(sum(1 - is_batch) AS BIGINT) AS h,
@@ -455,8 +466,8 @@ object Stats {
       |  FROM counts
       |), scored AS (
       |  SELECT d.bin, d.n_tok, r.keep_rate,
-      |    CAST(('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)),
-      |                         1, 8)) AS BIGINT) / 4294967296.0
+      |    ${graft.operators.Scale.md5UniformSql(
+             "'resample:' || CAST(doc_id AS VARCHAR)")}
       |      < r.keep_rate AS kept
       |  FROM d JOIN rates r USING (bin)
       |  WHERE d.is_batch = 1

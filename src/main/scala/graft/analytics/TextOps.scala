@@ -812,7 +812,7 @@ object TextOps {
                        minEstJaccard: Double = 0.75): DataFrame = {
     val sigs = sigArrays(spark, dir).localCheckpoint()
     val banded = bandedOf(sigs)
-    val isBatch = col("doc_id") % 5 === 4
+    val isBatch = graft.operators.Scale.isBatch(col("doc_id"))
     val hist = banded.filter(!isBatch)
       .select(col("doc_id").as("dup_of"), col("sig").as("sig_h"),
         col("lang"), col("source"), col("band"), col("bucket"))
@@ -839,7 +839,7 @@ object TextOps {
     * deterministic best-match tie-break and total-function output.
     */
   val incrementalDedupSql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, lang, source,
       |    unnest(list_distinct(string_split(text, ' '))) AS tok
       |  FROM documents
@@ -860,7 +860,8 @@ object TextOps {
       |), cand AS (
       |  SELECT DISTINCT a.doc_id, b.doc_id AS dup_of
       |  FROM band a JOIN band b USING (lang, source, band, bucket)
-      |  WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+      |  WHERE ${graft.operators.Scale.isBatchSql("a.doc_id")}
+      |    AND NOT (${graft.operators.Scale.isBatchSql("b.doc_id")})
       |), agree AS (
       |  SELECT c.doc_id, c.dup_of,
       |    sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS n_eq
@@ -878,7 +879,8 @@ object TextOps {
       |SELECT d.doc_id,
       |  CASE WHEN b.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
       |  b.dup_of, b.est_jaccard
-      |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 4) d
+      |FROM (SELECT DISTINCT doc_id FROM documents
+      |      WHERE ${graft.operators.Scale.isBatchSql("doc_id")}) d
       |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 

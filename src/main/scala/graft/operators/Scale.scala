@@ -83,6 +83,33 @@ object Scale {
   def hashBucketSql(key: String, buckets: Int = 100): String =
     s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8)) AS BIGINT) % $buckets"
 
+  /** Engine-portable uniform in [0, 1): the first md5 hex word of the
+    * key over 2^32 — a power-of-two division of an exact integer, so
+    * both engines produce the identical double (the rule behind every
+    * deterministic sampling decision; see also the LSH hyperplane
+    * constants, which derive the same word driver-side).
+    */
+  def md5Uniform(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("bigint").cast("double") / 4294967296.0)
+
+  /** DuckDB twin of [[md5Uniform]] — ONE SQL form of the rule. */
+  def md5UniformSql(key: String): String =
+    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8)) AS BIGINT)" +
+      " / 4294967296.0"
+
+  /** The deterministic snapshot split shared by incremental dedup,
+    * the drift monitor and the resampler: docs with id ≡ 4 (mod 5)
+    * are "today's batch", the rest the historical corpus. ONE
+    * definition point — these operators are documented as acting on
+    * the SAME batch, and a marker changed in one place only would
+    * silently decouple them while every oracle still passes.
+    */
+  def isBatch(id: Column): Column = id % 5 === 4
+
+  /** DuckDB twin of [[isBatch]]. */
+  def isBatchSql(col: String): String = s"$col % 5 = 4"
+
   /** Split assignment: 80/10/10 on the hash bucket of the row key. */
   def hashSplit(key: Column): Column =
     when(hashBucket(key) < 80, "train")
