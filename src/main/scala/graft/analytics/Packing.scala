@@ -221,13 +221,62 @@ object Packing {
       |ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** Dataset-card summary — the one-row corpus statement a dataset
+    * release ships with: sizes, coverage, exact-duplicate rate and
+    * batch share, every number an exact integer or a deterministic
+    * ratio of exact integers (rounded once), so the card is
+    * reproducible bit-for-bit on any engine. One scan + one exact
+    * distinct-count; at 100 TB the distinct goes through the same
+    * partial-aggregated md5 path as the exact-dedup operator.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text")).as("th"),
+        graft.operators.Scale.isBatch(col("doc_id")).cast("long")
+          .as("is_batch"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("th")).as("n_unique_texts"),
+        sum(col("is_batch")).as("n_batch"))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"), col("n_unique_texts"),
+        round(col("n_tokens") / col("n_docs"), 2).as("mean_doc_tokens"),
+        round(col("n_unique_texts") / col("n_docs"), 6).as("unique_rate"),
+        round(col("n_batch") / col("n_docs"), 6).as("batch_share"))
+
+  val datasetCardSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    md5(text) AS th,
+      |    CASE WHEN ${graft.operators.Scale.isBatchSql("doc_id")}
+      |         THEN 1 ELSE 0 END AS is_batch
+      |  FROM documents
+      |)
+      |SELECT count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT source) AS n_sources,
+      |  count(DISTINCT th) AS n_unique_texts,
+      |  round(CAST(sum(n_tok) AS BIGINT) / count(*), 2) AS mean_doc_tokens,
+      |  round(count(DISTINCT th) / count(*), 6) AS unique_rate,
+      |  round(CAST(sum(is_batch) AS BIGINT) / count(*), 6) AS batch_share
+      |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_card" -> (datasetCard _),
     "q_seq_pack" -> (seqPack _),
     "q_mix_weights" -> (mixWeights _),
     "q_doc_chunks" -> (docChunks _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dataset_card" -> datasetCardSql,
     "q_seq_pack" -> seqPackSql,
     "q_mix_weights" -> mixWeightsSql,
     "q_doc_chunks" -> docChunksSql

@@ -60,6 +60,27 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("dataset card: one row of mutually consistent exact statistics") {
+    val r = Packing.datasetCard(spark, sf).collect()
+    assert(r.length == 1, "the card is one row by contract")
+    val row = r.head
+    val docs = graft.ingest.Sources.documents(spark, sf)
+    assert(row.getAs[Long]("n_docs") == docs.count())
+    assert(row.getAs[Long]("n_unique_texts") <= row.getAs[Long]("n_docs"))
+    assert(row.getAs[Long]("n_langs") >= 1 && row.getAs[Long]("n_sources") >= 1)
+    val ur = row.getAs[Double]("unique_rate")
+    assert(ur > 0.0 && ur <= 1.0)
+    // batch share must agree with the shared mod-5 marker exactly
+    val nBatch = docs.filter(col("doc_id") % 5 === 4).count()
+    assert(math.abs(row.getAs[Double]("batch_share") -
+      BigDecimal(nBatch.toDouble / docs.count())
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // mean tokens consistent with the totals
+    assert(math.abs(row.getAs[Double]("mean_doc_tokens") -
+      BigDecimal(row.getAs[Long]("n_tokens").toDouble / row.getAs[Long]("n_docs"))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("doc chunks tile every document with the configured overlap") {
     val chunks = Packing.docChunks(spark, sf).collect()
       .groupBy(_.getLong(0))
