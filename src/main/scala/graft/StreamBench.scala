@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-throughput microbench (VERDICT r4 #4): BENCH only measured
+  * batch queries, but the reference's entire workload IS a stream — a
+  * 1 msg/s Kafka replay of the 29,159-row river corpus
+  * (reference: kafka/producer.py:43,47). This measures the engine's
+  * rows/sec on that same corpus through the two production stream
+  * paths, driven by MemoryStream exactly like the streaming specs:
+  *
+  *  - `parquet_sink`: wire-JSON rows → [[graft.streaming.Pipeline.parseWire]]
+  *    → checkpointed parquet sink (the reference topology minus the
+  *    broker). Fed in producer-sized chunks so the run spans several
+  *    micro-batches, not one giant one.
+  *  - `dedup_probe`: a document batch probing the static MinHash
+  *    band-bucket history index ([[graft.streaming.Pipeline.dedupProbeStream]])
+  *    — the streaming half of the incremental-dedup pair.
+  *
+  * Rates are end-to-end wall-clock (start → drained), so they include
+  * micro-batch scheduling overhead — the honest number for a
+  * micro-batch engine. The reference's envelope is 1 row/sec by
+  * construction; anything in the thousands is >10^3× that.
+  */
+object StreamBench {
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-sbench-$tag").toString
+
+  /** Replay the river corpus as wire JSON through parse→parquet sink;
+    * returns rows/sec.
+    */
+  private def parquetSinkRate(spark: SparkSession): Double = {
+    import spark.implicits._
+    import graft.streaming.Pipeline
+    // Producer role (driver-side by design, like kafka/producer.py:
+    // read the CSV, frame each row as a JSON message). 29k small
+    // strings — not a data path.
+    val corpus = graft.etl.Prep.referenceCsv
+    val wire = Pipeline.toKafkaJson(graft.ingest.Sources.csv(spark, corpus))
+      .as[String].collect()
+    val input = MemoryStream[String](spark)
+    val parsed = Pipeline.parseWire(
+      input.toDF().select(col("value").cast("binary").as("value")))
+    val out = tempDir("sink")
+    val ckpt = tempDir("ckpt")
+    val t0 = System.nanoTime()
+    // chunked adds -> multiple micro-batches under AvailableNow, so the
+    // rate includes per-batch planning/commit cost, not one lucky batch
+    wire.grouped(4096).foreach(chunk => input.addData(chunk.toSeq))
+    val q = Pipeline.toParquetSink(parsed, out, ckpt)
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rows = spark.read.parquet(out).count()
+    require(rows == wire.length,
+      s"sink lost rows: $rows of ${wire.length}")
+    rows / secs
+  }
+
+  /** Probe a document batch against the full corpus' band-bucket
+    * index; returns probe rows/sec.
+    */
+  private def dedupProbeRate(spark: SparkSession, sfDir: String): Double = {
+    import spark.implicits._
+    import graft.analytics.TextOps
+    val docs = graft.ingest.Sources.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // static history index: built once, cached — the serving shape
+    // (a daily pipeline reads the materialized index, not rebuilds it)
+    val index = TextOps.bandIndexOf(docs).cache()
+    index.count()
+    // probe batch: a bounded slice replayed as the "today" stream
+    val probeRows = docs.orderBy(col("doc_id")).limit(8192)
+      .as[(Long, String, String, String)].collect()
+    val input = MemoryStream[(Long, String, String, String)](spark)
+    val stream = input.toDF().toDF("doc_id", "text", "lang", "source")
+    val out = graft.streaming.Pipeline.dedupProbeStream(stream, index)
+    val q = out.writeStream.outputMode("append").format("noop").start()
+    val t0 = System.nanoTime()
+    try {
+      probeRows.grouped(2048).foreach(chunk => input.addData(chunk.toSeq))
+      q.processAllAvailable()
+    } finally q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    index.unpersist(blocking = true)
+    probeRows.length / secs
+  }
+
+  /** Runs both microbenches; returns the JSON object for the
+    * `streaming_rows_per_sec` field. A failed microbench reports -1
+    * rather than killing the batch bench artifact.
+    */
+  def run(spark: SparkSession,
+          sfDir: String = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+            "/root/testdata/sf0.1")): String = {
+    def guard(tag: String)(f: => Double): Double =
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming $tag failed: ${e.getMessage}")
+        -1.0
+      }
+    val sink = guard("parquet_sink")(parquetSinkRate(spark))
+    val probe = guard("dedup_probe")(dedupProbeRate(spark, sfDir))
+    f"""{"parquet_sink":$sink%.1f,"dedup_probe":$probe%.1f}"""
+  }
+}
