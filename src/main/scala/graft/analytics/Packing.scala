@@ -44,6 +44,12 @@ object Packing {
 
   private def toks(c: org.apache.spark.sql.Column) = size(split(c, " "))
 
+  /** Shard count for the 2-phase packing prefix sum — parallelism per
+    * language stream. Output is shard-count-invariant (see seqPack),
+    * so this IS a tuning knob, unlike the oracle-bound caps above.
+    */
+  val PackShards = 32L
+
   /** Concat-and-chunk sequence packing (the GPT-style packing used to
     * build fixed-length training sequences): documents concatenate in
     * a deterministic order (doc_id) into one token stream PER
@@ -53,20 +59,53 @@ object Packing {
     * window), the window's token fill and fill fraction — the
     * fragmentation/efficiency report a packing job is run for.
     *
-    * Scale: the running offset is a prefix sum windowed BY LANGUAGE —
-    * each language's stream packs independently and in parallel, the
-    * standard sharding of a packing job (at 100 TB the shard key
-    * becomes (lang, shard) with per-shard offsets merged by one
-    * 2-phase prefix sum; the per-shard plan is exactly this one). The
+    * Scale: the running offset is a 2-PHASE SHARDED prefix sum — the
+    * standard distributed scan, so no single language's stream ever
+    * serializes through one task:
+    *
+    *  1. each document lands in shard `doc_id DIV R` where
+    *     `R = max(doc_id) DIV PackShards + 1` — MONOTONE in doc_id, so
+    *     shards are contiguous doc_id ranges and concatenation order
+    *     is untouched; local prefix sums run per (lang, shard) —
+    *     languages × [[PackShards]] parallel window tasks;
+    *  2. per-(lang, shard) token totals (a tiny languages×shards
+    *     frame) get their own prefix sum over shards and broadcast
+    *     back; global offset = shard offset + local prefix.
+    *
+    * The result is provably identical to the single-window form —
+    * same s for every document — which is why the unchanged DuckDB
+    * oracle (a plain per-language window) stays the done-gate. The
     * window fan-out per document is ceil(n/W) — proportional to its
     * token count, never to corpus size.
     */
   def seqPack(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val d = Sources.documents(spark, dir)
+    val base = Sources.documents(spark, dir)
       .select(col("doc_id"), col("lang"), toks(col("text")).cast("long").as("n_tok"))
-      .withColumn("s", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+    // shard width from one scalar agg, kept in-plan via broadcast
+    // cross join (1 row) — no driver collect, corpus-size independent
+    val width = base.agg(
+      expr(s"max(doc_id) DIV $PackShards + 1").as("shard_w"))
+    val sharded = base.crossJoin(broadcast(width))
+      .withColumn("shard", expr("doc_id DIV shard_w"))
+    val local = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = sharded
+      .withColumn("local_s", coalesce(sum(col("n_tok")).over(local), lit(0L)))
+    // phase 2: shard totals — languages × PackShards rows, so the
+    // un-sharded prefix window over THIS frame is trivially cheap
+    val offW = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tok")).as("shard_tok"))
+      .withColumn("shard_off", coalesce(sum(col("shard_tok")).over(offW), lit(0L)))
+      .select(col("lang").as("o_lang"), col("shard").as("o_shard"),
+        col("shard_off"))
+    // null-safe on lang: a NULL language is its own stream, exactly as
+    // the window partitioning treated it (equi-join would drop it)
+    val d = withLocal.join(broadcast(offsets),
+        col("lang") <=> col("o_lang") && col("shard") === col("o_shard"))
+      .withColumn("s", col("local_s") + col("shard_off"))
     val W = PackWindow
     d.withColumn("window_id",
         explode(when(expr(s"(s + n_tok - 1) DIV $W") < MaxPackWindows,

@@ -36,6 +36,53 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("seq packing prefix sum is sharded — no language serializes in one task") {
+    import graft.ingest.Sources
+    // 1. the physical plan partitions the prefix-sum window by
+    // (lang, shard), not lang alone — the thing that was single-task
+    val plan = Packing.seqPack(spark, sf).queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(lang#\\d+, shard#\\d+".r.findFirstIn(plan).isDefined,
+      s"window exchange must hash by (lang, shard); plan:\n$plan")
+    // 2. the fixture genuinely spreads every language over >1 shard,
+    // so the assertion above isn't vacuously about a 1-shard layout
+    val maxId = Sources.documents(spark, sf)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    val r = maxId / Packing.PackShards + 1
+    val shardsPerLang = Sources.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(countDistinct(expr(s"doc_id DIV $r")).as("n_shards"))
+      .collect()
+    shardsPerLang.foreach { row =>
+      assert(row.getAs[Long]("n_shards") > 1,
+        s"${row.getString(0)}: only one shard — spec fixture too small")
+    }
+  }
+
+  test("sharded packing is bit-identical to the single-window prefix sum") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val W = Packing.PackWindow
+    val expected = docs
+      .withColumn("s", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("window_id", explode(
+        sequence(expr(s"s DIV $W"), expr(s"(s + n_tok - 1) DIV $W"))))
+      .withColumn("win_tokens",
+        least(col("s") + col("n_tok"), (col("window_id") + 1) * W) -
+          greatest(col("s"), col("window_id") * W))
+      .groupBy(col("lang"), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s") < col("window_id") * W, 1L).otherwise(0L)).as("n_frag"),
+        sum(col("win_tokens")).as("n_tokens"))
+      .withColumn("fill_frac", round(col("n_tokens") / lit(W.toDouble), 6))
+      .collect().map(_.toSeq).toSet
+    val actual = Packing.seqPack(spark, sf).collect().map(_.toSeq).toSet
+    assert(actual == expected, "sharded != single-window packing")
+  }
+
   test("mixture weights: sum to 1, sqrt-temperature flattens vs proportional") {
     val rows = Packing.mixWeights(spark, sf).collect()
     assert(rows.length >= 2)
