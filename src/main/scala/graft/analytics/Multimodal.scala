@@ -8,15 +8,17 @@ import graft.ingest.Sources
 /** Multimodal column plumbing (builder mandate: image/audio/video as
   * opaque binary columns with typed metadata).
   *
-  * IMAGE and AUDIO decode are REAL: [[decodeImage]] runs the JDK's
-  * own image codecs (javax.imageio — PNG/JPEG/GIF/BMP, no external
-  * jars) and extracts a grid-pooled luminance feature vector from the
-  * actual pixels; [[decodeAudio]] parses PCM audio (javax.sound —
-  * WAV/AIFF/AU) and extracts the segmented RMS energy envelope from
-  * the actual samples. Video decode remains STUBBED — this container
-  * ships no video codecs — via [[decodeStub]], a deterministic fake
-  * feature vector from the bytes; [[decode]] routes by kind and falls
-  * back to the stub when the payload is not decodable.
+  * IMAGE, AUDIO and VIDEO decode are REAL: [[decodeImage]] runs the
+  * JDK's own image codecs (javax.imageio — PNG/JPEG/GIF/BMP, no
+  * external jars) and extracts a grid-pooled luminance feature vector
+  * from the actual pixels; [[decodeAudio]] parses PCM audio
+  * (javax.sound — WAV/AIFF/AU) and extracts the segmented RMS energy
+  * envelope from the actual samples; [[decodeVideo]] parses Y4M
+  * (YUV4MPEG2 — text header + raw planar frames, so no codec jars
+  * needed) and pools each frame's luminance plane over the same grid.
+  * [[decodeStub]] remains only as the deterministic fallback for
+  * payloads none of the parsers accept (e.g. compressed video);
+  * [[decode]] routes by kind and degrades to it instead of failing.
   * Everything around the decoders is real and tested: the schema, the
   * binaryFile source, the mapPartitions batch shape (one iterator per
   * partition — where codec/model setup amortizes), the partitioning
@@ -188,9 +190,102 @@ object Multimodal {
     finally in.close()
   }
 
-  /** Kind-routed decode: real pixels for images, real PCM envelope
-    * for audio, deterministic stub for video (codec libs absent) and
-    * for payloads the JDK cannot parse.
+  /** REAL video decode via a pure-JVM Y4M (YUV4MPEG2) parser — Y4M is
+    * a plain-text header (`YUV4MPEG2 W.. H.. F.. [C..]`) followed by
+    * `FRAME\n`-delimited raw planar YUV frames, so it needs NO codec
+    * jars: exactly the uncompressed interchange format ffmpeg/x264
+    * pipelines move frames through. Supported chroma layouts: C420
+    * (+jpeg/mpeg2/paldv tags, the default), C422, C444, Cmono; the
+    * luminance plane is what we feature anyway, so chroma is only
+    * skipped by its exact plane size.
+    *
+    * Features reuse [[decodeImage]]'s grid pooling, extended in time:
+    * each frame's Y plane average-pools over a √dim × √dim grid and
+    * the grid accumulates across frames (exact integer sums of the
+    * 8-bit samples, one divide per lane at the end) — the mean
+    * luminance signature of the whole clip in [0, 1] per lane.
+    *
+    * A payload truncated mid-frame decodes its complete frames (a
+    * partially-fetched clip still features); no complete frame, a bad
+    * header, or an unsupported layout returns None (caller falls back
+    * to the stub), so corrupt payloads degrade instead of failing the
+    * partition.
+    */
+  def decodeVideo(content: Array[Byte],
+                  dim: Int = FeatureDim): Option[Array[Float]] = {
+    val grid = math.sqrt(dim).toInt
+    require(grid * grid == dim, s"decodeVideo needs a square dim, got $dim")
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < content.length && content(i) != '\n') i += 1
+      i // == length when unterminated
+    }
+    val hEnd = lineEnd(0)
+    if (hEnd >= content.length) return None
+    val header = new String(content, 0, hEnd, "US-ASCII")
+    val parts = header.split(" ")
+    if (parts.isEmpty || parts(0) != "YUV4MPEG2") return None
+    var w = -1
+    var h = -1
+    var cs = "420" // Y4M default colorspace when no C tag is present
+    parts.iterator.drop(1).foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = p.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = p.drop(1).toIntOption.getOrElse(-1)
+        case 'C' => cs = p.drop(1)
+        case _ => // F (rate), I (interlace), A (aspect), X (comment)
+      }
+    }
+    if (w <= 0 || h <= 0) return None
+    val half = ((w + 1) / 2).toLong * ((h + 1) / 2)
+    val chromaBytes: Long = cs match {
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" => 2L * half
+      case "422" => 2L * ((w + 1) / 2).toLong * h
+      case "444" => 2L * w.toLong * h
+      case "mono" => 0L
+      case _ => return None
+    }
+    val ySize = w.toLong * h
+    val frameBytes = ySize + chromaBytes
+    val acc = new Array[Long](dim)
+    val cnt = new Array[Long](dim)
+    var frames = 0
+    var pos = hEnd + 1
+    var truncated = false
+    while (!truncated && pos < content.length) {
+      // each frame: "FRAME[ params]\n" then the raw planes
+      val fEnd = lineEnd(pos)
+      val marker = new String(content, pos,
+        math.min(5, content.length - pos), "US-ASCII")
+      if (marker != "FRAME" || fEnd >= content.length ||
+          content.length - (fEnd + 1) < frameBytes) truncated = true
+      else {
+        val base = fEnd + 1
+        var y = 0
+        while (y < h) {
+          val gy = y * grid / h
+          var x = 0
+          while (x < w) {
+            val b = gy * grid + x * grid / w
+            acc(b) += (content(base + y * w + x) & 0xff)
+            cnt(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        frames += 1
+        pos = base + frameBytes.toInt
+      }
+    }
+    if (frames == 0) None
+    else Some(Array.tabulate(dim)(i =>
+      if (cnt(i) == 0) 0.0f else (acc(i).toDouble / cnt(i) / 255.0).toFloat))
+  }
+
+  /** Kind-routed decode: real pixels for images, real PCM envelope for
+    * audio, real Y4M frames for video; the deterministic stub only for
+    * payloads none of the parsers accept (and for compressed video —
+    * no codec jars ship in this container).
     */
   def decode(kind: String, content: Array[Byte],
              dim: Int = FeatureDim): Array[Float] =
@@ -199,6 +294,8 @@ object Multimodal {
         decodeImage(content, dim).getOrElse(decodeStub(content, dim))
       case "audio" =>
         decodeAudio(content, dim).getOrElse(decodeStub(content, dim))
+      case "video" =>
+        decodeVideo(content, dim).getOrElse(decodeStub(content, dim))
       case _ => decodeStub(content, dim)
     }
 

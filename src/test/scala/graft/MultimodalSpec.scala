@@ -96,7 +96,7 @@ class MultimodalSpec extends SparkSpec {
     // image bytes under kind=audio are not parseable audio -> stub
     assert(Multimodal.decode("audio", png).toSeq ==
       Multimodal.decodeStub(png).toSeq)
-    // video is always the stub (no codecs shipped)
+    // PNG bytes under kind=video are not Y4M -> stub
     assert(Multimodal.decode("video", png).toSeq ==
       Multimodal.decodeStub(png).toSeq)
   }
@@ -128,9 +128,61 @@ class MultimodalSpec extends SparkSpec {
     val rec = MediaRecord(11L, "audio", wav, 0, 0, 8000, 200)
     val out = Multimodal.extractFeatures(spark.createDataset(Seq(rec))).collect()
     assert(out.head.features.toSeq == expected)
-    // WAV bytes under kind=video still use the stub
+    // WAV bytes under kind=video are not Y4M -> stub
     assert(Multimodal.decode("video", wav).toSeq ==
       Multimodal.decodeStub(wav).toSeq)
+  }
+
+  test("real Y4M decode: crafted clip yields pinned time-averaged grid luminance") {
+    def y4m(header: String, frames: Array[Byte]*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write((header + "\n").getBytes("US-ASCII"))
+      frames.foreach { f =>
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        out.write(f)
+      }
+      out.toByteArray
+    }
+    // 8x8 mono, 2 frames: frame 1 left half 0 / right half 255,
+    // frame 2 uniform 51. Each 4x4 grid cell sees 4 pixels per frame,
+    // so left cells average (0*4 + 51*4)/8 and right (255*4 + 51*4)/8
+    // -- exact in double, computed here with the decoder's own op order
+    val f1 = Array.tabulate(64)(i => if (i % 8 < 4) 0 else 255).map(_.toByte)
+    val f2 = Array.fill(64)(51.toByte)
+    val clip = y4m("YUV4MPEG2 W8 H8 F25:1 Ip A1:1 Cmono", f1, f2)
+    val left = (204.0 / 8 / 255.0).toFloat
+    val right = (1224.0 / 8 / 255.0).toFloat
+    val expected = Seq.tabulate(16)(i => if (i % 4 < 2) left else right)
+    assert(Multimodal.decodeVideo(clip).map(_.toSeq).contains(expected),
+      "time-averaged grid luminance off the crafted Y4M diverges")
+    // default colorspace (no C tag) is 420: frame = Y + 2 quarter
+    // chroma planes; all-white Y must give all-1.0 features with the
+    // chroma bytes skipped by exact plane size
+    val y420 = Array.fill(64)(255.toByte) ++ Array.fill(32)(7.toByte)
+    val clip420 = y4m("YUV4MPEG2 W8 H8 F30:1", y420)
+    assert(Multimodal.decodeVideo(clip420).map(_.toSeq)
+      .contains(Seq.fill(16)(1.0f)))
+    // a clip truncated mid-frame decodes its complete frames only:
+    // frame 1 of the mono clip alone gives 0/1 per cell
+    val cut = clip.dropRight(40)
+    assert(Multimodal.decodeVideo(cut).map(_.toSeq)
+      .contains(Seq.tabulate(16)(i => if (i % 4 < 2) 0.0f else 1.0f)))
+    // through the full executor-side extraction path under kind=video
+    import spark.implicits._
+    val rec = MediaRecord(13L, "video", clip, 8, 8, 0, 80)
+    val out = Multimodal.extractFeatures(spark.createDataset(Seq(rec))).collect()
+    assert(out.head.features.toSeq == expected)
+    assert(out.head.n_bytes == clip.length)
+    // degradation paths: bad magic, unsupported layout, zero complete
+    // frames -> None, and decode() falls back to the stub
+    val junk = "YUV4MPEG W8 H8\nFRAME\n".getBytes("US-ASCII")
+    assert(Multimodal.decodeVideo(junk).isEmpty)
+    assert(Multimodal.decode("video", junk).toSeq ==
+      Multimodal.decodeStub(junk).toSeq)
+    assert(Multimodal.decodeVideo(
+      y4m("YUV4MPEG2 W8 H8 C411", Array.fill(96)(0.toByte))).isEmpty)
+    assert(Multimodal.decodeVideo(
+      ("YUV4MPEG2 W8 H8 Cmono\nFRAME\n" + "ab").getBytes("US-ASCII")).isEmpty)
   }
 
   test("media feature rollup query returns one row per source") {
