@@ -127,18 +127,23 @@ object Affinity {
     * Truncation loses < 1 unit per (edge, iteration) of 10^12 total
     * mass — the spec pins the conservation bound.
     */
-  def partPagerank(spark: SparkSession, dir: String): DataFrame = {
-    // symmetrize; graph.pagerank truncates the lineage of this pair
-    // join before the iteration loop re-joins the edge list
-    val edges = halfEdges(spark, dir)
+  /** Symmetrized co-purchase edge set — the directed input both
+    * PageRank variants iterate over.
+    */
+  private[graft] def prEdges(spark: SparkSession, dir: String): DataFrame =
+    halfEdges(spark, dir)
       .select(explode(array(
         struct(col("part_a").as("src"), col("part_b").as("dst")),
         struct(col("part_b").as("src"), col("part_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    graft.operators.Graph.pagerank(edges, iters = PrIters, scale = PrScale)
+
+  def partPagerank(spark: SparkSession, dir: String): DataFrame =
+    // symmetrize; graph.pagerank truncates the lineage of this pair
+    // join before the iteration loop re-joins the edge list
+    graft.operators.Graph.pagerank(prEdges(spark, dir),
+      iters = PrIters, scale = PrScale)
       .select(col("v").as("part"), col("r").as("pr"))
       .orderBy(col("pr").desc, col("part").asc)
-  }
 
   private def prIterSql(prev: String, cur: String): String =
     s"""$cur AS (
@@ -176,6 +181,80 @@ object Affinity {
       |ORDER BY pr DESC, part ASC""".stripMargin
   }
 
+
+  /** Convergence tolerance for [[partPagerankConverged]]: total
+    * absolute rank movement per round ≤ PrScale/PrTolDiv (1% of total
+    * mass). Part of the operator contract — the oracle's recursion
+    * terminates on the same integer inequality, so both engines stop
+    * at the identical round. Measured rounds: 10 at sf0.01, 20 at
+    * sf0.1 (mixing slows as the graph grows; the exact-fixpoint
+    * alternative would need ~170 rounds at scale 10^12, which is why
+    * the operational entry point is tolerance-driven).
+    */
+  val PrTolDiv = 100L
+
+  /** Safety valve only — convergence, not the cap, must terminate. */
+  val PrMaxIters = 60
+
+  /** Convergence-driven PageRank over the same co-purchase graph as
+    * [[partPagerank]]: iterate until Σ|r − r'| ≤ [[PrTolDiv]]⁻¹ of
+    * total mass instead of a fixed round count — the operational
+    * "run to convergence" form. EXACT integer ranks make the stopping
+    * rule engine-portable: the oracle replays the identical recurrence
+    * as a DuckDB recursive CTE whose recursion continues exactly while
+    * the same integer movement sum exceeds the same tolerance, so
+    * round count AND final vector hash-match bit-for-bit. Emits the
+    * round count on every row — pinning termination itself, not just
+    * the fixed point.
+    */
+  def partPagerankConverged(spark: SparkSession, dir: String): DataFrame = {
+    val (pr, rounds) = graft.operators.Graph.pagerankConverged(
+      prEdges(spark, dir), maxIters = PrMaxIters,
+      tolerance = PrScale / PrTolDiv, scale = PrScale)
+    pr.select(col("v").as("part"), col("r").as("pr"),
+        lit(rounds).as("rounds"))
+      .orderBy(col("pr").desc, col("part").asc)
+  }
+
+  val partPagerankConvergedSql: String = {
+    val tol = PrScale / PrTolDiv
+    s"""WITH RECURSIVE ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), halfe AS (
+      |  ${halfEdgesSql("pa", "pb")}
+      |), edges AS (
+      |  SELECT pa AS src, pb AS dst FROM halfe
+      |  UNION ALL
+      |  SELECT pb, pa FROM halfe
+      |), deg AS (
+      |  SELECT src AS v, count(*) AS d FROM edges GROUP BY 1
+      |), nn AS (
+      |  SELECT count(*) AS n FROM deg
+      |), rec AS (
+      |  SELECT v, $PrScale // nn.n AS r, d, 0 AS iter, 1 AS moving
+      |  FROM deg CROSS JOIN nn
+      |  UNION ALL
+      |  SELECT nxt.v, nxt.r, nxt.d, prev.iter + 1,
+      |    -- one flag per step: does THIS iterate still move > tol?
+      |    CASE WHEN sum(abs(nxt.r - prev.r)) OVER () > $tol
+      |         THEN 1 ELSE 0 END AS moving
+      |  FROM (
+      |    SELECT d.v, ($PrScale * 15) // (100 * nn.n) +
+      |      (85 * coalesce(c.contrib, 0)) // 100 AS r, d.d
+      |    FROM deg d
+      |    LEFT JOIN (
+      |      SELECT e.dst AS v, CAST(sum(p.r // p.d) AS BIGINT) AS contrib
+      |      FROM edges e JOIN rec p ON e.src = p.v
+      |      GROUP BY e.dst) c ON d.v = c.v
+      |    CROSS JOIN nn
+      |  ) nxt
+      |  JOIN rec prev ON nxt.v = prev.v
+      |  WHERE prev.moving = 1 AND prev.iter < $PrMaxIters
+      |)
+      |SELECT v AS part, CAST(r AS BIGINT) AS pr, iter AS rounds
+      |FROM rec WHERE moving = 0
+      |ORDER BY pr DESC, part ASC""".stripMargin
+  }
 
   /** Vertex degrees of a canonical (u < v) undirected half-edge set. */
   private[graft] def degrees(half: DataFrame): DataFrame =
@@ -280,12 +359,14 @@ object Affinity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_part_copurchase" -> (partCopurchase _),
     "q_part_triangles" -> (partTriangles _),
-    "q_part_pagerank" -> (partPagerank _)
+    "q_part_pagerank" -> (partPagerank _),
+    "q_pagerank_converged" -> (partPagerankConverged _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_part_copurchase" -> partCopurchaseSql,
     "q_part_triangles" -> partTrianglesSql,
-    "q_part_pagerank" -> partPagerankSql
+    "q_part_pagerank" -> partPagerankSql,
+    "q_pagerank_converged" -> partPagerankConvergedSql
   )
 }
