@@ -17,8 +17,11 @@ import graft.ingest.Sources._
   *
   * Scale notes (100 TB): every aggregate here is partial+final
   * (HashAggregateExec); dimension joins broadcast explicitly; fact-fact
-  * joins shuffle on join keys and rely on AQE for skew; no collect() on
-  * any data path.
+  * joins shuffle on join keys and rely on AQE for skew (proven live by
+  * ScaleSpec's OptimizeSkewedJoin test — the hot partition really is
+  * split; for skewed AGGREGATION keys, which AQE cannot split, the
+  * prescribed path is [[graft.operators.Scale.saltedSumCount]]); no
+  * collect() on any data path.
   */
 object Relational {
 

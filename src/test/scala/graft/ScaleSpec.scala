@@ -79,6 +79,53 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew join: OptimizeSkewedJoin actually splits the hot partition") {
+    // The scale notes (Relational.scala) say fact-fact joins "rely on
+    // AQE for skew" — this pins that the claim is live, not folklore:
+    // a join keyed 90%+ on one value must come back with the skewed
+    // partition split (skew=true on the SMJ, skewed AQEShuffleRead),
+    // at thresholds scaled down to fixture size the same way a real
+    // deployment scales them to executor memory. Scale.saltedSumCount
+    // remains the prescribed path for the one shape AQE cannot fix
+    // (skewed AGGREGATION keys, where there is no second side to
+    // split against).
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "131072")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      val pad = "x" * 64
+      // ~4 MiB of rows on ONE join key in one shuffle partition vs a
+      // tiny tail: factor x threshold make it unambiguously skewed
+      val left = spark.range(0, 55000)
+        .select(when($"id" < 50000, lit(0L)).otherwise($"id").as("k"),
+          $"id".as("v"), lit(pad).as("pad"))
+      val right = spark.range(0, 1000).select($"id".as("k"), lit(pad).as("rpad"))
+      val joined = left.join(right, "k")
+      // execute THIS frame (count() would plan a separate query and
+      // leave joined's own adaptive plan unfinalized)
+      assert(joined.collect().length == 50000, "skewed join row count off")
+      val p = plan(joined)
+      assert(p.contains("isFinalPlan=true"), s"adaptive plan not final:\n$p")
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not mark the join as skew-split:\n$p")
+      assert(p.contains("AQEShuffleRead"),
+        s"expected an AQE shuffle read in the final adaptive plan:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stratified sample: per-stratum rates honored, shuffle-free, stable") {
     val docs = graft.ingest.Sources.documents(spark, sf)
     val sampled = Scale.stratifiedSample(docs, col("doc_id"), col("lang"),
