@@ -83,12 +83,15 @@ object Graph {
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
-      labels.unpersist() // superseded round — don't pin maxIters copies
-      hop.unpersist()    // folded into next; only next carries forward
+      // freeCheckpoint, not Dataset.unpersist: the latter is a silent
+      // no-op for checkpoint RDDs (CacheManager doesn't track them) —
+      // these rounds WERE being pinned for the session lifetime
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(labels) // superseded round
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(hop)    // folded into next
       labels = next
       i += 1
     }
-    sym.unpersist()
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(sym)
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     labels
   }
@@ -114,8 +117,11 @@ object Graph {
     * well-defined — the fixed point is a literal equality test, not
     * an ulp-chase — though DIV truncation can in principle settle
     * into a tiny oscillation instead of a point, which is what the
-    * tolerance absorbs. Each round costs one extra self-join over the
-    * (v, r) frames for the delta sum; the fixed-iteration [[pagerank]]
+    * tolerance absorbs. The movement scalar costs NO extra join: the
+    * previous rank rides through the update join (the ranks frame IS
+    * the degree table plus r, so updating FROM it instead of from a
+    * separate deg frame gives r_prev for free) and one agg over the
+    * new frame reads the delta. The fixed-iteration [[pagerank]]
     * stays the oracle-checked operator (its iteration count is part
     * of its contract), this variant is the operational
     * "run to convergence" entry point. Returns (ranks, roundsRun).
@@ -137,31 +143,32 @@ object Graph {
           .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
           .select(col("dst").as("v"), expr("r DIV d").as("c"))
           .groupBy(col("v")).agg(sum(col("c")).as("contrib"))
-        val next = deg.join(contrib, Seq("v"), "left")
+        // update FROM ranks (= deg + r): same join as updating from
+        // deg, but the old rank is already on the row for the delta
+        val next = ranks.join(contrib, Seq("v"), "left")
           .select(col("v"),
             expr(s"(${scale}L * 15) DIV (100 * ${n}L) + " +
               "(85 * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100").as("r"),
-            col("d"))
+            col("d"), col("r").as("r_prev"))
           .localCheckpoint(eager = false)
         // one action computes the movement AND materializes `next`
-        val moved = next.join(
-          ranks.select(col("v"), col("r").as("r_prev")), Seq("v"))
+        val moved = next
           .agg(coalesce(sum(abs(col("r") - col("r_prev"))), lit(0L)))
           .head().getLong(0)
         converged = moved <= tolerance
-        ranks.unpersist()
-        ranks = next
+        org.apache.spark.sql.GraftBridge.freeCheckpoint(ranks)
+        ranks = next.drop("r_prev")
         rounds += 1
       }
       if (!converged) {
         // don't leave the last round pinned in executor storage on the
         // failure path — this is the operational long-lived entry point
-        ranks.unpersist()
+        org.apache.spark.sql.GraftBridge.freeCheckpoint(ranks)
         throw new IllegalStateException(
           s"pagerankConverged: not within $tolerance after $maxIters rounds")
       }
       (ranks, rounds)
-    } finally e.unpersist(): Unit
+    } finally org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
   }
 
   def pagerank(edges: DataFrame, iters: Int = 3,
@@ -185,11 +192,11 @@ object Graph {
             "(85 * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100").as("r"),
           col("d"))
         .localCheckpoint(eager = false)
-      next.count() // materialize before unpersisting the superseded round
-      ranks.unpersist()
+      next.count() // materialize before freeing the superseded round
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(ranks)
       ranks = next
     }
-    e.unpersist()
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
     ranks
   }
 }

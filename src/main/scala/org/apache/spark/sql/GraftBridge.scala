@@ -59,6 +59,26 @@ object GraftBridge {
         s.experimental.extraStrategies :+ strategy
   }
 
+  /** Actually free the storage blocks behind a localCheckpoint'd
+    * frame. `Dataset.unpersist()` goes through the CacheManager,
+    * which does not track checkpoint RDDs — for them it is a SILENT
+    * NO-OP (verified: getPersistentRDDs still holds the RDD after
+    * unpersist(true)), so an iterative operator that "unpersists"
+    * superseded rounds is really pinning every round until the
+    * session dies. The RDD that localCheckpoint persisted lives in
+    * the frame's LogicalRDD leaf; unpersisting THAT releases the
+    * blocks. Walks the analyzed plan, so it also works on frames
+    * derived from a checkpoint (select/drop/filter) — and therefore
+    * frees EVERY checkpoint leaf under the frame: only call it when
+    * the checkpointed data is genuinely dead to all consumers.
+    */
+  def freeCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Runtime twin of SparkSessionExtensions.injectOptimizerRule. */
   def addOptimization(spark: SparkSession,
                       rule: org.apache.spark.sql.catalyst.rules.Rule[

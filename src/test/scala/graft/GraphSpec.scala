@@ -25,6 +25,41 @@ class GraphSpec extends SparkSpec {
     assert(got(10L) == 10L && got(11L) == 10L, s"island wrong: $got")
   }
 
+  test("iterative rounds free their checkpoint blocks (no per-round pinning)") {
+    // Dataset.unpersist() is a CacheManager call and a SILENT NO-OP for
+    // localCheckpoint RDDs — before GraftBridge.freeCheckpoint, every
+    // round of every iterative operator stayed pinned in the block
+    // manager for the session lifetime (the root of round-4's bench
+    // pollution finding). Pin the fix: after a multi-round run, the
+    // session retains at most the RETURNED frame's checkpoint, and
+    // freeing that returns the block manager to its starting state.
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    // start from a clean block manager: earlier tests' retained frames
+    // (and the ContextCleaner lazily GC-ing them mid-test) would make
+    // a relative baseline flap
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val before = 0
+    // chain of 9 -> several propagation rounds
+    val edges = edgesDF((1L until 9L).map(i => (i, i + 1)))
+    val labels = Graph.connectedComponents(edges)
+    assert(labels.collect().length == 9)
+    assert(persisted <= before + 1,
+      s"rounds left blocks pinned: $before -> $persisted")
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
+    assert(persisted == before,
+      s"returned frame's checkpoint not freed: $before -> $persisted")
+    // same discipline on the convergence-driven pagerank
+    val (pr, _) = Graph.pagerankConverged(
+      edgesDF((1L until 9L).flatMap(i => Seq((i, i + 1), (i + 1, i)))),
+      maxIters = 60, tolerance = 10000000000L) // 1% of mass, the query's setting
+    assert(pr.collect().nonEmpty)
+    assert(persisted <= before + 1,
+      s"pagerank rounds left blocks pinned: $before -> $persisted")
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(pr)
+    assert(persisted == before)
+  }
+
   test("dedup clusters: every near-dup pair lands in one cluster, canonical is min id") {
     val pairs = graft.analytics.TextOps.nearDupJaccard(spark, sf)
       .select(col("doc_a"), col("doc_b")).collect()
