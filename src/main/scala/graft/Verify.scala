@@ -9,7 +9,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.spark.Sessions.local(cpus, cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // remove stale output first: if this query fails below, leftover
       // parquet from an earlier run must not pass as current results
       sinks.Sinks.deleteRecursively(new java.io.File(s"$outDir/$name"))
@@ -18,6 +18,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release this query's checkpoint/cache blocks before the next:
+      // 107 queries in one session would otherwise accumulate every
+      // operator's materialized subtrees in the block manager
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
