@@ -46,12 +46,21 @@ object StreamBench {
       input.toDF().select(col("value").cast("binary").as("value")))
     val out = tempDir("sink")
     val ckpt = tempDir("ckpt")
+    // start the query FIRST, then feed chunk-by-chunk with a drain
+    // between adds: MemoryStream has no admission control, so
+    // pre-adding everything would plan ONE giant batch under
+    // AvailableNow and the rate would overstate steady-state
+    // multi-batch throughput. Interleaved drains force one micro-batch
+    // per chunk — per-batch planning and commit cost included.
+    val q = Pipeline.toParquetSink(parsed, out, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
     val t0 = System.nanoTime()
-    // chunked adds -> multiple micro-batches under AvailableNow, so the
-    // rate includes per-batch planning/commit cost, not one lucky batch
-    wire.grouped(4096).foreach(chunk => input.addData(chunk.toSeq))
-    val q = Pipeline.toParquetSink(parsed, out, ckpt)
-    q.awaitTermination()
+    try {
+      wire.grouped(4096).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
     val secs = (System.nanoTime() - t0) / 1e9
     val rows = spark.read.parquet(out).count()
     require(rows == wire.length,

@@ -27,12 +27,22 @@ class KafkaIntegrationSpec extends SparkSpec {
 
   /** The connector is resolved reflectively at runtime by format name;
     * probe the same way so the gate matches what .format("kafka") does.
+    * Probes BOTH the connector and its kafka-clients dependency (the
+    * classic partial provisioning: the connector jar dropped in, its
+    * dependency forgotten — Class.forName on the provider alone would
+    * pass and the test would then die mid-run with NoClassDefFoundError,
+    * breaking the only-pass-or-skip contract), and catches LinkageError
+    * so a broken jar also skips instead of failing the suite.
     */
   private def connectorPresent: Boolean =
     try {
       Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      Class.forName("org.apache.kafka.clients.producer.ProducerRecord")
       true
-    } catch { case _: ClassNotFoundException => false }
+    } catch {
+      case _: ClassNotFoundException => false
+      case _: LinkageError => false
+    }
 
   test("reference topology: producer replay -> Kafka -> engine -> parquet") {
     assume(broker.isDefined,
