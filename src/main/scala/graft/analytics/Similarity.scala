@@ -582,50 +582,59 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** DuckDB twin of the COMPLETE IVF pipeline: quantized unit vectors,
-    * per-label floor-mean init, [[KmeansIters]] unrolled fixed-point
-    * Lloyd steps (each = one assignment CTE + one floor-mean CTE, the
-    * same recipe as the fixed-point PageRank oracle), final probe
-    * ordering, inverted lists, and the exact-cosine re-rank. The
-    * recurrence is hash-checkable at all only because every score
-    * compares exact integers through one sqrt + one divide.
+  /** Assignment CTE: every vector ranked against codebook `cPrev`
+    * (exact integer dot through one sqrt + one divide).
     */
-  val knnIvfSql: String = {
-    // assignment of every vector under codebook `cPrev`
-    def assign(id: String, cPrev: String): String =
-      s"""$id AS (
-         |  SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY vec_id
-         |                       ORDER BY score DESC, cid ASC) AS rnk
-         |  FROM (
-         |    SELECT qv.vec_id, cc.cid,
-         |      CAST(list_sum(list_transform(range(1, 65),
-         |             k -> qv.q[k] * cc.c[k])) AS DOUBLE)
-         |        / sqrt(CAST(list_sum(list_transform(cc.c, x -> x * x))
-         |                    AS DOUBLE)) AS score
-         |    FROM qv CROSS JOIN $cPrev cc)
-         |)""".stripMargin
-    // floor-mean update from `assignId`; empty clusters carry `cPrev`
-    def mean(id: String, assignId: String, cPrev: String): String =
-      s"""$id AS (
-         |  SELECT p.cid, COALESCE(m.c, p.c) AS c
-         |  FROM $cPrev p LEFT JOIN (
-         |    SELECT cid,
-         |      list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT)
-         |           ORDER BY k) AS c
-         |    FROM (
-         |      SELECT a.cid, l.k,
-         |        CAST(sum(qv.q[l.k]) AS BIGINT) AS s, count(*) AS cnt
-         |      FROM qv
-         |      JOIN (SELECT vec_id, cid FROM $assignId WHERE rnk = 1) a
-         |        USING (vec_id)
-         |      CROSS JOIN lanes l
-         |      GROUP BY a.cid, l.k)
-         |    GROUP BY cid) m ON m.cid = p.cid
-         |)""".stripMargin
+  private def assignCte(id: String, cPrev: String): String =
+    s"""$id AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY score DESC, cid ASC) AS rnk
+       |  FROM (
+       |    SELECT qv.vec_id, cc.cid,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |             k -> qv.q[k] * cc.c[k])) AS DOUBLE)
+       |        / sqrt(CAST(list_sum(list_transform(cc.c, x -> x * x))
+       |                    AS DOUBLE)) AS score
+       |    FROM qv CROSS JOIN $cPrev cc)
+       |)""".stripMargin
+
+  /** Floor-mean update CTE from `assignId`; empty clusters carry
+    * `cPrev`.
+    */
+  private def meanCte(id: String, assignId: String, cPrev: String): String =
+    s"""$id AS (
+       |  SELECT p.cid, COALESCE(m.c, p.c) AS c
+       |  FROM $cPrev p LEFT JOIN (
+       |    SELECT cid,
+       |      list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT)
+       |           ORDER BY k) AS c
+       |    FROM (
+       |      SELECT a.cid, l.k,
+       |        CAST(sum(qv.q[l.k]) AS BIGINT) AS s, count(*) AS cnt
+       |      FROM qv
+       |      JOIN (SELECT vec_id, cid FROM $assignId WHERE rnk = 1) a
+       |        USING (vec_id)
+       |      CROSS JOIN lanes l
+       |      GROUP BY a.cid, l.k)
+       |    GROUP BY cid) m ON m.cid = p.cid
+       |)""".stripMargin
+
+  /** Shared oracle prefix (DuckDB twin of [[kmeansCentroids]] +
+    * assignment): double-cast embeddings `n`, quantized unit vectors
+    * `qv`, per-label floor-mean init `c0`, [[KmeansIters]] unrolled
+    * fixed-point Lloyd steps (each = one assignment CTE + one
+    * floor-mean CTE, the same recipe as the fixed-point PageRank
+    * oracle), and the final `probe` ranking of every vector under the
+    * trained codebook. Ends inside the WITH list — callers append
+    * their own CTEs and final SELECT. The recurrence is
+    * hash-checkable at all only because every score compares exact
+    * integers through one sqrt + one divide.
+    */
+  private def kmeansProbeCte: String = {
     val steps = (1 to KmeansIters).map(i =>
-      assign(s"a$i", s"c${i - 1}") + ",\n" +
-        mean(s"c$i", s"a$i", s"c${i - 1}")).mkString(",\n")
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        meanCte(s"c$i", s"a$i", s"c${i - 1}")).mkString(",\n")
     s"""WITH n AS (
        |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
@@ -651,7 +660,14 @@ object Similarity {
        |  GROUP BY label
        |),
        |$steps,
-       |${assign("probe", s"c$KmeansIters")},
+       |${assignCte("probe", s"c$KmeansIters")}""".stripMargin
+  }
+
+  /** DuckDB twin of the COMPLETE IVF pipeline: [[kmeansProbeCte]] plus
+    * inverted lists and the exact-cosine re-rank.
+    */
+  val knnIvfSql: String = {
+    s"""$kmeansProbeCte,
        |lists AS (
        |  SELECT vec_id AS neighbor_id, cid FROM probe WHERE rnk = 1
        |), probes AS (
@@ -674,6 +690,87 @@ object Similarity {
        |FROM ranked WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // SemDeDup: semantic dedup via k-means cells (oracle-checked)
+  // ---------------------------------------------------------------
+
+  /** Cosine threshold above which two same-cell embeddings are
+    * semantic duplicates (the synthetic corpus's near-dup pairs sit
+    * above 0.4 — same operating point as [[embedNearDup]]).
+    */
+  val SemDedupTau = 0.4
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication that only ever compares embeddings INSIDE the same
+    * k-means cell. A vector is a duplicate iff some lower-id member of
+    * its cell has cosine ≥ [[SemDedupTau]] with it — the deterministic
+    * "keep the first representative" variant of the paper's
+    * keep-one-per-group rule (no transitive chaining: the rule is a
+    * per-vector predicate, so it distributes as one semi-join-shaped
+    * aggregation).
+    *
+    * Scale shape: the trained codebook ([[kmeansCentroids]] — k×64
+    * driver literal) makes cell assignment a pure scan-side argmax
+    * (no shuffle); the pairwise stage joins the corpus to itself ON
+    * THE CELL ID only, so candidate pairs are Σ cell² rather than N².
+    * At 100 TB you size k ≈ N / target-cell-size (the paper uses
+    * ~10⁵ cells for billions of points) — cost scales with cell
+    * width, not corpus width. One localCheckpoint materializes the
+    * assignment once for both join sides (same discipline as the IVF
+    * index build).
+    */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    tau: Double = SemDedupTau): DataFrame = {
+    val cents = kmeansCentroids(spark, dir)
+    val centIds = typedlit(cents.map(_._1))
+    val assigned = vectors(spark, dir)
+      .withColumn("q", quantExpr(col("embedding"), col("nrm")))
+      .withColumn("best", element_at(centroidOrder(col("q"), cents), 1))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        element_at(centIds, col("best").getField("idx") + 1).as("cell"))
+      .localCheckpoint() // one assignment pass feeds both join sides
+    val others = assigned.select(col("cell"), col("vec_id").as("y_id"),
+      col("embedding").as("y_emb"), col("nrm").as("y_nrm"))
+    val dups = assigned.join(others, "cell")
+      .filter(col("y_id") < col("vec_id"))
+      .withColumn("cos",
+        vecDot(col("embedding"), col("y_emb")) / (col("nrm") * col("y_nrm")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("y_id")).as("dup_of"), max(col("cos")).as("max_cos"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
+        col("dup_of"),
+        round(col("max_cos"), 6).as("dup_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin: [[kmeansProbeCte]] trains the identical codebook;
+    * cells are the rnk=1 assignment; the duplicate predicate repeats
+    * the exact-double cosine recipe of [[embedNearDupSql]].
+    */
+  val semanticDedupSql: String =
+    s"""$kmeansProbeCte,
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM probe WHERE rnk = 1
+       |), pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS y_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      k -> na.emb[k] * nb.emb[k])) / (na.nrm * nb.nrm) AS cos
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  JOIN n na ON na.vec_id = a.vec_id
+       |  JOIN n nb ON nb.vec_id = b.vec_id
+       |), dups AS (
+       |  SELECT vec_id, min(y_id) AS dup_of, max(cos) AS max_cos
+       |  FROM pairs WHERE cos >= $SemDedupTau GROUP BY vec_id
+       |)
+       |SELECT c.vec_id, c.cell,
+       |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       |  d.dup_of, round(d.max_cos, 6) AS dup_cos
+       |FROM cells c LEFT JOIN dups d USING (vec_id)
+       |ORDER BY c.vec_id""".stripMargin
 
   // ---------------------------------------------------------------
   // L3: int8 scalar quantization (oracle-checked)
@@ -900,6 +997,7 @@ object Similarity {
     "q_label_centroids" -> (labelCentroids _),
     "q_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
+    "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "q_embed_quantize" -> (quantizeInt8 _)
   )
 
@@ -907,6 +1005,7 @@ object Similarity {
     "q_random_projection" -> randomProjectionSql,
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
+    "q_semantic_dedup" -> semanticDedupSql,
     "q_knn_bruteforce" -> knnBruteForceSql,
     "q_embed_near_dup" -> embedNearDupSql,
     "q_label_centroids" -> labelCentroidsSql,

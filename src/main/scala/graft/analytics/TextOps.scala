@@ -58,6 +58,121 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // L1: exact duplicated-substring spans (Lee et al. 2022)
+  // ---------------------------------------------------------------
+
+  /** Duplicated-substring window width, chars: a span is reported
+    * where a [[DupSpanWindow]]-char window of the doc occurs at ≥ 2
+    * positions anywhere in the corpus (other docs OR self-repetition).
+    */
+  val DupSpanWindow = 30
+
+  /** Oracle doc-length cap: the SQL twin enumerates window positions
+    * from a constant series of this length (DuckDB v1.0 has no
+    * lateral series over a column). Part of the ORACLE contract — the
+    * spec asserts the fixtures stay under it so corpus growth fails
+    * loudly there, not as an inscrutable driver hash mismatch.
+    */
+  val DupSpanOracleMaxLen = 2000
+
+  /** Exact duplicated-substring spans, the "dedup inside documents"
+    * operator of Lee et al. 2022 (arXiv:2107.06499): every
+    * [[DupSpanWindow]]-char window whose exact content occurs ≥ 2
+    * times in the corpus marks its position duplicated; overlapping
+    * and touching marked windows merge into maximal per-doc spans
+    * (classic gaps-and-islands — fixed width makes `pos > prev + W`
+    * the exact merge test). Their suffix-array formulation is
+    * single-node; this is the distributed equivalent for a fixed
+    * match length.
+    *
+    * Scale shape: candidate detection shuffles 8-byte xxhash64 keys
+    * (partial-agg combines them map-side), NOT window content — the
+    * W-char strings are only rederived for the survivors of the hash
+    * count, a corpus-duplication-sized fraction, where an exact
+    * content count removes any hash-collision false positives. Net
+    * shuffle ≈ 8 bytes per text byte; the span merge partitions by
+    * doc_id. Both scans run the [[graft.functions.WindowHashes]]
+    * codegen kernel (one long[] per document — the text column never
+    * rides the generator rows). The duplicated-hash table is
+    * broadcast — it is duplication-sized, not corpus-sized; a corpus
+    * whose dup-key set outgrows a broadcast swaps the hint for a
+    * plain shuffle join on `h` with the shape unchanged.
+    */
+  def dupSpans(spark: SparkSession, dir: String,
+               w: Int = DupSpanWindow): DataFrame = {
+    val hashes = documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WindowOps.windowHashes(col("text"), w))
+          .as(Seq("pos", "h")))
+    // phase 1: duplicated-hash candidates — 8-byte group keys only
+    val dupHashes = hashes.groupBy(col("h"))
+      .agg(count(lit(1)).as("hc"))
+      .filter(col("hc") >= 2)
+      .select(col("h"))
+    // phase 2: survivors rejoin their document to rederive the window
+    // content; the exact content count kills hash-collision false
+    // positives (the output is hash-independent)
+    val marked = hashes.join(broadcast(dupHashes), "h")
+      .join(documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos") + 1, lit(w)).as("win"))
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("win"))))
+      .filter(col("occ") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("newi",
+        when(col("prev").isNull || col("pos") > col("prev") + w, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("newi")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + w).as("e"))
+      .select(col("doc_id"),
+        col("s").cast("long").as("span_start"),
+        col("e").cast("long").as("span_end"),
+        (col("e") - col("s")).cast("long").as("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** DuckDB twin: constant position series (capped by
+    * [[DupSpanOracleMaxLen]]), content-grouped occurrence count (the
+    * hash phase is an internal pruning step with no output effect),
+    * same gaps-and-islands merge.
+    */
+  val dupSpansSql: String =
+    s"""WITH series AS (
+       |  SELECT unnest(range(0, $DupSpanOracleMaxLen)) AS pos
+       |), wins AS (
+       |  SELECT doc_id, s.pos,
+       |    substr(text, CAST(s.pos + 1 AS INTEGER), $DupSpanWindow) AS win
+       |  FROM documents JOIN series s
+       |    ON s.pos <= length(text) - $DupSpanWindow
+       |), occ AS (
+       |  SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
+       |), marked AS (
+       |  SELECT doc_id, pos FROM wins WHERE win IN (SELECT win FROM occ)
+       |), lagged AS (
+       |  SELECT doc_id, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM marked
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos > prev + $DupSpanWindow
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM lagged
+       |)
+       |SELECT doc_id,
+       |  CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + $DupSpanWindow AS BIGINT) AS span_end,
+       |  CAST(max(pos) + $DupSpanWindow - min(pos) AS BIGINT) AS span_len
+       |FROM isl
+       |GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------
   // L4: token counting / text statistics
   // ---------------------------------------------------------------
 
@@ -1611,6 +1726,7 @@ object TextOps {
     "q_chunk_dedup" -> (chunkDedup _),
     "q_weighted_sample" -> (weightedSample _),
     "q_dedup_exact" -> (dedupExact _),
+    "q_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
     "q_token_stats" -> (tokenStats _),
     "q_token_bpe" -> (tokenBpe _),
     "q_tfidf_top_terms" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
@@ -1646,6 +1762,7 @@ object TextOps {
     "q_simhash_dedup" -> simHashDedupSql,
     "q_doc_fingerprint" -> docFingerprintsSql,
     "q_dedup_exact" -> dedupExactSql,
+    "q_dup_spans" -> dupSpansSql,
     "q_token_stats" -> tokenStatsSql,
     "q_token_bpe" -> tokenBpeSql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,

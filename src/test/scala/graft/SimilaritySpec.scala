@@ -325,4 +325,48 @@ class SimilaritySpec extends SparkSpec {
         s"margin recompute mismatch for ${r.getInt(0)}")
     }
   }
+
+  test("semantic dedup: flags match a driver-side brute force within cells") {
+    val out = Similarity.semanticDedup(spark, sf).collect()
+    val nVecs = graft.ingest.Sources.embeddings(spark, sf).count()
+    assert(out.length == nVecs, "one decision row per vector")
+    val cell = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    // raw embeddings; dot accumulates left-to-right in doubles — the
+    // same order as FloatVectorDot, so the cosines match bit-for-bit
+    val emb = graft.ingest.Sources.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = cell.keys.toSeq.sorted
+    out.foreach { r =>
+      val x = r.getAs[Long]("vec_id")
+      val expected = ids.filter(y =>
+        y < x && cell(y) == cell(x) && cos(emb(x), emb(y)) >= Similarity.SemDedupTau)
+      if (expected.isEmpty) {
+        assert(r.getAs[Long]("kept") == 1L && r.isNullAt(r.fieldIndex("dup_of")),
+          s"vec $x wrongly marked duplicate")
+      } else {
+        assert(r.getAs[Long]("kept") == 0L &&
+          r.getAs[Long]("dup_of") == expected.min,
+          s"vec $x: dup_of ${r.getAs[Long]("dup_of")} != ${expected.min}")
+      }
+    }
+    // the rule guarantees each cell's minimum id survives
+    val minPerCell = cell.groupBy(_._2).values.map(_.keys.min).toSet
+    out.filter(r => minPerCell(r.getAs[Long]("vec_id")))
+      .foreach(r => assert(r.getAs[Long]("kept") == 1L,
+        s"cell-minimum vec ${r.getAs[Long]("vec_id")} must be kept"))
+    // and the operator actually fires on this corpus
+    assert(out.exists(_.getAs[Long]("kept") == 0L),
+      "fixture has no semantic duplicates — threshold test vacuous")
+  }
 }

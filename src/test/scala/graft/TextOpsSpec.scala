@@ -12,6 +12,91 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("WindowHashes kernel matches the substr+xxhash64 HOF reference") {
+    import spark.implicits._
+    val w = 5
+    // fixture corpus + crafted edges: multi-byte UTF-8 (code-point
+    // windows ≠ byte windows), exact-w, shorter-than-w, empty
+    val crafted = Seq("héllo wörld — ünïcode blörb", "exact", "tiny", "")
+      .toDF("text")
+    val fixture = graft.ingest.Sources.documents(spark, sf).select(col("text"))
+    for (df <- Seq(crafted, fixture)) {
+      val mismatches = df.select(
+        graft.functions.WindowOps.windowHashes(col("text"), w).as("kernel"),
+        when(length(col("text")) >= w,
+          transform(sequence(lit(0), length(col("text")) - w),
+            p => xxhash64(col("text").substr(p + 1, lit(w)))))
+          .otherwise(array().cast("array<bigint>")).as("hof"))
+        .filter(not(col("kernel") <=> col("hof")))
+        .count()
+      assert(mismatches == 0, s"$mismatches rows where kernel != HOF reference")
+    }
+    // and the kernel stays inside WholeStageCodegen on the scan
+    val p = plan(fixture.select(
+      graft.functions.WindowOps.windowHashes(col("text"), w).as("h")))
+    // "*(N)" marks a WholeStageCodegen stage in this plan format
+    assert("""\*\(\d+\) Project \[window_hashes""".r.findFirstIn(p).isDefined,
+      s"kernel fell out of codegen:\n$p")
+  }
+
+  test("dup spans: fixtures stay under the oracle position cap") {
+    // the SQL twin enumerates positions from a constant series of
+    // DupSpanOracleMaxLen — a longer doc would silently lose windows
+    // in the oracle and surface as a driver hash mismatch
+    for (dir <- Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val over = graft.ingest.Sources.documents(spark, dir)
+        .filter(length(col("text")) - TextOps.DupSpanWindow + 1 >
+          TextOps.DupSpanOracleMaxLen)
+        .count()
+      assert(over == 0, s"$over docs in $dir exceed the dup-span oracle cap")
+    }
+  }
+
+  test("dup spans: disjoint in-range spans match a brute-force recompute") {
+    val w = TextOps.DupSpanWindow
+    val lens = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val spans = TextOps.dupSpans(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len")))
+    assert(spans.nonEmpty, "fixture has no duplicated windows — test vacuous")
+    spans.foreach { case (doc, s, e, l) =>
+      assert(s >= 0 && e <= lens(doc) && l == e - s && l >= w,
+        s"span ($doc, $s, $e) out of range or shorter than the window")
+    }
+    // merged spans are strictly disjoint with a gap (touching merges)
+    spans.groupBy(_._1).values.foreach { ds =>
+      ds.sortBy(_._2).toSeq.sliding(2).foreach {
+        case Seq((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1, "adjacent spans should have merged")
+        case _ =>
+      }
+    }
+    // independent driver-side brute force over the whole fixture
+    // (code-unit substring == Spark's code-point substr because the
+    // corpus is ASCII — asserted below alongside the length map)
+    val texts = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, t) =>
+      assert(t.length == lens(id) && t.forall(_ < 128), s"doc $id not ASCII")
+    }
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, t) <- texts; p <- 0 to t.length - w)
+      occ.updateWith(t.substring(p, p + w))(c => Some(c.getOrElse(0) + 1))
+    val expected = texts.flatMap { case (id, t) =>
+      val marked = (0 to t.length - w).filter(p => occ(t.substring(p, p + w)) >= 2)
+      val islands = marked.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, p) if p <= e0 => (s0, p + w) :: rest
+        case (acc, p) => (p, p + w) :: acc
+      }.reverse
+      islands.map { case (s, e) => (id, s.toLong, e.toLong, (e - s).toLong) }
+    }.sortBy(t => (t._1, t._2))
+    assert(spans.sortBy(t => (t._1, t._2)).toSeq == expected.toSeq,
+      "operator spans differ from the brute-force recompute")
+  }
+
   test("exact dedup is idempotent and conserves rows") {
     val docs = graft.ingest.Sources.documents(spark, sf)
     val deduped = TextOps.dedupExact(spark, sf)
