@@ -264,6 +264,152 @@ object TextOps {
       |ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
+  // L4: BPE merge training (Sennrich et al. 2016)
+  // ---------------------------------------------------------------
+
+  /** Number of BPE merge rounds the trainer runs (and the oracle
+    * unrolls). A production vocabulary is ~30k merges of the same
+    * per-round shape; the round count is the contract here because
+    * each round is one unrolled CTE pair in the DuckDB twin.
+    */
+  val BpeMerges = 10
+
+  /** Distributed BPE merge training (Sennrich et al. 2016,
+    * arXiv:1508.07909), word-level: the corpus collapses to a
+    * (word, count) TYPE table first — the Zipf compression every real
+    * BPE trainer exploits — and all merge rounds run on types, never
+    * re-scanning the corpus. Each round: weighted adjacent-pair
+    * counts over the current symbol states, one global argmax (count
+    * DESC, then (lhs, rhs) lexicographic — a total order, so training
+    * is deterministic on any partitioning), then the merge applies as
+    * one string replace on delimiter-framed states: a symbol `s` is
+    * stored `(s)`, the pair rule `(a)(b)→(ab)` — framing makes the
+    * left-to-right non-overlapping `replace` exactly BPE's
+    * greedy-leftmost merge (consecutive pairs both rewrite; `aaa`
+    * under `(a)(a)` merges once), and symbols are `[a-z]+` so the
+    * frame characters can never collide with content. Training is
+    * restricted to alphabetic words (classic word-level BPE;
+    * punctuation/digit runs are pre-tokenizer classes, not merge
+    * material). Output: one row per round (lhs, rhs, merged,
+    * weighted pair count) plus a step-0 baseline row, with the
+    * corpus-wide token count after each merge — the compression
+    * curve a tokenizer-training run reports.
+    *
+    * Scale shape: the corpus scan is one map-side-combinable groupBy
+    * (types ≪ tokens); per round, the type table does one explode +
+    * one partial-agg count on short string pairs, one TakeOrdered(1)
+    * global argmax (corpus-size-independent driver literal — the
+    * k-means-codebook shape), and one scan-side replace. No join
+    * ever touches the corpus. At a real 30k-merge vocabulary the
+    * round loop batches non-conflicting merges per pass (fastBPE's
+    * trick); the per-round plan here is exactly one such pass.
+    */
+  def bpeTrain(spark: SparkSession, dir: String,
+               merges: Int = BpeMerges): DataFrame = {
+    import spark.implicits._
+    def symsOf(state: Column): Column =
+      split(regexp_replace(state, "^\\(|\\)$", ""), "\\)\\(")
+    val nToks = (st: DataFrame) => st
+      .select(sum(col("cnt") * size(symsOf(col("state")))))
+      .as[Long].head()
+    var states = documents(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("state", concat_ws("",
+        transform(split(col("word"), ""), c => concat(lit("("), c, lit(")")))))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Long)]
+    rules += ((0L, "", "", "", 0L, nToks(states)))
+    try {
+      var step = 1
+      var exhausted = false
+      while (step <= merges && !exhausted) {
+        val top = states
+          .select(col("cnt"), explode(zip_with(
+            slice(symsOf(col("state")), lit(1), size(symsOf(col("state"))) - 1),
+            slice(symsOf(col("state")), lit(2), size(symsOf(col("state"))) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+          // ' ' sorts below [a-z], so ordering the joined pair string
+          // IS the (lhs, rhs) lexicographic tie-break
+          .orderBy(col("c").desc, col("pair"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val parts = top(0).getString(0).split(" ", 2)
+          val (l, r) = (parts(0), parts(1))
+          val next = states.withColumn("state",
+              replace(col("state"), lit(s"($l)($r)"), lit(s"($l$r)")))
+            .localCheckpoint(eager = false)
+          rules += ((step.toLong, l, r, l + r, top(0).getLong(1), nToks(next)))
+          // nToks materialized `next`; the superseded round is dead
+          org.apache.spark.sql.GraftBridge.freeCheckpoint(states)
+          states = next
+          step += 1
+        }
+      }
+    } finally org.apache.spark.sql.GraftBridge.freeCheckpoint(states)
+    spark.createDataFrame(rules.toSeq)
+      .toDF("step", "lhs", "rhs", "merged", "pair_count", "corpus_tokens")
+      .orderBy(col("step"))
+  }
+
+  /** DuckDB twin: same type table, [[BpeMerges]] unrolled rounds —
+    * per round one pair-count CTE, one LIMIT-1 argmax CTE, one
+    * replace CTE — and the same framed-replace merge semantics
+    * (DuckDB's `replace` is the same left-to-right non-overlapping
+    * scan). Exact integers throughout.
+    */
+  val bpeTrainSql: String = {
+    def stepCtes(k: Int): String = {
+      val prev = s"s${k - 1}"
+      s"""p$k AS (
+         |  SELECT pair[1] AS l, pair[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |      i -> [syms[i], syms[i + 1]])) AS pair
+         |    FROM (SELECT cnt, string_split(trim(state, '()'), ')(') AS syms
+         |          FROM $prev))
+         |  GROUP BY l, r
+         |), m$k AS (
+         |  SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1
+         |), s$k AS (
+         |  SELECT word, cnt,
+         |    replace(state, '(' || m.l || ')(' || m.r || ')',
+         |            '(' || m.l || m.r || ')') AS state
+         |  FROM $prev CROSS JOIN m$k m
+         |)""".stripMargin
+    }
+    def tokCount(s: String): String =
+      s"(SELECT CAST(sum(cnt * len(string_split(trim(state, '()'), ')('))) AS BIGINT) FROM $s)"
+    val steps = (1 to BpeMerges).map(stepCtes).mkString(",\n")
+    val rows = (1 to BpeMerges).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, l AS lhs, r AS rhs,
+         |  l || r AS merged, c AS pair_count,
+         |  ${tokCount(s"s$k")} AS corpus_tokens FROM m$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH types AS (
+       |  SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |        FROM documents)
+       |  GROUP BY word
+       |), s0 AS (
+       |  SELECT word, cnt,
+       |    list_aggregate(list_transform(string_split(word, ''),
+       |      c -> '(' || c || ')'), 'string_agg', '') AS state
+       |  FROM types
+       |),
+       |$steps
+       |SELECT CAST(0 AS BIGINT) AS step, '' AS lhs, '' AS rhs, '' AS merged,
+       |  CAST(0 AS BIGINT) AS pair_count, ${tokCount("s0")} AS corpus_tokens
+       |UNION ALL
+       |$rows
+       |ORDER BY step""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // L4: quality scoring
   // ---------------------------------------------------------------
 
@@ -1729,6 +1875,7 @@ object TextOps {
     "q_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
     "q_token_stats" -> (tokenStats _),
     "q_token_bpe" -> (tokenBpe _),
+    "q_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
     "q_tfidf_top_terms" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
@@ -1765,6 +1912,7 @@ object TextOps {
     "q_dup_spans" -> dupSpansSql,
     "q_token_stats" -> tokenStatsSql,
     "q_token_bpe" -> tokenBpeSql,
+    "q_bpe_train" -> bpeTrainSql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,

@@ -97,6 +97,81 @@ class TextOpsSpec extends SparkSpec {
       "operator spans differ from the brute-force recompute")
   }
 
+  test("bpe train: merges match an independent driver-side reference BPE") {
+    val out = TextOps.bpeTrain(spark, sf).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"), r.getAs[Long]("corpus_tokens")))
+      .sortBy(_._1)
+    assert(out.length == TextOps.BpeMerges + 1,
+      "fixture exhausted pairs before the full merge budget — contract broken")
+    // independent reference: collect word counts, run classic BPE on
+    // symbol VECTORS (no string-framing trick) with the same
+    // greedy-leftmost application and (count desc, pair asc) argmax
+    val counts = graft.ingest.Sources.documents(spark, sf)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    var states: Map[Vector[String], Long] =
+      counts.groupBy(_._1.split("").toVector)
+        .map { case (k, vs) => k -> vs.map(_._2).sum }
+    def mergeWord(w: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == l && w(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += w(i); i += 1 }
+      }
+      b.result()
+    }
+    val expected = (1 to TextOps.BpeMerges).map { step =>
+      val pairCounts = states.toSeq.flatMap { case (w, c) =>
+        w.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)) -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((l, r), c) = pairCounts.minBy { case ((l, r), c) => (-c, l, r) }
+      states = states.toSeq.map { case (w, cnt) => (mergeWord(w, l, r), cnt) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val toks = states.map { case (w, cnt) => w.length * cnt }.sum
+      (step.toLong, l, r, l + r, c, toks)
+    }
+    val baselineToks = counts.map { case (w, c) => w.length * c }.sum
+    assert(out.head == ((0L, "", "", "", 0L, baselineToks)),
+      s"baseline row mismatch: ${out.head}")
+    (out.tail zip expected).foreach { case (got, want) =>
+      assert(got == want, s"step ${want._1}: got $got, want $want")
+    }
+    // the compression curve must strictly decrease while merges fire
+    out.map(_._6).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b < a, "a merge that saves no tokens won")
+      case _ =>
+    }
+  }
+
+  test("bpe train: framed replace is exactly greedy-leftmost merging") {
+    import spark.implicits._
+    // consecutive pairs both rewrite; overlapping same-symbol runs
+    // merge greedily left-to-right — the two cases where a naive
+    // space-separated encoding diverges from BPE semantics
+    val got = Seq("(a)(b)(a)(b)", "(a)(a)(a)", "(x)(a)(b)(y)", "(ab)(a)(b)")
+      .toDF("state")
+      .select(replace(col("state"), lit("(a)(b)"), lit("(ab)")).as("m"))
+      .as[String].collect().toSeq
+    assert(got == Seq("(ab)(ab)", "(a)(a)(a)", "(x)(ab)(y)", "(ab)(ab)"))
+    val aa = Seq("(a)(a)(a)").toDF("state")
+      .select(replace(col("state"), lit("(a)(a)"), lit("(aa)")).as("m"))
+      .as[String].head()
+    assert(aa == "(aa)(a)", "greedy-leftmost broken for overlapping runs")
+  }
+
+  test("bpe train: frees every checkpoint it makes") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    TextOps.bpeTrain(spark, sf).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"RDDs ${leaked.mkString(",")} still pinned after bpeTrain")
+  }
+
   test("exact dedup is idempotent and conserves rows") {
     val docs = graft.ingest.Sources.documents(spark, sf)
     val deduped = TextOps.dedupExact(spark, sf)
