@@ -306,19 +306,39 @@ object TextOps {
     */
   def bpeTrain(spark: SparkSession, dir: String,
                merges: Int = BpeMerges): DataFrame = {
-    import spark.implicits._
-    def symsOf(state: Column): Column =
-      split(regexp_replace(state, "^\\(|\\)$", ""), "\\)\\(")
-    val nToks = (st: DataFrame) => st
-      .select(sum(col("cnt") * size(symsOf(col("state")))))
-      .as[Long].head()
-    var states = documents(spark, dir)
+    val rules = bpeTrainRules(spark, dir, merges)
+    spark.createDataFrame(rules)
+      .toDF("step", "lhs", "rhs", "merged", "pair_count", "corpus_tokens")
+      .orderBy(col("step"))
+  }
+
+  /** `(c)(a)(t)` framing: symbol list from a framed state. */
+  private def symsOf(state: Column): Column =
+    split(regexp_replace(state, "^\\(|\\)$", ""), "\\)\\(")
+
+  /** Alphabetic word types of the corpus with their initial framed
+    * states — round 0 of the trainer and the vocabulary [[bpeEncode]]
+    * replays the rules over.
+    */
+  private def bpeStates0(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
       .select(explode(regexp_extract_all(lower(col("text")),
         lit("[a-z]+"), lit(0))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("state", concat_ws("",
         transform(split(col("word"), ""), c => concat(lit("("), c, lit(")")))))
-      .localCheckpoint()
+
+  /** The training loop itself: per-step
+    * (step, lhs, rhs, merged, pair_count, corpus_tokens) rows,
+    * step 0 = pre-merge baseline.
+    */
+  private def bpeTrainRules(spark: SparkSession, dir: String,
+                            merges: Int): Seq[(Long, String, String, String, Long, Long)] = {
+    import spark.implicits._
+    val nToks = (st: DataFrame) => st
+      .select(sum(col("cnt") * size(symsOf(col("state")))))
+      .as[Long].head()
+    var states = bpeStates0(spark, dir).localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long, Long)]
     rules += ((0L, "", "", "", 0L, nToks(states)))
@@ -351,9 +371,40 @@ object TextOps {
         }
       }
     } finally org.apache.spark.sql.GraftBridge.freeCheckpoint(states)
-    spark.createDataFrame(rules.toSeq)
-      .toDF("step", "lhs", "rhs", "merged", "pair_count", "corpus_tokens")
-      .orderBy(col("step"))
+    rules.toSeq
+  }
+
+  /** BPE encode (the apply side of [[bpeTrain]]): replay the trained
+    * merge rules over the word-type vocabulary, then report the
+    * per-language tokenization the trained tokenizer would produce —
+    * word count, character-level baseline tokens, BPE tokens, and the
+    * resulting compression ratio.
+    *
+    * Scale shape: training yields the rules as driver literals; the
+    * encode of the VOCABULARY is [[BpeMerges]] chained scan-side
+    * replaces over the type table (no shuffle); the corpus pass
+    * explodes words once and joins the broadcast (word → encoded
+    * length) vocabulary — at production scale that vocab table is
+    * ~10⁵–10⁸ short rows, the canonical broadcast/bucket-join side.
+    */
+  def bpeEncode(spark: SparkSession, dir: String,
+                merges: Int = BpeMerges): DataFrame = {
+    val rules = bpeTrainRules(spark, dir, merges).drop(1) // drop baseline row
+    val encoded = rules.foldLeft(bpeStates0(spark, dir)) {
+      case (df, (_, l, r, _, _, _)) => df.withColumn("state",
+        replace(col("state"), lit(s"($l)($r)"), lit(s"($l$r)")))
+    }.select(col("word"), size(symsOf(col("state"))).as("enc_len"))
+    documents(spark, dir)
+      .select(col("lang"), explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .join(broadcast(encoded), "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("char_tokens"),
+        sum(col("enc_len")).cast("long").as("bpe_tokens"))
+      .withColumn("ratio", round(col("bpe_tokens").cast("double") /
+        col("char_tokens").cast("double"), 4))
+      .orderBy(col("lang"))
   }
 
   /** DuckDB twin: same type table, [[BpeMerges]] unrolled rounds —
@@ -362,34 +413,32 @@ object TextOps {
     * (DuckDB's `replace` is the same left-to-right non-overlapping
     * scan). Exact integers throughout.
     */
-  val bpeTrainSql: String = {
-    def stepCtes(k: Int): String = {
-      val prev = s"s${k - 1}"
-      s"""p$k AS (
-         |  SELECT pair[1] AS l, pair[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
-         |  FROM (
-         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
-         |      i -> [syms[i], syms[i + 1]])) AS pair
-         |    FROM (SELECT cnt, string_split(trim(state, '()'), ')(') AS syms
-         |          FROM $prev))
-         |  GROUP BY l, r
-         |), m$k AS (
-         |  SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1
-         |), s$k AS (
-         |  SELECT word, cnt,
-         |    replace(state, '(' || m.l || ')(' || m.r || ')',
-         |            '(' || m.l || m.r || ')') AS state
-         |  FROM $prev CROSS JOIN m$k m
-         |)""".stripMargin
-    }
-    def tokCount(s: String): String =
-      s"(SELECT CAST(sum(cnt * len(string_split(trim(state, '()'), ')('))) AS BIGINT) FROM $s)"
-    val steps = (1 to BpeMerges).map(stepCtes).mkString(",\n")
-    val rows = (1 to BpeMerges).map(k =>
-      s"""SELECT CAST($k AS BIGINT) AS step, l AS lhs, r AS rhs,
-         |  l || r AS merged, c AS pair_count,
-         |  ${tokCount(s"s$k")} AS corpus_tokens FROM m$k""".stripMargin)
-      .mkString("\nUNION ALL\n")
+  private def bpeStepCtes(k: Int): String = {
+    val prev = s"s${k - 1}"
+    s"""p$k AS (
+       |  SELECT pair[1] AS l, pair[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (
+       |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+       |      i -> [syms[i], syms[i + 1]])) AS pair
+       |    FROM (SELECT cnt, string_split(trim(state, '()'), ')(') AS syms
+       |          FROM $prev))
+       |  GROUP BY l, r
+       |), m$k AS (
+       |  SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1
+       |), s$k AS (
+       |  SELECT word, cnt,
+       |    replace(state, '(' || m.l || ')(' || m.r || ')',
+       |            '(' || m.l || m.r || ')') AS state
+       |  FROM $prev CROSS JOIN m$k m
+       |)""".stripMargin
+  }
+
+  /** Shared oracle prefix: type table, framed round-0 states, and all
+    * [[BpeMerges]] unrolled (pair-count, argmax, replace) CTE triples.
+    * Ends inside the WITH list — callers append CTEs / final SELECT.
+    */
+  private def bpeCtePrefix: String = {
+    val steps = (1 to BpeMerges).map(bpeStepCtes).mkString(",\n")
     s"""WITH types AS (
        |  SELECT word, count(*) AS cnt
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
@@ -401,13 +450,45 @@ object TextOps {
        |      c -> '(' || c || ')'), 'string_agg', '') AS state
        |  FROM types
        |),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    def tokCount(s: String): String =
+      s"(SELECT CAST(sum(cnt * len(string_split(trim(state, '()'), ')('))) AS BIGINT) FROM $s)"
+    val rows = (1 to BpeMerges).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, l AS lhs, r AS rhs,
+         |  l || r AS merged, c AS pair_count,
+         |  ${tokCount(s"s$k")} AS corpus_tokens FROM m$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""$bpeCtePrefix
        |SELECT CAST(0 AS BIGINT) AS step, '' AS lhs, '' AS rhs, '' AS merged,
        |  CAST(0 AS BIGINT) AS pair_count, ${tokCount("s0")} AS corpus_tokens
        |UNION ALL
        |$rows
        |ORDER BY step""".stripMargin
   }
+
+  /** DuckDB twin of [[bpeEncode]]: the trained states `s{BpeMerges}`
+    * give each word's encoded length; one corpus word pass joins them.
+    */
+  val bpeEncodeSql: String =
+    s"""$bpeCtePrefix,
+       |enc AS (
+       |  SELECT word, len(string_split(trim(state, '()'), ')(')) AS enc_len
+       |  FROM s$BpeMerges
+       |), words AS (
+       |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents
+       |)
+       |SELECT lang, count(*) AS n_words,
+       |  CAST(sum(length(word)) AS BIGINT) AS char_tokens,
+       |  CAST(sum(enc_len) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(sum(enc_len) AS DOUBLE) /
+       |        CAST(sum(length(word)) AS DOUBLE), 4) AS ratio
+       |FROM words JOIN enc USING (word)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
   // L4: quality scoring
@@ -1876,6 +1957,7 @@ object TextOps {
     "q_token_stats" -> (tokenStats _),
     "q_token_bpe" -> (tokenBpe _),
     "q_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
+    "q_bpe_encode" -> ((s: SparkSession, d: String) => bpeEncode(s, d)),
     "q_tfidf_top_terms" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
@@ -1913,6 +1995,7 @@ object TextOps {
     "q_token_stats" -> tokenStatsSql,
     "q_token_bpe" -> tokenBpeSql,
     "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,

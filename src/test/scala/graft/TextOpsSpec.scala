@@ -165,6 +165,29 @@ class TextOpsSpec extends SparkSpec {
     assert(aa == "(aa)(a)", "greedy-leftmost broken for overlapping runs")
   }
 
+  test("bpe encode: totals reconcile with the trainer's compression curve") {
+    val enc = TextOps.bpeEncode(spark, sf).collect()
+    assert(enc.nonEmpty)
+    // cross-language total BPE tokens == the trainer's final
+    // corpus_tokens (same corpus, same rules, different aggregation path)
+    val trainFinal = TextOps.bpeTrain(spark, sf).collect()
+      .maxBy(_.getAs[Long]("step")).getAs[Long]("corpus_tokens")
+    val encTotal = enc.map(_.getAs[Long]("bpe_tokens")).sum
+    assert(encTotal == trainFinal,
+      s"encode total $encTotal != trainer final corpus tokens $trainFinal")
+    enc.foreach { r =>
+      val (words, chars, bpe) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("char_tokens"), r.getAs[Long]("bpe_tokens"))
+      // every word is 1..len(word) tokens, and 10 merges must bite
+      assert(bpe >= words && bpe <= chars, s"token bounds violated: $r")
+      assert(r.getAs[Double]("ratio") ==
+        BigDecimal(bpe.toDouble / chars.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(enc.map(_.getAs[Long]("bpe_tokens")).sum <
+      enc.map(_.getAs[Long]("char_tokens")).sum, "no compression achieved")
+  }
+
   test("bpe train: frees every checkpoint it makes") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     TextOps.bpeTrain(spark, sf).collect()
