@@ -403,6 +403,20 @@ object Similarity {
     array_sort(array(entries: _*))
   }
 
+  /** THE cell-assignment contract, shared by k-means training, IVF
+    * probing and SemDeDup: centroids of `q`'s cells in score order
+    * (best first), each as struct(cid, negscore). The idx→centroid-id
+    * mapping lives only here — a tie-break or quantization change in
+    * one consumer cannot silently diverge from the others (or from
+    * the shared DuckDB assignment CTE).
+    */
+  private def cellRank(q: Column, cents: Seq[(Int, Seq[Long])]): Column = {
+    val centIds = typedlit(cents.map(_._1))
+    transform(centroidOrder(q, cents), s => struct(
+      element_at(centIds, s.getField("idx") + 1).as("cid"),
+      s.getField("negscore").as("negscore")))
+  }
+
   /** One spherical k-means step over quantized unit vectors: assign
     * each vector to its max-score centroid (scan-side [[centroidOrder]]
     * argmax — the assignment never shuffles), then recompute each
@@ -427,14 +441,13 @@ object Similarity {
   private[graft] def kmeansStep(
       spark: SparkSession, qv: DataFrame,
       cents: Seq[(Int, Seq[Long])]): (Seq[(Int, Seq[Long])], Double) = {
-    val centIds = typedlit(cents.map(_._1))
     val laneSums = (0 until Dim).map(i =>
       sum(element_at(col("q"), i + 1)).as(s"c$i"))
     val qnorm = sqrt(vecDotLong(col("q"), col("q")).cast("double"))
     val rows = qv
-      .withColumn("best", element_at(centroidOrder(col("q"), cents), 1))
+      .withColumn("best", element_at(cellRank(col("q"), cents), 1))
       .select(col("q"),
-        element_at(centIds, col("best").getField("idx") + 1).as("centroid_id"),
+        col("best").getField("cid").as("centroid_id"),
         (-col("best").getField("negscore") / qnorm).as("cos"))
       .groupBy(col("centroid_id"))
       .agg(sum(col("cos")).as("obj"),
@@ -546,14 +559,12 @@ object Similarity {
   def knnIvf(spark: SparkSession, dir: String, k: Int = 3,
              nprobe: Int = 2): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
-    val centIds = typedlit(cents.map(_._1))
     // centroid ids ordered by quantized score desc (tie: id asc) —
     // the same exact-integer ranking the codebook was trained under.
     // q is projected FIRST so the 64-lane quantization is computed
     // once per row, not once per centroid dot.
     val probeOrder = transform(
-      centroidOrder(col("q"), cents),
-      s => element_at(centIds, s.getField("idx") + 1))
+      cellRank(col("q"), cents), s => s.getField("cid"))
     val index = vectors(spark, dir)
       .withColumn("q", quantExpr(col("embedding"), col("nrm")))
       .withColumn("probe_order", probeOrder)
@@ -582,12 +593,16 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Assignment CTE: every vector ranked against codebook `cPrev`
-    * (exact integer dot through one sqrt + one divide).
+  /** Assignment CTE: every vector of `base` ranked against codebook
+    * `cPrev` (exact integer dot through one sqrt + one divide). The
+    * score survives to the CTE output — consumers that only need
+    * (vec_id, cid, rnk) ignore it; [[incrIvfSql]] reads it back as the
+    * assignment confidence.
     */
-  private def assignCte(id: String, cPrev: String): String =
+  private def assignCte(id: String, cPrev: String,
+                        base: String = "qv"): String =
     s"""$id AS (
-       |  SELECT vec_id, cid,
+       |  SELECT vec_id, cid, score,
        |    row_number() OVER (PARTITION BY vec_id
        |                       ORDER BY score DESC, cid ASC) AS rnk
        |  FROM (
@@ -596,13 +611,14 @@ object Similarity {
        |             k -> qv.q[k] * cc.c[k])) AS DOUBLE)
        |        / sqrt(CAST(list_sum(list_transform(cc.c, x -> x * x))
        |                    AS DOUBLE)) AS score
-       |    FROM qv CROSS JOIN $cPrev cc)
+       |    FROM $base qv CROSS JOIN $cPrev cc)
        |)""".stripMargin
 
-  /** Floor-mean update CTE from `assignId`; empty clusters carry
-    * `cPrev`.
+  /** Floor-mean update CTE from `assignId` over `base`; empty clusters
+    * carry `cPrev`.
     */
-  private def meanCte(id: String, assignId: String, cPrev: String): String =
+  private def meanCte(id: String, assignId: String, cPrev: String,
+                      base: String = "qv"): String =
     s"""$id AS (
        |  SELECT p.cid, COALESCE(m.c, p.c) AS c
        |  FROM $cPrev p LEFT JOIN (
@@ -612,7 +628,7 @@ object Similarity {
        |    FROM (
        |      SELECT a.cid, l.k,
        |        CAST(sum(qv.q[l.k]) AS BIGINT) AS s, count(*) AS cnt
-       |      FROM qv
+       |      FROM $base qv
        |      JOIN (SELECT vec_id, cid FROM $assignId WHERE rnk = 1) a
        |        USING (vec_id)
        |      CROSS JOIN lanes l
@@ -723,12 +739,10 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String,
                     tau: Double = SemDedupTau): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
-    val centIds = typedlit(cents.map(_._1))
     val assigned = vectors(spark, dir)
       .withColumn("q", quantExpr(col("embedding"), col("nrm")))
-      .withColumn("best", element_at(centroidOrder(col("q"), cents), 1))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        element_at(centIds, col("best").getField("idx") + 1).as("cell"))
+        element_at(cellRank(col("q"), cents), 1).getField("cid").as("cell"))
       .localCheckpoint() // one assignment pass feeds both join sides
     val others = assigned.select(col("cell"), col("vec_id").as("y_id"),
       col("embedding").as("y_emb"), col("nrm").as("y_nrm"))

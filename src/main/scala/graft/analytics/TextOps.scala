@@ -328,21 +328,41 @@ object TextOps {
       .withColumn("state", concat_ws("",
         transform(split(col("word"), ""), c => concat(lit("("), c, lit(")")))))
 
+  /** One merge rule applied to a framed state column — this exact
+    * string construction IS the greedy-leftmost merge contract, so the
+    * trainer and [[bpeEncode]]'s replay must share it.
+    */
+  private def applyMerge(df: DataFrame, l: String, r: String): DataFrame =
+    df.withColumn("state",
+      replace(col("state"), lit(s"($l)($r)"), lit(s"($l$r)")))
+
   /** The training loop itself: per-step
     * (step, lhs, rhs, merged, pair_count, corpus_tokens) rows,
-    * step 0 = pre-merge baseline.
+    * step 0 = pre-merge baseline, PLUS the final merged state table —
+    * already localCheckpoint-materialized, so the encode side never
+    * replays the merge chain over the vocabulary. The caller owns the
+    * final frame's blocks: [[bpeTrain]] frees them immediately,
+    * [[bpeEncode]] serves from them (the Verify/Bench loops unpersist
+    * between queries, like every other checkpoint-returning operator).
+    * On failure every checkpoint is freed before rethrow. With
+    * `curve = false` the per-round corpus-token accounting (one
+    * aggregation job per merge) is skipped and corpus_tokens is 0 —
+    * for callers that only need the rules or the final states.
     */
-  private def bpeTrainRules(spark: SparkSession, dir: String,
-                            merges: Int): Seq[(Long, String, String, String, Long, Long)] = {
+  private def bpeTrainLoop(spark: SparkSession, dir: String, merges: Int,
+                           curve: Boolean): (Seq[(Long, String, String, String, Long, Long)], DataFrame) = {
     import spark.implicits._
     val nToks = (st: DataFrame) => st
       .select(sum(col("cnt") * size(symsOf(col("state")))))
       .as[Long].head()
-    var states = bpeStates0(spark, dir).localCheckpoint()
+    // materialize a lazily-checkpointed round; only the curve needs
+    // the token aggregation, a count() pins the blocks just as well
+    val settle = (st: DataFrame) => if (curve) nToks(st) else { st.count(); 0L }
+    var states = bpeStates0(spark, dir).localCheckpoint(eager = false)
     val rules = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long, Long)]
-    rules += ((0L, "", "", "", 0L, nToks(states)))
     try {
+      rules += ((0L, "", "", "", 0L, settle(states)))
       var step = 1
       var exhausted = false
       while (step <= merges && !exhausted) {
@@ -360,18 +380,29 @@ object TextOps {
         else {
           val parts = top(0).getString(0).split(" ", 2)
           val (l, r) = (parts(0), parts(1))
-          val next = states.withColumn("state",
-              replace(col("state"), lit(s"($l)($r)"), lit(s"($l$r)")))
-            .localCheckpoint(eager = false)
-          rules += ((step.toLong, l, r, l + r, top(0).getLong(1), nToks(next)))
-          // nToks materialized `next`; the superseded round is dead
+          val next = applyMerge(states, l, r).localCheckpoint(eager = false)
+          rules += ((step.toLong, l, r, l + r, top(0).getLong(1), settle(next)))
+          // settle materialized `next`; the superseded round is dead
           org.apache.spark.sql.GraftBridge.freeCheckpoint(states)
           states = next
           step += 1
         }
       }
-    } finally org.apache.spark.sql.GraftBridge.freeCheckpoint(states)
-    rules.toSeq
+    } catch { case e: Throwable =>
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(states)
+      throw e
+    }
+    (rules.toSeq, states)
+  }
+
+  /** Rules-only view of [[bpeTrainLoop]]: frees the final state table
+    * before returning.
+    */
+  private def bpeTrainRules(spark: SparkSession, dir: String, merges: Int,
+                            curve: Boolean = true): Seq[(Long, String, String, String, Long, Long)] = {
+    val (rules, fin) = bpeTrainLoop(spark, dir, merges, curve)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(fin)
+    rules
   }
 
   /** BPE encode (the apply side of [[bpeTrain]]): replay the trained
@@ -380,20 +411,20 @@ object TextOps {
     * word count, character-level baseline tokens, BPE tokens, and the
     * resulting compression ratio.
     *
-    * Scale shape: training yields the rules as driver literals; the
-    * encode of the VOCABULARY is [[BpeMerges]] chained scan-side
-    * replaces over the type table (no shuffle); the corpus pass
-    * explodes words once and joins the broadcast (word → encoded
+    * Scale shape: the encoded vocabulary IS the training loop's final
+    * state table — already localCheckpoint-materialized, so encode
+    * costs zero extra passes over the type table (the previous
+    * [[BpeMerges]]-deep replay of [[applyMerge]] rebuilt, from
+    * scratch, exactly the frame the loop already held); the corpus
+    * pass explodes words once and joins the broadcast (word → encoded
     * length) vocabulary — at production scale that vocab table is
     * ~10⁵–10⁸ short rows, the canonical broadcast/bucket-join side.
     */
   def bpeEncode(spark: SparkSession, dir: String,
                 merges: Int = BpeMerges): DataFrame = {
-    val rules = bpeTrainRules(spark, dir, merges).drop(1) // drop baseline row
-    val encoded = rules.foldLeft(bpeStates0(spark, dir)) {
-      case (df, (_, l, r, _, _, _)) => df.withColumn("state",
-        replace(col("state"), lit(s"($l)($r)"), lit(s"($l$r)")))
-    }.select(col("word"), size(symsOf(col("state"))).as("enc_len"))
+    val (_, finalStates) = bpeTrainLoop(spark, dir, merges, curve = false)
+    val encoded = finalStates
+      .select(col("word"), size(symsOf(col("state"))).as("enc_len"))
     documents(spark, dir)
       .select(col("lang"), explode(regexp_extract_all(lower(col("text")),
         lit("[a-z]+"), lit(0))).as("word"))
@@ -426,10 +457,16 @@ object TextOps {
        |), m$k AS (
        |  SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1
        |), s$k AS (
+       |  -- LEFT JOIN ON TRUE, not CROSS JOIN: if the corpus exhausts
+       |  -- its pairs before the merge budget, m$k is EMPTY and a cross
+       |  -- join would wipe the states (and every later step, and the
+       |  -- encode twin's output) while the Spark trainer stops early
+       |  -- with the rules it has. With m.l NULL the replace is NULL
+       |  -- and coalesce keeps the state unchanged — exactly early-stop.
        |  SELECT word, cnt,
-       |    replace(state, '(' || m.l || ')(' || m.r || ')',
-       |            '(' || m.l || m.r || ')') AS state
-       |  FROM $prev CROSS JOIN m$k m
+       |    coalesce(replace(state, '(' || m.l || ')(' || m.r || ')',
+       |             '(' || m.l || m.r || ')'), state) AS state
+       |  FROM $prev LEFT JOIN m$k m ON TRUE
        |)""".stripMargin
   }
 

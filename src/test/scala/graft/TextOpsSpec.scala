@@ -16,16 +16,21 @@ class TextOpsSpec extends SparkSpec {
     import spark.implicits._
     val w = 5
     // fixture corpus + crafted edges: multi-byte UTF-8 (code-point
-    // windows ≠ byte windows), exact-w, shorter-than-w, empty
-    val crafted = Seq("héllo wörld — ünïcode blörb", "exact", "tiny", "")
+    // windows ≠ byte windows), exact-w, shorter-than-w, empty, NULL
+    val crafted = Seq(Some("héllo wörld — ünïcode blörb"), Some("exact"),
+      Some("tiny"), Some(""), None)
       .toDF("text")
     val fixture = graft.ingest.Sources.documents(spark, sf).select(col("text"))
     for (df <- Seq(crafted, fixture)) {
       val mismatches = df.select(
         graft.functions.WindowOps.windowHashes(col("text"), w).as("kernel"),
-        when(length(col("text")) >= w,
-          transform(sequence(lit(0), length(col("text")) - w),
-            p => xxhash64(col("text").substr(p + 1, lit(w)))))
+        // kernel contract is NULL in → NULL out; the isNull arm keeps
+        // the reference honest (a bare `when` would fall to the
+        // otherwise branch and emit [] for NULL text)
+        when(col("text").isNull, lit(null).cast("array<bigint>"))
+          .when(length(col("text")) >= w,
+            transform(sequence(lit(0), length(col("text")) - w),
+              p => xxhash64(col("text").substr(p + 1, lit(w)))))
           .otherwise(array().cast("array<bigint>")).as("hof"))
         .filter(not(col("kernel") <=> col("hof")))
         .count()
@@ -188,11 +193,37 @@ class TextOpsSpec extends SparkSpec {
       enc.map(_.getAs[Long]("char_tokens")).sum, "no compression achieved")
   }
 
+  test("bpe train: no fixture exhausts pairs before the merge budget") {
+    // the oracle is exhaustion-robust (LEFT JOIN keeps states when a
+    // step finds no pair), but a fixture that exhausted would silently
+    // weaken the gate — every gate scale must exercise all merges
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val steps = TextOps.bpeTrain(spark, dir).count()
+      assert(steps == TextOps.BpeMerges + 1,
+        s"$dir trained ${steps - 1} of ${TextOps.BpeMerges} merges")
+    }
+    // (sf0.001 is covered row-by-row by the reference-BPE test above)
+  }
+
   test("bpe train: frees every checkpoint it makes") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     TextOps.bpeTrain(spark, sf).collect()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"RDDs ${leaked.mkString(",")} still pinned after bpeTrain")
+  }
+
+  test("bpe encode: retains exactly the served vocabulary checkpoint") {
+    // encode serves from the training loop's FINAL state table — one
+    // retained checkpoint (caller-owned, like every checkpoint-returning
+    // operator); the superseded per-round frames must all be freed
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    TextOps.bpeEncode(spark, sf).collect()
+    val kept = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !before(id)
+    }
+    assert(kept.size == 1,
+      s"expected only the final state table pinned, got ${kept.size}")
+    kept.values.foreach(_.unpersist(blocking = true))
   }
 
   test("exact dedup is idempotent and conserves rows") {
