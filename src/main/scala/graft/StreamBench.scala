@@ -89,8 +89,12 @@ object StreamBench {
     val q = out.writeStream.outputMode("append").format("noop").start()
     val t0 = System.nanoTime()
     try {
-      probeRows.grouped(2048).foreach(chunk => input.addData(chunk.toSeq))
-      q.processAllAvailable()
+      // drain per chunk (as parquetSinkRate does) so the rate reflects
+      // steady-state multi-batch throughput, not one giant micro-batch
+      probeRows.grouped(2048).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
     } finally q.stop()
     val secs = (System.nanoTime() - t0) / 1e9
     index.unpersist(blocking = true)

@@ -257,7 +257,12 @@ object Multimodal {
       val fEnd = lineEnd(pos)
       val marker = new String(content, pos,
         math.min(5, content.length - pos), "US-ASCII")
-      if (marker != "FRAME" || fEnd >= content.length ||
+      // a real Y4M frame header is "FRAME" followed by '\n' or by a
+      // space-led parameter list — "FRAMEX..." is malformed, and must
+      // take the degrade-to-stub path, not decode as a frame
+      if (marker != "FRAME" || pos + 5 >= content.length ||
+          (content(pos + 5) != '\n' && content(pos + 5) != ' ') ||
+          fEnd >= content.length ||
           content.length - (fEnd + 1) < frameBytes) truncated = true
       else {
         val base = fEnd + 1

@@ -89,9 +89,12 @@ object TextOps {
     * (partial-agg combines them map-side), NOT window content — the
     * W-char strings are only rederived for the survivors of the hash
     * count, a corpus-duplication-sized fraction, where an exact
-    * content count removes any hash-collision false positives. Net
-    * shuffle ≈ 8 bytes per text byte; the span merge partitions by
-    * doc_id. Both scans run the [[graft.functions.WindowHashes]]
+    * content count removes any hash-collision false positives; the
+    * rejoin packs each doc's surviving positions into one row first,
+    * so a document's text crosses that shuffle once regardless of how
+    * many of its windows are marked. Net shuffle ≈ 8 bytes per text
+    * byte plus W chars per surviving position (the exact-count key);
+    * the span merge partitions by doc_id. Both scans run the [[graft.functions.WindowHashes]]
     * codegen kernel (one long[] per document — the text column never
     * rides the generator rows). The duplicated-hash table is
     * broadcast — it is duplication-sized, not corpus-sized; a corpus
@@ -111,9 +114,18 @@ object TextOps {
       .select(col("h"))
     // phase 2: survivors rejoin their document to rederive the window
     // content; the exact content count kills hash-collision false
-    // positives (the output is hash-independent)
-    val marked = hashes.join(broadcast(dupHashes), "h")
+    // positives (the output is hash-independent). Candidate positions
+    // are packed to ONE row per doc_id before the rejoin, so the text
+    // column rides the shuffle once per document — not once per marked
+    // position, which on a duplication-heavy corpus would be
+    // O(positions × doc length) traffic. The windows are rederived by
+    // exploding the packed positions AFTER the join, inside the same
+    // stage (no shuffle carries the exploded rows until the win count).
+    val candByDoc = hashes.join(broadcast(dupHashes), "h")
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
+    val marked = candByDoc
       .join(documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), explode(col("ps")).as("pos"), col("text"))
       .select(col("doc_id"), col("pos"),
         col("text").substr(col("pos") + 1, lit(w)).as("win"))
       .withColumn("occ",
@@ -352,8 +364,10 @@ object TextOps {
   private def bpeTrainLoop(spark: SparkSession, dir: String, merges: Int,
                            curve: Boolean): (Seq[(Long, String, String, String, Long, Long)], DataFrame) = {
     import spark.implicits._
+    // coalesce: sum over zero rows is NULL, and a null-to-Long decode
+    // throws — an empty vocabulary must read as 0 tokens, not NPE
     val nToks = (st: DataFrame) => st
-      .select(sum(col("cnt") * size(symsOf(col("state")))))
+      .select(coalesce(sum(col("cnt") * size(symsOf(col("state")))), lit(0L)))
       .as[Long].head()
     // materialize a lazily-checkpointed round; only the curve needs
     // the token aggregation, a count() pins the blocks just as well
