@@ -307,17 +307,70 @@ object Packing {
       |  round(CAST(sum(is_batch) AS BIGINT) / count(*), 6) AS batch_share
       |FROM d""".stripMargin
 
+  /** Output shard count for the global shuffle. */
+  val ShuffleShards = 8
+
+  /** Deterministic global shuffle + sharding — the WRITE step every
+    * training pipeline ends with: the corpus in a seeded pseudorandom
+    * order, split into a fixed number of output shards. Both
+    * decisions are pure functions of the row key (no RNG): shard =
+    * md5 bucket of "shard:"+doc_id, within-shard position = rank of
+    * md5("shuf:"+doc_id) — so the permutation is reproducible across
+    * runs, engines, cluster sizes and repartitionings, and a resumed
+    * job rewrites byte-identical shards.
+    *
+    * Scale shape: ONE shuffle (the per-shard window). Shards are
+    * hash-uniform, each ≈ corpus/[[ShuffleShards]]; a deployment
+    * raises the shard count with the corpus (shards ARE the
+    * parallelism unit downstream), so no single ordering task
+    * serializes the way a global orderBy would.
+    */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val shard = graft.operators.Scale.hashBucket(
+      concat(lit("shard:"), col("doc_id").cast("string")), ShuffleShards)
+    val ord = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        shard.as("shard"), ord.as("ord"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("ord"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val globalShuffleSql: String = {
+    val shardSql = graft.operators.Scale.hashBucketSql(
+      "'shard:' || CAST(doc_id AS VARCHAR)", ShuffleShards)
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    $shardSql AS shard,
+      |    md5('shuf:' || CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, n_tok, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+      |    AS BIGINT) AS pos
+      |FROM d
+      |ORDER BY shard, pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dataset_card" -> (datasetCard _),
     "q_seq_pack" -> (seqPack _),
     "q_mix_weights" -> (mixWeights _),
-    "q_doc_chunks" -> (docChunks _)
+    "q_doc_chunks" -> (docChunks _),
+    "q_global_shuffle" -> (globalShuffle _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_dataset_card" -> datasetCardSql,
     "q_seq_pack" -> seqPackSql,
     "q_mix_weights" -> mixWeightsSql,
-    "q_doc_chunks" -> docChunksSql
+    "q_doc_chunks" -> docChunksSql,
+    "q_global_shuffle" -> globalShuffleSql
   )
 }

@@ -83,11 +83,158 @@ object Aggregators {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // X3: Count-Min Sketch (Cormode & Muthukrishnan 2005)
+  // ---------------------------------------------------------------
+
+  /** Sketch depth (hash rows) and width (buckets per row). ε = e/w,
+    * δ = e^−d: estimates overcount by ≤ εN with probability ≥ 1−δ.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Fixed-size mergeable buffer; a case class so Encoders.product
+    * serializes it without a custom encoder.
+    */
+  final case class CmsBuf(c: Array[Long])
+
+  /** Count-Min Sketch over string keys — the mergeable fixed-size
+    * frequency sketch a 100 TB pipeline uses where an exact groupBy's
+    * key cardinality is unbounded: the buffer is d×w Longs (8 KiB
+    * here) regardless of input size, `merge` is elementwise addition
+    * (associative + commutative, so partial sketches combine lawfully
+    * in any partition order), and estimates are one-sided
+    * (est ≥ true, over by ≤ εN w.h.p.).
+    *
+    * Bucket derivation reuses the engine-portable md5-word convention
+    * of the MinHash family (TextOps.md5Hex): row i hashes a key to
+    * the 32-bit word at hex offset 8i of md5(key), mod [[CmsWidth]].
+    * CMS counters are plain sums of per-(row, bucket) indicator
+    * counts, so an exact ANSI-SQL twin can rebuild every counter by
+    * GROUP BY — which is what makes a probabilistic sketch fully
+    * hash-gateable against DuckDB.
+    */
+  object CountMin extends Aggregator[String, CmsBuf, Array[Long]] {
+    override def zero: CmsBuf = CmsBuf(new Array[Long](CmsDepth * CmsWidth))
+
+    private def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i < d.length) {
+        sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(d(i) & 0xf, 16))
+        i += 1
+      }
+      sb.toString
+    }
+
+    /** Row i's bucket for a key — identical to the SQL form
+      * ('0x' || substr(md5(key), 1 + 8i, 8))::BIGINT % w.
+      */
+    def bucket(key: String, i: Int): Int = {
+      val hex = md5hex(key)
+      (java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16)
+        % CmsWidth).toInt
+    }
+
+    override def reduce(b: CmsBuf, key: String): CmsBuf = {
+      var i = 0
+      while (i < CmsDepth) {
+        b.c(i * CmsWidth + bucket(key, i)) += 1L
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: CmsBuf, b: CmsBuf): CmsBuf = {
+      var i = 0
+      while (i < a.c.length) { a.c(i) += b.c(i); i += 1 }
+      a
+    }
+
+    override def finish(r: CmsBuf): Array[Long] = r.c
+
+    override def bufferEncoder: Encoder[CmsBuf] = Encoders.product
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column form for untyped DataFrames. */
+  val countMin: Column => Column = {
+    val u = udaf(CountMin)
+    (c: Column) => u(c)
+  }
+
+  /** Column-side CMS estimate: least over the d rows of the counter at
+    * the key's bucket — the same md5 words the aggregator used, so
+    * lookup and update cannot drift.
+    */
+  def cmsEstimate(sketch: Column, key: Column): Column =
+    least((0 until CmsDepth).map { i =>
+      element_at(sketch, (
+        lit(i * CmsWidth + 1) +
+          pmod(conv(substring(md5(key), 1 + 8 * i, 8), 16, 10).cast("long"),
+            lit(CmsWidth.toLong))).cast("int"))
+    }: _*)
+
+  /** Oracle-checked query: sketch every token of the document corpus,
+    * then compare the CMS estimate against the exact count for the 25
+    * most frequent tokens. DuckDB rebuilds the identical counters via
+    * GROUP BY (row, bucket) — estimates, not just bounds, must match
+    * bit-for-bit. The probe's exact counts double as the one-sided
+    * error witness: overcount ≥ 0 on every row.
+    */
+  def countMinTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = toks.agg(countMin(col("tok")).as("sk"))
+    val probe = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+      .limit(25)
+    probe.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("exact_cnt"),
+        cmsEstimate(col("sk"), col("tok")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+  }
+
+  val countMinTokensSql: String =
+    s"""WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |), exact_c AS (
+      |  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+      |), probe AS (
+      |  SELECT tok, exact_cnt FROM exact_c
+      |  ORDER BY exact_cnt DESC, tok LIMIT 25
+      |), hrows AS (
+      |  SELECT unnest(range(0, $CmsDepth)) AS i
+      |), counters AS (
+      |  SELECT r.i AS i,
+      |    CAST(('0x' || substr(md5(t.tok), 1 + 8 * r.i, 8)) AS BIGINT)
+      |      % $CmsWidth AS bucket,
+      |    count(*) AS cnt
+      |  FROM toks t CROSS JOIN hrows r
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.tok, p.exact_cnt,
+      |  CAST(min(c.cnt) AS BIGINT) AS cms_est,
+      |  CAST(min(c.cnt) - p.exact_cnt AS BIGINT) AS overcount
+      |FROM probe p JOIN counters c
+      |  ON c.bucket = CAST(('0x' || substr(md5(p.tok), 1 + 8 * c.i, 8))
+      |                  AS BIGINT) % $CmsWidth
+      |GROUP BY p.tok, p.exact_cnt
+      |ORDER BY p.exact_cnt DESC, p.tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_event_moments" -> (eventMoments _)
+    "q_event_moments" -> (eventMoments _),
+    "q_countmin_tokens" -> (countMinTokens _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q_event_moments" -> eventMomentsSql
+    "q_event_moments" -> eventMomentsSql,
+    "q_countmin_tokens" -> countMinTokensSql
   )
 }

@@ -57,6 +57,55 @@ class AggregatorsSpec extends SparkSpec {
     assert(relErr < 0.06, s"HLL rel err $relErr (exact=$exact approx=$approx)")
   }
 
+  test("count-min sketch: estimates are one-sided and partition-order invariant (X3)") {
+    import Aggregators.CountMin
+    // crafted corpus: token frequencies are known exactly
+    val words = (1 to 50).flatMap(i => Seq.fill(i)(s"w$i"))
+    val spark2 = spark
+    import spark2.implicits._
+    def estimates(parts: Int): Map[String, Long] = {
+      val sk = words.toDF("tok").repartition(parts)
+        .agg(Aggregators.countMin(col("tok")).as("sk"))
+      (1 to 50).map { i =>
+        val est = words.toDF("tok").filter(col("tok") === s"w$i").limit(1)
+          .crossJoin(sk)
+          .select(Aggregators.cmsEstimate(col("sk"), col("tok")))
+          .collect().head.getLong(0)
+        s"w$i" -> est
+      }.toMap
+    }
+    val e1 = estimates(1)
+    // one-sided error: never undercounts
+    (1 to 50).foreach(i => assert(e1(s"w$i") >= i, s"w$i underestimated"))
+    // mergeable: 8-way partial sketches give identical estimates
+    assert(estimates(8) == e1, "partition order changed the sketch")
+    // sanity on the sum: total mass conserved per row
+    val buf = words.foldLeft(CountMin.zero)(CountMin.reduce)
+    (0 until Aggregators.CmsDepth).foreach { r =>
+      val rowSum = (0 until Aggregators.CmsWidth)
+        .map(b => buf.c(r * Aggregators.CmsWidth + b)).sum
+      assert(rowSum == words.size.toLong, s"row $r lost mass")
+    }
+  }
+
+  test("count-min JVM bucket matches the SQL md5-word rule") {
+    import Aggregators.CountMin
+    val spark2 = spark
+    import spark2.implicits._
+    val keys = Seq("alpha", "beta", "tok-42", "", "ümlaut")
+    val sqlBuckets = keys.toDF("k")
+      .select((0 until Aggregators.CmsDepth).map(i =>
+        pmod(conv(substring(md5(col("k")), 1 + 8 * i, 8), 16, 10)
+          .cast("long"), lit(Aggregators.CmsWidth.toLong)).as(s"b$i")): _*)
+      .collect()
+    keys.zip(sqlBuckets).foreach { case (k, row) =>
+      (0 until Aggregators.CmsDepth).foreach { i =>
+        assert(CountMin.bucket(k, i) == row.getLong(i).toInt,
+          s"bucket mismatch for '$k' row $i")
+      }
+    }
+  }
+
   test("approx_percentile lands within its accuracy contract (X3)") {
     val exact = graft.ingest.Sources.orders(spark, sf)
       .select(percentile(col("o_totalprice"), lit(0.5))).collect().head.getDouble(0)

@@ -159,4 +159,31 @@ class PackingSpec extends SparkSpec {
       if (n <= Packing.ChunkSize) assert(sortedRows.length == 1)
     }
   }
+
+  test("global shuffle: a lossless deterministic permutation into dense shards") {
+    import org.apache.spark.sql.functions._
+    val out = Packing.globalShuffle(spark, sf).collect()
+    val nDocs = graft.ingest.Sources.documents(spark, sf).count()
+    // lossless: every doc appears exactly once
+    assert(out.length == nDocs)
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+    // shards are in range and positions are dense 1..n per shard
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (s, rows) =>
+      assert(s >= 0 && s < Packing.ShuffleShards)
+      val pos = rows.map(_.getAs[Long]("pos")).sorted
+      assert(pos.toSeq == (1L to rows.length).toSeq, s"shard $s positions not dense")
+    }
+    // deterministic: a re-run (fresh plan) produces the identical assignment
+    val again = Packing.globalShuffle(spark, sf).collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toSeq ==
+      again.map(r => (r.getLong(0), r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toSeq)
+    // shuffled: within a shard, doc_ids are not in sorted order (the
+    // permutation actually permutes) — holds for any shard with > 20 docs
+    val big = out.groupBy(_.getAs[Long]("shard")).values.filter(_.length > 20)
+    assert(big.nonEmpty)
+    assert(big.exists { rows =>
+      val ids = rows.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id")).toSeq
+      ids != ids.sorted
+    }, "every shard kept insertion order — not a shuffle")
+  }
 }
