@@ -52,11 +52,20 @@ object Affinity {
     * [[halfEdgesSql]]), so the support rule cannot drift per consumer.
     */
   private def halfEdges(spark: SparkSession, dir: String): DataFrame = {
+    // basket sets per order (collect_set dedupes within the order,
+    // replacing the former distinct + self-join: one wide shuffle of
+    // the incidence instead of two join sides + re-shuffle), then the
+    // a<b pairs generated SCAN-SIDE from the sorted set — pair
+    // explosion stays inside the order's own task and is bounded by
+    // C(basket, 2), the same pair count the join produced. The pair
+    // aggregation is the only other shuffle.
     val ol = orderParts(spark, dir)
-    val a = ol.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = ol.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
+    ol.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+          struct(x.as("part_a"), y.as("part_b")))))).as("e"))
+      .select(col("e.part_a"), col("e.part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= MinSupport)
