@@ -26,74 +26,86 @@ object Graph {
     * vertices are trivially their own singleton component).
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    // materialize the symmetric edge list ONCE — it is re-joined every
-    // round (and again by every convergence check), and the upstream
-    // pair-generation plan (an LSH/Jaccard join) is far too expensive
-    // to recompute per round. Symmetrize via explode, not
-    // union(edges, edges.swapped): a union of the same un-cached
-    // subtree executes the pair-generation join twice when this
-    // checkpoint materializes; explode reads it once.
-    val sym = edges
-      .select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
-    // lazy checkpoint: the labelSum action right below materializes it,
-    // so init costs one job instead of two (same trick each round)
-    var labels = sym.select(col("src").as("v")).distinct()
-      .withColumn("comp", col("v"))
-      .localCheckpoint(eager = false)
-    // convergence test: labels only ever DECREASE under min
-    // propagation, so the (small, exact) Σcomp is strictly monotone
-    // until fixpoint — equal sums ⇔ no label changed. One scalar agg
-    // over checkpointed data per round instead of a join. coalesce
-    // covers the empty-graph case (sum over no rows is NULL).
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      // each vertex's neighbors' labels, then min with its own.
-      // Materialized eagerly: the pointer-jump self-join below reads
-      // hop TWICE, and without a checkpoint both reads would recompute
-      // the propagation join+agg — doubling every round's real work
-      // (noise locally, the dominant cost at scale).
-      val prop = sym.join(labels.withColumnRenamed("v", "dst"), "dst")
-        .select(col("src").as("v"), col("comp"))
-      val hop = labels.union(prop)
-        .groupBy(col("v")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
-      // pointer jump: follow the label one more step (comp := comp of
-      // comp). Label values are vertex ids, so the self-join always
-      // resolves; min-propagation alone needs diameter rounds, the
-      // jump compresses chains so rounds ≈ log(diameter) — the
-      // standard accelerated label propagation for scale, and locally
-      // it halves the number of checkpoint/convergence actions.
-      val next = hop.join(
-        hop.select(col("v").as("c2v"), col("comp").as("c2")),
-        col("comp") === col("c2v"), "left")
-        .select(col("v"), coalesce(col("c2"), col("comp")).as("comp"))
-        // lazy: the labelSum action below runs ONE job that both
-        // computes the jump and persists it; materialization still
-        // precedes the unpersists of the superseded round, which only
-        // happen after labelSum returns
-        .localCheckpoint(eager = false)
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      // freeCheckpoint, not Dataset.unpersist: the latter is a silent
-      // no-op for checkpoint RDDs (CacheManager doesn't track them) —
-      // these rounds WERE being pinned for the session lifetime
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(labels) // superseded round
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(hop)    // folded into next
-      labels = next
-      i += 1
-    }
-    org.apache.spark.sql.GraftBridge.freeCheckpoint(sym)
-    require(converged, s"connectedComponents did not converge in $maxIters rounds")
-    labels
+    // Same RDD inner-loop rationale as [[prCore]] (round 6): the
+    // min-label-propagation fixed point re-executes one identical
+    // step per round, and the DataFrame form paid a full Catalyst
+    // pass plus three exchanges per round — the dominant cost of
+    // q_dedup_clusters (3.4 s of which the pair join is ~1.5 s).
+    // Here every structure shares ONE HashPartitioner sized to the
+    // edge count: propagation is a partition-local join + one
+    // reduceByKey shuffle; the pointer jump re-keys by label (its
+    // lookup side is already partition-local) and restores vertex
+    // keying — 3 small shuffles a round, zero driver planning.
+    //
+    // The upstream pair-generation plan (an LSH/Jaccard join, far too
+    // expensive to recompute) is materialized ONCE into `raw`; the
+    // symmetrized cached copy is what every round re-joins.
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val part = new HashPartitioner(math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (raw.count() / 50000L).toInt + 1)))
+    val sym = raw.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    raw.unpersist(blocking = false)
+    try {
+      // each vertex starts as its own component; narrow off the
+      // partitioned sym (reduceByKey with the same partitioner)
+      var labels = sym.mapValues(_ => 0L)
+        .reduceByKey(part, (a, _) => a)
+        .mapPartitions(_.map { case (v, _) => (v, v) },
+          preservesPartitioning = true)
+      labels.localCheckpoint()
+      // convergence test: labels only ever DECREASE under min
+      // propagation, so the exact Σcomp is monotone until fixpoint —
+      // equal sums ⇔ no label changed; one fold rides each round's
+      // materializing action
+      def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
+        r.values.fold(0L)(_ + _)
+      var prevSum = labelSum(labels)
+      var pinned: org.apache.spark.rdd.RDD[_] = labels
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        // neighbors' min label per vertex (partition-local join, one
+        // shuffle), then min with the vertex's own
+        val prop = sym.join(labels)
+          .map { case (_, (dst, comp)) => (dst, comp) }
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        val hop = labels.leftOuterJoin(prop)
+          .mapValues { case (c, p) => math.min(c, p.getOrElse(c)) }
+        // pointer jump: comp := comp(comp). Label values are vertex
+        // ids so the lookup (against hop, already keyed by vertex)
+        // always resolves; min-propagation alone needs diameter
+        // rounds, the jump compresses chains to ≈ log(diameter).
+        // hop's double use re-reads prop's shuffle files plus a cheap
+        // narrow mapValues — not a recompute of the round.
+        val next = hop.map { case (v, c) => (c, v) }
+          .leftOuterJoin(hop)
+          .map { case (c, (v, cc)) => (v, cc.getOrElse(c)) }
+          .partitionBy(part)
+        next.localCheckpoint() // truncate lineage (see prCore)
+        val nextSum = labelSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        pinned.unpersist(blocking = false)
+        pinned = next
+        labels = next
+        i += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIters rounds")
+      val spark2 = spark
+      import spark2.implicits._
+      val out = labels.toDF("v", "comp").localCheckpoint()
+      pinned.unpersist(blocking = false)
+      out
+    } finally sym.unpersist(blocking = false)
   }
 
   /** Fixed-point PageRank over a DIRECTED edge list (symmetrize first
