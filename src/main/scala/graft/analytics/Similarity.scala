@@ -56,13 +56,17 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val knnBruteForceSql: String =
-    """WITH n AS (
+  /** The brute-force twin with the query-sample size and k as
+    * parameters — shared by q_knn_bruteforce and the [[annRecall]]
+    * ground-truth CTE so the two cannot drift.
+    */
+  private def knnBruteForceSqlFor(nQueries: Int, k: Int): String =
+    s"""WITH n AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
       |  FROM embeddings
       |), q AS (
-      |  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM n WHERE vec_id < 10
+      |  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM n WHERE vec_id < $nQueries
       |), ranked AS (
       |  SELECT query_id, c.vec_id AS neighbor_id,
       |    list_sum(list_transform(range(1, len(qemb) + 1), k -> qemb[k] * c.emb[k]))
@@ -75,8 +79,10 @@ object Similarity {
       |  FROM q JOIN n c ON c.vec_id <> query_id
       |)
       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
-      |FROM ranked WHERE rnk <= 5
+      |FROM ranked WHERE rnk <= $k
       |ORDER BY query_id, rnk""".stripMargin
+
+  val knnBruteForceSql: String = knnBruteForceSqlFor(10, 5)
 
   // ---------------------------------------------------------------
   // Embedding-cosine near-dup pairs (oracle-checked exact verify)
@@ -330,6 +336,74 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  // ---------------------------------------------------------------
+  // ANN quality eval: recall@k of the LSH index vs exact ground truth
+  // ---------------------------------------------------------------
+
+  /** Recall@k of [[knnLsh]] against exact brute-force ground truth
+    * over a fixed query sample — the eval every production ANN
+    * deployment runs before trusting an index. One summary row:
+    * (n_queries, k, recall_at_k, n_perfect).
+    *
+    * Scale shape: ground truth is only ever computed for the SAMPLE
+    * (nQueries × corpus streamed through the codegen dot product, the
+    * sample broadcast — no corpus shuffle), which is how recall is
+    * audited on a real corpus: the exact pass over a few hundred
+    * probes is cheap; the index answers the rest. The metric
+    * aggregation itself is exact-integer (hit counts), so the single
+    * float division makes the row hash-stable on any engine.
+    */
+  def annRecall(spark: SparkSession, dir: String,
+                nQueries: Int = 200, k: Int = 3): DataFrame = {
+    val truth = knnBruteForce(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = knnLsh(spark, dir, k)
+      .filter(col("query_id") < nQueries)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    // left join: a truth row with no LSH match still counts its query
+    val perQuery = truth.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("aq").isNotNull, 1L).otherwise(0L)).as("hits"))
+    perQuery.agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("hits")).as("sum_hits"),
+        sum(when(col("hits") === k, 1L).otherwise(0L)).as("n_perfect"))
+      .select(col("n_queries"), lit(k.toLong).as("k"),
+        round(col("sum_hits").cast("double") / (col("n_queries") * k), 6)
+          .as("recall_at_k"),
+        col("n_perfect"))
+  }
+
+  /** DuckDB twin: both sides are the EXISTING oracle pipelines
+    * ([[knnBruteForceSqlFor]] and [[knnLshSql]]) embedded as
+    * subqueries, so the eval is checked against the same ground truth
+    * the index queries are.
+    */
+  val annRecallSql: String =
+    s"""WITH truth AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |${knnBruteForceSqlFor(200, 3)}
+      |  )
+      |), approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |${knnLshSql}
+      |  ) WHERE query_id < 200
+      |), per_q AS (
+      |  SELECT t.query_id,
+      |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS hits
+      |  FROM truth t LEFT JOIN approx a
+      |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(3 AS BIGINT) AS k,
+      |  round(CAST(sum(hits) AS DOUBLE) / (count(*) * 3), 6) AS recall_at_k,
+      |  CAST(sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+      |FROM per_q""".stripMargin
 
   // ---------------------------------------------------------------
   // IVF (inverted-file) ANN: centroid coarse quantizer + probed lists
@@ -1011,6 +1085,7 @@ object Similarity {
     "q_label_centroids" -> (labelCentroids _),
     "q_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
+    "q_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "q_embed_quantize" -> (quantizeInt8 _)
   )
@@ -1019,6 +1094,7 @@ object Similarity {
     "q_random_projection" -> randomProjectionSql,
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
+    "q_ann_recall" -> annRecallSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_knn_bruteforce" -> knnBruteForceSql,
     "q_embed_near_dup" -> embedNearDupSql,

@@ -542,6 +542,71 @@ object TextOps {
        |ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
+  // L4: vocabulary health — unigram entropy + Zipf fit per language
+  // ---------------------------------------------------------------
+
+  /** Per-language vocabulary health metrics: type/token counts,
+    * type-token ratio, unigram Shannon entropy (bits), and the Zipf
+    * rank-frequency slope (OLS of log2 freq on log2 rank) — the
+    * standard corpus sanity panel: entropy collapse or a slope far
+    * from −1 flags templated/duplicated or synthetic text before it
+    * reaches training.
+    *
+    * Scale shape: one explode + one (lang, word) count is the only
+    * corpus-sized work. Everything after runs on the VOCABULARY,
+    * whose size is Heaps-law sublinear in the corpus (~10⁵–10⁷ types
+    * per language at any scale), so the per-language rank window —
+    * nominally a one-partition-per-language sort — is bounded by
+    * vocabulary, not data. H = log2(N) − Σ cnt·log2(cnt)/N needs no
+    * per-type probabilities materialized; ties in cnt permute equal
+    * y-values across the tied ranks, so the Zipf OLS inputs are a
+    * deterministic multiset and the rounded metrics hash-match.
+    */
+  def langEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = documents(spark, dir)
+      .select(col("lang"), explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rnk", row_number().over(
+      Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("word").asc)))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * log2(col("cnt"))).as("s_clogc"),
+        expr("regr_slope(log2(cnt), log2(rnk))").as("slope"))
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        round(log2(col("n_tokens")) - col("s_clogc") / col("n_tokens"), 6)
+          .as("entropy_bits"),
+        round(col("slope"), 6).as("zipf_slope"))
+      .orderBy(col("lang"))
+  }
+
+  val langEntropySql: String =
+    """WITH c AS (
+      |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), r AS (
+      |  SELECT lang, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) AS rnk
+      |  FROM c
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS type_token_ratio,
+      |  round(log2(CAST(sum(cnt) AS DOUBLE))
+      |        - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt), 6) AS entropy_bits,
+      |  round(regr_slope(log2(CAST(cnt AS DOUBLE)), log2(CAST(rnk AS DOUBLE))), 6)
+      |    AS zipf_slope
+      |FROM r
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   // L4: quality scoring
   // ---------------------------------------------------------------
 
@@ -2012,6 +2077,7 @@ object TextOps {
     "q_tfidf_top_terms" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
+    "q_lang_entropy" -> (langEntropy _),
     "q_doc_repetition" -> (docRepetition _),
     "q_approx_top_tokens" -> ((s: SparkSession, d: String) => approxTopTokens(s, d)),
     "q_near_dup_jaccard" -> ((s: SparkSession, d: String) => nearDupJaccard(s, d)),
@@ -2050,6 +2116,7 @@ object TextOps {
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,
+    "q_lang_entropy" -> langEntropySql,
     "q_doc_repetition" -> docRepetitionSql,
     "q_approx_top_tokens" -> approxTopTokensSql,
     "q_near_dup_jaccard" -> nearDupJaccardSql,

@@ -369,4 +369,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("kept") == 0L),
       "fixture has no semantic duplicates — threshold test vacuous")
   }
+
+  test("annRecall: metric row reproduces a driver-side recount of the two top-k sets") {
+    val n = 20
+    val k = 3
+    val truth = Similarity.knnBruteForce(spark, sf, nQueries = n, k = k)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.knnLsh(spark, sf, k = k)
+      .filter(col("query_id") < n)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queries = truth.map(_._1)
+    val hits = truth.count(approx.contains)
+    val perfect = queries.count(q =>
+      truth.filter(_._1 == q).forall(approx.contains))
+    val row = Similarity.annRecall(spark, sf, nQueries = n, k = k).head()
+    assert(row.getAs[Long]("n_queries") == queries.size.toLong)
+    assert(row.getAs[Long]("k") == k.toLong)
+    assert(row.getAs[Long]("n_perfect") == perfect.toLong)
+    val expectRecall = BigDecimal(hits.toDouble / (queries.size * k))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("recall_at_k") - expectRecall) < 1e-9,
+      s"recall ${row.getAs[Double]("recall_at_k")} != $expectRecall")
+    // the eval must be non-vacuous: LSH finds SOMETHING but the metric
+    // can detect misses (recall strictly in (0, 1] on this corpus)
+    assert(row.getAs[Double]("recall_at_k") > 0.0)
+  }
 }

@@ -774,4 +774,36 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(0) -> r.getAs[Long]("n_bigram")).toMap
       == expected, "bigram mass mismatch")
   }
+
+  test("langEntropy: metrics reproduce a driver-side recount per language") {
+    val docs = graft.ingest.Sources.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+    val counts = docs
+      .flatMap(r => "[a-z]+".r.findAllIn(r.getString(1).toLowerCase)
+        .map(w => (r.getString(0), w)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = graft.analytics.TextOps.langEntropy(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      rows.map(_.getString(0)).toSeq.sorted, "output not lang-ordered")
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val cnts = counts.collect { case ((l, _), c) if l == lang => c }.toSeq
+      val nTypes = cnts.size.toLong
+      val nTokens = cnts.sum
+      assert(r.getAs[Long]("n_types") == nTypes, s"$lang types")
+      assert(r.getAs[Long]("n_tokens") == nTokens, s"$lang tokens")
+      val log2 = (x: Double) => math.log(x) / math.log(2.0)
+      val h = log2(nTokens.toDouble) -
+        cnts.map(c => c * log2(c.toDouble)).sum / nTokens
+      assert(math.abs(r.getAs[Double]("entropy_bits") - h) < 1e-4,
+        s"$lang entropy ${r.getAs[Double]("entropy_bits")} != $h")
+      // entropy is bounded by log2(vocab); Zipfian text slopes negative
+      assert(h >= 0 && h <= log2(nTypes.toDouble) + 1e-9)
+      assert(r.getAs[Double]("zipf_slope") < 0.0,
+        s"$lang zipf slope not negative")
+      val ttr = r.getAs[Double]("type_token_ratio")
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
+    assert(rows.nonEmpty)
+  }
 }
