@@ -365,17 +365,66 @@ object Affinity {
       |FROM deg LEFT JOIN tpv USING (p)
       |ORDER BY part""".stripMargin
 
+  /** BFS hop-depth cap for [[partBfs]] — part of the operator
+    * contract (the oracle recursion is bounded by the same cap).
+    */
+  val BfsMaxDepth = 8
+
+  /** Single-source BFS distances over the co-purchase graph: how many
+    * co-purchase hops each part sits from the minimum part id in the
+    * edge set, capped at [[BfsMaxDepth]]. The graph-distance member
+    * of the graph family (reachability tiers / blast-radius
+    * queries); runs on [[graft.operators.Graph.bfsDistances]], the
+    * same co-partitioned RDD loop as PageRank and connected
+    * components. Hop counts are exact integers — portable by
+    * construction.
+    */
+  def partBfs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.bfsDistances(prEdges(spark, dir),
+        source = None, maxDepth = BfsMaxDepth)
+      .select(col("v").as("part"), col("dist"))
+      .orderBy(col("dist"), col("part"))
+
+  /** DuckDB twin: recursive CTE accumulating distinct (vertex, depth)
+    * pairs bounded by the depth cap; min(depth) per vertex IS the BFS
+    * distance. The source (min src over the symmetrized edges) equals
+    * the engine's min-vertex default because every vertex of the
+    * symmetrized graph appears as a source.
+    */
+  val partBfsSql: String =
+    s"""WITH RECURSIVE ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), halfe AS (
+      |  ${halfEdgesSql("pa", "pb")}
+      |), edges AS (
+      |  SELECT pa AS src, pb AS dst FROM halfe
+      |  UNION ALL
+      |  SELECT pb, pa FROM halfe
+      |), rec AS (
+      |  SELECT (SELECT min(src) FROM edges) AS v, 0 AS dist
+      |  UNION
+      |  SELECT e.dst, rec.dist + 1
+      |  FROM rec JOIN edges e ON e.src = rec.v
+      |  WHERE rec.dist < $BfsMaxDepth
+      |)
+      |SELECT v AS part, CAST(min(dist) AS BIGINT) AS dist
+      |FROM rec
+      |GROUP BY v
+      |ORDER BY dist, part""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_part_copurchase" -> (partCopurchase _),
     "q_part_triangles" -> (partTriangles _),
     "q_part_pagerank" -> (partPagerank _),
-    "q_pagerank_converged" -> (partPagerankConverged _)
+    "q_pagerank_converged" -> (partPagerankConverged _),
+    "q_part_bfs" -> (partBfs _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_part_copurchase" -> partCopurchaseSql,
     "q_part_triangles" -> partTrianglesSql,
     "q_part_pagerank" -> partPagerankSql,
-    "q_pagerank_converged" -> partPagerankConvergedSql
+    "q_pagerank_converged" -> partPagerankConvergedSql,
+    "q_part_bfs" -> partBfsSql
   )
 }

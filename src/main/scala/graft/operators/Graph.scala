@@ -339,4 +339,78 @@ object Graph {
     * PrBlock − 1 extra rounds of computed-then-discarded work).
     */
   private val PrBlock = 5
+
+  /** Single-source BFS hop distances over a DIRECTED edge list
+    * (symmetrize first for undirected graphs): (v, dist) for every
+    * vertex reachable from `source` within `maxDepth` hops, the
+    * source itself at distance 0. `source = None` starts from the
+    * minimum vertex id in the edge set (deterministic and cheap — one
+    * fold over the already-cached edges).
+    *
+    * Same RDD inner-loop shape as [[prCore]]: edges hash-partitioned
+    * once, the frontier expansion `edges join frontier` is
+    * partition-local, and the only shuffle per round is the
+    * min-dedup reduce of the new frontier (plus the seen-set
+    * subtract, also partition-local under the shared partitioner).
+    * Rounds = min(eccentricity, maxDepth) — hop distances are exact
+    * integers, so the output is engine-portable by construction.
+    */
+  def bfsDistances(edges: DataFrame, source: Option[Long] = None,
+                   maxDepth: Int = 8): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val part = new HashPartitioner(math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (raw.count() / 50000L).toInt + 1)))
+    val er = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    er.count()
+    raw.unpersist(blocking = false)
+    val live = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    try {
+      val s = source.getOrElse(er.keys.fold(Long.MaxValue)(math.min))
+      require(s != Long.MaxValue, "bfsDistances needs a non-empty edge list")
+      var dist = spark.sparkContext
+        .parallelize(Seq((s, 0L))).partitionBy(part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      live += dist
+      var frontier = dist
+      var d = 0L
+      var done = false
+      while (!done && d < maxDepth) {
+        d += 1
+        val dd = d
+        // one hop out from the frontier (partition-local join), dedup
+        // targets (the round's one shuffle), drop already-seen
+        // vertices — BFS's first visit IS the hop distance
+        val next = er.join(frontier)
+          .map { case (_, (dst, _)) => (dst, dd) }
+          .reduceByKey(part, (a, _) => a)
+          .subtractByKey(dist, part)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        live += next
+        if (next.count() == 0) done = true
+        else {
+          // co-partitioned parents → PartitionerAwareUnionRDD keeps
+          // the partitioner; ≤ maxDepth rounds bounds the lineage, so
+          // no per-round checkpoint is needed
+          val nd = dist.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+          live += nd
+          dist = nd
+          frontier = next
+        }
+      }
+      val spark2 = spark
+      import spark2.implicits._
+      val out = dist.toDF("v", "dist").localCheckpoint()
+      out
+    } finally {
+      live.foreach(_.unpersist(blocking = false))
+      er.unpersist(blocking = false)
+    }
+  }
 }

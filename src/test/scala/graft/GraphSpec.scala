@@ -60,6 +60,27 @@ class GraphSpec extends SparkSpec {
     assert(persisted == before)
   }
 
+  test("bfs distances: shortest hops on a crafted graph; cap and island honored") {
+    // diamond 1-2-4, 1-3-4 (two equal paths), tail 4-5-6-7,
+    // island {20,21}; symmetrize as the operator contract requires
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (20L, 21L))
+    val edges = edgesDF(half.flatMap(p => Seq(p, p.swap)))
+    val got = Graph.bfsDistances(edges, source = Some(1L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 3L, 6L -> 4L, 7L -> 5L)
+    assert(got == want, s"distances wrong: $got")
+    // depth cap truncates the tail, keeps everything within range
+    val capped = Graph.bfsDistances(edges, source = Some(1L), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == want.filter(_._2 <= 3L), s"cap ignored: $capped")
+    // default source is the minimum vertex id
+    val defaulted = Graph.bfsDistances(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(defaulted == want, s"default source wrong: $defaulted")
+  }
+
   test("dedup clusters: every near-dup pair lands in one cluster, canonical is min id") {
     val pairs = graft.analytics.TextOps.nearDupJaccard(spark, sf)
       .select(col("doc_a"), col("doc_b")).collect()
