@@ -67,11 +67,57 @@ object Privacy {
       |FROM masked
       |ORDER BY pseudo_id""".stripMargin
 
+  /** Minimum distinct sensitive values for a group to count as
+    * diverse (the "l" of l-diversity) — part of the audit contract.
+    */
+  val LDiv = 3L
+
+  /** l-diversity audit of the [[piiMask]] release: k-anonymity alone
+    * does not stop attribute disclosure — a group of 50
+    * indistinguishable rows that all share ONE sensitive value still
+    * leaks it. Per quasi-identifier group (nation, segment,
+    * balance_band): the anonymity-set size k, the number of distinct
+    * sensitive values l (the exact balance the band generalizes —
+    * precisely the attribute the release withholds), and whether the
+    * group clears [[LDiv]]. A release gate blocks on diverse = 0
+    * rows the same way it blocks on small group_k.
+    *
+    * Scale shape: one hash shuffle on the QI tuple (count + distinct
+    * count ride the same aggregation); group count is bounded by the
+    * generalized domain, not the table.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    Sources.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        (floor(col("c_acctbal") / 100) * 100).cast("long").as("balance_band"),
+        col("c_acctbal"))
+      .groupBy(col("nation"), col("segment"), col("balance_band"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("c_acctbal")).as("l_distinct"))
+      .withColumn("diverse",
+        when(col("l_distinct") >= LDiv, 1L).otherwise(0L))
+      .orderBy(col("nation"), col("segment"), col("balance_band"))
+
+  val lDiversitySql: String =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |  c_mktsegment AS segment,
+      |  CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS balance_band,
+      |  count(*) AS k,
+      |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+      |  CAST(CASE WHEN count(DISTINCT c_acctbal) >= $LDiv
+      |       THEN 1 ELSE 0 END AS BIGINT) AS diverse
+      |FROM customer
+      |GROUP BY 1, 2, 3
+      |ORDER BY nation, segment, balance_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pii_mask" -> (piiMask _)
+    "q_pii_mask" -> (piiMask _),
+    "q_l_diversity" -> (lDiversity _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q_pii_mask" -> piiMaskSql
+    "q_pii_mask" -> piiMaskSql,
+    "q_l_diversity" -> lDiversitySql
   )
 }

@@ -43,6 +43,98 @@ object Stats {
       |GROUP BY bin
       |ORDER BY bin""".stripMargin
 
+  /** Bin width of the [[sketchQuantiles]] histogram sketch. */
+  val SkqWidth = 1000L
+
+  /** Histogram-sketch quantiles with an exact-error audit: estimate
+    * p50/p90/p99 of line extended price from a fixed-width bin
+    * histogram (nearest-rank bin + linear interpolation inside it)
+    * and report each estimate next to the exact interpolated
+    * percentile and the absolute error.
+    *
+    * This is the mergeable-quantile path for 100 TB: the sketch state
+    * is (bin → count) — bounded by the value domain over [[SkqWidth]],
+    * corpus-size-independent, elementwise-addable across partitions,
+    * days, or snapshots — where the exact percentile needs a global
+    * sort (or full-value `percentile` state) every time. The estimate
+    * sits inside the bin holding the nearest-rank value, so its error
+    * vs that value is under one bin width (the interpolated exact
+    * percentile can add at most the local gap between adjacent order
+    * statistics); the audit column MEASURES the error on this corpus
+    * instead of asserting it. Everything up to the final
+    * interpolation is exact integer arithmetic (rank = ceil(q·N) as
+    * integer div, cumulative counts over ~100 bins), so the output is
+    * engine-portable; the bin walk's unpartitioned window runs on the
+    * bounded bin table, never the data.
+    */
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    val bins = x.select(floor(col("x") / SkqWidth).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_cum", col("cum") - col("cnt"))
+    val tot = x.agg(count(lit(1)).as("n"),
+      round(percentile(col("x"), lit(0.5)), 4).as("e50"),
+      round(percentile(col("x"), lit(0.9)), 4).as("e90"),
+      round(percentile(col("x"), lit(0.99)), 4).as("e99"))
+    val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+      .toDF("q_label", "qnum", "qden")
+    cum.crossJoin(broadcast(qs)).crossJoin(broadcast(tot))
+      .withColumn("r", expr("(n * qnum + qden - 1) div qden"))
+      // prev_cum < r ≤ cum picks exactly the bin holding the rank
+      .filter(col("prev_cum") < col("r") && col("r") <= col("cum"))
+      .withColumn("sketch_est", round(col("bin") * SkqWidth +
+        lit(SkqWidth) * (col("r") - col("prev_cum")).cast("double") /
+          col("cnt"), 4))
+      .withColumn("exact_val",
+        when(col("q_label") === "p50", col("e50"))
+          .when(col("q_label") === "p90", col("e90"))
+          .otherwise(col("e99")))
+      .select(col("q_label"), col("r").as("at_rank"),
+        col("sketch_est"), col("exact_val"),
+        round(abs(col("sketch_est") - col("exact_val")), 4).as("abs_err"))
+      .orderBy(col("q_label"))
+  }
+
+  val sketchQuantilesSql: String =
+    s"""WITH x AS (
+      |  SELECT l_extendedprice AS x FROM lineitem
+      |), bins AS (
+      |  SELECT CAST(floor(x / $SkqWidth) AS BIGINT) AS bin, count(*) AS cnt
+      |  FROM x GROUP BY 1
+      |), cum AS (
+      |  SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum
+      |  FROM bins
+      |), tot AS (
+      |  SELECT count(*) AS n,
+      |    round(quantile_cont(x, 0.5), 4) AS e50,
+      |    round(quantile_cont(x, 0.9), 4) AS e90,
+      |    round(quantile_cont(x, 0.99), 4) AS e99
+      |  FROM x
+      |), qs AS (
+      |  SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+      |                        ('p99', 99, 100)) AS t(q_label, qnum, qden)
+      |), picked AS (
+      |  SELECT q_label, (n * qnum + qden - 1) // qden AS r,
+      |    bin, cnt, cum, cum - cnt AS prev_cum, e50, e90, e99
+      |  FROM cum CROSS JOIN qs CROSS JOIN tot
+      |)
+      |SELECT q_label, CAST(r AS BIGINT) AS at_rank,
+      |  round(bin * $SkqWidth +
+      |    $SkqWidth * CAST(r - prev_cum AS DOUBLE) / cnt, 4) AS sketch_est,
+      |  CASE q_label WHEN 'p50' THEN e50 WHEN 'p90' THEN e90
+      |       ELSE e99 END AS exact_val,
+      |  round(abs(round(bin * $SkqWidth +
+      |    $SkqWidth * CAST(r - prev_cum AS DOUBLE) / cnt, 4) -
+      |    CASE q_label WHEN 'p50' THEN e50 WHEN 'p90' THEN e90
+      |         ELSE e99 END), 4) AS abs_err
+      |FROM picked
+      |WHERE prev_cum < r AND r <= cum
+      |ORDER BY q_label""".stripMargin
+
   /** Bivariate statistics per group: Pearson correlation, sample
     * covariance and OLS slope of extendedprice on quantity. All three
     * are one-pass partial-aggregatable moments — a single shuffle of
@@ -489,6 +581,7 @@ object Stats {
     "q_price_deciles" -> (priceDeciles _),
     "q_shipping_lag" -> (shippingLag _),
     "q_price_histogram" -> (priceHistogram _),
+    "q_sketch_quantiles" -> (sketchQuantiles _),
     "q_order_corr_stats" -> (orderCorrStats _),
     "q_priority_metrics_unpivot" -> (priorityMetricsUnpivot _),
     "q_part_fuzzy_match" -> ((s: SparkSession, d: String) => partFuzzyMatch(s, d))
@@ -502,6 +595,7 @@ object Stats {
     "q_shipping_lag" -> shippingLagSql,
     "q_crosstab_chi2" -> segmentRegionCrosstabSql,
     "q_price_histogram" -> priceHistogramSql,
+    "q_sketch_quantiles" -> sketchQuantilesSql,
     "q_order_corr_stats" -> orderCorrStatsSql,
     "q_priority_metrics_unpivot" -> priorityMetricsUnpivotSql,
     "q_part_fuzzy_match" -> partFuzzyMatchSql

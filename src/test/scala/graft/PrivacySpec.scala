@@ -34,4 +34,31 @@ class PrivacySpec extends SparkSpec {
     assert(a.sameElements(b))
     assert(a.distinct.length == a.length, "pseudo_id collision on the test keyspace")
   }
+
+  test("lDiversity: k and l reproduce a driver-side recount; flag honors the threshold") {
+    val raw = graft.ingest.Sources.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal")).collect()
+      .map(r => ((r.getLong(0), r.getString(1),
+        (r.getDouble(2) / 100).floor.toLong * 100),
+        r.getDouble(2)))
+    val byGroup = raw.groupBy(_._1)
+    val rows = Privacy.lDiversity(spark, sf).collect()
+    assert(rows.length == byGroup.size, "one row per QI group")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getString(1), r.getLong(2))
+      val members = byGroup(key)
+      assert(r.getAs[Long]("k") == members.length.toLong, s"$key k")
+      assert(r.getAs[Long]("l_distinct") ==
+        members.map(_._2).distinct.length.toLong, s"$key l")
+      assert(r.getAs[Long]("diverse") ==
+        (if (r.getAs[Long]("l_distinct") >= Privacy.LDiv) 1L else 0L))
+    }
+    // the audit must be able to fail: both flag values occur at sf0.001
+    assert(rows.exists(_.getAs[Long]("diverse") == 0L) ||
+      rows.forall(_.getAs[Long]("k") < Privacy.LDiv),
+      "fixture has no non-diverse group — threshold test vacuous")
+    // k mass conserves the table
+    assert(rows.map(_.getAs[Long]("k")).sum == raw.length.toLong)
+  }
 }

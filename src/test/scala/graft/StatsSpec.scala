@@ -206,4 +206,45 @@ class StatsSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getAs[Long]("n_kept"))).toSeq ==
       again.map(r => (r.getLong(0), r.getAs[Long]("n_kept"))).toSeq)
   }
+
+  test("sketch quantiles: estimate matches a driver-side histogram walk, error within one bin") {
+    val rows = Stats.sketchQuantiles(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("p50", "p90", "p99"))
+    val xs = graft.ingest.Sources.lineitem(spark, sf)
+      .select(col("l_extendedprice").cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    val w = Stats.SkqWidth
+    val binCnt = xs.groupBy(x => math.floor(x / w).toLong)
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val (num, den) = r.getString(0) match {
+        case "p50" => (1L, 2L); case "p90" => (9L, 10L); case _ => (99L, 100L)
+      }
+      val rank = (xs.length * num + den - 1) / den
+      assert(r.getAs[Long]("at_rank") == rank, s"${r.getString(0)} rank")
+      // walk the histogram exactly as the operator defines it
+      var cum = 0L
+      val bin = binCnt.keys.toSeq.sorted.find { b =>
+        cum += binCnt(b); cum >= rank
+      }.get
+      val prev = cum - binCnt(bin)
+      val est = BigDecimal(bin * w + w * (rank - prev).toDouble / binCnt(bin))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("sketch_est") - est) < 1e-9,
+        s"${r.getString(0)}: ${r.getAs[Double]("sketch_est")} != $est")
+      // justified bound: the estimate lands in the bin of the
+      // nearest-rank value (≤ one bin width off it); the interpolated
+      // exact percentile can add at most the local gap between the
+      // adjacent order statistics around that rank
+      val lo = xs(math.max(rank - 2, 0).toInt)
+      val hi = xs(math.min(rank, xs.length - 1).toInt)
+      assert(r.getAs[Double]("abs_err") <= w.toDouble + (hi - lo) + 1e-6,
+        s"${r.getString(0)} error above the bin-width + local-gap bound")
+      // and the audit column is consistent with its inputs
+      assert(math.abs(r.getAs[Double]("abs_err") -
+        BigDecimal(math.abs(r.getAs[Double]("sketch_est") -
+          r.getAs[Double]("exact_val")))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
 }
