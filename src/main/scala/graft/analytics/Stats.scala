@@ -43,6 +43,54 @@ object Stats {
       |GROUP BY bin
       |ORDER BY bin""".stripMargin
 
+  /** Benford first-significant-digit audit of order totals — the
+    * classic forensic screen for fabricated or truncated numeric
+    * columns: observed share of each leading digit 1–9 against the
+    * Benford expectation log10(1 + 1/d), with the absolute deviation
+    * per digit. (TPC-H totals are synthetic and WILL deviate — the
+    * operator is the audit mechanics, and the deviation column is
+    * exactly what it should flag on such data.)
+    *
+    * Digit extraction stays exact: cents = round(100·x) is an exact
+    * integer on both engines, and the leading digit comes from the
+    * integer's decimal string — no log10 of the VALUE is ever taken
+    * (a float log at a power-of-ten boundary could misclassify).
+    * One scan, 9-row output; shares are single divisions of exact
+    * counts.
+    */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val tot = Window.partitionBy()
+    orders(spark, dir)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+      .withColumn("n", sum(col("n_orders")).over(tot))
+      .select(col("digit"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("n"), 6).as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_share"))
+      .withColumn("abs_dev",
+        round(abs(col("obs_share") - col("benford_share")), 6))
+      .orderBy(col("digit"))
+  }
+
+  val benfordDigitsSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |                          AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders
+      |), c AS (
+      |  SELECT digit, count(*) AS n_orders FROM d GROUP BY 1
+      |), t AS (
+      |  SELECT *, CAST(sum(n_orders) OVER () AS BIGINT) AS n FROM c
+      |)
+      |SELECT digit, n_orders,
+      |  round(CAST(n_orders AS DOUBLE) / n, 6) AS obs_share,
+      |  round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+      |  round(abs(round(CAST(n_orders AS DOUBLE) / n, 6) -
+      |            round(log10(1.0 + 1.0 / digit), 6)), 6) AS abs_dev
+      |FROM t
+      |ORDER BY digit""".stripMargin
+
   /** Bin width of the [[sketchQuantiles]] histogram sketch. */
   val SkqWidth = 1000L
 
@@ -499,6 +547,78 @@ object Stats {
       |FROM t
       |ORDER BY bin""".stripMargin
 
+  /** Bin width of the [[ksDrift]] quantized ECDF grid. */
+  val KsBinWidth = 100L
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between order-price
+    * distributions of consecutive years, on a quantized value grid:
+    * KS = max over the grid of |F₁ − F₂|, the distribution-free
+    * complement to [[snapshotDrift]]'s per-bin chi2 (KS is one number,
+    * sensitive to cumulative shift; chi2 localizes which bins moved).
+    *
+    * Exactness: the ECDF difference |ca/n − cb/m| is maximized as the
+    * INTEGER |ca·m − cb·n| (cross-multiplied — no float ever enters
+    * the argmax), so the reported max, its grid location, and the
+    * final single division are engine-portable. Quantization to
+    * [[KsBinWidth]] makes the statistic the exact KS of the binned
+    * distributions (within max-bin-mass of the unbinned one) AND
+    * bounds every post-scan structure by the value domain: one
+    * bin-count shuffle on corpus-sized data, then the cumulative walk
+    * runs over ~thousands of bins — the same bounded-sketch discipline
+    * as [[sketchQuantiles]]; the unbinned variant would drag a
+    * corpus-sized distinct-value list through a global sort.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+      .select(year(col("o_orderdate")).as("yr"),
+        floor(col("o_totalprice") / KsBinWidth).cast("long").as("bin"))
+      .filter(col("yr").isin(1995, 1996))
+    val counts = o.groupBy(col("bin"))
+      .agg(sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("da"),
+        sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("db"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    counts
+      .withColumn("ca", sum(col("da")).over(w))
+      .withColumn("cb", sum(col("db")).over(w))
+      .withColumn("n", sum(col("da")).over(tot))
+      .withColumn("m", sum(col("db")).over(tot))
+      .withColumn("num", abs(col("ca") * col("m") - col("cb") * col("n")))
+      .orderBy(col("num").desc, col("bin").asc)
+      .limit(1)
+      .select(col("n").as("n_1995"), col("m").as("n_1996"),
+        (col("bin") * KsBinWidth).as("at_price"),
+        round(col("num").cast("double") / (col("n") * col("m")), 6)
+          .as("ks_stat"))
+  }
+
+  val ksDriftSql: String =
+    s"""WITH o AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(floor(o_totalprice / $KsBinWidth) AS BIGINT) AS bin
+      |  FROM orders
+      |  WHERE year(o_orderdate) IN (1995, 1996)
+      |), counts AS (
+      |  SELECT bin,
+      |    CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+      |    CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS db
+      |  FROM o GROUP BY 1
+      |), walk AS (
+      |  SELECT bin,
+      |    CAST(sum(da) OVER (ORDER BY bin) AS BIGINT) AS ca,
+      |    CAST(sum(db) OVER (ORDER BY bin) AS BIGINT) AS cb,
+      |    CAST(sum(da) OVER () AS BIGINT) AS n,
+      |    CAST(sum(db) OVER () AS BIGINT) AS m
+      |  FROM counts
+      |)
+      |SELECT n AS n_1995, m AS n_1996,
+      |  bin * $KsBinWidth AS at_price,
+      |  round(CAST(abs(ca * m - cb * n) AS DOUBLE) / (n * m), 6) AS ks_stat
+      |FROM walk
+      |ORDER BY abs(ca * m - cb * n) DESC, bin ASC
+      |LIMIT 1""".stripMargin
+
   /** Distribution-matched resampling — the CORRECTIVE action after
     * [[snapshotDrift]] flags a batch: per length bin, down-sample the
     * batch toward the history's (Laplace-smoothed) share with
@@ -576,11 +696,13 @@ object Stats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_length_resample" -> (lengthResample _),
     "q_snapshot_drift" -> (snapshotDrift _),
+    "q_ks_drift" -> (ksDrift _),
     "q_crosstab_chi2" -> (segmentRegionCrosstab _),
     "q_value_heatmap" -> (valueHeatmap _),
     "q_price_deciles" -> (priceDeciles _),
     "q_shipping_lag" -> (shippingLag _),
     "q_price_histogram" -> (priceHistogram _),
+    "q_benford_digits" -> (benfordDigits _),
     "q_sketch_quantiles" -> (sketchQuantiles _),
     "q_order_corr_stats" -> (orderCorrStats _),
     "q_priority_metrics_unpivot" -> (priorityMetricsUnpivot _),
@@ -590,11 +712,13 @@ object Stats {
   val oracles: Map[String, String] = Map(
     "q_length_resample" -> lengthResampleSql,
     "q_snapshot_drift" -> snapshotDriftSql,
+    "q_ks_drift" -> ksDriftSql,
     "q_value_heatmap" -> valueHeatmapSql,
     "q_price_deciles" -> priceDecilesSql,
     "q_shipping_lag" -> shippingLagSql,
     "q_crosstab_chi2" -> segmentRegionCrosstabSql,
     "q_price_histogram" -> priceHistogramSql,
+    "q_benford_digits" -> benfordDigitsSql,
     "q_sketch_quantiles" -> sketchQuantilesSql,
     "q_order_corr_stats" -> orderCorrStatsSql,
     "q_priority_metrics_unpivot" -> priorityMetricsUnpivotSql,

@@ -207,6 +207,55 @@ class StatsSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getAs[Long]("n_kept"))).toSeq)
   }
 
+  test("Benford digits: exact leading-digit recount; expectation column is Benford") {
+    val rows = Stats.benfordDigits(spark, sf).collect()
+    val digits = graft.ingest.Sources.orders(spark, sf)
+      .select(col("o_totalprice").cast("double")).collect()
+      .map(r => math.round(r.getDouble(0) * 100).toString.head.asDigit)
+    val byD = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getInt(0)).toSet == byD.keySet, "digit set mismatch")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orders") == byD(r.getInt(0)),
+        s"digit ${r.getInt(0)} count")
+      val expected = BigDecimal(math.log10(1 + 1.0 / r.getInt(0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("benford_share") - expected) < 1e-9)
+      assert(r.getAs[Double]("obs_share") > 0.0 &&
+        r.getAs[Double]("obs_share") <= 1.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == digits.length.toLong,
+      "digit counts must conserve the table")
+    // Benford shares over 1..9 are a complete distribution
+    assert(math.abs((1 to 9).map(d => math.log10(1 + 1.0 / d)).sum - 1.0) < 1e-9)
+  }
+
+  test("KS drift: statistic matches a driver-side ECDF walk on the binned grid") {
+    val row = Stats.ksDrift(spark, sf).head()
+    val o = graft.ingest.Sources.orders(spark, sf)
+      .select(year(col("o_orderdate")).as("yr"),
+        col("o_totalprice").cast("double")).collect()
+      .map(r => (r.getInt(0),
+        math.floor(r.getDouble(1) / Stats.KsBinWidth).toLong))
+      .filter(t => t._1 == 1995 || t._1 == 1996)
+    val a = o.filter(_._1 == 1995).map(_._2)
+    val b = o.filter(_._1 == 1996).map(_._2)
+    val (n, m) = (a.length.toLong, b.length.toLong)
+    assert(row.getAs[Long]("n_1995") == n && row.getAs[Long]("n_1996") == m)
+    var (best, bestBin, ca, cb) = (-1L, -1L, 0L, 0L)
+    (a ++ b).distinct.sorted.foreach { bin =>
+      ca += a.count(_ == bin); cb += b.count(_ == bin)
+      val num = math.abs(ca * m - cb * n)
+      if (num > best) { best = num; bestBin = bin } // first max = min bin
+    }
+    val ks = BigDecimal(best.toDouble / (n * m))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("ks_stat") - ks) < 1e-9,
+      s"ks ${row.getAs[Double]("ks_stat")} != $ks")
+    assert(row.getAs[Long]("at_price") == bestBin * Stats.KsBinWidth,
+      "argmax grid point differs")
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+
   test("sketch quantiles: estimate matches a driver-side histogram walk, error within one bin") {
     val rows = Stats.sketchQuantiles(spark, sf).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq == Seq("p50", "p90", "p99"))
