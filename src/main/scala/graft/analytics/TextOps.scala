@@ -369,14 +369,20 @@ object TextOps {
     val nToks = (st: DataFrame) => st
       .select(coalesce(sum(col("cnt") * size(symsOf(col("state")))), lit(0L)))
       .as[Long].head()
-    // materialize a lazily-checkpointed round; only the curve needs
-    // the token aggregation, a count() pins the blocks just as well
-    val settle = (st: DataFrame) => if (curve) nToks(st) else { st.count(); 0L }
+    // Jobs per round: the curve needs the per-round token aggregation,
+    // so curve mode runs 2 actions/round (argmax + nToks, the latter
+    // doubling as the round's materializer). WITHOUT the curve the
+    // only real action is the argmax — each round's lazy checkpoint
+    // materializes under the NEXT round's argmax, and the superseded
+    // frame is freed only then (its blocks back the unmaterialized
+    // successor until that action runs). Halves the job count of the
+    // encode path's training replay.
     var states = bpeStates0(spark, dir).localCheckpoint(eager = false)
+    var prev: DataFrame = null // settled predecessor awaiting free
     val rules = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long, Long)]
     try {
-      rules += ((0L, "", "", "", 0L, settle(states)))
+      rules += ((0L, "", "", "", 0L, if (curve) nToks(states) else 0L))
       var step = 1
       var exhausted = false
       while (step <= merges && !exhausted) {
@@ -390,19 +396,36 @@ object TextOps {
           // IS the (lhs, rhs) lexicographic tie-break
           .orderBy(col("c").desc, col("pair"))
           .limit(1).collect()
+        // the argmax materialized `states`; its predecessor is dead now
+        if (prev != null) {
+          org.apache.spark.sql.GraftBridge.freeCheckpoint(prev); prev = null
+        }
         if (top.isEmpty) exhausted = true
         else {
           val parts = top(0).getString(0).split(" ", 2)
           val (l, r) = (parts(0), parts(1))
           val next = applyMerge(states, l, r).localCheckpoint(eager = false)
-          rules += ((step.toLong, l, r, l + r, top(0).getLong(1), settle(next)))
-          // settle materialized `next`; the superseded round is dead
-          org.apache.spark.sql.GraftBridge.freeCheckpoint(states)
+          rules += ((step.toLong, l, r, l + r, top(0).getLong(1),
+            if (curve) nToks(next) else 0L))
+          if (curve) {
+            // nToks materialized `next`; free the superseded round now
+            org.apache.spark.sql.GraftBridge.freeCheckpoint(states)
+          } else prev = states
           states = next
           step += 1
         }
       }
+      if (!curve) {
+        // the final round never got a follow-up argmax — one count()
+        // materializes it (honoring the returned-frame-is-checkpointed
+        // contract) before the second-to-last round is freed
+        states.count()
+        if (prev != null) {
+          org.apache.spark.sql.GraftBridge.freeCheckpoint(prev); prev = null
+        }
+      }
     } catch { case e: Throwable =>
+      if (prev != null) org.apache.spark.sql.GraftBridge.freeCheckpoint(prev)
       org.apache.spark.sql.GraftBridge.freeCheckpoint(states)
       throw e
     }
