@@ -487,4 +487,40 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set("r0", "r1", "r2"), s"replay incomplete: $got")
     } finally q.stop()
   }
+
+  test("CountMin sketch over incremental micro-batches equals the batch sketch (mergeable state)") {
+    // the CMS buffer's merge is elementwise addition, so the SAME
+    // aggregator must produce the identical counter array whether the
+    // tokens arrive in one batch scan or dribble in across streaming
+    // micro-batches — the property that lets one sketch span
+    // partitions, days and snapshots at 100 TB
+    import spark.implicits._
+    val rng = new scala.util.Random(777)
+    val words = (0 until 3000).map(_ => s"w${rng.nextInt(200)}")
+    val input = MemoryStream[String](spark)
+    val q = input.toDF().toDF("tok")
+      .agg(graft.functions.Aggregators.countMin(col("tok")).as("sk"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream").start()
+    try {
+      words.grouped(500).foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable() // several real micro-batches, not one
+      }
+      val streamed = spark.table("cms_stream").head()
+        .getAs[scala.collection.Seq[Long]]("sk").toSeq
+      val batch = words.toDF("tok")
+        .agg(graft.functions.Aggregators.countMin(col("tok")).as("sk"))
+        .head().getAs[scala.collection.Seq[Long]]("sk").toSeq
+      assert(streamed == batch,
+        "incremental CMS diverged from the one-shot batch sketch")
+      // every row of the depth-4 sketch conserves the token mass
+      val d = graft.functions.Aggregators.CmsDepth
+      val w = graft.functions.Aggregators.CmsWidth
+      (0 until d).foreach { i =>
+        assert(streamed.slice(i * w, (i + 1) * w).sum == words.length.toLong,
+          s"row $i does not conserve mass")
+      }
+    } finally q.stop()
+  }
 }
