@@ -1272,6 +1272,109 @@ object TextOps {
       |WHERE n_eq / 32.0 >= 0.75
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cross-source duplicate-leakage matrix: per language, how many
+    * near-duplicate pairs STRADDLE two different sources, with the
+    * mean signature agreement — the governance view that tells a
+    * corpus owner which feeds copy from which (mirrors, scrapes of
+    * scrapes, license laundering) before both copies dilute training.
+    * The within-source runs ([[minHashLsh]]) deliberately band inside
+    * (lang, source); this operator bands on lang ONLY and keeps
+    * exactly the pairs those runs exclude (source_a ≠ source_b),
+    * canonicalized to an unordered source pair.
+    *
+    * Scale shape: same kernel, same index — signatures computed once,
+    * band-bucket equi-join for candidates (cost scales with real
+    * cross-source duplicate density, which IS the output), exact
+    * integer pair counts. Because a duplication-heavy corpus makes
+    * this join's collision stream LARGE (each pair collides in up to
+    * all 8 bands — sf0.1's planted duplication yields 5.7M collision
+    * rows for 1.05M true pairs), the collision stream carries NOTHING
+    * but the two doc ids: dedup shuffles 16-byte pairs, and the
+    * signatures AND source/lang attributes re-join the deduped pair
+    * set from the checkpointed sig table (AQE broadcasts it when it
+    * fits, shuffles it otherwise). Measured at sf0.1: 32.6 s with
+    * signatures riding the collision shuffle, 7.8 s slim — the
+    * remaining cost IS the collision volume, i.e. the corpus's real
+    * cross-source duplication. Each agreement estimate is an exact
+    * multiple of 1/32 (binary-exact, round-5 is the identity), so
+    * their sum is exact and the matrix means are one division —
+    * engine-portable.
+    */
+  def sourceLeakage(spark: SparkSession, dir: String,
+                    minEstJaccard: Double = 0.75): DataFrame = {
+    val sigs = sigArrays(spark, dir).localCheckpoint()
+    val banded = bandedOf(sigs)
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("source").as("source_a"), col("lang"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("source").as("source_b"), col("band"), col("bucket"), col("lang"))
+    val pairs = a.join(b, Seq("lang", "band", "bucket"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("source_a") =!= col("source_b"))
+      // multi-band collisions dedup on the BARE pair key (16 bytes a
+      // row through the shuffle); per-doc attributes rejoin below
+      .select(col("doc_a"), col("doc_b")).distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("lang"), col("source").as("source_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("source").as("source_b")), Seq("doc_b"))
+      .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("lang"),
+        least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi"),
+        col("est_jaccard"))
+      .groupBy(col("lang"), col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("est_jaccard")), 6).as("avg_est_jaccard"))
+      .orderBy(col("lang"), col("src_lo"), col("src_hi"))
+  }
+
+  /** DuckDB twin — the [[minHashLshSql]] pipeline with the source key
+    * REMOVED from the band join and the complement filter applied.
+    */
+  val sourceLeakageSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |    unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+      |  FROM toks
+      |), sig AS (
+      |  SELECT doc_id, lang, source, i,
+      |    min((h1 + i * h2) % 4294967291) AS m
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) seeds
+      |  GROUP BY doc_id, lang, source, i
+      |), band AS (
+      |  SELECT doc_id, lang, source, i // 4 AS band,
+      |    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+      |  FROM sig GROUP BY doc_id, lang, source, i // 4
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+      |    a.source AS source_a, b.source AS source_b
+      |  FROM band a JOIN band b USING (lang, band, bucket)
+      |  WHERE a.doc_id < b.doc_id AND a.source <> b.source
+      |), agree AS (
+      |  SELECT c.doc_a, c.doc_b, c.lang, c.source_a, c.source_b,
+      |    sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS n_eq
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+      |  GROUP BY 1, 2, 3, 4, 5
+      |)
+      |SELECT lang, least(source_a, source_b) AS src_lo,
+      |  greatest(source_a, source_b) AS src_hi,
+      |  count(*) AS n_pairs,
+      |  round(avg(round(n_eq / 32.0, 5)), 6) AS avg_est_jaccard
+      |FROM agree
+      |WHERE round(n_eq / 32.0, 5) >= 0.75
+      |GROUP BY 1, 2, 3
+      |ORDER BY lang, src_lo, src_hi""".stripMargin
+
   /** Incremental (cross-snapshot) dedup — the DAILY-pipeline shape:
     * dedup today's batch (doc_id ≡ 4 mod 5, the deterministic batch
     * marker) against the HISTORICAL corpus through the MinHash band
@@ -2106,6 +2209,7 @@ object TextOps {
     "q_near_dup_jaccard" -> ((s: SparkSession, d: String) => nearDupJaccard(s, d)),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => minHashLsh(s, d)),
+    "q_source_leakage" -> ((s: SparkSession, d: String) => sourceLeakage(s, d)),
     "q_incr_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "q_simhash_dedup" -> ((s: SparkSession, d: String) => simHashDedup(s, d)),
     "q_doc_fingerprint" -> (docFingerprints _),
@@ -2127,6 +2231,7 @@ object TextOps {
     "q_chunk_dedup" -> chunkDedupSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_minhash_lsh" -> minHashLshSql,
+    "q_source_leakage" -> sourceLeakageSql,
     "q_incr_dedup" -> incrementalDedupSql,
     "q_simhash_dedup" -> simHashDedupSql,
     "q_doc_fingerprint" -> docFingerprintsSql,

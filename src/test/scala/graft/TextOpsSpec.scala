@@ -775,6 +775,38 @@ class TextOpsSpec extends SparkSpec {
       == expected, "bigram mass mismatch")
   }
 
+  test("sourceLeakage: strictly cross-source, canonical order, bounded by all-pairs ground truth") {
+    val rows = graft.analytics.TextOps.sourceLeakage(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture has no cross-source near-dups — vacuous")
+    rows.foreach { r =>
+      assert(r.getString(1) < r.getString(2), "source pair not canonical")
+      val avg = r.getAs[Double]("avg_est_jaccard")
+      assert(avg >= 0.75 && avg <= 1.0, s"avg $avg outside [threshold, 1]")
+      assert(r.getAs[Long]("n_pairs") >= 1L)
+    }
+    // banding can only MISS pairs, never invent them: every cell count
+    // is bounded by the all-pairs (no banding) agreement ground truth
+    val sigs = graft.analytics.TextOps
+      .sigArraysOf(graft.ingest.Sources.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getAs[scala.collection.Seq[Long]]("sig").toArray))
+    val truth = scala.collection.mutable.Map
+      .empty[(String, String, String), Long].withDefaultValue(0L)
+    for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (ida, la, sa, va) = sigs(i); (idb, lb, sb, vb) = sigs(j)
+      if la == lb && sa != sb
+      agree = va.zip(vb).count { case (x, y) => x == y }
+      if agree * 4 >= 3 * 32 // est >= 0.75 on 32 lanes
+    } truth((la, if (sa < sb) sa else sb, if (sa < sb) sb else sa)) += 1L
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getString(2))
+      assert(r.getAs[Long]("n_pairs") <= truth(key),
+        s"cell $key reports more pairs than exist: " +
+          s"${r.getAs[Long]("n_pairs")} > ${truth(key)}")
+    }
+  }
+
   test("langEntropy: metrics reproduce a driver-side recount per language") {
     val docs = graft.ingest.Sources.documents(spark, sf)
       .select(col("lang"), col("text")).collect()
