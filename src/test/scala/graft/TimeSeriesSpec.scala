@@ -225,4 +225,71 @@ class TimeSeriesSpec extends SparkSpec {
         good, "l_lo", "l_hi", "r_lo", "r_hi", bucket = 10)
     assert(ok.count() == 1)
   }
+
+  test("CUSUM closed form equals the textbook recurrence, per user") {
+    // the operator computes S via prefix-sum − running-min; the
+    // definition is the stateful fold S_i = max(0, S_{i-1} + d_i).
+    // Recompute the fold on the driver for every user in the fixture
+    // and compare all emitted aggregates.
+    val rows = graft.ingest.Sources.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hiRef = TimeSeries.CusumTargetCents + TimeSeries.CusumSlackCents
+    val loRef = TimeSeries.CusumTargetCents - TimeSeries.CusumSlackCents
+    val h = TimeSeries.CusumThresholdCents
+    val expect = rows.groupBy(_._1).map { case (u, rs) =>
+      var sHi = 0L; var sLo = 0L
+      var maxHi = 0L; var maxLo = 0L
+      var nHi = 0L; var nLo = 0L
+      var firstHi: Option[Long] = None; var firstLo: Option[Long] = None
+      rs.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, c) =>
+        sHi = math.max(0L, sHi + (c - hiRef))
+        sLo = math.max(0L, sLo - (c - loRef))
+        maxHi = math.max(maxHi, sHi); maxLo = math.max(maxLo, sLo)
+        if (sHi > h) { nHi += 1; if (firstHi.isEmpty) firstHi = Some(us) }
+        if (sLo > h) { nLo += 1; if (firstLo.isEmpty) firstLo = Some(us) }
+      }
+      u -> (rs.length.toLong, maxHi, maxLo, nHi, nLo, firstHi, firstLo)
+    }
+    val got = TimeSeries.cusumShift(spark, sf).collect().map { r =>
+      r.getLong(0) -> (r.getAs[Long]("n_events"),
+        r.getAs[Long]("max_cusum_hi_cents"), r.getAs[Long]("max_cusum_lo_cents"),
+        r.getAs[Long]("n_alarms_hi"), r.getAs[Long]("n_alarms_lo"),
+        Option(r.getAs[java.lang.Long]("first_alarm_hi_us")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("first_alarm_lo_us")).map(_.toLong))
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (u, e) =>
+      assert(got(u) == e, s"user $u: got ${got(u)}, recurrence says $e")
+    }
+    // non-vacuity: the fixture must actually trip at least one alarm
+    assert(expect.values.exists(v => v._4 > 0 || v._5 > 0),
+      "fixture trips no CUSUM alarm — thresholds make the test vacuous")
+  }
+
+  test("CUSUM flags a planted persistent shift but not a lone spike") {
+    import spark.implicits._
+    // base series hugs the target; one user gets a +15.00 persistent
+    // shift (drifts 10.00/event past slack → alarms after ~20 events),
+    // the other a single huge spike (big excursion but bounded excess)
+    val base = (1 to 60).map(i => (1L, i.toLong, 1000000L + i * 1000L, 5000L))
+    val shifted = (1 to 60).map(i => (2L, 100 + i.toLong, 1000000L + i * 1000L,
+      if (i > 20) 6500L else 5000L))
+    val spike = (1 to 60).map(i => (3L, 200 + i.toLong, 1000000L + i * 1000L,
+      if (i == 30) 25000L else 5000L))
+    val df = (base ++ shifted ++ spike)
+      .toDF("user_id", "event_id", "us", "cents")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"),
+        (col("cents") / 100.0).as("value"),
+        lit("view").as("event_type"), lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeries.cusumShift(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("shifted")).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0),
+      s"persistent shift must alarm, steady series and lone spike must not: $out")
+  }
 }
