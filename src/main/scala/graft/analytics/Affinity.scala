@@ -123,6 +123,87 @@ object Affinity {
       |CROSS JOIN n
       |ORDER BY part_a, part_b""".stripMargin
 
+  /** Apriori frequent 3-itemsets (Agrawal & Srikant 1994, the L2→C3
+    * candidate step): part triples bought together in ≥ [[MinSupport]]
+    * distinct orders, with each sub-pair's support carried alongside
+    * (the association-rule denominators).
+    *
+    * Scale shape: triples are generated SCAN-SIDE from each order's
+    * sorted basket set (bounded by C(basket, 3) inside the order's own
+    * task — never a three-way self-join of the incidence), then pruned
+    * by the Apriori property BEFORE the counting shuffle: every
+    * sub-pair must be in the support-filtered pair set, enforced with
+    * three broadcast semi-joins on packed (a·2³²+b) pair keys. The
+    * prune cannot change the RESULT (a triple with support ≥ s has all
+    * sub-pairs at support ≥ s), it exists to keep candidate traffic
+    * proportional to the frequent-pair structure — the property that
+    * matters when baskets are large and the pair set is selective.
+    */
+  def aprioriTriples(spark: SparkSession, dir: String): DataFrame = {
+    val pack = java.lang.Long.parseLong("4294967296") // 2^32
+    val ol = orderParts(spark, dir)
+    // the frequent-pair table is consumed FOUR times (packed prune set
+    // + three sub-pair support joins); materialize the slim
+    // (a, b, support) frame once instead of re-running the basket
+    // explosion per consumer (renamed join sides don't canonicalize
+    // equal, so AQE stage reuse can't catch these — see PLAN_AUDIT)
+    val pairs = halfEdges(spark, dir).localCheckpoint()
+    val packedPairs = pairs
+      .select((col("part_a") * pack + col("part_b")).as("pp"))
+    val cand = ol.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (a, i) =>
+        flatten(transform(slice(col("ps"), i + 2, size(col("ps"))), (b, j) =>
+          transform(slice(col("ps"), i + j + 3, size(col("ps"))), c =>
+            struct(a.as("part_a"), b.as("part_b"), c.as("part_c")))))))).as("t"))
+      .select(col("t.part_a"), col("t.part_b"), col("t.part_c"))
+    val pruned = cand
+      .join(broadcast(packedPairs.select(col("pp").as("pp_ab"))),
+        col("part_a") * pack + col("part_b") === col("pp_ab"), "left_semi")
+      .join(broadcast(packedPairs.select(col("pp").as("pp_ac"))),
+        col("part_a") * pack + col("part_c") === col("pp_ac"), "left_semi")
+      .join(broadcast(packedPairs.select(col("pp").as("pp_bc"))),
+        col("part_b") * pack + col("part_c") === col("pp_bc"), "left_semi")
+    pruned
+      .groupBy(col("part_a"), col("part_b"), col("part_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+      .join(broadcast(pairs.select(col("part_a"), col("part_b"),
+        col("support").as("support_ab"))), Seq("part_a", "part_b"))
+      .join(broadcast(pairs.select(col("part_a"),
+        col("part_b").as("part_c"), col("support").as("support_ac"))),
+        Seq("part_a", "part_c"))
+      .join(broadcast(pairs.select(col("part_a").as("part_b"),
+        col("part_b").as("part_c"), col("support").as("support_bc"))),
+        Seq("part_b", "part_c"))
+      .select(col("part_a"), col("part_b"), col("part_c"), col("support"),
+        col("support_ab"), col("support_ac"), col("support_bc"))
+      .orderBy(col("part_a"), col("part_b"), col("part_c"))
+  }
+
+  val aprioriTriplesSql: String =
+    s"""WITH ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  ${halfEdgesSql("part_a", "part_b")}
+      |), tri AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |    c.l_partkey AS part_c, count(*) AS support
+      |  FROM ol a
+      |  JOIN ol b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  JOIN ol c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+      |  GROUP BY 1, 2, 3
+      |  HAVING count(*) >= $MinSupport
+      |)
+      |SELECT part_a, part_b, part_c, tri.support AS support,
+      |  ab.support AS support_ab, ac.support AS support_ac,
+      |  bc.support AS support_bc
+      |FROM tri
+      |JOIN pairs ab USING (part_a, part_b)
+      |JOIN pairs ac ON ac.part_a = tri.part_a AND ac.part_b = tri.part_c
+      |JOIN pairs bc ON bc.part_a = tri.part_b AND bc.part_b = tri.part_c
+      |ORDER BY part_a, part_b, part_c""".stripMargin
+
   /** PageRank over the co-purchase graph (edges = pairs with support ≥
     * [[MinSupport]], symmetrized), [[PrIters]] iterations, damping
     * 0.85 — entirely in FIXED-POINT integer arithmetic: ranks are
@@ -414,6 +495,7 @@ object Affinity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_part_copurchase" -> (partCopurchase _),
+    "q_apriori_triples" -> (aprioriTriples _),
     "q_part_triangles" -> (partTriangles _),
     "q_part_pagerank" -> (partPagerank _),
     "q_pagerank_converged" -> (partPagerankConverged _),
@@ -422,6 +504,7 @@ object Affinity {
 
   val oracles: Map[String, String] = Map(
     "q_part_copurchase" -> partCopurchaseSql,
+    "q_apriori_triples" -> aprioriTriplesSql,
     "q_part_triangles" -> partTrianglesSql,
     "q_part_pagerank" -> partPagerankSql,
     "q_pagerank_converged" -> partPagerankConvergedSql,

@@ -489,7 +489,81 @@ object Events {
       |  USING (event_id)
       |ORDER BY p.event_id""".stripMargin
 
+  /** Attribution lookback window: 72 h in epoch micros. */
+  val AttribWindowUs = 259200000000L
+
+  /** First/last-touch marketing attribution: for every purchase, the
+    * earliest and latest click/view TOUCH by the same user inside a
+    * 72-hour lookback window — the report that decides which channel
+    * gets credit for a conversion (first-touch vs last-touch being the
+    * two classic models).
+    *
+    * Scale shape: ONE shuffle on user_id; both touch lookups are
+    * RANGE-frame window aggregates over the same per-user sort — no
+    * self-join of conversions against touches (the naive shape, which
+    * explodes quadratically on active users). Each touch packs into a
+    * single BIGINT (us·4 + type code), so the range-frame min IS the
+    * first touch and the max IS the last touch — min/max over packed
+    * integers are the one aggregate every engine agrees on, where
+    * struct-valued min/max are not portable (DuckDB's vectorized
+    * lambda/struct paths, see [[TimeSeries.holtTrendSql]]). Ties at
+    * the same microsecond resolve by type code — deterministic on any
+    * engine and partitioning.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val packed = when(col("event_type") === "click", col("us") * 4 + 1)
+      .when(col("event_type") === "view", col("us") * 4 + 2)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-AttribWindowUs, -1)
+    def decodeType(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(pmod(p, lit(4)) === 1, "click")
+        .when(pmod(p, lit(4)) === 2, "view")
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("p", packed)
+      .withColumn("ft", min(col("p")).over(w))
+      .withColumn("lt", max(col("p")).over(w))
+      .withColumn("n_touches", count(col("p")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us").as("conv_us"),
+        decodeType(col("ft")).as("first_touch_type"),
+        expr("ft DIV 4").as("first_touch_us"),
+        decodeType(col("lt")).as("last_touch_type"),
+        expr("lt DIV 4").as("last_touch_us"),
+        col("n_touches"))
+      .orderBy(col("event_id"))
+  }
+
+  val attributionSql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |    CASE WHEN event_type = 'click' THEN us * 4 + 1
+      |         WHEN event_type = 'view' THEN us * 4 + 2 END AS p
+      |  FROM events
+      |), att AS (
+      |  SELECT user_id, event_id, us, event_type,
+      |    min(p) OVER w AS ft, max(p) OVER w AS lt,
+      |    count(p) OVER w AS n_touches
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |               RANGE BETWEEN $AttribWindowUs PRECEDING
+      |                         AND 1 PRECEDING)
+      |)
+      |SELECT user_id, event_id, us AS conv_us,
+      |  CASE WHEN ft % 4 = 1 THEN 'click'
+      |       WHEN ft % 4 = 2 THEN 'view' END AS first_touch_type,
+      |  ft // 4 AS first_touch_us,
+      |  CASE WHEN lt % 4 = 1 THEN 'click'
+      |       WHEN lt % 4 = 2 THEN 'view' END AS last_touch_type,
+      |  lt // 4 AS last_touch_us,
+      |  n_touches
+      |FROM att
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (attribution _),
     "q_ordered_funnel" -> (orderedFunnel _),
     "q_scd2_status" -> (scd2Status _),
     "q_scd2_lookup" -> (scd2Lookup _),
@@ -503,6 +577,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" -> attributionSql,
     "q_ordered_funnel" -> orderedFunnelSql,
     "q_scd2_status" -> scd2StatusSql,
     "q_scd2_lookup" -> scd2LookupSql,

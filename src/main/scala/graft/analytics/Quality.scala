@@ -279,6 +279,91 @@ object Quality {
       |GROUP BY d.event_type, f.n, f.med, f.mad
       |ORDER BY d.event_type""".stripMargin
 
+  /** Winsorization fences as integer percents (clip at p05/p95). */
+  val WinsorLoPct = 5L
+  val WinsorHiPct = 95L
+
+  /** Winsorization per event type — the CORRECTIVE action after
+    * [[madOutliers]] flags a tail: clip readings to the [p05, p95]
+    * band and report the before/after means with exact clip counts.
+    * Quantiles are DISCRETE (the value at rank ⌈p·n⌉ under the total
+    * order (cents, event_id)) computed in integer arithmetic —
+    * ⌈p·n⌉ = (p·n + 99) div 100 — so both engines pick the identical
+    * element; interpolated quantiles would hang the hash gate on a
+    * float midpoint. Means divide exact integer cent sums by exact
+    * counts.
+    *
+    * Scale shape: ONE shuffle on event_type; rank and group size come
+    * from two window functions over the same partitioning, the two
+    * fence rows per group are filtered out of that same frame and
+    * broadcast back — no second scan, no per-row join against
+    * anything wider than #groups rows.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val part = Window.partitionBy(col("event_type"))
+    val w = part.orderBy(col("cents").asc, col("event_id").asc)
+    val ranked = events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(part))
+    val fences = ranked
+      .filter(col("rnk") === expr(s"(n * $WinsorLoPct + 99) DIV 100") ||
+        col("rnk") === expr(s"(n * $WinsorHiPct + 99) DIV 100"))
+      .groupBy(col("event_type"))
+      // a tiny group can make both fence ranks coincide — min/max of
+      // the (≤2) fence rows are then the same element on both engines
+      .agg(min(col("cents")).as("p05_cents"), max(col("cents")).as("p95_cents"))
+    ranked.join(broadcast(fences), Seq("event_type"))
+      .withColumn("clipped",
+        greatest(least(col("cents"), col("p95_cents")), col("p05_cents")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("p05_cents")).as("p05_cents"),
+        min(col("p95_cents")).as("p95_cents"),
+        sum(when(col("cents") < col("p05_cents"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col("cents") > col("p95_cents"), 1L).otherwise(0L))
+          .as("n_clipped_hi"),
+        round(sum(col("cents")) / (count(lit(1)) * lit(100.0)), 4)
+          .as("mean_raw"),
+        round(sum(col("clipped")) / (count(lit(1)) * lit(100.0)), 4)
+          .as("mean_winsor"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizeSql: String = {
+    def ceilRank(pct: Long) = s"(n * $pct + 99) // 100"
+    s"""WITH ranked AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY CAST(round(value * 100) AS BIGINT) ASC,
+      |                                event_id ASC) AS rnk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |), fences AS (
+      |  SELECT event_type,
+      |    min(cents) AS p05_cents, max(cents) AS p95_cents
+      |  FROM ranked
+      |  WHERE rnk = ${ceilRank(WinsorLoPct)} OR rnk = ${ceilRank(WinsorHiPct)}
+      |  GROUP BY event_type
+      |)
+      |SELECT r.event_type, count(*) AS n,
+      |  CAST(min(f.p05_cents) AS BIGINT) AS p05_cents,
+      |  CAST(min(f.p95_cents) AS BIGINT) AS p95_cents,
+      |  CAST(sum(CASE WHEN r.cents < f.p05_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_lo,
+      |  CAST(sum(CASE WHEN r.cents > f.p95_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_hi,
+      |  round(sum(r.cents) / (count(*) * 100.0), 4) AS mean_raw,
+      |  round(sum(greatest(least(r.cents, f.p95_cents), f.p05_cents))
+      |        / (count(*) * 100.0), 4) AS mean_winsor
+      |FROM ranked r JOIN fences f USING (event_type)
+      |GROUP BY r.event_type
+      |ORDER BY r.event_type""".stripMargin
+  }
+
   /** A2 (hopping variant): sliding 1-hour windows every 15 minutes
     * via Spark's native `window()` generator — each event lands in 4
     * overlapping windows scan-side (a generator, no self-join), then
@@ -418,6 +503,7 @@ object Quality {
     "q_hopping_stats" -> (hoppingStats _),
     "q_order_expectations" -> (orderExpectations _),
     "q_mad_outliers" -> (madOutliers _),
+    "q_winsorize" -> (winsorize _),
     "q_sensor_hourly" -> (sensorHourly _),
     "q_rolling_zscore" -> ((s: SparkSession, d: String) => rollingZscore(s, d)),
     "q_value_alerts" -> (valueAlerts _),
@@ -429,6 +515,7 @@ object Quality {
     "q_hopping_stats" -> hoppingStatsSql,
     "q_order_expectations" -> orderExpectationsSql,
     "q_mad_outliers" -> madOutliersSql,
+    "q_winsorize" -> winsorizeSql,
     "q_sensor_hourly" -> sensorHourlySql,
     "q_rolling_zscore" -> rollingZscoreSql,
     "q_value_alerts" -> valueAlertsSql,

@@ -2062,9 +2062,13 @@ object TextOps {
           i => concat_ws(" ", slice(t, i, lit(2)))))
         .otherwise(array().cast("array<string>"))
     }
+    // the aggregated bigram model is consumed FOUR times (scores +
+    // two margins + totals); materialize the vocabulary-sized frame
+    // once instead of re-running the corpus explode per consumer
     val c2 = documents(spark, dir)
       .select(col("lang"), explode(bigrams(col("text"))).as("bg"))
       .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val ctx1 = c2.groupBy(col("lang"),
         substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c12")).as("ctx1"))

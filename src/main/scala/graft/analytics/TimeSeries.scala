@@ -250,13 +250,18 @@ object TimeSeries {
     * The scale form: ONE shuffle groups each user's readings, an
     * explicit sort key (epoch-µs, event_id) fixes the order inside the
     * collected array, and a codegen'd `aggregate` HOF folds the
-    * recurrence ema' = ⌊(α·x + (1−α)·ema) / 100⌋ — in FIXED-POINT
-    * integer cents with explicit FLOOR division, so the fold is exact
-    * on any engine even for negative readings (same value on any engine,
-    * any partitioning; a float fold would drift by summation order and
-    * the oracle's list_reduce would diverge). State per user is one
-    * long; array size is bounded by per-key history, the knob a real
-    * deployment caps with windowed retention.
+    * recurrence ema' = (α·x + (1−α)·ema) div 100 — in FIXED-POINT
+    * integer cents, so the fold is exact on any engine and any
+    * partitioning (a float fold would drift by summation order and
+    * the oracle's list_reduce would diverge). The division contract
+    * is TRUNCATION toward zero, which Spark's `DIV` and DuckDB's
+    * integer `//` share natively — including on negative states
+    * (measured: −630 // 100 = −6 in DuckDB 1.0; an earlier pmod-floor
+    * form here made Spark FLOOR and would have diverged from the twin
+    * one unit per negative step — caught by [[holtTrend]], whose trend
+    * state actually goes negative). State per user is one long; array
+    * size is bounded by per-key history, the knob a real deployment
+    * caps with windowed retention.
     */
   def sensorEma(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -269,15 +274,9 @@ object TimeSeries {
         sort_array(collect_list(struct(col("us"), col("event_id"),
           col("cents")))).as("seq"))
       .withColumn("cs", expr("transform(seq, s -> s.cents)"))
-      // floor division on BOTH engines: Spark DIV truncates toward
-      // zero while DuckDB // floors, so a negative EMA state would
-      // diverge by one unit — n - pmod(n, 100) is the exact floor
-      // multiple in pure integer arithmetic (same class of fix as
-      // MinHashSigs' floor-mod contract)
       .withColumn("ema_cents", expr(
         s"""aggregate(slice(cs, 2, size(cs) - 1), cs[0],
-           |  (acc, x) -> (($EmaAlphaPct * x + ${100 - EmaAlphaPct} * acc)
-           |    - pmod($EmaAlphaPct * x + ${100 - EmaAlphaPct} * acc, 100)) DIV 100)
+           |  (acc, x) -> ($EmaAlphaPct * x + ${100 - EmaAlphaPct} * acc) DIV 100)
            |""".stripMargin))
       .select(col("user_id"), col("n_events"),
         col("ema_cents"),
@@ -402,7 +401,93 @@ object TimeSeries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Holt smoothing factors as integer percentages (α = 0.25 level,
+    * β = 0.10 trend).
+    */
+  val HoltAlphaPct = 25L
+  val HoltBetaPct = 10L
+
+  /** Holt's linear-trend double exponential smoothing per user series
+    * (Holt 1957) — [[sensorEma]]'s upgrade for drifting signals: a
+    * second state tracks the local slope, so the smoothed level stops
+    * lagging a trending series and a forecast column falls out
+    * (level + h·trend). The same class of order-sensitive sequential
+    * aggregate: two COUPLED recurrences
+    *   l' = α·x + (1−α)·(l + b),  b' = β·(l' − l) + (1−β)·b
+    * folded in FIXED-POINT integer cents. The division contract here
+    * is TRUNCATION toward zero — Spark's `DIV` and DuckDB's integer
+    * `//` both truncate (measured: −630 // 100 = −6 in DuckDB 1.0,
+    * NOT −7), so the native operators already agree on the negative
+    * values the trend state takes on downtrends; [[sensorEma]]'s
+    * pmod-floor trick exists for reference sides whose `%`/`//` pair
+    * floors, and would here DISAGREE with the DuckDB twin on negative
+    * numerators. Initial state l₀ = first observation, b₀ = 0. One
+    * shuffle per key; state per user is two longs.
+    */
+  def holtTrend(spark: SparkSession, dir: String): DataFrame = {
+    val a = HoltAlphaPct; val b = HoltBetaPct
+    val lNum = s"($a * x + ${100 - a} * (acc.l + acc.b))"
+    val lNew = s"($lNum DIV 100)"
+    val bNum = s"($b * ($lNew - acc.l) + ${100 - b} * acc.b)"
+    val bNew = s"($bNum DIV 100)"
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("us"), col("event_id"),
+          col("cents")))).as("seq"))
+      .withColumn("cs", expr("transform(seq, s -> s.cents)"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(cs, 2, size(cs) - 1),
+           |  named_struct('l', cs[0], 'b', CAST(0 AS BIGINT)),
+           |  (acc, x) -> named_struct('l', $lNew, 'b', $bNew))""".stripMargin))
+      .select(col("user_id"), col("n_events"),
+        col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+        (col("st.l") + col("st.b") * 3).as("forecast3_cents"),
+        (col("st.l") / 100.0).as("level"),
+        (col("st.b") / 100.0).as("trend"))
+      .orderBy(col("user_id"))
+  }
+
+  val holtTrendSql: String = {
+    val a = HoltAlphaPct; val b = HoltBetaPct
+    val lNum = s"($a * x[1] + ${100 - a} * (acc[1] + acc[2]))"
+    val lNew = s"($lNum // 100)"
+    val bNum = s"($b * ($lNew - acc[1]) + ${100 - b} * acc[2])"
+    val bNew = s"($bNum // 100)"
+    s"""WITH seqd AS (
+      |  SELECT user_id,
+      |    list(CAST(round(value * 100) AS BIGINT)
+      |         ORDER BY date_trunc('microseconds', ts), event_id) AS cs,
+      |    count(*) AS n_events
+      |  FROM events
+      |  GROUP BY user_id
+      |), folded AS (
+      |  -- fold 2-lists so the FIRST element becomes the init state
+      |  -- [l = x₁, b = 0]: DuckDB's list_reduce has no explicit init.
+      |  -- LIST state, not a struct: DuckDB 1.0's vectorized lambda
+      |  -- mis-evaluates repeated struct-field references in a reduce
+      |  -- (verified: manual unrolled steps give [170, 6] where the
+      |  -- struct-state fold returns [170, 5]); list indexing folds
+      |  -- correctly
+      |  SELECT user_id, n_events,
+      |    list_reduce(
+      |      list_transform(cs, x -> [x, CAST(0 AS BIGINT)]),
+      |      (acc, x) -> [$lNew, $bNew]) AS st
+      |  FROM seqd
+      |)
+      |SELECT user_id, n_events,
+      |  st[1] AS level_cents, st[2] AS trend_cents,
+      |  st[1] + 3 * st[2] AS forecast3_cents,
+      |  st[1] / 100.0 AS level, st[2] / 100.0 AS trend
+      |FROM folded
+      |ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_holt_trend" -> (holtTrend _),
     "q_cusum_shift" -> (cusumShift _),
     "q_sensor_ema" -> (sensorEma _),
     "q_gap_fill_locf" -> (gapFillLocf _),
@@ -412,6 +497,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_holt_trend" -> holtTrendSql,
     "q_cusum_shift" -> cusumShiftSql,
     "q_sensor_ema" -> sensorEmaSql,
     "q_gap_fill_locf" -> gapFillLocfSql,

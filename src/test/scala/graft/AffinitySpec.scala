@@ -157,4 +157,35 @@ class AffinitySpec extends SparkSpec {
     assert(triangles.select(col("x"), col("y"), col("z")).collect().map(r =>
       Set(r.getLong(0), r.getLong(1), r.getLong(2))).head == Set(1L, 2L, 50L))
   }
+
+  test("apriori triples: support monotonicity and pair consistency on the fixture") {
+    val rows = Affinity.aprioriTriples(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture yields no frequent triples — vacuous")
+    rows.foreach { r =>
+      val (a, b, c) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("part_c"))
+      assert(a < b && b < c, s"triple not canonical: ($a,$b,$c)")
+      val s = r.getAs[Long]("support")
+      // Apriori property: a triple can never be more frequent than any
+      // of its sub-pairs — if this fails, the pruning join keys are
+      // misaligned and the counting is wrong
+      assert(s <= r.getAs[Long]("support_ab") &&
+        s <= r.getAs[Long]("support_ac") &&
+        s <= r.getAs[Long]("support_bc"),
+        s"triple support $s exceeds a sub-pair's for ($a,$b,$c)")
+      assert(s >= Affinity.MinSupport)
+    }
+    // cross-check one triple's support against a direct recount
+    val r0 = rows.head
+    val recount = graft.ingest.Sources.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .filter(array_contains(col("ps"), r0.getAs[Long]("part_a")) &&
+        array_contains(col("ps"), r0.getAs[Long]("part_b")) &&
+        array_contains(col("ps"), r0.getAs[Long]("part_c")))
+      .count()
+    assert(recount == r0.getAs[Long]("support"),
+      s"direct basket recount $recount != reported ${r0.getAs[Long]("support")}")
+  }
 }

@@ -169,4 +169,38 @@ class EventsSpec extends SparkSpec {
     assert(custom.values.exists(_ != "none") && custom.values.exists(_ == "none"),
       "fixture should exercise both matched and first-event purchases")
   }
+
+  test("attribution equals a driver-side scan of each user's touch history") {
+    val out = graft.analytics.Events.attribution(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[String]("first_touch_type")),
+          Option(r.getAs[java.lang.Long]("first_touch_us")).map(_.toLong),
+          Option(r.getAs[String]("last_touch_type")),
+          Option(r.getAs[java.lang.Long]("last_touch_us")).map(_.toLong),
+          r.getAs[Long]("n_touches"))).toMap
+    val ev = graft.ingest.Sources.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    val expect = ev.filter(_._4 == "purchase").map { case (u, eid, us, _) =>
+      val touches = byUser(u)
+        .filter(t => (t._4 == "click" || t._4 == "view") &&
+          t._3 < us && t._3 >= us - graft.analytics.Events.AttribWindowUs)
+        // the packed-BIGINT tie rule: at equal us, click (code 1)
+        // precedes view (code 2)
+        .map(t => t._3 * 4 + (if (t._4 == "click") 1 else 2)).sorted
+      val ft = touches.headOption
+      val lt = touches.lastOption
+      def tpe(p: Long) = if (p % 4 == 1) "click" else "view"
+      eid -> (ft.map(tpe), ft.map(_ / 4), lt.map(tpe), lt.map(_ / 4),
+        touches.length.toLong)
+    }.toMap
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (eid, e) =>
+      assert(out(eid) == e, s"purchase $eid: got ${out(eid)}, scan says $e")
+    }
+    assert(out.values.exists(_._5 > 0) && out.values.exists(_._5 == 0),
+      "fixture should exercise both touched and untouched conversions")
+  }
 }

@@ -113,4 +113,30 @@ class QualitySpec extends SparkSpec {
     assert(out("status_in_domain") == (5L, 2L),
       s"NULL status must count as violation: ${out("status_in_domain")}")
   }
+
+  test("winsorize: fences are the ceil-rank order statistics and clip counts recount") {
+    val out = graft.analytics.Quality.winsorize(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p05_cents"),
+          r.getAs[Long]("p95_cents"), r.getAs[Long]("n_clipped_lo"),
+          r.getAs[Long]("n_clipped_hi"))).toMap
+    val raw = graft.ingest.Sources.events(spark, sf)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(out.keySet == raw.keySet)
+    raw.foreach { case (t, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sorted.map(_._1)
+      val n = sorted.length
+      val p05 = sorted(((n * 5 + 99) / 100 - 1).toInt)
+      val p95 = sorted(((n * 95 + 99) / 100 - 1).toInt)
+      val lo = sorted.count(_ < p05).toLong
+      val hi = sorted.count(_ > p95).toLong
+      assert(out(t) == ((n.toLong, p05, p95, lo, hi)),
+        s"$t: got ${out(t)}, recount says ${(n, p05, p95, lo, hi)}")
+      assert(lo > 0 && hi > 0, s"$t clips nothing — fixture vacuous for it")
+    }
+  }
 }

@@ -700,6 +700,39 @@ class TextOpsSpec extends SparkSpec {
     assert(ranked.head == 4L, s"idf must favor the rare term: $ranked")
   }
 
+  test("PMI collocations: scores recompute from raw bigram counts; ranks dense") {
+    val out = graft.analytics.TextOps.pmiCollocations(spark, sf).collect()
+    assert(out.nonEmpty)
+    // rebuild the model table on the driver
+    val bigrams = graft.ingest.Sources.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ", -1)
+        toks.sliding(2).filter(_.length == 2)
+          .map(p => (r.getString(0), p(0), p(1))).toSeq
+      }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ctx1 = bigrams.groupBy(t => (t._1, t._2)).view.mapValues(_.length.toLong).toMap
+    val ctx2 = bigrams.groupBy(t => (t._1, t._3)).view.mapValues(_.length.toLong).toMap
+    val nBg = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq ==
+        (1 to rows.length), s"$lang ranks not dense")
+    }
+    out.foreach { r =>
+      val (lang, w1, w2) = (r.getAs[String]("lang"), r.getAs[String]("w1"),
+        r.getAs[String]("w2"))
+      val c = c12((lang, w1, w2))
+      assert(c == r.getAs[Long]("c12"), s"count mismatch for $lang ($w1,$w2)")
+      assert(c >= graft.analytics.TextOps.PmiMinCount)
+      val pmi = math.log((c.toDouble / ctx1((lang, w1))) *
+        (nBg(lang).toDouble / ctx2((lang, w2))))
+      val expect = BigDecimal(pmi).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert((BigDecimal(r.getAs[Double]("pmi")) - expect).abs <= BigDecimal("0.000001"),
+        s"PMI mismatch for $lang ($w1,$w2): ${r.getAs[Double]("pmi")} vs $pmi")
+    }
+  }
+
   test("prefix-filtered Jaccard equals brute force on randomized clustered docs") {
     import spark.implicits._
     // seeded generator: clusters of near-duplicate variants with sizes

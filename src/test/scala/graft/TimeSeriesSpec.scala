@@ -81,8 +81,10 @@ class TimeSeriesSpec extends SparkSpec {
       .mapValues(_.map(_._2).sortBy(t => (t._1, t._2)).map(_._3)).toMap
     val a = TimeSeries.EmaAlphaPct
     seqs.foreach { case (u, cs) =>
+      // the contract is truncating division (Spark DIV ≡ DuckDB
+      // integer // ≡ Java /), not floorDiv
       val expect = cs.tail.foldLeft(cs.head) {
-        (acc, x) => Math.floorDiv(a * x + (100 - a) * acc, 100)
+        (acc, x) => (a * x + (100 - a) * acc) / 100
       }
       assert(out(u) == expect, s"EMA fold mismatch for user $u")
     }
@@ -224,6 +226,38 @@ class TimeSeriesSpec extends SparkSpec {
           .withColumnRenamed("r_lo", "l_lo").withColumnRenamed("r_hi", "l_hi"),
         good, "l_lo", "l_hi", "r_lo", "r_hi", bucket = 10)
     assert(ok.count() == 1)
+  }
+
+  test("Holt trend equals a driver-side fold of the coupled recurrences; fixture exercises negative trend") {
+    val out = TimeSeries.holtTrend(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("level_cents"), r.getAs[Long]("trend_cents"),
+          r.getAs[Long]("forecast3_cents"))).toMap
+    val seqs = graft.ingest.Sources.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(t => (t._1, t._2)).map(_._3)).toMap
+    val a = TimeSeries.HoltAlphaPct; val b = TimeSeries.HoltBetaPct
+    var sawNegative = false
+    seqs.foreach { case (u, cs) =>
+      // truncating division — the Spark DIV / DuckDB // contract
+      var l = cs.head; var t = 0L
+      cs.tail.foreach { x =>
+        val ln = (a * x + (100 - a) * (l + t)) / 100
+        t = (b * (ln - l) + (100 - b) * t) / 100
+        if (t < 0) sawNegative = true
+        l = ln
+      }
+      assert(out(u) == ((l, t, l + 3 * t)), s"Holt fold mismatch for user $u")
+    }
+    assert(out.keySet == seqs.keySet)
+    // the truncation-vs-floor distinction only exists on negative
+    // states — the fixture must reach one or this test proves nothing
+    // about the division contract
+    assert(sawNegative, "no user's trend state went negative — vacuous")
   }
 
   test("CUSUM closed form equals the textbook recurrence, per user") {
