@@ -32,8 +32,15 @@ def run_verify():
     # Clean stale output: a query that fails this run must not pass on
     # parquet left over from a previous (successful) run, and renamed or
     # removed queries must not linger as rows-only passes.
-    shutil.rmtree(OUT, ignore_errors=True)
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}']
+    if ONLY:
+        # single-query iteration: keep other outputs, rerun only these
+        for name in ONLY:
+            shutil.rmtree(os.path.join(OUT, name), ignore_errors=True)
+        only_arg = " " + ",".join(sorted(ONLY))
+    else:
+        shutil.rmtree(OUT, ignore_errors=True)
+        only_arg = ""
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{only_arg}']
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True,
                        timeout=1800)
     if r.returncode != 0:

@@ -364,8 +364,8 @@ case class FirstAgreeBand(left: Expression, right: Expression, bands: Int)
          |    boolean $ok = true;
          |    int $end = ($band + 1) * $r;
          |    for (int $i = $band * $r; $ok && $i < $end; $i++) {
-         |      if ($x.isNullAt($i) || $y.isNullAt($i)
-         |          || $x.getLong($i) != $y.getLong($i)) $ok = false;
+         |      if ($x.isNullAt($i) || $y.isNullAt($i) ||
+         |          $x.getLong($i) != $y.getLong($i)) $ok = false;
          |    }
          |    if ($ok) $res = $band;
          |  }

@@ -137,6 +137,64 @@ object Sinks {
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 
+  /** S-format breadth: prove the ORC and JSON-lines source/sink pairs
+    * preserve content END-TO-END, hash-gated against the parquet
+    * original. The query reads orders from parquet, writes ORC, reads
+    * it back, writes JSON lines, reads THAT back with the original
+    * schema (schema-on-read — inference would widen timestamps to
+    * strings), and aggregates; DuckDB computes the same aggregate
+    * straight from the parquet table, so any loss anywhere in either
+    * round trip (type narrowing, timestamp timezone shear, double
+    * formatting) breaks the hash. Money is summed in exact integer
+    * cents so FP addition order cannot differ between engines.
+    *
+    * ORC ships in spark-sql (no extra jar); JSON doubles round-trip
+    * exactly (Jackson shortest-representation printing). Avro is
+    * documented NOT available offline — the spark-avro connector jar
+    * is absent from /opt/spark/jars, only avro-core for shuffle
+    * internals.
+    *
+    * At 100 TB this query's shape is the lake-migration job: one scan
+    * of the source format, one write of the target, both streaming
+    * through executors with no driver materialization; the aggregate
+    * tail is the row-count/checksum reconciliation every migration
+    * runs.
+    */
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_").toFile
+    val orcPath = new java.io.File(tmp, "orders_orc").toString
+    val jsonPath = new java.io.File(tmp, "orders_json").toString
+    val o = Sources.orders(spark, dir)
+    o.write.mode(SaveMode.Overwrite).orc(orcPath)
+    val fromOrc = spark.read.orc(orcPath)
+    fromOrc.write.mode(SaveMode.Overwrite).json(jsonPath)
+    val fromJson = spark.read.schema(o.schema).json(jsonPath)
+    val out = fromJson
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        min(year(col("o_orderdate"))).as("min_year"),
+        max(year(col("o_orderdate"))).as("max_year"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
+      .orderBy(col("o_orderpriority"))
+    // materialize BEFORE deleting the scratch dirs (the plan is lazy)
+    val rows = out.localCheckpoint(eager = true)
+    deleteRecursively(tmp)
+    rows
+  }
+
+  val formatRoundtripSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  CAST(min(year(o_orderdate)) AS INT) AS min_year,
+      |  CAST(max(year(o_orderdate)) AS INT) AS max_year,
+      |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Upsert (MERGE) without a table format: rows of `updates` replace
     * key-matching rows of `target`; everything else passes through.
     * Anti-join + union — the updates side is usually small, so Spark
@@ -171,10 +229,12 @@ object Sinks {
       |ORDER BY o_orderkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_upsert_orders" -> (upsertOrders _)
+    "q_upsert_orders" -> (upsertOrders _),
+    "q_format_roundtrip" -> (formatRoundtrip _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q_upsert_orders" -> upsertOrdersSql
+    "q_upsert_orders" -> upsertOrdersSql,
+    "q_format_roundtrip" -> formatRoundtripSql
   )
 }
