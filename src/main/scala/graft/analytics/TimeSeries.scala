@@ -486,7 +486,95 @@ object TimeSeries {
       |ORDER BY user_id""".stripMargin
   }
 
+  /** Autocorrelation function (ACF) of the daily value series per
+    * event type, lags 1..7 — the seasonality probe run before fitting
+    * any forecast model (is there a weekly cycle? how fast does the
+    * signal decorrelate?).
+    *
+    * Scale shape: ONE shuffle aggregates events to (type, day) exact
+    * cent sums — after that the frame is types × days rows, corpus-
+    * size-INDEPENDENT, so the lag self-join and the moment rollup are
+    * driver-trivial no matter how many raw events there are. Pearson
+    * corr is computed from exact integer moments (n, Σx, Σy, Σxy,
+    * Σx², Σy² all in BIGINT — no FP accumulation order anywhere); the
+    * only doubles are the final textbook expression, written with the
+    * SAME operation tree in both engines so the IEEE results match
+    * bitwise. Day-cent sums up to ~2e7 (sf0.1) keep Σxy ≲ 1e16, well
+    * inside i64; a 1000× corpus needs the cent sums rescaled (or the
+    * moments in DECIMAL(38)) before the squares, noted here on the
+    * operator's own terms.
+    */
+  def acfDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+          .as("day_idx"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(sum(col("cents")).as("cents"))
+    val b = daily.select(col("event_type").as("et_b"),
+      col("day_idx").as("day_b"), col("cents").as("y"))
+    val m = daily
+      .join(b, col("event_type") === col("et_b") &&
+        (col("day_idx") - col("day_b")).between(1, 7))
+      .select(col("event_type"),
+        (col("day_idx") - col("day_b")).cast("int").as("lag"),
+        col("cents").as("x"), col("y"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+    val denom = sqrt(nd * col("sxx").cast("double") - sxd * sxd) *
+      sqrt(nd * col("syy").cast("double") - syd * syd)
+    m.select(col("event_type"), col("lag"), col("n"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (nd * col("sxy").cast("double") - sxd * syd) / denom, 6))
+          .as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val acfDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.event_type, CAST(a.day_idx - b.day_idx AS INT) AS lag,
+      |         a.cents AS x, b.cents AS y
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type
+      |   AND a.day_idx - b.day_idx BETWEEN 1 AND 7
+      |), m AS (
+      |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pairs GROUP BY 1, 2
+      |)
+      |SELECT event_type, lag, n,
+      |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+      |       THEN NULL
+      |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS acf
+      |FROM m ORDER BY event_type, lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_acf_daily" -> (acfDaily _),
     "q_holt_trend" -> (holtTrend _),
     "q_cusum_shift" -> (cusumShift _),
     "q_sensor_ema" -> (sensorEma _),
@@ -497,6 +585,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_acf_daily" -> acfDailySql,
     "q_holt_trend" -> holtTrendSql,
     "q_cusum_shift" -> cusumShiftSql,
     "q_sensor_ema" -> sensorEmaSql,

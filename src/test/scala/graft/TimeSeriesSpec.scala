@@ -326,4 +326,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0),
       s"persistent shift must alarm, steady series and lone spike must not: $out")
   }
+
+  test("ACF: period-2 series gives -1 at lag 1 and +1 at lag 2") {
+    import spark.implicits._
+    // one event per day for 14 days, value alternating 10.00 / 20.00 —
+    // daily sums form a period-2 series whose autocorrelation is
+    // exactly -1 at odd lags and +1 at even lags
+    val rows = (0 until 14).map { d =>
+      (1L, d.toLong, s"2024-01-${"%02d".format(d + 1)} 12:00:00",
+        if (d % 2 == 0) 10.0 else 20.0)
+    }
+    val df = rows.toDF("user_id", "event_id", "ts_s", "value")
+      .select(col("user_id"), col("event_id"),
+        to_timestamp(col("ts_s")).as("ts"), col("value"),
+        lit("view").as("event_type"), lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("acf").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val acf = TimeSeries.acfDaily(spark, dir).collect()
+      .map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n"), Option(r.getAs[Double]("acf")))).toMap
+    assert(acf(1) == (13L, Some(-1.0)), s"lag 1: ${acf(1)}")
+    assert(acf(2) == (12L, Some(1.0)), s"lag 2: ${acf(2)}")
+    assert(acf(3)._2.contains(-1.0) && acf(4)._2.contains(1.0))
+    // n shrinks by one per extra lag (fewer aligned pairs)
+    assert((1 to 7).forall(l => acf(l)._1 == 14L - l))
+  }
 }
