@@ -398,7 +398,98 @@ object Scale {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** Shuffle-key skew diagnostics — the measurement an operator runs
+    * BEFORE deciding between plain hash partitioning, salting
+    * ([[saltedSumCount]]) and AQE skew splitting: for each candidate
+    * key of the lineitem fact, the key count, the heaviest key's row
+    * share, the share held by the top 1% of keys, and the Gini
+    * coefficient of the row-count distribution
+    * (G = 2·Σ i·cᵢ / (n·Σc) − (n+1)/n over counts sorted ascending —
+    * ties contribute the same Σ i·cᵢ under any tie order, so the
+    * statistic is deterministic).
+    *
+    * Scale shape: one map-side-combined count per key (the only
+    * corpus-sized shuffle), then windows over KEY COUNTS — n_keys
+    * rows, orders of magnitude below row count. The ranking window
+    * partitions by the probed key's name, one series per candidate;
+    * at extreme key cardinality the ascending prefix rank would move
+    * to the (key-range shard, 2-phase offset merge) pattern proven in
+    * seq_pack. All moments are exact integers; the three output ratios
+    * are single final divisions.
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val li = Sources.lineitem(spark, dir)
+    def profile(keyCol: String): DataFrame = {
+      val counts = li.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("c"))
+        .select(lit(keyCol).as("key_name"), col("k"), col("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key_name"))
+      val asc = w.orderBy(col("c").asc, col("k").asc)
+      val desc = w.orderBy(col("c").desc, col("k").asc)
+      counts
+        .withColumn("i", row_number().over(asc))
+        .withColumn("r", row_number().over(desc))
+        .withColumn("nk", count(lit(1)).over(w))
+        .groupBy(col("key_name"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_rows"),
+          sum(col("i") * col("c")).as("ic"),
+          sum(when(col("r") * 100 <= col("nk"), col("c"))
+            .otherwise(lit(0L))).as("top1pct_rows"))
+    }
+    val all = profile("l_orderkey")
+      .unionByName(profile("l_partkey"))
+      .unionByName(profile("l_suppkey"))
+    all.select(col("key_name"), col("n_keys"), col("n_rows"),
+        round(col("max_rows").cast("double") /
+          col("n_rows").cast("double"), 6).as("max_share"),
+        round(col("top1pct_rows").cast("double") /
+          col("n_rows").cast("double"), 6).as("top1pct_share"),
+        round(lit(2.0) * col("ic").cast("double") /
+          (col("n_keys").cast("double") * col("n_rows").cast("double")) -
+          (col("n_keys").cast("double") + 1.0) /
+            col("n_keys").cast("double"), 6).as("gini"))
+      .orderBy(col("key_name"))
+  }
+
+  val keySkewSql: String = {
+    def one(key: String) =
+      s"""SELECT '$key' AS key_name, k, c,
+         |    row_number() OVER (ORDER BY c ASC, k ASC) AS i,
+         |    row_number() OVER (ORDER BY c DESC, k ASC) AS r,
+         |    count(*) OVER () AS nk
+         |  FROM (SELECT $key AS k, count(*) AS c FROM lineitem GROUP BY 1)""".stripMargin
+    s"""WITH ranked AS (
+      |  ${one("l_orderkey")}
+      |  UNION ALL
+      |  ${one("l_partkey")}
+      |  UNION ALL
+      |  ${one("l_suppkey")}
+      |), m AS (
+      |  SELECT key_name, CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(c) AS BIGINT) AS n_rows,
+      |    CAST(max(c) AS BIGINT) AS max_rows,
+      |    CAST(sum(i * c) AS BIGINT) AS ic,
+      |    CAST(sum(CASE WHEN r * 100 <= nk THEN c ELSE 0 END) AS BIGINT)
+      |      AS top1pct_rows
+      |  FROM ranked GROUP BY key_name
+      |)
+      |SELECT key_name, n_keys, n_rows,
+      |  round(CAST(max_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+      |    AS max_share,
+      |  round(CAST(top1pct_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+      |    AS top1pct_share,
+      |  round(2.0 * CAST(ic AS DOUBLE)
+      |        / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+      |        - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 6)
+      |    AS gini
+      |FROM m ORDER BY key_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_key_skew" -> (keySkew _),
     "q_incremental_agg" -> (incrementalAgg _),
     "q_feature_hash" -> (featureHash _),
     "q_salted_revenue" -> (saltedRevenue _),
@@ -409,6 +500,7 @@ object Scale {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_key_skew" -> keySkewSql,
     "q_incremental_agg" -> incrementalAggSql,
     "q_feature_hash" -> featureHashSql,
     "q_salted_revenue" -> saltedRevenueSql,
