@@ -1172,7 +1172,128 @@ object Similarity {
        |ORDER BY rrf_scaled DESC, doc_id ASC
        |LIMIT $HybridTopK""".stripMargin
 
+  // ---------------------------------------------------------------
+  // MMR: maximal-marginal-relevance diversified re-ranking
+  // ---------------------------------------------------------------
+
+  /** Diversified result count and candidate pool for [[mmrRerank]]. */
+  val MmrK = 10
+  val MmrPool = 50
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    * diversified top-[[MmrK]] for the vec_id-0 query: greedy selection
+    * maximizing λ·rel − (1−λ)·max-sim-to-selected with λ = 1/2, which
+    * over our EXACT integer scores reduces to argmax(rel − maxsim) —
+    * the re-ranker that keeps a result list from filling up with
+    * near-duplicates the plain top-k would return (the retrieval-side
+    * twin of SemDeDup's corpus-side rule).
+    *
+    * Every score is an exact integer dot of the shared quantized unit
+    * vectors ([[quantVectors]]), so relevance and pairwise similarity
+    * live on the same ~IvfScale² scale and the greedy argmax (ties by
+    * vec_id) is engine-deterministic.
+    *
+    * Scale shape: candidate generation is the DISTRIBUTED stage — a
+    * scan-side dot against the broadcast query vector cut to
+    * [[MmrPool]] rows by TakeOrdered (corpus-size-independent, like
+    * the IVF codebook). The greedy loop then runs on those ≤50 rows
+    * on the driver — O(k·pool·dim) ≈ 32k lane-multiplies — exactly
+    * where every production serving stack puts its re-rank stage; at
+    * 100 TB only the candidate cut grows, and it's one TakeOrdered.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qv = quantVectors(spark, dir).select(col("vec_id"), col("q"))
+    val q0 = qv.filter(col("vec_id") === 0).select(col("q"))
+      .head().getSeq[Long](0)
+    val cands = qv.filter(col("vec_id") =!= 0)
+      .withColumn("rel", intDot(col("q"), typedlit(q0)))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(MmrPool)
+      .select(col("vec_id"), col("rel"), col("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Long], Long)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.size < MmrK && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel, q) =>
+        val mmr =
+          if (selected.isEmpty) rel
+          else rel - selected.iterator.map(s => dot(q, s._3)).max
+        (id, rel, q, mmr)
+      }
+      val best = scored.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      selected += best
+      remaining.remove(remaining.indexWhere(_._1 == best._1)): Unit
+    }
+    selected.zipWithIndex
+      .map { case ((id, rel, _, mmr), i) => (i + 1, id, rel, mmr) }
+      .toSeq
+      .toDF("mmr_rank", "vec_id", "rel_score", "mmr_score")
+      .orderBy(col("mmr_rank"))
+  }
+
+  /** DuckDB twin: same quantization CTEs, same candidate cut, and the
+    * greedy recurrence unrolled as [[MmrK]] argmax steps — each one a
+    * correlated max over the ≤(step−1) already-selected rows.
+    */
+  val mmrRerankSql: String = {
+    // the max-sim term is a CROSS JOIN + GROUP BY, not a correlated
+    // subquery: DuckDB lambdas cannot capture a column correlated in
+    // from an outer query, but two join sides in direct scope work
+    // (the knnIvf ranked CTE relies on the same)
+    val steps = (2 to MmrK).map { t =>
+      s"""s$t AS (
+         |  SELECT $t AS rnk, vec_id, rel, q, mmr FROM (
+         |    SELECT c.vec_id, c.rel, c.q,
+         |      c.rel - max(CAST(list_sum(list_transform(range(1, 65),
+         |          k -> c.q[k] * s.q[k])) AS BIGINT)) AS mmr
+         |    FROM cand c CROSS JOIN sel${t - 1} s
+         |    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |    GROUP BY c.vec_id, c.rel, c.q)
+         |  ORDER BY mmr DESC, vec_id ASC LIMIT 1
+         |), sel$t AS MATERIALIZED (
+         |  SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT vec_id,
+       |    list_transform(emb, x ->
+       |      CAST(round(CAST(CAST(x / nrm AS REAL) AS DOUBLE) * $IvfScale)
+       |           AS BIGINT)) AS q
+       |  FROM n
+       |), q0 AS (SELECT q FROM qv WHERE vec_id = 0),
+       |rel AS (
+       |  SELECT v.vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      k -> v.q[k] * q0.q[k])) AS BIGINT) AS rel,
+       |    v.q
+       |  FROM qv v, q0 WHERE v.vec_id <> 0
+       |), cand AS MATERIALIZED (
+       |  SELECT * FROM rel ORDER BY rel DESC, vec_id ASC LIMIT $MmrPool
+       |), s1 AS (
+       |  SELECT 1 AS rnk, vec_id, rel, q, rel AS mmr FROM cand
+       |  ORDER BY rel DESC, vec_id ASC LIMIT 1
+       |), sel1 AS MATERIALIZED (SELECT * FROM s1),
+       |$steps
+       |SELECT rnk AS mmr_rank, vec_id, rel AS rel_score, mmr AS mmr_score
+       |FROM sel$MmrK ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mmr_rerank" -> (mmrRerank _),
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_label_separation" -> (labelSeparation _),
     "q_random_projection" -> (randomProjection _),
@@ -1187,6 +1308,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mmr_rerank" -> mmrRerankSql,
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_random_projection" -> randomProjectionSql,
     "q_knn_lsh" -> knnLshSql,

@@ -425,4 +425,52 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.exists(r => !r.isNullAt(r.fieldIndex("kw_rank")) &&
       !r.isNullAt(r.fieldIndex("vec_rank"))), "no doc ranked by both legs")
   }
+
+  test("MMR re-rank equals an independent greedy recompute and diversifies") {
+    val out = Similarity.mmrRerank(spark, sf).collect()
+    assert(out.length == Similarity.MmrK)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == out.length,
+      "selected ids must be unique")
+    assert(out.map(_.getAs[Int]("mmr_rank")).toSeq == (1 to Similarity.MmrK),
+      "ranks must be dense 1..k")
+    // independent greedy recompute from the shared quantized vectors
+    val qv = Similarity.quantVectors(spark, sf)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Long](r.fieldIndex("q")).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val q0 = qv(0L)
+    val pool = qv.toSeq.filter(_._1 != 0L)
+      .map { case (id, q) => (id, dot(q, q0), q) }
+      .sortBy { case (id, rel, _) => (-rel, id) }
+      .take(Similarity.MmrPool)
+    var sel = Vector.empty[(Long, Long, Array[Long], Long)]
+    var rem = pool
+    while (sel.size < Similarity.MmrK && rem.nonEmpty) {
+      val best = rem.map { case (id, rel, q) =>
+        val mmr = if (sel.isEmpty) rel
+                  else rel - sel.map(s => dot(q, s._3)).max
+        (id, rel, q, mmr)
+      }.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      sel :+= best
+      rem = rem.filterNot(_._1 == best._1)
+    }
+    out.zip(sel).foreach { case (row, (id, rel, _, mmr)) =>
+      assert(row.getAs[Long]("vec_id") == id &&
+        row.getAs[Long]("rel_score") == rel &&
+        row.getAs[Long]("mmr_score") == mmr,
+        s"greedy recompute diverges at rank ${row.getAs[Int]("mmr_rank")}")
+    }
+    // rank 1 is the plain relevance argmax
+    assert(out.head.getAs[Long]("rel_score") == pool.head._2)
+    // diversification: the MMR set's worst internal redundancy is no
+    // worse than the plain top-k's (strictly better when the top-k
+    // carries near-duplicates)
+    def maxPairSim(ids: Seq[Long]): Long =
+      (for { a <- ids; b <- ids if a < b } yield dot(qv(a), qv(b))).max
+    val topK = pool.take(Similarity.MmrK).map(_._1)
+    val mmrIds = out.map(_.getAs[Long]("vec_id")).toSeq
+    assert(maxPairSim(mmrIds) <= maxPairSim(topK),
+      "MMR must not be more redundant than plain top-k")
+  }
 }
