@@ -573,7 +573,87 @@ object TimeSeries {
       |  END AS acf
       |FROM m ORDER BY event_type, lag""".stripMargin
 
+  /** Cross-correlation function (CCF) between event-type pairs at lags
+    * 0..3 — does activity in one metric LEAD another? (lag k > 0 means
+    * type_a's day t is paired with type_b's day t−k, so a high corr at
+    * k says b leads a by k days). The companion of [[acfDaily]]: same
+    * exact-integer moment recipe, same corpus-size-independent shape —
+    * after the one (type, day) cent-sum shuffle everything is
+    * types²×days rows. Pairs are unordered (a < b) with both lag signs
+    * covered by the 0..3 range on the ordered join.
+    */
+  def ccfDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+          .as("day_idx"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(sum(col("cents")).as("cents"))
+    val b = daily.select(col("event_type").as("type_b"),
+      col("day_idx").as("day_b"), col("cents").as("y"))
+    val m = daily
+      .join(b, col("event_type") < col("type_b") &&
+        (col("day_idx") - col("day_b")).between(0, 3))
+      .select(col("event_type").as("type_a"), col("type_b"),
+        (col("day_idx") - col("day_b")).cast("int").as("lag"),
+        col("cents").as("x"), col("y"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+    val denom = sqrt(nd * col("sxx").cast("double") - sxd * sxd) *
+      sqrt(nd * col("syy").cast("double") - syd * syd)
+    m.select(col("type_a"), col("type_b"), col("lag"), col("n"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (nd * col("sxy").cast("double") - sxd * syd) / denom, 6))
+          .as("ccf"))
+      .orderBy(col("type_a"), col("type_b"), col("lag"))
+  }
+
+  val ccfDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         CAST(a.day_idx - b.day_idx AS INT) AS lag,
+      |         a.cents AS x, b.cents AS y
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type < b.event_type
+      |   AND a.day_idx - b.day_idx BETWEEN 0 AND 3
+      |), m AS (
+      |  SELECT type_a, type_b, lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pairs GROUP BY 1, 2, 3
+      |)
+      |SELECT type_a, type_b, lag, n,
+      |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+      |       THEN NULL
+      |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS ccf
+      |FROM m ORDER BY type_a, type_b, lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ccf_daily" -> (ccfDaily _),
     "q_acf_daily" -> (acfDaily _),
     "q_holt_trend" -> (holtTrend _),
     "q_cusum_shift" -> (cusumShift _),
@@ -585,6 +665,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ccf_daily" -> ccfDailySql,
     "q_acf_daily" -> acfDailySql,
     "q_holt_trend" -> holtTrendSql,
     "q_cusum_shift" -> cusumShiftSql,
