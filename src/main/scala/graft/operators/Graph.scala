@@ -413,4 +413,62 @@ object Graph {
       er.unpersist(blocking = false)
     }
   }
+
+  /** Single-source WEIGHTED shortest paths: `rounds` Bellman-Ford
+    * relaxations over a DIRECTED edge list with positive integer
+    * weights (symmetrize first for undirected). Output is the exact
+    * relaxation state after exactly `rounds` rounds — with rounds ≥
+    * the graph's weighted-path hop diameter that IS the SSSP fixed
+    * point (the caller's spec should pin convergence on its graph);
+    * the fixed round count is what lets a SQL oracle unroll the same
+    * recurrence and hash-match.
+    *
+    * Same co-partitioned RDD loop as [[bfsDistances]]: edges
+    * partitioned once by src, the relax `edges join dist` is
+    * partition-local, one min-reduce shuffle per round, and the
+    * co-partitioned union + reduce that merges old and candidate
+    * distances is narrow. Integer distances ⇒ engine-portable.
+    */
+  def ssspDistances(edges: DataFrame, source: Option[Long] = None,
+                    rounds: Int = 8): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val raw = edges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .rdd.map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val part = new HashPartitioner(math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (raw.count() / 50000L).toInt + 1)))
+    val er = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    er.count()
+    raw.unpersist(blocking = false)
+    val live = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    try {
+      val s = source.getOrElse(er.keys.fold(Long.MaxValue)(math.min))
+      require(s != Long.MaxValue, "ssspDistances needs a non-empty edge list")
+      var dist = spark.sparkContext
+        .parallelize(Seq((s, 0L))).partitionBy(part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      live += dist
+      (1 to rounds).foreach { _ =>
+        val cand = er.join(dist)
+          .map { case (_, ((dst, w), du)) => (dst, du + w) }
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        val nd = dist.union(cand).reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        live += nd
+        dist = nd
+      }
+      val spark2 = spark
+      import spark2.implicits._
+      dist.toDF("v", "dist").localCheckpoint()
+    } finally {
+      live.foreach(_.unpersist(blocking = false))
+      er.unpersist(blocking = false)
+    }
+  }
 }

@@ -81,6 +81,33 @@ class GraphSpec extends SparkSpec {
     assert(defaulted == want, s"default source wrong: $defaulted")
   }
 
+  test("sssp: weighted shortest paths beat heavy direct edges; extra round is a fixed point") {
+    import spark.implicits._
+    // weighted diamond: direct 1→4 costs 10, detour 1→2→4 costs 3;
+    // tail 4→5 cost 5; island {20,21}. Symmetrized.
+    val half = Seq((1L, 2L, 1L), (2L, 4L, 2L), (1L, 4L, 10L),
+      (1L, 3L, 4L), (3L, 4L, 1L), (4L, 5L, 5L), (20L, 21L, 7L))
+    val edges = half.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+      .toDF("src", "dst", "w")
+    val got = Graph.ssspDistances(edges, source = Some(1L), rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Dijkstra by hand: 2 via 1→2 (1); 4 via 1→2→4 (3); 3 via 1→3 (4)
+    // — NOT 1→2→4→3 (also 4, min keeps 4 either way; both routes tie);
+    // 5 via 4 (8). The heavy direct 1→4 (10) must lose.
+    val want = Map(1L -> 0L, 2L -> 1L, 3L -> 4L, 4L -> 3L, 5L -> 8L)
+    assert(got == want, s"distances wrong: $got")
+    // one more round changes nothing — the relaxation reached its
+    // fixed point within the configured rounds
+    val more = Graph.ssspDistances(edges, source = Some(1L), rounds = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == got, "extra round moved distances: not converged")
+    // too few rounds must under-relax (2 rounds cannot reach vertex 5
+    // via the cheap 3-hop route: it sees only 1→4→5 = 15)
+    val short = Graph.ssspDistances(edges, source = Some(1L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(short(5L) == 15L && short(4L) == 3L, s"2-round state wrong: $short")
+  }
+
   test("dedup clusters: every near-dup pair lands in one cluster, canonical is min id") {
     val pairs = graft.analytics.TextOps.nearDupJaccard(spark, sf)
       .select(col("doc_a"), col("doc_b")).collect()
