@@ -193,8 +193,16 @@ def main():
     # directories found: a query that failed (and whose stale dir was
     # cleaned) must FAIL the gate, not vanish from it
     manifest_path = f"{OUT}/queries.json"
-    rows_only = set(json.load(open(manifest_path))) - set(oracle) \
-        if os.path.exists(manifest_path) \
+    manifest = set(json.load(open(manifest_path))) \
+        if os.path.exists(manifest_path) else None
+    # a misspelled ONLY name must FAIL loudly, not print "0/0 match"
+    # with exit code 0 — that reads as a green gate that checked nothing
+    if ONLY and manifest is not None:
+        unknown = ONLY - manifest
+        if unknown:
+            sys.exit(f"unknown query name(s): {sorted(unknown)} — "
+                     "not in the manifest; nothing was verified")
+    rows_only = (manifest - set(oracle)) if manifest is not None \
         else {os.path.basename(d) for d in glob.glob(f"{OUT}/q_*")} - set(oracle)
     for name in sorted(rows_only):
         if ONLY and name not in ONLY:

@@ -217,15 +217,27 @@ object Affinity {
     * Truncation loses < 1 unit per (edge, iteration) of 10^12 total
     * mass — the spec pins the conservation bound.
     */
-  /** Symmetrized co-purchase edge set — the directed input both
-    * PageRank variants iterate over.
+  /** Symmetrized co-purchase edges with the support-derived cost
+    * (1 + 1000 DIV support) — the SINGLE symmetrization rule every
+    * graph operator shares: PageRank/BFS drop the weight column,
+    * SSSP keeps it. One rule means a future change to orientation or
+    * support filtering cannot desynchronize the operators' graphs.
+    */
+  private[graft] def symEdges(spark: SparkSession, dir: String): DataFrame =
+    halfEdges(spark, dir)
+      .withColumn("w", expr("CAST(1 + (1000 DIV support) AS BIGINT)"))
+      .select(explode(array(
+        struct(col("part_a").as("src"), col("part_b").as("dst"), col("w")),
+        struct(col("part_b").as("src"), col("part_a").as("dst"), col("w"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.w").as("w"))
+
+  /** Unweighted view of [[symEdges]] — the directed input both
+    * PageRank variants and BFS iterate over.
     */
   private[graft] def prEdges(spark: SparkSession, dir: String): DataFrame =
-    halfEdges(spark, dir)
-      .select(explode(array(
-        struct(col("part_a").as("src"), col("part_b").as("dst")),
-        struct(col("part_b").as("src"), col("part_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    symEdges(spark, dir).select(col("src"), col("dst"))
 
   def partPagerank(spark: SparkSession, dir: String): DataFrame =
     // symmetrize; graph.pagerank truncates the lineage of this pair
@@ -510,22 +522,9 @@ object Affinity {
     */
   def partSssp(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.ssspDistances(
-        prEdges2(spark, dir), source = None, rounds = SsspRounds)
+        symEdges(spark, dir), source = None, rounds = SsspRounds)
       .select(col("v").as("part"), col("dist"))
       .orderBy(col("dist"), col("part"))
-
-  /** Symmetrized weighted edges: [[prEdges]] plus the support-derived
-    * integer cost.
-    */
-  private def prEdges2(spark: SparkSession, dir: String): DataFrame =
-    halfEdges(spark, dir)
-      .withColumn("w", expr("CAST(1 + (1000 DIV support) AS BIGINT)"))
-      .select(explode(array(
-        struct(col("part_a").as("src"), col("part_b").as("dst"), col("w")),
-        struct(col("part_b").as("src"), col("part_a").as("dst"), col("w"))))
-        .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"),
-        col("e.w").as("w"))
 
   /** DuckDB twin: the same [[SsspRounds]] Bellman-Ford relaxations
     * unrolled as MATERIALIZED CTEs (each round references its

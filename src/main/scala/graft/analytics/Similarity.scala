@@ -1203,7 +1203,11 @@ object Similarity {
     */
   def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one quantization pass feeds both the q0 lookup and the candidate
+    // cut — without the checkpoint the corpus-sized normalize/quantize
+    // scan (the only stage that grows with the corpus) would run twice
     val qv = quantVectors(spark, dir).select(col("vec_id"), col("q"))
+      .localCheckpoint()
     val q0 = qv.filter(col("vec_id") === 0).select(col("q"))
       .head().getSeq[Long](0)
     val cands = qv.filter(col("vec_id") =!= 0)

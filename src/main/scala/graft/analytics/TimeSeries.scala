@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -486,170 +486,163 @@ object TimeSeries {
       |ORDER BY user_id""".stripMargin
   }
 
-  /** Autocorrelation function (ACF) of the daily value series per
-    * event type, lags 1..7 — the seasonality probe run before fitting
-    * any forecast model (is there a weekly cycle? how fast does the
-    * signal decorrelate?).
-    *
-    * Scale shape: ONE shuffle aggregates events to (type, day) exact
-    * cent sums — after that the frame is types × days rows, corpus-
-    * size-INDEPENDENT, so the lag self-join and the moment rollup are
-    * driver-trivial no matter how many raw events there are. Pearson
-    * corr is computed from exact integer moments (n, Σx, Σy, Σxy,
-    * Σx², Σy² all in BIGINT — no FP accumulation order anywhere); the
-    * only doubles are the final textbook expression, written with the
-    * SAME operation tree in both engines so the IEEE results match
-    * bitwise. Day-cent sums up to ~2e7 (sf0.1) keep Σxy ≲ 1e16, well
-    * inside i64; a 1000× corpus needs the cent sums rescaled (or the
-    * moments in DECIMAL(38)) before the squares, noted here on the
-    * operator's own terms.
+  // ---------------------------------------------------------------
+  // ACF / CCF — correlation of daily series from exact integer moments
+  // ---------------------------------------------------------------
+
+  /** Exact per-(event_type, day) cent sums — the shared spine of
+    * [[acfDaily]] and [[ccfDaily]]. ONE corpus-sized shuffle; the
+    * result is types × days rows, corpus-size-INDEPENDENT, so every
+    * downstream join/rollup is driver-trivial at any scale.
     */
-  def acfDaily(spark: SparkSession, dir: String): DataFrame = {
-    val daily = events(spark, dir)
+  private def dailyCents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
       .select(col("event_type"),
         datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
           .as("day_idx"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("event_type"), col("day_idx"))
       .agg(sum(col("cents")).as("cents"))
+
+  /** The six exact BIGINT moments of an (x, y) pair stream — no FP
+    * accumulation order anywhere. Day-cent sums up to ~2e7 (sf0.1)
+    * keep Σxy ≲ 1e16, inside i64; a 1000× corpus needs the cent sums
+    * rescaled (or DECIMAL(38) moments) before the squares.
+    */
+  private val momentAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+    sum(col("x") * col("y")).as("sxy"),
+    sum(col("x") * col("x")).as("sxx"),
+    sum(col("y") * col("y")).as("syy"))
+
+  /** Pearson correlation from the moments — the ONLY doubles in the
+    * ACF/CCF pipelines, written ONCE so the Spark tree and (via
+    * [[pearsonSql]]) the DuckDB tree stay the same IEEE expression and
+    * the results match bitwise. NULL on zero variance.
+    */
+  private def pearsonFromMoments: Column = {
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+    val denom = sqrt(nd * col("sxx").cast("double") - sxd * sxd) *
+      sqrt(nd * col("syy").cast("double") - syd * syd)
+    when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(round(
+        (nd * col("sxy").cast("double") - sxd * syd) / denom, 6))
+  }
+
+  /** SQL twin fragments of the shared spine — one source of truth per
+    * engine side, so an overflow-rescaling fix cannot land in one
+    * query's oracle and miss the other's.
+    */
+  private val dailyCentsSql: String =
+    """daily AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+
+  private val momentSqlCols: String =
+    """CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy""".stripMargin
+
+  private def pearsonSql(alias: String): String =
+    s"""CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+      |       THEN NULL
+      |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS $alias""".stripMargin
+
+  /** Autocorrelation function (ACF) of the daily value series per
+    * event type, lags 1..7 — the seasonality probe run before fitting
+    * any forecast model (is there a weekly cycle? how fast does the
+    * signal decorrelate?). Built on [[dailyCents]] + the exact-moment
+    * Pearson ([[momentAggs]]/[[pearsonFromMoments]]).
+    */
+  def acfDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(spark, dir)
     val b = daily.select(col("event_type").as("et_b"),
       col("day_idx").as("day_b"), col("cents").as("y"))
-    val m = daily
+    daily
       .join(b, col("event_type") === col("et_b") &&
         (col("day_idx") - col("day_b")).between(1, 7))
       .select(col("event_type"),
         (col("day_idx") - col("day_b")).cast("int").as("lag"),
         col("cents").as("x"), col("y"))
       .groupBy(col("event_type"), col("lag"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-    val nd = col("n").cast("double")
-    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
-    val denom = sqrt(nd * col("sxx").cast("double") - sxd * sxd) *
-      sqrt(nd * col("syy").cast("double") - syd * syd)
-    m.select(col("event_type"), col("lag"), col("n"),
-        when(denom === 0.0, lit(null).cast("double"))
-          .otherwise(round(
-            (nd * col("sxy").cast("double") - sxd * syd) / denom, 6))
-          .as("acf"))
+      .agg(momentAggs.head, momentAggs.tail: _*)
+      .select(col("event_type"), col("lag"), col("n"),
+        pearsonFromMoments.as("acf"))
       .orderBy(col("event_type"), col("lag"))
   }
 
   val acfDailySql: String =
-    """WITH daily AS (
-      |  SELECT event_type,
-      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
-      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-      |  FROM events GROUP BY 1, 2
-      |), pairs AS (
+    s"""WITH $dailyCentsSql, pairs AS (
       |  SELECT a.event_type, CAST(a.day_idx - b.day_idx AS INT) AS lag,
       |         a.cents AS x, b.cents AS y
       |  FROM daily a JOIN daily b
       |    ON a.event_type = b.event_type
       |   AND a.day_idx - b.day_idx BETWEEN 1 AND 7
       |), m AS (
-      |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy,
-      |    CAST(sum(x * x) AS BIGINT) AS sxx,
-      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  SELECT event_type, lag, $momentSqlCols
       |  FROM pairs GROUP BY 1, 2
       |)
       |SELECT event_type, lag, n,
-      |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
-      |       THEN NULL
-      |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-      |  END AS acf
+      |  ${pearsonSql("acf")}
       |FROM m ORDER BY event_type, lag""".stripMargin
 
   /** Cross-correlation function (CCF) between event-type pairs at lags
-    * 0..3 — does activity in one metric LEAD another? (lag k > 0 means
-    * type_a's day t is paired with type_b's day t−k, so a high corr at
-    * k says b leads a by k days). The companion of [[acfDaily]]: same
-    * exact-integer moment recipe, same corpus-size-independent shape —
-    * after the one (type, day) cent-sum shuffle everything is
-    * types²×days rows. Pairs are unordered (a < b) with both lag signs
-    * covered by the 0..3 range on the ordered join.
+    * −3..3 — does activity in one metric LEAD another? Pairs are
+    * unordered (type_a < type_b); at lag k, type_a's day t is paired
+    * with type_b's day t−k, so a high corr at k > 0 says b LEADS a by
+    * k days and k < 0 says a leads b — both directions measured on
+    * the one ordered join (a previous revision only scanned k ≥ 0 and
+    * could never see the lexicographically-smaller type leading).
+    * Same [[dailyCents]] spine and exact-moment Pearson as the ACF;
+    * everything after the one corpus shuffle is types²×days rows.
     */
   def ccfDaily(spark: SparkSession, dir: String): DataFrame = {
-    val daily = events(spark, dir)
-      .select(col("event_type"),
-        datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
-          .as("day_idx"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .groupBy(col("event_type"), col("day_idx"))
-      .agg(sum(col("cents")).as("cents"))
+    val daily = dailyCents(spark, dir)
     val b = daily.select(col("event_type").as("type_b"),
       col("day_idx").as("day_b"), col("cents").as("y"))
-    val m = daily
+    daily
       .join(b, col("event_type") < col("type_b") &&
-        (col("day_idx") - col("day_b")).between(0, 3))
+        (col("day_idx") - col("day_b")).between(-3, 3))
       .select(col("event_type").as("type_a"), col("type_b"),
         (col("day_idx") - col("day_b")).cast("int").as("lag"),
         col("cents").as("x"), col("y"))
       .groupBy(col("type_a"), col("type_b"), col("lag"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-    val nd = col("n").cast("double")
-    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
-    val denom = sqrt(nd * col("sxx").cast("double") - sxd * sxd) *
-      sqrt(nd * col("syy").cast("double") - syd * syd)
-    m.select(col("type_a"), col("type_b"), col("lag"), col("n"),
-        when(denom === 0.0, lit(null).cast("double"))
-          .otherwise(round(
-            (nd * col("sxy").cast("double") - sxd * syd) / denom, 6))
-          .as("ccf"))
+      .agg(momentAggs.head, momentAggs.tail: _*)
+      .select(col("type_a"), col("type_b"), col("lag"), col("n"),
+        pearsonFromMoments.as("ccf"))
       .orderBy(col("type_a"), col("type_b"), col("lag"))
   }
 
   val ccfDailySql: String =
-    """WITH daily AS (
-      |  SELECT event_type,
-      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
-      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-      |  FROM events GROUP BY 1, 2
-      |), pairs AS (
+    s"""WITH $dailyCentsSql, pairs AS (
       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
       |         CAST(a.day_idx - b.day_idx AS INT) AS lag,
       |         a.cents AS x, b.cents AS y
       |  FROM daily a JOIN daily b
       |    ON a.event_type < b.event_type
-      |   AND a.day_idx - b.day_idx BETWEEN 0 AND 3
+      |   AND a.day_idx - b.day_idx BETWEEN -3 AND 3
       |), m AS (
-      |  SELECT type_a, type_b, lag, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy,
-      |    CAST(sum(x * x) AS BIGINT) AS sxx,
-      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  SELECT type_a, type_b, lag, $momentSqlCols
       |  FROM pairs GROUP BY 1, 2, 3
       |)
       |SELECT type_a, type_b, lag, n,
-      |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
-      |       THEN NULL
-      |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-      |  END AS ccf
+      |  ${pearsonSql("ccf")}
       |FROM m ORDER BY type_a, type_b, lag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -436,7 +436,11 @@ object Scale {
           sum(col("c")).as("n_rows"),
           max(col("c")).as("max_rows"),
           sum(col("i") * col("c")).as("ic"),
-          sum(when(col("r") * 100 <= col("nk"), col("c"))
+          // r is an Int32 row_number: promote BEFORE ×100 or the
+          // predicate wraps negative above ~21.4M keys — exactly the
+          // cardinality this diagnostic exists for (the DuckDB twin's
+          // row_number is already BIGINT)
+          sum(when(col("r").cast("long") * 100 <= col("nk"), col("c"))
             .otherwise(lit(0L))).as("top1pct_rows"))
     }
     val all = profile("l_orderkey")

@@ -162,26 +162,30 @@ object Sinks {
     */
   def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_").toFile
-    val orcPath = new java.io.File(tmp, "orders_orc").toString
-    val jsonPath = new java.io.File(tmp, "orders_json").toString
-    val o = Sources.orders(spark, dir)
-    o.write.mode(SaveMode.Overwrite).orc(orcPath)
-    val fromOrc = spark.read.orc(orcPath)
-    fromOrc.write.mode(SaveMode.Overwrite).json(jsonPath)
-    val fromJson = spark.read.schema(o.schema).json(jsonPath)
-    val out = fromJson
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        count(lit(1)).as("n_orders"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
-        min(year(col("o_orderdate"))).as("min_year"),
-        max(year(col("o_orderdate"))).as("max_year"),
-        countDistinct(col("o_orderstatus")).as("n_status"))
-      .orderBy(col("o_orderpriority"))
-    // materialize BEFORE deleting the scratch dirs (the plan is lazy)
-    val rows = out.localCheckpoint(eager = true)
-    deleteRecursively(tmp)
-    rows
+    // scratch cleanup in finally: a failure mid-chain (disk full, a
+    // schema regression under debug) must not leak two extra copies of
+    // the orders table into /tmp across repeated iterations
+    try {
+      val orcPath = new java.io.File(tmp, "orders_orc").toString
+      val jsonPath = new java.io.File(tmp, "orders_json").toString
+      val o = Sources.orders(spark, dir)
+      o.write.mode(SaveMode.Overwrite).orc(orcPath)
+      val fromOrc = spark.read.orc(orcPath)
+      fromOrc.write.mode(SaveMode.Overwrite).json(jsonPath)
+      val fromJson = spark.read.schema(o.schema).json(jsonPath)
+      val out = fromJson
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          min(year(col("o_orderdate"))).as("min_year"),
+          max(year(col("o_orderdate"))).as("max_year"),
+          countDistinct(col("o_orderstatus")).as("n_status"))
+        .orderBy(col("o_orderpriority"))
+      // materialize BEFORE the finally deletes the scratch dirs (the
+      // plan is lazy)
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
   }
 
   val formatRoundtripSql: String =

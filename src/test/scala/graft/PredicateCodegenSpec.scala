@@ -31,11 +31,25 @@ class PredicateCodegenSpec extends AnyFunSuite {
   private val sigB = BoundReference(1, ArrayType(LongType), nullable = true)
   private val band = BoundReference(2, IntegerType, nullable = false)
 
-  /** The exact condition shape of the exactly-once band join:
+  /** The exact condition shape of the exactly-once band join as
+    * production builds it (TextOps.sigAgreement — NO Round, the n/32
+    * score is already an exact 5-decimal binary fraction):
     * band = first_agree_band(a, b, 8) AND
-    * round(sig_lane_agree(a, b) / 32.0, 5) >= threshold.
+    * sig_lane_agree(a, b) / 32.0 >= threshold.
     */
   private def bandJoinCond(threshold: Double): Expression =
+    And(
+      EqualTo(band, FirstAgreeBand(sigA, sigB, 8)),
+      GreaterThanOrEqual(
+        Divide(Cast(SigLaneAgree(sigA, sigB), DoubleType), Literal(32.0)),
+        Literal(threshold)))
+
+  /** The historical rounded shape kept under test too — Round's
+    * BigDecimal fragment interacts with splitExpressions differently,
+    * and the regression this spec exists for surfaced under exactly
+    * this wrapper.
+    */
+  private def roundedBandJoinCond(threshold: Double): Expression =
     And(
       EqualTo(band, FirstAgreeBand(sigA, sigB, 8)),
       GreaterThanOrEqual(
@@ -47,7 +61,9 @@ class PredicateCodegenSpec extends AnyFunSuite {
     InternalRow(ArrayData.toArrayData(a), ArrayData.toArrayData(b), bd)
 
   test("band-join predicate compiles and matches interpreted eval") {
-    // throws CompileException if the generated Java is malformed
+    // throws CompileException if the generated Java is malformed —
+    // both the production (round-free) and historical (rounded) shapes
+    GeneratePredicate.generate(roundedBandJoinCond(0.5)): Unit
     val compiled = GeneratePredicate.generate(bandJoinCond(0.5))
     val interpreted = InterpretedPredicate(bandJoinCond(0.5))
     val identical = Array.tabulate(32)(_.toLong)
