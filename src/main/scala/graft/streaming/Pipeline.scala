@@ -359,6 +359,31 @@ object Pipeline {
         (col("ph_value") + col("offset")).as("ph_calibrated"))
   }
 
+  /** Left-outer variant of [[joinCalibration]]: readings with NO
+    * in-window calibration are still emitted (offset null, calibrated
+    * value = the raw reading) — but only once the watermark PROVES no
+    * matching calibration can still arrive; until then the reading is
+    * held in the join state. The interval condition plus both
+    * watermarks are what make the null-side emission decidable at all
+    * (Spark rejects an outer stream-stream join without them). This is
+    * the production enrichment shape: a missing reference row must
+    * degrade the record, not drop it.
+    */
+  def joinCalibrationOuter(readings: DataFrame,
+                           calibrations: DataFrame): DataFrame = {
+    val r = readings.withWatermark("timestamp", "1 hour")
+    val c = calibrations.withWatermark("cal_time", "2 hours")
+    r.join(c,
+      col("sensor_id") === col("cal_sensor_id") &&
+        col("timestamp") >= col("cal_time") &&
+        col("timestamp") < col("cal_time") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("sensor_id"), col("timestamp"), col("ph_value"),
+        col("cal_time"), col("offset"),
+        (col("ph_value") + coalesce(col("offset"), lit(0.0f)))
+          .as("ph_calibrated"))
+  }
+
   /** S7 stand-in: checkpointed parquet sink (the offline twin of the
     * intended Delta/MinIO sink — reference: spark_processor.py:42).
     * Default trigger drains deterministically via AvailableNow; pass

@@ -307,6 +307,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched readings only after watermark") {
+    import spark.implicits._
+    val readings = MemoryStream[SensorReading](spark)
+    val cals = MemoryStream[Pipeline.Calibration](spark)
+    val q = Pipeline.joinCalibrationOuter(readings.toDF(), cals.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cal_outer_out").start()
+    try {
+      cals.addData(Pipeline.Calibration("A", ts("2024-01-01 00:00:00"), 0.5f))
+      readings.addData(
+        reading("A", "2024-01-01 00:10:00", ph = 7.0f), // matches
+        reading("B", "2024-01-01 00:10:00", ph = 6.0f)) // no calibration
+      q.processAllAvailable()
+      // B must be HELD, not dropped and not emitted: the watermark has
+      // not yet proven its calibration can no longer arrive
+      val early = spark.table("cal_outer_out").collect()
+        .map(_.getAs[String]("sensor_id")).toSet
+      assert(early == Set("A"), s"premature/missing emission: $early")
+      // push both watermarks far past the join window...
+      cals.addData(Pipeline.Calibration("Z", ts("2024-01-02 12:00:00"), 0f))
+      readings.addData(reading("Z", "2024-01-02 12:00:00"))
+      q.processAllAvailable()
+      // ...outer null-side results can surface one trigger later (state
+      // eviction happens when a batch RUNS with the advanced watermark)
+      readings.addData(reading("Z", "2024-01-02 13:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("cal_outer_out").collect()
+      val b = rows.filter(_.getAs[String]("sensor_id") == "B")
+      assert(b.length == 1, s"expected exactly one outer row for B: ${rows.toSeq}")
+      assert(b.head.isNullAt(b.head.fieldIndex("offset")),
+        "unmatched reading must carry a null offset")
+      assert(math.abs(b.head.getAs[Float]("ph_calibrated") - 6.0f) < 1e-6,
+        "unmatched reading must keep its raw value")
+      // matched rows never double-emit through the outer path
+      assert(rows.count(_.getAs[String]("sensor_id") == "A") == 1)
+    } finally q.stop()
+  }
+
   test("windowed stream agg equals batch brute-force on a random stream (property)") {
     import spark.implicits._
     // deterministic pseudo-random stream of readings over 2 days
