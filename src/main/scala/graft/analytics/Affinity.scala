@@ -140,7 +140,7 @@ object Affinity {
     * matters when baskets are large and the pair set is selective.
     */
   def aprioriTriples(spark: SparkSession, dir: String): DataFrame = {
-    val pack = java.lang.Long.parseLong("4294967296") // 2^32
+    val pack = 1L << 32 // 2^32 — part keys are < 2^32, so (a·2³²+b) is collision-free
     val ol = orderParts(spark, dir)
     // the frequent-pair table is consumed FOUR times (packed prune set
     // + three sub-pair support joins); materialize the slim

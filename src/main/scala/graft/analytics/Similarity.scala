@@ -354,8 +354,16 @@ object Similarity {
     * aggregation itself is exact-integer (hit counts), so the single
     * float division makes the row hash-stable on any engine.
     */
+  /** Query-sample size and depth of the recall eval — the ONE pair of
+    * constants [[annRecall]] and its oracle both interpolate, so the
+    * two sides cannot drift.
+    */
+  val AnnRecallQueries = 200
+  val AnnRecallK = 3
+
   def annRecall(spark: SparkSession, dir: String,
-                nQueries: Int = 200, k: Int = 3): DataFrame = {
+                nQueries: Int = AnnRecallQueries,
+                k: Int = AnnRecallK): DataFrame = {
     val truth = knnBruteForce(spark, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     val approx = knnLsh(spark, dir, k)
@@ -385,12 +393,12 @@ object Similarity {
   val annRecallSql: String =
     s"""WITH truth AS (
       |  SELECT query_id, neighbor_id FROM (
-      |${knnBruteForceSqlFor(200, 3)}
+      |${knnBruteForceSqlFor(AnnRecallQueries, AnnRecallK)}
       |  )
       |), approx AS (
       |  SELECT query_id, neighbor_id FROM (
       |${knnLshSql}
-      |  ) WHERE query_id < 200
+      |  ) WHERE query_id < $AnnRecallQueries
       |), per_q AS (
       |  SELECT t.query_id,
       |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -400,9 +408,11 @@ object Similarity {
       |  GROUP BY 1
       |)
       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
-      |  CAST(3 AS BIGINT) AS k,
-      |  round(CAST(sum(hits) AS DOUBLE) / (count(*) * 3), 6) AS recall_at_k,
-      |  CAST(sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+      |  CAST($AnnRecallK AS BIGINT) AS k,
+      |  round(CAST(sum(hits) AS DOUBLE) / (count(*) * $AnnRecallK), 6)
+      |    AS recall_at_k,
+      |  CAST(sum(CASE WHEN hits = $AnnRecallK THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_perfect
       |FROM per_q""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1105,13 +1115,8 @@ object Similarity {
     * arithmetic, exact on any engine.
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val kwW = Window.orderBy(col("score_micros").desc, col("doc_id").asc)
-    val kw = TextOps.bm25Scores(spark, dir)
-      .filter(col("score_micros") > 0)
-      .orderBy(col("score_micros").desc, col("doc_id").asc)
-      .limit(HybridListK)
-      .withColumn("kw_rank", row_number().over(kwW))
-      .select(col("doc_id"), col("kw_rank"))
+    val kw = TextOps.bm25Ranked(spark, dir, HybridListK)
+      .select(col("doc_id"), col("rnk").as("kw_rank"))
     val v = vectors(spark, dir)
     val q = v.filter(col("vec_id") === 0)
       .select(col("embedding").as("qemb"), col("nrm").as("qnrm"))

@@ -63,6 +63,12 @@ object Stats {
     orders(spark, dir)
       .select(substring(round(col("o_totalprice") * 100).cast("long")
         .cast("string"), 1, 1).cast("int").as("digit"))
+      // Benford's law is defined on leading digits 1..9 only: a value
+      // whose cents round to 0 yields digit 0 (log10(1 + 1/0) = +Inf),
+      // and a negative value's '-' casts to a NULL digit — both must
+      // be excluded from the screen, not poison it (vacuous on orders,
+      // load-bearing for the generic forensic use the op documents)
+      .filter(col("digit").between(1, 9))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
       .withColumn("n", sum(col("n_orders")).over(tot))
       .select(col("digit"), col("n_orders"),
@@ -78,8 +84,10 @@ object Stats {
       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
       |                          AS VARCHAR), 1, 1) AS INT) AS digit
       |  FROM orders
+      |), dd AS (
+      |  SELECT digit FROM d WHERE digit BETWEEN 1 AND 9
       |), c AS (
-      |  SELECT digit, count(*) AS n_orders FROM d GROUP BY 1
+      |  SELECT digit, count(*) AS n_orders FROM dd GROUP BY 1
       |), t AS (
       |  SELECT *, CAST(sum(n_orders) OVER () AS BIGINT) AS n FROM c
       |)

@@ -963,17 +963,26 @@ object TextOps {
     * single-partition window over the corpus); the rank column is
     * assigned after the k-row cut.
     */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("score_micros").desc, col("doc_id").asc)
-    bm25Scores(spark, dir)
-      .filter(col("score_micros") > 0)
-      .orderBy(col("score_micros").desc, col("doc_id").asc)
-      .limit(Bm25TopK)
-      .withColumn("rnk", row_number().over(w))
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Ranked(spark, dir, Bm25TopK)
       .select(col("rnk"), col("doc_id"), col("n_terms"),
         col("score_micros"),
         (col("score_micros") / 1e6).as("score"))
       .orderBy(col("rnk"))
+
+  /** Ranked keyword list at depth k — positive scores only, TakeOrdered
+    * cut, rank assigned AFTER the k-row cut. The ONE ranking discipline
+    * shared by the standalone BM25 query and the hybrid-RRF keyword
+    * leg, so a tie-break or filter change cannot desynchronize the two.
+    */
+  private[graft] def bm25Ranked(spark: SparkSession, dir: String,
+                                k: Int): DataFrame = {
+    val w = Window.orderBy(col("score_micros").desc, col("doc_id").asc)
+    bm25Scores(spark, dir)
+      .filter(col("score_micros") > 0)
+      .orderBy(col("score_micros").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(w))
   }
 
   /** Shared BM25 per-doc scoring CTEs (through `scored`) — used by the

@@ -20,6 +20,33 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Hash-partition and cache a pair RDD at graph-appropriate
+    * parallelism (~50k rows/task, capped at shuffle.partitions — the
+    * RDD twin of AQE partition coalescing: a fixed-iteration loop pays
+    * task-launch overhead per partition per round, so a toy graph on
+    * 32 partitions is ~100% scheduling; a 100 TB graph hits the cap
+    * and scales with the cluster's configured parallelism).
+    * Materializes the partitioned cache and releases `raw`. The ONE
+    * ingestion/sizing/persist discipline every RDD graph loop shares —
+    * a sizing fix here reaches all of them.
+    */
+  private def partitionCached[V: scala.reflect.ClassTag](
+      spark: SparkSession,
+      raw: org.apache.spark.rdd.RDD[(Long, V)])
+      : (org.apache.spark.rdd.RDD[(Long, V)],
+         org.apache.spark.HashPartitioner) = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    raw.persist(StorageLevel.MEMORY_AND_DISK)
+    val part = new HashPartitioner(math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (raw.count() / 50000L).toInt + 1)))
+    val er = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    er.count()
+    raw.unpersist(blocking = false)
+    (er, part)
+  }
+
   /** Components of the undirected graph given by (src, dst) edges.
     * Returns (v, comp) with comp = min vertex id reachable from v.
     * Only vertices that appear in an edge are labeled (isolated
@@ -40,19 +67,17 @@ object Graph {
     // The upstream pair-generation plan (an LSH/Jaccard join, far too
     // expensive to recompute) is materialized ONCE into `raw`; the
     // symmetrized cached copy is what every round re-joins.
-    import org.apache.spark.HashPartitioner
-    import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
-    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val part = new HashPartitioner(math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions,
-      (raw.count() / 50000L).toInt + 1)))
-    val sym = raw.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    sym.count()
-    raw.unpersist(blocking = false)
+    val (sym, part) = partitionCached(spark,
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .rdd.map(r => (r.getLong(0), r.getLong(1)))
+        .flatMap { case (s, d) => Iterator((s, d), (d, s)) })
+    // every loop RDD lands here and is released in finally — a
+    // non-convergence throw (or an executor failure mid-round) must
+    // not leave the last round's checkpoint blocks pinned for the
+    // session lifetime
+    val live = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
     try {
       // each vertex starts as its own component; narrow off the
       // partitioned sym (reduceByKey with the same partitioner)
@@ -68,7 +93,7 @@ object Graph {
       def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
         r.values.fold(0L)(_ + _)
       var prevSum = labelSum(labels)
-      var pinned: org.apache.spark.rdd.RDD[_] = labels
+      live += labels
       var converged = false
       var i = 0
       while (!converged && i < maxIters) {
@@ -93,8 +118,8 @@ object Graph {
         val nextSum = labelSum(next)
         converged = nextSum == prevSum
         prevSum = nextSum
-        pinned.unpersist(blocking = false)
-        pinned = next
+        live.foreach(_.unpersist(blocking = false))
+        live.clear(); live += next
         labels = next
         i += 1
       }
@@ -102,10 +127,11 @@ object Graph {
         s"connectedComponents did not converge in $maxIters rounds")
       val spark2 = spark
       import spark2.implicits._
-      val out = labels.toDF("v", "comp").localCheckpoint()
-      pinned.unpersist(blocking = false)
-      out
-    } finally sym.unpersist(blocking = false)
+      labels.toDF("v", "comp").localCheckpoint()
+    } finally {
+      live.foreach(_.unpersist(blocking = false))
+      sym.unpersist(blocking = false)
+    }
   }
 
   /** Fixed-point PageRank over a DIRECTED edge list (symmetrize first
@@ -185,26 +211,11 @@ object Graph {
     */
   private def prCore(edges: DataFrame, iters: Int, tolerance: Option[Long],
                      scale: Long): (DataFrame, Int) = {
-    import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
-    val raw = edges
+    val (er, part) = partitionCached(spark, edges
       .select(col("src").cast("long"), col("dst").cast("long"))
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // partitioner sized to the graph, not the session default: one
-    // task per ~50k edges, capped at shuffle.partitions — the RDD
-    // twin of AQE partition coalescing. A fixed-iteration loop pays
-    // task-launch overhead per partition per round, so a toy graph on
-    // 32 partitions is ~100% scheduling; a 100 TB graph hits the cap
-    // and scales with the cluster's configured parallelism.
-    val part = new HashPartitioner(math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions,
-      (raw.count() / 50000L).toInt + 1)))
-    val er = raw.partitionBy(part)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    er.count()
-    raw.unpersist(blocking = false)
+      .rdd.map(r => (r.getLong(0), r.getLong(1))))
     // out-degree per source; narrow over the cached er, evaluated
     // twice (count + rank init) — no persist needed
     val degR = er.mapValues(_ => 1L).reduceByKey(part, _ + _)
@@ -357,22 +368,20 @@ object Graph {
     */
   def bfsDistances(edges: DataFrame, source: Option[Long] = None,
                    maxDepth: Int = 8): DataFrame = {
-    import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
-    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val part = new HashPartitioner(math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions,
-      (raw.count() / 50000L).toInt + 1)))
-    val er = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    er.count()
-    raw.unpersist(blocking = false)
+    val (er, part) = partitionCached(spark,
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .rdd.map(r => (r.getLong(0), r.getLong(1))))
     val live = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
     try {
-      val s = source.getOrElse(er.keys.fold(Long.MaxValue)(math.min))
+      // the documented default is the minimum vertex id IN THE EDGE
+      // SET — both endpoints, so a directed list whose smallest id
+      // only ever appears as a destination still starts there
+      val s = source.getOrElse(
+        er.map { case (a, b) => math.min(a, b) }
+          .fold(Long.MaxValue)(math.min))
       require(s != Long.MaxValue, "bfsDistances needs a non-empty edge list")
       var dist = spark.sparkContext
         .parallelize(Seq((s, 0L))).partitionBy(part)
@@ -431,24 +440,20 @@ object Graph {
     */
   def ssspDistances(edges: DataFrame, source: Option[Long] = None,
                     rounds: Int = 8): DataFrame = {
-    import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
-    val raw = edges
+    val (er, part) = partitionCached(spark, edges
       .select(col("src").cast("long"), col("dst").cast("long"),
         col("w").cast("long"))
-      .rdd.map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val part = new HashPartitioner(math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions,
-      (raw.count() / 50000L).toInt + 1)))
-    val er = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    er.count()
-    raw.unpersist(blocking = false)
+      .rdd.map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))))
     val live = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
     try {
-      val s = source.getOrElse(er.keys.fold(Long.MaxValue)(math.min))
+      // min over BOTH endpoints — same default-source contract as
+      // [[bfsDistances]]
+      val s = source.getOrElse(
+        er.map { case (a, (b, _)) => math.min(a, b) }
+          .fold(Long.MaxValue)(math.min))
       require(s != Long.MaxValue, "ssspDistances needs a non-empty edge list")
       var dist = spark.sparkContext
         .parallelize(Seq((s, 0L))).partitionBy(part)
