@@ -701,7 +701,127 @@ object Stats {
       |ORDER BY bin""".stripMargin
   }
 
+  /** Replicate count for [[bootstrapCi]]. 64 gives rank-2/rank-63 as
+    * the ~2.5%/97.5% order statistics (ceil(.025·64)=2,
+    * ceil(.975·64)=63) — the percentile-bootstrap CI without any
+    * interpolation, so the bound is an exact order statistic both
+    * engines select identically.
+    */
+  val BootReps = 64
+
+  /** Poisson(1) CDF thresholds P(X ≤ k), k = 0..7, as decimal
+    * literals shared verbatim with the oracle SQL: both engines parse
+    * the same strings to the same binary64 values, so the weight is a
+    * pure function of the md5-uniform draw with zero float drift.
+    * Weights are capped at 8 (P ≈ 1e-5 per draw — the truncation is
+    * part of the operator contract, not an approximation claim).
+    */
+  val PoissonCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253")
+
+  /** Poisson-bootstrap confidence intervals for the mean order total
+    * per priority — the single-pass resampling scheme for data too
+    * large to resample-with-replacement: each row draws an independent
+    * Poisson(1) multiplicity per replicate (≈ its count in a true
+    * bootstrap resample when n is large), so all [[BootReps]]
+    * replicates ride ONE scan. The draw is the deterministic
+    * md5-uniform of (orderkey ':' replicate) pushed through the
+    * Poisson inverse CDF ([[PoissonCdf]]) — reproducible across runs,
+    * engines, partitionings and retries, like every sampling decision
+    * in the engine.
+    *
+    * Scale shape: the explode is map-side (×[[BootReps]] rows, never
+    * shuffled raw — partial aggregation collapses each task to
+    * ≤ groups×reps rows before the one shuffle); replicate means are
+    * exact-integer cent sums divided once (no accumulation-order
+    * drift); the CI is an exact order statistic over the tiny
+    * (group × replicate) frame, tie-broken by replicate id. Replicate
+    * totals stay double-exact while Σcents·w < 2^53 per
+    * (group, replicate) — beyond that, decimal cents, same shape.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val rep = orders(spark, dir)
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        cents.as("cents"),
+        explode(sequence(lit(0), lit(BootReps - 1))).as("rep"))
+    val u = graft.operators.Scale.md5Uniform(
+      concat(col("o_orderkey").cast("string"), lit(":"),
+        col("rep").cast("string")))
+    // when-cascade, first matching threshold wins — the literal
+    // strings are parsed to doubles once here and once by DuckDB,
+    // landing on the identical binary64 values
+    val w = PoissonCdf.zipWithIndex.reverse
+      .foldLeft(lit(8L): org.apache.spark.sql.Column) {
+        case (tail, (t, k)) => when(u < lit(t.toDouble), k.toLong).otherwise(tail)
+      }
+    val repMeans = rep.withColumn("w", w)
+      .groupBy(col("pri"), col("rep"))
+      .agg(sum(col("w") * col("cents")).as("s"), sum(col("w")).as("n"))
+      .withColumn("m",
+        when(col("n") > 0, col("s") / (lit(100.0) * col("n")))
+          .otherwise(lit(0.0)))
+    val ranked = repMeans.withColumn("rk",
+      row_number().over(
+        Window.partitionBy(col("pri")).orderBy(col("m"), col("rep"))))
+    val ci = ranked.groupBy(col("pri")).agg(
+      round(min(when(col("rk") === 2, col("m"))), 4).as("ci_lo"),
+      round(min(when(col("rk") === BootReps - 1, col("m"))), 4).as("ci_hi"))
+    val base = orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents).as("c"))
+      .withColumn("mean_price",
+        round(col("c") / (lit(100.0) * col("n_orders")), 4))
+    base.join(ci, Seq("pri"))
+      .select(col("pri").as("o_orderpriority"), col("n_orders"),
+        col("mean_price"), col("ci_lo"), col("ci_hi"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val bootstrapCiSql: String = {
+    val uni = graft.operators.Scale.md5UniformSql(
+      "CAST(o_orderkey AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)")
+    val cases = PoissonCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString(" ")
+    s"""WITH draws AS (
+      |  SELECT o_orderpriority AS pri, r.rep,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    $uni AS u
+      |  FROM orders CROSS JOIN (SELECT unnest(range($BootReps)) AS rep) r
+      |), weighted AS (
+      |  SELECT pri, rep, cents, CASE $cases ELSE 8 END AS w FROM draws
+      |), agg AS (
+      |  SELECT pri, rep, sum(w * cents) AS s, sum(w) AS n
+      |  FROM weighted GROUP BY 1, 2
+      |), means AS (
+      |  SELECT pri, rep,
+      |    CASE WHEN n > 0 THEN s / (100.0 * n) ELSE 0.0 END AS m
+      |  FROM agg
+      |), ranked AS (
+      |  SELECT pri, m,
+      |    row_number() OVER (PARTITION BY pri ORDER BY m, rep) AS rk
+      |  FROM means
+      |), ci AS (
+      |  SELECT pri,
+      |    round(min(CASE WHEN rk = 2 THEN m END), 4) AS ci_lo,
+      |    round(min(CASE WHEN rk = ${BootReps - 1} THEN m END), 4) AS ci_hi
+      |  FROM ranked GROUP BY pri
+      |), base AS (
+      |  SELECT o_orderpriority AS pri, count(*) AS n_orders,
+      |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS c
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT pri AS o_orderpriority, n_orders,
+      |  round(c / (100.0 * n_orders), 4) AS mean_price, ci_lo, ci_hi
+      |FROM base JOIN ci USING (pri)
+      |ORDER BY o_orderpriority""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci" -> (bootstrapCi _),
     "q_length_resample" -> (lengthResample _),
     "q_snapshot_drift" -> (snapshotDrift _),
     "q_ks_drift" -> (ksDrift _),
@@ -718,6 +838,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bootstrap_ci" -> bootstrapCiSql,
     "q_length_resample" -> lengthResampleSql,
     "q_snapshot_drift" -> snapshotDriftSql,
     "q_ks_drift" -> ksDriftSql,

@@ -296,4 +296,39 @@ class StatsSpec extends SparkSpec {
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     }
   }
+
+  test("bootstrap CI: deterministic, brackets the sample mean, unit-mean weights") {
+    val a = Stats.bootstrapCi(spark, sf).collect()
+    val b = Stats.bootstrapCi(spark, sf).collect()
+    // the resampling is a pure function of (orderkey, replicate) — two
+    // runs (fresh plans, fresh task orders) must agree bit-for-bit
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    val nOrders = graft.ingest.Sources.orders(spark, sf).count()
+    assert(a.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    a.foreach { r =>
+      val (m, lo, hi) = (r.getAs[Double]("mean_price"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= hi, s"${r.getString(0)}: ci_lo $lo > ci_hi $hi")
+      // percentile-bootstrap CI of the mean must bracket the sample
+      // mean on groups this large (thousands of orders per priority)
+      assert(lo <= m && m <= hi, s"${r.getString(0)}: [$lo, $hi] misses $m")
+      // and be a real interval: zero width would mean degenerate draws
+      assert(hi - lo > 0, s"${r.getString(0)}: degenerate CI")
+    }
+    // the Poisson(1) multiplicities must average ~1 — otherwise the
+    // replicate totals are biased against the point estimate
+    val w = graft.ingest.Sources.orders(spark, sf)
+      .select(col("o_orderkey"),
+        explode(sequence(lit(0), lit(Stats.BootReps - 1))).as("rep"))
+      .select(Scale.md5Uniform(concat(col("o_orderkey").cast("string"),
+        lit(":"), col("rep").cast("string"))).as("u"))
+      .select(avg(when(col("u") < Stats.PoissonCdf(0).toDouble, 1.0)
+        .otherwise(0.0)).as("p0"))
+      .head().getDouble(0)
+    // P(w = 0) = e^-1 ± sampling noise over n_orders × 64 draws
+    assert(math.abs(p0Expected - w) < 0.01,
+      s"zero-weight share $w far from e^-1")
+  }
+
+  private val p0Expected = math.exp(-1)
 }
