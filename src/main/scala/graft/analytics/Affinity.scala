@@ -559,7 +559,64 @@ object Affinity {
       |ORDER BY dist, part""".stripMargin
   }
 
+  /** Fixed LPA round count — part of the operator contract:
+    * synchronous rounds with a deterministic tie-break are what make
+    * community assignment a pure function of the graph (see
+    * [[graft.operators.Graph.labelPropagation]]); 4 rounds is the
+    * label-mixing horizon that stabilizes coarse structure on the
+    * dense co-purchase graph without oscillation artifacts.
+    */
+  val LpaRounds = 4
+
+  /** Community detection on the co-purchase graph via synchronous
+    * label propagation ([[LpaRounds]] rounds, smallest-label
+    * tie-break): (part, community label, community size). The
+    * near-linear community step a catalog/corpus clustering pipeline
+    * runs where modularity methods don't scale — each round is two
+    * reduces over the edge list, no pairwise anything. The oracle
+    * unrolls the identical recurrence as chained CTEs; integer labels
+    * make the match exact.
+    */
+  def partCommunities(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelPropagation(prEdges(spark, dir), LpaRounds)
+      .select(col("v").as("part"), col("lab").as("comm"))
+      .withColumn("comm_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("comm"))))
+      .orderBy(col("part"))
+
+  val partCommunitiesSql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""cnt$i AS (
+        |  SELECT e.dst AS v, l.lab, count(*) AS c
+        |  FROM edges e JOIN l${i - 1} l ON e.src = l.v
+        |  GROUP BY 1, 2
+        |), l$i AS (
+        |  SELECT v, min(lab) AS lab
+        |  FROM (SELECT v, lab, c, max(c) OVER (PARTITION BY v) AS mc
+        |        FROM cnt$i) t
+        |  WHERE c = mc GROUP BY v
+        |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), halfe AS (
+      |  ${halfEdgesSql("pa", "pb")}
+      |), edges AS (
+      |  SELECT pa AS src, pb AS dst FROM halfe
+      |  UNION ALL
+      |  SELECT pb, pa FROM halfe
+      |), l0 AS (
+      |  SELECT DISTINCT src AS v, src AS lab FROM edges
+      |),
+      |$rounds
+      |SELECT v AS part, lab AS comm,
+      |  CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS comm_size
+      |FROM l$LpaRounds
+      |ORDER BY part""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_part_communities" -> (partCommunities _),
     "q_part_sssp" -> (partSssp _),
     "q_part_copurchase" -> (partCopurchase _),
     "q_apriori_triples" -> (aprioriTriples _),
@@ -570,6 +627,7 @@ object Affinity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_part_communities" -> partCommunitiesSql,
     "q_part_sssp" -> partSsspSql,
     "q_part_copurchase" -> partCopurchaseSql,
     "q_apriori_triples" -> aprioriTriplesSql,

@@ -476,4 +476,74 @@ object Graph {
       er.unpersist(blocking = false)
     }
   }
+
+  /** Synchronous label-propagation community detection over a
+    * DIRECTED edge list (symmetrize first for undirected): every
+    * vertex starts as its own label; each round every vertex takes
+    * the most frequent label among its in-neighbors' PREVIOUS-round
+    * labels, ties broken by the smallest label. A FIXED round count
+    * (not convergence — asynchronous/converged LPA is
+    * order-dependent, which no cross-engine oracle could replay) plus
+    * integer labels make the output a pure function of the graph:
+    * bit-identical across engines, partitionings and retries.
+    *
+    * Same co-partitioned RDD loop as [[bfsDistances]]/[[prCore]]:
+    * edges hash-partitioned once; per round the message join is
+    * partition-local and the counting is ONE aggregateByKey into the
+    * shared partitioner with per-vertex label→count maps (the GraphX
+    * aggregateMessages shape): map-side combine collapses each
+    * partition's messages to ≤ one map per destination before the
+    * round's single shuffle, whose volume is Σ distinct labels per
+    * vertex — never raw edge cardinality. The argmax (higher count,
+    * tie → smaller label) then runs map-local, and the result is
+    * already partitioned for the next round's join. Rounds are a
+    * small constant ⇒ bounded lineage, no per-round checkpoint.
+    * Returns (v, lab) for every vertex in the edge set.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val (er, part) = partitionCached(spark,
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .rdd.map(r => (r.getLong(0), r.getLong(1))))
+    val live = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    try {
+      // v → v seed labels, already in the shared partitioner (the
+      // vertex set is the src set — the caller symmetrizes)
+      var labels = er.mapValues(_ => 0L).reduceByKey(part, (a, _) => a)
+        .mapPartitions(_.map { case (v, _) => (v, v) },
+          preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      live += labels
+      (1 to rounds).foreach { _ =>
+        val nl = er.join(labels)
+          .map { case (_, (dst, lab)) => (dst, lab) }
+          .aggregateByKey(
+            scala.collection.mutable.LongMap.empty[Long], part)(
+            (m, lab) => { m(lab) = m.getOrElse(lab, 0L) + 1L; m },
+            (a, b) => {
+              val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+              small.foreach { case (k, c) =>
+                big(k) = big.getOrElse(k, 0L) + c }
+              big
+            })
+          .mapValues { m =>
+            var bl = Long.MaxValue; var bc = 0L
+            m.foreach { case (k, c) =>
+              if (c > bc || (c == bc && k < bl)) { bl = k; bc = c } }
+            bl
+          }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        live += nl
+        labels = nl
+      }
+      val spark2 = spark
+      import spark2.implicits._
+      labels.toDF("v", "lab").localCheckpoint()
+    } finally {
+      live.foreach(_.unpersist(blocking = false))
+      er.unpersist(blocking = false)
+    }
+  }
 }

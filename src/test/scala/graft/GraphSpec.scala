@@ -126,4 +126,33 @@ class GraphSpec extends SparkSpec {
       assert(ids.length >= 2, "singleton cluster leaked in (vertices come from edges)")
     }
   }
+
+  test("label propagation: hand-replayed synchronous rounds, tie-breaks and all") {
+    // triangle {1,2,3} + pendant 4 on 3, plus an isolated pair
+    // {10,11}. Synchronous LPA with min-label tie-break, replayed by
+    // hand: the triangle pulls everything to label 1 by round 2; the
+    // pair is a bipartite 2-cycle, so its labels OSCILLATE (swap each
+    // round) and an even round count returns them to themselves —
+    // exactly the synchronous-contract behavior the fixed round count
+    // makes reproducible (and the reason converged async LPA can't be
+    // oracle-replayed).
+    val undirected = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val edges = edgesDF(undirected ++ undirected.map(_.swap))
+    val got = Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).map(got) == Seq.fill(4)(1L), s"core not collapsed: $got")
+    assert(got(10L) == 10L && got(11L) == 11L, s"2-cycle parity wrong: $got")
+    // one round: each vertex takes its neighbors' seed labels —
+    // v1 ties {2,3} → 2, v3 has {1,2,4} → 1, pair swaps labels
+    val r1 = Graph.labelPropagation(edges, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      10L -> 11L, 11L -> 10L), s"round-1 labels wrong: $r1")
+    // determinism: a second run over a reshuffled copy of the edges
+    val shuffled = edgesDF(scala.util.Random.shuffle(
+      undirected ++ undirected.map(_.swap))).repartition(7)
+    val again = Graph.labelPropagation(shuffled, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got, "labels depend on physical layout")
+  }
 }
