@@ -121,6 +121,78 @@ object Relational {
       |      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
       |ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin
 
+  /** O3: skyline (Pareto frontier) of orders under (newer date,
+    * cheaper price) — the multi-objective "best tradeoffs" extraction
+    * no single ORDER BY can express: a row survives iff no other row
+    * is at least as new AND at least as cheap with one strictly
+    * better. The pipeline use is curation frontiers (quality vs
+    * cost); the relational shape is the classic SKYLINE operator.
+    *
+    * Distributed 2-D skyline with NO global window and NO pair join:
+    * dominance against strictly-later dates decomposes into (a) a
+    * per-month-shard suffix-min over the date order — one shuffle on
+    * the shard key, every frame computed in that same sort — and
+    * (b) a cross-shard suffix-min over the per-shard minima, a
+    * month-cardinality frame (corpus-size-independent, like the
+    * sketch-quantile bin walk) broadcast back. Same-date dominance is
+    * the peers frame (RANGE 0..0) of the same sort. Exact integer
+    * cents/day arithmetic end to end; the oracle states dominance
+    * directly (NOT EXISTS over per-date minima).
+    */
+  def orderSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate").as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // negated day number: ASC order = newest first, so "preceding"
+      // rows are strictly newer — no desc-frame ambiguity
+      .withColumn("nd",
+        -datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("shard", (year(col("d")) * 12 + month(col("d"))).cast("int"))
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("nd"))
+    val newerInShard = byShard.rangeBetween(Window.unboundedPreceding, -1)
+    val sameDate = byShard.rangeBetween(0, 0)
+    val scored = p
+      .withColumn("mn_newer", min(col("cents")).over(newerInShard))
+      .withColumn("mn_same", min(col("cents")).over(sameDate))
+    val shardMins = p.groupBy(col("shard")).agg(min(col("cents")).as("mn"))
+    // suffix-min over the tiny shard frame (≤ #months rows): min price
+    // in any strictly-later month
+    val wsh = Window.orderBy(col("shard").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val laterShards = shardMins
+      .withColumn("mn_later", min(col("mn")).over(wsh))
+      .select(col("shard"), col("mn_later"))
+    scored.join(broadcast(laterShards), Seq("shard"))
+      .filter(
+        coalesce(col("mn_newer"), lit(Long.MaxValue)) > col("cents") &&
+          coalesce(col("mn_later"), lit(Long.MaxValue)) > col("cents") &&
+          col("mn_same") >= col("cents"))
+      .select(col("o_orderkey"), col("d").as("o_orderdate"),
+        round(col("cents") / 100.0, 2).as("price"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+  }
+
+  /** DuckDB twin: dominance stated literally. Only per-date minima
+    * can dominate, so the NOT EXISTS probes a date-cardinality
+    * relation, not the fact — same output, oracle-sized cost.
+    */
+  val orderSkylineSql: String =
+    """WITH p AS (
+      |  SELECT o_orderkey, o_orderdate AS d,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders
+      |), dm AS (
+      |  SELECT d, min(cents) AS mn FROM p GROUP BY d
+      |)
+      |SELECT o_orderkey, d AS o_orderdate,
+      |  round(cents / 100.0, 2) AS price
+      |FROM p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM dm q
+      |  WHERE q.d >= p.d AND q.mn <= p.cents
+      |    AND (q.d > p.d OR q.mn < p.cents))
+      |ORDER BY o_orderdate DESC, o_orderkey""".stripMargin
+
   /** R1: ranking window — top-3 customers by account balance per nation.
     * Single shuffle on the partition key; ties broken by c_custkey so
     * the result is deterministic across engines.
@@ -712,6 +784,7 @@ object Relational {
     "q_revenue_by_nation" -> (revenueByNation _),
     "q_order_priority_revenue" -> (orderPriorityRevenue _),
     "q_top_orders" -> (topOrders _),
+    "q_order_skyline" -> (orderSkyline _),
     "q_top_customers_per_nation" -> (topCustomersPerNation _),
     "q_order_price_delta" -> (orderPriceDelta _),
     "q_rollup_nation_segment" -> (rollupNationSegment _),
@@ -737,6 +810,7 @@ object Relational {
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_order_priority_revenue" -> orderPriorityRevenueSql,
     "q_top_orders" -> topOrdersSql,
+    "q_order_skyline" -> orderSkylineSql,
     "q_top_customers_per_nation" -> topCustomersPerNationSql,
     "q_order_price_delta" -> orderPriceDeltaSql,
     "q_rollup_nation_segment" -> rollupNationSegmentSql,

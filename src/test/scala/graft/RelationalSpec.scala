@@ -133,4 +133,36 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("order skyline equals brute-force dominance over the full table") {
+    val pts = graft.ingest.Sources.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate, r.getLong(2)))
+    // brute force: p survives iff no q is >= on both axes and > on one
+    val expect = pts.filter { case (_, d, c) =>
+      !pts.exists { case (_, qd, qc) =>
+        !qd.isBefore(d) && qc <= c && (qd.isAfter(d) || qc < c)
+      }
+    }.map(p => (p._1, p._2, p._3)).toSet
+    val got = graft.analytics.Relational.orderSkyline(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate,
+        math.round(r.getDouble(2) * 100))).toSet
+    assert(got == expect,
+      s"skyline mismatch: missing ${expect -- got}, extra ${got -- expect}")
+    assert(got.nonEmpty, "degenerate empty frontier")
+    // frontier property: walking newest -> oldest, an older survivor
+    // must be strictly cheaper (else the newer one dominates it);
+    // same-date neighbors are equal-price duplicates, both kept
+    val walk = got.toSeq.sortBy(p => (p._2.toEpochDay, p._3)).reverse
+    walk.sliding(2).foreach {
+      case Seq(newer, older) =>
+        assert(older._3 < newer._3 || newer._2 == older._2,
+          s"non-frontier pair $newer / $older")
+      case _ => ()
+    }
+  }
 }
