@@ -562,7 +562,58 @@ object Events {
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** Eventually-follows footprint matrix — the process-mining
+    * discovery primitive, generalizing [[orderedFunnel]]'s fixed
+    * 3-stage chain to EVERY ordered pair of event types: for each
+    * (a, b), how many users that do both ever do a strictly before b
+    * (∃ t_a < t_b ⟺ min ts(a) < max ts(b), so the whole history
+    * collapses to one (min, max) row per (user, type) before any
+    * join). The self-join fans out per user by at most
+    * (#event types)² — alphabet-bounded, never history-bounded — and
+    * rides the same user_id shuffle the aggregation produced.
+    * Second-resolution timestamps, exact counts, one rounded share.
+    */
+  def followsMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val ut = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"),
+      col("mn").as("mn_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"),
+      col("mx").as("mx_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users_both"),
+        sum(when(col("mn_a") < col("mx_b"), 1L).otherwise(0L))
+          .as("n_follows"))
+      .withColumn("follow_share",
+        round(col("n_follows") / col("n_users_both"), 6))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val followsMatrixSql: String =
+    """WITH ut AS (
+      |  SELECT user_id, event_type,
+      |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS mn,
+      |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS mx
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  count(*) AS n_users_both,
+      |  CAST(sum(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_follows,
+      |  round(CAST(sum(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END) AS BIGINT)
+      |    / count(*), 6) AS follow_share
+      |FROM ut a JOIN ut b
+      |  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_follows_matrix" -> (followsMatrix _),
     "q_attribution" -> (attribution _),
     "q_ordered_funnel" -> (orderedFunnel _),
     "q_scd2_status" -> (scd2Status _),
@@ -577,6 +628,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_follows_matrix" -> followsMatrixSql,
     "q_attribution" -> attributionSql,
     "q_ordered_funnel" -> orderedFunnelSql,
     "q_scd2_status" -> scd2StatusSql,

@@ -203,4 +203,38 @@ class EventsSpec extends SparkSpec {
     assert(out.values.exists(_._5 > 0) && out.values.exists(_._5 == 0),
       "fixture should exercise both touched and untouched conversions")
   }
+
+  test("follows matrix equals brute-force eventually-follows over raw events") {
+    val ev = graft.ingest.Sources.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val types = ev.map(_._2).distinct.sorted
+    val expect = (for {
+      a <- types; b <- types if a != b
+      both = byUser.values.filter(rs =>
+        rs.exists(_._2 == a) && rs.exists(_._2 == b))
+      if both.nonEmpty
+    } yield {
+      val nf = both.count { rs =>
+        val ta = rs.filter(_._2 == a).map(_._3).min
+        val tb = rs.filter(_._2 == b).map(_._3).max
+        ta < tb
+      }
+      (a, b) -> (both.size.toLong, nf.toLong)
+    }).toMap
+    val got = graft.analytics.Events.followsMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_users_both"), r.getAs[Long]("n_follows"))).toMap
+    assert(got == expect, s"matrix mismatch: ${(got.toSet diff expect.toSet)
+      .take(3)} vs ${(expect.toSet diff got.toSet).take(3)}")
+    // structural invariants: co-occurrence is symmetric, follows is
+    // bounded by it (dense per-user histories make n_follows itself
+    // near-symmetric here - that's data, not a bug)
+    got.foreach { case ((a, b), (both, nf)) =>
+      assert(got((b, a))._1 == both, s"($a,$b) co-occurrence asymmetric")
+      assert(nf <= both && nf >= 0, s"($a,$b) follows out of range")
+    }
+  }
 }
