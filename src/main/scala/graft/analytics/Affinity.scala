@@ -615,7 +615,63 @@ object Affinity {
       |ORDER BY part""".stripMargin
   }
 
+  /** Core order for [[partKCore]]: the 2-core — strip pendant trees
+    * until only cycle-bearing structure remains. Chosen so the core
+    * is non-trivial across the test scales (the sparser large-sf
+    * graphs peel hard; higher k empties them entirely).
+    */
+  val KCoreK = 2
+
+  /** k-core of the co-purchase graph ([[KCoreK]]-core): members with
+    * their in-core degree, plus the peel-pass count on every row —
+    * pinning termination itself, like q_pagerank_converged. The
+    * oracle replays the peeling as a recursive CTE whose recursion
+    * continues exactly while a pass still deletes a vertex (a window
+    * max over the pass's degree table), so member set, degrees AND
+    * pass count hash-match exactly.
+    */
+  def partKCore(spark: SparkSession, dir: String): DataFrame = {
+    val (core, rounds) = graft.operators.Graph.kCore(
+      prEdges(spark, dir), KCoreK)
+    core.select(col("v").as("part"), col("d").as("core_deg"),
+        lit(rounds).as("rounds"))
+      .orderBy(col("part"))
+  }
+
+  val partKCoreSql: String =
+    s"""WITH RECURSIVE ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), halfe AS (
+      |  ${halfEdgesSql("pa", "pb")}
+      |), edges AS (
+      |  SELECT pa AS src, pb AS dst FROM halfe
+      |  UNION ALL
+      |  SELECT pb, pa FROM halfe
+      |), verts AS (
+      |  SELECT DISTINCT src AS v FROM edges
+      |), rec AS (
+      |  SELECT v, CAST(0 AS BIGINT) AS d, 0 AS iter, 1 AS moving
+      |  FROM verts
+      |  UNION ALL
+      |  SELECT s.v, s.d, s.ni, s.mv FROM (
+      |    SELECT dg.v, dg.d, dg.ni,
+      |      max(CASE WHEN dg.d < $KCoreK THEN 1 ELSE 0 END) OVER () AS mv
+      |    FROM (
+      |      SELECT a.v, a.iter + 1 AS ni, count(b.v) AS d
+      |      FROM rec a
+      |      LEFT JOIN edges e ON e.src = a.v
+      |      LEFT JOIN rec b ON b.v = e.dst
+      |      WHERE a.moving = 1 AND a.iter < 40
+      |      GROUP BY 1, 2
+      |    ) dg
+      |  ) s WHERE s.d >= $KCoreK
+      |)
+      |SELECT v AS part, d AS core_deg, iter AS rounds
+      |FROM rec WHERE moving = 0
+      |ORDER BY part""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_part_kcore" -> (partKCore _),
     "q_part_communities" -> (partCommunities _),
     "q_part_sssp" -> (partSssp _),
     "q_part_copurchase" -> (partCopurchase _),
@@ -627,6 +683,7 @@ object Affinity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_part_kcore" -> partKCoreSql,
     "q_part_communities" -> partCommunitiesSql,
     "q_part_sssp" -> partSsspSql,
     "q_part_copurchase" -> partCopurchaseSql,

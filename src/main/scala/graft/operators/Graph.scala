@@ -477,6 +477,71 @@ object Graph {
     }
   }
 
+  /** k-core decomposition by iterative peeling over a DIRECTED edge
+    * list (symmetrize first for undirected): repeatedly delete every
+    * vertex whose degree among the SURVIVORS is < k until a pass
+    * deletes nothing — the maximal subgraph of minimum degree ≥ k,
+    * the standard densest-region / pendant-pruning primitive.
+    * Convergence-driven like [[pagerankConverged]] (stability is an
+    * exact set-cardinality test — engine-portable by construction);
+    * `maxIters` is a safety valve only, the fixed point must
+    * terminate. Returns ((v, d) rows — core members with their
+    * IN-core degree — and the pass count including the confirming
+    * pass). A graph that peels to nothing returns an empty frame.
+    *
+    * Same co-partitioned RDD loop as the other iterative operators:
+    * per pass ONE shuffle (the degree reduce; both membership joins
+    * are partition-local under the shared partitioner) and one count
+    * action for the stability test. Pass count is bounded by the
+    * peeling depth (the graph's degeneracy ordering length), not by
+    * vertex count.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 40): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val (er, part) = partitionCached(spark,
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .rdd.map(r => (r.getLong(0), r.getLong(1))))
+    val live = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    try {
+      var alive = er.mapValues(_ => 1L).reduceByKey(part, (a, _) => a)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      live += alive
+      var n = alive.count()
+      var rounds = 0
+      var stable = false
+      var core: org.apache.spark.rdd.RDD[(Long, Long)] = null
+      while (!stable && n > 0 && rounds < maxIters) {
+        // degree among survivors: src side gated by the edge join,
+        // dst side by the membership join — both partition-local
+        val deg = er.join(alive)
+          .map { case (_, (dst, _)) => (dst, 1L) }
+          .reduceByKey(part, _ + _)
+          .join(alive)
+          .mapValues(_._1)
+        val next = deg.filter(_._2 >= k)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        live += next
+        val m = next.count()
+        rounds += 1
+        if (m == n) { stable = true; core = next }
+        else { alive = next.mapValues(_ => 1L); n = m }
+      }
+      require(stable || n == 0,
+        s"kCore: not stable after $maxIters passes")
+      val spark2 = spark
+      import spark2.implicits._
+      val out =
+        if (n == 0) spark.emptyDataset[(Long, Long)].toDF("v", "d")
+        else core.toDF("v", "d")
+      (out.localCheckpoint(), rounds)
+    } finally {
+      live.foreach(_.unpersist(blocking = false))
+      er.unpersist(blocking = false)
+    }
+  }
+
   /** Synchronous label-propagation community detection over a
     * DIRECTED edge list (symmetrize first for undirected): every
     * vertex starts as its own label; each round every vertex takes

@@ -127,6 +127,26 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("k-core: cascade peeling, already-core short-circuit, peel-to-empty") {
+    def sym(u: Seq[(Long, Long)]) = edgesDF(u ++ u.map(_.swap))
+    // triangle {1,2,3} + pendant chain 3-4-5-6: the chain peels one
+    // vertex per pass (6, then 5, then 4), pass 4 confirms stability
+    val (core, rounds) = Graph.kCore(
+      sym(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))), 2)
+    val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"core wrong: $got")
+    assert(rounds == 4, s"cascade should take 4 passes, took $rounds")
+    // an input that already IS a k-core stabilizes in one confirming pass
+    val (tri, r1) = Graph.kCore(sym(Seq((1L, 2L), (1L, 3L), (2L, 3L))), 2)
+    assert(tri.count() == 3 && r1 == 1, s"already-core: ${tri.count()}, $r1")
+    // a bare chain has no 2-core: peels to empty without throwing
+    val (none, _) = Graph.kCore(sym(Seq((1L, 2L), (2L, 3L))), 2)
+    assert(none.count() == 0, "chain should have no 2-core")
+    // core degrees are degrees WITHIN the core, not in the input graph:
+    // vertex 3 had 3 neighbors before peeling, 2 after
+    assert(got(3L) == 2L, "degree must be recomputed among survivors")
+  }
+
   test("label propagation: hand-replayed synchronous rounds, tie-breaks and all") {
     // triangle {1,2,3} + pendant 4 on 3, plus an isolated pair
     // {10,11}. Synchronous LPA with min-label tie-break, replayed by
