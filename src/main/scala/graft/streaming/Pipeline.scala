@@ -293,6 +293,24 @@ object Pipeline {
       .withWatermark("timestamp", "1 day")
       .dropDuplicates(Seq("sensor_id", "timestamp"))
 
+  /** Streaming dedup for RETRANSMITTED readings — the at-least-once
+    * transport case [[dedupStream]] cannot catch: a broker/producer
+    * re-send carries the same payload but a JITTERED timestamp, so
+    * (key, timestamp) equality never fires. This keys on the payload
+    * alone via dropDuplicatesWithinWatermark: two occurrences whose
+    * event times fall within the watermark delay collapse to the
+    * FIRST one; payload state older than the delay is evicted, so a
+    * genuinely repeated measurement far apart in time still passes.
+    * State is bounded by (distinct payloads per delay window), the
+    * same eviction contract as [[dedupStream]].
+    */
+  def dedupRetransmits(readings: DataFrame,
+                       delay: String = "1 hour"): DataFrame =
+    readings
+      .withWatermark("timestamp", delay)
+      .dropDuplicatesWithinWatermark(
+        Seq("sensor_id", "ph_value", "do_value", "tds_value"))
+
   /** Stream-static enrichment join: each streaming reading picks up
     * its waterbody's dimension row (the sensor-metadata join J5 on the
     * live path). The static side is a bounded table — no watermark and

@@ -261,6 +261,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retransmit dedup: jittered duplicates collapse, evicted state re-admits") {
+    import spark.implicits._
+    val input = MemoryStream[SensorReading](spark)
+    val q = Pipeline.dedupRetransmits(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("retrans_out").start()
+    try {
+      // same payload re-sent 10 min later with a jittered timestamp:
+      // (key, timestamp) dedup would keep both; payload dedup keeps one
+      input.addData(
+        reading("A", "2024-01-01 00:00:00"),
+        reading("A", "2024-01-01 00:10:00"),
+        reading("B", "2024-01-01 00:00:00", ph = 6.9f))
+      q.processAllAvailable()
+      assert(spark.table("retrans_out").count() == 2,
+        "jittered retransmit not collapsed")
+      // advance the watermark far past the delay, then repeat A's
+      // payload: its dedup state must have been EVICTED — a genuine
+      // recurrence of the same measurement a day later passes
+      input.addData(reading("C", "2024-01-02 12:00:00", ph = 8.1f))
+      q.processAllAvailable()
+      input.addData(reading("A", "2024-01-02 11:30:00"))
+      q.processAllAvailable()
+      assert(spark.table("retrans_out").count() == 4,
+        "evicted payload should be re-admitted after the horizon")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each reading to its dimension row, statelessly") {
     import spark.implicits._
     val dim = Seq(
