@@ -570,7 +570,10 @@ object Events {
     * collapses to one (min, max) row per (user, type) before any
     * join). The self-join fans out per user by at most
     * (#event types)² — alphabet-bounded, never history-bounded — and
-    * rides the same user_id shuffle the aggregation produced.
+    * re-shuffles on user_id (the aggregation partitioned on
+    * (user_id, event_type), so its distribution can't be reused), but
+    * what crosses that shuffle is the collapsed per-(user, type)
+    * table: one row per pair, independent of history length.
     * Second-resolution timestamps, exact counts, one rounded share.
     */
   def followsMatrix(spark: SparkSession, dir: String): DataFrame = {

@@ -479,9 +479,13 @@ object Graph {
 
   /** k-core decomposition by iterative peeling over a DIRECTED edge
     * list (symmetrize first for undirected): repeatedly delete every
-    * vertex whose degree among the SURVIVORS is < k until a pass
-    * deletes nothing — the maximal subgraph of minimum degree ≥ k,
-    * the standard densest-region / pendant-pruning primitive.
+    * vertex whose OUT-degree among the SURVIVORS is < k until a pass
+    * deletes nothing — on a symmetrized graph that is the plain
+    * degree, giving the maximal subgraph of minimum degree ≥ k, the
+    * standard densest-region / pendant-pruning primitive. The
+    * out-degree orientation is part of the contract (it is what the
+    * recursive-CTE oracle counts), so operator and oracle agree even
+    * on a genuinely directed input.
     * Convergence-driven like [[pagerankConverged]] (stability is an
     * exact set-cardinality test — engine-portable by construction);
     * `maxIters` is a safety valve only, the fixed point must
@@ -499,13 +503,19 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 40): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
+    // cached keyed by DST with the src as value: survival is judged on
+    // OUT-degree among survivors (deg(v) = |{(v,u) ∈ E : u alive}|) —
+    // the orientation the recursive-CTE oracle counts, so operator and
+    // oracle agree even on a genuinely directed edge list (on the
+    // symmetrized graphs callers pass, in- and out-degree coincide)
     val (er, part) = partitionCached(spark,
       edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .rdd.map(r => (r.getLong(0), r.getLong(1))))
+        .rdd.map(r => (r.getLong(1), r.getLong(0))))
     val live = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
     try {
-      var alive = er.mapValues(_ => 1L).reduceByKey(part, (a, _) => a)
+      var alive = er.map { case (_, s) => (s, 1L) }
+        .reduceByKey(part, (a, _) => a)
         .persist(StorageLevel.MEMORY_AND_DISK)
       live += alive
       var n = alive.count()
@@ -513,10 +523,11 @@ object Graph {
       var stable = false
       var core: org.apache.spark.rdd.RDD[(Long, Long)] = null
       while (!stable && n > 0 && rounds < maxIters) {
-        // degree among survivors: src side gated by the edge join,
-        // dst side by the membership join — both partition-local
+        // out-degree among survivors: dst gated by the (partition-
+        // local) edge join, src by the membership join after the
+        // per-src reduce — one shuffle per pass
         val deg = er.join(alive)
-          .map { case (_, (dst, _)) => (dst, 1L) }
+          .map { case (_, (src, _)) => (src, 1L) }
           .reduceByKey(part, _ + _)
           .join(alive)
           .mapValues(_._1)

@@ -299,10 +299,15 @@ object Pipeline {
     * (key, timestamp) equality never fires. This keys on the payload
     * alone via dropDuplicatesWithinWatermark: two occurrences whose
     * event times fall within the watermark delay collapse to the
-    * FIRST one; payload state older than the delay is evicted, so a
-    * genuinely repeated measurement far apart in time still passes.
-    * State is bounded by (distinct payloads per delay window), the
-    * same eviction contract as [[dedupStream]].
+    * FIRST one. Payload state is evicted once the WATERMARK (driven
+    * by newer events, advanced at batch boundaries) passes the first
+    * occurrence plus the delay — after that a genuinely repeated
+    * measurement passes again; before that (e.g. on an idle stream
+    * whose watermark hasn't moved) Spark's contract for occurrences
+    * beyond the delay is "may or may not be dropped", not guaranteed
+    * re-admission. State stays bounded by (distinct payloads per
+    * watermark horizon), the same eviction mechanism as
+    * [[dedupStream]].
     */
   def dedupRetransmits(readings: DataFrame,
                        delay: String = "1 hour"): DataFrame =

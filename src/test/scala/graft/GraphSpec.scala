@@ -145,6 +145,13 @@ class GraphSpec extends SparkSpec {
     // core degrees are degrees WITHIN the core, not in the input graph:
     // vertex 3 had 3 neighbors before peeling, 2 after
     assert(got(3L) == 2L, "degree must be recomputed among survivors")
+    // directed contract: survival counts OUT-degree (what the oracle's
+    // CTE counts) — v3 has out-degree 1 but IN-degree 0, and must stay
+    val (dir1, dr) = Graph.kCore(
+      edgesDF(Seq((1L, 2L), (2L, 1L), (3L, 1L))), 1)
+    val dgot = dir1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dgot == Map(1L -> 1L, 2L -> 1L, 3L -> 1L) && dr == 1,
+      s"directed out-degree contract broken: $dgot after $dr passes")
   }
 
   test("label propagation: hand-replayed synchronous rounds, tie-breaks and all") {
