@@ -111,12 +111,88 @@ object Privacy {
       |GROUP BY 1, 2, 3
       |ORDER BY nation, segment, balance_band""".stripMargin
 
+  /** Cumulative CDF ladder of the two-sided geometric mechanism with
+    * α = 1/2 (ε = ln 2 for a sensitivity-1 count): P(0) = 1/3, then
+    * ±k each carry (1/3)·2^−k, laddered 0, −1, +1, −2, +2, …, −7, +7;
+    * the residual tail (≈0.52%) splits EVENLY between −8 and +8
+    * (final threshold below, else +8), so the truncated distribution
+    * stays symmetric — zero-mean noise, no bias from the clamp.
+    * Literal strings shared verbatim with the oracle SQL: both
+    * engines parse them to identical binary64 values, so the noise is
+    * a pure function of the md5-uniform draw.
+    */
+  val GeoCdf: Seq[(String, Int)] = Seq(
+    "0.3333333333333333" -> 0, "0.5" -> -1, "0.6666666666666666" -> 1,
+    "0.75" -> -2, "0.8333333333333334" -> 2, "0.875" -> -3,
+    "0.9166666666666666" -> 3, "0.9375" -> -4, "0.9583333333333334" -> 4,
+    "0.96875" -> -5, "0.9791666666666666" -> 5, "0.984375" -> -6,
+    "0.9895833333333334" -> 6, "0.9921875" -> -7,
+    "0.9947916666666666" -> 7, "0.9973958333333333" -> -8)
+
+  /** Differentially-private count release — the discrete (two-sided
+    * geometric) mechanism, the integer-exact classical DP primitive:
+    * per (priority, order-year) cell, the exact count plus geometric
+    * noise drawn deterministically from the md5-uniform of the CELL
+    * KEY through [[GeoCdf]], then clamped at zero (counts cannot go
+    * negative — standard post-processing, privacy-free). ε = ln 2 per
+    * cell; |noise| ≤ 8 by symmetric truncation (contract, documented
+    * in [[GeoCdf]]). The certification query emits n_true and noise
+    * alongside n_noisy to make the mechanism auditable — a production
+    * release projects n_noisy only (and uses a secret seed in the
+    * draw key, exactly like [[PseudoSalt]]'s KMS note). Aggregation
+    * first (one partial-agg shuffle), noise as a scan of the tiny
+    * cell table: mechanism cost is independent of fact size.
+    */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val base = Sources.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_true"))
+    val u = graft.operators.Scale.md5Uniform(
+      concat(lit("dp:"), col("o_orderpriority"), lit(":"),
+        col("o_year").cast("string")))
+    val noise = GeoCdf.reverse
+      .foldLeft(lit(8L): org.apache.spark.sql.Column) {
+        case (tail, (t, k)) =>
+          when(u < lit(t.toDouble), k.toLong).otherwise(tail)
+      }
+    base.withColumn("noise", noise)
+      .withColumn("n_noisy",
+        greatest(col("n_true") + col("noise"), lit(0L)))
+      .orderBy(col("o_orderpriority"), col("o_year"))
+  }
+
+  val dpCountsSql: String = {
+    val uni = graft.operators.Scale.md5UniformSql(
+      "'dp:' || o_orderpriority || ':' || CAST(o_year AS VARCHAR)")
+    val cases = GeoCdf
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString(" ")
+    s"""WITH base AS (
+      |  SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    count(*) AS n_true
+      |  FROM orders GROUP BY 1, 2
+      |), drawn AS (
+      |  SELECT *, $uni AS u FROM base
+      |), noised AS (
+      |  SELECT o_orderpriority, o_year, n_true,
+      |    CAST(CASE $cases ELSE 8 END AS BIGINT) AS noise
+      |  FROM drawn
+      |)
+      |SELECT o_orderpriority, o_year, n_true, noise,
+      |  greatest(n_true + noise, 0) AS n_noisy
+      |FROM noised
+      |ORDER BY o_orderpriority, o_year""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_counts" -> (dpCounts _),
     "q_pii_mask" -> (piiMask _),
     "q_l_diversity" -> (lDiversity _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dp_counts" -> dpCountsSql,
     "q_pii_mask" -> piiMaskSql,
     "q_l_diversity" -> lDiversitySql
   )

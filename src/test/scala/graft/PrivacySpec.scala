@@ -61,4 +61,36 @@ class PrivacySpec extends SparkSpec {
     // k mass conserves the table
     assert(rows.map(_.getAs[Long]("k")).sum == raw.length.toLong)
   }
+
+  test("DP counts: noise ladder is symmetric, bounded, deterministic and correctly applied") {
+    val a = Privacy.dpCounts(spark, sf).collect()
+    val b = Privacy.dpCounts(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "mechanism must be a pure function of the cell key")
+    a.foreach { r =>
+      val (t, n, out) = (r.getAs[Long]("n_true"), r.getAs[Long]("noise"),
+        r.getAs[Long]("n_noisy"))
+      assert(math.abs(n) <= 8, s"noise $n outside the truncation bound")
+      assert(out == math.max(t + n, 0L), "clamp-at-zero post-processing broken")
+    }
+    // distribution audit over a wide synthetic key space: P(noise=0)
+    // must be ~1/3 and the truncated ladder symmetric (mean ~0)
+    import spark.implicits._
+    val u = graft.operators.Scale.md5Uniform(concat(lit("audit:"),
+      col("value").cast("string")))
+    val noise = Privacy.GeoCdf.reverse
+      .foldLeft(lit(8L): org.apache.spark.sql.Column) {
+        case (tail, (t, k)) => when(u < lit(t.toDouble), k.toLong).otherwise(tail)
+      }
+    val stats = (1 to 20000).toDF("value").select(noise.as("n"))
+      .agg(avg(when(col("n") === 0L, 1.0).otherwise(0.0)).as("p0"),
+        avg(col("n").cast("double")).as("mean"),
+        max(abs(col("n"))).as("mx"))
+      .head()
+    assert(math.abs(stats.getDouble(0) - 1.0 / 3) < 0.02,
+      s"P(0) = ${stats.getDouble(0)} far from 1/3")
+    assert(math.abs(stats.getDouble(1)) < 0.05,
+      s"truncated ladder biased: mean ${stats.getDouble(1)}")
+    assert(stats.getLong(2) <= 8L)
+  }
 }
