@@ -886,6 +886,69 @@ object Similarity {
     * reconstruction MSE (×1e6). At 100 TB: one scan for ranges, one
     * scan to encode; both pure map/agg, no shuffle of the vectors.
     */
+  /** Hard-negative mining for contrastive retrieval training — for
+    * each query vector in the sample, the top-k most COSINE-similar
+    * vectors carrying a DIFFERENT label: the near-miss negatives that
+    * make a retrieval model learn boundaries (random negatives are
+    * trivially separable; same-label neighbors are positives, so both
+    * are filtered out). Scores are exact integer dots of the shared
+    * quantized UNIT vectors ([[quantVectors]]): both sides unit-norm,
+    * so the dot IS the cosine up to the constant scale² — the ranking
+    * compares exact integers with no float anywhere in the path, and
+    * the emitted score column is the raw BIGINT dot. Same
+    * broadcast-query / streamed-corpus shape as [[knnBruteForce]]
+    * (exact scoring only for the bounded query sample — the full-
+    * corpus mining path would swap in the LSH/IVF candidate cut).
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val qv = quantVectors(spark, dir)
+    val q = qv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("q").as("qq"))
+    val c = qv.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neg_label"), col("q").as("cq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("neg_label") =!= col("qlabel"))
+      .withColumn("dot", intDot(col("qq"), col("cq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("neg_label"), col("dot"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val hardNegativesSql: String = {
+    val dot = s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), " +
+      "j -> qq[j] * c.q[j])) AS BIGINT)"
+    s"""WITH n AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT vec_id, label,
+       |    list_transform(emb, x ->
+       |      CAST(round(CAST(CAST(x / nrm AS REAL) AS DOUBLE) * $IvfScale)
+       |           AS BIGINT)) AS q
+       |  FROM n
+       |), qs AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, q AS qq
+       |  FROM qv WHERE vec_id < 10
+       |), ranked AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+       |    $dot AS dot,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY $dot DESC, c.vec_id ASC) AS rnk
+       |  FROM qs JOIN qv c ON c.label <> qlabel
+       |)
+       |SELECT query_id, rnk, neighbor_id, neg_label, dot
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
     val lanes = 0 until Dim
     def x(i: Int) = element_at(col("embedding"), i + 1).cast("double")
@@ -1307,6 +1370,7 @@ object Similarity {
     "q_label_separation" -> (labelSeparation _),
     "q_random_projection" -> (randomProjection _),
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
+    "q_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "q_embed_near_dup" -> ((s: SparkSession, d: String) => embedNearDup(s, d)),
     "q_label_centroids" -> (labelCentroids _),
     "q_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
@@ -1325,6 +1389,7 @@ object Similarity {
     "q_ann_recall" -> annRecallSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_knn_bruteforce" -> knnBruteForceSql,
+    "q_hard_negatives" -> hardNegativesSql,
     "q_embed_near_dup" -> embedNearDupSql,
     "q_label_centroids" -> labelCentroidsSql,
     "q_label_separation" -> labelSeparationSql,

@@ -473,4 +473,41 @@ class SimilaritySpec extends SparkSpec {
     assert(maxPairSim(mmrIds) <= maxPairSim(topK),
       "MMR must not be more redundant than plain top-k")
   }
+
+  test("hard negatives: label-disjoint, contiguous ranks, quantized-dot replay") {
+    val out = graft.analytics.Similarity.hardNegatives(spark, sf).collect()
+    val labels = graft.ingest.Sources.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // replay the exact quantization + integer dot in driver code
+    val quant = graft.ingest.Sources.embeddings(spark, sf).collect().map { r =>
+      val emb = r.getAs[Seq[Float]]("embedding").toArray
+      val nrm = math.sqrt(emb.map(x => x.toDouble * x).sum)
+      r.getAs[Long]("vec_id") -> emb.map(x =>
+        math.round((x / nrm).toFloat.toDouble * Similarity.IvfScale))
+    }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(byRank.map(_.getAs[Int]("rnk")).toSeq == (1 to byRank.length),
+        s"query $qid ranks not contiguous")
+      byRank.foreach { r =>
+        assert(labels(r.getAs[Long]("neighbor_id")) != labels(qid),
+          s"query $qid: same-label neighbor leaked in (not a negative)")
+        assert(labels(r.getAs[Long]("neighbor_id")) ==
+          r.getAs[Int]("neg_label"), "neg_label column inconsistent")
+        assert(r.getAs[Long]("dot") ==
+          dot(quant(qid), quant(r.getAs[Long]("neighbor_id"))),
+          s"query $qid: dot does not replay")
+      }
+      // the rnk=1 negative really is the argmax over the full
+      // label-disjoint candidate set
+      val best = quant.keys.filter(v => v != qid && labels(v) != labels(qid))
+        .map(v => (dot(quant(qid), quant(v)), -v)).max
+      assert(byRank.head.getAs[Long]("dot") == best._1 &&
+        byRank.head.getAs[Long]("neighbor_id") == -best._2,
+        s"query $qid: top hard negative is not the argmax")
+    }
+  }
 }
