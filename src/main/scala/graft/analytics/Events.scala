@@ -615,7 +615,115 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Censoring horizon (days) for [[conversionHazard]] — part of the
+    * operator contract: conversions beyond it count as censored AT
+    * the horizon, so the risk table is a fixed 0..H domain.
+    */
+  val HazardHorizon = 30L
+
+  /** Discrete time-to-event (survival) table for view→purchase
+    * conversion WITH right-censoring — the analysis "average lag"
+    * gets wrong, because users who never converted still carry
+    * information (they were at risk as long as they were observed).
+    * Per user: t₀ = first view; event day = (first purchase ≥ t₀) −
+    * t₀ in whole days if within [[HazardHorizon]]; otherwise the user
+    * is censored at min(last-seen day, horizon). Output per day d
+    * with a non-empty risk set: n_risk (users whose event/censor day
+    * ≥ d — the censored-still-at-risk-on-their-day convention),
+    * n_conv (events at d), and the discrete hazard
+    * (1000·n_conv) DIV n_risk in exact permille. The Kaplan–Meier
+    * survival curve is the running product of (1 − hazard) — left to
+    * the consumer because a cumulative float product is
+    * order-sensitive, while everything emitted here is exact
+    * integers.
+    *
+    * Scale shape: two per-user min/max aggregations (one user_id
+    * shuffle), then counts over the BOUNDED day domain; the suffix
+    * sums building the risk sets run on the ≤ H+1-row table (the
+    * sketch-quantile bin-walk precedent), never the fact.
+    */
+  def conversionHazard(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("tv"))
+    val last = ev.groupBy(col("user_id")).agg(max(col("t")).as("tl"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .filter(col("t") >= col("tv"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("tp"))
+    val users = v.join(last, Seq("user_id")).join(p, Seq("user_id"), "left")
+      .withColumn("lag", expr("(tp - tv) DIV 86400"))
+      .withColumn("conv",
+        col("tp").isNotNull && col("lag") <= HazardHorizon)
+      .withColumn("day",
+        when(col("conv"), col("lag"))
+          .otherwise(least(expr("(tl - tv) DIV 86400"),
+            lit(HazardHorizon))))
+    val byDay = users.groupBy(col("day"))
+      .agg(sum(when(col("conv"), 1L).otherwise(0L)).as("n_conv"),
+        sum(when(col("conv"), 0L).otherwise(1L)).as("n_cens"))
+    val days = spark.range(0, HazardHorizon + 1).toDF("day")
+    val suffix = Window.orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(byDay, Seq("day"), "left")
+      .na.fill(0L, Seq("n_conv", "n_cens"))
+      .withColumn("n_risk",
+        sum(col("n_conv") + col("n_cens")).over(suffix))
+      .filter(col("n_risk") > 0)
+      .select(col("day"), col("n_risk"), col("n_conv"),
+        expr("(1000 * n_conv) DIV n_risk").as("hazard_permille"))
+      .orderBy(col("day"))
+  }
+
+  val conversionHazardSql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, min(t) AS tv FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), l AS (
+      |  SELECT user_id, max(t) AS tl FROM ev GROUP BY user_id
+      |), p AS (
+      |  SELECT ev.user_id, min(t) AS tp
+      |  FROM ev JOIN v USING (user_id)
+      |  WHERE event_type = 'purchase' AND t >= tv
+      |  GROUP BY ev.user_id
+      |), users AS (
+      |  SELECT v.user_id,
+      |    (tp - tv) // 86400 AS lag,
+      |    (tp IS NOT NULL AND (tp - tv) // 86400 <= $HazardHorizon) AS conv,
+      |    CASE WHEN tp IS NOT NULL AND (tp - tv) // 86400 <= $HazardHorizon
+      |         THEN (tp - tv) // 86400
+      |         ELSE least((tl - tv) // 86400, $HazardHorizon) END AS day
+      |  FROM v JOIN l USING (user_id) LEFT JOIN p USING (user_id)
+      |), by_day AS (
+      |  SELECT day,
+      |    CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+      |    CAST(sum(CASE WHEN conv THEN 0 ELSE 1 END) AS BIGINT) AS n_cens
+      |  FROM users GROUP BY day
+      |), tab AS (
+      |  SELECT d.day,
+      |    coalesce(n_conv, 0) AS n_conv, coalesce(n_cens, 0) AS n_cens
+      |  FROM (SELECT unnest(range(0, ${HazardHorizon + 1})) AS day) d
+      |  LEFT JOIN by_day USING (day)
+      |)
+      |SELECT day,
+      |  CAST(sum(n_conv + n_cens) OVER (ORDER BY day DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_risk,
+      |  n_conv,
+      |  CAST((1000 * n_conv) // (sum(n_conv + n_cens) OVER (ORDER BY day DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+      |    AS hazard_permille
+      |FROM tab
+      |QUALIFY n_risk > 0
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conversion_hazard" -> (conversionHazard _),
     "q_follows_matrix" -> (followsMatrix _),
     "q_attribution" -> (attribution _),
     "q_ordered_funnel" -> (orderedFunnel _),
@@ -631,6 +739,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_conversion_hazard" -> conversionHazardSql,
     "q_follows_matrix" -> followsMatrixSql,
     "q_attribution" -> attributionSql,
     "q_ordered_funnel" -> orderedFunnelSql,

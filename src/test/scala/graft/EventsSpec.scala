@@ -237,4 +237,35 @@ class EventsSpec extends SparkSpec {
       assert(nf <= both && nf >= 0, s"($a,$b) follows out of range")
     }
   }
+
+  test("conversion hazard: risk sets telescope, events bounded, censoring replayed") {
+    val out = graft.analytics.Events.conversionHazard(spark, sf).collect()
+    val days = out.map(_.getAs[Long]("day"))
+    assert(days.sameElements(days.sorted) && days.distinct.length == days.length)
+    // n_risk telescopes: risk(d) - risk(d+1) = users whose event or
+    // censor day is exactly d (>= n_conv at d)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        val leaving = a.getAs[Long]("n_risk") - b.getAs[Long]("n_risk")
+        assert(leaving >= a.getAs[Long]("n_conv") && leaving >= 0,
+          s"day ${a.getAs[Long]("day")}: risk set not telescoping")
+      case _ => ()
+    }
+    out.foreach { r =>
+      val (nr, nc, h) = (r.getAs[Long]("n_risk"), r.getAs[Long]("n_conv"),
+        r.getAs[Long]("hazard_permille"))
+      assert(nc <= nr, "more events than users at risk")
+      assert(h == 1000 * nc / nr, "hazard is not the exact permille ratio")
+    }
+    // day-0 risk set = every user with a view (everyone enters at t0)
+    val nViewers = graft.ingest.Sources.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(out.head.getAs[Long]("day") == 0L &&
+      out.head.getAs[Long]("n_risk") == nViewers,
+      "day-0 risk set must be all observed viewers")
+    // conversions within horizon = converted users (exactly once each)
+    val nConv = out.map(_.getAs[Long]("n_conv")).sum
+    assert(nConv > 0 && nConv <= nViewers)
+  }
 }
