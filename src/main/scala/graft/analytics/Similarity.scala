@@ -1364,7 +1364,233 @@ object Similarity {
        |FROM sel$MmrK ORDER BY rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // Product quantization ANN (oracle-checked)
+  // ---------------------------------------------------------------
+
+  /** PQ geometry: [[Dim]]=64 lanes split into 8 subspaces of 8 lanes,
+    * 4 centroids per subspace (a 16-bit code per vector), 2 Lloyd
+    * steps per sub-codebook. Small constants keep the unrolled DuckDB
+    * twin tractable; the shapes below are parameter-independent.
+    */
+  val PqM = 8
+  val PqD = 8
+  val PqK = 4
+  val PqIters = 2
+
+  /** Sub-centroid assignment for one 8-lane subvector: argmin of the
+    * EXACT integer squared L2 distance over the 4 literal centroids,
+    * centroid-id-ascending tie-break. Lanes are quantized unit-vector
+    * integers (|x| ≤ 10000), so a lane diff² ≤ 4·10⁸ and the 8-lane sum
+    * never leaves Long. Pure scan-side expression — like the IVF
+    * [[cellRank]], assignment/encoding never shuffles.
+    */
+  private def pqCode(sq: Column, cents: Seq[(Int, Seq[Long])]): Column = {
+    val entries = cents.map { case (cid, c) =>
+      val dist = (0 until PqD).map { j =>
+        val d = element_at(sq, j + 1) - lit(c(j))
+        d * d
+      }.reduce(_ + _)
+      struct(dist.as("dist"), lit(cid).as("cid"))
+    }
+    element_at(array_sort(array(entries: _*)), 1).getField("cid")
+  }
+
+  /** Exploded (vec_id, label, m, sq) frame: one row per vector per
+    * subspace, sq = the 8-lane slice. The ×8 fan-out collapses map-side
+    * in every consumer (all aggregate by (m, ...) with partial agg).
+    */
+  private def pqSubs(qv: DataFrame): DataFrame =
+    qv.select(col("vec_id"), col("label"),
+        explode(typedlit((0 until PqM).toList)).as("m"), col("q"))
+      .withColumn("sq", slice(col("q"), col("m") * PqD + 1, lit(PqD)))
+
+  /** Train the 8 sub-codebooks: deterministic init (per-subspace
+    * floor-means of the label%4 groups), then [[PqIters]] fixed-point
+    * Lloyd steps (exact integer distances, floor-mean updates, empty
+    * clusters keep their previous centroid). Each round is ONE scan +
+    * one partial-aggregated shuffle of 32 rows; the codebook collected
+    * driver-side is 8×4×8 longs — corpus-size-independent, the same
+    * distributed-k-means shape as [[kmeansStep]].
+    */
+  private[graft] def trainPq(qv: DataFrame): Map[Int, Seq[(Int, Seq[Long])]] = {
+    val subs = pqSubs(qv)
+    val laneSums = (0 until PqD).map(j =>
+      sum(element_at(col("sq"), j + 1)).as(s"s$j"))
+    def floorMeans(rows: Array[org.apache.spark.sql.Row])
+        : Map[(Int, Int), Seq[Long]] =
+      rows.map { r =>
+        val n = r.getAs[Long]("n")
+        (r.getAs[Int]("m"), r.getAs[Int]("cid")) ->
+          (0 until PqD).map(j =>
+            math.floor(r.getAs[Long](s"s$j").toDouble / n).toLong)
+      }.toMap
+    val init = floorMeans(subs
+      .groupBy(col("m"), (col("label") % PqK).cast("int").as("cid"))
+      .agg(count(lit(1)).as("n"), laneSums: _*)
+      .collect())
+    var cb: Map[Int, Seq[(Int, Seq[Long])]] = (0 until PqM).map(m =>
+      m -> (0 until PqK).map(g => g -> init((m, g)).toSeq)).toMap
+    (1 to PqIters).foreach { _ =>
+      val codeExpr = (0 until PqM).foldLeft(lit(-1)) { (acc, m) =>
+        when(col("m") === m, pqCode(col("sq"), cb(m))).otherwise(acc)
+      }
+      val upd = floorMeans(subs
+        .withColumn("cid", codeExpr.cast("int"))
+        .groupBy(col("m"), col("cid"))
+        .agg(count(lit(1)).as("n"), laneSums: _*)
+        .collect())
+      cb = cb.map { case (m, cents) =>
+        m -> cents.map { case (g, old) =>
+          g -> upd.getOrElse((m, g), old)
+        }
+      }
+    }
+    cb
+  }
+
+  /** PQ-ANN top-k via asymmetric distance computation (Jégou, Douze &
+    * Schmid 2011, "Product quantization for nearest neighbor search",
+    * IEEE TPAMI 33(1)): every corpus vector is compressed to 8
+    * sub-centroid codes (16 bits); a query keeps its exact quantized
+    * subvectors and scores a candidate as Σ_m dot(q_sub_m,
+    * centroid[code_m]) — the ADC inner-product estimate. Everything is
+    * exact integer arithmetic end to end (quantized lanes × integer
+    * centroids), which is what lets the full train→encode→score
+    * pipeline hash-match an unrolled DuckDB twin.
+    *
+    * Scale shape: THE memory-bandwidth technique for 100 TB embedding
+    * stores — the scored corpus representation is 16 bits/vector
+    * instead of 256 bytes (128× less scan traffic); encoding is
+    * scan-side against the literal codebook (no shuffle), queries ride
+    * a broadcast, and the only wide op is the per-query top-k window.
+    * At real scale PQ composes with IVF ([[knnIvf]]): lists prune the
+    * candidates, ADC scores the survivors.
+    */
+  def knnPq(spark: SparkSession, dir: String, k: Int = 3,
+            nQueries: Int = 10): DataFrame = {
+    // one quantization pass feeds training (3 aggregation rounds), the
+    // encoding scan and the query lookup
+    val qv = quantVectors(spark, dir).localCheckpoint()
+    val cb = trainPq(qv)
+    val codes = array((0 until PqM).map(m =>
+      pqCode(slice(col("q"), m * PqD + 1, PqD), cb(m))): _*)
+    val corpus = qv.select(col("vec_id").as("neighbor_id"),
+      codes.as("codes"))
+    val queries = qv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val adc = (0 until PqM).map { m =>
+      val cents = typedlit(cb(m).sortBy(_._1).map(_._2))
+      vecDotLong(
+        slice(col("qq"), m * PqD + 1, PqD),
+        element_at(cents, element_at(col("codes"), m + 1) + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queries),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB twin of the COMPLETE PQ pipeline: shared quantization CTEs,
+    * per-subspace label%4 floor-mean init, [[PqIters]] unrolled Lloyd
+    * steps over exact integer squared distances, final encoding, and
+    * the ADC scoring of every corpus code against the 10 query
+    * vectors. Same recipe as [[knnIvfSql]] — the recurrence is
+    * hash-checkable because every comparison is exact-integer.
+    */
+  val knnPqSql: String = {
+    def assign(id: String, cPrev: String): String =
+      s"""$id AS (
+         |  SELECT vec_id, m, cid,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |                       ORDER BY dist ASC, cid ASC) AS rnk
+         |  FROM (
+         |    SELECT s.vec_id, s.m, c.cid,
+         |      CAST(list_sum(list_transform(range(1, ${PqD + 1}),
+         |        j -> (s.sq[j] - c.c[j]) * (s.sq[j] - c.c[j])))
+         |        AS BIGINT) AS dist
+         |    FROM sub s JOIN $cPrev c ON c.m = s.m)
+         |)""".stripMargin
+    def mean(id: String, assignId: String, cPrev: String): String =
+      s"""$id AS (
+         |  SELECT p.m, p.cid, COALESCE(u.c, p.c) AS c
+         |  FROM $cPrev p LEFT JOIN (
+         |    SELECT m, cid,
+         |      list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT)
+         |           ORDER BY j) AS c
+         |    FROM (
+         |      SELECT s.m, a.cid, l.j,
+         |        CAST(sum(s.sq[l.j]) AS BIGINT) AS s, count(*) AS cnt
+         |      FROM sub s
+         |      JOIN (SELECT vec_id, m, cid FROM $assignId WHERE rnk = 1) a
+         |        USING (vec_id, m)
+         |      CROSS JOIN lanes8 l
+         |      GROUP BY s.m, a.cid, l.j)
+         |    GROUP BY m, cid) u ON u.m = p.m AND u.cid = p.cid
+         |)""".stripMargin
+    val steps = (1 to PqIters).map(i =>
+      assign(s"pa$i", s"pc${i - 1}") + ",\n" +
+        mean(s"pc$i", s"pa$i", s"pc${i - 1}")).mkString(",\n")
+    s"""WITH n AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT vec_id, label,
+       |    list_transform(emb, x ->
+       |      CAST(round(CAST(CAST(x / nrm AS REAL) AS DOUBLE) * $IvfScale)
+       |           AS BIGINT)) AS q
+       |  FROM n
+       |), lanes8 AS (
+       |  SELECT unnest(range(1, ${PqD + 1})) AS j
+       |), sub AS MATERIALIZED (
+       |  SELECT vec_id, label, m,
+       |    list_transform(range(1, ${PqD + 1}),
+       |      j -> q[m * $PqD + j]) AS sq
+       |  FROM qv CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms
+       |), pc0 AS (
+       |  SELECT m, cid,
+       |    list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT)
+       |         ORDER BY j) AS c
+       |  FROM (
+       |    SELECT m, label % $PqK AS cid, l.j,
+       |      CAST(sum(sq[l.j]) AS BIGINT) AS s, count(*) AS cnt
+       |    FROM sub CROSS JOIN lanes8 l
+       |    GROUP BY m, label % $PqK, l.j)
+       |  GROUP BY m, cid
+       |),
+       |$steps,
+       |${assign("enc", s"pc$PqIters")},
+       |codes AS (SELECT vec_id, m, cid FROM enc WHERE rnk = 1),
+       |adc AS (
+       |  SELECT qr.vec_id AS query_id, cd.vec_id AS neighbor_id,
+       |    CAST(sum(list_sum(list_transform(range(1, ${PqD + 1}),
+       |      j -> qr.q[cd.m * $PqD + j] * c.c[j]))) AS BIGINT) AS adc
+       |  FROM (SELECT vec_id, q FROM qv WHERE vec_id < 10) qr
+       |  CROSS JOIN codes cd
+       |  JOIN pc$PqIters c ON c.m = cd.m AND c.cid = cd.cid
+       |  WHERE cd.vec_id <> qr.vec_id
+       |  GROUP BY qr.vec_id, cd.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adc DESC, neighbor_id ASC) AS rnk
+       |  FROM adc
+       |)
+       |SELECT query_id, rnk, neighbor_id, adc
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
     "q_mmr_rerank" -> (mmrRerank _),
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_label_separation" -> (labelSeparation _),
@@ -1381,6 +1607,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_knn_pq" -> knnPqSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_random_projection" -> randomProjectionSql,

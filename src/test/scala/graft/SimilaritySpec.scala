@@ -510,4 +510,88 @@ class SimilaritySpec extends SparkSpec {
         s"query $qid: top hard negative is not the argmax")
     }
   }
+
+  test("PQ: full train/encode/ADC pipeline replays driver-side; training reduces distortion") {
+    import graft.analytics.Similarity._
+    val quant = graft.ingest.Sources.embeddings(spark, sf).collect().map { r =>
+      val emb = r.getAs[Seq[Float]]("embedding").toArray
+      val nrm = math.sqrt(emb.map(x => x.toDouble * x).sum)
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        emb.map(x => math.round((x / nrm).toFloat.toDouble * IvfScale)))
+    }
+    def sq(v: Array[Long], m: Int): Array[Long] =
+      v.slice(m * PqD, m * PqD + PqD)
+    def dist(a: Array[Long], b: Seq[Long]): Long =
+      a.indices.map(j => (a(j) - b(j)) * (a(j) - b(j))).sum
+    def assignAll(cb: Map[Int, Seq[(Int, Seq[Long])]])
+        : Map[(Long, Int), Int] =
+      quant.flatMap { case (id, _, q) =>
+        (0 until PqM).map { m =>
+          (id, m) -> cb(m).map { case (cid, c) =>
+            (dist(sq(q, m), c), cid)
+          }.min._2
+        }
+      }.toMap
+    def floorMeans(groups: Map[(Int, Int), Seq[Array[Long]]],
+                   prev: Map[Int, Seq[(Int, Seq[Long])]])
+        : Map[Int, Seq[(Int, Seq[Long])]] =
+      (0 until PqM).map { m =>
+        m -> (0 until PqK).map { g =>
+          g -> groups.get((m, g)).map { vs =>
+            (0 until PqD).map(j =>
+              math.floor(vs.map(_(j)).sum.toDouble / vs.size).toLong)
+          }.getOrElse(prev(m).find(_._1 == g).get._2.toIndexedSeq).toSeq
+        }
+      }.toMap
+    // init: per-subspace floor-means of the label%4 groups
+    var cb = floorMeans(
+      quant.flatMap { case (_, label, q) =>
+        (0 until PqM).map(m => (m, label % PqK) -> sq(q, m))
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq },
+      (0 until PqM).map(m =>
+        m -> (0 until PqK).map(g => g -> Seq.fill(PqD)(0L))).toMap)
+    val distortion = (c: Map[Int, Seq[(Int, Seq[Long])]]) => {
+      val a = assignAll(c)
+      quant.map { case (id, _, q) =>
+        (0 until PqM).map(m =>
+          dist(sq(q, m), c(m).find(_._1 == a((id, m))).get._2)).sum
+      }.sum
+    }
+    val initDistortion = distortion(cb)
+    (1 to PqIters).foreach { _ =>
+      val a = assignAll(cb)
+      cb = floorMeans(
+        quant.flatMap { case (id, _, q) =>
+          (0 until PqM).map(m => (m, a((id, m))) -> sq(q, m))
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq },
+        cb)
+    }
+    assert(distortion(cb) <= initDistortion,
+      "Lloyd training must not increase total quantization distortion")
+    // ADC replay of the emitted top-k
+    val codes = assignAll(cb)
+    val byId = quant.map(t => t._1 -> t._3).toMap
+    def adc(qid: Long, nid: Long): Long =
+      (0 until PqM).map { m =>
+        val c = cb(m).find(_._1 == codes((nid, m))).get._2
+        sq(byId(qid), m).indices.map(j => sq(byId(qid), m)(j) * c(j)).sum
+      }.sum
+    val out = knnPq(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(byRank.map(_.getAs[Int]("rnk")).toSeq == (1 to byRank.length))
+      byRank.foreach { r =>
+        assert(r.getAs[Long]("adc") ==
+          adc(qid, r.getAs[Long]("neighbor_id")),
+          s"query $qid: ADC score does not replay")
+      }
+      // rnk=1 is the argmax of the replayed ADC over the whole corpus
+      val best = byId.keys.filter(_ != qid)
+        .map(v => (adc(qid, v), -v)).max
+      assert(byRank.head.getAs[Long]("adc") == best._1 &&
+        byRank.head.getAs[Long]("neighbor_id") == -best._2,
+        s"query $qid: top PQ neighbor is not the ADC argmax")
+    }
+  }
 }
