@@ -2488,7 +2488,92 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Positional inverted index + phrase search
+  // ---------------------------------------------------------------
+
+  /** How many top bigram phrases the phrase-search query probes. */
+  val PhraseTopK = 3
+
+  /** Phrase search through a positional inverted index — the
+    * elastic-style "exact phrase over a corpus" primitive. Stage 1
+    * builds the positional postings (token, doc_id, pos) — the index a
+    * serving stack would persist bucketed BY TOKEN, so a phrase probe
+    * reads only the query words' posting lists. Stage 2 derives the
+    * query set from the corpus itself (the [[PhraseTopK]] most
+    * frequent word bigrams, count-desc / lexicographic tie-break) so
+    * the query is deterministic at every scale. Stage 3 is the
+    * probe: postings of word1 equi-joined to postings of word2 on
+    * (doc_id, pos+1) — adjacency IS the join predicate — aggregated to
+    * per-doc occurrence counts and first positions.
+    *
+    * Scale shape: one explode pass builds the index (shuffle on
+    * token); bigram stats are map-side scan expressions (no self-join
+    * — consecutive pairs come from one slice/zip per document); the
+    * probe touches only the broadcast query words' lists. Nothing is
+    * ever pairwise in the corpus.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   topK: Int = PhraseTopK): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    // positional postings: the inverted index
+    val postings = docs
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("tok"))
+    // top-K bigrams, derived scan-side (zip of consecutive tokens)
+    val phrases = docs
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1).as("w1"),
+        slice(col("ts"), lit(2), size(col("ts")) - 1).as("w2"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"))
+    // probe: w1 postings ⋈ w2 postings on (doc_id, pos+1)
+    val a = postings.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+    val b = postings.select(col("doc_id").as("doc_id2"),
+      col("pos").as("pos2"), col("tok").as("tok2"))
+    a.join(broadcast(phrases), "w1")
+      .join(b, col("doc_id2") === col("doc_id") &&
+        col("pos2") === col("pos") + 1 && col("tok2") === col("w2"))
+      .groupBy(concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+        col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+      .orderBy(col("phrase"), col("doc_id"))
+  }
+
+  /** DuckDB twin: same postings enumeration, same top-K bigram cut,
+    * same adjacency join.
+    */
+  val phraseSearchSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |), toks AS (
+       |  SELECT doc_id, pos, ts[pos] AS tok FROM (
+       |    SELECT doc_id, ts,
+       |      unnest(range(1, len(ts) + 1)) AS pos
+       |    FROM d)
+       |), phrases AS (
+       |  SELECT w1, w2 FROM (
+       |    SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS cnt FROM (
+       |      SELECT ts, unnest(range(1, len(ts))) AS i FROM d)
+       |    GROUP BY 1, 2
+       |    ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT $PhraseTopK)
+       |)
+       |SELECT p.w1 || ' ' || p.w2 AS phrase, a.doc_id AS doc_id,
+       |  count(*) AS n_occ, min(a.pos) AS first_pos
+       |FROM phrases p
+       |JOIN toks a ON a.tok = p.w1
+       |JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |           AND b.tok = p.w2
+       |GROUP BY 1, 2
+       |ORDER BY phrase, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
     "q_vocab_oov" -> ((s: SparkSession, d: String) => vocabOov(s, d)),
     "q_corpus_curation" -> (corpusCuration _),
     "q_chunk_dedup" -> (chunkDedup _),
@@ -2527,6 +2612,7 @@ object TextOps {
     * oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "q_phrase_search" -> phraseSearchSql,
     "q_vocab_oov" -> vocabOovSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_chunk_dedup" -> chunkDedupSql,

@@ -960,4 +960,38 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  test("phrase search: replays a driver-side scan of the raw text; probe broadcasts the phrases") {
+    import graft.analytics.TextOps
+    val texts = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    // driver-side ground truth: top-K bigrams, then every adjacency hit
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.values.foreach { ts =>
+      ts.sliding(2).filter(_.length == 2).foreach { p =>
+        counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + 1
+      }
+    }
+    val top = counts.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(TextOps.PhraseTopK)
+      .map(_._1)
+    val expected = (for {
+      (w1, w2) <- top
+      (id, ts) <- texts
+      hits = ts.indices.dropRight(1)
+        .filter(i => ts(i) == w1 && ts(i + 1) == w2)
+      if hits.nonEmpty
+    } yield (s"$w1 $w2", id) -> (hits.size.toLong, hits.min + 1L)).toMap
+    val df = TextOps.phraseSearch(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getAs[String]("phrase"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("n_occ"), r.getAs[Long]("first_pos"))).toMap
+    assert(got == expected, "phrase hits do not replay from raw text")
+    assert(got.nonEmpty)
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"),
+      "phrase probe must broadcast the tiny query-phrase side")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
