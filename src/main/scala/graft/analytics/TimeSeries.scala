@@ -645,7 +645,61 @@ object TimeSeries {
       |  ${pearsonSql("ccf")}
       |FROM m ORDER BY type_a, type_b, lag""".stripMargin
 
+  /** Theil–Sen robust trend per event type (Sen 1968, JASA 63(324);
+    * Theil 1950): the median of all pairwise day-slopes — a 29%-
+    * breakdown-point alternative to OLS trend, immune to the outlier
+    * days that fold a least-squares slope. Slopes are exact-integer
+    * cent/day differences through ONE IEEE divide, so ordering and the
+    * median row are engine-portable; the lower median ((n+1) DIV 2) is
+    * taken deterministically.
+    *
+    * Scale shape: the pairwise stage runs on the [[dailyCents]] spine
+    * (types × days rows, corpus-size-INDEPENDENT after one shuffle), so
+    * the O(days²) pair join never touches corpus-sized data — the same
+    * bounded-domain discipline as ACF/CCF. At an unbounded day domain
+    * you'd window the series (trend per quarter) to keep days² small.
+    */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(spark, dir)
+    val b = daily.select(col("event_type").as("et_b"),
+      col("day_idx").as("day_b"), col("cents").as("cents_b"))
+    val slopes = daily
+      .join(b, col("event_type") === col("et_b") &&
+        col("day_b") > col("day_idx"))
+      .select(col("event_type"),
+        ((col("cents_b") - col("cents")).cast("double") /
+          (col("day_b") - col("day_idx")).cast("double")).as("slope"))
+    val byType = Window.partitionBy(col("event_type"))
+    slopes
+      .withColumn("rn", row_number().over(byType.orderBy(col("slope").asc)))
+      .withColumn("n_pairs", count(lit(1)).over(byType))
+      .filter(col("rn") === floor((col("n_pairs") + 1) / 2).cast("long"))
+      .select(col("event_type"), col("n_pairs"),
+        round(col("slope"), 6).as("ts_slope"))
+      .orderBy(col("event_type"))
+  }
+
+  val theilSenTrendSql: String =
+    s"""WITH $dailyCentsSql, slopes AS (
+      |  SELECT a.event_type,
+      |    CAST(b.cents - a.cents AS DOUBLE)
+      |      / CAST(b.day_idx - a.day_idx AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND b.day_idx > a.day_idx
+      |), ranked AS (
+      |  SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY slope ASC) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+      |  FROM slopes
+      |)
+      |SELECT event_type, n_pairs, round(slope, 6) AS ts_slope
+      |FROM ranked
+      |WHERE rn = CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theilsen_trend" -> (theilSenTrend _),
     "q_ccf_daily" -> (ccfDaily _),
     "q_acf_daily" -> (acfDaily _),
     "q_holt_trend" -> (holtTrend _),
@@ -658,6 +712,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_theilsen_trend" -> theilSenTrendSql,
     "q_ccf_daily" -> ccfDailySql,
     "q_acf_daily" -> acfDailySql,
     "q_holt_trend" -> holtTrendSql,

@@ -351,4 +351,39 @@ class TimeSeriesSpec extends SparkSpec {
     // n shrinks by one per extra lag (fewer aligned pairs)
     assert((1 to 7).forall(l => acf(l)._1 == 14L - l))
   }
+
+  test("Theil-Sen trend: replays a driver-side pairwise-median; pair counts are C(days,2)") {
+    import graft.analytics.TimeSeries
+    val daily = graft.ingest.Sources.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("cents")).as("cents"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (et, rows) =>
+        et -> rows.map(r => r.getAs[Int]("d") -> r.getAs[Long]("cents")).sortBy(_._1)
+      }
+    val expected = daily.map { case (et, series) =>
+      val slopes = (for {
+        i <- series.indices; j <- (i + 1) until series.length
+      } yield (series(j)._2 - series(i)._2).toDouble /
+          (series(j)._1 - series(i)._1).toDouble).sorted
+      et -> (slopes.length.toLong,
+        BigDecimal(slopes((slopes.length + 1) / 2 - 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TimeSeries.theilSenTrend(spark, sf).collect().map(r =>
+      r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("ts_slope"))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (et, (n, slope)) =>
+      assert(got(et)._1 == n, s"$et n_pairs: got ${got(et)._1}, want $n")
+      assert(math.abs(got(et)._2 - slope) < 1e-9,
+        s"$et slope: got ${got(et)._2}, want $slope")
+      val days = daily(et).length.toLong
+      assert(n == days * (days - 1) / 2, s"$et pair count is not C(days,2)")
+    }
+  }
 }
