@@ -285,6 +285,121 @@ object Events {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** Fixed-point scale for the Markov stationary distribution
+    * (parts-per-million) and the number of power-iteration steps —
+    * plan-time constants shared with the unrolled DuckDB twin.
+    */
+  val MarkovScale = 1000000L
+  val MarkovIters = 20
+
+  /** Stationary distribution of the event-type Markov chain — "where
+    * does user behavior settle": estimate the row-stochastic transition
+    * matrix from per-user consecutive event pairs, then power-iterate
+    * π ← πP to the steady state. All arithmetic is fixed-point ppm
+    * integers (floor division) so every step — and therefore the
+    * result — is engine-portable; each iteration renormalizes to
+    * [[MarkovScale]], absorbing floor loss and mass parked on
+    * absorbing types.
+    *
+    * Scale shape: the ONLY corpus-sized work is the transition count
+    * (one user_id window sort + one |types|² aggregation — the same
+    * spine as q_event_transitions); the collected matrix is
+    * alphabet-sized (corpus-size-independent), and the 20-step
+    * iteration is driver arithmetic on a |types|-vector — the same
+    * driver-literal discipline as the IVF/PQ codebooks.
+    */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val counts = events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = counts.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val idx = types.zipWithIndex.toMap
+    val k = types.length
+    val outCnt = Array.fill(k)(0L)
+    counts.foreach { case (a, _, n) => outCnt(idx(a)) += n }
+    val ppm = Array.ofDim[Long](k, k)
+    counts.foreach { case (a, b, n) =>
+      ppm(idx(a))(idx(b)) = MarkovScale * n / outCnt(idx(a))
+    }
+    var v = Array.fill(k)(MarkovScale / k)
+    (1 to MarkovIters).foreach { _ =>
+      val raw = Array.tabulate(k)(j =>
+        (0 until k).map(i => v(i) * ppm(i)(j)).sum)
+      val tot = raw.sum
+      if (tot != 0L) v = raw.map(r => MarkovScale * r / tot)
+    }
+    types.zipWithIndex
+      .map { case (t, i) => (t, outCnt(i), v(i)) }
+      .toSeq.toDF("event_type", "out_transitions", "stationary_ppm")
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin: same transition estimation, [[MarkovIters]] unrolled
+    * normalize-after-multiply steps over the alphabet-sized CTEs.
+    */
+  val markovStationarySql: String = {
+    val steps = (1 to MarkovIters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT p.dst AS et, CAST(sum(v.val * p.ppm) AS BIGINT) AS raw
+         |  FROM v${i - 1} v JOIN p ON p.src = v.et GROUP BY 1
+         |), t$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM r$i),
+         |v$i AS MATERIALIZED (
+         |  SELECT t.et,
+         |    CASE WHEN tt.tot IS NULL OR tt.tot = 0 THEN vp.val
+         |         ELSE ($MarkovScale * COALESCE(r.raw, 0)) // tt.tot
+         |    END AS val
+         |  FROM typ t
+         |  LEFT JOIN r$i r ON r.et = t.et
+         |  LEFT JOIN v${i - 1} vp ON vp.et = t.et
+         |  CROSS JOIN t$i tt
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nx AS (
+       |  SELECT event_type,
+       |    lead(event_type, 1) OVER (
+       |      PARTITION BY user_id
+       |      ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC)
+       |      AS next_type
+       |  FROM events
+       |), bi AS MATERIALIZED (
+       |  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM nx WHERE next_type IS NOT NULL
+       |  GROUP BY 1, 2
+       |), typ AS MATERIALIZED (
+       |  SELECT DISTINCT et FROM (
+       |    SELECT event_type AS et FROM bi
+       |    UNION ALL SELECT next_type AS et FROM bi)
+       |), p AS MATERIALIZED (
+       |  SELECT event_type AS src, next_type AS dst,
+       |    ($MarkovScale * n) // (sum(n) OVER (PARTITION BY event_type))
+       |      AS ppm
+       |  FROM bi
+       |), outc AS (
+       |  SELECT event_type AS et, CAST(sum(n) AS BIGINT) AS outn
+       |  FROM bi GROUP BY 1
+       |), v0 AS MATERIALIZED (
+       |  SELECT et,
+       |    $MarkovScale // (SELECT CAST(count(*) AS BIGINT) FROM typ)
+       |      AS val
+       |  FROM typ
+       |),
+       |$steps
+       |SELECT t.et AS event_type,
+       |  COALESCE(o.outn, 0) AS out_transitions,
+       |  v.val AS stationary_ppm
+       |FROM typ t
+       |LEFT JOIN outc o ON o.et = t.et
+       |JOIN v$MarkovIters v ON v.et = t.et
+       |ORDER BY event_type""".stripMargin
+  }
+
   val eventTransitionsSql: String =
     """WITH nx AS (
       |  SELECT event_type,
@@ -730,6 +845,7 @@ object Events {
     "q_scd2_status" -> (scd2Status _),
     "q_scd2_lookup" -> (scd2Lookup _),
     "q_event_transitions" -> (eventTransitions _),
+    "q_markov_stationary" -> (markovStationary _),
     "q_asof_custom" -> (asofSignupCustom _),
     "q_user_event_types" -> (userEventTypes _),
     "q_sessionize" -> (sessionize _),
@@ -746,6 +862,7 @@ object Events {
     "q_scd2_status" -> scd2StatusSql,
     "q_scd2_lookup" -> scd2LookupSql,
     "q_event_transitions" -> eventTransitionsSql,
+    "q_markov_stationary" -> markovStationarySql,
     "q_asof_custom" -> asofSignupSql,
     "q_user_event_types" -> userEventTypesSql,
     "q_sessionize" -> sessionizeSql,

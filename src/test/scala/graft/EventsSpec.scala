@@ -268,4 +268,42 @@ class EventsSpec extends SparkSpec {
     val nConv = out.map(_.getAs[Long]("n_conv")).sum
     assert(nConv > 0 && nConv <= nViewers)
   }
+
+  test("Markov stationary: replays the fixed-point power iteration from the transition counts") {
+    import graft.analytics.Events
+    val out = Events.markovStationary(spark, sf).collect()
+    assert(out.nonEmpty)
+    // independently recount transitions and replay the iteration
+    val counts = Events.eventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n")))
+    val types = counts.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val idx = types.zipWithIndex.toMap
+    val k = types.length
+    val outCnt = Array.fill(k)(0L)
+    counts.foreach { case (a, _, n) => outCnt(idx(a)) += n }
+    val ppm = Array.ofDim[Long](k, k)
+    counts.foreach { case (a, b, n) =>
+      ppm(idx(a))(idx(b)) = Events.MarkovScale * n / outCnt(idx(a))
+    }
+    var v = Array.fill(k)(Events.MarkovScale / k)
+    (1 to Events.MarkovIters).foreach { _ =>
+      val raw = Array.tabulate(k)(j =>
+        (0 until k).map(i => v(i) * ppm(i)(j)).sum)
+      val tot = raw.sum
+      if (tot != 0L) v = raw.map(r => Events.MarkovScale * r / tot)
+    }
+    assert(out.map(_.getString(0)).toSeq == types.toSeq,
+      "type alphabet or ordering differs")
+    out.foreach { r =>
+      val i = idx(r.getString(0))
+      assert(r.getAs[Long]("out_transitions") == outCnt(i))
+      assert(r.getAs[Long]("stationary_ppm") == v(i),
+        s"${types(i)}: stationary does not replay")
+    }
+    // a (renormalized) distribution: mass within floor loss of the scale
+    val mass = out.map(_.getAs[Long]("stationary_ppm")).sum
+    assert(mass <= Events.MarkovScale && mass >= Events.MarkovScale - k,
+      s"stationary mass $mass outside [scale-k, scale]")
+    assert(out.forall(_.getAs[Long]("stationary_ppm") >= 0L))
+  }
 }
