@@ -2572,7 +2572,108 @@ object TextOps {
        |GROUP BY 1, 2
        |ORDER BY phrase, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // RAKE keyword extraction
+  // ---------------------------------------------------------------
+
+  /** Phrases returned per language by [[rakeKeywords]]. */
+  val RakeTopK = 10
+
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
+    * "Automatic keyword extraction from individual documents", in Text
+    * Mining: Applications and Theory): candidate phrases are the
+    * maximal stopword-free token runs; each word scores
+    * degree/frequency (degree = Σ length of phrases containing it);
+    * a phrase scores the sum of its words' scores. Scores are kept in
+    * exact integer millis ((1000·degree) DIV freq) so the ranking — and
+    * therefore the top-k — is engine-portable with no float-sum order
+    * sensitivity. No phrase-length cap (the classic formulation);
+    * phrase count is bounded by stopword occurrences, so the explode
+    * stays linear in the corpus.
+    *
+    * Scale shape: run-splitting is pure scan-side array work (stopwords
+    * are a tiny plan-time literal); the only shuffles aggregate
+    * vocabulary- and phrase-vocabulary-sized frames, and the final
+    * top-k per language is one bounded window.
+    */
+  def rakeKeywords(spark: SparkSession, dir: String,
+                   k: Int = RakeTopK): DataFrame = {
+    val mapped = transform(split(col("text"), " "),
+      t => when(stopwords.map(t === _).reduce(_ || _), lit("|"))
+        .otherwise(t))
+    val phrases = documents(spark, dir)
+      .select(col("lang"),
+        explode(filter(
+          transform(split(array_join(mapped, " "), "\\|"), s => trim(s)),
+          s => s =!= "")).as("phrase"))
+    val pf = phrases.groupBy(col("lang"), col("phrase"))
+      .agg(count(lit(1)).as("p_freq"))
+    val words = phrases
+      .select(col("lang"), split(col("phrase"), " ").as("ws"))
+      .select(col("lang"), size(col("ws")).cast("long").as("plen"),
+        explode(col("ws")).as("w"))
+    val wsc = words.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("score_milli", expr("(1000 * degree) DIV freq"))
+      .select(col("lang"), col("w"), col("score_milli"))
+    val pw = pf.select(col("lang"), col("phrase"), col("p_freq"),
+      explode(split(col("phrase"), " ")).as("w"))
+    val byLang = Window.partitionBy(col("lang")).orderBy(
+      col("score_milli").desc, col("p_freq").desc, col("phrase").asc)
+    pw.join(wsc, Seq("lang", "w"))
+      .groupBy(col("lang"), col("phrase"), col("p_freq"))
+      .agg(sum(col("score_milli")).as("score_milli"))
+      .withColumn("rnk", row_number().over(byLang))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("phrase"),
+        col("score_milli"), col("p_freq"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** DuckDB twin: same run splitting, same integer-milli scoring. */
+  val rakeKeywordsSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH ph AS MATERIALIZED (
+       |  SELECT lang, trim(p) AS phrase FROM (
+       |    SELECT lang,
+       |      unnest(string_split(array_to_string(
+       |        list_transform(string_split(text, ' '),
+       |          t -> CASE WHEN t IN ($stopList) THEN '|' ELSE t END),
+       |        ' '), '|')) AS p
+       |    FROM documents)
+       |  WHERE trim(p) <> ''
+       |), pf AS (
+       |  SELECT lang, phrase, count(*) AS p_freq FROM ph GROUP BY 1, 2
+       |), wsc AS (
+       |  SELECT lang, w, (1000 * degree) // freq AS score_milli FROM (
+       |    SELECT lang, w, count(*) AS freq,
+       |      CAST(sum(plen) AS BIGINT) AS degree
+       |    FROM (
+       |      SELECT lang, CAST(len(string_split(phrase, ' ')) AS BIGINT)
+       |          AS plen,
+       |        unnest(string_split(phrase, ' ')) AS w
+       |      FROM ph)
+       |    GROUP BY 1, 2)
+       |), scored AS (
+       |  SELECT p.lang, p.phrase, p.p_freq,
+       |    CAST(sum(s.score_milli) AS BIGINT) AS score_milli
+       |  FROM (SELECT lang, phrase, p_freq,
+       |          unnest(string_split(phrase, ' ')) AS w FROM pf) p
+       |  JOIN wsc s ON s.lang = p.lang AND s.w = p.w
+       |  GROUP BY 1, 2, 3
+       |), ranked AS (
+       |  SELECT lang, phrase, p_freq, score_milli,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY score_milli DESC, p_freq DESC, phrase ASC) AS rnk
+       |  FROM scored
+       |)
+       |SELECT lang, rnk, phrase, score_milli, p_freq
+       |FROM ranked WHERE rnk <= $RakeTopK
+       |ORDER BY lang, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
     "q_vocab_oov" -> ((s: SparkSession, d: String) => vocabOov(s, d)),
     "q_corpus_curation" -> (corpusCuration _),
@@ -2612,6 +2713,7 @@ object TextOps {
     * oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,
     "q_vocab_oov" -> vocabOovSql,
     "q_corpus_curation" -> corpusCurationSql,

@@ -994,4 +994,51 @@ class TextOpsSpec extends SparkSpec {
       "phrase probe must broadcast the tiny query-phrase side")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("RAKE keywords: replays a driver-side run-split + degree/freq scoring") {
+    import graft.analytics.TextOps
+    val stop = Set("the", "a")
+    val docs = graft.ingest.Sources.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // candidate phrases per lang: maximal stopword-free runs
+    val phrases = docs.flatMap { case (lang, text) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      text.split(" ", -1).foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = t :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.map(ws => lang -> ws.mkString(" "))
+    }
+    val byLang = phrases.groupBy(_._1).map { case (l, ps) => l -> ps.map(_._2) }
+    val expected = byLang.flatMap { case (lang, ps) =>
+      val freq = scala.collection.mutable.Map.empty[String, Long]
+      val degree = scala.collection.mutable.Map.empty[String, Long]
+      ps.foreach { p =>
+        val ws = p.split(" ", -1)
+        ws.foreach { w =>
+          freq(w) = freq.getOrElse(w, 0L) + 1
+          degree(w) = degree.getOrElse(w, 0L) + ws.length
+        }
+      }
+      val milli = freq.keys.map(w => w -> 1000L * degree(w) / freq(w)).toMap
+      val pFreq = ps.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+      pFreq.toSeq
+        .map { case (p, f) =>
+          (p, f, p.split(" ", -1).map(milli).sum)
+        }
+        .sortBy { case (p, f, s) => (-s, -f, p) }
+        .take(TextOps.RakeTopK)
+        .zipWithIndex
+        .map { case ((p, f, s), i) => (lang, i + 1) -> (p, s, f) }
+    }
+    val got = TextOps.rakeKeywords(spark, sf).collect().map(r =>
+      (r.getString(0), r.getAs[Int]("rnk")) ->
+        (r.getAs[String]("phrase"), r.getAs[Long]("score_milli"),
+          r.getAs[Long]("p_freq"))).toMap
+    assert(got == expected, "RAKE top-k does not replay from raw text")
+    assert(got.nonEmpty)
+  }
 }
