@@ -1496,14 +1496,14 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** DuckDB twin of the COMPLETE PQ pipeline: shared quantization CTEs,
-    * per-subspace label%4 floor-mean init, [[PqIters]] unrolled Lloyd
-    * steps over exact integer squared distances, final encoding, and
-    * the ADC scoring of every corpus code against the 10 query
-    * vectors. Same recipe as [[knnIvfSql]] — the recurrence is
-    * hash-checkable because every comparison is exact-integer.
+  /** PQ training + encoding CTE block (assumes `qv` is already
+    * defined): per-subspace label%4 floor-mean init, [[PqIters]]
+    * unrolled Lloyd steps over exact integer squared distances, and
+    * the final `codes` encoding under the trained `pc[[PqIters]]`
+    * codebooks. Shared by [[knnPqSql]] and [[knnIvfPqSql]] so the two
+    * gates pin the SAME training recurrence.
     */
-  val knnPqSql: String = {
+  private def pqTrainCtes: String = {
     def assign(id: String, cPrev: String): String =
       s"""$id AS (
          |  SELECT vec_id, m, cid,
@@ -1536,19 +1536,7 @@ object Similarity {
     val steps = (1 to PqIters).map(i =>
       assign(s"pa$i", s"pc${i - 1}") + ",\n" +
         mean(s"pc$i", s"pa$i", s"pc${i - 1}")).mkString(",\n")
-    s"""WITH n AS (
-       |  SELECT vec_id, label,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
-       |    sqrt(list_sum(list_transform(embedding,
-       |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-       |  FROM embeddings
-       |), qv AS (
-       |  SELECT vec_id, label,
-       |    list_transform(emb, x ->
-       |      CAST(round(CAST(CAST(x / nrm AS REAL) AS DOUBLE) * $IvfScale)
-       |           AS BIGINT)) AS q
-       |  FROM n
-       |), lanes8 AS (
+    s"""lanes8 AS (
        |  SELECT unnest(range(1, ${PqD + 1})) AS j
        |), sub AS MATERIALIZED (
        |  SELECT vec_id, label, m,
@@ -1568,11 +1556,39 @@ object Similarity {
        |),
        |$steps,
        |${assign("enc", s"pc$PqIters")},
-       |codes AS (SELECT vec_id, m, cid FROM enc WHERE rnk = 1),
+       |codes AS (SELECT vec_id, m, cid FROM enc WHERE rnk = 1)""".stripMargin
+  }
+
+  /** The per-pair ADC estimate: Σ_m dot(query subvector, the centroid
+    * of the neighbor's m-th code). Shared verbatim by both PQ oracles.
+    */
+  private def adcSumSql: String =
+    s"""CAST(sum(list_sum(list_transform(range(1, ${PqD + 1}),
+       |      j -> qr.q[cd.m * $PqD + j] * c.c[j]))) AS BIGINT)""".stripMargin
+
+  /** DuckDB twin of the COMPLETE PQ pipeline: shared quantization CTEs,
+    * the [[pqTrainCtes]] training/encoding recurrence, and the ADC
+    * scoring of every corpus code against the 10 query vectors. Same
+    * recipe as [[knnIvfSql]] — hash-checkable because every comparison
+    * is exact-integer.
+    */
+  val knnPqSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT vec_id, label,
+       |    list_transform(emb, x ->
+       |      CAST(round(CAST(CAST(x / nrm AS REAL) AS DOUBLE) * $IvfScale)
+       |           AS BIGINT)) AS q
+       |  FROM n
+       |), $pqTrainCtes,
        |adc AS (
        |  SELECT qr.vec_id AS query_id, cd.vec_id AS neighbor_id,
-       |    CAST(sum(list_sum(list_transform(range(1, ${PqD + 1}),
-       |      j -> qr.q[cd.m * $PqD + j] * c.c[j]))) AS BIGINT) AS adc
+       |    $adcSumSql AS adc
        |  FROM (SELECT vec_id, q FROM qv WHERE vec_id < 10) qr
        |  CROSS JOIN codes cd
        |  JOIN pc$PqIters c ON c.m = cd.m AND c.cid = cd.cid
@@ -1587,10 +1603,91 @@ object Similarity {
        |SELECT query_id, rnk, neighbor_id, adc
        |FROM ranked WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
+
+  /** IVF-PQ composed ANN — the FAISS IVFADC serving shape (Jégou et
+    * al. 2011 §IV): the coarse IVF quantizer prunes the corpus to the
+    * query's nprobe inverted lists, and the survivors are scored by PQ
+    * ADC codes instead of exact dots — at 100 TB the scan reads
+    * nprobe/nlist of the corpus AND only 16 bits per survivor, the
+    * two multiplicative cost cuts that make billion-scale ANN serve.
+    * Training (coarse codebook + sub-codebooks), encoding and probing
+    * all reuse the IVF/PQ building blocks verbatim, so this query pins
+    * their composition, not new machinery.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String, k: Int = 3,
+               nprobe: Int = 2, nQueries: Int = 10): DataFrame = {
+    val cents = kmeansCentroids(spark, dir)
+    val qv = quantVectors(spark, dir).localCheckpoint()
+    val cb = trainPq(qv)
+    val codes = array((0 until PqM).map(m =>
+      pqCode(slice(col("q"), m * PqD + 1, PqD), cb(m))): _*)
+    val probeOrder = transform(
+      cellRank(col("q"), cents), s => s.getField("cid"))
+    // the index build: one materialization feeds lists AND probes
+    val index = qv
+      .withColumn("po", probeOrder)
+      .select(col("vec_id"), col("q"),
+        element_at(col("po"), 1).as("own_cid"),
+        slice(col("po"), 1, nprobe).as("probe_cids"),
+        codes.as("codes"))
+      .localCheckpoint()
+    val lists = index.select(col("vec_id").as("neighbor_id"),
+      col("codes"), col("own_cid").as("centroid_id"))
+    val probes = index.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        explode(col("probe_cids")).as("centroid_id"))
+    val adc = (0 until PqM).map { m =>
+      val subCents = typedlit(cb(m).sortBy(_._1).map(_._2))
+      vecDotLong(
+        slice(col("qq"), m * PqD + 1, PqD),
+        element_at(subCents, element_at(col("codes"), m + 1) + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    probes.join(lists, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** DuckDB twin of the composition: the IVF [[kmeansProbeCte]] chain
+    * (coarse training + per-vector cell ranking) spliced with the PQ
+    * [[pqTrainCtes]] chain over the same `qv`, then ADC over only the
+    * probed lists.
+    */
+  val knnIvfPqSql: String =
+    s"""$kmeansProbeCte,
+       |$pqTrainCtes,
+       |lists AS (SELECT vec_id AS neighbor_id, cid FROM probe WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM probe
+       |  WHERE rnk <= 2 AND vec_id < 10
+       |), adc AS (
+       |  SELECT p.query_id, l.neighbor_id,
+       |    $adcSumSql AS adc
+       |  FROM probes p
+       |  JOIN lists l USING (cid)
+       |  JOIN codes cd ON cd.vec_id = l.neighbor_id
+       |  JOIN pc$PqIters c ON c.m = cd.m AND c.cid = cd.cid
+       |  JOIN qv qr ON qr.vec_id = p.query_id
+       |  WHERE l.neighbor_id <> p.query_id
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adc DESC, neighbor_id ASC) AS rnk
+       |  FROM adc
+       |)
+       |SELECT query_id, rnk, neighbor_id, adc
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
+    "q_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
     "q_mmr_rerank" -> (mmrRerank _),
     "q_hybrid_rrf" -> (hybridRrf _),
     "q_label_separation" -> (labelSeparation _),
@@ -1608,6 +1705,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_knn_pq" -> knnPqSql,
+    "q_knn_ivfpq" -> knnIvfPqSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_random_projection" -> randomProjectionSql,
