@@ -37,6 +37,14 @@ object Similarity {
   // Brute-force cosine top-k (oracle-checked)
   // ---------------------------------------------------------------
 
+  /** Per-query ranking runs through the bounded-state
+    * [[graft.functions.Aggregators.topK]] aggregator (k rows of state
+    * per partial buffer, map-side merged) rather than
+    * `row_number() OVER (PARTITION BY query_id)` — the window form
+    * sorts each query's ENTIRE scored corpus inside one task, which
+    * is the per-query scale ceiling this operator would otherwise
+    * hit first at 100 TB.
+    */
   def knnBruteForce(spark: SparkSession, dir: String,
                     nQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = vectors(spark, dir)
@@ -45,14 +53,15 @@ object Similarity {
         col("embedding").as("qemb"), col("nrm").as("qnrm"))
     val c = v.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cemb"), col("nrm").as("cnrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val tk = graft.functions.Aggregators.topK(k)
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", vecDot(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(tk(col("cos"), col("neighbor_id"), lit(0L)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("s.id").as("neighbor_id"),
+        round(col("s.score"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -908,14 +917,20 @@ object Similarity {
         col("q").as("qq"))
     val c = qv.select(col("vec_id").as("neighbor_id"),
       col("label").as("neg_label"), col("q").as("cq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    // bounded-state per-query top-k (see knnBruteForce). The exact
+    // BIGINT dot rides the aggregator's Double score carrier — lossless
+    // here since |dot| ≤ Dim·IvfScale² = 6.4e9 ≪ 2^53.
+    val tk = graft.functions.Aggregators.topK(k)
     c.join(broadcast(q), col("neg_label") =!= col("qlabel"))
       .withColumn("dot", intDot(col("qq"), col("cq")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        col("neg_label"), col("dot"))
+      .groupBy(col("query_id"))
+      .agg(tk(col("dot").cast("double"), col("neighbor_id"),
+        col("neg_label").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("s.id").as("neighbor_id"),
+        col("s.tag").cast("int").as("neg_label"),
+        col("s.score").cast("long").as("dot"))
       .orderBy(col("query_id"), col("rnk"))
   }
 

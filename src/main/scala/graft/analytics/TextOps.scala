@@ -2532,12 +2532,21 @@ object TextOps {
       .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
       .select(col("w1"), col("w2"))
-    // probe: w1 postings ⋈ w2 postings on (doc_id, pos+1)
+    // probe: w1 postings ⋈ w2 postings on (doc_id, pos+1). BOTH legs
+    // are broadcast-semi-filtered to the query tokens FIRST, so the
+    // adjacency join's inputs are query-term posting lists — never the
+    // corpus-sized postings table. The shuffle_hash hint pins the
+    // adjacency join to a shuffled join: a frequent query token's
+    // posting list is O(corpus fraction), so broadcasting either leg
+    // would re-introduce the corpus-sized-broadcast hazard AQE might
+    // otherwise pick at small SF.
     val a = postings.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+      .join(broadcast(phrases), "w1")
     val b = postings.select(col("doc_id").as("doc_id2"),
       col("pos").as("pos2"), col("tok").as("tok2"))
-    a.join(broadcast(phrases), "w1")
-      .join(b, col("doc_id2") === col("doc_id") &&
+      .join(broadcast(phrases.select(col("w2").as("tok2")).distinct()),
+        "tok2")
+    a.join(b.hint("shuffle_hash"), col("doc_id2") === col("doc_id") &&
         col("pos2") === col("pos") + 1 && col("tok2") === col("w2"))
       .groupBy(concat(col("w1"), lit(" "), col("w2")).as("phrase"),
         col("doc_id"))

@@ -228,6 +228,60 @@ object Aggregators {
       |GROUP BY p.tok, p.exact_cnt
       |ORDER BY p.exact_cnt DESC, p.tok""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Bounded-state per-key top-k (SURVEY.md §2.7 X2 / round-6 advice)
+  // ---------------------------------------------------------------
+
+  /** One scored candidate for [[TopKAgg]]: score (HIGHER = better),
+    * id as the deterministic tiebreak (LOWER wins), and an optional
+    * integer tag carried through unchanged (0 when unused; callers
+    * with non-integer payloads join them back on id).
+    */
+  final case class Scored(score: Double, id: Long, tag: Long)
+
+  /** Bounded-state per-key top-k — the distributed replacement for
+    * `row_number() OVER (PARTITION BY key ORDER BY score DESC)` +
+    * `rnk <= k`, which sorts each key's ENTIRE candidate set inside
+    * one task (per-query corpus sort for KNN-style ranking). This
+    * keeps at most k rows of state per partial buffer, merges
+    * map-side, and shuffles only k rows per key.
+    *
+    * Lawfulness: (score desc, id asc) is a TOTAL order whenever ids
+    * are distinct within a key, so "k best of a multiset union" is
+    * associative and commutative — partial buffers can combine in any
+    * order/grouping and yield the same k (the property
+    * AggregatorsSpec checks by randomized re-grouping).
+    */
+  final class TopKAgg(k: Int)
+      extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private val ord: Ordering[Scored] =
+      Ordering.by((s: Scored) => (-s.score, s.id))
+    override def zero: Seq[Scored] = Nil
+    // buffer invariant: sorted best-first, length ≤ k
+    private def insert(b: Seq[Scored], a: Scored): Seq[Scored] =
+      if (b.lengthCompare(k) >= 0 && ord.lteq(b.last, a)) b
+      else ((a +: b).sorted(ord)).take(k)
+    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+      insert(b, a)
+    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+      b2.foldLeft(b1)(insert)
+    override def finish(r: Seq[Scored]): Seq[Scored] = r
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Column form: `topK(k)(score, id, tag)` → array<struct> of the k
+    * best, best-first. Longs used as scores (exact integer dots) are
+    * exact through the Double carrier up to 2^53 — callers above that
+    * range must pre-scale.
+    */
+  def topK(k: Int): (Column, Column, Column) => Column = {
+    val u = udaf(new TopKAgg(k))
+    (score: Column, id: Column, tag: Column) => u(score, id, tag)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_moments" -> (eventMoments _),
     "q_countmin_tokens" -> (countMinTokens _)

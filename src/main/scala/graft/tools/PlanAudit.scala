@@ -1,26 +1,56 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.GraftBridge
+
+/** Per-query physical-plan audit over the FINAL (post-AQE) plan —
+  * query stages are executed so the join/exchange choices printed here
+  * are the ones that actually ran, not the static guess. Optional
+  * args restrict to named queries (the full sweep executes every
+  * query once at sf0.01).
+  *
+  * `corpusbcast` is the number this audit exists for: unbounded
+  * fact-table broadcasts (see [[PlanForensics.corpusBroadcasts]]),
+  * with build-side provenance printed — the round-6 audit's bare
+  * broadcast COUNT misread a corpus-sized postings broadcast as a
+  * 3-row phrase frame.
+  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = graft.spark.Sessions.local("8", "8")
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val wanted = args.toSet
+    val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+    qs.foreach { case (name, fn) =>
       try {
-        val p = fn(spark, sf).queryExecution.executedPlan.toString
-        // count only SHUFFLE exchanges — a bare "Exchange" regex would
-        // also match BroadcastExchange/ReusedExchange and inflate the
-        // one number this audit exists to surface
-        val scans = "FileScan".r.findAllIn(p).length
-        val shuffles =
-          "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
-            .findAllIn(p).length
-        val bcast = "BroadcastExchange".r.findAllIn(p).length
-        val reused = "ReusedExchange".r.findAllIn(p).length
-        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
-        val cart = "CartesianProduct".r.findAllIn(p).length
-        println(f"$name%-32s scans=$scans shuffles=$shuffles bcast=$bcast reused=$reused bnlj=$bnlj cart=$cart")
-      } catch { case e: Throwable => println(s"$name ERROR ${e.getMessage.take(80)}") }
+        val fin = GraftBridge.finalPlan(fn(spark, sf))
+        val p = fin.toString
+        val nodes = PlanForensics.walk(fin)
+        def n(cls: String) =
+          nodes.count(_.getClass.getSimpleName == cls)
+        val scans = nodes.count(
+          _.getClass.getSimpleName.contains("FileSourceScan"))
+        val shuffles = n("ShuffleExchangeExec")
+        val bcast = n("BroadcastExchangeExec")
+        val reused = n("ReusedExchangeExec")
+        val bnlj = n("BroadcastNestedLoopJoinExec")
+        val cart = n("CartesianProductExec")
+        val corpus = PlanForensics.corpusBroadcasts(fin)
+        val raw = corpus.filterNot(_.filtered)
+        val soft = corpus.filter(_.filtered)
+        val flag =
+          (if (raw.isEmpty) ""
+           else s"  !! RAW corpus broadcast: ${raw.map(_.tables).mkString(", ")}") +
+          (if (soft.isEmpty) ""
+           else s"  ~ filter-bounded corpus broadcast (verify selectivity): ${soft.map(_.tables).mkString(", ")}")
+        println(f"$name%-32s scans=$scans shuffles=$shuffles bcast=$bcast reused=$reused bnlj=$bnlj cart=$cart corpusbcast=${raw.size}$flag")
+        if (sys.env.contains("GRAFT_AUDIT_VERBOSE") && corpus.nonEmpty)
+          println(p)
+      } catch {
+        case e: Throwable =>
+          println(s"$name ERROR ${e.getMessage.take(80)}")
+      }
     }
     spark.stop()
   }

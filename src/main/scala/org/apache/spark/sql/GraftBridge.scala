@@ -79,6 +79,34 @@ object GraftBridge {
       case _ => ()
     }
 
+  /** The FINAL adaptive physical plan — forces query-stage execution
+    * so AQE's runtime join/exchange choices (the plan that actually
+    * ran) are inspectable, not the static initial guess. `private[sql]`
+    * surface, hence bridged.
+    */
+  def finalPlan(ds: Dataset[_]): org.apache.spark.sql.execution.SparkPlan =
+    ds.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan
+      case p => p
+    }
+
+  /** Children of a physical node FOR TRAVERSAL, crossing the
+    * leaf-node boundaries `TreeNode.collect` stops at: adaptive
+    * sub-plans, materialized query stages, and reused exchanges all
+    * hide their subtree behind a LeafExecNode facade.
+    */
+  def planChildren(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      Seq(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      Seq(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      Seq(r.child)
+    case _ => p.children
+  }
+
   /** Runtime twin of SparkSessionExtensions.injectOptimizerRule. */
   def addOptimization(spark: SparkSession,
                       rule: org.apache.spark.sql.catalyst.rules.Rule[

@@ -117,4 +117,30 @@ class AggregatorsSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx median $approx too far from exact $exact")
   }
+
+  test("TopKAgg: arbitrary partition/merge grouping equals the global top-k (X2)") {
+    import Aggregators.{Scored, TopKAgg}
+    val gen = for {
+      k <- Gen.chooseNum(1, 8)
+      n <- Gen.chooseNum(0, 60)
+      scores <- Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3))
+      cuts <- Gen.listOfN(6, Gen.chooseNum(0, n))
+    } yield (k, scores.zipWithIndex.map { case (s, i) =>
+      Scored(s, i.toLong, i.toLong) }, cuts.sorted)
+    val prop = Prop.forAll(gen) { case (k, items, cuts) =>
+      val agg = new TopKAgg(k)
+      val truth = items.sortBy(s => (-s.score, s.id)).take(k)
+      // sequential reduce
+      val seqR = items.foldLeft(agg.zero)(agg.reduce)
+      // split at random cuts, reduce each chunk, merge in REVERSE order
+      val chunks = (0 +: cuts :+ items.length).distinct.sorted
+        .sliding(2).collect { case Seq(a, b) => items.slice(a, b) }.toList
+      val merged = chunks.reverse
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      seqR == truth && merged == truth
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -86,6 +86,23 @@ class SimilaritySpec extends SparkSpec {
     assert(violations == 0)
   }
 
+  test("per-query ranking plan: bounded-state partial aggregation, not a per-query window sort") {
+    // Round-6 advice: row_number() over partitionBy(query_id) sorts
+    // each query's ENTIRE scored corpus in one task. The TopK
+    // aggregator replaces it — the plan must show an object-hash
+    // aggregate with a partial (map-side) phase and NO Window node.
+    for (df <- Seq(Similarity.knnBruteForce(spark, sf),
+                   Similarity.hardNegatives(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("ObjectHashAggregate"),
+        s"expected ObjectHashAggregate partial top-k:\n$p")
+      assert(p.contains("partial_topkagg") || p.contains("partial_TopKAgg")
+        || "partial".r.findFirstIn(p).isDefined,
+        s"expected a partial aggregation phase:\n$p")
+      assert(!p.contains("Window"), s"window sort crept back in:\n$p")
+    }
+  }
+
   test("LSH recall on planted near-duplicates") {
     import scala.collection.JavaConverters._
     val rng = new scala.util.Random(123)

@@ -995,6 +995,28 @@ class TextOpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("phrase search plan: no corpus-derived broadcast in the EXECUTED plan (r6 regression)") {
+    // Round 6 shipped a probe whose second join BROADCAST THE ENTIRE
+    // postings table (every token of every document) — invisible at
+    // small SF where the corpus fits under the broadcast threshold,
+    // fatal at scale. This pins the fix: after AQE finalizes the plan,
+    // every broadcast build side must be cardinality-bounded (the ≤3-row
+    // phrase frame / its distinct w2 projection), never a raw posting
+    // scan; and the pos-adjacency join must be a shuffled join between
+    // the two semi-filtered posting lists.
+    import graft.analytics.TextOps
+    val df = TextOps.phraseSearch(spark, sf)
+    val fin = org.apache.spark.sql.GraftBridge.finalPlan(df)
+    val offenders = graft.tools.PlanForensics.corpusBroadcasts(fin)
+    assert(offenders.isEmpty,
+      s"corpus-derived broadcast in phrase-search probe: $offenders\n$fin")
+    val nodes = graft.tools.PlanForensics.walk(fin)
+      .map(_.getClass.getSimpleName)
+    assert(nodes.contains("ShuffledHashJoinExec") ||
+      nodes.contains("SortMergeJoinExec"),
+      s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
+  }
+
   test("RAKE keywords: replays a driver-side run-split + degree/freq scoring") {
     import graft.analytics.TextOps
     val stop = Set("the", "a")
