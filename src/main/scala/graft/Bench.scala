@@ -30,10 +30,15 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up read failed: ${e.getMessage}")
     }
-    // Two timed runs per query, report min AND max: run 1 is dominated by
-    // one-shot plan codegen/compilation, which amortizes to nothing on a
-    // long-lived cluster — the min reflects the recurring cost; the max
-    // lets the driver tell noise from regression without a re-run.
+    // Three timed runs per query in INTERLEAVED pass order
+    // (A,B,C,…,A,B,C,…): run 1 absorbs one-shot plan codegen that
+    // amortizes to nothing on a long-lived cluster, and interleaving
+    // means an ambient-load spike (the round-6 artifact showed 2–4×
+    // inflation on 4 queries despite min-of-2 back-to-back runs) hits
+    // DIFFERENT queries each pass instead of both runs of the same
+    // one — the min is then a trustworthy recurring-cost signal. The
+    // max and the relative spread ((max−min)/min) are reported so the
+    // driver can discount rows that were noisy anyway.
     // A failed run must NOT be timed as a (fast) success: a query with
     // ANY failed run lands in "errors"; its value is the min of the
     // successful runs, or -1 if none succeeded.
@@ -47,24 +52,34 @@ object Bench {
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
     // Sorted-name order: Map iteration order is arbitrary and changes as
     // queries are added, which made run-to-run artifacts incomparable.
-    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+    val names = picked.toSeq.sortBy(_._1)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+      names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    (1 to nRuns).foreach { _ =>
+      names.foreach { case (name, fn) =>
         dropCaches(spark)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).count()
+          acc(name) = acc(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
         }
       }
-      name -> times
     }
+    val results = acc.toSeq
     dropCaches(spark)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.minOption.getOrElse(-1.0) }
       .mkString("{", ",", "}")
     val qmax = results.map { case (k, v) => s"\"" + k + "\":" + v.maxOption.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v.size < 2 => "\"" + k + "\"" }
+    val qspread = results.map { case (k, v) =>
+      val sp = (for (mn <- v.minOption; mx <- v.maxOption)
+        yield (mx - mn) / math.max(mn, 1e-9)).getOrElse(-1.0)
+      s"\"" + k + "\":" + math.round(sp * 100.0) / 100.0
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, v) if v.size < nRuns => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2.minOption).sum
     val streaming = StreamBench.run(spark, sfDir)
@@ -73,7 +88,8 @@ object Bench {
     // same line as the total previously truncated the total away.
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries_max","queries":$qmax,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","runs":2,"agg":"min","errors":$errors,"streaming_rows_per_sec":$streaming}""")
+    println(s"""{"metric":"queries_rel_spread","queries":$qspread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","runs":$nRuns,"agg":"min","order":"interleaved","errors":$errors,"streaming_rows_per_sec":$streaming}""")
     spark.stop()
   }
 }

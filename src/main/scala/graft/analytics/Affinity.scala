@@ -622,6 +622,14 @@ object Affinity {
     */
   val KCoreK = 2
 
+  /** Shared iteration cap for the k-core peel, interpolated into BOTH
+    * the Spark call and the recursive-CTE oracle — round-6 advice:
+    * a literal 40 in the SQL and a separate maxIters=40 default in
+    * Graph.kCore could drift, with divergent failure modes (silent
+    * recursion stop vs throw).
+    */
+  val KCoreMaxIters = 40
+
   /** k-core of the co-purchase graph ([[KCoreK]]-core): members with
     * their in-core degree, plus the peel-pass count on every row —
     * pinning termination itself, like q_pagerank_converged. The
@@ -632,7 +640,7 @@ object Affinity {
     */
   def partKCore(spark: SparkSession, dir: String): DataFrame = {
     val (core, rounds) = graft.operators.Graph.kCore(
-      prEdges(spark, dir), KCoreK)
+      prEdges(spark, dir), KCoreK, KCoreMaxIters)
     core.select(col("v").as("part"), col("d").as("core_deg"),
         lit(rounds).as("rounds"))
       .orderBy(col("part"))
@@ -661,7 +669,7 @@ object Affinity {
       |      FROM rec a
       |      LEFT JOIN edges e ON e.src = a.v
       |      LEFT JOIN rec b ON b.v = e.dst
-      |      WHERE a.moving = 1 AND a.iter < 40
+      |      WHERE a.moving = 1 AND a.iter < $KCoreMaxIters
       |      GROUP BY 1, 2
       |    ) dg
       |  ) s WHERE s.d >= $KCoreK

@@ -322,6 +322,12 @@ object Events {
     val types = counts.flatMap(t => Seq(t._1, t._2)).distinct.sorted
     val idx = types.zipWithIndex.toMap
     val k = types.length
+    // no consecutive event pairs (e.g. every user has one event):
+    // the oracle's CTEs yield zero rows — match it instead of
+    // dividing MarkovScale by k = 0
+    if (k == 0)
+      return Seq.empty[(String, Long, Long)]
+        .toDF("event_type", "out_transitions", "stationary_ppm")
     val outCnt = Array.fill(k)(0L)
     counts.foreach { case (a, _, n) => outCnt(idx(a)) += n }
     val ppm = Array.ofDim[Long](k, k)

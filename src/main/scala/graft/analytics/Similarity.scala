@@ -25,6 +25,17 @@ import graft.functions.VectorOps._
   */
 object Similarity {
 
+  /** Default query-sample size / top-k / probe width for the KNN
+    * family, interpolated into BOTH each Scala operator's parameter
+    * defaults and its registered oracle SQL — so the two cannot drift
+    * (round-6 advice: the oracles previously hardcoded 10/5/3/2 as
+    * literals while the Scala side took parameters).
+    */
+  val KnnQueries = 10
+  val KnnBruteK = 5
+  val KnnTopK = 3
+  val IvfNprobe = 2
+
   /** Embeddings with a double-cast copy (for engine-portable math) and
     * the precomputed L2 norm.
     */
@@ -46,7 +57,7 @@ object Similarity {
     * hit first at 100 TB.
     */
   def knnBruteForce(spark: SparkSession, dir: String,
-                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+                    nQueries: Int = KnnQueries, k: Int = KnnBruteK): DataFrame = {
     val v = vectors(spark, dir)
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
@@ -91,7 +102,7 @@ object Similarity {
       |FROM ranked WHERE rnk <= $k
       |ORDER BY query_id, rnk""".stripMargin
 
-  val knnBruteForceSql: String = knnBruteForceSqlFor(10, 5)
+  val knnBruteForceSql: String = knnBruteForceSqlFor(KnnQueries, KnnBruteK)
 
   // ---------------------------------------------------------------
   // Embedding-cosine near-dup pairs (oracle-checked exact verify)
@@ -310,13 +321,13 @@ object Similarity {
       |            JOIN n c ON c.vec_id = neighbor_id
       |)
       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
-      |FROM ranked WHERE rnk <= 3
+      |FROM ranked WHERE rnk <= $KnnTopK
       |ORDER BY query_id, rnk""".stripMargin
 
   /** ANN top-k: LSH candidates re-ranked by exact cosine. Every vector
     * is a query; only bucket-mates are scored.
     */
-  def knnLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def knnLsh(spark: SparkSession, dir: String, k: Int = KnnTopK): DataFrame = {
     // the banded-sketch subtree carries the embedding + norm, so the
     // bucket self-join yields scoreable pairs directly: 2 scans total,
     // and keeping BOTH directions of each pair (a ≠ b) makes every
@@ -649,8 +660,8 @@ object Similarity {
     * lists ARE the partitioning, so a probe touches nprobe/nlist of
     * the corpus) and the final top-k window.
     */
-  def knnIvf(spark: SparkSession, dir: String, k: Int = 3,
-             nprobe: Int = 2): DataFrame = {
+  def knnIvf(spark: SparkSession, dir: String, k: Int = KnnTopK,
+             nprobe: Int = IvfNprobe): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
     // centroid ids ordered by quantized score desc (tie: id asc) —
     // the same exact-integer ranking the codebook was trained under.
@@ -780,7 +791,7 @@ object Similarity {
        |lists AS (
        |  SELECT vec_id AS neighbor_id, cid FROM probe WHERE rnk = 1
        |), probes AS (
-       |  SELECT vec_id AS query_id, cid FROM probe WHERE rnk <= 2
+       |  SELECT vec_id AS query_id, cid FROM probe WHERE rnk <= $IvfNprobe
        |), ranked AS (
        |  SELECT query_id, neighbor_id,
        |    list_sum(list_transform(range(1, 65),
@@ -796,7 +807,7 @@ object Similarity {
        |  WHERE query_id <> neighbor_id
        |)
        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
-       |FROM ranked WHERE rnk <= 3
+       |FROM ranked WHERE rnk <= $KnnTopK
        |ORDER BY query_id, rnk""".stripMargin
   }
 
@@ -910,7 +921,7 @@ object Similarity {
     * corpus mining path would swap in the LSH/IVF candidate cut).
     */
   def hardNegatives(spark: SparkSession, dir: String,
-                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+                    nQueries: Int = KnnQueries, k: Int = KnnBruteK): DataFrame = {
     val qv = quantVectors(spark, dir)
     val q = qv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
@@ -951,7 +962,7 @@ object Similarity {
        |  FROM n
        |), qs AS (
        |  SELECT vec_id AS query_id, label AS qlabel, q AS qq
-       |  FROM qv WHERE vec_id < 10
+       |  FROM qv WHERE vec_id < $KnnQueries
        |), ranked AS (
        |  SELECT query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
        |    $dot AS dot,
@@ -960,9 +971,94 @@ object Similarity {
        |  FROM qs JOIN qv c ON c.label <> qlabel
        |)
        |SELECT query_id, rnk, neighbor_id, neg_label, dot
-       |FROM ranked WHERE rnk <= 5
+       |FROM ranked WHERE rnk <= $KnnBruteK
        |ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** Hard-negative mining THROUGH the IVF index — the documented
+    * full-corpus path [[hardNegatives]]'s docstring defers to: each
+    * query probes its [[IvfNprobe]] nearest k-means cells and mines
+    * negatives from those cells' inverted lists ONLY, so per-query
+    * cost is nprobe/nlist of the corpus instead of a full scan. Same
+    * exact-integer dot ranking and label-disjoint filter as the exact
+    * miner, same bounded-state top-k aggregation; candidate pairs are
+    * unique by construction (each vector lives in exactly ONE
+    * inverted list — its rnk-1 cell — and a query probes distinct
+    * cells). At full-corpus mining the probe side becomes the whole
+    * corpus and the join stays cell-partitioned — the inverted lists
+    * ARE the partitioning, the shape that survives 100 TB.
+    */
+  def hardNegativesIvf(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesIvfAt(spark, dir, IvfNprobe)
+
+  /** Test seam: the same miner with a free probe width — the spec
+    * proves probing EVERY cell recovers [[hardNegatives]] exactly
+    * (candidates = corpus), and measures recall at the serving width.
+    * The registered query pins [[IvfNprobe]] so it cannot drift from
+    * [[hardNegativesIvfSql]].
+    */
+  private[graft] def hardNegativesIvfAt(spark: SparkSession, dir: String,
+                                        nprobe: Int): DataFrame = {
+    val nQueries = KnnQueries
+    val k = KnnBruteK
+    val cents = kmeansCentroids(spark, dir)
+    val probeOrder = transform(
+      cellRank(col("q"), cents), s => s.getField("cid"))
+    val index = quantVectors(spark, dir)
+      .withColumn("probe_order", probeOrder)
+      .select(col("vec_id"), col("label"), col("q"),
+        element_at(col("probe_order"), 1).as("own_cid"),
+        slice(col("probe_order"), 1, nprobe).as("probe_cids"))
+      .localCheckpoint() // the index build feeds both join sides
+    val lists = index
+      .select(col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), col("q").as("cq"),
+        col("own_cid").as("centroid_id"))
+    val probes = index.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("q").as("qq"), explode(col("probe_cids")).as("centroid_id"))
+    val tk = graft.functions.Aggregators.topK(k)
+    probes.join(lists, "centroid_id")
+      .filter(col("neg_label") =!= col("qlabel")) // also excludes self
+      .withColumn("dot", intDot(col("qq"), col("cq")))
+      .groupBy(col("query_id"))
+      .agg(tk(col("dot").cast("double"), col("neighbor_id"),
+        col("neg_label").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("s.id").as("neighbor_id"),
+        col("s.tag").cast("int").as("neg_label"),
+        col("s.score").cast("long").as("dot"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB twin: [[kmeansProbeCte]] trains the identical codebook
+    * and ranks every vector's cells; the candidate walk repeats
+    * q_knn_ivf's lists/probes CTEs and the ranking repeats the
+    * exact-integer-dot recipe of [[hardNegativesSql]].
+    */
+  val hardNegativesIvfSql: String =
+    s"""$kmeansProbeCte,
+       |lists AS (
+       |  SELECT vec_id AS neighbor_id, cid FROM probe WHERE rnk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM probe
+       |  WHERE rnk <= $IvfNprobe AND vec_id < $KnnQueries
+       |), ranked AS (
+       |  SELECT * , row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot DESC, neighbor_id ASC) AS rnk
+       |  FROM (
+       |    SELECT p.query_id, l.neighbor_id, cn.label AS neg_label,
+       |      CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |             j -> qn.q[j] * cn.q[j])) AS BIGINT) AS dot
+       |    FROM probes p JOIN lists l USING (cid)
+       |    JOIN qv qn ON qn.vec_id = p.query_id
+       |    JOIN qv cn ON cn.vec_id = l.neighbor_id
+       |    WHERE cn.label <> qn.label)
+       |)
+       |SELECT query_id, rnk, neighbor_id, neg_label, dot
+       |FROM ranked WHERE rnk <= $KnnBruteK
+       |ORDER BY query_id, rnk""".stripMargin
 
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
     val lanes = 0 until Dim
@@ -1482,8 +1578,8 @@ object Similarity {
     * At real scale PQ composes with IVF ([[knnIvf]]): lists prune the
     * candidates, ADC scores the survivors.
     */
-  def knnPq(spark: SparkSession, dir: String, k: Int = 3,
-            nQueries: Int = 10): DataFrame = {
+  def knnPq(spark: SparkSession, dir: String, k: Int = KnnTopK,
+            nQueries: Int = KnnQueries): DataFrame = {
     // one quantization pass feeds training (3 aggregation rounds), the
     // encoding scan and the query lookup
     val qv = quantVectors(spark, dir).localCheckpoint()
@@ -1604,7 +1700,7 @@ object Similarity {
        |adc AS (
        |  SELECT qr.vec_id AS query_id, cd.vec_id AS neighbor_id,
        |    $adcSumSql AS adc
-       |  FROM (SELECT vec_id, q FROM qv WHERE vec_id < 10) qr
+       |  FROM (SELECT vec_id, q FROM qv WHERE vec_id < $KnnQueries) qr
        |  CROSS JOIN codes cd
        |  JOIN pc$PqIters c ON c.m = cd.m AND c.cid = cd.cid
        |  WHERE cd.vec_id <> qr.vec_id
@@ -1616,7 +1712,7 @@ object Similarity {
        |  FROM adc
        |)
        |SELECT query_id, rnk, neighbor_id, adc
-       |FROM ranked WHERE rnk <= 3
+       |FROM ranked WHERE rnk <= $KnnTopK
        |ORDER BY query_id, rnk""".stripMargin
 
   /** IVF-PQ composed ANN — the FAISS IVFADC serving shape (Jégou et
@@ -1629,8 +1725,8 @@ object Similarity {
     * all reuse the IVF/PQ building blocks verbatim, so this query pins
     * their composition, not new machinery.
     */
-  def knnIvfPq(spark: SparkSession, dir: String, k: Int = 3,
-               nprobe: Int = 2, nQueries: Int = 10): DataFrame = {
+  def knnIvfPq(spark: SparkSession, dir: String, k: Int = KnnTopK,
+               nprobe: Int = IvfNprobe, nQueries: Int = KnnQueries): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
     val qv = quantVectors(spark, dir).localCheckpoint()
     val cb = trainPq(qv)
@@ -1679,7 +1775,7 @@ object Similarity {
        |lists AS (SELECT vec_id AS neighbor_id, cid FROM probe WHERE rnk = 1),
        |probes AS (
        |  SELECT vec_id AS query_id, cid FROM probe
-       |  WHERE rnk <= 2 AND vec_id < 10
+       |  WHERE rnk <= $IvfNprobe AND vec_id < $KnnQueries
        |), adc AS (
        |  SELECT p.query_id, l.neighbor_id,
        |    $adcSumSql AS adc
@@ -1697,7 +1793,7 @@ object Similarity {
        |  FROM adc
        |)
        |SELECT query_id, rnk, neighbor_id, adc
-       |FROM ranked WHERE rnk <= 3
+       |FROM ranked WHERE rnk <= $KnnTopK
        |ORDER BY query_id, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1709,6 +1805,7 @@ object Similarity {
     "q_random_projection" -> (randomProjection _),
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
     "q_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
+    "q_hard_negatives_ivf" -> (hardNegativesIvf _),
     "q_embed_near_dup" -> ((s: SparkSession, d: String) => embedNearDup(s, d)),
     "q_label_centroids" -> (labelCentroids _),
     "q_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
@@ -1719,6 +1816,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hard_negatives_ivf" -> hardNegativesIvfSql,
     "q_knn_pq" -> knnPqSql,
     "q_knn_ivfpq" -> knnIvfPqSql,
     "q_mmr_rerank" -> mmrRerankSql,

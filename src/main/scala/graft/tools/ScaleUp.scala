@@ -98,8 +98,12 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
     materialize(spark, src, out, k)
-    // time each query on base then scaled, min of 2 (same discipline
-    // as Bench: drop cached blocks between runs)
+    // time each query on base then scaled, min of 2 (same cache
+    // discipline as Bench). The action is a noop-sink WRITE, not
+    // count(): count() lets Spark elide final sorts and some
+    // projection work, understating per-query cost — the noop sink
+    // materializes every output row, so base-vs-scaled ratios
+    // reflect full query cost (round-6 advice).
     def time(dir: String, name: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       (1 to 2).map { _ =>
@@ -107,7 +111,7 @@ object ScaleUp {
           .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
     }
