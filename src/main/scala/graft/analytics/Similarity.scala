@@ -587,7 +587,7 @@ object Similarity {
     * of leaking every superseded k×64 codebook on the driver.
     */
   private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), (String, Seq[(Int, Seq[Long])])]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Boolean), (String, Seq[(Int, Seq[Long])])]
 
   /** Test seam: observed cache size (bounded by distinct (dir, iters)). */
   private[graft] def codebookCacheSize: Int = codebookCache.size
@@ -601,13 +601,14 @@ object Similarity {
   }
 
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String,
-                                     iters: Int = KmeansIters): Seq[(Int, Seq[Long])] = {
+                                     iters: Int = KmeansIters,
+                                     histOnly: Boolean = false): Seq[(Int, Seq[Long])] = {
     val fp = corpusFingerprint(spark, dir)
-    codebookCache.get((dir, iters)) match {
+    codebookCache.get((dir, iters, histOnly)) match {
       case Some((`fp`, cents)) => cents
       case _ =>
-        val cents = trainCentroids(spark, dir, iters)
-        codebookCache.put((dir, iters), (fp, cents))
+        val cents = trainCentroids(spark, dir, iters, histOnly)
+        codebookCache.put((dir, iters, histOnly), (fp, cents))
         cents
     }
   }
@@ -633,8 +634,14 @@ object Similarity {
   }
 
   private def trainCentroids(spark: SparkSession, dir: String,
-                             iters: Int): Seq[(Int, Seq[Long])] = {
-    val qv = quantVectors(spark, dir)
+                             iters: Int,
+                             histOnly: Boolean = false): Seq[(Int, Seq[Long])] = {
+    // histOnly models the persisted-index lifecycle: the codebook was
+    // trained when the HISTORY was indexed, before today's batch
+    // existed — so the batch must not influence the centroids
+    val qv0 = quantVectors(spark, dir)
+    val qv = if (histOnly)
+      qv0.filter(!graft.operators.Scale.isBatch(col("vec_id"))) else qv0
     qv.persist()
     try {
       var cents = initCentroids(qv)
@@ -751,10 +758,19 @@ object Similarity {
     * hash-checkable at all only because every score compares exact
     * integers through one sqrt + one divide.
     */
-  private def kmeansProbeCte: String = {
+  private def kmeansProbeCte: String = kmeansProbeCteOn("qv")
+
+  /** The same oracle prefix with the TRAINING base selectable: "qv"
+    * trains on the whole corpus (the batch-free operators), "hv"
+    * trains on history only — the persisted-index lifecycle
+    * [[incrSemanticDedup]] models, where today's batch must not move
+    * the centroids it is probed against. The final `probe` ranking
+    * always covers ALL of qv (history for lists, batch for probes).
+    */
+  private def kmeansProbeCteOn(base: String): String = {
     val steps = (1 to KmeansIters).map(i =>
-      assignCte(s"a$i", s"c${i - 1}") + ",\n" +
-        meanCte(s"c$i", s"a$i", s"c${i - 1}")).mkString(",\n")
+      assignCte(s"a$i", s"c${i - 1}", base) + ",\n" +
+        meanCte(s"c$i", s"a$i", s"c${i - 1}", base)).mkString(",\n")
     s"""WITH n AS (
        |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
@@ -767,16 +783,19 @@ object Similarity {
        |      CAST(round(CAST(CAST(x / nrm AS REAL) AS DOUBLE) * $IvfScale)
        |           AS BIGINT)) AS q
        |  FROM n
+       |), hv AS (
+       |  SELECT * FROM qv
+       |  WHERE NOT (${graft.operators.Scale.isBatchSql("vec_id")})
        |), lanes AS (
        |  SELECT unnest(range(1, 65)) AS k
        |), c0 AS (
        |  SELECT label AS cid,
        |    list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY k) AS c
        |  FROM (
-       |    SELECT qv.label, l.k,
-       |      CAST(sum(qv.q[l.k]) AS BIGINT) AS s, count(*) AS cnt
-       |    FROM qv CROSS JOIN lanes l
-       |    GROUP BY qv.label, l.k)
+       |    SELECT b.label, l.k,
+       |      CAST(sum(b.q[l.k]) AS BIGINT) AS s, count(*) AS cnt
+       |    FROM $base b CROSS JOIN lanes l
+       |    GROUP BY b.label, l.k)
        |  GROUP BY label
        |),
        |$steps,
@@ -889,6 +908,83 @@ object Similarity {
        |  d.dup_of, round(d.max_cos, 6) AS dup_cos
        |FROM cells c LEFT JOIN dups d USING (vec_id)
        |ORDER BY c.vec_id""".stripMargin
+
+  /** Incremental semantic dedup — SemDeDup's daily-batch form, the
+    * embedding twin of [[graft.analytics.TextOps.incrementalDedup]]:
+    * the codebook is trained on HISTORY only (it was fit when the
+    * history was indexed, before today's batch existed), history
+    * vectors sit in their persisted cells, and each batch vector
+    * ([[graft.operators.Scale.isBatch]]) is assigned to its nearest
+    * cell and compared against that cell's HISTORY members only —
+    * never against other batch rows, and history is never re-paired
+    * with itself. Output is a total function of the batch: one
+    * (kept, dup_of, dup_cos) verdict per batch vec_id, the same
+    * deterministic min-id representative rule as [[semanticDedup]].
+    *
+    * Scale shape: per day, cost is O(batch × cell-width) — the
+    * history index is probed, not rebuilt; assignment is the same
+    * scan-side codebook argmax as IVF, and the only join is
+    * cell-partitioned batch×history.
+    */
+  def incrSemanticDedup(spark: SparkSession, dir: String,
+                        tau: Double = SemDedupTau): DataFrame = {
+    val cents = kmeansCentroids(spark, dir, histOnly = true)
+    val isBatch = graft.operators.Scale.isBatch(col("vec_id"))
+    val assigned = vectors(spark, dir)
+      .withColumn("q", quantExpr(col("embedding"), col("nrm")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        element_at(cellRank(col("q"), cents), 1).getField("cid").as("cell"))
+      .localCheckpoint() // one assignment pass feeds both join sides
+    val hist = assigned.filter(!isBatch)
+      .select(col("cell"), col("vec_id").as("y_id"),
+        col("embedding").as("y_emb"), col("nrm").as("y_nrm"))
+    val batch = assigned.filter(isBatch)
+    val dups = batch.join(hist, "cell")
+      .withColumn("cos",
+        vecDot(col("embedding"), col("y_emb")) / (col("nrm") * col("y_nrm")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("y_id")).as("dup_of"), max(col("cos")).as("max_cos"))
+    batch.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
+        col("dup_of"),
+        round(col("max_cos"), 6).as("dup_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin: [[kmeansProbeCteOn]]("hv") trains the identical
+    * history-only codebook (the probe still ranks every vector);
+    * the duplicate predicate repeats [[semanticDedupSql]]'s recipe
+    * restricted to batch-probes-history pairs.
+    */
+  val incrSemanticDedupSql: String =
+    s"""${kmeansProbeCteOn("hv")},
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM probe WHERE rnk = 1
+       |), bat AS (
+       |  SELECT vec_id, cell FROM cells
+       |  WHERE ${graft.operators.Scale.isBatchSql("vec_id")}
+       |), hist AS (
+       |  SELECT vec_id AS y_id, cell FROM cells
+       |  WHERE NOT (${graft.operators.Scale.isBatchSql("vec_id")})
+       |), pairs AS (
+       |  SELECT b.vec_id, h.y_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      k -> na.emb[k] * nb.emb[k])) / (na.nrm * nb.nrm) AS cos
+       |  FROM bat b JOIN hist h USING (cell)
+       |  JOIN n na ON na.vec_id = b.vec_id
+       |  JOIN n nb ON nb.vec_id = h.y_id
+       |), dups AS (
+       |  SELECT vec_id, min(y_id) AS dup_of, max(cos) AS max_cos
+       |  FROM pairs WHERE cos >= $SemDedupTau GROUP BY vec_id
+       |)
+       |SELECT b.vec_id, b.cell,
+       |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       |  d.dup_of, round(d.max_cos, 6) AS dup_cos
+       |FROM bat b LEFT JOIN dups d USING (vec_id)
+       |ORDER BY b.vec_id""".stripMargin
 
   // ---------------------------------------------------------------
   // L3: int8 scalar quantization (oracle-checked)
@@ -1812,6 +1908,7 @@ object Similarity {
     "q_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "q_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "q_incr_semantic" -> ((s: SparkSession, d: String) => incrSemanticDedup(s, d)),
     "q_embed_quantize" -> (quantizeInt8 _)
   )
 
@@ -1826,6 +1923,7 @@ object Similarity {
     "q_knn_ivf" -> knnIvfSql,
     "q_ann_recall" -> annRecallSql,
     "q_semantic_dedup" -> semanticDedupSql,
+    "q_incr_semantic" -> incrSemanticDedupSql,
     "q_knn_bruteforce" -> knnBruteForceSql,
     "q_hard_negatives" -> hardNegativesSql,
     "q_embed_near_dup" -> embedNearDupSql,
