@@ -463,6 +463,39 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The reference's alert intent ("cảnh báo", reference README.md:6)
+    * landing in the warehouse seam instead of the console: the
+    * [[alerts]] state machine's stream upserted into a
+    * manifest-committed gold table KEYED ON THE ALERT IDENTITY
+    * (sensor_id, alert_time) via foreachBatch. foreachBatch is only
+    * at-least-once (a crash between the manifest publish and the
+    * checkpoint commit replays the batch), but the key-replace merge
+    * makes the replay idempotent — the alert table is exactly-once
+    * end to end. Same [[graft.sinks.ManifestTable]] commit protocol
+    * as [[toUpsertSink]]: snapshots staged as immutable files, one
+    * atomic manifest rename, vacuum keeps the prior snapshot for
+    * in-flight readers.
+    */
+  def alertsToWarehouse(readings: Dataset[SensorReading], path: String,
+                        checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    alerts(readings).toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.sinks.ManifestTable
+        val merged =
+          if (ManifestTable.latestVersion(spark, path).isDefined)
+            graft.sinks.Sinks.upsert(ManifestTable.read(spark, path),
+              batch, Seq("sensor_id", "alert_time"))
+          else batch
+        ManifestTable.replace(merged, path)
+        ManifestTable.vacuum(spark, path, keepVersions = 2)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** T8/S2: rate-paced replay of a bounded frame as a stream — the
     * Spark-native twin of the reference's 1 msg/s producer loop
     * (reference: kafka/producer.py:47): the rate source ticks, each

@@ -228,6 +228,53 @@ class StreamingSpec extends SparkSpec {
       "duplicate sensor rows after recovery")
   }
 
+  test("alert warehouse egress: mid-stream kill, restart, alert table exactly-once by identity") {
+    // the reference's alert intent landing in the warehouse seam:
+    // stateful alert stream -> foreachBatch upsert into a
+    // ManifestTable keyed on (sensor_id, alert_time). foreachBatch is
+    // at-least-once; the key-replace merge must make the table
+    // exactly-once across a mid-stream kill + checkpoint restart.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_alert_wh").toString
+    val input = MemoryStream[SensorReading](spark)
+    val ids = (1 to 12).map(i => f"S$i%02d")
+    def badRun(id: String) = Seq(
+      reading(id, "2024-01-01 00:00:00", ph = 5.0f),
+      reading(id, "2024-01-01 00:10:00", ph = 5.1f),
+      reading(id, "2024-01-01 00:20:00", ph = 5.2f)) // 3rd fires
+    input.addData(ids.take(3).flatMap(badRun): _*)
+    val q1 = Pipeline.alertsToWarehouse(input.toDS(), s"$dir/gold",
+      s"$dir/chk", Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var fed = 3
+      while (fed < 12 && System.currentTimeMillis() < deadline) {
+        input.addData(ids.slice(fed, fed + 3).flatMap(badRun): _*)
+        fed += 3
+        Thread.sleep(120)
+      }
+      assert(fed == 12, "feeder starved")
+      // kill once at least one snapshot is live (mid-stream, not a
+      // drain boundary)
+      while (graft.sinks.ManifestTable.latestVersion(spark, s"$dir/gold").isEmpty &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally q1.stop()
+    q1.awaitTermination()
+    // restart from the same checkpoint, drain the remainder
+    val q2 = Pipeline.alertsToWarehouse(input.toDS(), s"$dir/gold", s"$dir/chk")
+    q2.awaitTermination()
+    val gold = graft.sinks.ManifestTable.read(spark, s"$dir/gold")
+    val rows = gold.collect()
+    assert(rows.length == 12,
+      s"exactly-once violated: ${rows.length} alert rows for 12 sensors")
+    assert(rows.map(r => (r.getAs[String]("sensor_id"),
+      r.getAs[Timestamp]("alert_time"))).toSet ==
+      ids.map(id => (id, ts("2024-01-01 00:20:00"))).toSet,
+      "alert identities drifted across the kill/restart")
+    assert(rows.forall(_.getAs[Int]("n_consecutive") == 3))
+  }
+
   test("kafka-sink framing round-trips through the wire parser") {
     import spark.implicits._
     val canonical = Seq(reading("DARGLE_030", "2023-01-01 00:00:00",
