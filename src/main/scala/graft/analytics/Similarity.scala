@@ -340,8 +340,7 @@ object Similarity {
     val b = banded.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cemb"), col("nrm").as("cnrm"),
       col("chunk"), col("chunk_val"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val tk = graft.functions.Aggregators.topK(k)
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
@@ -350,10 +349,14 @@ object Similarity {
       // (query, neighbor, cos) projection; cos is identical per dup
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(first(col("cos")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
+      // bounded-state per-query top-k (see knnBruteForce): k rows of
+      // aggregation state per query, no per-query window sort
+      .groupBy(col("query_id"))
+      .agg(tk(col("cos"), col("neighbor_id"), lit(0L)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("s.id").as("neighbor_id"),
+        round(col("s.score"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -690,17 +693,20 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"),
         explode(col("probe_cids")).as("centroid_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val tk = graft.functions.Aggregators.topK(k)
     probes.join(lists, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         vecDot(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm")))
-      .select(col("query_id"), col("neighbor_id"), col("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
+      // bounded-state per-query top-k (see knnBruteForce); (query,
+      // neighbor) pairs are unique — a vector lives in exactly one
+      // inverted list and a query probes distinct cells
+      .groupBy(col("query_id"))
+      .agg(tk(col("cos"), col("neighbor_id"), lit(0L)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("s.id").as("neighbor_id"),
+        round(col("s.score"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -1692,14 +1698,19 @@ object Similarity {
         slice(col("qq"), m * PqD + 1, PqD),
         element_at(cents, element_at(col("codes"), m + 1) + 1))
     }.reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    // bounded-state per-query top-k (see knnBruteForce); the exact
+    // BIGINT ADC rides the Double carrier losslessly (|adc| <=
+    // Dim*IvfScale^2 = 6.4e9 << 2^53)
+    val tk = graft.functions.Aggregators.topK(k)
     corpus.join(broadcast(queries),
         col("neighbor_id") =!= col("query_id"))
       .withColumn("adc", adc)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc"))
+      .groupBy(col("query_id"))
+      .agg(tk(col("adc").cast("double"), col("neighbor_id"), lit(0L)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("s.id").as("neighbor_id"),
+        col("s.score").cast("long").as("adc"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -1849,14 +1860,17 @@ object Similarity {
         slice(col("qq"), m * PqD + 1, PqD),
         element_at(subCents, element_at(col("codes"), m + 1) + 1))
     }.reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    // bounded-state per-query top-k over the probed lists only
+    val tk = graft.functions.Aggregators.topK(k)
     probes.join(lists, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", adc)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc"))
+      .groupBy(col("query_id"))
+      .agg(tk(col("adc").cast("double"), col("neighbor_id"), lit(0L)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("s.id").as("neighbor_id"),
+        col("s.score").cast("long").as("adc"))
       .orderBy(col("query_id"), col("rnk"))
   }
 

@@ -92,7 +92,11 @@ class SimilaritySpec extends SparkSpec {
     // aggregator replaces it — the plan must show an object-hash
     // aggregate with a partial (map-side) phase and NO Window node.
     for (df <- Seq(Similarity.knnBruteForce(spark, sf),
-                   Similarity.hardNegatives(spark, sf))) {
+                   Similarity.hardNegatives(spark, sf),
+                   Similarity.knnLsh(spark, sf),
+                   Similarity.knnIvf(spark, sf),
+                   Similarity.knnPq(spark, sf),
+                   Similarity.knnIvfPq(spark, sf))) {
       val p = plan(df)
       assert(p.contains("ObjectHashAggregate"),
         s"expected ObjectHashAggregate partial top-k:\n$p")
