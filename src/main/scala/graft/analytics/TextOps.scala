@@ -2681,7 +2681,132 @@ object TextOps {
        |ORDER BY lang, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // DSIR data selection (Xie et al. 2023)
+  // ---------------------------------------------------------------
+
+  /** Hashed-feature buckets, candidates returned, and the target
+    * predicate's language for [[dsirSelect]] — interpolated into both
+    * sides of the oracle.
+    */
+  val DsirBuckets = 64
+  val DsirTopK = 20
+  val DsirTargetLang = "en"
+
+  /** DSIR data selection (Xie, Santurkar, Ma & Liang 2023, "Data
+    * selection for language models via importance resampling",
+    * NeurIPS): rank raw-pool documents by how target-like their
+    * hashed-unigram distribution is. Features are md5 buckets
+    * ([[graft.operators.Scale.hashBucket]], the engine-portable hash
+    * every sampler here shares); bucket probabilities are
+    * Laplace-smoothed counts under the target (lang =
+    * [[DsirTargetLang]]) vs the full corpus; a document's importance
+    * weight is the standard log-likelihood ratio
+    * log w(x) = Σ_b n_b(x)·(log p_tgt[b] − log p_src[b]).
+    *
+    * Arithmetic discipline: the per-bucket log-ratio is floored to
+    * exact integer MICRO-NATS once (64 values — a ±1-ulp ln
+    * difference between engines moves a floor only if the value sits
+    * within an ulp of a millionth boundary), and every doc weight is
+    * then an exact integer dot product of bucket counts with that
+    * table — no float sum whose partial-aggregation order could
+    * drift, the same fixed-point recipe as PageRank/EMA.
+    *
+    * Scale shape: one explode pass aggregates to (doc, bucket)
+    * counts (≤ [[DsirBuckets]] rows per doc); the ratio table is a
+    * [[DsirBuckets]]-row broadcast; selection is a distributed
+    * TakeOrdered of k rows. Nothing is pairwise and the only
+    * corpus-sized shuffles group on doc_id.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.operators.Scale.hashBucket(col("tok"), B).as("b"))
+    val srcCnt = toks.groupBy(col("b")).agg(count(lit(1)).as("c_src"))
+    val tgtCnt = toks.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    // dense 64-row bucket table (empty buckets keep their smoothing
+    // mass) + totals, all tiny broadcast frames
+    val totals = toks.agg(count(lit(1)).as("n_src"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("n_tgt"))
+    val lr = spark.range(B).select(col("id").as("b"))
+      .join(srcCnt, Seq("b"), "left")
+      .join(tgtCnt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(lit(1e6) *
+          (log((coalesce(col("c_tgt"), lit(0L)) + 1).cast("double") /
+               (col("n_tgt") + B).cast("double")) -
+           log((coalesce(col("c_src"), lit(0L)) + 1).cast("double") /
+               (col("n_src") + B).cast("double"))))
+          .cast("long").as("lr_micro"))
+    val docB = toks.filter(col("lang") =!= DsirTargetLang)
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    docB.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sum(col("n") * col("lr_micro")).as("logw_micro"),
+        sum(col("n")).as("n_tok"))
+      .orderBy(col("logw_micro").desc, col("doc_id").asc)
+      .limit(DsirTopK)
+      .withColumn("rnk", row_number().over(Window.orderBy(
+        col("logw_micro").desc, col("doc_id").asc)))
+      .select(col("rnk"), col("doc_id"), col("lang"), col("source"),
+        col("logw_micro"), col("n_tok"))
+      .orderBy(col("rnk"))
+  }
+
+  /** DuckDB twin: identical md5 buckets, micro-nat floor, integer
+    * dot, top-k cut.
+    */
+  val dsirSelectSql: String = {
+    val bucket = graft.operators.Scale.hashBucketSql("tok", DsirBuckets)
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, source, $bucket AS b
+       |  FROM (SELECT doc_id, lang, source,
+       |          unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |), tot AS (
+       |  SELECT count(*) AS n_src,
+       |    sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS n_tgt
+       |  FROM toks
+       |), lr AS (
+       |  SELECT g.b,
+       |    CAST(floor(1e6 * (
+       |      ln(CAST(COALESCE(t.c_tgt, 0) + 1 AS DOUBLE)
+       |         / (tot.n_tgt + $DsirBuckets))
+       |      - ln(CAST(COALESCE(s.c_src, 0) + 1 AS DOUBLE)
+       |           / (tot.n_src + $DsirBuckets)))) AS BIGINT) AS lr_micro
+       |  FROM (SELECT unnest(range(0, $DsirBuckets)) AS b) g
+       |  LEFT JOIN (SELECT b, count(*) AS c_src FROM toks GROUP BY b) s
+       |    ON s.b = g.b
+       |  LEFT JOIN (SELECT b, count(*) AS c_tgt FROM toks
+       |             WHERE lang = '$DsirTargetLang' GROUP BY b) t
+       |    ON t.b = g.b
+       |  CROSS JOIN tot
+       |), doc AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(sum(n * lr_micro) AS BIGINT) AS logw_micro,
+       |    CAST(sum(n) AS BIGINT) AS n_tok
+       |  FROM (
+       |    SELECT doc_id, lang, source, b, count(*) AS n FROM toks
+       |    WHERE lang <> '$DsirTargetLang'
+       |    GROUP BY 1, 2, 3, 4) db
+       |  JOIN lr USING (b)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC) AS rnk,
+       |  doc_id, lang, source, logw_micro, n_tok
+       |FROM doc
+       |ORDER BY logw_micro DESC, doc_id ASC
+       |LIMIT $DsirTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
     "q_vocab_oov" -> ((s: SparkSession, d: String) => vocabOov(s, d)),
@@ -2722,6 +2847,7 @@ object TextOps {
     * oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,
     "q_vocab_oov" -> vocabOovSql,

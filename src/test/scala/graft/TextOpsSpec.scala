@@ -1017,6 +1017,57 @@ class TextOpsSpec extends SparkSpec {
       s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
   }
 
+  test("DSIR selection: replays a driver-side hashed-ngram importance weighting") {
+    import graft.analytics.TextOps
+    val docs = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ", -1).toSeq))
+    // identical md5 bucket rule, via the SQL expression the engine uses
+    val allToks = docs.flatMap { case (_, _, _, ts) => ts }.distinct
+    val spark2 = spark
+    import spark2.implicits._
+    val bucketOf = allToks.toSeq.toDF("tok")
+      .select(col("tok"), graft.operators.Scale.hashBucket(col("tok"),
+        TextOps.DsirBuckets).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val B = TextOps.DsirBuckets
+    val src = new Array[Long](B); val tgt = new Array[Long](B)
+    var nSrc = 0L; var nTgt = 0L
+    docs.foreach { case (_, lang, _, ts) =>
+      ts.foreach { t =>
+        val b = bucketOf(t).toInt
+        src.update(b, src(b) + 1L)
+        nSrc += 1
+        if (lang == TextOps.DsirTargetLang) {
+          tgt.update(b, tgt(b) + 1L)
+          nTgt += 1
+        }
+      }
+    }
+    val lr = (0 until B).map(b => math.floor(1e6 * (
+      math.log((tgt(b) + 1).toDouble / (nTgt + B)) -
+        math.log((src(b) + 1).toDouble / (nSrc + B)))).toLong)
+    val expected = docs.filter(_._2 != TextOps.DsirTargetLang)
+      .map { case (id, lang, source, ts) =>
+        (id, lang, source, ts.map(t => lr(bucketOf(t).toInt)).sum,
+          ts.length.toLong)
+      }
+      .sortBy { case (id, _, _, w, _) => (-w, id) }
+      .take(TextOps.DsirTopK)
+    val got = TextOps.dsirSelect(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[Long]("logw_micro"),
+        r.getAs[Long]("n_tok")))
+    assert(got.toSeq == expected.toSeq,
+      s"DSIR selection does not replay: got ${got.take(3).toSeq}... " +
+        s"expected ${expected.take(3).toSeq}...")
+    // ranks contiguous
+    val rnks = TextOps.dsirSelect(spark, sf).collect().map(_.getAs[Int]("rnk"))
+    assert(rnks.toSeq == (1 to got.length))
+  }
+
   test("RAKE keywords: replays a driver-side run-split + degree/freq scoring") {
     import graft.analytics.TextOps
     val stop = Set("the", "a")
