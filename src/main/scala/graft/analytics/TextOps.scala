@@ -2096,6 +2096,119 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Interpolated Kneser-Ney bigram model
+  // ---------------------------------------------------------------
+
+  /** KN discount in quarters (3 = the standard d = 0.75), bigrams kept
+    * per language, and the minimum support below which the
+    * highest-probability list would be hapax noise.
+    */
+  val KnDiscountQuarters = 3
+  val KnTopK = 10
+  val KnMinCount = 5L
+
+  /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    * Goodman 1999's benchmark smoothing for n-gram LMs) — per
+    * language, the [[KnTopK]] highest-probability bigrams under
+    *   P(w2|w1) = max(c12 − d, 0)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+    * with d = [[KnDiscountQuarters]]/4: absolute discounting plus the
+    * continuation-probability backoff that makes KN the production
+    * smoothing ("san Francisco" scores low as a continuation even
+    * though "Francisco" is frequent, because it follows few contexts).
+    *
+    * Arithmetic: with d in quarters every term is an exact integer
+    * rational — P = ((4·c12 − 3)·nbt + 3·n1p_w1·n1p_w2) / (4·c1·nbt) —
+    * and the emitted micro-probability is one positive integer DIV
+    * (trunc ≡ floor for positives, identical on both engines). No
+    * float exists anywhere, so ranking cannot drift. The 1e6·num
+    * intermediate stays inside BIGINT while c12·nbt < 9.2e12 (far
+    * beyond these corpora; a 100 TB run switches the scoring
+    * projection to the equivalent double form, ranking unchanged).
+    *
+    * Scale shape: every model table (c12/c1/N1+ margins/type totals)
+    * derives from the ONE aggregated per-language bigram table —
+    * vocabulary-sized by Heaps' law, the same discipline as PMI; the
+    * corpus is scanned once, margins are sums over the aggregate, and
+    * the final per-language top-k ranks a vocabulary-sized frame.
+    */
+  def lmKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    def bigrams(c: Column): Column = {
+      val t = split(c, " ")
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", slice(t, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val d = KnDiscountQuarters
+    val c2 = documents(spark, dir)
+      .select(col("lang"), explode(bigrams(col("text"))).as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .localCheckpoint() // one bigram model table feeds all margins
+    val left = c2.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1"))
+    val right = c2.groupBy(col("lang"), col("w2"))
+      .agg(count(lit(1)).as("n1p_w2"))
+    val total = c2.groupBy(col("lang")).agg(count(lit(1)).as("nbt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("p_micro").desc, col("bg").asc)
+    c2.join(left, Seq("lang", "w1"))
+      .join(right, Seq("lang", "w2"))
+      .join(broadcast(total), Seq("lang"))
+      .filter(col("c12") >= KnMinCount)
+      .withColumn("p_micro",
+        expr(s"(1000000 * ((4 * c12 - $d) * nbt + $d * n1p_w1 * n1p_w2))" +
+          s" DIV (4 * c1 * nbt)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnTopK)
+      .select(col("lang"), col("rnk"), col("bg").as("bigram"),
+        col("c12"), col("c1"), col("p_micro"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** DuckDB twin: same single bigram model table, margins, exact
+    * rational micro-probability (`//` ≡ Spark DIV for positives).
+    */
+  val lmKneserNeySql: String = {
+    val d = KnDiscountQuarters
+    s"""WITH tb AS (
+       |  SELECT lang, array_to_string(list_slice(t, i, i + 1), ' ') AS bg
+       |  FROM (SELECT lang, string_split(text, ' ') AS t FROM documents),
+       |    unnest(range(1, len(t))) AS u(i)
+       |), c2 AS (
+       |  SELECT lang, bg, split_part(bg, ' ', 1) AS w1,
+       |    split_part(bg, ' ', 2) AS w2, count(*) AS c12
+       |  FROM tb GROUP BY 1, 2, 3, 4
+       |), lft AS (
+       |  SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |    count(*) AS n1p_w1
+       |  FROM c2 GROUP BY 1, 2
+       |), rgt AS (
+       |  SELECT lang, w2, count(*) AS n1p_w2 FROM c2 GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT lang, count(*) AS nbt FROM c2 GROUP BY 1
+       |), scored AS (
+       |  SELECT c2.lang, c2.bg, c2.c12, lft.c1,
+       |    (1000000 * ((4 * c2.c12 - $d) * tot.nbt
+       |                + $d * lft.n1p_w1 * rgt.n1p_w2))
+       |      // (4 * lft.c1 * tot.nbt) AS p_micro
+       |  FROM c2
+       |  JOIN lft ON lft.lang = c2.lang AND lft.w1 = c2.w1
+       |  JOIN rgt ON rgt.lang = c2.lang AND rgt.w2 = c2.w2
+       |  JOIN tot ON tot.lang = c2.lang
+       |  WHERE c2.c12 >= $KnMinCount
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |      ORDER BY p_micro DESC, bg ASC) AS rnk
+       |  FROM scored
+       |)
+       |SELECT lang, rnk, bg AS bigram, c12, c1, p_micro
+       |FROM ranked WHERE rnk <= $KnTopK
+       |ORDER BY lang, rnk""".stripMargin
+  }
+
   /** Collocation-mining knobs: minimum bigram support (PMI explodes on
     * hapax pairs) and collocations kept per language.
     */
@@ -2806,6 +2919,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_kneser_ney" -> (lmKneserNey _),
     "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
@@ -2847,6 +2961,7 @@ object TextOps {
     * oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "q_lm_kneser_ney" -> lmKneserNeySql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,

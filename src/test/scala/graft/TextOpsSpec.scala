@@ -1017,6 +1017,45 @@ class TextOpsSpec extends SparkSpec {
       s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
   }
 
+  test("Kneser-Ney bigrams: replays a driver-side model build; probabilities are discounted") {
+    import graft.analytics.TextOps
+    val docs = graft.ingest.Sources.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    val byLang = docs.groupBy(_._1)
+    val expected = byLang.toSeq.flatMap { case (lang, ds) =>
+      val bgs = ds.flatMap { case (_, ts) => ts.sliding(2).filter(_.length == 2)
+        .map(p => s"${p(0)} ${p(1)}") }
+      val c2 = bgs.groupBy(identity).map { case (bg, xs) => bg -> xs.size.toLong }
+      val c1 = c2.groupBy(_._1.split(" ")(0)).map { case (w1, m) =>
+        w1 -> m.values.sum }
+      val n1pW1 = c2.groupBy(_._1.split(" ")(0)).map { case (w1, m) =>
+        w1 -> m.size.toLong }
+      val n1pW2 = c2.groupBy(_._1.split(" ")(1)).map { case (w2, m) =>
+        w2 -> m.size.toLong }
+      val nbt = c2.size.toLong
+      val d = TextOps.KnDiscountQuarters
+      c2.filter(_._2 >= TextOps.KnMinCount).toSeq.map { case (bg, c12) =>
+        val Array(w1, w2) = bg.split(" ")
+        val p = (1000000L * ((4 * c12 - d) * nbt + d * n1pW1(w1) * n1pW2(w2))) /
+          (4 * c1(w1) * nbt)
+        (lang, bg, c12, c1(w1), p)
+      }.sortBy { case (_, bg, _, _, p) => (-p, bg) }
+        .take(TextOps.KnTopK).zipWithIndex
+        .map { case ((l, bg, c12, cc1, p), i) => (l, i + 1, bg, c12, cc1, p) }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextOps.lmKneserNey(spark, sf).collect().map(r =>
+      (r.getAs[String]("lang"), r.getAs[Int]("rnk"),
+        r.getAs[String]("bigram"), r.getAs[Long]("c12"),
+        r.getAs[Long]("c1"), r.getAs[Long]("p_micro"))).toSeq
+    assert(got == expected, s"KN model does not replay:\n${got.take(3)}\nvs\n${expected.take(3)}")
+    // discounting: every probability strictly below 1, and positive
+    got.foreach { case (_, _, _, _, _, p) =>
+      assert(p > 0 && p < 1000000L, s"p_micro $p outside (0, 1e6)")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("DSIR selection: replays a driver-side hashed-ngram importance weighting") {
     import graft.analytics.TextOps
     val docs = graft.ingest.Sources.documents(spark, sf)
