@@ -1195,6 +1195,99 @@ object TextOps {
       .orderBy(col("component"))
   }
 
+  /** Leakage-safe train/valid/test split — the assignment rule that
+    * makes a held-out set honest: split membership is decided by the
+    * NEAR-DUP CLUSTER's canonical id (min doc_id of the connected
+    * component under the 0.8-Jaccard pair graph; singletons are their
+    * own cluster), hashed through the engine's one md5 80/10/10 rule
+    * ([[graft.operators.Scale.hashSplit]]). A document can therefore
+    * never see its near-duplicate across the split boundary — the
+    * failure mode a doc-id-hashed split silently ships. The emitted
+    * `cross_pairs` column COUNTS boundary-crossing near-dup pairs
+    * in-band (grouped by the pair's doc_a split) instead of asserting
+    * it: all zeros is part of the hash-gated output.
+    *
+    * Scale shape: the pair graph and components are the
+    * [[dedupClusters]] machinery (bucketed candidates, co-partitioned
+    * CC loop); everything after is one hash per doc and two
+    * doc-keyed joins.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val comp = graft.operators.Graph.connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val assign = documents(spark, dir).select(col("doc_id"))
+      .join(comp.select(col("v").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      .withColumn("split", graft.operators.Scale.hashSplit(col("cluster")))
+      .localCheckpoint() // feeds the rollup and both pair endpoints
+    val splits = assign.groupBy(col("split"))
+      .agg(countDistinct(col("cluster")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+    val xsp = pairs
+      .join(assign.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(assign.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy(col("split_a").as("split"))
+      .agg(count(lit(1)).as("cross_pairs"))
+    splits.join(xsp, Seq("split"), "left")
+      .select(col("split"), col("n_clusters"), col("n_docs"),
+        coalesce(col("cross_pairs"), lit(0L)).as("cross_pairs"))
+      .orderBy(col("split"))
+  }
+
+  /** DuckDB twin: the [[dedupClustersSql]] recursive-closure CTEs for
+    * components, the one hashBucket split rule, and the same in-band
+    * boundary-pair count.
+    */
+  val leakageSafeSplitSql: String = {
+    val bucket = graft.operators.Scale.hashBucketSql("cluster")
+    s"""WITH RECURSIVE
+      |pairs AS (SELECT doc_a, doc_b FROM ($nearDupJaccardSql)),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs
+      |),
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |reach(v, r) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+      |),
+      |comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+      |assign AS (
+      |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+      |  FROM (SELECT doc_id FROM documents) d
+      |  LEFT JOIN comp c USING (doc_id)
+      |), splitted AS (
+      |  SELECT doc_id, cluster,
+      |    CASE WHEN $bucket < 80 THEN 'train'
+      |         WHEN $bucket < 90 THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM assign
+      |), splits AS (
+      |  SELECT split, count(DISTINCT cluster) AS n_clusters,
+      |    count(*) AS n_docs
+      |  FROM splitted GROUP BY split
+      |), xsp AS (
+      |  SELECT sa.split, count(*) AS cross_pairs
+      |  FROM pairs p
+      |  JOIN splitted sa ON sa.doc_id = p.doc_a
+      |  JOIN splitted sb ON sb.doc_id = p.doc_b
+      |  WHERE sa.split <> sb.split
+      |  GROUP BY 1
+      |)
+      |SELECT s.split, s.n_clusters, s.n_docs,
+      |  COALESCE(x.cross_pairs, CAST(0 AS BIGINT)) AS cross_pairs
+      |FROM splits s LEFT JOIN xsp x USING (split)
+      |ORDER BY split""".stripMargin
+  }
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE
       |pairs AS (SELECT doc_a, doc_b FROM ($nearDupJaccardSql)),
@@ -2920,6 +3013,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_kneser_ney" -> (lmKneserNey _),
+    "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
@@ -2962,6 +3056,7 @@ object TextOps {
     */
   val oracles: Map[String, String] = Map(
     "q_lm_kneser_ney" -> lmKneserNeySql,
+    "q_leakage_safe_split" -> leakageSafeSplitSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,

@@ -1017,6 +1017,33 @@ class TextOpsSpec extends SparkSpec {
       s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
   }
 
+  test("leakage-safe split: clusters never straddle splits; totals conserve; doc-id split WOULD leak") {
+    import graft.analytics.TextOps
+    val out = TextOps.leakageSafeSplit(spark, sf).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("cross_pairs"))).toMap
+    // in-band guarantee: zero boundary-crossing near-dup pairs
+    out.values.foreach { case (_, _, x) => assert(x == 0L) }
+    // totals conserve: every document assigned exactly once
+    val nDocs = graft.ingest.Sources.documents(spark, sf).count()
+    assert(out.values.map(_._2).sum == nDocs)
+    assert(out.keySet.subsetOf(Set("train", "valid", "test")))
+    // the guarantee is non-vacuous: hashing the DOC id instead of the
+    // cluster id DOES cross the boundary on this corpus (the planted
+    // near-dup pairs split apart) — i.e. the cluster hop is load-bearing
+    val pairs = TextOps.nearDupJaccard(spark, sf).select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs — test vacuous")
+    val idSplit = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.operators.Scale.hashSplit(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists { case (a, b) => idSplit(a) != idSplit(b) },
+      "doc-id-hashed split happens not to leak on this corpus — " +
+        "strengthen the fixture or the spec is vacuous")
+  }
+
   test("Kneser-Ney bigrams: replays a driver-side model build; probabilities are discounted") {
     import graft.analytics.TextOps
     val docs = graft.ingest.Sources.documents(spark, sf)
