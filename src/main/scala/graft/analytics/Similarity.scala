@@ -1214,6 +1214,140 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // Matryoshka prefix-truncation audit (oracle-checked)
+  // ---------------------------------------------------------------
+
+  /** Prefix dimensionalities audited by [[matryoshkaEval]]. */
+  val MrlDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka-style truncation audit (Kusupati et al. 2022,
+    * "Matryoshka representation learning": serve a PREFIX of each
+    * embedding and pay dim/64 of the memory bandwidth): for each
+    * prefix width, how faithfully does truncated cosine preserve the
+    * full-dim geometry over the standard [[KnnQueries]]-query probe?
+    * Emits per width: pair count, how many queries keep their
+    * full-dim rank-1 neighbor, and the mean |cos_prefix − cos_full|.
+    *
+    * Arithmetic: cosines are the usual exact-integer prefix dots
+    * through one sqrt/divide; deltas are floored to integer MICROS
+    * per pair before summing (order-free integer sum) and the mean is
+    * one positive-operand DIV — the dim=64 row's delta is exactly 0
+    * and its top-1 retention exactly [[KnnQueries]], an in-band
+    * self-check the hash gate covers.
+    *
+    * Scale shape: the corpus×dims frame computes each vector's prefix
+    * norm once; queries ride one broadcast; per-(dim, query) top-1 is
+    * the bounded-state [[graft.functions.Aggregators.topK]] (k = 1),
+    * so state is 2 rows per group. Nothing is pairwise in the corpus.
+    */
+  def matryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+    val dims = spark.range(0, MrlDims.length)
+      .select(element_at(typedlit(MrlDims), col("id").cast("int") + 1)
+        .as("dim"))
+    val qv = quantVectors(spark, dir).localCheckpoint()
+    def prefixed(base: DataFrame, idc: String, qc: String) = base
+      .crossJoin(broadcast(dims))
+      .withColumn("pq", slice(col(qc), lit(1), col("dim")))
+      .withColumn("pnrm", sqrt(vecDotLong(col("pq"), col("pq")).cast("double")))
+      .withColumn("fnrm", sqrt(vecDotLong(col(qc), col(qc)).cast("double")))
+    val corpus = prefixed(qv.select(col("vec_id").as("neighbor_id"),
+      col("q").as("cq")), "neighbor_id", "cq")
+      .select(col("dim"), col("neighbor_id"), col("cq"),
+        col("pq").as("cpq"), col("pnrm").as("cpnrm"), col("fnrm").as("cfnrm"))
+    val queries = prefixed(qv.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq")),
+      "query_id", "qq")
+      .select(col("dim"), col("query_id"), col("qq"),
+        col("pq").as("qpq"), col("pnrm").as("qpnrm"), col("fnrm").as("qfnrm"))
+    val tk1 = graft.functions.Aggregators.topK(1)
+    val pairs = corpus.join(broadcast(queries), Seq("dim"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_p", vecDotLong(col("qpq"), col("cpq")).cast("double")
+        / (col("qpnrm") * col("cpnrm")))
+      .withColumn("cos_f", vecDotLong(col("qq"), col("cq")).cast("double")
+        / (col("qfnrm") * col("cfnrm")))
+      .withColumn("delta_micro",
+        abs(floor(col("cos_p") * 1e6).cast("long") -
+          floor(col("cos_f") * 1e6).cast("long")))
+    pairs
+      .groupBy(col("dim"), col("query_id"))
+      .agg(tk1(col("cos_p"), col("neighbor_id"), lit(0L)).as("t_p"),
+        tk1(col("cos_f"), col("neighbor_id"), lit(0L)).as("t_f"),
+        count(lit(1)).as("n"), sum(col("delta_micro")).as("d"))
+      .groupBy(col("dim"))
+      .agg(sum(col("n")).as("n_pairs"),
+        sum(when(element_at(col("t_p"), 1).getField("id") ===
+          element_at(col("t_f"), 1).getField("id"), 1L).otherwise(0L))
+          .as("n_top1_match"),
+        expr("sum(d) DIV sum(n)").as("mean_abs_delta_micro"))
+      .orderBy(col("dim"))
+  }
+
+  /** DuckDB twin: same quantized prefixes, micro-floored deltas,
+    * per-(dim, query) double ranking.
+    */
+  val matryoshkaEvalSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT vec_id,
+       |    list_transform(emb, x ->
+       |      CAST(round(CAST(CAST(x / nrm AS REAL) AS DOUBLE) * $IvfScale)
+       |           AS BIGINT)) AS q
+       |  FROM n
+       |), dims AS (
+       |  SELECT unnest([${MrlDims.mkString(", ")}]) AS dim
+       |), pairs AS (
+       |  SELECT d.dim, qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, d.dim + 1),
+       |           j -> qr.q[j] * c.q[j])) AS DOUBLE)
+       |      / (sqrt(CAST(list_sum(list_transform(range(1, d.dim + 1),
+       |                    j -> qr.q[j] * qr.q[j])) AS DOUBLE))
+       |         * sqrt(CAST(list_sum(list_transform(range(1, d.dim + 1),
+       |                      j -> c.q[j] * c.q[j])) AS DOUBLE))) AS cos_p,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |           j -> qr.q[j] * c.q[j])) AS DOUBLE)
+       |      / (sqrt(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |                    j -> qr.q[j] * qr.q[j])) AS DOUBLE))
+       |         * sqrt(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |                      j -> c.q[j] * c.q[j])) AS DOUBLE))) AS cos_f
+       |  FROM dims d
+       |  CROSS JOIN (SELECT * FROM qv WHERE vec_id < $KnnQueries) qr
+       |  JOIN qv c ON c.vec_id <> qr.vec_id
+       |), stats AS (
+       |  SELECT dim, query_id, count(*) AS nn,
+       |    CAST(sum(abs(CAST(floor(cos_p * 1e6) AS BIGINT)
+       |                 - CAST(floor(cos_f * 1e6) AS BIGINT))) AS BIGINT) AS d
+       |  FROM pairs GROUP BY dim, query_id
+       |), rp AS (
+       |  SELECT dim, query_id, neighbor_id AS top_p FROM (
+       |    SELECT dim, query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY dim, query_id
+       |        ORDER BY cos_p DESC, neighbor_id ASC) AS r
+       |    FROM pairs) WHERE r = 1
+       |), rf AS (
+       |  SELECT dim, query_id, neighbor_id AS top_f FROM (
+       |    SELECT dim, query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY dim, query_id
+       |        ORDER BY cos_f DESC, neighbor_id ASC) AS r
+       |    FROM pairs) WHERE r = 1
+       |)
+       |SELECT dim, CAST(sum(nn) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN top_p = top_f THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_top1_match,
+       |  CAST(sum(d) AS BIGINT) // CAST(sum(nn) AS BIGINT)
+       |    AS mean_abs_delta_micro
+       |FROM stats
+       |JOIN rp USING (dim, query_id)
+       |JOIN rf USING (dim, query_id)
+       |GROUP BY dim
+       |ORDER BY dim""".stripMargin
+
+  // ---------------------------------------------------------------
   // Johnson–Lindenstrauss random projection (oracle-checked)
   // ---------------------------------------------------------------
 
@@ -1923,10 +2057,12 @@ object Similarity {
     "q_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "q_incr_semantic" -> ((s: SparkSession, d: String) => incrSemanticDedup(s, d)),
-    "q_embed_quantize" -> (quantizeInt8 _)
+    "q_embed_quantize" -> (quantizeInt8 _),
+    "q_matryoshka_eval" -> (matryoshkaEval _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_matryoshka_eval" -> matryoshkaEvalSql,
     "q_hard_negatives_ivf" -> hardNegativesIvfSql,
     "q_knn_pq" -> knnPqSql,
     "q_knn_ivfpq" -> knnIvfPqSql,

@@ -476,6 +476,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("vec_id") % 5 == 4))
   }
 
+  test("matryoshka audit: full-dim row is exact; distortion shrinks as the prefix grows") {
+    val rows = Similarity.matryoshkaEval(spark, sf).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_top1_match"),
+          r.getAs[Long]("mean_abs_delta_micro"))).toMap
+    assert(rows.keySet == Similarity.MrlDims.toSet)
+    // the in-band self-check row: prefix 64 IS the full vector
+    val (_, m64, d64) = rows(64)
+    assert(d64 == 0L, s"full-dim delta $d64 != 0")
+    assert(m64 == Similarity.KnnQueries, s"full-dim top-1 retention $m64")
+    // pair accounting: every dim scores the same query x corpus frame
+    val nVec = graft.ingest.Sources.embeddings(spark, sf).count()
+    rows.values.foreach { case (np, _, _) =>
+      assert(np == Similarity.KnnQueries * (nVec - 1)) }
+    // truncation distortion is non-increasing in prefix width
+    val deltas = Similarity.MrlDims.map(d => rows(d)._3)
+    assert(deltas == deltas.sorted(Ordering[Long].reverse),
+      s"distortion not monotone in dim: $deltas")
+    assert(deltas.head > 0, "8-dim prefix shows zero distortion — vacuous fixture")
+  }
+
   test("annRecall: metric row reproduces a driver-side recount of the two top-k sets") {
     val n = 20
     val k = 3
