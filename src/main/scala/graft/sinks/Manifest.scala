@@ -45,6 +45,30 @@ object ManifestTable {
     new org.apache.hadoop.fs.Path(
       s"$path/$ManifestDir/$ManifestPrefix%09d".format(v))
 
+  /** Manifest line format. Round 7 adds FILE-LEVEL COLUMN STATS — the
+    * data-skipping index every lakehouse format carries: a line is
+    * either a bare file name (legacy, never skipped) or
+    * `name\tcol=min..max;col2=min..max` for the file's numeric
+    * columns (bounds as doubles — exact for integers below 2^53;
+    * all-null columns carry no entry and are never skipped).
+    * [[snapshotFiles]] strips the stats, so every pre-existing
+    * consumer (read/vacuum/compact/crash specs) is format-agnostic;
+    * [[pruneFiles]]/[[readBetween]] use them to touch only files
+    * whose range intersects the predicate — the manifest twin of
+    * parquet row-group skipping, at file granularity.
+    */
+  private def nameOf(line: String): String = line.split('\t')(0)
+
+  private def statsOf(line: String): Map[String, (Double, Double)] =
+    line.split('\t') match {
+      case Array(_, st) => st.split(';').iterator.filter(_.nonEmpty).map { e =>
+        val Array(c, rng) = e.split("=", 2)
+        val Array(mn, mx) = rng.split("\\.\\.", 2)
+        c -> (mn.toDouble, mx.toDouble)
+      }.toMap
+      case _ => Map.empty
+    }
+
   /** Committed manifest versions, ascending (empty for a fresh path). */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val mdir = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
@@ -70,9 +94,31 @@ object ManifestTable {
     val in = fs.open(mp)
     try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).map(nameOf).toList
+    } finally in.close()
+  }
+
+  /** Raw manifest lines of snapshot `version` (names + stats). */
+  private def snapshotLines(spark: SparkSession, path: String,
+                            version: Option[Long]): Seq[String] = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val mp = manifestPath(path, v)
+    val fs = fsOf(spark, mp)
+    val in = fs.open(mp)
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim).filter(_.nonEmpty).toList
     } finally in.close()
   }
+
+  /** Per-file numeric column bounds of the snapshot (empty map for
+    * legacy lines written before stats existed).
+    */
+  def snapshotStats(spark: SparkSession, path: String,
+                    version: Option[Long] = None)
+      : Seq[(String, Map[String, (Double, Double)])] =
+    snapshotLines(spark, path, version).map(l => nameOf(l) -> statsOf(l))
 
   /** The snapshot as a DataFrame — exactly the committed files. */
   def read(spark: SparkSession, path: String,
@@ -124,7 +170,7 @@ object ManifestTable {
     // grace, or under clock skew) may have reaped them, and a
     // committed manifest pointing at vanished files is the one state
     // the protocol must never produce — fail the commit instead
-    val missing = files.filterNot(f =>
+    val missing = files.map(nameOf).filterNot(f =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$DataDir/$f")))
     require(missing.isEmpty,
       s"commit: staged files vanished before publish (vacuumed?): " +
@@ -170,8 +216,83 @@ object ManifestTable {
     * previous snapshot stays fully readable throughout (and after,
     * until vacuumed).
     */
-  def replace(df: DataFrame, path: String): Long =
-    commit(df.sparkSession, path, stage(df, path))
+  def replace(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val names = stage(df, path)
+    commit(spark, path, withStats(spark, path, names))
+  }
+
+  /** Manifest lines for staged `names` with per-file numeric min/max
+    * appended — ONE Spark job over the staged files (grouped by
+    * `input_file_name`), the same pass a lakehouse writer folds into
+    * its commit. Columns other than numerics carry no stats; a frame
+    * with no numeric columns commits bare names.
+    */
+  private def withStats(spark: SparkSession, path: String,
+                        names: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val paths = names.map(n => s"$path/$DataDir/$n")
+    if (paths.isEmpty) return names
+    val df = spark.read.parquet(paths: _*)
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name
+    }.toSeq
+    if (numeric.isEmpty) return names
+    val aggs = numeric.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c")))
+    val byFile = df.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val stats = numeric.flatMap { c =>
+          val mn = r.getAs[Any](s"mn_$c")
+          val mx = r.getAs[Any](s"mx_$c")
+          if (mn == null || mx == null) None
+          else Some(s"$c=${mn.asInstanceOf[Double]}..${mx.asInstanceOf[Double]}")
+        }.mkString(";")
+        r.getAs[String]("f") -> stats
+      }.toMap
+    names.map { n =>
+      byFile.collectFirst { case (uri, st) if uri.endsWith(s"/$n") && st.nonEmpty =>
+        s"$n\t$st"
+      }.getOrElse(n) // empty files produce no group -> bare name
+    }
+  }
+
+  /** The snapshot files whose recorded [min, max] for `column`
+    * intersects [lo, hi] — plus every file with no recorded bounds
+    * (legacy lines, all-null columns: skipping must be conservative).
+    * Returns (kept, total).
+    */
+  def pruneFiles(spark: SparkSession, path: String, column: String,
+                 lo: Double, hi: Double,
+                 version: Option[Long] = None): (Seq[String], Int) = {
+    val entries = snapshotStats(spark, path, version)
+    val kept = entries.collect {
+      case (n, st) if st.get(column).forall { case (mn, mx) =>
+        mx >= lo && mn <= hi } => n
+    }
+    (kept, entries.size)
+  }
+
+  /** Range read through the skipping index: only files whose bounds
+    * intersect [lo, hi] are opened; the residual per-row predicate
+    * still applies (file bounds are an envelope, not the rows).
+    */
+  def readBetween(spark: SparkSession, path: String, column: String,
+                  lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val (kept, _) = pruneFiles(spark, path, column, lo, hi)
+    if (kept.isEmpty) {
+      // preserve the schema with zero rows
+      read(spark, path).filter(lit(false))
+    } else {
+      spark.read.parquet(kept.map(n => s"$path/$DataDir/$n"): _*)
+        .filter(c(column) >= lo && c(column) <= hi)
+    }
+  }
 
   /** Pre-manifest data at `path`: a gold table written by a plain
     * directory-layout sink (parquet part files at the path root).

@@ -313,6 +313,47 @@ class ManifestSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("manifest data skipping: range reads open only intersecting files; legacy lines never skip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val path = s"$dir/t"
+    // range-partitioned write -> files with (mostly) disjoint id ranges
+    val df = (0L until 1000L).map(i => (i, s"row$i", i * 2.5)).toDF("id", "s", "v")
+      .repartitionByRange(4, col("id"))
+    ManifestTable.replace(df, path)
+    val stats = ManifestTable.snapshotStats(spark, path)
+    assert(stats.size == 4)
+    // every file carries bounds for both numeric columns, none for strings
+    stats.foreach { case (_, st) =>
+      assert(st.contains("id") && st.contains("v") && !st.contains("s"), st)
+    }
+    // a narrow range prunes: kept strictly fewer than total
+    val (kept, total) = ManifestTable.pruneFiles(spark, path, "id", 100, 150)
+    assert(total == 4 && kept.nonEmpty && kept.size < total,
+      s"no pruning: $kept of $total")
+    // skipped read ≡ full-scan filter, on both indexed columns
+    val viaSkip = ManifestTable.readBetween(spark, path, "id", 100, 150)
+      .collect().map(_.getLong(0)).toSet
+    val viaFull = ManifestTable.read(spark, path)
+      .filter(col("id") >= 100 && col("id") <= 150)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSkip == viaFull && viaSkip.size == 51)
+    val vSkip = ManifestTable.readBetween(spark, path, "v", 10.0, 20.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(vSkip == (4L to 8L).toSet, s"v-range read wrong: $vSkip")
+    // disjoint range -> zero files opened, schema preserved
+    val none = ManifestTable.readBetween(spark, path, "id", 5000, 6000)
+    assert(none.count() == 0 && none.schema.fieldNames.toSeq == Seq("id", "s", "v"))
+    // LEGACY manifest (bare names, pre-stats): skipping must be
+    // conservative — every file kept, reads still correct
+    val names = ManifestTable.snapshotFiles(spark, path)
+    ManifestTable.commit(spark, path, names) // bare-name lines
+    val (keptL, totalL) = ManifestTable.pruneFiles(spark, path, "id", 100, 150)
+    assert(keptL.size == totalL, "legacy lines must never be skipped")
+    assert(ManifestTable.readBetween(spark, path, "id", 100, 150)
+      .count() == 51)
+  }
+
   test("compact rewrites files without a visibility gap; vacuum reaps history and orphans") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mcompact").toString
