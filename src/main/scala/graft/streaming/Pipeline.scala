@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -329,6 +329,34 @@ object Pipeline {
       Seq("sensor_id"), "left")
       .select(col("sensor_id"), col("timestamp"), col("ph_value"),
         col("river"), col("basin"))
+
+  /** Stream-static enrichment against a LIVE [[graft.sinks.ManifestTable]]
+    * dimension — the lakehouse SCD pattern: each micro-batch re-resolves
+    * the dimension's CURRENT committed snapshot inside foreachBatch, so a
+    * dimension update (one atomic manifest commit) becomes visible to the
+    * stream at the next batch boundary, never mid-batch (a static
+    * `spark.read.parquet(dir)` join would race a directory rewrite; the
+    * snapshot read cannot — readers only ever see committed file lists).
+    * Output appends to a checkpointed parquet sink; the enrichment
+    * itself is stateless.
+    */
+  def enrichAgainstManifest(readings: DataFrame, dimPath: String,
+                            outPath: String, checkpoint: String,
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    readings.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dim = graft.sinks.ManifestTable.read(spark, dimPath)
+          .select(col("sensor_id"), col("river"), col("basin"))
+        batch.join(broadcast(dim), Seq("sensor_id"), "left")
+          .select(col("sensor_id"), col("timestamp"), col("ph_value"),
+            col("river"), col("basin"))
+          .write.mode(SaveMode.Append).parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 
   /** Streaming incremental dedup — the live twin of
     * [[graft.analytics.TextOps.incrementalDedup]]: incoming documents

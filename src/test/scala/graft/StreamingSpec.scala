@@ -228,6 +228,46 @@ class StreamingSpec extends SparkSpec {
       "duplicate sensor rows after recovery")
   }
 
+  test("manifest-dim enrichment: a dimension commit becomes visible at the next batch boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dimjoin").toString
+    val dimPath = s"$dir/dim"
+    // dimension snapshot v0
+    graft.sinks.ManifestTable.replace(
+      Seq(("A", "river1", "basinX"), ("B", "river2", "basinY"))
+        .toDF("sensor_id", "river", "basin"), dimPath)
+    val input = MemoryStream[SensorReading](spark)
+    input.addData(reading("A", "2024-01-01 00:00:00"),
+      reading("C", "2024-01-01 00:00:00")) // C unknown in v0
+    val q1 = Pipeline.enrichAgainstManifest(input.toDF(), dimPath,
+      s"$dir/out", s"$dir/chk")
+    q1.awaitTermination()
+    val round1 = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getAs[String]("sensor_id") ->
+        Option(r.getAs[String]("river"))).toMap
+    assert(round1 == Map("A" -> Some("river1"), "C" -> None))
+    // SCD update: one atomic manifest commit rewrites the dimension
+    graft.sinks.ManifestTable.replace(
+      Seq(("A", "river1-renamed", "basinX"), ("C", "river3", "basinZ"))
+        .toDF("sensor_id", "river", "basin"), dimPath)
+    input.addData(reading("A", "2024-01-01 01:00:00"),
+      reading("C", "2024-01-01 01:00:00"))
+    val q2 = Pipeline.enrichAgainstManifest(input.toDF(), dimPath,
+      s"$dir/out", s"$dir/chk")
+    q2.awaitTermination()
+    val all = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[String]("sensor_id"),
+        r.getAs[java.sql.Timestamp]("timestamp"),
+        Option(r.getAs[String]("river"))))
+    // batch-1 rows keep their v0 enrichment; batch-2 rows see v1 —
+    // the commit landed exactly at the batch boundary
+    assert(all.toSet == Set(
+      ("A", ts("2024-01-01 00:00:00"), Some("river1")),
+      ("C", ts("2024-01-01 00:00:00"), None),
+      ("A", ts("2024-01-01 01:00:00"), Some("river1-renamed")),
+      ("C", ts("2024-01-01 01:00:00"), Some("river3"))), all.toSeq)
+  }
+
   test("alert warehouse egress: mid-stream kill, restart, alert table exactly-once by identity") {
     // the reference's alert intent landing in the warehouse seam:
     // stateful alert stream -> foreachBatch upsert into a
