@@ -1214,6 +1214,55 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // Reciprocal (mutual) kNN pairs (oracle-checked)
+  // ---------------------------------------------------------------
+
+  /** Reciprocal nearest neighbors over the IVF index: pairs where
+    * each vector ranks inside the OTHER's top-k — the mutual-kNN
+    * filter that strips asymmetric hub matches (a hub vector lands in
+    * everyone's top-k, but its own top-k holds only its true peers),
+    * the standard precision upgrade for embedding near-dup candidates
+    * and re-ranking (e.g. reciprocal re-ranking in retrieval).
+    * Composes [[knnIvf]] unchanged: one checkpointed kNN table
+    * self-joined on the reversed pair, each unordered pair emitted
+    * once with both ranks. Cosine is taken from one leg — the scoring
+    * expression is symmetric lane-for-lane, so the legs carry the
+    * identical double.
+    *
+    * Scale shape: the kNN table is k rows per vector (corpus × k);
+    * the reversal join is an equi-join of that table with itself on
+    * the pair key — never the corpus against itself.
+    */
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnIvf(spark, dir).localCheckpoint()
+    val fwd = knn.select(col("query_id").as("vec_a"),
+      col("neighbor_id").as("vec_b"), col("rnk").as("rank_ab"),
+      col("cosine"))
+    val bwd = knn.select(col("neighbor_id").as("vec_a"),
+      col("query_id").as("vec_b"), col("rnk").as("rank_ba"))
+    fwd.join(bwd, Seq("vec_a", "vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("rank_ab"),
+        col("rank_ba"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** DuckDB twin: [[knnIvfSql]] embedded once as `base`, self-joined
+    * on the reversed pair.
+    */
+  val mutualKnnSql: String =
+    s"""WITH base AS (
+       |  SELECT * FROM ($knnIvfSql)
+       |)
+       |SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b,
+       |  f.rnk AS rank_ab, b.rnk AS rank_ba, f.cosine
+       |FROM base f
+       |JOIN base b ON b.query_id = f.neighbor_id
+       |           AND b.neighbor_id = f.query_id
+       |WHERE f.query_id < f.neighbor_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------
   // Matryoshka prefix-truncation audit (oracle-checked)
   // ---------------------------------------------------------------
 
@@ -2058,11 +2107,13 @@ object Similarity {
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "q_incr_semantic" -> ((s: SparkSession, d: String) => incrSemanticDedup(s, d)),
     "q_embed_quantize" -> (quantizeInt8 _),
-    "q_matryoshka_eval" -> (matryoshkaEval _)
+    "q_matryoshka_eval" -> (matryoshkaEval _),
+    "q_mutual_knn" -> (mutualKnn _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_matryoshka_eval" -> matryoshkaEvalSql,
+    "q_mutual_knn" -> mutualKnnSql,
     "q_hard_negatives_ivf" -> hardNegativesIvfSql,
     "q_knn_pq" -> knnPqSql,
     "q_knn_ivfpq" -> knnIvfPqSql,

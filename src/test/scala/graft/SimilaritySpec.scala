@@ -476,6 +476,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("vec_id") % 5 == 4))
   }
 
+  test("mutual kNN: exactly the reciprocal subset of the kNN table, symmetric and deduped") {
+    val knn = Similarity.knnIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rnk")).toMap
+    val out = Similarity.mutualKnn(spark, sf).collect()
+    val pairs = out.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    // each emitted pair is reciprocal, ordered, with the true ranks
+    out.foreach { r =>
+      val a = r.getAs[Long]("vec_a"); val b = r.getAs[Long]("vec_b")
+      assert(a < b)
+      assert(knn((a, b)) == r.getAs[Int]("rank_ab"))
+      assert(knn((b, a)) == r.getAs[Int]("rank_ba"))
+    }
+    // and COMPLETE: every reciprocal pair in the kNN table is emitted
+    val expected = knn.keySet.filter { case (a, b) =>
+      a < b && knn.contains((b, a)) }
+    assert(pairs.toSet == expected, s"${pairs.length} vs ${expected.size}")
+    assert(pairs.length == pairs.distinct.length)
+    // non-vacuous both ways: some neighbors are NOT reciprocal
+    assert(expected.nonEmpty, "no mutual pairs — vacuous fixture")
+    assert(expected.size < knn.size / 2, "every pair mutual — filter vacuous")
+  }
+
   test("matryoshka audit: full-dim row is exact; distortion shrinks as the prefix grows") {
     val rows = Similarity.matryoshkaEval(spark, sf).collect()
       .map(r => r.getAs[Int]("dim") ->
