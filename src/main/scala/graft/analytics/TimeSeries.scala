@@ -698,7 +698,60 @@ object TimeSeries {
       |WHERE rn = CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)
       |ORDER BY event_type""".stripMargin
 
+  /** Day-of-week seasonal profile — the classical multiplicative
+    * decomposition's seasonal-index step (index = dow mean / grand
+    * mean) over the [[dailyCents]] spine, per event type. dow 0 is
+    * the spine's epoch weekday (day_idx % 7, epoch 2024-01-01). The
+    * index is computed as TWO mirrored integer divisions —
+    * share_ppm = (1e6·Σ_dow) DIV Σ_total, then ·n_days_total DIV
+    * n_days_dow — every operand positive, so trunc ≡ floor on both
+    * engines and the two-step order is part of the pinned contract
+    * (one combined ratio would overflow i64 at ~10× this corpus;
+    * the two-step keeps every intermediate ≤ 1e6·Σ).
+    *
+    * Scale shape: one corpus scan into the daily spine (the shuffle
+    * ACF/CCF/Theil-Sen already pay), then day-count-sized aggregates
+    * and a broadcast of the |types|-row totals.
+    */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(spark, dir)
+    val byDow = daily
+      .withColumn("dow", pmod(col("day_idx").cast("long"), lit(7L)))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("cents")).as("cents_dow"),
+        count(lit(1)).as("n_days_dow"))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(sum(col("cents")).as("cents_total"),
+        count(lit(1)).as("n_days_total"))
+    byDow.join(broadcast(totals), Seq("event_type"))
+      .withColumn("seasonal_ppm",
+        expr("((1000000 * cents_dow) DIV cents_total)" +
+          " * n_days_total DIV n_days_dow"))
+      .select(col("event_type"), col("dow"), col("n_days_dow"),
+        col("cents_dow"), col("seasonal_ppm"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** DuckDB twin: same spine, same two mirrored `//` steps. */
+  val seasonalProfileSql: String =
+    s"""WITH $dailyCentsSql, byd AS (
+       |  SELECT event_type, day_idx % 7 AS dow,
+       |    CAST(sum(cents) AS BIGINT) AS cents_dow,
+       |    count(*) AS n_days_dow
+       |  FROM daily GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT event_type, CAST(sum(cents) AS BIGINT) AS cents_total,
+       |    count(*) AS n_days_total
+       |  FROM daily GROUP BY 1
+       |)
+       |SELECT b.event_type, b.dow, b.n_days_dow, b.cents_dow,
+       |  ((1000000 * b.cents_dow) // t.cents_total)
+       |    * t.n_days_total // b.n_days_dow AS seasonal_ppm
+       |FROM byd b JOIN tot t USING (event_type)
+       |ORDER BY event_type, dow""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_profile" -> (seasonalProfile _),
     "q_theilsen_trend" -> (theilSenTrend _),
     "q_ccf_daily" -> (ccfDaily _),
     "q_acf_daily" -> (acfDaily _),
@@ -712,6 +765,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_seasonal_profile" -> seasonalProfileSql,
     "q_theilsen_trend" -> theilSenTrendSql,
     "q_ccf_daily" -> ccfDailySql,
     "q_acf_daily" -> acfDailySql,

@@ -386,4 +386,41 @@ class TimeSeriesSpec extends SparkSpec {
       assert(n == days * (days - 1) / 2, s"$et pair count is not C(days,2)")
     }
   }
+
+  test("seasonal profile: weighted-mean identity and driver replay of the two-step ratio") {
+    import graft.analytics.TimeSeries
+    val out = TimeSeries.seasonalProfile(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (et, rows) =>
+      assert(rows.map(_.getAs[Long]("dow")).toSet.subsetOf((0L to 6L).toSet))
+      // identity: day-count-weighted mean of the dow means is the
+      // grand mean, so sum(n_dow * idx)/n_total ~ 1e6 (up to the two
+      // floor steps: each row floors twice, so the weighted mean can
+      // undershoot by at most ~(1 + idx/1e6) per step)
+      val nTot = rows.map(_.getAs[Long]("n_days_dow")).sum
+      val wsum = rows.map(r =>
+        r.getAs[Long]("n_days_dow") * r.getAs[Long]("seasonal_ppm")).sum
+      val wm = wsum.toDouble / nTot
+      assert(math.abs(wm - 1e6) < 2500, s"$et weighted mean $wm far from 1e6")
+      rows.foreach(r => assert(r.getAs[Long]("seasonal_ppm") > 0))
+    }
+    // driver replay of the exact two-step arithmetic for one type
+    val daily = graft.ingest.Sources.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("di"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("di")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getString(0), r.getAs[Int]("di").toLong, r.getAs[Long]("c")))
+    val one = daily.map(_._1).head
+    val mine = daily.filter(_._1 == one)
+    val tot = mine.map(_._3).sum; val n = mine.length.toLong
+    val expect = mine.groupBy(_._2 % 7).map { case (dow, ds) =>
+      dow -> ((1000000L * ds.map(_._3).sum) / tot * n / ds.length)
+    }
+    out.filter(_.getAs[String]("event_type") == one).foreach { r =>
+      assert(r.getAs[Long]("seasonal_ppm") == expect(r.getAs[Long]("dow")),
+        s"dow ${r.getAs[Long]("dow")} does not replay")
+    }
+  }
 }
