@@ -185,13 +185,118 @@ object Privacy {
       |ORDER BY o_orderpriority, o_year""".stripMargin
   }
 
+  /** Per-user contribution bounds for [[dpUserCounts]]: a customer
+    * counts at most [[DpMaxPerCell]] orders inside any one cell (L∞)
+    * and contributes to at most [[DpMaxCellsPerUser]] cells (L0) —
+    * user-level sensitivity ≤ L0·L∞ = 6.
+    */
+  val DpMaxCellsPerUser = 3
+  val DpMaxPerCell = 2L
+
+  /** USER-level DP count release — the contribution-bounding step
+    * [[dpCounts]] (event-level) omits, and the one that actually
+    * bounds a user's influence in training-data statistics: each
+    * customer's per-cell order count is clipped at [[DpMaxPerCell]],
+    * then each customer keeps only [[DpMaxCellsPerUser]] cells —
+    * selected by the md5-uniform of (customer, cell), the
+    * deterministic twin of the mechanism's random cell sampling (and
+    * crucially INDEPENDENT of the data values, so the selection
+    * itself leaks nothing). The bounded counts then draw the same
+    * truncated-geometric noise as [[dpCounts]] (larger sensitivity ⇒
+    * a real release would scale ε accordingly; the mechanism shape is
+    * identical). Emits raw vs bounded vs noisy per cell — the
+    * clipping loss is part of the certified output.
+    *
+    * Scale shape: one shuffle to (customer, cell) counts; the L0 cut
+    * is a per-customer window over ≤ |cells| rows (priority × year —
+    * dozens, corpus-size-independent); the release is a cell-count
+    * aggregate.
+    */
+  def dpUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    val perCell = Sources.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("contrib", least(col("n"), lit(DpMaxPerCell)))
+    val sel = graft.operators.Scale.md5Uniform(
+      concat(lit("dpsel:"), col("o_custkey"), lit(":"),
+        col("o_orderpriority"), lit(":"), col("o_year").cast("string")))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(sel.asc, col("o_orderpriority").asc, col("o_year").asc)
+    val bounded = perCell
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= DpMaxCellsPerUser)
+      .groupBy(col("o_orderpriority"), col("o_year"))
+      .agg(sum(col("contrib")).as("n_bounded"))
+    val raw = Sources.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_raw"))
+    val u = graft.operators.Scale.md5Uniform(
+      concat(lit("dpu:"), col("o_orderpriority"), lit(":"),
+        col("o_year").cast("string")))
+    val noise = GeoCdf.reverse
+      .foldLeft(lit(8L): org.apache.spark.sql.Column) {
+        case (tail, (t, k)) =>
+          when(u < lit(t.toDouble), k.toLong).otherwise(tail)
+      }
+    raw.join(bounded, Seq("o_orderpriority", "o_year"), "left")
+      .withColumn("n_bounded", coalesce(col("n_bounded"), lit(0L)))
+      .withColumn("noise", noise)
+      .withColumn("n_noisy", greatest(col("n_bounded") + col("noise"), lit(0L)))
+      .orderBy(col("o_orderpriority"), col("o_year"))
+  }
+
+  /** DuckDB twin: same clip, same md5 cell selection, same noise. */
+  val dpUserCountsSql: String = {
+    val sel = graft.operators.Scale.md5UniformSql(
+      "'dpsel:' || o_custkey || ':' || o_orderpriority || ':' || CAST(o_year AS VARCHAR)")
+    val uni = graft.operators.Scale.md5UniformSql(
+      "'dpu:' || o_orderpriority || ':' || CAST(o_year AS VARCHAR)")
+    val cases = GeoCdf
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString(" ")
+    s"""WITH per_cell AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |    CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+      |    least(count(*), $DpMaxPerCell) AS contrib
+      |  FROM orders GROUP BY 1, 2, 3
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY $sel ASC, o_orderpriority ASC, o_year ASC) AS rk
+      |  FROM per_cell
+      |), bounded AS (
+      |  SELECT o_orderpriority, o_year,
+      |    CAST(sum(contrib) AS BIGINT) AS n_bounded
+      |  FROM ranked WHERE rk <= $DpMaxCellsPerUser
+      |  GROUP BY 1, 2
+      |), raw AS (
+      |  SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    count(*) AS n_raw
+      |  FROM orders GROUP BY 1, 2
+      |), drawn AS (
+      |  SELECT r.o_orderpriority, r.o_year, r.n_raw,
+      |    COALESCE(b.n_bounded, 0) AS n_bounded, $uni AS u
+      |  FROM raw r LEFT JOIN bounded b USING (o_orderpriority, o_year)
+      |), noised AS (
+      |  SELECT o_orderpriority, o_year, n_raw, n_bounded,
+      |    CAST(CASE $cases ELSE 8 END AS BIGINT) AS noise
+      |  FROM drawn
+      |)
+      |SELECT o_orderpriority, o_year, n_raw, n_bounded, noise,
+      |  greatest(n_bounded + noise, 0) AS n_noisy
+      |FROM noised
+      |ORDER BY o_orderpriority, o_year""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_user_counts" -> (dpUserCounts _),
     "q_dp_counts" -> (dpCounts _),
     "q_pii_mask" -> (piiMask _),
     "q_l_diversity" -> (lDiversity _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dp_user_counts" -> dpUserCountsSql,
     "q_dp_counts" -> dpCountsSql,
     "q_pii_mask" -> piiMaskSql,
     "q_l_diversity" -> lDiversitySql

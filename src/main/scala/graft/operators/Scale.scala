@@ -93,6 +93,17 @@ object Scale {
     (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("bigint").cast("double") / 4294967296.0)
 
+  /** JVM twin of [[md5Uniform]] — the driver-side replay specs use
+    * it to re-derive sampling decisions without a Spark job; same
+    * first-md5-word / 2^32 rule, byte for byte.
+    */
+  def md5UniformJvm(key: String): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val w = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(w, 16).toDouble / 4294967296.0
+  }
+
   /** DuckDB twin of [[md5Uniform]] — ONE SQL form of the rule. */
   def md5UniformSql(key: String): String =
     s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8)) AS BIGINT)" +

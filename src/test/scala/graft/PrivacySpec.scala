@@ -93,4 +93,48 @@ class PrivacySpec extends SparkSpec {
       s"truncated ladder biased: mean ${stats.getDouble(1)}")
     assert(stats.getLong(2) <= 8L)
   }
+
+  test("DP user counts: per-user influence is bounded by L0*Linf; bounding only ever shrinks") {
+    import graft.analytics.Privacy
+    val out = Privacy.dpUserCounts(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val raw = r.getAs[Long]("n_raw"); val b = r.getAs[Long]("n_bounded")
+      assert(b <= raw, "clipping increased a count")
+      assert(math.abs(r.getAs[Long]("noise")) <= 8)
+      assert(r.getAs[Long]("n_noisy") == math.max(b + r.getAs[Long]("noise"), 0L))
+    }
+    // driver replay: per-customer total contribution across ALL cells
+    // is <= DpMaxCellsPerUser * DpMaxPerCell, and the kept-cell
+    // selection replays from the md5 rule
+    val perCell = graft.ingest.Sources.orders(spark, sf)
+      .groupBy(col("o_custkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val uniOf = perCell.map { case (c, p, y, _) =>
+      ((c, p, y), graft.operators.Scale.md5UniformJvm(s"dpsel:$c:$p:$y"))
+    }.toMap
+    val boundedByCell = scala.collection.mutable.Map.empty[(String, Int), Long]
+    perCell.groupBy(_._1).foreach { case (_, cells) =>
+      val kept = cells.sortBy { case (c, p, y, _) => (uniOf((c, p, y)), p, y) }
+        .take(Privacy.DpMaxCellsPerUser)
+      val total = kept.map(t => math.min(t._4, Privacy.DpMaxPerCell)).sum
+      assert(total <= Privacy.DpMaxCellsPerUser * Privacy.DpMaxPerCell)
+      kept.foreach { case (_, p, y, n) =>
+        val k = (p, y)
+        boundedByCell(k) = boundedByCell.getOrElse(k, 0L) +
+          math.min(n, Privacy.DpMaxPerCell)
+      }
+    }
+    out.foreach { r =>
+      val k = (r.getAs[String]("o_orderpriority"), r.getAs[Int]("o_year"))
+      assert(boundedByCell.getOrElse(k, 0L) == r.getAs[Long]("n_bounded"),
+        s"cell $k bounded count does not replay")
+    }
+    // the clip is non-vacuous on this corpus
+    assert(out.exists(r => r.getAs[Long]("n_bounded") < r.getAs[Long]("n_raw")),
+      "bounding changed nothing - vacuous fixture")
+  }
 }
