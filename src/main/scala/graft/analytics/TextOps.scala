@@ -1195,6 +1195,50 @@ object TextOps {
       .orderBy(col("component"))
   }
 
+  /** MinHash banding quality harness — the text twin of the embedding
+    * side's q_ann_recall, and the measurement that justifies a banding
+    * choice before a 100 TB dedup run: exact near-dup pairs
+    * ([[nearDupJaccard]], true Jaccard ≥ 0.8, AllPairs-verified) vs
+    * the LSH pipeline's candidates ([[minHashLsh]], 32 sigs / 8
+    * bands, est ≥ 0.75), scored as precision/recall in exact ppm
+    * (integer hits, positive-operand DIV). Both pipelines run
+    * unchanged — this is one full-outer join of their k-row pair
+    * outputs plus one aggregate; nothing new touches the corpus.
+    */
+  def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = nearDupJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("e"))
+    val lsh = minHashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("l"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("e")).as("n_exact"), count(col("l")).as("n_lsh"),
+        count(when(col("e").isNotNull && col("l").isNotNull, 1)).as("n_hit"))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        expr("CASE WHEN n_lsh = 0 THEN 0" +
+          " ELSE (1000000 * n_hit) DIV n_lsh END").as("precision_ppm"),
+        expr("CASE WHEN n_exact = 0 THEN 0" +
+          " ELSE (1000000 * n_hit) DIV n_exact END").as("recall_ppm"))
+  }
+
+  /** DuckDB twin: both existing pipelines embedded as subqueries.
+    * (lazy: [[minHashLshSql]] initializes later in the file.)
+    */
+  lazy val minhashRecallSql: String =
+    s"""SELECT count(e.doc_a) AS n_exact, count(l.doc_a) AS n_lsh,
+       |  count(CASE WHEN e.doc_a IS NOT NULL AND l.doc_a IS NOT NULL
+       |        THEN 1 END) AS n_hit,
+       |  CASE WHEN count(l.doc_a) = 0 THEN 0
+       |       ELSE (1000000 * count(CASE WHEN e.doc_a IS NOT NULL
+       |                AND l.doc_a IS NOT NULL THEN 1 END))
+       |            // count(l.doc_a) END AS precision_ppm,
+       |  CASE WHEN count(e.doc_a) = 0 THEN 0
+       |       ELSE (1000000 * count(CASE WHEN e.doc_a IS NOT NULL
+       |                AND l.doc_a IS NOT NULL THEN 1 END))
+       |            // count(e.doc_a) END AS recall_ppm
+       |FROM ($nearDupJaccardSql) e
+       |FULL OUTER JOIN ($minHashLshSql) l
+       |  ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b""".stripMargin
+
   /** Leakage-safe train/valid/test split — the assignment rule that
     * makes a held-out set honest: split membership is decided by the
     * NEAR-DUP CLUSTER's canonical id (min doc_id of the connected
@@ -3014,6 +3058,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_kneser_ney" -> (lmKneserNey _),
     "q_leakage_safe_split" -> (leakageSafeSplit _),
+    "q_minhash_recall" -> (minhashRecall _),
     "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
@@ -3057,6 +3102,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q_lm_kneser_ney" -> lmKneserNeySql,
     "q_leakage_safe_split" -> leakageSafeSplitSql,
+    "q_minhash_recall" -> minhashRecallSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,

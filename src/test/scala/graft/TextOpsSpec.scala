@@ -1017,6 +1017,27 @@ class TextOpsSpec extends SparkSpec {
       s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
   }
 
+  test("minhash recall harness: counts replay from the two pair sets; metrics are the exact ratios") {
+    import graft.analytics.TextOps
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(TextOps.nearDupJaccard(spark, sf))
+    val lsh = pairs(TextOps.minHashLsh(spark, sf))
+    val row = TextOps.minhashRecall(spark, sf).collect().head
+    assert(row.getAs[Long]("n_exact") == exact.size)
+    assert(row.getAs[Long]("n_lsh") == lsh.size)
+    assert(row.getAs[Long]("n_hit") == (exact & lsh).size)
+    assert(row.getAs[Long]("precision_ppm") ==
+      (if (lsh.isEmpty) 0L else 1000000L * (exact & lsh).size / lsh.size))
+    assert(row.getAs[Long]("recall_ppm") ==
+      (if (exact.isEmpty) 0L else 1000000L * (exact & lsh).size / exact.size))
+    // the banding is configured for ≥0.99 theoretical recall at J=0.8
+    // (1-(1-J^4)^8); demand ≥ 0.9 observed on the fixture
+    assert(exact.isEmpty || row.getAs[Long]("recall_ppm") >= 900000L,
+      s"LSH recall ${row.getAs[Long]("recall_ppm")} ppm below banding promise")
+  }
+
   test("leakage-safe split: clusters never straddle splits; totals conserve; doc-id split WOULD leak") {
     import graft.analytics.TextOps
     val out = TextOps.leakageSafeSplit(spark, sf).collect()
