@@ -101,7 +101,41 @@ object StreamBench {
     probeRows.length / secs
   }
 
-  /** Runs both microbenches; returns the JSON object for the
+  /** Readings/sec through the full stateful-alert → manifest-upsert
+    * topology ([[graft.streaming.Pipeline.alertsToWarehouse]]): wire
+    * parse, flatMapGroupsWithState, foreachBatch snapshot merge and
+    * atomic commit all on the clock — the end-to-end cost of the
+    * exactly-once alert table, not just the parse.
+    */
+  private def alertUpsertRate(spark: SparkSession): Double = {
+    import spark.implicits._
+    import graft.streaming.Pipeline
+    import graft.model.Schemas.SensorReading
+    val input = MemoryStream[SensorReading](spark)
+    val nSensors = 64
+    val rows = (0 until 8192).map { i =>
+      val bad = (i / nSensors) % 8 < 4 // alternating bad/healthy runs
+      SensorReading(f"S${i % nSensors}%03d",
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${i / nSensors / 60}%02d:${i / nSensors % 60}%02d:00"),
+        Some(if (bad) 5.0f else 7.5f), Some(50f), Some(100f))
+    }
+    val dir = tempDir("alertwh")
+    val q = Pipeline.alertsToWarehouse(input.toDS(), s"$dir/gold",
+      s"$dir/chk", org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val t0 = System.nanoTime()
+    try {
+      rows.grouped(2048).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(graft.sinks.ManifestTable.read(spark, s"$dir/gold").count() > 0,
+      "alert warehouse bench produced no alerts")
+    rows.length / secs
+  }
+
+  /** Runs the microbenches; returns the JSON object for the
     * `streaming_rows_per_sec` field. A failed microbench reports -1
     * rather than killing the batch bench artifact.
     */
@@ -115,6 +149,7 @@ object StreamBench {
       }
     val sink = guard("parquet_sink")(parquetSinkRate(spark))
     val probe = guard("dedup_probe")(dedupProbeRate(spark, sfDir))
-    f"""{"parquet_sink":$sink%.1f,"dedup_probe":$probe%.1f}"""
+    val alert = guard("alert_upsert")(alertUpsertRate(spark))
+    f"""{"parquet_sink":$sink%.1f,"dedup_probe":$probe%.1f,"alert_upsert":$alert%.1f}"""
   }
 }
