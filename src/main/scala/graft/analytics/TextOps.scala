@@ -2346,6 +2346,77 @@ object TextOps {
        |ORDER BY lang, rnk""".stripMargin
   }
 
+  /** Curriculum stages over the difficulty distribution. */
+  val CurriculumStages = 4
+
+  /** Curriculum staging by LM difficulty (Bengio et al. 2009's
+    * easy-first curriculum, operationalized the way data pipelines
+    * ship it): eval-split documents are scored by [[lmPerplexity]]'s
+    * per-doc avg NLL, the NLL axis is binned to deci-nats (a bounded
+    * histogram — floor of the already-rounded score, identical on
+    * both engines), and stage boundaries fall at equal CUMULATIVE
+    * TOKEN quarters over the binned distribution — the histogram
+    * quantile cut every at-scale system uses instead of a global sort
+    * (a `ntile` over the corpus would funnel every row through one
+    * task's sort; the histogram keeps all post-scan work bounded by
+    * the bin domain). stage = (4·cum_tokens_before_bin) DIV total —
+    * positive integers end to end.
+    *
+    * Scale shape: the expensive part IS [[lmPerplexity]] (one model
+    * join); staging adds one bin aggregation + a window over the
+    * bounded bin table.
+    */
+  def curriculumStages(spark: SparkSession, dir: String): DataFrame = {
+    val base = lmPerplexity(spark, dir)
+      .withColumn("bin", floor(col("avg_nll") * 10).cast("long"))
+    val bins = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("total", sum(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("stage", least(
+        expr(s"($CurriculumStages * (cum - n_tokens)) DIV total"),
+        lit((CurriculumStages - 1).toLong)))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("bin")).as("bin_lo"), max(col("bin")).as("bin_hi"))
+      .orderBy(col("stage"))
+  }
+
+  /** DuckDB twin: [[lmPerplexitySql]] embedded, same bins, same
+    * cumulative-quarter staging.
+    */
+  lazy val curriculumStagesSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, n_tok, avg_nll,
+       |    CAST(floor(avg_nll * 10) AS BIGINT) AS bin
+       |  FROM ($lmPerplexitySql)
+       |), bins AS (
+       |  SELECT bin, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM base GROUP BY bin
+       |), staged AS (
+       |  SELECT *,
+       |    least(($CurriculumStages *
+       |        (CAST(sum(n_tokens) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              AS BIGINT)
+       |         - n_tokens))
+       |      // CAST(sum(n_tokens) OVER () AS BIGINT),
+       |      CAST(${CurriculumStages - 1} AS BIGINT)) AS stage
+       |  FROM bins
+       |)
+       |SELECT stage, count(*) AS n_bins,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(bin) AS bin_lo, max(bin) AS bin_hi
+       |FROM staged
+       |GROUP BY stage
+       |ORDER BY stage""".stripMargin
+
   /** Collocation-mining knobs: minimum bigram support (PMI explodes on
     * hapax pairs) and collocations kept per language.
     */
@@ -3059,6 +3130,7 @@ object TextOps {
     "q_lm_kneser_ney" -> (lmKneserNey _),
     "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_minhash_recall" -> (minhashRecall _),
+    "q_curriculum_stages" -> (curriculumStages _),
     "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
@@ -3103,6 +3175,7 @@ object TextOps {
     "q_lm_kneser_ney" -> lmKneserNeySql,
     "q_leakage_safe_split" -> leakageSafeSplitSql,
     "q_minhash_recall" -> minhashRecallSql,
+    "q_curriculum_stages" -> curriculumStagesSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,

@@ -1017,6 +1017,36 @@ class TextOpsSpec extends SparkSpec {
       s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
   }
 
+  test("curriculum stages: token-mass quarters, difficulty-ordered, totals conserve") {
+    import graft.analytics.TextOps
+    val out = TextOps.curriculumStages(spark, sf).collect()
+      .map(r => (r.getAs[Long]("stage"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("bin_lo"),
+        r.getAs[Long]("bin_hi"))).sortBy(_._1)
+    assert(out.nonEmpty && out.map(_._1).forall(s => s >= 0 && s < 4))
+    // stages are difficulty-ordered and non-overlapping on the bin axis
+    out.sliding(2).foreach {
+      case Array((_, _, _, _, hi1), (_, _, _, lo2, _)) => assert(hi1 < lo2)
+      case _ => ()
+    }
+    // totals conserve against the base scoring
+    val base = TextOps.lmPerplexity(spark, sf).collect()
+    assert(out.map(_._2).sum == base.length)
+    assert(out.map(_._3).sum == base.map(_.getAs[Long]("n_tok")).sum)
+    // each stage except possibly the last holds <= ~a quarter + one
+    // bin of token mass (histogram granularity, not doc granularity)
+    val total = out.map(_._3).sum
+    val maxBinMass = {
+      val bins = base.groupBy(r => math.floor(r.getAs[Double]("avg_nll") * 10))
+        .map(_._2.map(_.getAs[Long]("n_tok")).sum)
+      bins.max
+    }
+    out.foreach { case (s, _, tok, _, _) =>
+      assert(tok <= total / 4 + maxBinMass,
+        s"stage $s mass $tok exceeds quarter + bin granularity")
+    }
+  }
+
   test("minhash recall harness: counts replay from the two pair sets; metrics are the exact ratios") {
     import graft.analytics.TextOps
     def pairs(df: org.apache.spark.sql.DataFrame) = df
