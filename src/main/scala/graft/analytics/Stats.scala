@@ -555,6 +555,78 @@ object Stats {
       |FROM t
       |ORDER BY bin""".stripMargin
 
+  /** Population Stability Index over the SAME drift histogram — the
+    * industry-standard drift score ops dashboards alarm on (PSI < 0.1
+    * stable, 0.1-0.25 moderate, > 0.25 action): per bin,
+    * (p_batch − p_hist)·ln(p_batch/p_hist) with Laplace-smoothed
+    * shares (+1 per bin, the same smoothing as the χ² monitor), plus
+    * the running cumulative so the final row IS the index. Shares the
+    * [[binnedDocs]] base — the monitor trio (χ², KS, PSI) reads ONE
+    * histogram definition and cannot decouple. Every input is an
+    * exact integer count; each term is a fixed sequence of IEEE ops
+    * identical on both engines; the cumulative sums in bin order
+    * (deterministic order ⇒ identical partials).
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = binnedDocs(spark, dir)
+    val counts = docs.groupBy(col("bin"))
+      .agg(sum(lit(1L) - col("is_batch")).as("h"),
+        sum(col("is_batch")).as("b"))
+    val spine = spark.range(DriftBins).select(col("id").as("bin"))
+    val dense = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("h"), lit(0L)).as("n_hist"),
+        coalesce(col("b"), lit(0L)).as("n_batch"))
+    val tot = Window.partitionBy()
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("ht", sum(col("n_hist")).over(tot))
+      .withColumn("bt", sum(col("n_batch")).over(tot))
+      .withColumn("ph", (col("n_hist") + 1).cast("double") /
+        (col("ht") + DriftBins))
+      .withColumn("pb", (col("n_batch") + 1).cast("double") /
+        (col("bt") + DriftBins))
+      .withColumn("term", (col("pb") - col("ph")) * log(col("pb") / col("ph")))
+      .withColumn("psi_term", round(col("term"), 6))
+      .withColumn("psi_cum", round(sum(col("term")).over(cum), 6))
+      .select(col("bin"), (col("bin") * DriftBinWidth).as("lo_tok"),
+        col("n_hist"), col("n_batch"), col("psi_term"), col("psi_cum"))
+      .orderBy(col("bin"))
+  }
+
+  /** DuckDB twin: same dense spine, same smoothing, same term. */
+  val psiDriftSql: String =
+    s"""WITH d AS (
+      |  $binnedDocsSql
+      |), binned AS (
+      |  SELECT bin,
+      |    CAST(sum(1 - is_batch) AS BIGINT) AS h,
+      |    CAST(sum(is_batch) AS BIGINT) AS b
+      |  FROM d GROUP BY 1
+      |), dense AS (
+      |  SELECT s.bin, COALESCE(h, 0) AS n_hist, COALESCE(b, 0) AS n_batch
+      |  FROM (SELECT unnest(range(0, $DriftBins)) AS bin) s
+      |  LEFT JOIN binned USING (bin)
+      |), t AS (
+      |  SELECT *, CAST(sum(n_hist) OVER () AS BIGINT) AS ht,
+      |    CAST(sum(n_batch) OVER () AS BIGINT) AS bt
+      |  FROM dense
+      |), terms AS (
+      |  SELECT bin, n_hist, n_batch,
+      |    (CAST(n_batch + 1 AS DOUBLE) / (bt + $DriftBins)
+      |     - CAST(n_hist + 1 AS DOUBLE) / (ht + $DriftBins))
+      |    * ln((CAST(n_batch + 1 AS DOUBLE) / (bt + $DriftBins))
+      |         / (CAST(n_hist + 1 AS DOUBLE) / (ht + $DriftBins))) AS term
+      |  FROM t
+      |)
+      |SELECT bin, bin * $DriftBinWidth AS lo_tok, n_hist, n_batch,
+      |  round(term, 6) AS psi_term,
+      |  round(sum(term) OVER (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS psi_cum
+      |FROM terms
+      |ORDER BY bin""".stripMargin
+
   /** Bin width of the [[ksDrift]] quantized ECDF grid. */
   val KsBinWidth = 100L
 
@@ -824,6 +896,7 @@ object Stats {
     "q_bootstrap_ci" -> (bootstrapCi _),
     "q_length_resample" -> (lengthResample _),
     "q_snapshot_drift" -> (snapshotDrift _),
+    "q_psi_drift" -> (psiDrift _),
     "q_ks_drift" -> (ksDrift _),
     "q_crosstab_chi2" -> (segmentRegionCrosstab _),
     "q_value_heatmap" -> (valueHeatmap _),
@@ -841,6 +914,7 @@ object Stats {
     "q_bootstrap_ci" -> bootstrapCiSql,
     "q_length_resample" -> lengthResampleSql,
     "q_snapshot_drift" -> snapshotDriftSql,
+    "q_psi_drift" -> psiDriftSql,
     "q_ks_drift" -> ksDriftSql,
     "q_value_heatmap" -> valueHeatmapSql,
     "q_price_deciles" -> priceDecilesSql,

@@ -229,6 +229,31 @@ class StatsSpec extends SparkSpec {
     assert(math.abs((1 to 9).map(d => math.log10(1 + 1.0 / d)).sum - 1.0) < 1e-9)
   }
 
+  test("PSI drift: terms replay driver-side; PSI >= 0 with equality iff identical shares") {
+    import graft.analytics.Stats
+    val out = Stats.psiDrift(spark, sf).collect()
+    assert(out.length == Stats.DriftBins, "dense spine broken")
+    val B = Stats.DriftBins
+    val ht = out.map(_.getAs[Long]("n_hist")).sum
+    val bt = out.map(_.getAs[Long]("n_batch")).sum
+    var cum = 0.0
+    out.sortBy(_.getAs[Long]("bin")).foreach { r =>
+      val ph = (r.getAs[Long]("n_hist") + 1).toDouble / (ht + B)
+      val pb = (r.getAs[Long]("n_batch") + 1).toDouble / (bt + B)
+      val term = (pb - ph) * math.log(pb / ph)
+      assert(term >= 0.0, "a PSI term is negative — impossible by form")
+      assert(math.abs(r.getAs[Double]("psi_term") -
+        math.rint(term * 1e6) / 1e6) <= 1e-9, s"bin ${r.getAs[Long]("bin")}")
+      cum += term
+      assert(math.abs(r.getAs[Double]("psi_cum") -
+        math.rint(cum * 1e6) / 1e6) <= 1e-9)
+    }
+    // final row IS the index; smoothed shares of a same-source split
+    // should read as stable-to-moderate, and never exactly zero
+    val psi = out.maxBy(_.getAs[Long]("bin")).getAs[Double]("psi_cum")
+    assert(psi > 0.0 && psi < 0.5, s"PSI $psi implausible for the fixture")
+  }
+
   test("KS drift: statistic matches a driver-side ECDF walk on the binned grid") {
     val row = Stats.ksDrift(spark, sf).head()
     val o = graft.ingest.Sources.orders(spark, sf)
