@@ -260,6 +260,51 @@ object Packing {
       |ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** Source-concentration audit — the diversity number next to the
+    * dataset card: the Gini coefficient of token mass across sources
+    * (0 = perfectly even, →1 = one source dominates) plus the top
+    * source's share. Exact integer form over rank-ordered source
+    * totals: gini = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with sources
+    * sorted ascending (ties by name), emitted in micros via one
+    * positive-operand DIV. The rank window runs over the
+    * |sources|-row aggregate — bounded domain, like every audit here.
+    */
+  def sourceGini(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Sources.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+    val w = Window.orderBy(col("toks").asc, col("source").asc)
+    bySource
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("i") * col("toks")).as("s"),
+        max(col("toks")).as("max_toks"))
+      .select(col("n_sources"), col("total_tokens"),
+        expr("(1000000 * (2 * s - (n_sources + 1) * total_tokens))" +
+          " DIV (n_sources * total_tokens)").as("gini_micro"),
+        expr("(1000000 * max_toks) DIV total_tokens").as("top_share_ppm"))
+  }
+
+  /** DuckDB twin: same rank order, same exact rational. */
+  val sourceGiniSql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY source
+      |), ranked AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY toks ASC, source ASC)
+      |                 AS BIGINT) AS i
+      |  FROM s
+      |)
+      |SELECT count(*) AS n_sources,
+      |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |  (1000000 * (2 * CAST(sum(i * toks) AS BIGINT)
+      |              - (count(*) + 1) * CAST(sum(toks) AS BIGINT)))
+      |    // (count(*) * CAST(sum(toks) AS BIGINT)) AS gini_micro,
+      |  (1000000 * max(toks)) // CAST(sum(toks) AS BIGINT) AS top_share_ppm
+      |FROM ranked""".stripMargin
+
   /** Dataset-card summary — the one-row corpus statement a dataset
     * release ships with: sizes, coverage, exact-duplicate rate and
     * batch share, every number an exact integer or a deterministic
@@ -360,6 +405,7 @@ object Packing {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dataset_card" -> (datasetCard _),
+    "q_source_gini" -> (sourceGini _),
     "q_seq_pack" -> (seqPack _),
     "q_mix_weights" -> (mixWeights _),
     "q_doc_chunks" -> (docChunks _),
@@ -368,6 +414,7 @@ object Packing {
 
   val oracles: Map[String, String] = Map(
     "q_dataset_card" -> datasetCardSql,
+    "q_source_gini" -> sourceGiniSql,
     "q_seq_pack" -> seqPackSql,
     "q_mix_weights" -> mixWeightsSql,
     "q_doc_chunks" -> docChunksSql,

@@ -186,4 +186,26 @@ class PackingSpec extends SparkSpec {
       ids != ids.sorted
     }, "every shard kept insertion order — not a shuffle")
   }
+
+  test("source gini: exact coefficient replay; bounds honored") {
+    import graft.analytics.Packing
+    val row = Packing.sourceGini(spark, sf).collect().head
+    val bySource = graft.ingest.Sources.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val sorted = bySource.sortBy { case (src, t) => (t, src) }
+    val n = sorted.length.toLong
+    val tot = sorted.map(_._2).sum
+    val sWeighted = sorted.zipWithIndex.map { case ((_, t), i) => (i + 1) * t }.sum
+    val gini = (1000000L * (2 * sWeighted - (n + 1) * tot)) / (n * tot)
+    assert(row.getAs[Long]("n_sources") == n)
+    assert(row.getAs[Long]("total_tokens") == tot)
+    assert(row.getAs[Long]("gini_micro") == gini, "gini does not replay")
+    assert(row.getAs[Long]("top_share_ppm") ==
+      1000000L * sorted.map(_._2).max / tot)
+    // bounds: 0 <= gini < 1e6; top share >= 1/n
+    assert(gini >= 0 && gini < 1000000L)
+    assert(row.getAs[Long]("top_share_ppm") >= 1000000L / n)
+  }
 }
