@@ -1239,6 +1239,56 @@ object TextOps {
        |FULL OUTER JOIN ($minHashLshSql) l
        |  ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b""".stripMargin
 
+  /** Thresholds for [[dedupRateCurve]], as 32nds of the signature
+    * width — every one an EXACT binary double, so `est ≥ θ` cannot
+    * waver between engines.
+    */
+  val DedupCurve32s: Seq[Int] = Seq(24, 26, 28, 30)
+
+  /** Dedup yield curve — the threshold-sensitivity audit run before
+    * committing a near-dup operating point on a 100 TB corpus: for
+    * each candidate threshold (est-Jaccard in exact 32nds), how many
+    * LSH pairs qualify and how many documents the keep-min-id rule
+    * would remove, as a ppm of the corpus. ONE LSH pass feeds every
+    * threshold (the pair table is checkpointed and cross-joined to
+    * the 4-row threshold frame); the corpus size rides a 1-row
+    * broadcast.
+    */
+  def dedupRateCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minHashLsh(spark, dir, minEstJaccard = 0.75)
+      .select(col("doc_b"), col("est_jaccard")).localCheckpoint()
+    val ths = spark.range(DedupCurve32s.length)
+      .select(element_at(typedlit(DedupCurve32s), col("id").cast("int") + 1)
+        .as("th32"))
+    val nDocs = documents(spark, dir).agg(count(lit(1)).as("n_corpus"))
+    pairs.crossJoin(broadcast(ths))
+      .filter(col("est_jaccard") >= col("th32").cast("double") / 32.0)
+      .groupBy(col("th32"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_removed"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("th32"), col("n_pairs"), col("n_docs_removed"),
+        expr("(1000000 * n_docs_removed) DIV n_corpus").as("removed_ppm"))
+      .orderBy(col("th32"))
+  }
+
+  /** DuckDB twin: [[minHashLshSql]] embedded once, same 32nd-exact
+    * thresholds.
+    */
+  lazy val dedupRateCurveSql: String =
+    s"""WITH lsh AS (
+       |  SELECT * FROM ($minHashLshSql)
+       |), ths AS (
+       |  SELECT unnest([${DedupCurve32s.mkString(", ")}]) AS th32
+       |)
+       |SELECT th32, count(*) AS n_pairs,
+       |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_removed,
+       |  (1000000 * CAST(count(DISTINCT doc_b) AS BIGINT))
+       |    // (SELECT count(*) FROM documents) AS removed_ppm
+       |FROM lsh JOIN ths ON est_jaccard >= CAST(th32 AS DOUBLE) / 32.0
+       |GROUP BY th32
+       |ORDER BY th32""".stripMargin
+
   /** Leakage-safe train/valid/test split — the assignment rule that
     * makes a held-out set honest: split membership is decided by the
     * NEAR-DUP CLUSTER's canonical id (min doc_id of the connected
@@ -3131,6 +3181,7 @@ object TextOps {
     "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_minhash_recall" -> (minhashRecall _),
     "q_curriculum_stages" -> (curriculumStages _),
+    "q_dedup_rate_curve" -> (dedupRateCurve _),
     "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
@@ -3176,6 +3227,7 @@ object TextOps {
     "q_leakage_safe_split" -> leakageSafeSplitSql,
     "q_minhash_recall" -> minhashRecallSql,
     "q_curriculum_stages" -> curriculumStagesSql,
+    "q_dedup_rate_curve" -> dedupRateCurveSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,

@@ -1017,6 +1017,33 @@ class TextOpsSpec extends SparkSpec {
       s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
   }
 
+  test("dedup rate curve: monotone non-increasing in threshold; counts replay from the pair table") {
+    import graft.analytics.TextOps
+    val out = TextOps.dedupRateCurve(spark, sf).collect()
+      .map(r => (r.getAs[Int]("th32"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs_removed"), r.getAs[Long]("removed_ppm")))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq ==
+      TextOps.DedupCurve32s.filter(t => out.map(_._1).contains(t)))
+    // tightening the threshold can only shrink the curve
+    out.sliding(2).foreach {
+      case Array((_, p1, d1, _), (_, p2, d2, _)) =>
+        assert(p2 <= p1 && d2 <= d1, "curve not monotone")
+      case _ => ()
+    }
+    // exact replay from the LSH pair table
+    val pairs = TextOps.minHashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_b"), r.getAs[Double]("est_jaccard")))
+    val nCorpus = graft.ingest.Sources.documents(spark, sf).count()
+    out.foreach { case (t, np, nd, ppm) =>
+      val q = pairs.filter(_._2 >= t.toDouble / 32.0)
+      assert(np == q.length, s"th=$t pair count")
+      assert(nd == q.map(_._1).distinct.length, s"th=$t removed count")
+      assert(ppm == 1000000L * nd / nCorpus)
+    }
+    assert(out.head._2 > 0, "curve empty at the loosest threshold — vacuous")
+  }
+
   test("curriculum stages: token-mass quarters, difficulty-ordered, totals conserve") {
     import graft.analytics.TextOps
     val out = TextOps.curriculumStages(spark, sf).collect()
