@@ -1263,6 +1263,81 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------------------------------------------------------------
+  // Hubness audit over the kNN graph (oracle-checked)
+  // ---------------------------------------------------------------
+
+  /** Hubness audit (Radovanović, Nanopoulos & Ivanović 2010, JMLR:
+    * "Hubs in space") — the k-occurrence distribution of the IVF kNN
+    * graph: how often each vector appears in OTHERS' top-k. High-
+    * dimensional embedding spaces grow hubs (vectors in everyone's
+    * neighbor list) and antihubs (in nobody's), which silently skew
+    * retrieval and kNN-based dedup; the skewness of N_k is THE
+    * standard severity metric. Emits the full k-occurrence histogram
+    * (bounded by k × corpus / corpus = k+1-ish distinct values)
+    * plus exact-moment skewness of N_k in milli units — computed from
+    * integer power sums (Σn, Σn², Σn³ — exact for N_k ≤ k·corpus
+    * sizes well past these), one fixed IEEE op sequence both engines.
+    *
+    * Scale shape: one aggregation of the k-rows-per-vector kNN table
+    * by neighbor, one histogram rollup, moments from the histogram.
+    */
+  def hubnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnIvf(spark, dir)
+    val nVec = vectors(spark, dir).agg(count(lit(1)).as("n_corpus"))
+    // N_k per vector: antihubs (never a neighbor) enter with 0 via the
+    // right join to the corpus
+    val occ = knn.groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("nk"))
+    val full = vectors(spark, dir).select(col("vec_id"))
+      .join(occ, Seq("vec_id"), "left")
+      .select(coalesce(col("nk"), lit(0L)).as("nk"))
+    val hist = full.groupBy(col("nk")).agg(count(lit(1)).as("n_vecs"))
+    val moments = full.agg(count(lit(1)).as("n"),
+      sum(col("nk")).as("s1"),
+      sum(col("nk") * col("nk")).as("s2"),
+      sum(col("nk") * col("nk") * col("nk")).as("s3"))
+    hist.crossJoin(broadcast(moments))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("m2",
+        col("s2").cast("double") / col("n") - col("mean") * col("mean"))
+      .withColumn("m3",
+        col("s3").cast("double") / col("n")
+          - lit(3.0) * col("mean") * col("s2").cast("double") / col("n")
+          + lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .select(col("nk"), col("n_vecs"),
+        floor(col("m3") / pow(col("m2"), 1.5) * 1000).cast("long")
+          .as("skew_milli"))
+      .orderBy(col("nk"))
+  }
+
+  /** DuckDB twin: [[knnIvfSql]] embedded, identical moment algebra. */
+  lazy val hubnessAuditSql: String =
+    s"""WITH knn AS (
+       |  SELECT * FROM ($knnIvfSql)
+       |), occ AS (
+       |  SELECT neighbor_id AS vec_id, count(*) AS nk FROM knn GROUP BY 1
+       |), full_occ AS (
+       |  SELECT COALESCE(o.nk, 0) AS nk
+       |  FROM embeddings e LEFT JOIN occ o ON o.vec_id = e.vec_id
+       |), m AS (
+       |  SELECT count(*) AS n, CAST(sum(nk) AS BIGINT) AS s1,
+       |    CAST(sum(nk * nk) AS BIGINT) AS s2,
+       |    CAST(sum(nk * nk * nk) AS BIGINT) AS s3
+       |  FROM full_occ
+       |)
+       |SELECT nk, count(*) AS n_vecs,
+       |  CAST(floor((CAST(s3 AS DOUBLE) / n
+       |      - 3.0 * (CAST(s1 AS DOUBLE) / n) * CAST(s2 AS DOUBLE) / n
+       |      + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+       |        * (CAST(s1 AS DOUBLE) / n))
+       |    / power(CAST(s2 AS DOUBLE) / n
+       |        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5)
+       |    * 1000) AS BIGINT) AS skew_milli
+       |FROM full_occ CROSS JOIN m
+       |GROUP BY nk, n, s1, s2, s3
+       |ORDER BY nk""".stripMargin
+
+  // ---------------------------------------------------------------
   // Matryoshka prefix-truncation audit (oracle-checked)
   // ---------------------------------------------------------------
 
@@ -2108,12 +2183,14 @@ object Similarity {
     "q_incr_semantic" -> ((s: SparkSession, d: String) => incrSemanticDedup(s, d)),
     "q_embed_quantize" -> (quantizeInt8 _),
     "q_matryoshka_eval" -> (matryoshkaEval _),
-    "q_mutual_knn" -> (mutualKnn _)
+    "q_mutual_knn" -> (mutualKnn _),
+    "q_hubness_audit" -> (hubnessAudit _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_matryoshka_eval" -> matryoshkaEvalSql,
     "q_mutual_knn" -> mutualKnnSql,
+    "q_hubness_audit" -> hubnessAuditSql,
     "q_hard_negatives_ivf" -> hardNegativesIvfSql,
     "q_knn_pq" -> knnPqSql,
     "q_knn_ivfpq" -> knnIvfPqSql,

@@ -499,6 +499,32 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.size < knn.size / 2, "every pair mutual — filter vacuous")
   }
 
+  test("hubness audit: histogram conserves mass; skewness replays from the kNN table") {
+    val knn = Similarity.knnIvf(spark, sf).collect()
+    val nVec = graft.ingest.Sources.embeddings(spark, sf).count()
+    val occ = knn.groupBy(_.getAs[Long]("neighbor_id"))
+      .map { case (_, rs) => rs.length.toLong }
+    val nk = occ.toSeq ++ Seq.fill((nVec - occ.size).toInt)(0L)
+    val out = Similarity.hubnessAudit(spark, sf).collect()
+    // histogram == driver histogram, total mass conserved
+    val gotHist = out.map(r => r.getAs[Long]("nk") -> r.getAs[Long]("n_vecs")).toMap
+    val expHist = nk.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(gotHist == expHist)
+    assert(gotHist.values.sum == nVec)
+    // skewness replays from integer power sums
+    val n = nk.length.toDouble
+    val mean = nk.sum / n
+    val m2 = nk.map(x => x.toDouble * x).sum / n - mean * mean
+    val m3 = nk.map(x => x.toDouble * x * x).sum / n -
+      3.0 * mean * nk.map(x => x.toDouble * x).sum / n + 2.0 * mean * mean * mean
+    val skew = math.floor(m3 / math.pow(m2, 1.5) * 1000).toLong
+    out.foreach(r => assert(r.getAs[Long]("skew_milli") == skew))
+    // every vector appears in its own row's worth of lists at most
+    // k x corpus times; the audit must show at least one antihub or
+    // hub asymmetry on a gaussian fixture (skew != 0)
+    assert(skew != 0L, "zero skew — fixture uninformative")
+  }
+
   test("matryoshka audit: full-dim row is exact; distortion shrinks as the prefix grows") {
     val rows = Similarity.matryoshkaEval(spark, sf).collect()
       .map(r => r.getAs[Int]("dim") ->
