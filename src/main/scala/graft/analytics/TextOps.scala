@@ -1239,6 +1239,61 @@ object TextOps {
        |FULL OUTER JOIN ($minHashLshSql) l
        |  ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b""".stripMargin
 
+  /** Cross-lingual vocabulary overlap matrix — the multilingual
+    * diagnostic behind tokenizer-sharing decisions (languages with
+    * high type overlap share subword inventories profitably; script-
+    * disjoint pairs don't): for every ordered language pair, the
+    * count of shared word TYPES and the Jaccard of the two
+    * vocabularies in ppm. All work is vocabulary-sized after one
+    * explode+distinct (Heaps-law bounded); the pair join is on the
+    * token, so candidates are per-token language co-occurrences —
+    * never a doc-level cross join — and the output is the bounded
+    * |langs|² matrix.
+    */
+  def langOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    val a = vocab.select(col("lang").as("lang_a"), col("tok"))
+    val b = vocab.select(col("lang").as("lang_b"), col("tok"))
+    val shared = a.join(b, "tok")
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("lang").as("lang_a"), col("v").as("va"))),
+        "lang_a")
+      .join(broadcast(sizes.select(col("lang").as("lang_b"), col("v").as("vb"))),
+        "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("n_shared"),
+        col("va"), col("vb"),
+        expr("(1000000 * n_shared) DIV (va + vb - n_shared)")
+          .as("jaccard_ppm"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  /** DuckDB twin: same distinct vocabularies, same token-keyed pair
+    * join, same exact ppm.
+    */
+  val langOverlapSql: String =
+    """WITH vocab AS (
+      |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), sizes AS (
+      |  SELECT lang, count(*) AS v FROM vocab GROUP BY lang
+      |), shared AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+      |  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.lang < b.lang
+      |  GROUP BY 1, 2
+      |)
+      |SELECT lang_a, lang_b, n_shared, sa.v AS va, sb.v AS vb,
+      |  (1000000 * n_shared) // (sa.v + sb.v - n_shared) AS jaccard_ppm
+      |FROM shared
+      |JOIN sizes sa ON sa.lang = lang_a
+      |JOIN sizes sb ON sb.lang = lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin
+
   /** Thresholds for [[dedupRateCurve]], as 32nds of the signature
     * width — every one an EXACT binary double, so `est ≥ θ` cannot
     * waver between engines.
@@ -3182,6 +3237,7 @@ object TextOps {
     "q_minhash_recall" -> (minhashRecall _),
     "q_curriculum_stages" -> (curriculumStages _),
     "q_dedup_rate_curve" -> (dedupRateCurve _),
+    "q_lang_overlap" -> (langOverlap _),
     "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
@@ -3228,6 +3284,7 @@ object TextOps {
     "q_minhash_recall" -> minhashRecallSql,
     "q_curriculum_stages" -> curriculumStagesSql,
     "q_dedup_rate_curve" -> dedupRateCurveSql,
+    "q_lang_overlap" -> langOverlapSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,

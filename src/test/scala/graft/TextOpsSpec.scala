@@ -1017,6 +1017,28 @@ class TextOpsSpec extends SparkSpec {
       s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
   }
 
+  test("lang overlap matrix: shared-type counts replay; Jaccard exact; matrix bounded by lang pairs") {
+    import graft.analytics.TextOps
+    val vocab = graft.ingest.Sources.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+      .distinct.groupBy(_._1).map { case (l, ts) => l -> ts.map(_._2).toSet }
+    val out = TextOps.langOverlap(spark, sf).collect()
+    val langs = vocab.keys.toSeq.sorted
+    assert(out.length <= langs.size * (langs.size - 1) / 2)
+    out.foreach { r =>
+      val la = r.getAs[String]("lang_a"); val lb = r.getAs[String]("lang_b")
+      assert(la < lb)
+      val shared = (vocab(la) & vocab(lb)).size.toLong
+      assert(r.getAs[Long]("n_shared") == shared, s"($la,$lb) shared")
+      assert(r.getAs[Long]("va") == vocab(la).size.toLong)
+      assert(r.getAs[Long]("vb") == vocab(lb).size.toLong)
+      assert(r.getAs[Long]("jaccard_ppm") ==
+        1000000L * shared / (vocab(la).size + vocab(lb).size - shared))
+    }
+    assert(out.nonEmpty, "no overlapping language pairs — vacuous fixture")
+  }
+
   test("dedup rate curve: monotone non-increasing in threshold; counts replay from the pair table") {
     import graft.analytics.TextOps
     val out = TextOps.dedupRateCurve(spark, sf).collect()
