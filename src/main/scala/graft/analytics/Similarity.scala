@@ -1305,8 +1305,12 @@ object Similarity {
           - lit(3.0) * col("mean") * col("s2").cast("double") / col("n")
           + lit(2.0) * col("mean") * col("mean") * col("mean"))
       .select(col("nk"), col("n_vecs"),
-        floor(col("m3") / pow(col("m2"), 1.5) * 1000).cast("long")
-          .as("skew_milli"))
+        // a perfectly regular kNN graph (every N_k equal — e.g. a
+        // corpus of exact clone groups) has zero variance: report
+        // skew 0 instead of dividing by it
+        when(col("m2") <= 0, lit(0L))
+          .otherwise(floor(col("m3") / pow(col("m2"), 1.5) * 1000)
+            .cast("long")).as("skew_milli"))
       .orderBy(col("nk"))
   }
 
@@ -1326,13 +1330,16 @@ object Similarity {
        |  FROM full_occ
        |)
        |SELECT nk, count(*) AS n_vecs,
+       |  CASE WHEN CAST(s2 AS DOUBLE) / n
+       |            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+       |          <= 0 THEN 0 ELSE
        |  CAST(floor((CAST(s3 AS DOUBLE) / n
        |      - 3.0 * (CAST(s1 AS DOUBLE) / n) * CAST(s2 AS DOUBLE) / n
        |      + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
        |        * (CAST(s1 AS DOUBLE) / n))
        |    / power(CAST(s2 AS DOUBLE) / n
        |        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5)
-       |    * 1000) AS BIGINT) AS skew_milli
+       |    * 1000) AS BIGINT) END AS skew_milli
        |FROM full_occ CROSS JOIN m
        |GROUP BY nk, n, s1, s2, s3
        |ORDER BY nk""".stripMargin

@@ -72,10 +72,23 @@ object ScaleUp {
       .withColumn("user_id", shift(col("user_id"), col("rep")))
       .drop("rep")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+    // embeddings: ids shifted AND lanes ROTATED per replica — a lane
+    // permutation preserves every norm and every within-replica dot
+    // (the workload's geometry is isomorphic), while cross-replica
+    // pairs decorrelate. Plain copies would make every vector an
+    // exact clone of its replicas: all kNN lists collapse onto the
+    // clone groups, N_k variance hits zero, and the "scaled" ANN
+    // measurements time a degenerate graph instead of a 4× corpus.
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    reps(emb)
-      .withColumn("vec_id", shift(col("vec_id"), col("rep")))
-      .drop("rep")
+    val dim = 64
+    val rotated = (0 until k).map { r =>
+      val rot = array((0 until dim).map(i =>
+        element_at(col("embedding"), (i + r % dim) % dim + 1)): _*)
+      emb
+        .withColumn("vec_id", shift(col("vec_id"), lit(r)))
+        .withColumn("embedding", if (r == 0) col("embedding") else rot)
+    }.reduce(_ unionByName _)
+    rotated
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
     // dimensions ride along unchanged — they are broadcast-side
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
@@ -93,7 +106,11 @@ object ScaleUp {
       "q_part_communities", "q_part_triangles", "q_dedup_exact",
       "q_minhash_lsh", "q_ngram_jaccard", "q_tfidf_top_terms",
       "q_sessionize", "q_knn_bruteforce", "q_pricing_summary",
-      "q_order_skyline", "q_bootstrap_ci")
+      "q_order_skyline", "q_bootstrap_ci",
+      // round-7 additions: the new heavy families
+      "q_leakage_safe_split", "q_minhash_recall", "q_hubness_audit",
+      "q_mutual_knn", "q_incr_semantic", "q_hard_negatives_ivf",
+      "q_dsir_select", "q_lm_kneser_ney", "q_phrase_search")
     val spark = graft.spark.Sessions.local("32", "32")
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
