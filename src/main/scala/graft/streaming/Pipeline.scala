@@ -375,6 +375,80 @@ object Pipeline {
     * micro-batch, so appending yesterday's batch to the index table
     * is visible to the next batch — the daily-accretion lifecycle).
     */
+  /** Per-group heavy-hitter state: a Count-Min sketch plus the
+    * bounded candidate set tracked alongside it.
+    */
+  final case class HhState(cms: Array[Long], cands: Map[String, Long])
+
+  /** One emitted heavy hitter after a micro-batch. */
+  final case class HeavyHit(lang: String, rnk: Int, tok: String,
+                            est: Long)
+
+  /** Streaming heavy hitters with BOUNDED state (T7 × X3): per
+    * language, the top-k tokens by frequency over everything seen so
+    * far, maintained as a Count-Min sketch (fixed d×w longs — the
+    * mergeable stream state an exact counts map cannot be, since
+    * vocabulary grows with the stream) plus a candidate set capped at
+    * 4k entries (the classic sketch-heap heavy-hitter construction:
+    * a token enters the candidates when its CMS estimate reaches the
+    * current bar, the smallest candidates fall off the cap). After
+    * each batch the group emits its current top-k (est desc, token
+    * asc) — Update-mode semantics. Estimates are one-sided
+    * (est ≥ true count, CMS guarantee), and the candidate cap is the
+    * standard recall trade: a true heavy hitter arriving heavily
+    * keeps re-qualifying, so steady-state top-k converges on the
+    * exact top-k (the spec drives a skewed stream and checks exactly
+    * that).
+    *
+    * State per language: CmsDepth×CmsWidth longs + ≤ 4k (token, est)
+    * pairs — corpus-size-INDEPENDENT, the whole point.
+    */
+  def streamingTopTokens(docs: DataFrame, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.Aggregators.{CountMin, CmsDepth, CmsWidth}
+    val cap = 4 * k
+    def fn(lang: String, rows: Iterator[(String, String)],
+           state: GroupState[HhState]): Iterator[HeavyHit] = {
+      var st = state.getOption.getOrElse(
+        HhState(new Array[Long](CmsDepth * CmsWidth), Map.empty))
+      var cms = st.cms
+      var cands = st.cands
+      rows.foreach { case (_, text) =>
+        text.split(" ").foreach { tok =>
+          var i = 0
+          var est = Long.MaxValue
+          while (i < CmsDepth) {
+            val idx = i * CmsWidth + CountMin.bucket(tok, i)
+            cms(idx) += 1L
+            if (cms(idx) < est) est = cms(idx)
+            i += 1
+          }
+          val bar = if (cands.size < cap) 0L else cands.values.min
+          if (cands.contains(tok) || est > bar) {
+            cands = cands.updated(tok, est)
+            if (cands.size > cap) {
+              // drop the weakest (deterministic tie: token desc goes)
+              val weakest = cands.minBy { case (t, e) => (e, t) }._1
+              cands = cands - weakest
+            }
+          }
+        }
+      }
+      state.update(HhState(cms, cands))
+      cands.toSeq
+        .sortBy { case (t, e) => (-e, t) }
+        .take(k).zipWithIndex
+        .map { case ((t, e), i) => HeavyHit(lang, i + 1, t, e) }
+        .iterator
+    }
+    docs.select(col("lang"), col("text")).as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HhState, HeavyHit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   def dedupProbeStream(docs: DataFrame, historyIndex: DataFrame,
                        minEst: Double = 0.75): DataFrame = {
     import graft.analytics.TextOps

@@ -228,6 +228,47 @@ class StreamingSpec extends SparkSpec {
       "duplicate sensor rows after recovery")
   }
 
+  test("streaming heavy hitters: bounded sketch state converges on the exact top-k") {
+    import spark.implicits._
+    val input = MemoryStream[(String, String)](spark)
+    val out = Pipeline.streamingTopTokens(
+      input.toDF().toDF("lang", "text"), k = 5)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("hh_out").start()
+    try {
+      // skewed stream: token w<i> appears ~ proportionally to i, fed
+      // over several micro-batches and interleaved
+      val rng = new scala.util.Random(7)
+      val words = (1 to 40).flatMap(i => Seq.fill(i * 3)(s"w$i"))
+      val shuffled = rng.shuffle(words)
+      shuffled.grouped(600).foreach { chunk =>
+        input.addData(chunk.grouped(20).map(g => ("en", g.mkString(" "))).toSeq: _*)
+        q.processAllAvailable()
+      }
+      // LAST emission for the lang (max batch in memory sink = latest
+      // update rows; memory sink in update mode appends every update,
+      // so take the final k rows by recency: re-derive from the table
+      // by taking rows with the highest est per rank)
+      val rows = spark.table("hh_out").collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rnk"),
+          r.getAs[String]("tok"), r.getAs[Long]("est")))
+      // final state = the last emission: for each rank, the emission
+      // with the largest est is the latest (counts only grow)
+      val finalTop = rows.groupBy(_._2).map { case (rnk, rs) =>
+        rnk -> rs.maxBy(_._4)
+      }.toSeq.sortBy(_._1).map(_._2)
+      val exact = words.groupBy(identity).map { case (w, xs) => w -> xs.size }
+      val exactTop = exact.toSeq.sortBy { case (w, c) => (-c, w) }.take(5)
+      // one-sided estimates and exact heavy-hitter recovery on the
+      // skewed fixture (top-5 separated by ≥ 3 occurrences)
+      finalTop.foreach { case (_, _, tok, est) =>
+        assert(est >= exact(tok), s"$tok underestimated")
+      }
+      assert(finalTop.map(_._3).toSet == exactTop.map(_._1).toSet,
+        s"streamed top-5 ${finalTop.map(_._3)} != exact ${exactTop.map(_._1)}")
+    } finally q.stop()
+  }
+
   test("manifest-dim enrichment: a dimension commit becomes visible at the next batch boundary") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dimjoin").toString
