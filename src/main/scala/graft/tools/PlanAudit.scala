@@ -39,12 +39,29 @@ object PlanAudit {
         val corpus = PlanForensics.corpusBroadcasts(fin)
         val raw = corpus.filterNot(_.filtered)
         val soft = corpus.filter(_.filtered)
+        // a RAW flag is FORCED only if it survives with the broadcast
+        // threshold off — otherwise it was the planner's size pick at
+        // this SF, which self-corrects at scale (size estimates grow
+        // past the threshold and the join goes to SMJ/SHJ)
+        val forced =
+          if (raw.isEmpty) Seq.empty[String]
+          else {
+            val key = "spark.sql.autoBroadcastJoinThreshold"
+            val prev = spark.conf.get(key)
+            spark.conf.set(key, "-1")
+            try PlanForensics.rawCorpusBroadcasts(
+              fn(spark, sf).queryExecution.executedPlan)
+            finally spark.conf.set(key, prev)
+          }
         val flag =
-          (if (raw.isEmpty) ""
-           else s"  !! RAW corpus broadcast: ${raw.map(_.tables).mkString(", ")}") +
+          (if (forced.nonEmpty)
+             s"  !! FORCED raw corpus broadcast: ${forced.mkString(", ")}"
+           else if (raw.nonEmpty)
+             s"  ~ size-pick raw broadcast (re-plans to shuffle at scale): ${raw.map(_.tables).mkString(", ")}"
+           else "") +
           (if (soft.isEmpty) ""
            else s"  ~ filter-bounded corpus broadcast (verify selectivity): ${soft.map(_.tables).mkString(", ")}")
-        println(f"$name%-32s scans=$scans shuffles=$shuffles bcast=$bcast reused=$reused bnlj=$bnlj cart=$cart corpusbcast=${raw.size}$flag")
+        println(f"$name%-32s scans=$scans shuffles=$shuffles bcast=$bcast reused=$reused bnlj=$bnlj cart=$cart corpusbcast=${forced.size}$flag")
         if (sys.env.contains("GRAFT_AUDIT_VERBOSE") && corpus.nonEmpty)
           println(p)
       } catch {

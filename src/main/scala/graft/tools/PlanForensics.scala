@@ -33,6 +33,14 @@ object PlanForensics {
   def walk(p: SparkPlan): Seq[SparkPlan] =
     p +: GraftBridge.planChildren(p).flatMap(walk)
 
+  private def splitConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
   /** A corpus-derived broadcast build side, classified by what (if
     * anything) bounds it. `filtered = true` means a Filter sits in the
     * build subtree — a literal key filter (e.g. `vec_id < 10` query
@@ -59,7 +67,19 @@ object PlanForensics {
             .flatMap(s => CorpusTables.filter(t =>
               s.toString.contains(s"$t.parquet")))
           if (tabs.nonEmpty) {
-            val filtered = sub.exists(_.getClass.getSimpleName == "FilterExec")
+            // a Filter only counts as (possibly) bounding if it does
+            // something beyond null guards: every equi-join build side
+            // carries `isnotnull(key)` filters, which reject no
+            // meaningful fraction of a fact table — treating them as
+            // "filtered" would mean the RAW flag never fires on the
+            // exact shape it exists for (found by the negative-path
+            // spec; the round-6 phrase-search plan had null guards too)
+            val filtered = sub.exists {
+              case f: org.apache.spark.sql.execution.FilterExec =>
+                splitConjuncts(f.condition).exists(p =>
+                  !p.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])
+              case _ => false
+            }
             Some(CorpusBroadcast(tabs.distinct.sorted.mkString("+"), filtered))
           } else None
         }
