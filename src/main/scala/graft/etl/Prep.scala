@@ -89,9 +89,85 @@ object Prep {
         round(min(col("wqi")), 4).as("min_wqi"))
       .orderBy(col("WaterbodyName"), col("yr"))
 
+  /** Per-waterbody WQI TREND over the river corpus — the reference's
+    * documented intent ("đánh giá chất lượng nước" over time) as a
+    * robust statistic: monthly mean WQI (exact milli-WQI integers) →
+    * Theil-Sen slope (median of pairwise slopes) per waterbody, the
+    * estimator that shrugs off the corpus's outlier readings where
+    * OLS would chase them. Same fixed-point discipline as
+    * [[graft.analytics.TimeSeries.theilSenTrend]]: integer operands,
+    * one IEEE divide per pair, median by rank. Positive slope = the
+    * waterbody is getting cleaner.
+    *
+    * Scale shape: the pairwise stage runs on the per-(waterbody,
+    * month) aggregate — months², corpus-size-independent, the ACF
+    * family's shape.
+    */
+  def riverWqiTrend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = prepare(reconstructRaw(spark, referenceCsv))
+      .withColumn("wqi", Quality.wqiRaw(
+        col("pH"), col("Dissolved Oxygen"), col("Conductivity @25°C")))
+      .withColumn("d", to_date(col("FullDate")))
+      .groupBy(col("WaterbodyName"),
+        (year(col("d")) * 12 + month(col("d"))).cast("long").as("m_idx"))
+      .agg(round(avg(col("wqi")) * 1000).cast("long").as("wqi_milli"))
+    val b = monthly.select(col("WaterbodyName").as("wb_b"),
+      col("m_idx").as("m_b"), col("wqi_milli").as("w_b"))
+    val byWb = Window.partitionBy(col("WaterbodyName"))
+    monthly
+      .join(b, col("WaterbodyName") === col("wb_b") &&
+        col("m_b") > col("m_idx"))
+      .select(col("WaterbodyName"),
+        ((col("w_b") - col("wqi_milli")).cast("double") /
+          (col("m_b") - col("m_idx")).cast("double")).as("slope"))
+      .withColumn("rn", row_number().over(byWb.orderBy(col("slope").asc)))
+      .withColumn("n_pairs", count(lit(1)).over(byWb))
+      .filter(col("rn") === floor((col("n_pairs") + 1) / 2).cast("long"))
+      .select(col("WaterbodyName"), col("n_pairs"),
+        round(col("slope"), 6).as("wqi_milli_per_month"))
+      .orderBy(col("WaterbodyName"))
+  }
+
+  val riverWqiTrendSql: String =
+    s"""WITH raw AS (
+      |  SELECT CAST(FullDate AS DATE) AS d, WaterbodyName,
+      |    pH AS ph, "Dissolved Oxygen" AS do_sat, "Conductivity @25°C" AS tds
+      |  FROM read_csv('$referenceCsv', header=true)
+      |), scored AS (
+      |  SELECT WaterbodyName,
+      |    CAST(year(d) * 12 + month(d) AS BIGINT) AS m_idx,
+      |    greatest(0.0, 100.0 * (1.0 - abs(ph - 7.5) / 1.0)) * 0.4 +
+      |    greatest(0.0, 100.0 * (1.0 - abs(do_sat - 75.0) / 45.0)) * 0.35 +
+      |    greatest(0.0, 100.0 * (1.0 - abs(tds - 775.0) / 725.0)) * 0.25 AS wqi
+      |  FROM raw
+      |), monthly AS (
+      |  SELECT WaterbodyName, m_idx,
+      |    CAST(round(avg(wqi) * 1000) AS BIGINT) AS wqi_milli
+      |  FROM scored GROUP BY 1, 2
+      |), slopes AS (
+      |  SELECT a.WaterbodyName,
+      |    CAST(b.wqi_milli - a.wqi_milli AS DOUBLE)
+      |      / CAST(b.m_idx - a.m_idx AS DOUBLE) AS slope
+      |  FROM monthly a JOIN monthly b
+      |    ON a.WaterbodyName = b.WaterbodyName AND b.m_idx > a.m_idx
+      |), ranked AS (
+      |  SELECT WaterbodyName, slope,
+      |    row_number() OVER (PARTITION BY WaterbodyName
+      |                       ORDER BY slope ASC) AS rn,
+      |    count(*) OVER (PARTITION BY WaterbodyName) AS n_pairs
+      |  FROM slopes
+      |)
+      |SELECT WaterbodyName, n_pairs,
+      |  round(slope, 6) AS wqi_milli_per_month
+      |FROM ranked
+      |WHERE rn = CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)
+      |ORDER BY WaterbodyName""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_river_prep" -> (riverPrep _),
-    "q_river_wqi" -> (riverWqi _)
+    "q_river_wqi" -> (riverWqi _),
+    "q_river_wqi_trend" -> (riverWqiTrend _)
   )
 
   /** Both engines read the reference CSV directly; prep rebuilds
@@ -133,6 +209,7 @@ object Prep {
 
   val oracles: Map[String, String] = Map(
     "q_river_prep" -> riverPrepSql,
-    "q_river_wqi" -> riverWqiSql
+    "q_river_wqi" -> riverWqiSql,
+    "q_river_wqi_trend" -> riverWqiTrendSql
   )
 }

@@ -55,4 +55,38 @@ class PrepSpec extends SparkSpec {
     val bad = wqi.filter(col("avg_wqi") < 0 || col("avg_wqi") > 100).count()
     assert(bad == 0, "WQI outside [0,100]")
   }
+
+  test("river WQI trend: pair counts are C(months,2); median replays for a sampled waterbody") {
+    import graft.etl.Prep
+    val out = Prep.riverWqiTrend(spark, sf).collect()
+    assert(out.nonEmpty)
+    val base = graft.etl.Prep.prepare(
+      graft.etl.Prep.reconstructRaw(spark, graft.etl.Prep.referenceCsv))
+      .withColumn("wqi", graft.analytics.Quality.wqiRaw(
+        col("pH"), col("Dissolved Oxygen"), col("Conductivity @25°C")))
+      .withColumn("d", to_date(col("FullDate")))
+      .groupBy(col("WaterbodyName"),
+        (year(col("d")) * 12 + month(col("d"))).cast("long").as("m"))
+      .agg(round(avg(col("wqi")) * 1000).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byWb = base.groupBy(_._1)
+    out.foreach { r =>
+      val wb = r.getAs[String]("WaterbodyName")
+      val ms = byWb(wb).sortBy(_._2)
+      val n = ms.length.toLong
+      assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2,
+        s"$wb pair count not C(months,2)")
+      val slopes = (for {
+        i <- ms.indices; j <- (i + 1) until ms.length
+      } yield (ms(j)._3 - ms(i)._3).toDouble / (ms(j)._2 - ms(i)._2)).sorted
+      val med = slopes((slopes.length + 1) / 2 - 1)
+      val medRounded = BigDecimal(med)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("wqi_milli_per_month") == medRounded,
+        s"$wb median slope does not replay")
+    }
+    // the fixture must exercise both improving and degrading trends or
+    // at least a nonzero one
+    assert(out.exists(_.getAs[Double]("wqi_milli_per_month") != 0.0))
+  }
 }
