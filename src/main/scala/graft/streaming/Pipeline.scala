@@ -96,6 +96,27 @@ object Pipeline {
       .select(col("window.start").as("window_start"),
         col("n"), col("avg_ph"))
 
+  /** X1 live: the composite WQI over the stream — watermarked hourly
+    * per-sensor windows of the SAME scoring expression the batch
+    * q_river_wqi uses ([[graft.analytics.Quality.wqiRaw]] — one
+    * definition point, so the live dashboard and the batch report
+    * cannot disagree about what "quality" means). Rows missing any
+    * constituent reading carry no WQI (the score is a composite;
+    * avg ignores nulls).
+    */
+  def wqiWindowed(readings: DataFrame): DataFrame =
+    readings
+      .withWatermark("timestamp", "1 day")
+      .withColumn("wqi", graft.analytics.Quality.wqiRaw(
+        col("ph_value"), col("do_value"), col("tds_value")))
+      .groupBy(window(col("timestamp"), "1 hour"), col("sensor_id"))
+      .agg(count(col("wqi")).as("n"),
+        avg(col("wqi")).as("avg_wqi_raw"),
+        min(col("wqi")).as("min_wqi_raw"))
+      .select(col("window.start").as("window_start"), col("sensor_id"),
+        col("n"), round(col("avg_wqi_raw"), 4).as("avg_wqi"),
+        round(col("min_wqi_raw"), 4).as("min_wqi"))
+
   /** T6: session windows — readings within a 30-minute gap merge. */
   def sessionStats(readings: DataFrame): DataFrame =
     readings

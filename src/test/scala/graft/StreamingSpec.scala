@@ -228,6 +228,42 @@ class StreamingSpec extends SparkSpec {
       "duplicate sensor rows after recovery")
   }
 
+  test("streaming WQI windows equal the batch WQI on the same readings") {
+    import spark.implicits._
+    val input = MemoryStream[SensorReading](spark)
+    val q = Pipeline.wqiWindowed(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wqi_out").start()
+    try {
+      val rows = Seq(
+        reading("A", "2024-01-01 00:10:00", ph = 7.5f),
+        reading("A", "2024-01-01 00:40:00", ph = 6.9f),
+        reading("A", "2024-01-01 01:15:00", ph = 5.0f),
+        reading("B", "2024-01-01 00:05:00", ph = 8.2f))
+      input.addData(rows: _*)
+      // advance the watermark past the windows so append finalizes them
+      input.addData(reading("W", "2024-01-03 00:00:00", ph = 7.0f))
+      q.processAllAvailable()
+      val got = spark.table("wqi_out").collect()
+        .map(r => (r.getAs[String]("sensor_id"),
+          r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[Long]("n"), r.getAs[Double]("avg_wqi"))).toSet
+      // batch twin over the identical rows and window arithmetic
+      val batch = rows.toDF()
+        .withColumn("wqi", graft.analytics.Quality.wqiRaw(
+          col("ph_value"), col("do_value"), col("tds_value")))
+        .groupBy(window(col("timestamp"), "1 hour"), col("sensor_id"))
+        .agg(count(col("wqi")).as("n"), round(avg(col("wqi")), 4).as("avg_wqi"))
+        .select(col("window.start").as("ws"), col("sensor_id"),
+          col("n"), col("avg_wqi"))
+        .collect()
+        .map(r => (r.getAs[String]("sensor_id"),
+          r.getAs[java.sql.Timestamp]("ws"),
+          r.getAs[Long]("n"), r.getAs[Double]("avg_wqi"))).toSet
+      assert(batch.subsetOf(got), s"stream $got missing batch windows $batch")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: bounded sketch state converges on the exact top-k") {
     import spark.implicits._
     val input = MemoryStream[(String, String)](spark)
