@@ -265,6 +265,65 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Max staleness for [[asofTolerance]] (seconds): a purchase only
+    * attributes to a signup within this window.
+    */
+  val AsofToleranceSecs = 30L * 24 * 3600
+
+  /** The as-of join with a STALENESS TOLERANCE — pandas
+    * merge_asof(tolerance=...)'s semantics, which plain ASOF JOIN
+    * (DuckDB included) lacks: a match older than
+    * [[AsofToleranceSecs]] is rejected and the left row keeps its
+    * left-outer nulls. Runs through the custom Catalyst operator
+    * ([[graft.plans.AsOfJoinPlan]], tolerance applied inside the
+    * streamed-merge pass — no post-join filter re-widening the
+    * plan); the oracle post-filters DuckDB's native ASOF the same
+    * way, which is exactly the equivalence that proves the in-exec
+    * tolerance correct.
+    */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("epoch_s"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event_id"),
+        col("user_id").as("s_user_id"), col("ts").as("s_ts"),
+        col("epoch_s").as("s_epoch_s"))
+    graft.plans.AsOfJoinPlan.join(purchases, signups,
+      leftKey = "user_id", rightKey = "s_user_id",
+      leftTimeCol = "ts", rightTimeCol = "s_ts",
+      rightTieBreakCols = Seq("signup_event_id"),
+      tolerance = Some(java.time.Duration.ofSeconds(AsofToleranceSecs)))
+      .select(col("event_id"), col("user_id"), col("signup_event_id"),
+        (col("epoch_s") - col("s_epoch_s")).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB twin: native ASOF, tolerance as a match post-filter. */
+  val asofToleranceSql: String =
+    s"""SELECT p.event_id, p.user_id,
+      |  CASE WHEN CAST(floor(epoch(p.ts)) AS BIGINT)
+      |            - CAST(floor(epoch(s.ts)) AS BIGINT)
+      |         <= $AsofToleranceSecs
+      |       THEN s.event_id END AS signup_event_id,
+      |  CASE WHEN CAST(floor(epoch(p.ts)) AS BIGINT)
+      |            - CAST(floor(epoch(s.ts)) AS BIGINT)
+      |         <= $AsofToleranceSecs
+      |       THEN CAST(floor(epoch(p.ts)) AS BIGINT)
+      |            - CAST(floor(epoch(s.ts)) AS BIGINT) END AS gap_s
+      |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (
+      |  SELECT event_id, user_id, ts FROM (
+      |    SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+      |      row_number() OVER (PARTITION BY user_id, date_trunc('microseconds', ts)
+      |                         ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'signup')
+      |  WHERE rn = 1) s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
   /** Event-type transition matrix (first-order Markov): for each
     * (type → next type) bigram within a user's timeline, the count and
     * the transition probability. One shuffle on user_id for the lead
@@ -853,6 +912,7 @@ object Events {
     "q_event_transitions" -> (eventTransitions _),
     "q_markov_stationary" -> (markovStationary _),
     "q_asof_custom" -> (asofSignupCustom _),
+    "q_asof_tolerance" -> (asofTolerance _),
     "q_user_event_types" -> (userEventTypes _),
     "q_sessionize" -> (sessionize _),
     "q_event_props" -> (eventProps _),
@@ -870,6 +930,7 @@ object Events {
     "q_event_transitions" -> eventTransitionsSql,
     "q_markov_stationary" -> markovStationarySql,
     "q_asof_custom" -> asofSignupSql,
+    "q_asof_tolerance" -> asofToleranceSql,
     "q_user_event_types" -> userEventTypesSql,
     "q_sessionize" -> sessionizeSql,
     "q_event_props" -> eventPropsSql,

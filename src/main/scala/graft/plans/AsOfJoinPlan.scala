@@ -44,7 +44,8 @@ object AsOfJoinPlan {
       rightKeys: Seq[Expression],
       leftTime: Expression,
       rightTime: Expression,
-      rightTieBreak: Seq[Expression]) extends BinaryNode {
+      rightTieBreak: Seq[Expression],
+      toleranceMicros: Option[Long] = None) extends BinaryNode {
 
     // The node is resolved on construction, so the analyzer never
     // type-checks it — validate here: comparing a right row with an
@@ -56,6 +57,12 @@ object AsOfJoinPlan {
         s"${rightKeys.map(_.dataType)}")
     require(GraftBridge.sameType(leftTime.dataType, rightTime.dataType),
       s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+    // tolerance compares raw internal longs, so it is only defined for
+    // micros-backed timestamps (and raw longs)
+    require(toleranceMicros.isEmpty ||
+      leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+      leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.LongType],
+      s"as-of tolerance needs a timestamp/long time column, got ${leftTime.dataType}")
 
     // left outer: right side becomes nullable on no-match
     override def output: Seq[Attribute] =
@@ -97,8 +104,9 @@ object AsOfJoinPlan {
     */
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
-        AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+      case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol) =>
+        AsOfJoinExec(lk, rk, lt, rt, tb, tol,
+          planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
   }
@@ -119,6 +127,7 @@ object AsOfJoinPlan {
       leftTime: Expression,
       rightTime: Expression,
       rightTieBreak: Seq[Expression],
+      toleranceMicros: Option[Long],
       left: SparkPlan,
       right: SparkPlan) extends BinaryExecNode {
 
@@ -165,6 +174,7 @@ object AsOfJoinPlan {
           // time <= current left time (copied: UnsafeRows are reused)
           private var best: InternalRow = _
           private var bestKey: InternalRow = _
+          private var bestTimeMicros: Long = Long.MinValue
 
           override def hasNext: Boolean = lIter.hasNext
 
@@ -191,6 +201,7 @@ object AsOfJoinPlan {
                   val rTime = rTimeProj(rBuf.head)
                   if (!rTime.isNullAt(0) &&
                       timeOrd.compare(rTime, lTime) <= 0) {
+                    bestTimeMicros = rTime.getLong(0)
                     best = rBuf.next().copy()
                     bestKey = rKeyProj(best).copy()
                   } else if (rTime.isNullAt(0)) {
@@ -200,7 +211,13 @@ object AsOfJoinPlan {
                   }
                 }
               }
-              outProj(joined(lRow, if (best != null) best else nullRight))
+              // the remembered match must also satisfy the staleness
+              // tolerance for THIS left row (it can pass for an early
+              // left row and fail for a later one — staleness grows
+              // until a fresher right row replaces the match)
+              val inTolerance = best != null && toleranceMicros.forall(t =>
+                lTime.getLong(0) - bestTimeMicros <= t)
+              outProj(joined(lRow, if (inTolerance) best else nullRight))
             }
           }
         }
@@ -216,7 +233,8 @@ object AsOfJoinPlan {
   def join(leftDf: DataFrame, rightDf: DataFrame,
            leftKey: String, rightKey: String,
            leftTimeCol: String, rightTimeCol: String,
-           rightTieBreakCols: Seq[String] = Nil): DataFrame = {
+           rightTieBreakCols: Seq[String] = Nil,
+           tolerance: Option[java.time.Duration] = None): DataFrame = {
     val spark = leftDf.sparkSession
     GraftBridge.addStrategy(spark, AsOfJoinStrategy)
     GraftBridge.addOptimization(spark, AsOfJoinFilterPushdown)
@@ -230,6 +248,7 @@ object AsOfJoinPlan {
       AsOfJoin(l, r,
         Seq(attr(l, leftKey)), Seq(attr(r, rightKey)),
         attr(l, leftTimeCol), attr(r, rightTimeCol),
-        rightTieBreakCols.map(attr(r, _))))
+        rightTieBreakCols.map(attr(r, _)),
+        tolerance.map(d => d.toNanos / 1000L)))
   }
 }

@@ -128,6 +128,49 @@ class AsOfJoinSpec extends SparkSpec {
     assert(diffs.isEmpty, s"mismatches (first 5): ${diffs.take(5)}")
   }
 
+  test("tolerance: stale matches are rejected in-exec; brute-force differential with a window") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260814)
+    val keys = (0 until 8).map(i => s"K$i")
+    val left = (1 to 800).map(i =>
+      (i.toLong, keys(rng.nextInt(keys.length)), rng.nextInt(300).toLong))
+    // right side SPARSE (~8 rows per key over a 300-tick span, mean
+    // gap ~40 > tol) so the tolerance genuinely rejects stale matches
+    val right = (1 to 64).map(i =>
+      (i.toLong, keys(rng.nextInt(keys.length)), rng.nextInt(300).toLong))
+    val lDf = left.toDF("lid", "k", "t")
+    val rDf = right.toDF("rid", "rk", "rt")
+    val tol = 25L
+    val out = AsOfJoinPlan.join(lDf, rDf, "k", "rk", "t", "rt",
+        rightTieBreakCols = Seq("rid"),
+        tolerance = Some(java.time.Duration.ofNanos(tol * 1000)))
+      .select(col("lid"), col("rid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // brute force WITH the window: same best-match rule, then reject
+    // matches staler than tol (this is merge_asof(tolerance=...)
+    // semantics — the match is still the latest <= t, never an older
+    // in-window one)
+    val expected = left.map { case (lid, k, t) =>
+      val m = right.filter { case (_, rk, rt) => rk == k && rt <= t }
+        .sortBy { case (rid, _, rt) => (rt, rid) }.lastOption
+        .filter { case (_, _, rt) => t - rt <= tol }.map(_._1)
+      lid -> m
+    }.toMap
+    val diffs = expected.collect {
+      case (lid, e) if out(lid) != e => (lid, e, out(lid)) }
+    assert(diffs.isEmpty, s"mismatches (first 5): ${diffs.take(5)}")
+    // the tolerance must actually reject something on this fixture,
+    // and keep something
+    assert(out.values.exists(_.isEmpty) && out.values.exists(_.nonEmpty))
+    val without = AsOfJoinPlan.join(lDf, rDf, "k", "rk", "t", "rt",
+        rightTieBreakCols = Seq("rid"))
+      .select(col("lid"), col("rid")).collect()
+      .count(!_.isNullAt(1))
+    assert(out.values.count(_.nonEmpty) < without,
+      "tolerance rejected nothing the plain as-of matched — vacuous")
+  }
+
   test("mismatched key/time types are rejected at construction, not silently merged") {
     import spark.implicits._
     val l = Seq((1L, "A", 100L)).toDF("id", "k", "t")
