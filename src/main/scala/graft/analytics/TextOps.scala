@@ -2204,6 +2204,64 @@ object TextOps {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  /** N-gram novelty of the daily batch against history — the
+    * continual-training budget metric ("how much of today's crawl is
+    * genuinely new text?") that decides whether a batch is worth a
+    * training epoch: per language, the batch's distinct 8-gram
+    * shingles anti-joined against history's, with the novel fraction
+    * in exact ppm. Uses the SAME gram enumeration as the
+    * contamination check and the SAME batch marker as the incremental
+    * dedup family — one definition of "gram" and one of "today".
+    *
+    * Scale shape: distinct-gram tables (shingle-hash keyed) and one
+    * hash anti-join on (lang, gram); nothing pairwise, nothing
+    * driver-side.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val isBatch = graft.operators.Scale.isBatch(col("doc_id"))
+    val base = documents(spark, dir)
+      .select(col("lang"), col("doc_id"), explode(gramArray(8)).as("gram"))
+      .withColumn("is_batch", isBatch)
+    val b = base.filter(col("is_batch"))
+      .select(col("lang"), col("gram")).distinct()
+    val h = base.filter(!col("is_batch"))
+      .select(col("lang"), col("gram")).distinct()
+      .withColumn("hit", lit(1))
+    b.join(h, Seq("lang", "gram"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch_grams"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("lang"), col("n_batch_grams"), col("n_novel"),
+        expr("(1000000 * n_novel) DIV n_batch_grams").as("novelty_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB twin: same shingle hash, same batch marker, same
+    * anti-join.
+    */
+  val ngramNoveltySql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    ${graft.operators.Scale.isBatchSql("doc_id")} AS is_batch,
+      |    string_split(text, ' ') AS t
+      |  FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT lang, is_batch,
+      |    md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS gram
+      |  FROM (SELECT lang, is_batch, t,
+      |          unnest(range(1, greatest(len(t) - 6, 1))) AS i
+      |        FROM toks)
+      |), b AS (SELECT DISTINCT lang, gram FROM grams WHERE is_batch),
+      |h AS (SELECT DISTINCT lang, gram FROM grams WHERE NOT is_batch)
+      |SELECT b.lang, count(*) AS n_batch_grams,
+      |  CAST(sum(CASE WHEN h.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  (1000000 * CAST(sum(CASE WHEN h.gram IS NULL THEN 1 ELSE 0 END)
+      |             AS BIGINT)) // count(*) AS novelty_ppm
+      |FROM b LEFT JOIN h ON b.lang = h.lang AND b.gram = h.gram
+      |GROUP BY b.lang
+      |ORDER BY b.lang""".stripMargin
+
   /** Unigram-LM quality score: a Laplace-smoothed unigram model is
     * fit on the train split's token counts and every eval document is
     * scored by its average negative log-likelihood (the KenLM-style
@@ -3238,6 +3296,7 @@ object TextOps {
     "q_curriculum_stages" -> (curriculumStages _),
     "q_dedup_rate_curve" -> (dedupRateCurve _),
     "q_lang_overlap" -> (langOverlap _),
+    "q_ngram_novelty" -> (ngramNovelty _),
     "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
@@ -3285,6 +3344,7 @@ object TextOps {
     "q_curriculum_stages" -> curriculumStagesSql,
     "q_dedup_rate_curve" -> dedupRateCurveSql,
     "q_lang_overlap" -> langOverlapSql,
+    "q_ngram_novelty" -> ngramNoveltySql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,

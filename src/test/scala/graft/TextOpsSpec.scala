@@ -1017,6 +1017,38 @@ class TextOpsSpec extends SparkSpec {
       s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
   }
 
+  test("ngram novelty: replays a driver-side shingle diff; planted dup is non-novel") {
+    import graft.analytics.TextOps
+    val docs = graft.ingest.Sources.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ", -1).toSeq))
+    def grams(ts: Seq[String]) =
+      if (ts.length < 8) Set.empty[String]
+      else ts.sliding(8).map(_.mkString(" ")).toSet
+    val byLang = docs.groupBy(_._1)
+    val expected = byLang.flatMap { case (lang, ds) =>
+      val b = ds.filter(_._2 % 5 == 4).flatMap(d => grams(d._3)).toSet
+      val h = ds.filter(_._2 % 5 != 4).flatMap(d => grams(d._3)).toSet
+      if (b.isEmpty) None
+      else Some(lang -> (b.size.toLong, (b -- h).size.toLong))
+    }
+    val got = TextOps.ngramNovelty(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_batch_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_ppm"))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (lang, (nb, nn)) =>
+      val (gb, gn, ppm) = got(lang)
+      assert(gb == nb && gn == nn, s"$lang gram counts do not replay")
+      assert(ppm == 1000000L * nn / nb)
+    }
+    // the fixture plants cross-boundary near-dups: novelty < 100%
+    // somewhere, and some genuinely new text exists too
+    assert(got.values.exists(_._3 < 1000000L), "no shared grams — vacuous")
+    assert(got.values.exists(_._3 > 0L), "no novel grams — vacuous")
+  }
+
   test("lang overlap matrix: shared-type counts replay; Jaccard exact; matrix bounded by lang pairs") {
     import graft.analytics.TextOps
     val vocab = graft.ingest.Sources.documents(spark, sf)
