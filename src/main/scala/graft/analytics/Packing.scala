@@ -260,6 +260,75 @@ object Packing {
       |ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** Temperatures for [[mixTemperatureCurve]], in quarters (4 = 1.0
+    * proportional, 1 = 0.25 near-uniform). Quarter powers are exactly
+    * computable as sqrt compositions — x^(1/2) = sqrt(x), x^(1/4) =
+    * sqrt(sqrt(x)), x^(3/4) = sqrt(x)·sqrt(sqrt(x)) — each a fixed
+    * sequence of CORRECTLY-ROUNDED IEEE ops, so both engines produce
+    * the identical double. A general pow(x, τ) has no such guarantee
+    * (libm vs JVM pow differ in ulps), which is why the sweep is
+    * pinned to quarter temperatures.
+    */
+  val MixTaus: Seq[Int] = Seq(4, 3, 2, 1)
+
+  /** The temperature-sampling sweep (the α-curve of multilingual LLM
+    * data mixing — Conneau & Lample's p_i^α renormalization): source
+    * sampling weights at each quarter temperature, plus the top
+    * source's share per temperature — the flattening curve a lab
+    * inspects before fixing α. τ = 2 (α = 1/2) reproduces
+    * [[mixWeights]]'s sqrt weighting exactly.
+    *
+    * Scale shape: one corpus aggregation to |sources| rows; the sweep
+    * is a 4-row cross join and windows over the bounded
+    * sources×temperatures frame.
+    */
+  def mixTemperatureCurve(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Sources.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(toks(col("text")).cast("long")).as("n_tokens"))
+    val taus = spark.range(MixTaus.length)
+      .select(element_at(typedlit(MixTaus), col("id").cast("int") + 1)
+        .as("tau_q"))
+    val x = col("n_tokens").cast("double")
+    val wRaw = when(col("tau_q") === 4, x)
+      .when(col("tau_q") === 3, sqrt(x) * sqrt(sqrt(x)))
+      .when(col("tau_q") === 2, sqrt(x))
+      .otherwise(sqrt(sqrt(x)))
+    val byTau = Window.partitionBy(col("tau_q"))
+    bySource.crossJoin(broadcast(taus))
+      .withColumn("w_raw", wRaw)
+      .withColumn("weight", round(col("w_raw") / sum(col("w_raw")).over(byTau), 6))
+      .withColumn("max_weight",
+        round(max(col("w_raw")).over(byTau) / sum(col("w_raw")).over(byTau), 6))
+      .select(col("tau_q"), col("source"), col("n_tokens"),
+        col("weight"), col("max_weight"))
+      .orderBy(col("tau_q"), col("source"))
+  }
+
+  /** DuckDB twin: the same sqrt compositions, windowed per τ. */
+  val mixTemperatureCurveSql: String =
+    s"""WITH s AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), sweep AS (
+      |  SELECT t.tau_q, s.source, s.n_tokens,
+      |    CASE t.tau_q
+      |      WHEN 4 THEN CAST(s.n_tokens AS DOUBLE)
+      |      WHEN 3 THEN sqrt(CAST(s.n_tokens AS DOUBLE))
+      |                  * sqrt(sqrt(CAST(s.n_tokens AS DOUBLE)))
+      |      WHEN 2 THEN sqrt(CAST(s.n_tokens AS DOUBLE))
+      |      ELSE sqrt(sqrt(CAST(s.n_tokens AS DOUBLE)))
+      |    END AS w_raw
+      |  FROM s CROSS JOIN (SELECT unnest([${MixTaus.mkString(", ")}]) AS tau_q) t
+      |)
+      |SELECT tau_q, source, n_tokens,
+      |  round(w_raw / sum(w_raw) OVER (PARTITION BY tau_q), 6) AS weight,
+      |  round(max(w_raw) OVER (PARTITION BY tau_q)
+      |        / sum(w_raw) OVER (PARTITION BY tau_q), 6) AS max_weight
+      |FROM sweep
+      |ORDER BY tau_q, source""".stripMargin
+
   /** Source-concentration audit — the diversity number next to the
     * dataset card: the Gini coefficient of token mass across sources
     * (0 = perfectly even, →1 = one source dominates) plus the top
@@ -406,6 +475,7 @@ object Packing {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dataset_card" -> (datasetCard _),
     "q_source_gini" -> (sourceGini _),
+    "q_mix_temperature_curve" -> (mixTemperatureCurve _),
     "q_seq_pack" -> (seqPack _),
     "q_mix_weights" -> (mixWeights _),
     "q_doc_chunks" -> (docChunks _),
@@ -415,6 +485,7 @@ object Packing {
   val oracles: Map[String, String] = Map(
     "q_dataset_card" -> datasetCardSql,
     "q_source_gini" -> sourceGiniSql,
+    "q_mix_temperature_curve" -> mixTemperatureCurveSql,
     "q_seq_pack" -> seqPackSql,
     "q_mix_weights" -> mixWeightsSql,
     "q_doc_chunks" -> docChunksSql,

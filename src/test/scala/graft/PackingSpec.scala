@@ -208,4 +208,27 @@ class PackingSpec extends SparkSpec {
     assert(gini >= 0 && gini < 1000000L)
     assert(row.getAs[Long]("top_share_ppm") >= 1000000L / n)
   }
+
+  test("temperature curve: tau=2 equals mixWeights' sqrt; flattening is monotone in tau") {
+    import graft.analytics.Packing
+    val out = Packing.mixTemperatureCurve(spark, sf).collect()
+      .map(r => (r.getAs[Int]("tau_q"), r.getAs[String]("source"),
+        r.getAs[Double]("weight"), r.getAs[Double]("max_weight")))
+    val taus = out.map(_._1).distinct.sorted.toSeq
+    assert(taus == Seq(1, 2, 3, 4))
+    // weights sum to ~1 within each temperature
+    taus.foreach { t =>
+      val sum = out.filter(_._1 == t).map(_._3).sum
+      assert(math.abs(sum - 1.0) < 1e-4, s"tau=$t weights sum $sum")
+    }
+    // flattening: the dominant source's share is non-decreasing in tau
+    val maxW = taus.map(t => out.filter(_._1 == t).map(_._4).head).toSeq
+    assert(maxW == maxW.sorted, s"max share not monotone in tau: $maxW")
+    // tau=2 reproduces mixWeights' sqrt weighting
+    val mw = Packing.mixWeights(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    out.filter(_._1 == 2).foreach { case (_, src, w, _) =>
+      assert(math.abs(w - mw(src)) <= 1e-6, s"$src tau=2 != mixWeights")
+    }
+  }
 }
