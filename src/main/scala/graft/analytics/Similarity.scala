@@ -1262,6 +1262,63 @@ object Similarity {
        |WHERE f.query_id < f.neighbor_id
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Mutual-kNN clustering — connected components over the
+    * reciprocal-edge graph ([[mutualKnn]]): the classic
+    * density-adaptive grouping (Brito et al. 1997's mutual-kNN graph;
+    * the backbone of many modern semantic-cluster pipelines) — using
+    * only RECIPROCAL edges means a hub cannot glue unrelated regions
+    * together, which is exactly why plain kNN-graph components
+    * over-merge. Components come from the co-partitioned RDD CC loop;
+    * singletons (vectors with no reciprocal neighbor) are their own
+    * cluster. Emits per cluster: size and member ids (sorted, joined
+    * — the dedupClusters output discipline).
+    */
+  def mutualKnnClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = mutualKnn(spark, dir)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val comp = graft.operators.Graph.connectedComponents(pairs)
+    val all = vectors(spark, dir).select(col("vec_id"))
+      .join(comp.select(col("v").as("vec_id"), col("comp")),
+        Seq("vec_id"), "left")
+      .withColumn("cluster", coalesce(col("comp"), col("vec_id")))
+    all.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("vec_id"))),
+            x => x.cast("string"))).as("vec_ids"))
+      .orderBy(col("cluster"))
+  }
+
+  /** DuckDB twin: [[mutualKnnSql]]'s pair output closed under the
+    * recursive-CTE reachability of the dedup-clusters oracle, with
+    * singleton back-fill.
+    */
+  lazy val mutualKnnClustersSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT vec_a, vec_b FROM ($mutualKnnSql)),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b, vec_a FROM pairs
+       |),
+       |verts AS (SELECT DISTINCT src AS v FROM edges),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+       |),
+       |comp AS (SELECT v AS vec_id, min(r) AS component FROM reach GROUP BY v),
+       |assign AS (
+       |  SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS cluster
+       |  FROM (SELECT vec_id FROM embeddings) e
+       |  LEFT JOIN comp c USING (vec_id)
+       |)
+       |SELECT cluster, count(*) AS n_vecs,
+       |  array_to_string(list_sort(list(vec_id)), ',') AS vec_ids
+       |FROM assign
+       |GROUP BY cluster
+       |ORDER BY cluster""".stripMargin
+
   // ---------------------------------------------------------------
   // Hubness audit over the kNN graph (oracle-checked)
   // ---------------------------------------------------------------
@@ -2191,13 +2248,15 @@ object Similarity {
     "q_embed_quantize" -> (quantizeInt8 _),
     "q_matryoshka_eval" -> (matryoshkaEval _),
     "q_mutual_knn" -> (mutualKnn _),
-    "q_hubness_audit" -> (hubnessAudit _)
+    "q_hubness_audit" -> (hubnessAudit _),
+    "q_mutual_knn_clusters" -> (mutualKnnClusters _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_matryoshka_eval" -> matryoshkaEvalSql,
     "q_mutual_knn" -> mutualKnnSql,
     "q_hubness_audit" -> hubnessAuditSql,
+    "q_mutual_knn_clusters" -> mutualKnnClustersSql,
     "q_hard_negatives_ivf" -> hardNegativesIvfSql,
     "q_knn_pq" -> knnPqSql,
     "q_knn_ivfpq" -> knnIvfPqSql,

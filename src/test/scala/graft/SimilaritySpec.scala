@@ -499,6 +499,38 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.size < knn.size / 2, "every pair mutual — filter vacuous")
   }
 
+  test("mutual-kNN clusters: partition of the corpus; components replay from the pair graph") {
+    val pairs = Similarity.mutualKnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    val nVec = graft.ingest.Sources.embeddings(spark, sf).count()
+    val out = Similarity.mutualKnnClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_vecs"),
+        r.getAs[String]("vec_ids").split(",").map(_.toLong).toSet))
+    // a PARTITION: sizes conserve, members disjoint, id = min member
+    assert(out.map(_._2).sum == nVec)
+    val allMembers = out.flatMap(_._3)
+    assert(allMembers.length == nVec && allMembers.distinct.length == nVec)
+    out.foreach { case (c, n, ms) =>
+      assert(ms.size == n.toInt && ms.min == c, s"cluster $c malformed")
+    }
+    // driver union-find replay over the reciprocal pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = allMembers.groupBy(find).map { case (_, ms) =>
+      ms.min -> ms.toSet }
+    assert(out.map(t => t._1 -> t._3).toMap == expected,
+      "components do not replay from union-find")
+    // non-vacuous: at least one multi-member cluster and one singleton
+    assert(out.exists(_._2 > 1) && out.exists(_._2 == 1))
+  }
+
   test("hubness audit: histogram conserves mass; skewness replays from the kNN table") {
     val knn = Similarity.knnIvf(spark, sf).collect()
     val nVec = graft.ingest.Sources.embeddings(spark, sf).count()
