@@ -698,6 +698,83 @@ object TimeSeries {
       |WHERE rn = CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)
       |ORDER BY event_type""".stripMargin
 
+  /** Burstiness of the event stream — the index of dispersion (Fano
+    * factor, Var/Mean of DAILY EVENT COUNTS) per event type, the
+    * diagnostic that separates Poisson-like arrivals (Fano ≈ 1) from
+    * bursty ones (≫ 1) and under-dispersed schedules (< 1); load
+    * forecasting and anomaly thresholds both key off it. Computed
+    * from exact integer power sums over the dense day spine (days
+    * with zero events COUNT — omitting them biases Var/Mean up), one
+    * fixed IEEE op sequence per type, emitted in millis via floor.
+    *
+    * Scale shape: one corpus aggregation to (type, day) counts, a
+    * days-domain spine fill, and |types|-row moment algebra.
+    */
+  def eventBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+          .cast("long").as("day_idx"))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    // dense spine: every type crossed with every day in the GLOBAL
+    // observed range (types are active over the same span; a type's
+    // own min/max would hide leading/trailing silence)
+    val span = daily.agg(min(col("day_idx")).as("lo"),
+      max(col("day_idx")).as("hi"))
+    val types = daily.select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day_idx"))
+    spine.join(daily, Seq("event_type", "day_idx"), "left")
+      .select(col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n_days"))
+      .withColumn("variance",
+        col("s2").cast("double") / col("n_days") - col("mean") * col("mean"))
+      .select(col("event_type"), col("n_days"), col("s1").as("n_events"),
+        floor(col("mean") * 1000).cast("long").as("mean_milli"),
+        floor(col("variance") / col("mean") * 1000).cast("long")
+          .as("fano_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin: same dense spine, same moment algebra, same floor. */
+  val eventBurstinessSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+      |      AS day_idx,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM daily
+      |), spine AS (
+      |  SELECT t.event_type, g.day_idx
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS day_idx
+      |              FROM span) g
+      |), dense AS (
+      |  SELECT s.event_type, COALESCE(d.n, 0) AS n
+      |  FROM spine s LEFT JOIN daily d USING (event_type, day_idx)
+      |), m AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+      |  FROM dense GROUP BY event_type
+      |)
+      |SELECT event_type, n_days, s1 AS n_events,
+      |  CAST(floor(CAST(s1 AS DOUBLE) / n_days * 1000) AS BIGINT)
+      |    AS mean_milli,
+      |  CAST(floor((CAST(s2 AS DOUBLE) / n_days
+      |              - (CAST(s1 AS DOUBLE) / n_days)
+      |                * (CAST(s1 AS DOUBLE) / n_days))
+      |             / (CAST(s1 AS DOUBLE) / n_days) * 1000) AS BIGINT)
+      |    AS fano_milli
+      |FROM m
+      |ORDER BY event_type""".stripMargin
+
   /** Day-of-week seasonal profile — the classical multiplicative
     * decomposition's seasonal-index step (index = dow mean / grand
     * mean) over the [[dailyCents]] spine, per event type. dow 0 is
@@ -752,6 +829,7 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seasonal_profile" -> (seasonalProfile _),
+    "q_event_burstiness" -> (eventBurstiness _),
     "q_theilsen_trend" -> (theilSenTrend _),
     "q_ccf_daily" -> (ccfDaily _),
     "q_acf_daily" -> (acfDaily _),
@@ -766,6 +844,7 @@ object TimeSeries {
 
   val oracles: Map[String, String] = Map(
     "q_seasonal_profile" -> seasonalProfileSql,
+    "q_event_burstiness" -> eventBurstinessSql,
     "q_theilsen_trend" -> theilSenTrendSql,
     "q_ccf_daily" -> ccfDailySql,
     "q_acf_daily" -> acfDailySql,

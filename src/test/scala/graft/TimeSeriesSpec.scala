@@ -423,4 +423,30 @@ class TimeSeriesSpec extends SparkSpec {
         s"dow ${r.getAs[Long]("dow")} does not replay")
     }
   }
+
+  test("event burstiness: Fano replays driver-side over the dense spine; zero-days counted") {
+    import graft.analytics.TimeSeries
+    val daily = graft.ingest.Sources.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("di"))
+      .groupBy(col("event_type"), col("di")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val lo = daily.map(_._2).min; val hi = daily.map(_._2).max
+    val out = TimeSeries.eventBurstiness(spark, sf).collect()
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val mine = daily.filter(_._1 == et).map(t => t._2 -> t._3).toMap
+      val counts = (lo to hi).map(d => mine.getOrElse(d, 0L))
+      val nDays = counts.length.toLong
+      assert(r.getAs[Long]("n_days") == nDays)
+      assert(r.getAs[Long]("n_events") == counts.sum)
+      val mean = counts.sum.toDouble / nDays
+      val s2 = counts.map(c => c.toDouble * c).sum / nDays
+      val fano = (s2 - mean * mean) / mean
+      assert(r.getAs[Long]("mean_milli") == math.floor(mean * 1000).toLong)
+      assert(r.getAs[Long]("fano_milli") == math.floor(fano * 1000).toLong,
+        s"$et fano does not replay")
+    }
+    assert(out.nonEmpty)
+  }
 }
