@@ -1294,6 +1294,70 @@ object TextOps {
       |JOIN sizes sb ON sb.lang = lang_b
       |ORDER BY lang_a, lang_b""".stripMargin
 
+  /** Dedup bias audit — does near-dup removal skew the surviving
+    * corpus? Compares the quality-score distribution of KEPT vs
+    * REMOVED documents under the keep-min-id rule over the 0.8-Jaccard
+    * near-dup pairs (removed = any doc that is the larger id of some
+    * pair): per verdict, doc count, mean quality in exact milli units
+    * ((1000·Σscore) DIV n — integer scores 0..3, so the mean is an
+    * exact rational) and the per-score histogram columns. A large
+    * kept-vs-removed gap means the dedup is systematically deleting
+    * better (or worse) text than it keeps — the bias labs check
+    * before shipping a deduped corpus.
+    */
+  def dedupBiasAudit(spark: SparkSession, dir: String): DataFrame = {
+    val removed = nearDupPairs(spark, dir, threshold = 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("removed", lit(1))
+    val score =
+      when(nToksOf.between(20, 120), 1).otherwise(0) +
+        when(stopRatioOf.between(0.01, 0.3), 1).otherwise(0) +
+        when(meanWordLenOf.between(3.0, 6.0), 1).otherwise(0)
+    documents(spark, dir)
+      .select(col("doc_id"), score.cast("long").as("q"))
+      .join(removed, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("removed").isNotNull, lit("removed")).otherwise(lit("kept")))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("(1000 * sum(q)) DIV count(1)").as("mean_q_milli"),
+        sum(when(col("q") === 0, 1L).otherwise(0L)).as("q0"),
+        sum(when(col("q") === 1, 1L).otherwise(0L)).as("q1"),
+        sum(when(col("q") === 2, 1L).otherwise(0L)).as("q2"),
+        sum(when(col("q") === 3, 1L).otherwise(0L)).as("q3"))
+      .orderBy(col("verdict"))
+  }
+
+  /** DuckDB twin: the near-dup pair subquery + the same inline score. */
+  lazy val dedupBiasAuditSql: String =
+    s"""WITH removed AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM ($nearDupJaccardSql)
+       |), scored AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 120
+       |          THEN 1 ELSE 0 END)
+       |    + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+       |                         t -> t IN ('the', 'a'))) AS DOUBLE)
+       |              / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.3
+       |            THEN 1 ELSE 0 END)
+       |    + (CASE WHEN CAST(length(text) - len(string_split(text, ' ')) + 1
+       |                   AS DOUBLE)
+       |              / len(string_split(text, ' ')) BETWEEN 3.0 AND 6.0
+       |            THEN 1 ELSE 0 END) AS q
+       |  FROM documents
+       |)
+       |SELECT CASE WHEN r.doc_id IS NULL THEN 'kept' ELSE 'removed' END
+       |    AS verdict,
+       |  count(*) AS n_docs,
+       |  (1000 * CAST(sum(q) AS BIGINT)) // count(*) AS mean_q_milli,
+       |  CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS q0,
+       |  CAST(sum(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+       |  CAST(sum(CASE WHEN q = 2 THEN 1 ELSE 0 END) AS BIGINT) AS q2,
+       |  CAST(sum(CASE WHEN q = 3 THEN 1 ELSE 0 END) AS BIGINT) AS q3
+       |FROM scored s LEFT JOIN removed r USING (doc_id)
+       |GROUP BY 1
+       |ORDER BY verdict""".stripMargin
+
   /** Thresholds for [[dedupRateCurve]], as 32nds of the signature
     * width — every one an EXACT binary double, so `est ≥ θ` cannot
     * waver between engines.
@@ -3297,6 +3361,7 @@ object TextOps {
     "q_dedup_rate_curve" -> (dedupRateCurve _),
     "q_lang_overlap" -> (langOverlap _),
     "q_ngram_novelty" -> (ngramNovelty _),
+    "q_dedup_bias_audit" -> (dedupBiasAudit _),
     "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
@@ -3345,6 +3410,7 @@ object TextOps {
     "q_dedup_rate_curve" -> dedupRateCurveSql,
     "q_lang_overlap" -> langOverlapSql,
     "q_ngram_novelty" -> ngramNoveltySql,
+    "q_dedup_bias_audit" -> dedupBiasAuditSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,

@@ -1017,6 +1017,25 @@ class TextOpsSpec extends SparkSpec {
       s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
   }
 
+  test("dedup bias audit: verdict partition conserves; histogram consistent with mean") {
+    import graft.analytics.TextOps
+    val out = TextOps.dedupBiasAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("verdict") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("mean_q_milli"),
+          Seq(r.getAs[Long]("q0"), r.getAs[Long]("q1"),
+            r.getAs[Long]("q2"), r.getAs[Long]("q3")))).toMap
+    val nDocs = graft.ingest.Sources.documents(spark, sf).count()
+    assert(out.keySet.subsetOf(Set("kept", "removed")))
+    assert(out.values.map(_._1).sum == nDocs, "verdicts do not partition")
+    out.foreach { case (v, (n, meanMilli, hist)) =>
+      assert(hist.sum == n, s"$v histogram mass")
+      val scoreSum = hist.zipWithIndex.map { case (c, q) => c * q }.sum
+      assert(meanMilli == 1000L * scoreSum / n, s"$v mean inconsistent")
+    }
+    // the planted near-dups mean the removed bucket is non-empty
+    assert(out.contains("removed") && out("removed")._1 > 0)
+  }
+
   test("ngram novelty: replays a driver-side shingle diff; planted dup is non-novel") {
     import graft.analytics.TextOps
     val docs = graft.ingest.Sources.documents(spark, sf)
