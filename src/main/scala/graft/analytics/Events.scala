@@ -265,6 +265,68 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Temporal cutoff for [[coldStartCoverage]]: events strictly
+    * before it are "history", the rest the evaluation period (the
+    * corpus spans January 2024; the last ~9 days evaluate).
+    */
+  val ColdStartCutoff = "2024-01-22"
+
+  /** Cold-start coverage of the evaluation period — the recommender
+    * eval-hygiene audit: of the events after [[ColdStartCutoff]], per
+    * event type, what fraction of users (and of events) have ANY
+    * history before the cutoff? Users without it are cold-start rows
+    * a personalization model cannot score from history, and an eval
+    * period dominated by them measures the fallback path, not the
+    * model. A TEMPORAL split is the point — a user-hash split would
+    * make the metric vacuous (every held-out user is unseen by
+    * construction). Counts are exact integers; shares exact ppm.
+    *
+    * Scale shape: one distinct-user table for history (hash
+    * aggregate), a user-keyed join, per-type rollups.
+    */
+  def coldStartCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(ColdStartCutoff).cast("timestamp")
+    val ev = events(spark, dir)
+    val histUsers = ev.filter(col("ts") < cutoff)
+      .select(col("user_id")).distinct().withColumn("seen", lit(1))
+    ev.filter(col("ts") >= cutoff)
+      .join(histUsers, Seq("user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("seen").isNotNull, col("user_id")))
+          .as("n_seen_users"),
+        sum(when(col("seen").isNotNull, 1L).otherwise(0L))
+          .as("n_covered_events"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("n_seen_users"),
+        expr("(1000000 * n_seen_users) DIV n_users").as("seen_users_ppm"),
+        expr("(1000000 * n_covered_events) DIV n_events")
+          .as("covered_events_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin: same cutoff, same semi-join accounting. */
+  val coldStartCoverageSql: String =
+    s"""WITH hist AS (
+      |  SELECT DISTINCT user_id FROM events
+      |  WHERE ts < TIMESTAMP '$ColdStartCutoff'
+      |)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      |  CAST(count(DISTINCT CASE WHEN h.user_id IS NOT NULL
+      |                      THEN e.user_id END) AS BIGINT) AS n_seen_users,
+      |  (1000000 * CAST(count(DISTINCT CASE WHEN h.user_id IS NOT NULL
+      |                      THEN e.user_id END) AS BIGINT))
+      |    // CAST(count(DISTINCT e.user_id) AS BIGINT) AS seen_users_ppm,
+      |  (1000000 * CAST(sum(CASE WHEN h.user_id IS NOT NULL
+      |                      THEN 1 ELSE 0 END) AS BIGINT))
+      |    // count(*) AS covered_events_ppm
+      |FROM events e LEFT JOIN hist h ON e.user_id = h.user_id
+      |WHERE e.ts >= TIMESTAMP '$ColdStartCutoff'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Max staleness for [[asofTolerance]] (seconds): a purchase only
     * attributes to a signup within this window.
     */
@@ -913,6 +975,7 @@ object Events {
     "q_markov_stationary" -> (markovStationary _),
     "q_asof_custom" -> (asofSignupCustom _),
     "q_asof_tolerance" -> (asofTolerance _),
+    "q_cold_start" -> (coldStartCoverage _),
     "q_user_event_types" -> (userEventTypes _),
     "q_sessionize" -> (sessionize _),
     "q_event_props" -> (eventProps _),
@@ -931,6 +994,7 @@ object Events {
     "q_markov_stationary" -> markovStationarySql,
     "q_asof_custom" -> asofSignupSql,
     "q_asof_tolerance" -> asofToleranceSql,
+    "q_cold_start" -> coldStartCoverageSql,
     "q_user_event_types" -> userEventTypesSql,
     "q_sessionize" -> sessionizeSql,
     "q_event_props" -> eventPropsSql,

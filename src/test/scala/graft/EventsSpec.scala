@@ -306,4 +306,31 @@ class EventsSpec extends SparkSpec {
       s"stationary mass $mass outside [scale-k, scale]")
     assert(out.forall(_.getAs[Long]("stationary_ppm") >= 0L))
   }
+
+  test("cold-start coverage: accounting replays driver-side; ppm bounds hold") {
+    import graft.analytics.Events
+    val cutoff = java.sql.Timestamp.valueOf(Events.ColdStartCutoff + " 00:00:00")
+    val ev = graft.ingest.Sources.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[java.sql.Timestamp](2)))
+    val hist = ev.filter(_._3.before(cutoff)).map(_._2).toSet
+    val eval_ = ev.filter(!_._3.before(cutoff))
+    val out = Events.coldStartCoverage(spark, sf).collect()
+    assert(out.nonEmpty, "no eval-period events — cutoff outside the corpus span")
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val mine = eval_.filter(_._1 == et)
+      val users = mine.map(_._2).distinct
+      val seen = users.count(hist)
+      val covered = mine.count(t => hist(t._2))
+      assert(r.getAs[Long]("n_events") == mine.length)
+      assert(r.getAs[Long]("n_users") == users.length)
+      assert(r.getAs[Long]("n_seen_users") == seen)
+      assert(r.getAs[Long]("seen_users_ppm") ==
+        1000000L * seen / users.length)
+      assert(r.getAs[Long]("covered_events_ppm") ==
+        1000000L * covered / mine.length)
+      assert(r.getAs[Long]("seen_users_ppm") <= 1000000L)
+    }
+  }
 }
