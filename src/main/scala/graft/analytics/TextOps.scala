@@ -791,6 +791,109 @@ object TextOps {
       |GROUP BY lang, predicted
       |ORDER BY lang, predicted""".stripMargin
 
+  /** Profile size of the trigram language classifier. */
+  val LangIdProfileK = 50
+
+  /** Character-trigram language identification (Cavnar & Trenkle
+    * 1994's n-gram profiles, simplified to set overlap): each
+    * language's profile is its train-split's [[LangIdProfileK]] most
+    * frequent character trigrams (count desc, trigram asc — a total
+    * order); an eval document is classified to the language whose
+    * profile shares the most of the document's DISTINCT trigrams
+    * (exact integer overlap, ties to the lexicographically first
+    * language). Emitted as the (true lang, predicted) confusion
+    * matrix — the honest upgrade over [[langId]]'s binary stopword
+    * heuristic, and an in-band accuracy readout. On THIS synthetic
+    * corpus the matrix reads near-chance (~14%): the five "languages"
+    * share one identical 31-word vocabulary, so the labels are not
+    * text-derivable — which is precisely the failure a confusion-
+    * matrix audit exists to expose before anyone trusts a lang
+    * column downstream (the spec pins this diagnosis).
+    *
+    * Scale shape: trigram explosion is scan-side; profile building
+    * aggregates the vocabulary-sized (lang, trigram) table; the
+    * profiles are a |langs|×K broadcast; classification is one join
+    * + a bounded per-doc argmax (≤ |langs| candidates).
+    */
+  def langIdTrigram(spark: SparkSession, dir: String): DataFrame = {
+    def tri(c: Column): Column =
+      array_distinct(when(length(c) >= 3,
+        transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>")))
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("is_train", isTrain)
+    val profW = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("tg").asc)
+    val profiles = docs.filter(col("is_train"))
+      .select(col("lang"), explode(tri(col("text"))).as("tg"))
+      .groupBy(col("lang"), col("tg")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(profW))
+      .filter(col("rk") <= LangIdProfileK)
+      .select(col("lang").as("cand_lang"), col("tg"))
+    val scored = docs.filter(!col("is_train"))
+      .select(col("doc_id"), col("lang"), explode(tri(col("text"))).as("tg"))
+      .join(broadcast(profiles), "tg")
+      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
+      .agg(count(lit(1)).as("overlap"))
+    val bestW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("overlap").desc, col("cand_lang").asc)
+    val predicted = scored
+      .withColumn("rk", row_number().over(bestW))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cand_lang").as("predicted"))
+    // docs with zero profile overlap predict 'unk' (kept via the
+    // eval-doc spine)
+    docs.filter(!col("is_train")).select(col("doc_id"), col("lang"))
+      .join(predicted.select(col("doc_id"),
+        col("predicted")), Seq("doc_id"), "left")
+      .withColumn("predicted", coalesce(col("predicted"), lit("unk")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** DuckDB twin: same trigram enumeration, profile cut, overlap
+    * argmax and unk back-fill.
+    */
+  val langIdTrigramSql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, lang, text,
+      |    ${graft.operators.Scale.hashBucketSql("doc_id")} < 80 AS is_train
+      |  FROM documents
+      |), tg AS (
+      |  SELECT doc_id, lang, is_train, tgm
+      |  FROM (SELECT doc_id, lang, is_train,
+      |          unnest(list_distinct(list_transform(
+      |            range(1, greatest(length(text) - 1, 1)),
+      |            i -> substr(text, CAST(i AS INT), 3)))) AS tgm
+      |        FROM docs)
+      |), prof AS (
+      |  SELECT lang AS cand_lang, tgm FROM (
+      |    SELECT lang, tgm, count(*) AS cnt,
+      |      row_number() OVER (PARTITION BY lang
+      |        ORDER BY count(*) DESC, tgm ASC) AS rk
+      |    FROM tg WHERE is_train GROUP BY lang, tgm)
+      |  WHERE rk <= $LangIdProfileK
+      |), scored AS (
+      |  SELECT t.doc_id, t.lang, p.cand_lang, count(*) AS overlap
+      |  FROM tg t JOIN prof p ON p.tgm = t.tgm
+      |  WHERE NOT t.is_train
+      |  GROUP BY 1, 2, 3
+      |), best AS (
+      |  SELECT doc_id, lang, cand_lang AS predicted FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY overlap DESC, cand_lang ASC) AS rk
+      |    FROM scored)
+      |  WHERE rk = 1
+      |)
+      |SELECT d.lang AS lang, COALESCE(b.predicted, 'unk') AS predicted,
+      |  count(*) AS n_docs
+      |FROM (SELECT doc_id, lang FROM docs WHERE NOT is_train) d
+      |LEFT JOIN best b USING (doc_id)
+      |GROUP BY 1, 2
+      |ORDER BY d.lang, predicted""".stripMargin
+
   /** Sketch-based heavy hitters: per-language top-k tokens via the
     * approx_top_k aggregate (a bounded-memory frequency sketch —
     * the 100 TB answer to "top terms" where an exact groupBy over the
@@ -3362,6 +3465,7 @@ object TextOps {
     "q_lang_overlap" -> (langOverlap _),
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_dedup_bias_audit" -> (dedupBiasAudit _),
+    "q_langid_trigram" -> (langIdTrigram _),
     "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
@@ -3411,6 +3515,7 @@ object TextOps {
     "q_lang_overlap" -> langOverlapSql,
     "q_ngram_novelty" -> ngramNoveltySql,
     "q_dedup_bias_audit" -> dedupBiasAuditSql,
+    "q_langid_trigram" -> langIdTrigramSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,

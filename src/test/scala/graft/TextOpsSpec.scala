@@ -1017,6 +1017,29 @@ class TextOpsSpec extends SparkSpec {
       s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
   }
 
+  test("trigram lang-id: confusion matrix replays; near-chance on the shared-vocab fixture") {
+    import graft.analytics.TextOps
+    val out = TextOps.langIdTrigram(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("predicted"),
+        r.getAs[Long]("n_docs")))
+    val nEval = graft.ingest.Sources.documents(spark, sf)
+      .filter(graft.operators.Scale.hashBucket(col("doc_id")) >= 80).count()
+    assert(out.map(_._3).sum == nEval, "matrix mass != eval docs")
+    // every predicted label is a real language or unk
+    val langs = graft.ingest.Sources.documents(spark, sf)
+      .select(col("lang")).distinct().collect().map(_.getString(0)).toSet
+    out.foreach { case (l, p, _) =>
+      assert(langs(l) && (langs(p) || p == "unk"))
+    }
+    // the diagnosis the audit exists for: this corpus's languages
+    // share one vocabulary, so accuracy must sit near chance — FAR
+    // below the 0.9 a real multilingual corpus would show (if this
+    // fires, the fixture gained real language structure: tighten it)
+    val tot = out.map(_._3).sum.toDouble
+    val acc = out.filter(t => t._1 == t._2).map(_._3).sum / tot
+    assert(acc < 0.5, s"accuracy $acc: labels became text-derivable?")
+  }
+
   test("dedup bias audit: verdict partition conserves; histogram consistent with mean") {
     import graft.analytics.TextOps
     val out = TextOps.dedupBiasAudit(spark, sf).collect()
