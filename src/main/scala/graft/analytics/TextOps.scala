@@ -1511,6 +1511,91 @@ object TextOps {
        |GROUP BY th32
        |ORDER BY th32""".stripMargin
 
+  /** Quality-aware dedup representatives — the curation upgrade over
+    * keep-min-id: within each near-dup cluster (connected components
+    * of the 0.8-Jaccard pair graph), keep the member with the HIGHEST
+    * quality score (ties to the smallest doc_id — a total order), so
+    * deduplication stops deleting the cleanest copy just because a
+    * noisier one has a smaller id. Emits one row per multi-member
+    * cluster: the chosen representative, its quality, the cluster's
+    * best-vs-worst quality spread (spread > 0 is exactly where this
+    * rule and keep-min-id disagree materially).
+    *
+    * Scale shape: the pair graph + CC loop are the [[dedupClusters]]
+    * machinery; the selection is one bounded per-cluster argmax over
+    * member scores.
+    */
+  def dedupQualityReps(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val comp = graft.operators.Graph.connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val score =
+      when(nToksOf.between(20, 120), 1).otherwise(0) +
+        when(stopRatioOf.between(0.01, 0.3), 1).otherwise(0) +
+        when(meanWordLenOf.between(3.0, 6.0), 1).otherwise(0)
+    val members = documents(spark, dir)
+      .select(col("doc_id"), score.cast("long").as("q"))
+      .join(comp.select(col("v").as("doc_id"), col("comp")), "doc_id")
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    members
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("comp"))))
+      .withColumn("q_max", max(col("q")).over(Window.partitionBy(col("comp"))))
+      .withColumn("q_min", min(col("q")).over(Window.partitionBy(col("comp"))))
+      .filter(col("rk") === 1)
+      .select(col("comp").as("cluster"), col("n_docs"),
+        col("doc_id").as("representative"), col("q").as("rep_quality"),
+        (col("q_max") - col("q_min")).as("quality_spread"))
+      .orderBy(col("cluster"))
+  }
+
+  /** DuckDB twin: the recursive closure + the same inline score and
+    * per-cluster argmax.
+    */
+  lazy val dedupQualityRepsSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($nearDupJaccardSql)),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |),
+       |verts AS (SELECT DISTINCT src AS v FROM edges),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+       |),
+       |comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+       |scored AS (
+       |  SELECT d.doc_id, c.component,
+       |    (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 120
+       |          THEN 1 ELSE 0 END)
+       |    + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+       |                         t -> t IN ('the', 'a'))) AS DOUBLE)
+       |              / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.3
+       |            THEN 1 ELSE 0 END)
+       |    + (CASE WHEN CAST(length(text) - len(string_split(text, ' ')) + 1
+       |                   AS DOUBLE)
+       |              / len(string_split(text, ' ')) BETWEEN 3.0 AND 6.0
+       |            THEN 1 ELSE 0 END) AS q
+       |  FROM documents d JOIN comp c USING (doc_id)
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY component
+       |      ORDER BY q DESC, doc_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY component) AS n_docs,
+       |    max(q) OVER (PARTITION BY component) AS q_max,
+       |    min(q) OVER (PARTITION BY component) AS q_min
+       |  FROM scored
+       |)
+       |SELECT component AS cluster, n_docs, doc_id AS representative,
+       |  CAST(q AS BIGINT) AS rep_quality,
+       |  CAST(q_max - q_min AS BIGINT) AS quality_spread
+       |FROM ranked WHERE rk = 1
+       |ORDER BY cluster""".stripMargin
+
   /** Leakage-safe train/valid/test split — the assignment rule that
     * makes a held-out set honest: split membership is decided by the
     * NEAR-DUP CLUSTER's canonical id (min doc_id of the connected
@@ -3466,6 +3551,7 @@ object TextOps {
     "q_ngram_novelty" -> (ngramNovelty _),
     "q_dedup_bias_audit" -> (dedupBiasAudit _),
     "q_langid_trigram" -> (langIdTrigram _),
+    "q_dedup_quality_reps" -> (dedupQualityReps _),
     "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
@@ -3516,6 +3602,7 @@ object TextOps {
     "q_ngram_novelty" -> ngramNoveltySql,
     "q_dedup_bias_audit" -> dedupBiasAuditSql,
     "q_langid_trigram" -> langIdTrigramSql,
+    "q_dedup_quality_reps" -> dedupQualityRepsSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,

@@ -1017,6 +1017,29 @@ class TextOpsSpec extends SparkSpec {
       s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
   }
 
+  test("dedup quality reps: representative is the cluster argmax; agrees with dedupClusters membership") {
+    import graft.analytics.TextOps
+    val clusters = TextOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("component") ->
+        r.getAs[String]("doc_ids").split(",").map(_.toLong).toSet).toMap
+    val out = TextOps.dedupQualityReps(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("representative"), r.getAs[Long]("rep_quality"),
+        r.getAs[Long]("quality_spread")))
+    // same clusters as the canonical min-id operator
+    assert(out.map(_._1).toSet == clusters.keySet)
+    out.foreach { case (c, n, rep, q, spread) =>
+      val members = clusters(c)
+      assert(n == members.size && members(rep), s"cluster $c membership")
+      assert(q >= 0 && q <= 3 && spread >= 0 && spread <= 3)
+    }
+    // the rule must matter somewhere: at least one representative
+    // differs from the min-id canonical (else the fixture cannot
+    // distinguish the two policies)
+    assert(out.exists { case (c, _, rep, _, _) => rep != clusters(c).min },
+      "every quality rep equals the min id — policy indistinguishable")
+  }
+
   test("trigram lang-id: confusion matrix replays; near-chance on the shared-vocab fixture") {
     import graft.analytics.TextOps
     val out = TextOps.langIdTrigram(spark, sf).collect()
