@@ -1511,6 +1511,71 @@ object TextOps {
        |GROUP BY th32
        |ORDER BY th32""".stripMargin
 
+  /** Top-terms compared by [[topTermsShift]]. */
+  val TermShiftK = 50
+
+  /** Vocabulary drift between the daily batch and history — the
+    * content-level companion to the length-distribution monitors
+    * (χ²/KS/PSI watch SHAPE; this watches WHAT the corpus talks
+    * about): each side's [[TermShiftK]] most frequent tokens
+    * (count desc, token asc — total order), compared as exact overlap
+    * and one-sided entrant/dropout counts, with the overlap share in
+    * ppm. A collapsing overlap flags a topic/source shift the length
+    * histogram cannot see.
+    *
+    * Scale shape: two vocabulary-sized token aggregations, two
+    * TakeOrdered K-row cuts, one K×K-bounded comparison.
+    */
+  def topTermsShift(spark: SparkSession, dir: String): DataFrame = {
+    val isBatch = graft.operators.Scale.isBatch(col("doc_id"))
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("is_batch", isBatch)
+    def top(side: DataFrame) = side
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(TermShiftK)
+      .select(col("tok"))
+    val h = top(toks.filter(!col("is_batch"))).withColumn("in_hist", lit(1))
+    val b = top(toks.filter(col("is_batch"))).withColumn("in_batch", lit(1))
+    h.join(b, Seq("tok"), "full_outer")
+      .agg(count(col("in_hist")).as("n_hist_top"),
+        count(col("in_batch")).as("n_batch_top"),
+        count(when(col("in_hist").isNotNull &&
+          col("in_batch").isNotNull, 1)).as("n_shared"),
+        count(when(col("in_hist").isNull, 1)).as("n_entrants"),
+        count(when(col("in_batch").isNull, 1)).as("n_dropouts"))
+      .select(col("n_hist_top"), col("n_batch_top"), col("n_shared"),
+        col("n_entrants"), col("n_dropouts"),
+        expr("(1000000 * n_shared) DIV n_batch_top").as("overlap_ppm"))
+  }
+
+  /** DuckDB twin: same total-order top-K cuts, same full-outer
+    * accounting.
+    */
+  val topTermsShiftSql: String =
+    s"""WITH toks AS (
+      |  SELECT ${graft.operators.Scale.isBatchSql("doc_id")} AS is_batch,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), h AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS cnt FROM toks WHERE NOT is_batch
+      |    GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT $TermShiftK)
+      |), b AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS cnt FROM toks WHERE is_batch
+      |    GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT $TermShiftK)
+      |)
+      |SELECT count(h.tok) AS n_hist_top, count(b.tok) AS n_batch_top,
+      |  count(CASE WHEN h.tok IS NOT NULL AND b.tok IS NOT NULL
+      |        THEN 1 END) AS n_shared,
+      |  count(CASE WHEN h.tok IS NULL THEN 1 END) AS n_entrants,
+      |  count(CASE WHEN b.tok IS NULL THEN 1 END) AS n_dropouts,
+      |  (1000000 * count(CASE WHEN h.tok IS NOT NULL AND b.tok IS NOT NULL
+      |              THEN 1 END)) // count(b.tok) AS overlap_ppm
+      |FROM h FULL OUTER JOIN b ON h.tok = b.tok""".stripMargin
+
   /** Quality-aware dedup representatives — the curation upgrade over
     * keep-min-id: within each near-dup cluster (connected components
     * of the 0.8-Jaccard pair graph), keep the member with the HIGHEST
@@ -3552,6 +3617,7 @@ object TextOps {
     "q_dedup_bias_audit" -> (dedupBiasAudit _),
     "q_langid_trigram" -> (langIdTrigram _),
     "q_dedup_quality_reps" -> (dedupQualityReps _),
+    "q_top_terms_shift" -> (topTermsShift _),
     "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
@@ -3603,6 +3669,7 @@ object TextOps {
     "q_dedup_bias_audit" -> dedupBiasAuditSql,
     "q_langid_trigram" -> langIdTrigramSql,
     "q_dedup_quality_reps" -> dedupQualityRepsSql,
+    "q_top_terms_shift" -> topTermsShiftSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
     "q_phrase_search" -> phraseSearchSql,

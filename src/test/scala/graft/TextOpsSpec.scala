@@ -1017,6 +1017,32 @@ class TextOpsSpec extends SparkSpec {
       s"adjacency join must shuffle the semi-filtered posting lists:\n$fin")
   }
 
+  test("top-terms shift: counts replay from driver-side top-K cuts; accounting closes") {
+    import graft.analytics.TextOps
+    val toks = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1)
+        .map(t => (r.getLong(0) % 5 == 4) -> t))
+    def top(batch: Boolean) = toks.filter(_._1 == batch).map(_._2)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size }
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(TextOps.TermShiftK).map(_._1).toSet
+    val h = top(false); val b = top(true)
+    val r = TextOps.topTermsShift(spark, sf).collect().head
+    assert(r.getAs[Long]("n_hist_top") == h.size)
+    assert(r.getAs[Long]("n_batch_top") == b.size)
+    assert(r.getAs[Long]("n_shared") == (h & b).size)
+    assert(r.getAs[Long]("n_entrants") == (b -- h).size)
+    assert(r.getAs[Long]("n_dropouts") == (h -- b).size)
+    assert(r.getAs[Long]("overlap_ppm") == 1000000L * (h & b).size / b.size)
+    // accounting closes: shared + entrants = batch top, shared +
+    // dropouts = hist top
+    assert(r.getAs[Long]("n_shared") + r.getAs[Long]("n_entrants")
+      == r.getAs[Long]("n_batch_top"))
+    assert(r.getAs[Long]("n_shared") + r.getAs[Long]("n_dropouts")
+      == r.getAs[Long]("n_hist_top"))
+  }
+
   test("dedup quality reps: representative is the cluster argmax; agrees with dedupClusters membership") {
     import graft.analytics.TextOps
     val clusters = TextOps.dedupClusters(spark, sf).collect()
