@@ -362,16 +362,20 @@ object Events {
       .orderBy(col("event_id"))
   }
 
-  /** DuckDB twin: native ASOF, tolerance as a match post-filter. */
+  /** DuckDB twin: native ASOF, tolerance as a match post-filter. The
+    * match predicate compares exact EPOCH MICROS (epoch_us), the same
+    * unit the Catalyst operator enforces in-exec — a floor-second
+    * comparison would diverge on a pair straddling the boundary by
+    * under one second. Only the reported gap_s stays floor-seconds,
+    * matching the Spark projection.
+    */
   val asofToleranceSql: String =
     s"""SELECT p.event_id, p.user_id,
-      |  CASE WHEN CAST(floor(epoch(p.ts)) AS BIGINT)
-      |            - CAST(floor(epoch(s.ts)) AS BIGINT)
-      |         <= $AsofToleranceSecs
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(s.ts)
+      |         <= ${AsofToleranceSecs * 1000000L}
       |       THEN s.event_id END AS signup_event_id,
-      |  CASE WHEN CAST(floor(epoch(p.ts)) AS BIGINT)
-      |            - CAST(floor(epoch(s.ts)) AS BIGINT)
-      |         <= $AsofToleranceSecs
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(s.ts)
+      |         <= ${AsofToleranceSecs * 1000000L}
       |       THEN CAST(floor(epoch(p.ts)) AS BIGINT)
       |            - CAST(floor(epoch(s.ts)) AS BIGINT) END AS gap_s
       |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts

@@ -1547,7 +1547,10 @@ object TextOps {
         count(when(col("in_batch").isNull, 1)).as("n_dropouts"))
       .select(col("n_hist_top"), col("n_batch_top"), col("n_shared"),
         col("n_entrants"), col("n_dropouts"),
-        expr("(1000000 * n_shared) DIV n_batch_top").as("overlap_ppm"))
+        // zero guard: an empty batch side must read 0, not NULL in
+        // Spark vs a division-by-zero abort in DuckDB
+        expr("CASE WHEN n_batch_top = 0 THEN 0 " +
+          "ELSE (1000000 * n_shared) DIV n_batch_top END").as("overlap_ppm"))
   }
 
   /** DuckDB twin: same total-order top-K cuts, same full-outer
@@ -1572,8 +1575,9 @@ object TextOps {
       |        THEN 1 END) AS n_shared,
       |  count(CASE WHEN h.tok IS NULL THEN 1 END) AS n_entrants,
       |  count(CASE WHEN b.tok IS NULL THEN 1 END) AS n_dropouts,
-      |  (1000000 * count(CASE WHEN h.tok IS NOT NULL AND b.tok IS NOT NULL
-      |              THEN 1 END)) // count(b.tok) AS overlap_ppm
+      |  CASE WHEN count(b.tok) = 0 THEN 0
+      |    ELSE (1000000 * count(CASE WHEN h.tok IS NOT NULL AND b.tok IS NOT NULL
+      |              THEN 1 END)) // count(b.tok) END AS overlap_ppm
       |FROM h FULL OUTER JOIN b ON h.tok = b.tok""".stripMargin
 
   /** Quality-aware dedup representatives — the curation upgrade over

@@ -49,8 +49,12 @@ object ManifestTable {
     * data-skipping index every lakehouse format carries: a line is
     * either a bare file name (legacy, never skipped) or
     * `name\tcol=min..max;col2=min..max` for the file's numeric
-    * columns (bounds as doubles — exact for integers below 2^53;
-    * all-null columns carry no entry and are never skipped).
+    * columns (bounds as doubles, WIDENED by one ulp on each side at
+    * write time — a 64-bit integer above 2^53 rounds to the nearest
+    * double, which can fall inside the true range; nextDown/nextUp
+    * re-covers the exact value so skipping stays conservative for
+    * every long. All-null columns carry no entry and are never
+    * skipped).
     * [[snapshotFiles]] strips the stats, so every pre-existing
     * consumer (read/vacuum/compact/crash specs) is format-agnostic;
     * [[pruneFiles]]/[[readBetween]] use them to touch only files
@@ -250,7 +254,12 @@ object ManifestTable {
           val mn = r.getAs[Any](s"mn_$c")
           val mx = r.getAs[Any](s"mx_$c")
           if (mn == null || mx == null) None
-          else Some(s"$c=${mn.asInstanceOf[Double]}..${mx.asInstanceOf[Double]}")
+          // Widen one ulp each side: a BIGINT above 2^53 rounds to the
+          // NEAREST double (error < 1 ulp), so the recorded max could
+          // otherwise fall below the true max (min above the true min)
+          // and pruneFiles would skip a file holding qualifying rows.
+          else Some(s"$c=${Math.nextDown(mn.asInstanceOf[Double])}" +
+            s"..${Math.nextUp(mx.asInstanceOf[Double])}")
         }.mkString(";")
         r.getAs[String]("f") -> stats
       }.toMap

@@ -449,7 +449,9 @@ object Pipeline {
           if (cands.contains(tok) || est > bar) {
             cands = cands.updated(tok, est)
             if (cands.size > cap) {
-              // drop the weakest (deterministic tie: token desc goes)
+              // drop the weakest; among equal-estimate candidates the
+              // lexicographically SMALLEST token goes (minBy on
+              // (est, token) — deterministic)
               val weakest = cands.minBy { case (t, e) => (e, t) }._1
               cands = cands - weakest
             }

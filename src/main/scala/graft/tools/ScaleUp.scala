@@ -79,11 +79,22 @@ object ScaleUp {
     // exact clone of its replicas: all kNN lists collapse onto the
     // clone groups, N_k variance hits zero, and the "scaled" ANN
     // measurements time a degenerate graph instead of a 4× corpus.
+    // Rotation alone wraps at k = dim (replica dim would clone replica
+    // 0), so each dim-sized rotation cycle also gets a per-lane SIGN
+    // pattern from the bits of q = r / dim — a uniform within-replica
+    // sign flip is an isometry too (signs cancel in every
+    // within-replica dot, norms untouched), and distinct q give
+    // distinct patterns, so replicas stay pairwise distinct for any
+    // practical k (q < 2^31). q = 0 flips nothing: the first 64
+    // replicas are bit-identical to the rotation-only scheme.
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val dim = 64
     val rotated = (0 until k).map { r =>
-      val rot = array((0 until dim).map(i =>
-        element_at(col("embedding"), (i + r % dim) % dim + 1)): _*)
+      val q = r / dim
+      val rot = array((0 until dim).map { i =>
+        val src = element_at(col("embedding"), (i + r % dim) % dim + 1)
+        if (((q >> (i % 31)) & 1) == 1) (-src) else src
+      }: _*)
       emb
         .withColumn("vec_id", shift(col("vec_id"), lit(r)))
         .withColumn("embedding", if (r == 0) col("embedding") else rot)

@@ -354,6 +354,33 @@ class ManifestSpec extends SparkSpec {
       .count() == 51)
   }
 
+  test("manifest stats stay conservative for BIGINTs above 2^53 (ulp-widened bounds)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_skipbig").toString
+    val path = s"$dir/t"
+    // ulp at 2^62 is 1024: +100 rounds DOWN to the nearest double, so
+    // an unwidened recorded max would fall BELOW the true max (and the
+    // mirrored min above the true min) — the silent-row-loss shape.
+    val trueMin = -(1L << 62) - 100L
+    val trueMax = (1L << 62) + 100L
+    ManifestTable.replace(
+      Seq(trueMin, 0L, trueMax).toDF("id").coalesce(1), path)
+    val stats = ManifestTable.snapshotStats(spark, path)
+    assert(stats.size == 1)
+    val (mn, mx) = stats.head._2("id")
+    // exact-value comparison (BigDecimal, no double re-rounding):
+    // recorded envelope must COVER the true integer bounds
+    assert(BigDecimal(mn) <= BigDecimal(trueMin),
+      s"recorded min $mn above true min $trueMin")
+    assert(BigDecimal(mx) >= BigDecimal(trueMax),
+      s"recorded max $mx below true max $trueMax")
+    // and the file is kept for a range touching only the extremes
+    val (kept, total) =
+      ManifestTable.pruneFiles(spark, path, "id", trueMax.toDouble, Double.MaxValue)
+    assert(total == 1 && kept.size == 1,
+      "file holding the true max was skipped")
+  }
+
   test("compact rewrites files without a visibility gap; vacuum reaps history and orphans") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mcompact").toString
