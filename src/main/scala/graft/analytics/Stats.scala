@@ -286,6 +286,65 @@ object Stats {
       |GROUP BY a.p_brand
       |ORDER BY a.p_brand""".stripMargin
 
+  /** Max edit distance for [[damerauMatch]] — interpolated into both
+    * the Column plan and the oracle SQL.
+    */
+  val DamerauMaxDist = 4
+
+  /** Transposition-aware fuzzy matching through the engine's own
+    * codegen'd [[graft.functions.DamerauLevenshtein]] expression —
+    * the record-linkage upgrade over [[partFuzzyMatch]]: a swapped
+    * word pair ("brown blue" vs "blue brown") is cheap under Damerau
+    * but expensive under Levenshtein, so transposition-heavy
+    * near-duplicates surface at tight thresholds where plain edit
+    * distance misses them. Same blocked self-join shape (composite
+    * (brand, type) block bounds the pair set; the |len(a)−len(b)|
+    * lower bound — valid for Damerau too — prunes before the O(len²)
+    * kernel runs). `n_transposition_wins` counts pairs where the
+    * Damerau distance is strictly below Levenshtein — exactly the
+    * matches a transposition-blind pipeline would score worse.
+    * Oracle: DuckDB's NATIVE damerau_levenshtein (the full
+    * Lowrance–Wagner metric, like ours) — integer-exact cross-engine
+    * parity of a custom Catalyst expression against an independent
+    * native implementation.
+    */
+  def damerauMatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StringDistances.damerauLevenshtein
+    val p = part(spark, dir).select(
+      col("p_brand"), col("p_type"), col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_type"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_type"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "p_type"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= DamerauMaxDist)
+      .withColumn("dl", damerauLevenshtein(col("name_a"), col("name_b")))
+      .filter(col("dl") <= DamerauMaxDist)
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("dl") < col("lev"), 1)).as("n_transposition_wins"),
+        min(col("dl")).cast("bigint").as("min_dl"),
+        round(avg(col("dl")), 4).as("avg_dl"))
+      .orderBy(col("p_brand"))
+  }
+
+  val damerauMatchSql: String =
+    s"""SELECT a.p_brand, count(*) AS n_pairs,
+      |  count(CASE WHEN damerau_levenshtein(a.p_name, b.p_name)
+      |                  < levenshtein(a.p_name, b.p_name)
+      |        THEN 1 END) AS n_transposition_wins,
+      |  CAST(min(damerau_levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dl,
+      |  round(avg(damerau_levenshtein(a.p_name, b.p_name)), 4) AS avg_dl
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+      |     AND a.p_partkey < b.p_partkey
+      |WHERE damerau_levenshtein(a.p_name, b.p_name) <= $DamerauMaxDist
+      |GROUP BY a.p_brand
+      |ORDER BY a.p_brand""".stripMargin
+
   /** Cross-tabulation with expected frequencies and per-cell χ²
     * contributions: market segment × region over customers. The test
     * statistic's ingredients stay per-cell (no cross-cell float sum,
@@ -907,7 +966,8 @@ object Stats {
     "q_sketch_quantiles" -> (sketchQuantiles _),
     "q_order_corr_stats" -> (orderCorrStats _),
     "q_priority_metrics_unpivot" -> (priorityMetricsUnpivot _),
-    "q_part_fuzzy_match" -> ((s: SparkSession, d: String) => partFuzzyMatch(s, d))
+    "q_part_fuzzy_match" -> ((s: SparkSession, d: String) => partFuzzyMatch(s, d)),
+    "q_damerau_match" -> (damerauMatch _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -925,6 +985,7 @@ object Stats {
     "q_sketch_quantiles" -> sketchQuantilesSql,
     "q_order_corr_stats" -> orderCorrStatsSql,
     "q_priority_metrics_unpivot" -> priorityMetricsUnpivotSql,
-    "q_part_fuzzy_match" -> partFuzzyMatchSql
+    "q_part_fuzzy_match" -> partFuzzyMatchSql,
+    "q_damerau_match" -> damerauMatchSql
   )
 }

@@ -25,5 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"float_vector_dot expects 2 arguments, got ${exprs.length}")
         FloatVectorDot(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName,
+        "damerau_levenshtein"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"damerau_levenshtein expects 2 arguments, got ${exprs.length}")
+        DamerauLevenshtein(exprs.head, exprs(1))
+      }))
   }
 }
