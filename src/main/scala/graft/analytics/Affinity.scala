@@ -358,6 +358,89 @@ object Affinity {
       |ORDER BY pr DESC, part ASC""".stripMargin
   }
 
+  /** HITS fixed-point scale (10⁶ — headroom analysis in
+    * [[graft.operators.Graph.hits]]), iteration count, and the id
+    * offset separating part vertices from customer vertices in the
+    * shared id space. All three are part of the operator contract,
+    * interpolated into both the plan and the unrolled oracle.
+    */
+  val HitsScale = 1000000L
+  val HitsIters = 6
+  val HitsPartOffset = 10000000L
+
+  /** Hubs and authorities on the customer→part purchase bipartite
+    * graph — Kleinberg's HITS in its classic recommender reading:
+    * a customer is a good HUB when they buy parts many good customers
+    * buy (a curator), a part is a good AUTHORITY when good hubs buy
+    * it. The directed bipartite graph keeps the two roles distinct
+    * (on a symmetrized graph HITS degenerates to one vector). Exact
+    * integer fixed point: [[graft.operators.Graph.hits]] runs
+    * [[HitsIters]] rounds of max-normalized long arithmetic, and the
+    * oracle unrolls the identical recurrence as CTE pairs — the same
+    * bit-for-bit discipline as PageRank. Sinks (parts) carry hub 0,
+    * sources (customers) auth 0, by construction.
+    */
+  def hitsBipartite(spark: SparkSession, dir: String): DataFrame = {
+    val e = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_partkey") + HitsPartOffset).as("dst"))
+      .distinct()
+    graft.operators.Graph.hits(e, iters = HitsIters, scale = HitsScale)
+      .select(
+        when(col("v") >= HitsPartOffset, col("v") - HitsPartOffset)
+          .otherwise(col("v")).as("node"),
+        when(col("v") >= HitsPartOffset, lit("part"))
+          .otherwise(lit("customer")).as("role"),
+        col("hub"), col("auth"))
+      .orderBy(col("role"), col("auth").desc, col("hub").desc, col("node"))
+  }
+
+  private def hitsRoundSql(i: Int): String = {
+    val prev = s"h${i - 1}"
+    // every CTE MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    // which expands this recurrence tree exponentially in the round
+    // count (thousands of re-scans of the base tables by round 6)
+    s"""araw$i AS MATERIALIZED (
+      |  SELECT e.dst AS v, CAST(sum(p.h) AS BIGINT) AS raw
+      |  FROM e JOIN $prev p ON e.src = p.v GROUP BY e.dst
+      |), amax$i AS MATERIALIZED (SELECT max(raw) AS m FROM araw$i),
+      |a$i AS MATERIALIZED (
+      |  SELECT t.v, coalesce((r.raw * $HitsScale) // mm.m, 0) AS a
+      |  FROM verts t LEFT JOIN araw$i r ON t.v = r.v CROSS JOIN amax$i mm
+      |), hraw$i AS MATERIALIZED (
+      |  SELECT e.src AS v, CAST(sum(a.a) AS BIGINT) AS raw
+      |  FROM e JOIN a$i a ON e.dst = a.v GROUP BY e.src
+      |), hmax$i AS MATERIALIZED (SELECT max(raw) AS m FROM hraw$i),
+      |h$i AS MATERIALIZED (
+      |  SELECT t.v, coalesce((r.raw * $HitsScale) // mm.m, 0) AS h
+      |  FROM verts t LEFT JOIN hraw$i r ON t.v = r.v CROSS JOIN hmax$i mm
+      |)""".stripMargin
+  }
+
+  val hitsBipartiteSql: String = {
+    val rounds = (1 to HitsIters).map(hitsRoundSql).mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey AS src,
+      |    l.l_partkey + $HitsPartOffset AS dst
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |), verts AS MATERIALIZED (
+      |  SELECT src AS v FROM e UNION SELECT dst FROM e
+      |), h0 AS MATERIALIZED (
+      |  SELECT v, $HitsScale AS h FROM verts
+      |),
+      |$rounds
+      |SELECT CASE WHEN h.v >= $HitsPartOffset
+      |            THEN h.v - $HitsPartOffset ELSE h.v END AS node,
+      |  CASE WHEN h.v >= $HitsPartOffset
+      |       THEN 'part' ELSE 'customer' END AS role,
+      |  h.h AS hub, a.a AS auth
+      |FROM h$HitsIters h JOIN a$HitsIters a ON h.v = a.v
+      |ORDER BY role, auth DESC, hub DESC, node""".stripMargin
+  }
+
   /** Vertex degrees of a canonical (u < v) undirected half-edge set. */
   private[graft] def degrees(half: DataFrame): DataFrame =
     half.select(explode(array(col("u"), col("v"))).as("p"))
@@ -687,7 +770,8 @@ object Affinity {
     "q_part_triangles" -> (partTriangles _),
     "q_part_pagerank" -> (partPagerank _),
     "q_pagerank_converged" -> (partPagerankConverged _),
-    "q_part_bfs" -> (partBfs _)
+    "q_part_bfs" -> (partBfs _),
+    "q_hits_bipartite" -> (hitsBipartite _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -699,6 +783,7 @@ object Affinity {
     "q_part_triangles" -> partTrianglesSql,
     "q_part_pagerank" -> partPagerankSql,
     "q_pagerank_converged" -> partPagerankConvergedSql,
-    "q_part_bfs" -> partBfsSql
+    "q_part_bfs" -> partBfsSql,
+    "q_hits_bipartite" -> hitsBipartiteSql
   )
 }

@@ -622,4 +622,86 @@ object Graph {
       er.unpersist(blocking = false)
     }
   }
+
+  /** HITS (Kleinberg 1999) over a DIRECTED edge list — hub and
+    * authority fixed point: auth(v) ← Σ hub(u) over in-edges,
+    * hub(u) ← Σ auth(v) over out-edges, each vector max-normalized
+    * per round. Returns (v, hub, auth) for every vertex that touches
+    * an edge; a pure sink has hub 0, a pure source auth 0 (so on a
+    * bipartite purchase graph the two roles land on the two sides).
+    *
+    * Same exactness discipline as [[pagerank]]: scores are
+    * `scale`-scaled nonneg longs, normalization is (raw·scale) DIV
+    * max — integer, associative, order-independent — so the unrolled
+    * SQL twin hash-matches bit-for-bit and any re-run/retry is
+    * stable. Overflow headroom: raw ≤ max-degree·scale, and the
+    * normalization product raw·scale ≤ deg·scale² must stay under
+    * 2⁶³ — at the default scale 10⁶ that allows degree ≤ ~9·10⁶,
+    * far past any real fan-in (document the cap, don't check per
+    * row).
+    *
+    * Same execution discipline too: the edge list is hash-partitioned
+    * ONCE in each orientation and cached; hub/auth vectors inherit
+    * the partitioner through every round's reduceByKey, so all four
+    * joins per round are partition-local and each round pays exactly
+    * two shuffles (the two contribution reduces) plus two O(1)
+    * driver max() actions for the normalizers.
+    */
+  def hits(edges: DataFrame, iters: Int,
+           scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val (ebySrc, part) = partitionCached(spark, edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1))))
+    val ebyDst = ebySrc.map { case (s, d) => (d, s) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = ebySrc.keys.map((_, ()))
+      .union(ebyDst.keys.map((_, ())))
+      .reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val live = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    try {
+      require(!verts.isEmpty(), "hits needs a non-empty edge list")
+      var hub = verts.mapValues(_ => scale)
+      var auth = verts.mapValues(_ => 0L)
+      var round = 0
+      while (round < iters) {
+        // auth update: in-edge hub mass, max-normalized
+        val araw = ebySrc.join(hub)
+          .map { case (_, (dst, h)) => (dst, h) }
+          .reduceByKey(part, _ + _)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        live += araw
+        val amax = math.max(1L, araw.values.max())
+        auth = verts.leftOuterJoin(araw)
+          .mapValues { case (_, r) => (r.getOrElse(0L) * scale) / amax }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        live += auth
+        // hub update: out-edge auth mass (the just-updated auth)
+        val hraw = ebyDst.join(auth)
+          .map { case (_, (src, a)) => (src, a) }
+          .reduceByKey(part, _ + _)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        live += hraw
+        val hmax = math.max(1L, hraw.values.max())
+        hub = verts.leftOuterJoin(hraw)
+          .mapValues { case (_, r) => (r.getOrElse(0L) * scale) / hmax }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        live += hub
+        round += 1
+      }
+      val spark2 = spark
+      import spark2.implicits._
+      hub.join(auth)
+        .map { case (v, (h, a)) => (v, h, a) }
+        .toDF("v", "hub", "auth").localCheckpoint()
+    } finally {
+      live.foreach(_.unpersist(blocking = false))
+      verts.unpersist(blocking = false)
+      ebyDst.unpersist(blocking = false)
+      ebySrc.unpersist(blocking = false)
+    }
+  }
 }

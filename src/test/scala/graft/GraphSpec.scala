@@ -182,4 +182,42 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == got, "labels depend on physical layout")
   }
+
+  test("HITS: hand-replayed integer fixed point on a bipartite star") {
+    // hubs 1,2 point at authority 10; hub 2 also points at 11.
+    // Round 1 (scale S): araw(10)=2S, araw(11)=S; amax=2S →
+    // a(10)=S, a(11)=S/2. hraw(1)=S, hraw(2)=S+S/2; hmax=3S/2 →
+    // h(1)=(S·S)/(3S/2)=666666 (floor), h(2)=S. Subsequent rounds are
+    // stationary for a: araw(10)=h1+h2, araw(11)=h2, and h keeps the
+    // same ratio — replay 3 rounds by hand below.
+    val s = 1000000L
+    val edges = edgesDF(Seq((1L, 10L), (2L, 10L), (2L, 11L)))
+    val got = Graph.hits(edges, iters = 3, scale = s).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // sources have auth 0; sinks have hub 0
+    assert(got(1L)._2 == 0 && got(2L)._2 == 0)
+    assert(got(10L)._1 == 0 && got(11L)._1 == 0)
+    // the best hub and best authority normalize to exactly `scale`
+    assert(got(2L)._1 == s, s"hub(2) != scale: $got")
+    assert(got(10L)._2 == s, s"auth(10) != scale: $got")
+    // exact replay of the recurrence (amax = h1+h2, hmax = a10+a11)
+    var (h1, h2) = (s, s)
+    var (a10, a11) = (0L, 0L)
+    for (_ <- 1 to 3) {
+      val (ar10, ar11) = (h1 + h2, h2)
+      val am = math.max(ar10, ar11)
+      a10 = ar10 * s / am; a11 = ar11 * s / am
+      val (hr1, hr2) = (a10, a10 + a11)
+      val hm = math.max(hr1, hr2)
+      h1 = hr1 * s / hm; h2 = hr2 * s / hm
+    }
+    assert(got(1L)._1 == h1 && got(2L)._1 == h2 &&
+      got(10L)._2 == a10 && got(11L)._2 == a11,
+      s"fixed point differs from hand replay: $got vs ($h1,$h2,$a10,$a11)")
+    // determinism under physical layout
+    val again = Graph.hits(edgesDF(Seq((2L, 11L), (2L, 10L), (1L, 10L)))
+      .repartition(5), iters = 3, scale = s).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == got, "HITS depends on physical layout")
+  }
 }
