@@ -827,7 +827,208 @@ object TimeSeries {
        |FROM byd b JOIN tot t USING (event_type)
        |ORDER BY event_type, dow""".stripMargin
 
+  /** AR(1) fit per event-type daily series — the autoregressive
+    * coefficient φ, the intercept, and the lag-1 correlation, all from
+    * the same exact BIGINT moment spine as the ACF: consecutive-day
+    * (xₜ₋₁, xₜ) pairs come from ONE window pass (a calendar gap breaks
+    * the pair — day t pairs only with t−1), the six moments are exact
+    * longs, and φ = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) and the intercept
+    * (Σy − φ·Σx)/n are each ONE double expression written identically
+    * in the oracle, so both engines evaluate the same IEEE tree.
+    * φ near 1 = strong day-over-day persistence; the intercept is the
+    * series' reversion level in cents (μ·(1−φ) form of the AR(1)
+    * mean). Everything after the dailyCents shuffle is
+    * types×days-sized.
+    */
+  def ar1Fit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+    val pairs = dailyCents(spark, dir)
+      .withColumn("prev_day", lag(col("day_idx"), 1).over(w))
+      .withColumn("x", lag(col("cents"), 1).over(w))
+      .filter(col("prev_day") === col("day_idx") - 1)
+      .select(col("event_type"), col("x"), col("cents").as("y"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+    val den = nd * col("sxx").cast("double") - sxd * sxd
+    val phiRaw = (nd * col("sxy").cast("double") - sxd * syd) / den
+    pairs.groupBy(col("event_type"))
+      .agg(momentAggs.head, momentAggs.tail: _*)
+      .select(col("event_type"), col("n").as("n_pairs"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round(phiRaw, 6)).as("phi"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round((syd - phiRaw * sxd) / nd, 4)).as("mu_cents"),
+        pearsonFromMoments.as("r1"))
+      .orderBy(col("event_type"))
+  }
+
+  val ar1FitSql: String =
+    s"""WITH $dailyCentsSql, pairs AS (
+      |  SELECT event_type, x, y FROM (
+      |    SELECT event_type, day_idx, cents AS y,
+      |      lag(day_idx, 1) OVER w AS prev_day,
+      |      lag(cents, 1) OVER w AS x
+      |    FROM daily
+      |    WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+      |  ) WHERE prev_day = day_idx - 1
+      |), m AS (
+      |  SELECT event_type, $momentSqlCols
+      |  FROM pairs GROUP BY 1
+      |)
+      |SELECT event_type, n AS n_pairs,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+      |    ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |  END AS phi,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+      |    ELSE round((CAST(sy AS DOUBLE)
+      |                - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)
+      |  END AS mu_cents,
+      |  ${pearsonSql("r1")}
+      |FROM m ORDER BY event_type""".stripMargin
+
+  /** Exact trailing rolling MEDIAN (7 observations) of the daily cent
+    * series — the robust smoother a mean-based rolling stat can't
+    * give (one outlier day pollutes a mean window; the median shrugs).
+    * Exactness without a sketch: the window is a compile-time-odd row
+    * count, so the median IS the 4th order statistic of the window —
+    * Spark sorts the 7-element window array and indexes it (bounded
+    * per-row state, no percentile_approx), DuckDB's native median over
+    * the same ROWS frame returns the identical middle BIGINT. Rows
+    * before the 7th observation are suppressed (no partial windows),
+    * keeping the contract total-order deterministic. ROWS semantics:
+    * 7 OBSERVATIONS, not calendar days — a gap day simply isn't in
+    * the frame (the LOCF/LERP fillers exist for calendar-regular
+    * views).
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+    val w7 = w.rowsBetween(-6, 0)
+    dailyCents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("med_cents",
+        element_at(array_sort(collect_list(col("cents")).over(w7)), 4))
+      .filter(col("rn") >= 7)
+      .select(col("event_type"), col("day_idx"), col("cents"),
+        col("med_cents"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  val rollingMedianSql: String =
+    s"""WITH $dailyCentsSql
+      |SELECT event_type, day_idx, cents, med_cents FROM (
+      |  SELECT event_type, day_idx, cents,
+      |    row_number() OVER w AS rn,
+      |    CAST(median(cents) OVER w7 AS BIGINT) AS med_cents
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx),
+      |    w7 AS (PARTITION BY event_type ORDER BY day_idx
+      |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |) WHERE rn >= 7
+      |ORDER BY event_type, day_idx""".stripMargin
+
+  /** Linear-interpolation gap fill — [[gapFillLocf]]'s better-behaved
+    * sibling for metrics that drift between observations: each grid
+    * hour gets pv + (nv − pv)·(h − pħ)/(nħ − pħ) between its nearest
+    * known neighbors (LOCF holds a stale level flat through the gap;
+    * LERP splits the observed change across it). Leading gaps
+    * backfill from the first observation, trailing gaps hold the
+    * last — the filler stays TOTAL. Same one-shuffle shape as LOCF:
+    * the dense grid is per-user bounded, the four neighbor columns
+    * are two frames of the same window pass, and the interpolation is
+    * exact micro-dollar integer arithmetic (see the in-body note).
+    */
+  def gapFillLerp(spark: SparkSession, dir: String): DataFrame = {
+    // EXACT fixed point end to end: the hourly mean is micro-dollar
+    // integers ((cent_sum·10⁴) DIV count — values are nonnegative, so
+    // truncating DIV is floor on both engines), and the interpolation
+    // uses the weighted form (pv·(nh−h) + nv·(h−ph)) DIV (nh−ph),
+    // whose operands stay nonnegative even on a falling segment —
+    // the algebraic pv + (nv−pv)·frac form would put a NEGATIVE
+    // numerator under DIV, where Spark truncates toward zero but
+    // DuckDB's // floors. (A float formulation was tried first: the
+    // two engines' doubles drift one ulp apart and the 4-decimal
+    // rounding flips on real rows.)
+    val hourly = events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) DIV 3600").as("hr"), col("value"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(expr("(sum(CAST(round(value * 100) AS BIGINT)) * 10000)" +
+        " DIV count(*)").as("v"))
+    val grid = hourly
+      .groupBy(col("user_id"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val wp = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("ph",
+        last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+      .withColumn("nh",
+        first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wn))
+      .select(col("user_id"), col("hr"),
+        when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .when(col("nh") === col("ph"), col("pv"))
+          .otherwise(expr(
+            "(pv * (nh - hr) + nv * (hr - ph)) DIV (nh - ph)"))
+          .as("value_lerp_micro"),
+        col("v").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  val gapFillLerpSql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+      |    (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |     * 10000) // count(*) AS v
+      |  FROM events GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(lo, hi)) AS hr
+      |  FROM (SELECT user_id, min(hr) AS lo, max(hr) AS hi
+      |        FROM hourly GROUP BY user_id)
+      |), nb AS (
+      |  SELECT g.user_id, g.hr, h.v,
+      |    last_value(h.v IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN h.v IS NOT NULL THEN g.hr END IGNORE NULLS)
+      |      OVER wp AS ph,
+      |    first_value(h.v IGNORE NULLS) OVER wn AS nv,
+      |    first_value(CASE WHEN h.v IS NOT NULL THEN g.hr END IGNORE NULLS)
+      |      OVER wn AS nh
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON g.user_id = h.user_id AND g.hr = h.hr
+      |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.hr
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wn AS (PARTITION BY g.user_id ORDER BY g.hr
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, hr,
+      |  CASE WHEN pv IS NULL THEN nv
+      |       WHEN nv IS NULL THEN pv
+      |       WHEN nh = ph THEN pv
+      |       ELSE (pv * (nh - hr) + nv * (hr - ph)) // (nh - ph)
+      |  END AS value_lerp_micro,
+      |  (v IS NULL) AS is_gap
+      |FROM nb
+      |ORDER BY user_id, hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ar1_fit" -> (ar1Fit _),
+    "q_rolling_median" -> (rollingMedian _),
+    "q_gap_fill_lerp" -> (gapFillLerp _),
     "q_seasonal_profile" -> (seasonalProfile _),
     "q_event_burstiness" -> (eventBurstiness _),
     "q_theilsen_trend" -> (theilSenTrend _),
@@ -843,6 +1044,9 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ar1_fit" -> ar1FitSql,
+    "q_rolling_median" -> rollingMedianSql,
+    "q_gap_fill_lerp" -> gapFillLerpSql,
     "q_seasonal_profile" -> seasonalProfileSql,
     "q_event_burstiness" -> eventBurstinessSql,
     "q_theilsen_trend" -> theilSenTrendSql,

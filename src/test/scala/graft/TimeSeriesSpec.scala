@@ -449,4 +449,87 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(out.nonEmpty)
   }
+
+  test("rolling median: each value is the exact 4th order statistic of its 7-row window") {
+    val daily = graft.ingest.Sources.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("di"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("di")).agg(sum(col("c")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val out = TimeSeries.rollingMedian(spark, sf).collect()
+    assert(out.nonEmpty)
+    // suppression: exactly days-6 rows per type, and each med replays
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (et, rows) =>
+      val series = daily(et)
+      assert(rows.length == math.max(0, series.length - 6), et)
+      rows.sortBy(_.getAs[Int]("day_idx")).zipWithIndex.foreach {
+        case (r, i) =>
+          val window = series.slice(i, i + 7).sorted
+          assert(r.getAs[Long]("med_cents") == window(3),
+            s"$et window $i median")
+      }
+    }
+  }
+
+  test("lerp gap fill: total grid, exact at observations, bounded inside gaps") {
+    val out = TimeSeries.gapFillLerp(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byUser = out.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("hr"))
+      // dense grid: consecutive hours, no holes
+      val hrs = sorted.map(_.getAs[Long]("hr"))
+      assert(hrs.zip(hrs.tail).forall { case (a, b) => b == a + 1 })
+      // every filled value lies within [min, max] of the observed rows
+      val obs = sorted.filter(!_.getAs[Boolean]("is_gap"))
+        .map(_.getAs[Long]("value_lerp_micro"))
+      if (obs.nonEmpty) {
+        val (lo, hi) = (obs.min, obs.max)
+        sorted.foreach { r =>
+          val v = r.getAs[Long]("value_lerp_micro")
+          assert(v >= lo - 1 && v <= hi + 1,
+            s"interpolated $v escapes observed envelope [$lo, $hi]")
+        }
+      }
+    }
+    // no value is null (totality: leading/trailing gaps back/forward fill)
+    assert(out.forall(!_.isNullAt(2)))
+  }
+
+  test("AR(1) fit: phi replays from exact moments of consecutive-day pairs") {
+    val daily = graft.ingest.Sources.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("di"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("di")).agg(sum(col("c")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val out = TimeSeries.ar1Fit(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val series = daily(et)
+      val pairs = series.zip(series.tail)
+        .filter { case (a, b) => b._2 == a._2 + 1 }
+        .map { case (a, b) => (a._3, b._3) }
+      assert(r.getAs[Long]("n_pairs") == pairs.length, s"$et n_pairs")
+      val n = pairs.length.toDouble
+      val sx = pairs.map(_._1).sum.toDouble
+      val sy = pairs.map(_._2).sum.toDouble
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val den = n * sxx - sx * sx
+      if (den != 0) {
+        val phi = (n * sxy - sx * sy) / den
+        assert(math.abs(r.getAs[Double]("phi") - phi) < 1e-5, s"$et phi")
+        val mu = (sy - phi * sx) / n
+        assert(math.abs(r.getAs[Double]("mu_cents") - mu) < 1e-3, s"$et mu")
+      }
+      val r1 = r.getAs[Double]("r1")
+      assert(r1 >= -1.0 - 1e-9 && r1 <= 1.0 + 1e-9, s"$et r1 out of range")
+    }
+  }
 }
