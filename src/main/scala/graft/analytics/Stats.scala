@@ -215,6 +215,133 @@ object Stats {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** TWO-feature ordinary least squares via the normal equations —
+    * the multiple-regression operator Spark has no built-in for
+    * (regr_slope is single-feature): price ~ quantity + discount per
+    * return flag, fit exactly the way a 100 TB job must: ONE
+    * distributed aggregation computes the ten sufficient statistics
+    * (the X'X / X'y moments — all EXACT BIGINTs: quantity ≤ 50,
+    * discount in integer percent, price in integer dollars keeps
+    * every Σ and Σ·Σ product far inside i64), then the 3×3 solve is
+    * Cramer's rule as ONE fixed-arity double expression per
+    * coefficient — no iteration, no driver data path, no
+    * order-dependent float accumulation anywhere (the only doubles
+    * are products of exact longs, so the oracle's identical
+    * expression tree is bit-identical). R² comes from the same
+    * moments. Degenerate design (det = 0) degrades to NULL
+    * coefficients rather than a throw.
+    */
+  def olsNormalEq(spark: SparkSession, dir: String): DataFrame = {
+    val m = lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100).cast("long").as("x2"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    val s1d = col("s1").cast("double"); val s2d = col("s2").cast("double")
+    val s11d = col("s11").cast("double"); val s22d = col("s22").cast("double")
+    val s12d = col("s12").cast("double")
+    val syd = col("sy").cast("double")
+    val s1yd = col("s1y").cast("double"); val s2yd = col("s2y").cast("double")
+    val syyd = col("syy").cast("double")
+    val mA = s11d * s22d - s12d * s12d
+    val mB = s1d * s22d - s12d * s2d
+    val mC = s1d * s12d - s11d * s2d
+    val det = nd * mA - s1d * mB + s2d * mC
+    val det0 = syd * mA - s1d * (s1yd * s22d - s12d * s2yd) +
+      s2d * (s1yd * s12d - s11d * s2yd)
+    val det1 = nd * (s1yd * s22d - s12d * s2yd) - syd * mB +
+      s2d * (s1d * s2yd - s1yd * s2d)
+    val det2 = nd * (s11d * s2yd - s1yd * s12d) -
+      s1d * (s1d * s2yd - s1yd * s2d) + syd * mC
+    val b0 = det0 / det; val b1 = det1 / det; val b2 = det2 / det
+    val sse = syyd - b0 * syd - b1 * s1yd - b2 * s2yd
+    val sst = syyd - syd * syd / nd
+    m.select(col("l_returnflag"), col("n"),
+      when(det === 0.0, lit(null).cast("double"))
+        .otherwise(round(b0, 4)).as("intercept_usd"),
+      when(det === 0.0, lit(null).cast("double"))
+        .otherwise(round(b1, 6)).as("usd_per_qty"),
+      when(det === 0.0, lit(null).cast("double"))
+        .otherwise(round(b2, 6)).as("usd_per_disc_pct"),
+      when(det === 0.0 || sst === 0.0, lit(null).cast("double"))
+        .otherwise(round(lit(1.0) - sse / sst, 6)).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val olsNormalEqSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+      |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+      |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+      |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+      |    CAST(sum(x2 * y) AS BIGINT) AS s2y,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM (
+      |    SELECT l_returnflag,
+      |      CAST(l_quantity AS BIGINT) AS x1,
+      |      CAST(round(l_discount * 100) AS BIGINT) AS x2,
+      |      CAST(round(l_extendedprice) AS BIGINT) AS y
+      |    FROM lineitem)
+      |  GROUP BY l_returnflag
+      |), d AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(n AS DOUBLE) AS nd,
+      |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+      |    CAST(s11 AS DOUBLE) AS s11d, CAST(s22 AS DOUBLE) AS s22d,
+      |    CAST(s12 AS DOUBLE) AS s12d,
+      |    CAST(sy AS DOUBLE) AS syd,
+      |    CAST(s1y AS DOUBLE) AS s1yd, CAST(s2y AS DOUBLE) AS s2yd,
+      |    CAST(syy AS DOUBLE) AS syyd
+      |  FROM m
+      |), k AS (
+      |  SELECT *,
+      |    s11d * s22d - s12d * s12d AS mA,
+      |    s1d * s22d - s12d * s2d AS mB,
+      |    s1d * s12d - s11d * s2d AS mC
+      |  FROM d
+      |), dets AS (
+      |  SELECT *,
+      |    nd * mA - s1d * mB + s2d * mC AS det,
+      |    syd * mA - s1d * (s1yd * s22d - s12d * s2yd)
+      |      + s2d * (s1yd * s12d - s11d * s2yd) AS det0,
+      |    nd * (s1yd * s22d - s12d * s2yd) - syd * mB
+      |      + s2d * (s1d * s2yd - s1yd * s2d) AS det1,
+      |    nd * (s11d * s2yd - s1yd * s12d)
+      |      - s1d * (s1d * s2yd - s1yd * s2d) + syd * mC AS det2
+      |  FROM k
+      |)
+      |SELECT l_returnflag, n,
+      |  CASE WHEN det = 0 THEN NULL
+      |       ELSE round(det0 / det, 4) END AS intercept_usd,
+      |  CASE WHEN det = 0 THEN NULL
+      |       ELSE round(det1 / det, 6) END AS usd_per_qty,
+      |  CASE WHEN det = 0 THEN NULL
+      |       ELSE round(det2 / det, 6) END AS usd_per_disc_pct,
+      |  CASE WHEN det = 0 OR syyd - syd * syd / nd = 0 THEN NULL
+      |       ELSE round(1.0 - (syyd - (det0 / det) * syd
+      |                         - (det1 / det) * s1yd
+      |                         - (det2 / det) * s2yd)
+      |                  / (syyd - syd * syd / nd), 6)
+      |  END AS r2
+      |FROM dets
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Wide→long unpivot: per-priority metrics melted to (metric, val)
     * rows — the reshape every feature-extraction pipeline needs before
     * a generic metric sink. Uses the native unpivot operator (Expand
@@ -967,7 +1094,8 @@ object Stats {
     "q_order_corr_stats" -> (orderCorrStats _),
     "q_priority_metrics_unpivot" -> (priorityMetricsUnpivot _),
     "q_part_fuzzy_match" -> ((s: SparkSession, d: String) => partFuzzyMatch(s, d)),
-    "q_damerau_match" -> (damerauMatch _)
+    "q_damerau_match" -> (damerauMatch _),
+    "q_ols_normal_eq" -> (olsNormalEq _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -986,6 +1114,7 @@ object Stats {
     "q_order_corr_stats" -> orderCorrStatsSql,
     "q_priority_metrics_unpivot" -> priorityMetricsUnpivotSql,
     "q_part_fuzzy_match" -> partFuzzyMatchSql,
-    "q_damerau_match" -> damerauMatchSql
+    "q_damerau_match" -> damerauMatchSql,
+    "q_ols_normal_eq" -> olsNormalEqSql
   )
 }

@@ -3610,7 +3610,97 @@ object TextOps {
        |LIMIT $DsirTopK""".stripMargin
   }
 
+  /** Per-source unigram KL divergence against the corpus mixture —
+    * the data-mixing audit that says WHICH source's token
+    * distribution strays from the blend it feeds (PSI/KS cover
+    * numeric columns; this is the token-space analogue a training
+    * mix needs). Contribution of token t in source s is
+    * c_st · floor(1e6·(ln(c_st/N_s) − ln(c_t/N))) micro-nats —
+    * the repo's fixed-point-ln discipline: the ONLY float op is one
+    * ln per row of the (sources × vocabulary)-sized table (never the
+    * corpus), floored once, so both engines sum identical integers
+    * and the per-source total is associative and exact. The sum is
+    * emitted unscaled (micro-nat · token units, no division — a
+    * near-identical distribution's floor terms can leave the total
+    * slightly negative, and a negative DIV diverges across engines).
+    * Each source also reports its highest-contribution token — the
+    * single word most responsible for the drift.
+    *
+    * Scale shape: ONE corpus shuffle (the (source, token) count);
+    * everything downstream — marginals, the ln table, the argmax —
+    * lives on Heaps-law vocabulary-sized frames.
+    */
+  def sourceTokenKl(spark: SparkSession, dir: String): DataFrame = {
+    val st = documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint() // four consumers below, one corpus pass
+    val bySrc = st.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_s"), count(lit(1)).as("n_types"))
+    val byTok = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_ct"))
+    val tot = st.agg(sum(col("c_st")).as("n_c"))
+    val contrib = st
+      .join(broadcast(byTok), Seq("tok"))
+      .join(broadcast(bySrc.select(col("source"), col("n_s"))), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib_micro", col("c_st") *
+        floor(lit(1e6) *
+          (log(col("c_st").cast("double") / col("n_s").cast("double")) -
+           log(col("c_ct").cast("double") / col("n_c").cast("double"))))
+          .cast("long"))
+    val agg = contrib.groupBy(col("source"))
+      .agg(sum(col("contrib_micro")).as("kl_micro_sum"))
+    val top = contrib
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("contrib_micro").desc, col("tok").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("tok").as("top_token"),
+        col("contrib_micro").as("top_contrib_micro"))
+    bySrc.join(agg, Seq("source")).join(top, Seq("source"))
+      .select(col("source"), col("n_s").as("n_tok"), col("n_types"),
+        col("kl_micro_sum"), col("top_token"), col("top_contrib_micro"))
+      .orderBy(col("source"))
+  }
+
+  val sourceTokenKlSql: String =
+    """WITH st AS (
+      |  SELECT source, tok, count(*) AS c_st
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), s AS (
+      |  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+      |    count(*) AS n_types
+      |  FROM st GROUP BY 1
+      |), t AS (
+      |  SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_ct FROM st GROUP BY 1
+      |), n AS (
+      |  SELECT CAST(sum(c_st) AS BIGINT) AS n_c FROM st
+      |), contrib AS (
+      |  SELECT st.source, st.tok,
+      |    st.c_st * CAST(floor(1e6 * (
+      |      ln(CAST(st.c_st AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+      |      - ln(CAST(t.c_ct AS DOUBLE) / CAST(n.n_c AS DOUBLE))))
+      |      AS BIGINT) AS contrib_micro
+      |  FROM st JOIN s USING (source) JOIN t USING (tok) CROSS JOIN n
+      |), agg AS (
+      |  SELECT source, CAST(sum(contrib_micro) AS BIGINT) AS kl_micro_sum
+      |  FROM contrib GROUP BY 1
+      |), top AS (
+      |  SELECT source, tok AS top_token, contrib_micro AS top_contrib_micro
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |          ORDER BY contrib_micro DESC, tok ASC) AS rn
+      |        FROM contrib)
+      |  WHERE rn = 1
+      |)
+      |SELECT s.source, s.n_s AS n_tok, s.n_types, agg.kl_micro_sum,
+      |  top.top_token, top.top_contrib_micro
+      |FROM s JOIN agg USING (source) JOIN top USING (source)
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_token_kl" -> (sourceTokenKl _),
     "q_lm_kneser_ney" -> (lmKneserNey _),
     "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_minhash_recall" -> (minhashRecall _),
@@ -3663,6 +3753,7 @@ object TextOps {
     * oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "q_source_token_kl" -> sourceTokenKlSql,
     "q_lm_kneser_ney" -> lmKneserNeySql,
     "q_leakage_safe_split" -> leakageSafeSplitSql,
     "q_minhash_recall" -> minhashRecallSql,

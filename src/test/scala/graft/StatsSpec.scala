@@ -356,4 +356,46 @@ class StatsSpec extends SparkSpec {
   }
 
   private val p0Expected = math.exp(-1)
+
+  test("OLS normal equations: coefficients replay a driver-side exact-moment solve") {
+    val rows = graft.ingest.Sources.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_extendedprice")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = Stats.olsNormalEq(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val fl = r.getAs[String]("l_returnflag")
+      val g = rows.filter(_._1 == fl)
+      val n = g.length.toDouble
+      val s1 = g.map(_._2).sum.toDouble; val s2 = g.map(_._3).sum.toDouble
+      val s11 = g.map(t => t._2 * t._2).sum.toDouble
+      val s22 = g.map(t => t._3 * t._3).sum.toDouble
+      val s12 = g.map(t => t._2 * t._3).sum.toDouble
+      val sy = g.map(_._4).sum.toDouble
+      val s1y = g.map(t => t._2 * t._4).sum.toDouble
+      val s2y = g.map(t => t._3 * t._4).sum.toDouble
+      val mA = s11 * s22 - s12 * s12
+      val mB = s1 * s22 - s12 * s2
+      val mC = s1 * s12 - s11 * s2
+      val det = n * mA - s1 * mB + s2 * mC
+      assert(det != 0, s"degenerate design for $fl in test data")
+      val b0 = (sy * mA - s1 * (s1y * s22 - s12 * s2y) +
+        s2 * (s1y * s12 - s11 * s2y)) / det
+      val b1 = (n * (s1y * s22 - s12 * s2y) - sy * mB +
+        s2 * (s1 * s2y - s1y * s2)) / det
+      val b2 = (n * (s11 * s2y - s1y * s12) -
+        s1 * (s1 * s2y - s1y * s2) + sy * mC) / det
+      assert(math.abs(r.getAs[Double]("intercept_usd") - b0) < 1e-2, s"$fl b0")
+      assert(math.abs(r.getAs[Double]("usd_per_qty") - b1) < 1e-4, s"$fl b1")
+      assert(math.abs(r.getAs[Double]("usd_per_disc_pct") - b2) < 1e-4, s"$fl b2")
+      // R² is a proportion by construction (no sign/shape assumption
+      // on the synthetic corpus — only the solve itself is pinned)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9, s"$fl r2=$r2 out of [0,1]")
+    }
+  }
 }

@@ -1403,4 +1403,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected, "RAKE top-k does not replay from raw text")
     assert(got.nonEmpty)
   }
+
+  test("source-token KL: exact micro-nat replay, floor-error lower bound, top token") {
+    import org.apache.spark.sql.functions._
+    val counts = graft.ingest.Sources.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val bySrc = counts.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val byTok = counts.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val nC = counts.map(_._2).sum
+    val contribs = counts.map { case ((s, t), c) =>
+      (s, t, c * math.floor(1e6 * (math.log(c.toDouble / bySrc(s)) -
+        math.log(byTok(t).toDouble / nC))).toLong)
+    }
+    val out = graft.analytics.TextOps.sourceTokenKl(spark, sf).collect()
+    assert(out.nonEmpty && out.length == bySrc.size)
+    out.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_tok") == bySrc(s))
+      val mine = contribs.filter(_._1 == s)
+      assert(r.getAs[Long]("kl_micro_sum") == mine.map(_._3).sum, s"$s sum")
+      // true KL >= 0; each floored term loses < 1 micro-nat per token
+      assert(r.getAs[Long]("kl_micro_sum") >= -bySrc(s), s"$s KL below floor bound")
+      val top = mine.minBy(t => (-t._3, t._2))
+      assert(r.getAs[String]("top_token") == top._2 &&
+        r.getAs[Long]("top_contrib_micro") == top._3, s"$s top token")
+    }
+  }
 }
