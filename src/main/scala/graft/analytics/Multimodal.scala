@@ -462,11 +462,73 @@ object Multimodal {
       |ORDER BY s.source""".stripMargin
   }
 
+  /** Modulus of the deterministic re-upload slice: every
+    * [[ReuploadMod]]-th payload is re-ingested under a shifted id.
+    */
+  val ReuploadMod = 17L
+
+  /** Id offset of re-ingested copies (disjoint from original ids). */
+  val ReuploadOffset = 1000000000L
+
+  /** Exact multimodal dedup by payload fingerprint — L1 for the
+    * binary-column world: md5 over the raw CONTENT BYTES (codec- and
+    * metadata-independent, so a re-uploaded copy under a fresh
+    * media_id collapses onto its original), one hash shuffle on the
+    * 16-byte digest, duplicate groups emitted with keeper = min
+    * media_id (the same keep-rule as the text dedup family). The
+    * fingerprint, not the payload, is what shuffles — at 100 TB of
+    * media the exchange carries 16-byte keys + ids, never bytes.
+    *
+    * The corpus's payloads are all unique, so the RE-UPLOAD side is
+    * modeled in-query: originals ∪ every [[ReuploadMod]]-th payload
+    * re-ingested under media_id + [[ReuploadOffset]] — the ingest
+    * race this operator exists to catch, deterministic so the oracle
+    * replays it. Payloads are the same driver-shipped UTF-8 stand-ins
+    * as [[mediaFeatureRollup]] (ASCII, so DuckDB's md5 over the text
+    * IS md5 over the bytes — the spec pins hex equality).
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val originals = Sources.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"))
+    val reuploads = originals
+      .filter(col("media_id") % ReuploadMod === 0)
+      .select((col("media_id") + ReuploadOffset).as("media_id"),
+        col("content"))
+    originals.unionByName(reuploads)
+      .withColumn("fp", md5(col("content")))
+      .withColumn("n_bytes", length(col("content")).cast("long"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("media_id")).as("keeper_id"),
+        max(col("media_id")).as("max_dup_id"),
+        min(col("n_bytes")).as("n_bytes"))
+      .filter(col("n_copies") >= 2)
+      .orderBy(col("fp"))
+  }
+
+  val mediaDedupSql: String =
+    s"""WITH media AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + $ReuploadOffset, text FROM documents
+      |  WHERE doc_id % $ReuploadMod = 0
+      |)
+      |SELECT md5(text) AS fp, count(*) AS n_copies,
+      |  min(media_id) AS keeper_id, max(media_id) AS max_dup_id,
+      |  CAST(min(length(text)) AS BIGINT) AS n_bytes
+      |FROM media
+      |GROUP BY md5(text)
+      |HAVING count(*) >= 2
+      |ORDER BY fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_features" -> (mediaFeatureRollup _)
+    "q_media_features" -> (mediaFeatureRollup _),
+    "q_media_dedup" -> (mediaDedup _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q_media_features" -> mediaFeatureRollupSql
+    "q_media_features" -> mediaFeatureRollupSql,
+    "q_media_dedup" -> mediaDedupSql
   )
 }

@@ -288,7 +288,106 @@ object Privacy {
       |ORDER BY o_orderpriority, o_year""".stripMargin
   }
 
+  /** t-closeness threshold in ppm (t = 0.2) — release-gate contract,
+    * interpolated into both engines.
+    */
+  val TClosePpm = 200000L
+
+  /** t-closeness audit — the third leg of the classic anonymity
+    * ladder (k-anonymity bounds re-identification, l-diversity bounds
+    * bare attribute disclosure, t-closeness bounds DISTRIBUTIONAL
+    * disclosure: a group whose sensitive values are diverse but
+    * skewed far from the population still leaks "this group is
+    * richer"). Per QI group (nation, segment): the Earth Mover's
+    * Distance between the group's balance-band distribution and the
+    * global one, under the ordered-distance ground metric — for
+    * ordered bins EMD = Σ_b |cumshare_g(b) − cumshare_all(b)| / (m−1)
+    * (Li, Li & Venkatasubramanian 2007, ICDE). Everything is ppm
+    * fixed point: cumulative counts are exact integers, each share is
+    * one positive-operand DIV, the final /(m−1) likewise — no floats
+    * anywhere, so both engines emit identical BIGINTs.
+    *
+    * Scale shape: one hash shuffle on (QI, band); the dense
+    * group×band grid, the cumulative windows and the EMD fold all
+    * live on generalized-domain-bounded tables (groups × bands),
+    * never the customer table.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Sources.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        (floor(col("c_acctbal") / 100) * 100).cast("long").as("band"))
+    val gcnt = rows.groupBy(col("nation"), col("segment"), col("band"))
+      .agg(count(lit(1)).as("c"))
+    val groups = rows.groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).as("n_g"))
+    val bandTot = rows.groupBy(col("band")).agg(count(lit(1)).as("c_all"))
+    val bandCum = bandTot
+      .withColumn("cum_all", sum(col("c_all")).over(Window.orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("band"), col("cum_all"))
+    val scalars = rows.agg(count(lit(1)).as("n_all"),
+      countDistinct(col("band")).as("m"))
+    val wg = Window.partitionBy(col("nation"), col("segment"))
+      .orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups
+      .crossJoin(broadcast(bandCum))
+      .join(gcnt, Seq("nation", "segment", "band"), "left")
+      .withColumn("cum_g", sum(coalesce(col("c"), lit(0L))).over(wg))
+      .crossJoin(broadcast(scalars))
+      .withColumn("diff_ppm",
+        expr("(1000000 * cum_g) DIV n_g - (1000000 * cum_all) DIV n_all"))
+      .groupBy(col("nation"), col("segment"))
+      .agg(max(col("n_g")).as("n_g"),
+        expr("sum(abs(diff_ppm)) DIV (max(m) - 1)").as("emd_ppm"))
+      .withColumn("t_close",
+        when(col("emd_ppm") <= TClosePpm, 1L).otherwise(0L))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  val tClosenessSql: String =
+    s"""WITH rows_ AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |    c_mktsegment AS segment,
+      |    CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS band
+      |  FROM customer
+      |), gcnt AS (
+      |  SELECT nation, segment, band, count(*) AS c
+      |  FROM rows_ GROUP BY 1, 2, 3
+      |), groups_ AS (
+      |  SELECT nation, segment, count(*) AS n_g FROM rows_ GROUP BY 1, 2
+      |), band_cum AS (
+      |  SELECT band, CAST(sum(c_all) OVER (ORDER BY band
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_all
+      |  FROM (SELECT band, count(*) AS c_all FROM rows_ GROUP BY 1)
+      |), scalars AS (
+      |  SELECT count(*) AS n_all, count(DISTINCT band) AS m FROM rows_
+      |), grid AS (
+      |  SELECT g.nation, g.segment, g.n_g, b.band, b.cum_all,
+      |    CAST(sum(COALESCE(gc.c, 0)) OVER (
+      |      PARTITION BY g.nation, g.segment ORDER BY b.band
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_g
+      |  FROM groups_ g CROSS JOIN band_cum b
+      |  LEFT JOIN gcnt gc ON gc.nation = g.nation
+      |    AND gc.segment = g.segment AND gc.band = b.band
+      |)
+      |SELECT nation, segment, max(n_g) AS n_g,
+      |  CAST(sum(abs((1000000 * cum_g) // n_g
+      |               - (1000000 * cum_all) // n_all))
+      |       // (max(m) - 1) AS BIGINT) AS emd_ppm,
+      |  CAST(CASE WHEN CAST(sum(abs((1000000 * cum_g) // n_g
+      |                              - (1000000 * cum_all) // n_all))
+      |                 // (max(m) - 1) AS BIGINT) <= $TClosePpm
+      |       THEN 1 ELSE 0 END AS BIGINT) AS t_close
+      |FROM grid CROSS JOIN scalars
+      |GROUP BY nation, segment
+      |ORDER BY nation, segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t_closeness" -> (tCloseness _),
     "q_dp_user_counts" -> (dpUserCounts _),
     "q_dp_counts" -> (dpCounts _),
     "q_pii_mask" -> (piiMask _),
@@ -299,6 +398,7 @@ object Privacy {
     "q_dp_user_counts" -> dpUserCountsSql,
     "q_dp_counts" -> dpCountsSql,
     "q_pii_mask" -> piiMaskSql,
-    "q_l_diversity" -> lDiversitySql
+    "q_l_diversity" -> lDiversitySql,
+    "q_t_closeness" -> tClosenessSql
   )
 }

@@ -234,4 +234,27 @@ class MultimodalSpec extends SparkSpec {
     assert(closed == Multimodal.decodeStub(bytes).toSeq,
       "closed-form stub diverges from the iterative loop")
   }
+
+  test("media dedup: md5 fingerprint equals JVM digest, keeper rule holds") {
+    import org.apache.spark.sql.functions._
+    val base = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docs = base ++ base
+      .filter(_._1 % graft.analytics.Multimodal.ReuploadMod == 0)
+      .map(t => (t._1 + graft.analytics.Multimodal.ReuploadOffset, t._2))
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.groupBy(t => hex(t._2))
+      .filter(_._2.length >= 2)
+      .map { case (fp, g) =>
+        fp -> ((g.length.toLong, g.map(_._1).min, g.map(_._1).max)) }
+    val got = graft.analytics.Multimodal.mediaDedup(spark, sf).collect()
+      .map(r => r.getAs[String]("fp") ->
+        ((r.getAs[Long]("n_copies"), r.getAs[Long]("keeper_id"),
+          r.getAs[Long]("max_dup_id")))).toMap
+    assert(got == expected, "dup groups do not replay from JVM md5")
+    assert(got.nonEmpty, "no duplicate payloads in fixture - vacuous")
+  }
 }

@@ -137,4 +137,33 @@ class PrivacySpec extends SparkSpec {
     assert(out.exists(r => r.getAs[Long]("n_bounded") < r.getAs[Long]("n_raw")),
       "bounding changed nothing - vacuous fixture")
   }
+
+  test("t-closeness: EMD replays driver-side in exact ppm integers") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ingest.Sources.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"),
+        col("c_mktsegment"),
+        (floor(col("c_acctbal") / 100) * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bands = rows.map(_._3).distinct.sorted
+    val m = bands.length
+    val nAll = rows.length.toLong
+    val cumAll = bands.map(b => b -> rows.count(_._3 <= b).toLong).toMap
+    val out = graft.analytics.Privacy.tCloseness(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nat, seg) = (r.getAs[Long]("nation"), r.getAs[String]("segment"))
+      val g = rows.filter(t => t._1 == nat && t._2 == seg)
+      val nG = g.length.toLong
+      assert(r.getAs[Long]("n_g") == nG)
+      val emd = bands.map { b =>
+        val cumG = g.count(_._3 <= b).toLong
+        math.abs(1000000L * cumG / nG - 1000000L * cumAll(b) / nAll)
+      }.sum / (m - 1)
+      assert(r.getAs[Long]("emd_ppm") == emd, s"($nat,$seg) EMD")
+      assert(emd >= 0 && emd <= 1000000L, s"($nat,$seg) EMD out of [0, 1e6]")
+      assert(r.getAs[Long]("t_close") ==
+        (if (emd <= graft.analytics.Privacy.TClosePpm) 1L else 0L))
+    }
+  }
 }
