@@ -365,8 +365,23 @@ object Affinity {
     * interpolated into both the plan and the unrolled oracle.
     */
   val HitsScale = 1000000L
-  val HitsIters = 6
+
+  /** Fixed iteration count — same contract style as [[PrIters]] (the
+    * convergence-driven variant is PageRank's; HITS's two
+    * normalization barriers per round make each round two sequential
+    * jobs, so the fixed count is also the job-count knob).
+    */
+  val HitsIters = 3
   val HitsPartOffset = 10000000L
+
+  /** The purchase graph is the RECENT-ACTIVITY window (orders from
+    * this date on) — the operational recommender framing (stale
+    * curation is noise), and the knob that sizes the iterated edge
+    * set: HITS pays 2 shuffles of the edge list per round, so the
+    * window bounds round cost the way support-filtering does for the
+    * co-purchase family.
+    */
+  val HitsSinceDate = "1998-01-01"
 
   /** Hubs and authorities on the customer→part purchase bipartite
     * graph — Kleinberg's HITS in its classic recommender reading:
@@ -382,6 +397,7 @@ object Affinity {
     */
   def hitsBipartite(spark: SparkSession, dir: String): DataFrame = {
     val e = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(HitsSinceDate))
       .select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -426,6 +442,7 @@ object Affinity {
       |  SELECT DISTINCT o.o_custkey AS src,
       |    l.l_partkey + $HitsPartOffset AS dst
       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderdate >= DATE '$HitsSinceDate'
       |), verts AS MATERIALIZED (
       |  SELECT src AS v FROM e UNION SELECT dst FROM e
       |), h0 AS MATERIALIZED (
