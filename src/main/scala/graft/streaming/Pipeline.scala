@@ -304,6 +304,71 @@ object Pipeline {
       cal_time: java.sql.Timestamp,
       offset: Float)
 
+  /** Bounded per-sensor AR(1) state: the last observation (for the
+    * cross-batch pair seam) plus the six exact-BIGINT moments of all
+    * consecutive (prev, cur) pH-cent pairs seen so far — 8 longs per
+    * key, corpus-size-independent, and EXACTLY the sufficient
+    * statistics the batch [[graft.analytics.TimeSeries.ar1Fit]] spine
+    * uses, so a streaming snapshot after N batches equals the batch
+    * fit over the same rows bit-for-bit (integer sums are associative;
+    * the φ/μ doubles are the same fixed-arity expressions).
+    */
+  final case class Ar1State(lastTsMs: Long, lastCents: Long,
+      n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long, syy: Long)
+
+  final case class Ar1Snap(sensor_id: String, n_pairs: Long,
+      phi: Double, mu_cents: Double)
+
+  /** Streaming AR(1) — observation-over-observation persistence of
+    * each sensor's pH, fitted ON THE WIRE with mapGroupsWithState:
+    * every micro-batch folds its rows (event-time order inside the
+    * batch; rows at or before the state's last timestamp are skipped,
+    * so a replayed or late row cannot corrupt the pair stream) into
+    * the moment state and emits the sensor's refreshed fit. The
+    * regression never holds a window of raw rows — state is the
+    * 8-long [[Ar1State]] no matter how long the stream runs, the
+    * streaming analogue of the batch exact-moment discipline.
+    */
+  def streamingAr1(readings: Dataset[SensorReading]): Dataset[Ar1Snap] = {
+    val spark = readings.sparkSession
+    import spark.implicits._
+
+    def fn(sensorId: String, rows: Iterator[SensorReading],
+           state: GroupState[Ar1State]): Ar1Snap = {
+      var st = state.getOption.getOrElse(
+        Ar1State(Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+      val ordered = rows.toArray
+        .filter(r => r.ph_value.isDefined && r.timestamp != null)
+        .sortBy(_.timestamp.getTime)
+      ordered.foreach { r =>
+        val t = r.timestamp.getTime
+        if (t > st.lastTsMs) {
+          val c = math.round(r.ph_value.get * 100.0)
+          if (st.lastTsMs != Long.MinValue) {
+            val x = st.lastCents; val y = c
+            st = st.copy(n = st.n + 1, sx = st.sx + x, sy = st.sy + y,
+              sxy = st.sxy + x * y, sxx = st.sxx + x * x,
+              syy = st.syy + y * y)
+          }
+          st = st.copy(lastTsMs = t, lastCents = c)
+        }
+      }
+      state.update(st)
+      val nd = st.n.toDouble
+      val den = nd * st.sxx - st.sx.toDouble * st.sx.toDouble
+      val phi = if (den == 0) Double.NaN
+        else (nd * st.sxy - st.sx.toDouble * st.sy.toDouble) / den
+      val mu = if (den == 0 || st.n == 0) Double.NaN
+        else (st.sy.toDouble - phi * st.sx.toDouble) / nd
+      Ar1Snap(sensorId, st.n, phi, mu)
+    }
+
+    readings
+      .groupByKey(_.sensor_id)
+      .mapGroupsWithState[Ar1State, Ar1Snap](
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** L1 on the wire: streaming exact dedup — duplicate (sensor_id,
     * timestamp) rows arriving within the watermark horizon are dropped;
     * state older than the watermark is evicted, so dedup state stays

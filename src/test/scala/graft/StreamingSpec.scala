@@ -626,6 +626,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming AR(1): snapshot after N batches equals the batch exact-moment fit") {
+    import spark.implicits._
+    val input = MemoryStream[SensorReading](spark)
+    val q = Pipeline.streamingAr1(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ar1_out").start()
+    // pH series per sensor, streamed in three batches (one row
+    // arriving out of order / replayed must be ignored)
+    val seriesA = Seq(7.0f, 7.4f, 7.2f, 7.9f, 7.5f, 7.7f)
+    val seriesB = Seq(6.5f, 6.6f, 6.9f, 6.4f)
+    def t(i: Int) = f"2024-01-01 ${i}%02d:00:00"
+    try {
+      input.addData(
+        seriesA.take(2).zipWithIndex.map { case (p, i) => reading("A", t(i), ph = p) } ++
+          seriesB.take(1).zipWithIndex.map { case (p, i) => reading("B", t(i), ph = p) }: _*)
+      q.processAllAvailable()
+      input.addData(
+        seriesA.slice(2, 4).zipWithIndex.map { case (p, i) => reading("A", t(i + 2), ph = p) } ++
+          seriesB.slice(1, 3).zipWithIndex.map { case (p, i) => reading("B", t(i + 1), ph = p) } :+
+          reading("A", t(0), ph = 9.9f): _*) // replay: at/before last ts, must be skipped
+      q.processAllAvailable()
+      input.addData(
+        seriesA.slice(4, 6).zipWithIndex.map { case (p, i) => reading("A", t(i + 4), ph = p) } ++
+          seriesB.slice(3, 4).zipWithIndex.map { case (p, i) => reading("B", t(i + 3), ph = p) }: _*)
+      q.processAllAvailable()
+      def fit(series: Seq[Float]): (Long, Double, Double) = {
+        val cents = series.map(p => math.round(p * 100.0))
+        val pairs = cents.zip(cents.tail)
+        val n = pairs.length.toDouble
+        val sx = pairs.map(_._1).sum.toDouble; val sy = pairs.map(_._2).sum.toDouble
+        val sxy = pairs.map(t2 => t2._1 * t2._2).sum.toDouble
+        val sxx = pairs.map(t2 => t2._1 * t2._1).sum.toDouble
+        val den = n * sxx - sx * sx
+        val phi = (n * sxy - sx * sy) / den
+        (pairs.length.toLong, phi, (sy - phi * sx) / n)
+      }
+      val out = spark.table("ar1_out").collect()
+      for ((sid, series) <- Seq("A" -> seriesA, "B" -> seriesB)) {
+        val last = out.filter(_.getAs[String]("sensor_id") == sid)
+          .maxBy(_.getAs[Long]("n_pairs"))
+        val (nP, phi, mu) = fit(series)
+        assert(last.getAs[Long]("n_pairs") == nP, s"$sid pairs")
+        assert(last.getAs[Double]("phi") == phi, s"$sid phi not bit-equal")
+        assert(last.getAs[Double]("mu_cents") == mu, s"$sid mu not bit-equal")
+      }
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: later batches replace matching keys in the gold table") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
