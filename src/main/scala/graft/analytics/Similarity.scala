@@ -2228,7 +2228,59 @@ object Similarity {
        |FROM ranked WHERE rnk <= $KnnTopK
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** IVF index balance audit — the operational health check every
+    * inverted-file deployment needs BEFORE queries hit it: probe cost
+    * is proportional to the probed lists' sizes, so a skewed codebook
+    * (one cell holding half the corpus) silently turns nprobe/nlist
+    * pruning into a near-full scan. Per cell: size, corpus share
+    * (ppm), how many distinct labels land there, and majority-label
+    * purity (ppm) — the same trained codebook as [[knnIvf]] (driver
+    * literal, scan-side argmax assignment, ONE aggregation over
+    * (cell, label); every division is positive-operand integer DIV).
+    */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansCentroids(spark, dir)
+    val per = vectors(spark, dir)
+      .withColumn("q", quantExpr(col("embedding"), col("nrm")))
+      .withColumn("cid",
+        element_at(transform(cellRank(col("q"), cents),
+          s => s.getField("cid")), 1))
+      .groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val tot = per.agg(sum(col("c")).as("n"))
+    per.groupBy(col("cid"))
+      .agg(sum(col("c")).as("size"), max(col("c")).as("maxc"),
+        count(lit(1)).as("n_labels"))
+      .crossJoin(broadcast(tot))
+      .select(col("cid"), col("size"),
+        expr("(1000000 * size) DIV n").as("share_ppm"),
+        col("n_labels"),
+        expr("(1000000 * maxc) DIV size").as("purity_ppm"))
+      .orderBy(col("cid"))
+  }
+
+  val ivfBalanceSql: String =
+    s"""$kmeansProbeCte,
+       |cells AS (
+       |  SELECT p.vec_id, p.cid, q.label
+       |  FROM probe p JOIN qv q USING (vec_id)
+       |  WHERE p.rnk = 1
+       |), per AS (
+       |  SELECT cid, label, count(*) AS c FROM cells GROUP BY 1, 2
+       |), cell AS (
+       |  SELECT cid, CAST(sum(c) AS BIGINT) AS size,
+       |    CAST(max(c) AS BIGINT) AS maxc, count(*) AS n_labels
+       |  FROM per GROUP BY cid
+       |), tot AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n FROM per
+       |)
+       |SELECT cid, size, (1000000 * size) // n AS share_ppm,
+       |  n_labels, (1000000 * maxc) // size AS purity_ppm
+       |FROM cell CROSS JOIN tot
+       |ORDER BY cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_balance" -> (ivfBalance _),
     "q_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
     "q_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
     "q_mmr_rerank" -> (mmrRerank _),
@@ -2253,6 +2305,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ivf_balance" -> ivfBalanceSql,
     "q_matryoshka_eval" -> matryoshkaEvalSql,
     "q_mutual_knn" -> mutualKnnSql,
     "q_hubness_audit" -> hubnessAuditSql,

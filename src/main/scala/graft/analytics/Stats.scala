@@ -342,6 +342,83 @@ object Stats {
       |FROM dets
       |ORDER BY l_returnflag""".stripMargin
 
+  /** One-way ANOVA across order priorities — does mean order value
+    * differ between priority classes more than within-class noise
+    * explains? F = (SSB/(k−1)) / (SSW/(n−k)) with the sums of squares
+    * derived from per-group exact moments (n_g, Σy, Σy² in integer
+    * dollars — cents would push Σy² past i64 at sf0.1).
+    *
+    * The one cross-group float hazard — Σ_g S_g²/n_g is a sum of k
+    * DOUBLES, whose accumulation order differs between engines — is
+    * removed the same way the micro-nat family handles ln: each
+    * group's S_g²/n_g is floored to an integer ONCE (a deterministic
+    * fixed-arity double op on exact longs), and only exact integers
+    * are summed after that. The floor redefines each term by < 1
+    * dollar² against SS values in the 10¹³ range — a documented
+    * contract choice, not an approximation hazard (and the oracle
+    * applies the identical floor).
+    */
+  def anovaPriority(spark: SparkSession, dir: String): DataFrame = {
+    val g = orders(spark, dir)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice")).cast("long").as("y"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_g"), sum(col("y")).as("s_g"),
+        sum(col("y") * col("y")).as("q_g"))
+      .withColumn("term_g",
+        floor(col("s_g").cast("double") * col("s_g").cast("double") /
+          col("n_g").cast("double")).cast("long"))
+    val nd = col("n").cast("double"); val kd = col("k").cast("double")
+    val ssb = (col("terms") - expr("CAST(floor(CAST(s AS DOUBLE) " +
+      "* CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+      .cast("double")
+    val ssw = (col("q") - col("terms")).cast("double")
+    g.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+      sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
+      sum(col("term_g")).as("terms"))
+      .select(col("n"), col("k"),
+        round(ssb / (kd - 1), 2).as("msb_usd2"),
+        round(ssw / (nd - kd), 2).as("msw_usd2"),
+        when(ssw === 0.0, lit(null).cast("double"))
+          .otherwise(round((ssb / (kd - 1)) / (ssw / (nd - kd)), 4))
+          .as("f_stat"))
+  }
+
+  val anovaPrioritySql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority,
+      |    CAST(count(*) AS BIGINT) AS n_g,
+      |    CAST(sum(y) AS BIGINT) AS s_g,
+      |    CAST(sum(y * y) AS BIGINT) AS q_g
+      |  FROM (SELECT o_orderpriority,
+      |          CAST(round(o_totalprice) AS BIGINT) AS y FROM orders)
+      |  GROUP BY o_orderpriority
+      |), t AS (
+      |  SELECT *, CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+      |                       / CAST(n_g AS DOUBLE)) AS BIGINT) AS term_g
+      |  FROM g
+      |), a AS (
+      |  SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+      |    CAST(sum(s_g) AS BIGINT) AS s, CAST(sum(q_g) AS BIGINT) AS q,
+      |    CAST(sum(term_g) AS BIGINT) AS terms
+      |  FROM t
+      |)
+      |SELECT n, k,
+      |  round(CAST(terms - CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |                                / CAST(n AS DOUBLE)) AS BIGINT)
+      |             AS DOUBLE) / (CAST(k AS DOUBLE) - 1), 2) AS msb_usd2,
+      |  round(CAST(q - terms AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)), 2) AS msw_usd2,
+      |  CASE WHEN CAST(q - terms AS DOUBLE) = 0 THEN NULL
+      |    ELSE round((CAST(terms - CAST(floor(CAST(s AS DOUBLE)
+      |                      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |                      AS BIGINT) AS DOUBLE)
+      |                / (CAST(k AS DOUBLE) - 1))
+      |               / (CAST(q - terms AS DOUBLE)
+      |                  / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 4)
+      |  END AS f_stat
+      |FROM a""".stripMargin
+
   /** Wide→long unpivot: per-priority metrics melted to (metric, val)
     * rows — the reshape every feature-extraction pipeline needs before
     * a generic metric sink. Uses the native unpivot operator (Expand
@@ -1095,7 +1172,8 @@ object Stats {
     "q_priority_metrics_unpivot" -> (priorityMetricsUnpivot _),
     "q_part_fuzzy_match" -> ((s: SparkSession, d: String) => partFuzzyMatch(s, d)),
     "q_damerau_match" -> (damerauMatch _),
-    "q_ols_normal_eq" -> (olsNormalEq _)
+    "q_ols_normal_eq" -> (olsNormalEq _),
+    "q_anova_priority" -> (anovaPriority _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1115,6 +1193,7 @@ object Stats {
     "q_priority_metrics_unpivot" -> priorityMetricsUnpivotSql,
     "q_part_fuzzy_match" -> partFuzzyMatchSql,
     "q_damerau_match" -> damerauMatchSql,
-    "q_ols_normal_eq" -> olsNormalEqSql
+    "q_ols_normal_eq" -> olsNormalEqSql,
+    "q_anova_priority" -> anovaPrioritySql
   )
 }

@@ -199,6 +199,57 @@ object Sinks {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Schema-evolution read — the lakehouse reality that a long-lived
+    * table's early files lack columns added later: a v1 slice (even
+    * order keys, 3 columns) and a v2 slice (odd keys, + order_year)
+    * are written as separate parquet file sets, then read back as ONE
+    * table with mergeSchema — v1 rows surface the evolved column as
+    * NULL, v2 rows keep it, and the aggregation downstream treats
+    * both generations uniformly (n_legacy counts pre-evolution rows).
+    * The oracle replays the same two-generation semantics straight
+    * off the base table, proving the merged read loses nothing.
+    * Scale note: mergeSchema reconciles FOOTERS (one small job over
+    * file metadata), not data; the scan itself stays columnar with
+    * missing columns materialized as nulls per row group.
+    */
+  def schemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sme_").toFile
+    try {
+      val v1Path = new java.io.File(tmp, "gen=1").toString
+      val v2Path = new java.io.File(tmp, "gen=2").toString
+      val o = Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          year(col("o_orderdate")).as("order_year"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .drop("order_year") // the pre-evolution schema
+        .write.mode(SaveMode.Overwrite).parquet(v1Path)
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .write.mode(SaveMode.Overwrite).parquet(v2Path)
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(v1Path, v2Path)
+      val out = merged
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("cents"),
+          count(when(col("order_year").isNull, 1)).as("n_legacy"),
+          max(col("order_year")).as("max_year"))
+        .orderBy(col("o_orderpriority"))
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val schemaMergeSql: String =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_legacy,
+      |  CAST(max(CASE WHEN o_orderkey % 2 <> 0
+      |           THEN year(o_orderdate) END) AS INT) AS max_year
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Upsert (MERGE) without a table format: rows of `updates` replace
     * key-matching rows of `target`; everything else passes through.
     * Anti-join + union — the updates side is usually small, so Spark
@@ -234,11 +285,13 @@ object Sinks {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert_orders" -> (upsertOrders _),
-    "q_format_roundtrip" -> (formatRoundtrip _)
+    "q_format_roundtrip" -> (formatRoundtrip _),
+    "q_schema_merge" -> (schemaMerge _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_upsert_orders" -> upsertOrdersSql,
-    "q_format_roundtrip" -> formatRoundtripSql
+    "q_format_roundtrip" -> formatRoundtripSql,
+    "q_schema_merge" -> schemaMergeSql
   )
 }

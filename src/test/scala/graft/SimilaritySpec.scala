@@ -802,4 +802,22 @@ class SimilaritySpec extends SparkSpec {
         s"query $qid: top PQ neighbor is not the ADC argmax")
     }
   }
+
+  test("IVF balance audit: sizes partition the corpus, shares and purity are consistent") {
+    val out = graft.analytics.Similarity.ivfBalance(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = graft.ingest.Sources.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("size")).sum == total,
+      "cell sizes do not partition the corpus")
+    out.foreach { r =>
+      val size = r.getAs[Long]("size")
+      val share = r.getAs[Long]("share_ppm")
+      assert(share == 1000000L * size / total)
+      val purity = r.getAs[Long]("purity_ppm")
+      val nl = r.getAs[Long]("n_labels")
+      // majority share is at least the uniform share and at most 1
+      assert(purity >= 1000000L / nl - 1 && purity <= 1000000L,
+        s"purity $purity inconsistent with $nl labels")
+    }
+  }
 }

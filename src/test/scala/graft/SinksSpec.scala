@@ -381,6 +381,21 @@ class ManifestSpec extends SparkSpec {
       "file holding the true max was skipped")
   }
 
+  test("schema-evolution read: merged generations reconcile against the base table") {
+    val out = graft.sinks.Sinks.schemaMerge(spark, sf).collect()
+    assert(out.nonEmpty)
+    val o = graft.ingest.Sources.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    out.foreach { r =>
+      val pr = r.getAs[String]("o_orderpriority")
+      val mine = o.filter(_._2 == pr)
+      assert(r.getAs[Long]("n_rows") == mine.length, s"$pr rows")
+      assert(r.getAs[Long]("n_legacy") == mine.count(_._1 % 2 == 0),
+        s"$pr legacy (null evolved column) count")
+    }
+  }
+
   test("compact rewrites files without a visibility gap; vacuum reaps history and orphans") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mcompact").toString

@@ -357,6 +357,29 @@ class StatsSpec extends SparkSpec {
 
   private val p0Expected = math.exp(-1)
 
+  test("ANOVA: F replays from exact group moments with the documented floor") {
+    val ys = graft.ingest.Sources.orders(spark, sf)
+      .select(col("o_orderpriority"), round(col("o_totalprice")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = ys.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val terms = groups.values.map { g =>
+      val sg = g.map(BigInt(_)).sum
+      math.floor(sg.toDouble * sg.toDouble / g.length.toDouble).toLong
+    }.sum
+    val n = ys.length.toLong
+    val k = groups.size.toLong
+    val s_ = ys.map(_._2).sum
+    val q = ys.map(y => y._2 * y._2).sum
+    val ssb = (terms - math.floor(s_.toDouble * s_.toDouble / n.toDouble).toLong).toDouble
+    val ssw = (q - terms).toDouble
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val row = graft.analytics.Stats.anovaPriority(spark, sf).collect().head
+    assert(row.getAs[Long]("n") == n && row.getAs[Long]("k") == k)
+    assert(math.abs(row.getAs[Double]("f_stat") - f) < 1e-3,
+      s"F ${row.getAs[Double]("f_stat")} vs replay $f")
+    assert(f > 0, "degenerate fixture")
+  }
+
   test("OLS normal equations: coefficients replay a driver-side exact-moment solve") {
     val rows = graft.ingest.Sources.lineitem(spark, sf)
       .select(col("l_returnflag"),
