@@ -458,6 +458,161 @@ object Affinity {
       |ORDER BY role, auth DESC, hub DESC, node""".stripMargin
   }
 
+  /** Degree assortativity of the co-purchase graph (Newman 2002) —
+    * do popular parts co-occur with other popular parts (r > 0,
+    * assortative) or with niche ones (r < 0, disassortative, the
+    * typical shape of product networks)? Pearson correlation of
+    * (deg(u), deg(v)) over the symmetrized edge list, from the exact
+    * BIGINT moment spine: degrees are exact counts, the six moments
+    * are exact sums (deg ≤ fan-out bound, Σxy far inside i64), and r
+    * is the one shared IEEE expression — the same discipline as the
+    * ACF family. Two broadcast joins tag each edge with endpoint
+    * degrees (the degree table is catalog-sized); one aggregation
+    * produces the single-row answer.
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val deg = prEdges(spark, dir).groupBy(col("src"))
+      .agg(count(lit(1)).as("d"))
+      .select(col("src").as("p"), col("d"))
+    prEdges(spark, dir)
+      .join(deg.select(col("p").as("src"), col("d").as("x")), Seq("src"))
+      .join(deg.select(col("p").as("dst"), col("d").as("y")), Seq("dst"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_edges"),
+        when(
+          sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double")) === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                sqrt(col("n").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))), 6))
+          .as("assortativity"))
+  }
+
+  val degreeAssortativitySql: String =
+    s"""WITH ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), halfe AS (
+      |  ${halfEdgesSql("pa", "pb")}
+      |), edges AS (
+      |  SELECT pa AS src, pb AS dst FROM halfe
+      |  UNION ALL
+      |  SELECT pb, pa FROM halfe
+      |), deg AS (
+      |  SELECT src AS p, count(*) AS d FROM edges GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dx.d) AS BIGINT) AS sx, CAST(sum(dy.d) AS BIGINT) AS sy,
+      |    CAST(sum(dx.d * dy.d) AS BIGINT) AS sxy,
+      |    CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx,
+      |    CAST(sum(dy.d * dy.d) AS BIGINT) AS syy
+      |  FROM edges e
+      |  JOIN deg dx ON e.src = dx.p
+      |  JOIN deg dy ON e.dst = dy.p
+      |)
+      |SELECT n AS n_edges,
+      |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+      |       THEN NULL
+      |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS assortativity
+      |FROM m""".stripMargin
+
+  /** Recommendations emitted per customer by [[itemRecs]]. */
+  val RecTopN = 3
+
+  /** Item-item collaborative filtering — the recommender every
+    * co-purchase graph exists to feed: score(customer, candidate) =
+    * Σ support(owned, candidate) over the customer's owned parts'
+    * co-purchase edges, candidates already owned are anti-joined
+    * away, and each customer keeps their [[RecTopN]] best (score
+    * desc, part asc — a total order on exact integers).
+    *
+    * Scale shape: the expensive object is owned×edges, ONE shuffle
+    * keyed on the owned part (edges are the support-filtered pair
+    * table — catalog-structure-sized, not corpus-sized); the per-
+    * customer ranking runs through the bounded-state
+    * [[graft.functions.Aggregators.topK]] aggregator (k rows of
+    * state per buffer, map-side merged) — no per-customer window
+    * sort anywhere.
+    */
+  def itemRecs(spark: SparkSession, dir: String): DataFrame = {
+    val owned = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // feeds the score join AND the ownership anti-join
+    val sym = halfEdges(spark, dir)
+      .select(explode(array(
+        struct(col("part_a").as("src"), col("part_b").as("dst"),
+          col("support")),
+        struct(col("part_b").as("src"), col("part_a").as("dst"),
+          col("support")))).as("e"))
+      .select(col("e.src").as("p"), col("e.dst").as("cand"),
+        col("e.support").as("support"))
+    val tk = graft.functions.Aggregators.topK(RecTopN)
+    owned.join(sym, Seq("p"))
+      .groupBy(col("c"), col("cand"))
+      .agg(sum(col("support")).as("score"))
+      .join(owned.select(col("c"), col("p").as("cand")),
+        Seq("c", "cand"), "left_anti")
+      .groupBy(col("c"))
+      .agg(tk(col("score").cast("double"), col("cand"), lit(0L)).as("tk"))
+      .select(col("c").as("customer"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("customer"), (col("pos") + 1).as("rnk"),
+        col("s.id").as("part"), col("s.score").cast("long").as("score"))
+      .orderBy(col("customer"), col("rnk"))
+  }
+
+  val itemRecsSql: String =
+    s"""WITH ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), halfe AS (
+      |  ${halfEdgesSql("pa", "pb")}
+      |), sym AS (
+      |  SELECT pa AS p, pb AS cand, support FROM halfe
+      |  UNION ALL
+      |  SELECT pb, pa, support FROM halfe
+      |), owned AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |), sc AS (
+      |  SELECT w.c, s.cand, CAST(sum(s.support) AS BIGINT) AS score
+      |  FROM owned w JOIN sym s ON w.p = s.p
+      |  GROUP BY 1, 2
+      |), flt AS (
+      |  SELECT * FROM sc
+      |  WHERE NOT EXISTS (SELECT 1 FROM owned w2
+      |                    WHERE w2.c = sc.c AND w2.p = sc.cand)
+      |), rk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY c ORDER BY score DESC, cand ASC) AS rnk
+      |  FROM flt
+      |)
+      |SELECT c AS customer, rnk, cand AS part, score
+      |FROM rk WHERE rnk <= $RecTopN
+      |ORDER BY customer, rnk""".stripMargin
+
   /** Vertex degrees of a canonical (u < v) undirected half-edge set. */
   private[graft] def degrees(half: DataFrame): DataFrame =
     half.select(explode(array(col("u"), col("v"))).as("p"))
@@ -788,7 +943,9 @@ object Affinity {
     "q_part_pagerank" -> (partPagerank _),
     "q_pagerank_converged" -> (partPagerankConverged _),
     "q_part_bfs" -> (partBfs _),
-    "q_hits_bipartite" -> (hitsBipartite _)
+    "q_hits_bipartite" -> (hitsBipartite _),
+    "q_degree_assortativity" -> (degreeAssortativity _),
+    "q_item_recs" -> (itemRecs _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -801,6 +958,8 @@ object Affinity {
     "q_part_pagerank" -> partPagerankSql,
     "q_pagerank_converged" -> partPagerankConvergedSql,
     "q_part_bfs" -> partBfsSql,
-    "q_hits_bipartite" -> hitsBipartiteSql
+    "q_hits_bipartite" -> hitsBipartiteSql,
+    "q_degree_assortativity" -> degreeAssortativitySql,
+    "q_item_recs" -> itemRecsSql
   )
 }

@@ -188,4 +188,46 @@ class AffinitySpec extends SparkSpec {
     assert(recount == r0.getAs[Long]("support"),
       s"direct basket recount $recount != reported ${r0.getAs[Long]("support")}")
   }
+
+  test("degree assortativity: r in [-1,1] over the symmetrized edge count") {
+    val row = graft.analytics.Affinity.degreeAssortativity(spark, sf)
+      .collect().head
+    val r = row.getAs[Double]("assortativity")
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"r=$r out of range")
+    // n_edges counts DIRECTED (symmetrized) edges: even, positive
+    val n = row.getAs[Long]("n_edges")
+    assert(n > 0 && n % 2 == 0, s"n_edges=$n not a symmetrized count")
+  }
+
+  test("item recs: never recommends an owned part; scores replay from co-purchase supports") {
+    import org.apache.spark.sql.functions._
+    val out = graft.analytics.Affinity.itemRecs(spark, sf).collect()
+    assert(out.nonEmpty)
+    val owned = graft.ingest.Sources.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.ingest.Sources.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      assert(!owned.contains(
+        (r.getAs[Long]("customer"), r.getAs[Long]("part"))),
+        "recommended a part the customer already bought")
+      assert(r.getAs[Long]("score") > 0)
+    }
+    // ranks are 1..<=3 per customer, scores non-increasing, part-asc ties
+    out.groupBy(_.getAs[Long]("customer")).foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq ==
+        (1 to sorted.length).toSeq, s"$c ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Long]("score"), b.getAs[Long]("score"))
+          assert(sa > sb || (sa == sb &&
+            a.getAs[Long]("part") < b.getAs[Long]("part")), s"$c order")
+        case _ =>
+      }
+    }
+  }
 }
