@@ -968,7 +968,133 @@ object Events {
       |QUALIFY n_risk > 0
       |ORDER BY day""".stripMargin
 
+  /** Kaplan–Meier survival curve of time-to-first-purchase after
+    * signup — right-censored at the corpus horizon (users who never
+    * purchase are censored, NOT dropped: dropping them is the classic
+    * conversion-analysis bias this estimator exists to avoid;
+    * [[conversionHazard]] is the discrete per-day hazard view, this
+    * is the cumulative product). Per event day: the risk set n, the
+    * events d, the censored c, and S(t) = Π (1 − d/n).
+    *
+    * Exactness: the product is carried in LOG space under the
+    * micro-nat discipline — each event day contributes
+    * floor(10⁶·ln((n−d)/n)) once (one ln per row of the bounded
+    * day table), the cumulative sum is exact integers, and the
+    * display ppm is one exp per row at the end. A day that exhausts
+    * the risk set (d = n) sends survival to exactly 0 from then on
+    * (masked via a cumulative flag rather than ln(0)).
+    *
+    * Scale shape: two user-keyed aggregations (first signup, first
+    * qualifying purchase) + one left join; everything after lives on
+    * the observation-span-bounded day table (unpartitioned windows
+    * over ≤ hundreds of rows, never the event stream).
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+      .join(su, Seq("user_id"))
+      .filter(col("pts") >= col("signup_ts"))
+      .groupBy(col("user_id")).agg(min(col("pts")).as("event_ts"))
+    val hor = ev.agg(max(col("ts")).as("horizon"))
+    val obs = su.join(pu, Seq("user_id"), "left")
+      .crossJoin(broadcast(hor))
+      .select(col("user_id"),
+        datediff(to_date(coalesce(col("event_ts"), col("horizon"))),
+          to_date(col("signup_ts"))).cast("long").as("t"),
+        col("event_ts").isNotNull.cast("long").as("is_event"))
+    val byDay = obs.groupBy(col("t"))
+      .agg(sum(col("is_event")).as("d"),
+        sum(lit(1L) - col("is_event")).as("c"))
+    val tot = obs.agg(count(lit(1)).as("n_users"))
+    val before = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("d") + col("c")).over(before), lit(0L)))
+      .withColumn("term", when(col("d") < col("n_risk"),
+        floor(lit(1e6) * log((col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double"))).cast("long")))
+      .withColumn("hit_zero",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(upto))
+      .withColumn("log_surv_micro",
+        when(col("hit_zero") === 1, lit(null).cast("long"))
+          .otherwise(sum(coalesce(col("term"), lit(0L))).over(upto)))
+      .withColumn("surv_ppm", when(col("hit_zero") === 1, lit(0L))
+        .otherwise(floor(lit(1e6) *
+          exp(col("log_surv_micro").cast("double") / lit(1e6))).cast("long")))
+      .filter(col("d") > 0)
+      .select(col("t").as("day"), col("n_risk"), col("d").as("d_events"),
+        col("c").as("c_censored"), col("log_surv_micro"), col("surv_ppm"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: micros-truncated timestamps in every comparison
+    * (events carry nanos there but micros here), identical floored
+    * log terms, identical zero masking.
+    */
+  val kaplanMeierSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+      |  FROM events
+      |), su AS (
+      |  SELECT user_id, min(ts) AS signup_ts FROM e
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), pu AS (
+      |  SELECT e.user_id, min(e.ts) AS event_ts
+      |  FROM e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+      |  GROUP BY 1
+      |), hor AS (
+      |  SELECT max(ts) AS horizon FROM e
+      |), obs AS (
+      |  SELECT su.user_id,
+      |    CAST(datediff('day', CAST(su.signup_ts AS DATE),
+      |      CAST(coalesce(pu.event_ts, hor.horizon) AS DATE)) AS BIGINT) AS t,
+      |    CASE WHEN pu.event_ts IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN hor
+      |), byday AS (
+      |  SELECT t, CAST(sum(is_event) AS BIGINT) AS d,
+      |    CAST(sum(1 - is_event) AS BIGINT) AS c
+      |  FROM obs GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_users FROM obs
+      |), rk AS (
+      |  SELECT *, n_users - coalesce(CAST(sum(d + c) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |    AS n_risk
+      |  FROM byday CROSS JOIN tot
+      |), tm AS (
+      |  SELECT *,
+      |    CASE WHEN d < n_risk THEN
+      |      CAST(floor(1e6 * ln(CAST(n_risk - d AS DOUBLE)
+      |                          / CAST(n_risk AS DOUBLE))) AS BIGINT)
+      |    END AS term,
+      |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+      |  FROM rk
+      |), fin AS (
+      |  SELECT *, CASE WHEN hit_zero = 1 THEN NULL
+      |    ELSE CAST(sum(coalesce(term, 0)) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |  END AS log_surv_micro
+      |  FROM tm
+      |)
+      |SELECT t AS day, n_risk, d AS d_events, c AS c_censored,
+      |  log_surv_micro,
+      |  CASE WHEN hit_zero = 1 THEN 0
+      |    ELSE CAST(floor(1e6 * exp(CAST(log_surv_micro AS DOUBLE) / 1e6))
+      |         AS BIGINT)
+      |  END AS surv_ppm
+      |FROM fin WHERE d > 0
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kaplan_meier" -> (kaplanMeier _),
     "q_conversion_hazard" -> (conversionHazard _),
     "q_follows_matrix" -> (followsMatrix _),
     "q_attribution" -> (attribution _),
@@ -988,6 +1114,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kaplan_meier" -> kaplanMeierSql,
     "q_conversion_hazard" -> conversionHazardSql,
     "q_follows_matrix" -> followsMatrixSql,
     "q_attribution" -> attributionSql,

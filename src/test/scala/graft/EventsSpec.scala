@@ -333,4 +333,33 @@ class EventsSpec extends SparkSpec {
       assert(r.getAs[Long]("seen_users_ppm") <= 1000000L)
     }
   }
+
+  test("Kaplan-Meier: risk set telescopes, survival is a monotone ppm curve") {
+    val out = graft.analytics.Events.kaplanMeier(spark, sf).collect()
+    assert(out.nonEmpty)
+    // survival starts <= 1e6 and never increases
+    val survs = out.sortBy(_.getAs[Long]("day")).map(_.getAs[Long]("surv_ppm"))
+    assert(survs.head <= 1000000L && survs.forall(_ >= 0))
+    survs.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, s"survival increased: $a -> $b")
+      case _ =>
+    }
+    // risk-set accounting: n_risk(t) >= d(t), and strictly decreasing
+    // across emitted event days (events + censored leave the set)
+    val rows = out.sortBy(_.getAs[Long]("day"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_risk") >= r.getAs[Long]("d_events"))
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_risk") <
+          a.getAs[Long]("n_risk"), "risk set did not shrink")
+      case _ =>
+    }
+    // total users who ever signed up bounds the first risk set
+    val nSignup = graft.ingest.Sources.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") <= nSignup)
+  }
 }
