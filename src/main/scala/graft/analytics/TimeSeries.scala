@@ -1025,7 +1025,71 @@ object TimeSeries {
       |FROM nb
       |ORDER BY user_id, hr""".stripMargin
 
+  /** Offset that makes every DIV operand positive in [[stlLite]]'s
+    * seasonal means: (Σx + n·OFF) DIV n − OFF equals floor(Σx/n)
+    * EXACTLY for integer OFF, turning Spark's truncating DIV into
+    * floor semantics on possibly-negative detrended sums — the same
+    * engine-portability trick as the lerp filler's weighted form.
+    */
+  val StlOffset = 1000000000000L
+
+  /** Additive seasonal decomposition, STL-lite: y = trend + seasonal
+    * + residual over the per-type daily cent series. Trend is the
+    * centered 7-day moving mean (full windows only — the classic
+    * moving-average decomposition, Cleveland et al.'s STL without
+    * the loess robustness loop); seasonal is the per-weekday mean of
+    * the detrended series; the residual closes the identity exactly,
+    * because every step is integer arithmetic: trend = Σ₇ DIV 7 on
+    * positive cents, seasonal via the [[StlOffset]] floor-division
+    * trick on possibly-negative detrended values, residual a pure
+    * subtraction. One shuffle builds the day table; both windows and
+    * the weekday means run on types×days-bounded frames.
+    */
+  def stlLite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+    val w7 = w.rowsBetween(-3, 3)
+    val trended = dailyCents(spark, dir)
+      .withColumn("n_in_win", count(lit(1)).over(w7))
+      .withColumn("trend", expr("sum(cents) OVER (PARTITION BY event_type " +
+        "ORDER BY day_idx ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) DIV 7"))
+      .filter(col("n_in_win") === 7)
+      .withColumn("detr", col("cents") - col("trend"))
+      .withColumn("dow", expr("day_idx % 7"))
+    val seasonal = trended
+      .groupBy(col("event_type"), col("dow"))
+      .agg(expr(s"(sum(detr) + count(*) * ${StlOffset}L) DIV count(*)" +
+        s" - ${StlOffset}L").as("seasonal"))
+    trended.join(seasonal, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day_idx"), col("cents"),
+        col("trend"), col("seasonal"),
+        (col("detr") - col("seasonal")).as("residual"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  val stlLiteSql: String =
+    s"""WITH $dailyCentsSql, t AS (
+      |  SELECT event_type, day_idx, cents,
+      |    count(*) OVER w7 AS n_in_win,
+      |    CAST(sum(cents) OVER w7 AS BIGINT) // 7 AS trend
+      |  FROM daily
+      |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day_idx
+      |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), d AS (
+      |  SELECT *, cents - trend AS detr, day_idx % 7 AS dow
+      |  FROM t WHERE n_in_win = 7
+      |), s AS (
+      |  SELECT event_type, dow,
+      |    (CAST(sum(detr) AS BIGINT) + count(*) * $StlOffset) // count(*)
+      |      - $StlOffset AS seasonal
+      |  FROM d GROUP BY 1, 2
+      |)
+      |SELECT d.event_type, d.day_idx, d.cents, d.trend, s.seasonal,
+      |  d.detr - s.seasonal AS residual
+      |FROM d JOIN s ON d.event_type = s.event_type AND d.dow = s.dow
+      |ORDER BY d.event_type, d.day_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stl_lite" -> (stlLite _),
     "q_ar1_fit" -> (ar1Fit _),
     "q_rolling_median" -> (rollingMedian _),
     "q_gap_fill_lerp" -> (gapFillLerp _),
@@ -1044,6 +1108,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stl_lite" -> stlLiteSql,
     "q_ar1_fit" -> ar1FitSql,
     "q_rolling_median" -> rollingMedianSql,
     "q_gap_fill_lerp" -> gapFillLerpSql,

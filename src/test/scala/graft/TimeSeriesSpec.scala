@@ -532,4 +532,42 @@ class TimeSeriesSpec extends SparkSpec {
       assert(r1 >= -1.0 - 1e-9 && r1 <= 1.0 + 1e-9, s"$et r1 out of range")
     }
   }
+
+  test("STL-lite: additive identity closes exactly; trend and seasonal replay") {
+    val out = TimeSeries.stlLite(spark, sf).collect()
+    assert(out.nonEmpty)
+    // exact identity on every row
+    out.foreach { r =>
+      assert(r.getAs[Long]("cents") ==
+        r.getAs[Long]("trend") + r.getAs[Long]("seasonal") +
+          r.getAs[Long]("residual"), "identity broken")
+    }
+    // trend replays as the centered 7-day integer mean
+    val daily = graft.ingest.Sources.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("di"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("di")).agg(sum(col("c")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (et, rows) =>
+      val series = daily(et)
+      val byDay = rows.map(r => r.getAs[Int]("day_idx") -> r).toMap
+      series.sliding(7).foreach { win =>
+        if (win.length == 7) {
+          val center = win(3)
+          byDay.get(center._2).foreach { r =>
+            assert(r.getAs[Long]("trend") == win.map(_._3).sum / 7,
+              s"$et trend at ${center._2}")
+          }
+        }
+      }
+      // seasonal: one value per weekday, floor of the detrended mean
+      val seas = rows.groupBy(_.getAs[Int]("day_idx") % 7)
+      seas.foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Long]("seasonal")).distinct.length == 1,
+          s"$et seasonal not constant per weekday")
+      }
+    }
+  }
 }
