@@ -968,6 +968,69 @@ object Events {
       |QUALIFY n_risk > 0
       |ORDER BY day""".stripMargin
 
+  /** Forward-match window for [[asofForward]] (seconds): a signup only
+    * attributes to a purchase within the next 7 days.
+    */
+  val AsofForwardTolSecs = 7L * 24 * 3600
+
+  /** FORWARD as-of join through the custom Catalyst operator —
+    * pandas merge_asof(direction="forward"): each signup joined to
+    * the same user's FIRST purchase at or after it, null past
+    * [[AsofForwardTolSecs]] (the activation-window attribution the
+    * backward join can't express). Ties take the smallest purchase
+    * event_id (the operator's (time, tieBreak) ascending head rule).
+    * Forward is the CHEAPER direction in the streamed merge: no
+    * buffered candidate at all — everything strictly behind the left
+    * row is consumed and the right head is the match.
+    */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"), col("epoch_s"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("epoch_s").as("p_epoch_s"))
+    graft.plans.AsOfJoinPlan.join(signups, purchases,
+      leftKey = "user_id", rightKey = "p_user_id",
+      leftTimeCol = "ts", rightTimeCol = "p_ts",
+      rightTieBreakCols = Seq("purchase_event_id"),
+      tolerance = Some(java.time.Duration.ofSeconds(AsofForwardTolSecs)),
+      direction = graft.plans.AsOfJoinPlan.Forward)
+      .select(col("event_id"), col("user_id"), col("purchase_event_id"),
+        (col("p_epoch_s") - col("epoch_s")).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB twin: first-at-or-after via row_number (ties event_id
+    * ASC), exact epoch-micros tolerance — the unit the operator
+    * enforces in-exec.
+    */
+  val asofForwardSql: String =
+    s"""WITH s AS (
+      |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+      |  FROM events WHERE event_type = 'signup'
+      |), p AS (
+      |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+      |  FROM events WHERE event_type = 'purchase'
+      |), ranked AS (
+      |  SELECT s.event_id, s.user_id,
+      |    p.event_id AS purchase_event_id,
+      |    CAST(floor(epoch(p.ts)) AS BIGINT)
+      |      - CAST(floor(epoch(s.ts)) AS BIGINT) AS gap_s,
+      |    row_number() OVER (PARTITION BY s.event_id
+      |                       ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      |  FROM s JOIN p ON s.user_id = p.user_id
+      |    AND p.ts >= s.ts
+      |    AND epoch_us(p.ts) - epoch_us(s.ts)
+      |        <= ${AsofForwardTolSecs * 1000000L}
+      |)
+      |SELECT s.event_id, s.user_id, r.purchase_event_id, r.gap_s
+      |FROM s LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      |  ON s.event_id = r.event_id
+      |ORDER BY s.event_id""".stripMargin
+
   /** Kaplan–Meier survival curve of time-to-first-purchase after
     * signup — right-censored at the corpus horizon (users who never
     * purchase are censored, NOT dropped: dropping them is the classic
@@ -1095,6 +1158,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kaplan_meier" -> (kaplanMeier _),
+    "q_asof_forward" -> (asofForward _),
     "q_conversion_hazard" -> (conversionHazard _),
     "q_follows_matrix" -> (followsMatrix _),
     "q_attribution" -> (attribution _),
@@ -1115,6 +1179,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q_kaplan_meier" -> kaplanMeierSql,
+    "q_asof_forward" -> asofForwardSql,
     "q_conversion_hazard" -> conversionHazardSql,
     "q_follows_matrix" -> followsMatrixSql,
     "q_attribution" -> attributionSql,

@@ -33,6 +33,19 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 object AsOfJoinPlan {
 
+  /** Match direction — pandas merge_asof's vocabulary. BACKWARD joins
+    * each left row to the LAST right row at or before it (ties: max
+    * tie-break); FORWARD to the FIRST right row at or after it (ties:
+    * min tie-break). Both stream the same (key, time)-sorted merge;
+    * forward needs NO buffered candidate at all — the match is the
+    * right head itself once everything strictly behind is consumed
+    * (consumption is safe: left times ascend within a key, so a
+    * passed-over right row can never match a later left row).
+    */
+  sealed trait AsOfDirection
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+
   /** Logical node. Children are already-analyzed plans and the key /
     * time / tie-break expressions are resolved attributes, so the node
     * itself is resolved on construction.
@@ -45,7 +58,8 @@ object AsOfJoinPlan {
       leftTime: Expression,
       rightTime: Expression,
       rightTieBreak: Seq[Expression],
-      toleranceMicros: Option[Long] = None) extends BinaryNode {
+      toleranceMicros: Option[Long] = None,
+      direction: AsOfDirection = Backward) extends BinaryNode {
 
     // The node is resolved on construction, so the analyzer never
     // type-checks it — validate here: comparing a right row with an
@@ -104,8 +118,8 @@ object AsOfJoinPlan {
     */
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol) =>
-        AsOfJoinExec(lk, rk, lt, rt, tb, tol,
+      case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol, dir) =>
+        AsOfJoinExec(lk, rk, lt, rt, tb, tol, dir,
           planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
@@ -128,6 +142,7 @@ object AsOfJoinPlan {
       rightTime: Expression,
       rightTieBreak: Seq[Expression],
       toleranceMicros: Option[Long],
+      direction: AsOfDirection,
       left: SparkPlan,
       right: SparkPlan) extends BinaryExecNode {
 
@@ -185,6 +200,38 @@ object AsOfJoinPlan {
             if (lKey.anyNull || lTime.isNullAt(0)) {
               // null key / null time never matches anything
               outProj(joined(lRow, nullRight))
+            } else if (direction == Forward) {
+              // consume everything strictly behind this left row:
+              // smaller keys, null-key/null-time rows, and same-key
+              // rows with time < left time (left times ascend within
+              // the key, so none of these can match a later left row)
+              var advancing = true
+              while (advancing && rBuf.hasNext) {
+                val rKey = rKeyProj(rBuf.head)
+                val kCmp = if (rKey.anyNull) -1 else keyOrd.compare(rKey, lKey)
+                if (kCmp < 0) { rBuf.next() }
+                else if (kCmp > 0) { advancing = false }
+                else {
+                  val rTime = rTimeProj(rBuf.head)
+                  if (rTime.isNullAt(0)) { rBuf.next() }
+                  else if (timeOrd.compare(rTime, lTime) < 0) { rBuf.next() }
+                  else advancing = false
+                }
+              }
+              // the head (if same-keyed) IS the first at-or-after row —
+              // the (time, tieBreak) ascending sort makes ties take the
+              // smallest tie-break, pandas' first-occurrence rule
+              var m: InternalRow = nullRight
+              if (rBuf.hasNext) {
+                val rKey = rKeyProj(rBuf.head)
+                if (!rKey.anyNull && keyOrd.compare(rKey, lKey) == 0) {
+                  val rTime = rTimeProj(rBuf.head)
+                  if (toleranceMicros.forall(t =>
+                      rTime.getLong(0) - lTime.getLong(0) <= t))
+                    m = rBuf.head
+                }
+              }
+              outProj(joined(lRow, m))
             } else {
               // drop a buffered match from an earlier, different key
               if (bestKey != null && keyOrd.compare(bestKey, lKey) != 0) {
@@ -234,7 +281,8 @@ object AsOfJoinPlan {
            leftKey: String, rightKey: String,
            leftTimeCol: String, rightTimeCol: String,
            rightTieBreakCols: Seq[String] = Nil,
-           tolerance: Option[java.time.Duration] = None): DataFrame = {
+           tolerance: Option[java.time.Duration] = None,
+           direction: AsOfDirection = Backward): DataFrame = {
     val spark = leftDf.sparkSession
     GraftBridge.addStrategy(spark, AsOfJoinStrategy)
     GraftBridge.addOptimization(spark, AsOfJoinFilterPushdown)
@@ -249,6 +297,7 @@ object AsOfJoinPlan {
         Seq(attr(l, leftKey)), Seq(attr(r, rightKey)),
         attr(l, leftTimeCol), attr(r, rightTimeCol),
         rightTieBreakCols.map(attr(r, _)),
-        tolerance.map(d => d.toNanos / 1000L)))
+        tolerance.map(d => d.toNanos / 1000L),
+        direction))
   }
 }

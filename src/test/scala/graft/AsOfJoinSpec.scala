@@ -171,6 +171,47 @@ class AsOfJoinSpec extends SparkSpec {
       "tolerance rejected nothing the plain as-of matched — vacuous")
   }
 
+  test("forward direction: randomized differential incl. tolerance, ties take min tie-break") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260814)
+    val keys = (0 until 10).map(i => s"K$i")
+    val left = (1 to 1000).map(i =>
+      (i.toLong, keys(rng.nextInt(keys.length)), rng.nextInt(300).toLong))
+    // sparse right (~6 rows per key over a 300-tick span, mean forward
+    // gap ~25 > the tight tolerance) so the tolerance genuinely binds
+    val right = (1 to 64).map(i =>
+      (i.toLong, keys(rng.nextInt(keys.length)), rng.nextInt(300).toLong))
+    val lDf = left.toDF("lid", "k", "t")
+    val rDf = right.toDF("rid", "rk", "rt")
+    def run(tol: Option[Long]): Map[Long, Option[Long]] =
+      AsOfJoinPlan.join(lDf, rDf, "k", "rk", "t", "rt",
+          rightTieBreakCols = Seq("rid"),
+          tolerance = tol.map(t => java.time.Duration.ofNanos(t * 1000)),
+          direction = AsOfJoinPlan.Forward)
+        .select(col("lid"), col("rid"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    def brute(tol: Option[Long]): Map[Long, Option[Long]] =
+      left.map { case (lid, k, t) =>
+        val m = right
+          .filter { case (_, rk, rt) =>
+            rk == k && rt >= t && tol.forall(rt - t <= _) }
+          .sortBy { case (rid, _, rt) => (rt, rid) }.headOption.map(_._1)
+        lid -> m
+      }.toMap
+    for (tol <- Seq(None, Some(20L))) {
+      val out = run(tol)
+      assert(out.size == left.size, s"tol=$tol dropped/duplicated left rows")
+      val exp = brute(tol)
+      val diffs = exp.collect { case (lid, e) if out(lid) != e => (lid, e, out(lid)) }
+      assert(diffs.isEmpty, s"tol=$tol mismatches (first 5): ${diffs.take(5)}")
+    }
+    // non-vacuity: some matched, some null, and tolerance changed something
+    val all = run(None); val tight = run(Some(20L))
+    assert(all.values.exists(_.isDefined) && all.values.exists(_.isEmpty))
+    assert(all != tight, "tolerance never binds - vacuous fixture")
+  }
+
   test("mismatched key/time types are rejected at construction, not silently merged") {
     import spark.implicits._
     val l = Seq((1L, "A", 100L)).toDF("id", "k", "t")
