@@ -1031,6 +1031,66 @@ object Events {
       |  ON s.event_id = r.event_id
       |ORDER BY s.event_id""".stripMargin
 
+  /** Nearest-match window for [[asofNearest]] (seconds). */
+  val AsofNearestTolSecs = 3600L
+
+  /** NEAREST as-of join through the custom operator — pandas
+    * merge_asof(direction="nearest"): each error event matched to the
+    * same user's closest click in EITHER direction within
+    * [[AsofNearestTolSecs]] (what was the user doing around the
+    * failure?), exact ties preferring the backward (at-or-before)
+    * click. gap_s is signed: negative = the click preceded the error.
+    */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("epoch_s"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"),
+        col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("epoch_s").as("c_epoch_s"))
+    graft.plans.AsOfJoinPlan.join(errors, clicks,
+      leftKey = "user_id", rightKey = "c_user_id",
+      leftTimeCol = "ts", rightTimeCol = "c_ts",
+      rightTieBreakCols = Seq("click_event_id"),
+      tolerance = Some(java.time.Duration.ofSeconds(AsofNearestTolSecs)),
+      direction = graft.plans.AsOfJoinPlan.Nearest)
+      .select(col("event_id"), col("user_id"), col("click_event_id"),
+        (col("c_epoch_s") - col("epoch_s")).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB twin: rank same-user clicks by (|gap micros| ASC, backward
+    * first, then the operator's per-direction duplicate rule — max
+    * event_id among equal-time backward rows, min among forward).
+    */
+  val asofNearestSql: String =
+    s"""WITH e AS (
+      |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+      |  FROM events WHERE event_type = 'error'
+      |), c AS (
+      |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+      |  FROM events WHERE event_type = 'click'
+      |), ranked AS (
+      |  SELECT e.event_id, e.user_id,
+      |    c.event_id AS click_event_id,
+      |    CAST(floor(epoch(c.ts)) AS BIGINT)
+      |      - CAST(floor(epoch(e.ts)) AS BIGINT) AS gap_s,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)) ASC,
+      |        CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END ASC,
+      |        CASE WHEN c.ts <= e.ts THEN -c.event_id
+      |             ELSE c.event_id END ASC) AS rn
+      |  FROM e JOIN c ON e.user_id = c.user_id
+      |    AND abs(epoch_us(c.ts) - epoch_us(e.ts))
+      |        <= ${AsofNearestTolSecs * 1000000L}
+      |)
+      |SELECT e.event_id, e.user_id, r.click_event_id, r.gap_s
+      |FROM e LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      |  ON e.event_id = r.event_id
+      |ORDER BY e.event_id""".stripMargin
+
   /** Kaplan–Meier survival curve of time-to-first-purchase after
     * signup — right-censored at the corpus horizon (users who never
     * purchase are censored, NOT dropped: dropping them is the classic
@@ -1159,6 +1219,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kaplan_meier" -> (kaplanMeier _),
     "q_asof_forward" -> (asofForward _),
+    "q_asof_nearest" -> (asofNearest _),
     "q_conversion_hazard" -> (conversionHazard _),
     "q_follows_matrix" -> (followsMatrix _),
     "q_attribution" -> (attribution _),
@@ -1180,6 +1241,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "q_kaplan_meier" -> kaplanMeierSql,
     "q_asof_forward" -> asofForwardSql,
+    "q_asof_nearest" -> asofNearestSql,
     "q_conversion_hazard" -> conversionHazardSql,
     "q_follows_matrix" -> followsMatrixSql,
     "q_attribution" -> attributionSql,

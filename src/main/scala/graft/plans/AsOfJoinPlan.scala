@@ -46,6 +46,14 @@ object AsOfJoinPlan {
   case object Backward extends AsOfDirection
   case object Forward extends AsOfDirection
 
+  /** NEAREST: smaller absolute gap wins; an exact tie prefers the
+    * backward match (pandas' rule). Falls out of the backward
+    * machinery for free: after the backward advance, `best` is the
+    * last at-or-before row and the right head is exactly the first
+    * strictly-after row — compare the two gaps.
+    */
+  case object Nearest extends AsOfDirection
+
   /** Logical node. Children are already-analyzed plans and the key /
     * time / tie-break expressions are resolved attributes, so the node
     * itself is resolved on construction.
@@ -73,10 +81,11 @@ object AsOfJoinPlan {
       s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
     // tolerance compares raw internal longs, so it is only defined for
     // micros-backed timestamps (and raw longs)
-    require(toleranceMicros.isEmpty ||
+    require((toleranceMicros.isEmpty && direction != Nearest) ||
       leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
       leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.LongType],
-      s"as-of tolerance needs a timestamp/long time column, got ${leftTime.dataType}")
+      "as-of tolerance / nearest direction need a timestamp/long time " +
+        s"column (gap arithmetic on raw longs), got ${leftTime.dataType}")
 
     // left outer: right side becomes nullable on no-match
     override def output: Seq[Attribute] =
@@ -262,9 +271,37 @@ object AsOfJoinPlan {
               // tolerance for THIS left row (it can pass for an early
               // left row and fail for a later one — staleness grows
               // until a fresher right row replaces the match)
-              val inTolerance = best != null && toleranceMicros.forall(t =>
+              val bwdOk = best != null && toleranceMicros.forall(t =>
                 lTime.getLong(0) - bestTimeMicros <= t)
-              outProj(joined(lRow, if (inTolerance) best else nullRight))
+              if (direction == Nearest) {
+                // forward candidate: after the backward advance the
+                // right head (if same-keyed) is the first strictly-
+                // after row; equal-time rows were consumed into `best`
+                var fwd: InternalRow = null
+                var fwdGap = Long.MaxValue
+                if (rBuf.hasNext) {
+                  val rKey = rKeyProj(rBuf.head)
+                  if (!rKey.anyNull && keyOrd.compare(rKey, lKey) == 0) {
+                    val rTime = rTimeProj(rBuf.head)
+                    if (!rTime.isNullAt(0)) {
+                      val g = rTime.getLong(0) - lTime.getLong(0)
+                      if (toleranceMicros.forall(g <= _)) {
+                        fwd = rBuf.head; fwdGap = g
+                      }
+                    }
+                  }
+                }
+                val bwdGap =
+                  if (bwdOk) lTime.getLong(0) - bestTimeMicros
+                  else Long.MaxValue
+                // tie prefers backward (<=)
+                val m = if (bwdOk && bwdGap <= fwdGap) best
+                  else if (fwd != null) fwd
+                  else nullRight
+                outProj(joined(lRow, m))
+              } else {
+                outProj(joined(lRow, if (bwdOk) best else nullRight))
+              }
             }
           }
         }

@@ -212,6 +212,50 @@ class AsOfJoinSpec extends SparkSpec {
     assert(all != tight, "tolerance never binds - vacuous fixture")
   }
 
+  test("nearest direction: randomized differential, ties prefer backward") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260815)
+    val keys = (0 until 10).map(i => s"K$i")
+    val left = (1 to 900).map(i =>
+      (i.toLong, keys(rng.nextInt(keys.length)), rng.nextInt(200).toLong))
+    // coarse right times force frequent EXACT |gap| ties in both
+    // directions (the tie rule is the thing under test)
+    val right = (1 to 120).map(i =>
+      (i.toLong, keys(rng.nextInt(keys.length)), (rng.nextInt(20) * 10).toLong))
+    val lDf = left.toDF("lid", "k", "t")
+    val rDf = right.toDF("rid", "rk", "rt")
+    val tol = 35L
+    val out = AsOfJoinPlan.join(lDf, rDf, "k", "rk", "t", "rt",
+        rightTieBreakCols = Seq("rid"),
+        tolerance = Some(java.time.Duration.ofNanos(tol * 1000)),
+        direction = AsOfJoinPlan.Nearest)
+      .select(col("lid"), col("rid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expected = left.map { case (lid, k, t) =>
+      val cands = right.filter { case (_, rk, rt) =>
+        rk == k && math.abs(rt - t) <= tol }
+      val m = if (cands.isEmpty) None else Some(cands.minBy {
+        case (rid, _, rt) =>
+          // |gap| asc; backward before forward; among equal-time
+          // backward rows max rid (the <= sort keeps the LAST), among
+          // forward rows min rid (the head is the FIRST)
+          (math.abs(rt - t), if (rt <= t) 0L else 1L,
+            if (rt <= t) -rid else rid)
+      }._1)
+      lid -> m
+    }.toMap
+    assert(out.size == left.size)
+    val diffs = expected.collect {
+      case (lid, e) if out(lid) != e => (lid, e, out(lid)) }
+    assert(diffs.isEmpty, s"mismatches (first 5): ${diffs.take(5)}")
+    // non-vacuity: matches on both sides of the left time, and nulls
+    val gaps = left.flatMap { case (lid, _, t) =>
+      out(lid).map(rid => right.find(_._1 == rid).get._3 - t) }
+    assert(gaps.exists(_ < 0) && gaps.exists(_ > 0), "one-sided fixture")
+    assert(out.values.exists(_.isEmpty), "tolerance never produced a null")
+  }
+
   test("mismatched key/time types are rejected at construction, not silently merged") {
     import spark.implicits._
     val l = Seq((1L, "A", 100L)).toDF("id", "k", "t")
