@@ -419,6 +419,57 @@ object Stats {
       |  END AS f_stat
       |FROM a""".stripMargin
 
+  /** Exact WEIGHTED median per group — quantity-weighted median line
+    * price per return flag: the robust "typical transacted price"
+    * where the unweighted median over-counts small lots. Definition
+    * (lower weighted median): the smallest value v with
+    * cumWeight(≤ v) ≥ W/2, tested as 2·cum ≥ W in exact integers so
+    * no half ever materializes. Neither engine has a weighted median
+    * built-in, so BOTH run the same formulation: collapse to
+    * (group, value) weight sums (one shuffle — the value domain is
+    * price-grid bounded), cumulate along the value order, keep the
+    * first qualifying value. No sketch, no floats.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("w")).as("w"))
+    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    byVal
+      .withColumn("cw", sum(col("w")).over(cum))
+      .withColumn("tw", sum(col("w")).over(tot))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("wmedian_cents"),
+        max(col("tw")).as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH bv AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2
+      |), c AS (
+      |  SELECT *, CAST(sum(w) OVER (PARTITION BY l_returnflag
+      |      ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cw,
+      |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      |  FROM bv
+      |)
+      |SELECT l_returnflag, min(cents) AS wmedian_cents,
+      |  max(tw) AS total_qty
+      |FROM c WHERE cw * 2 >= tw
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Wide→long unpivot: per-priority metrics melted to (metric, val)
     * rows — the reshape every feature-extraction pipeline needs before
     * a generic metric sink. Uses the native unpivot operator (Expand
@@ -1173,7 +1224,8 @@ object Stats {
     "q_part_fuzzy_match" -> ((s: SparkSession, d: String) => partFuzzyMatch(s, d)),
     "q_damerau_match" -> (damerauMatch _),
     "q_ols_normal_eq" -> (olsNormalEq _),
-    "q_anova_priority" -> (anovaPriority _)
+    "q_anova_priority" -> (anovaPriority _),
+    "q_weighted_median" -> (weightedMedian _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1194,6 +1246,7 @@ object Stats {
     "q_part_fuzzy_match" -> partFuzzyMatchSql,
     "q_damerau_match" -> damerauMatchSql,
     "q_ols_normal_eq" -> olsNormalEqSql,
-    "q_anova_priority" -> anovaPrioritySql
+    "q_anova_priority" -> anovaPrioritySql,
+    "q_weighted_median" -> weightedMedianSql
   )
 }

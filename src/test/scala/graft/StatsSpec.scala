@@ -380,6 +380,27 @@ class StatsSpec extends SparkSpec {
     assert(f > 0, "degenerate fixture")
   }
 
+  test("weighted median: replays a driver-side cumulative-weight walk") {
+    val rows = graft.ingest.Sources.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = Stats.weightedMedian(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val fl = r.getAs[String]("l_returnflag")
+      val g = rows.filter(_._1 == fl).sortBy(_._2)
+      val tot = g.map(_._3).sum
+      assert(r.getAs[Long]("total_qty") == tot)
+      var cw = 0L
+      val wm = g.find { t => cw += t._3; cw * 2 >= tot }.get._2
+      assert(r.getAs[Long]("wmedian_cents") == wm, s"$fl weighted median")
+      // robustness sanity: the weighted median is a real data value
+      assert(g.exists(_._2 == wm))
+    }
+  }
+
   test("OLS normal equations: coefficients replay a driver-side exact-moment solve") {
     val rows = graft.ingest.Sources.lineitem(spark, sf)
       .select(col("l_returnflag"),
