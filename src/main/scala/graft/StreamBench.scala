@@ -135,6 +135,35 @@ object StreamBench {
     rows.length / secs
   }
 
+  /** Readings/sec through the streaming exact-moment AR(1)
+    * ([[graft.streaming.Pipeline.streamingAr1]]): per-batch state
+    * fold + snapshot emission in Update mode — the cost of keeping a
+    * live regression per sensor.
+    */
+  private def ar1Rate(spark: SparkSession): Double = {
+    import spark.implicits._
+    import graft.streaming.Pipeline
+    import graft.model.Schemas.SensorReading
+    val input = MemoryStream[SensorReading](spark)
+    val nSensors = 64
+    val rows = (0 until 8192).map { i =>
+      SensorReading(f"S${i % nSensors}%03d",
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${i / nSensors / 60}%02d:${i / nSensors % 60}%02d:00"),
+        Some(7.0f + (i % 13) * 0.1f), Some(50f), Some(100f))
+    }
+    val q = Pipeline.streamingAr1(input.toDS())
+      .writeStream.outputMode("update").format("noop").start()
+    val t0 = System.nanoTime()
+    try {
+      rows.grouped(2048).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    rows.length / secs
+  }
+
   /** Runs the microbenches; returns the JSON object for the
     * `streaming_rows_per_sec` field. A failed microbench reports -1
     * rather than killing the batch bench artifact.
@@ -150,6 +179,7 @@ object StreamBench {
     val sink = guard("parquet_sink")(parquetSinkRate(spark))
     val probe = guard("dedup_probe")(dedupProbeRate(spark, sfDir))
     val alert = guard("alert_upsert")(alertUpsertRate(spark))
-    f"""{"parquet_sink":$sink%.1f,"dedup_probe":$probe%.1f,"alert_upsert":$alert%.1f}"""
+    val ar1 = guard("ar1_fit")(ar1Rate(spark))
+    f"""{"parquet_sink":$sink%.1f,"dedup_probe":$probe%.1f,"alert_upsert":$alert%.1f,"ar1_fit":$ar1%.1f}"""
   }
 }
