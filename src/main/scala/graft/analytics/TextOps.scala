@@ -3699,7 +3699,142 @@ object TextOps {
       |FROM s JOIN agg USING (source) JOIN top USING (source)
       |ORDER BY source""".stripMargin
 
+  /** Multinomial Naive Bayes source classifier — the shape of the
+    * fastText/CCNet-style quality classifier every LLM curation
+    * pipeline trains to score raw documents (here: predict `source`
+    * from the token bag; train on even doc_ids, evaluate on odd).
+    * Add-one smoothing over the train vocabulary; the model is the
+    * (classes × vocabulary) log-likelihood table plus per-class
+    * priors and OOV constants.
+    *
+    * Fixed-point discipline: the ONLY float op is one ln per row of
+    * the class-conditional tables — (|classes| × vocab) +
+    * 2·|classes| rows, never the corpus — floored once to micro-nats
+    * (the [[sourceTokenKl]] recipe), so a document's class score is
+    * an exact integer sum: Σ_w n_w·L_micro(w,c) + prior_micro(c).
+    * Integer sums are associative → partial aggregation order (and a
+    * DuckDB re-run) cannot flip an argmax; ties break on source asc.
+    *
+    * Scale shape: ONE corpus shuffle per split ((class, token) train
+    * counts; (doc, token) test counts); the model tables are
+    * vocabulary-sized (Heaps-law) and broadcast; scoring streams the
+    * test split through a broadcast hash join; the per-document
+    * argmax window holds |classes| rows per document, never the
+    * corpus. Output is the |classes|² confusion matrix.
+    */
+  def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    // (class, token) train counts — vocabulary-sized after the one
+    // corpus shuffle; feeds the class totals, the vocab count and the
+    // likelihood table
+    val cwc = train
+      .select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_wc"))
+      .localCheckpoint()
+    val vocab = cwc.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val classes = cwc.groupBy(col("source"))
+      .agg(sum(col("c_wc")).as("n_c"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("oov_micro",
+        floor(lit(1e6) * log(lit(1.0) /
+          (col("n_c") + col("v")).cast("double"))).cast("long"))
+    val prior = train.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))
+      .select(col("source"),
+        floor(lit(1e6) * log(col("n_docs").cast("double") /
+          col("n_train").cast("double"))).cast("long").as("prior_micro"))
+    val ltab = cwc.join(classes.select(col("source"), col("n_c"), col("v")),
+        Seq("source"))
+      .select(col("source").as("c"), col("tok"),
+        floor(lit(1e6) * log((col("c_wc") + 1).cast("double") /
+          (col("n_c") + col("v")).cast("double"))).cast("long").as("l_micro"))
+    val tc = test
+      .select(col("doc_id"), col("source").as("true_source"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("true_source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val scored = tc
+      .crossJoin(broadcast(classes.select(col("source").as("c"),
+        col("oov_micro"))))
+      .join(broadcast(ltab), Seq("c", "tok"), "left")
+      .withColumn("term", col("n") * coalesce(col("l_micro"), col("oov_micro")))
+      .groupBy(col("doc_id"), col("true_source"), col("c"))
+      .agg(sum(col("term")).as("tok_score"))
+      .join(broadcast(prior.select(col("source").as("c"), col("prior_micro"))),
+        Seq("c"))
+      .withColumn("score", col("tok_score") + col("prior_micro"))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("c").asc)))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_source"), col("c"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("true_source"), col("c").as("pred_source"), col("n_docs"))
+      .orderBy(col("true_source"), col("pred_source"))
+  }
+
+  val naiveBayesSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents
+      |), cwc AS (
+      |  SELECT source, tok, count(*) AS c_wc
+      |  FROM (SELECT source, unnest(toks) AS tok FROM docs
+      |        WHERE doc_id % 2 = 0)
+      |  GROUP BY 1, 2
+      |), vocab AS (
+      |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cwc
+      |), classes AS (
+      |  SELECT source, CAST(sum(c_wc) AS BIGINT) AS n_c, v,
+      |    CAST(floor(1e6 * ln(1.0 /
+      |      CAST(CAST(sum(c_wc) AS BIGINT) + v AS DOUBLE))) AS BIGINT)
+      |      AS oov_micro
+      |  FROM cwc CROSS JOIN vocab GROUP BY source, v
+      |), prior AS (
+      |  SELECT source, CAST(floor(1e6 * ln(
+      |      CAST(count(*) AS DOUBLE) /
+      |      (SELECT CAST(count(*) AS DOUBLE) FROM docs WHERE doc_id % 2 = 0)))
+      |    AS BIGINT) AS prior_micro
+      |  FROM docs WHERE doc_id % 2 = 0 GROUP BY 1
+      |), ltab AS (
+      |  SELECT cwc.source AS c, cwc.tok,
+      |    CAST(floor(1e6 * ln(CAST(c_wc + 1 AS DOUBLE) /
+      |      CAST(n_c + v AS DOUBLE))) AS BIGINT) AS l_micro
+      |  FROM cwc JOIN classes USING (source)
+      |), tc AS (
+      |  SELECT doc_id, source AS true_source, tok, count(*) AS n
+      |  FROM (SELECT doc_id, source, unnest(toks) AS tok FROM docs
+      |        WHERE doc_id % 2 = 1)
+      |  GROUP BY 1, 2, 3
+      |), scored AS (
+      |  SELECT tc.doc_id, tc.true_source, cl.source AS c,
+      |    CAST(sum(tc.n * coalesce(ltab.l_micro, cl.oov_micro)) AS BIGINT)
+      |      + any_value(pr.prior_micro) AS score
+      |  FROM tc
+      |  CROSS JOIN classes cl
+      |  LEFT JOIN ltab ON ltab.c = cl.source AND ltab.tok = tc.tok
+      |  JOIN prior pr ON pr.source = cl.source
+      |  GROUP BY 1, 2, 3
+      |), pred AS (
+      |  SELECT true_source, c AS pred_source
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY score DESC, c ASC) AS rn
+      |        FROM scored)
+      |  WHERE rn = 1
+      |)
+      |SELECT true_source, pred_source, count(*) AS n_docs
+      |FROM pred
+      |GROUP BY 1, 2
+      |ORDER BY true_source, pred_source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_naive_bayes" -> (naiveBayes _),
     "q_source_token_kl" -> (sourceTokenKl _),
     "q_lm_kneser_ney" -> (lmKneserNey _),
     "q_leakage_safe_split" -> (leakageSafeSplit _),
@@ -3753,6 +3888,7 @@ object TextOps {
     * oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "q_naive_bayes" -> naiveBayesSql,
     "q_source_token_kl" -> sourceTokenKlSql,
     "q_lm_kneser_ney" -> lmKneserNeySql,
     "q_leakage_safe_split" -> leakageSafeSplitSql,

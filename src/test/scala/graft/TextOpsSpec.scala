@@ -44,6 +44,22 @@ class TextOpsSpec extends SparkSpec {
       s"kernel fell out of codegen:\n$p")
   }
 
+  test("naive bayes: confusion matrix partitions the test split exactly") {
+    val docs = graft.ingest.Sources.documents(spark, sf)
+    val nTest = docs.filter(col("doc_id") % 2 === 1).count()
+    val cm = TextOps.naiveBayes(spark, sf).collect()
+    assert(cm.map(_.getLong(2)).sum == nTest,
+      "confusion matrix cell counts must sum to the test-split size")
+    // every prediction is a class the TRAIN split actually contains
+    // (the model can only score classes it has priors for)
+    val trainSources = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+    assert(cm.map(_.getString(1)).toSet.subsetOf(trainSources))
+    // integer scores + source-asc tie-break ⇒ bit-deterministic rerun
+    val again = TextOps.naiveBayes(spark, sf).collect()
+    assert(cm.toSeq == again.toSeq, "argmax must be deterministic")
+  }
+
   test("dup spans: fixtures stay under the oracle position cap") {
     // the SQL twin enumerates positions from a constant series of
     // DupSpanOracleMaxLen — a longer doc would silently lose windows
