@@ -439,6 +439,119 @@ object Similarity {
       |FROM per_q""".stripMargin
 
   // ---------------------------------------------------------------
+  // ANN quality eval #2: NDCG@k + MRR (rank-aware, beyond recall)
+  // ---------------------------------------------------------------
+
+  /** Position discounts for NDCG@[[AnnRecallK]], micro-scaled:
+    * W(r) = floor(1e9 / log2(r+1)). Driver-side constants interpolated
+    * into BOTH the Scala plan and the SQL twin, so no engine ever
+    * evaluates a logarithm over data.
+    */
+  private[graft] val ndcgDiscounts: Seq[Long] =
+    (1 to AnnRecallK).map(r =>
+      math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Ideal DCG (graded relevance k, k−1, …, 1 in perfect order) —
+    * the per-query normalizer, a single constant.
+    */
+  private[graft] val ndcgIdeal: Long =
+    ndcgDiscounts.zipWithIndex.map { case (w, i) => (AnnRecallK - i) * w }.sum
+
+  /** NDCG@k and MRR of the LSH index against exact brute-force
+    * ground truth — the RANK-AWARE retrieval eval ([[annRecall]] is
+    * set-based: it cannot see that an index returns the right
+    * neighbors in the wrong order). Graded relevance of an approx
+    * hit is (k − true_rank + 1); position r is discounted by the
+    * constant table [[ndcgDiscounts]]; MRR tracks the first approx
+    * position holding the TRUE nearest neighbor. All per-query
+    * scores are exact-integer (ppm via DIV on nonnegative operands),
+    * so the summary row is hash-stable on any engine.
+    *
+    * Scale shape: identical to [[annRecall]] — ground truth only for
+    * the broadcast query sample, the index side filtered to the same
+    * sample, the join keyed on (query, neighbor); nothing here ever
+    * touches more than sample × k rows after the two retrieval
+    * subtrees.
+    */
+  def ndcgEval(spark: SparkSession, dir: String,
+               nQueries: Int = AnnRecallQueries,
+               k: Int = AnnRecallK): DataFrame = {
+    val truth = knnBruteForce(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("true_rnk"))
+    val approx = knnLsh(spark, dir, k)
+      .filter(col("query_id") < nQueries)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("appr_rnk"))
+    val gains = approx.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel",
+        coalesce(lit((k + 1).toLong) - col("true_rnk"), lit(0L)))
+      .withColumn("w",
+        element_at(typedlit(ndcgDiscounts), col("appr_rnk").cast("int")))
+      .withColumn("g", col("rel") * col("w"))
+    val perQ = gains.groupBy(col("query_id"))
+      .agg(sum(col("g")).as("dcg"),
+        min(when(col("true_rnk") === 1, col("appr_rnk"))).as("hit1"))
+    // base = every sampled query (an index returning NOTHING for a
+    // query must score 0, not vanish from the average)
+    truth.select(col("query_id")).distinct()
+      .join(perQ, Seq("query_id"), "left")
+      .select(
+        expr(s"(coalesce(dcg, 0L) * 1000000L) DIV ${ndcgIdeal}L")
+          .as("ndcg_ppm"),
+        coalesce(expr("1000000L DIV hit1"), lit(0L)).as("rr_ppm"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("ndcg_ppm")).as("sum_ndcg"),
+        sum(when(col("ndcg_ppm") === 1000000L, 1L).otherwise(0L))
+          .as("n_perfect"),
+        sum(col("rr_ppm")).as("sum_rr"))
+      .select(col("n_queries"), lit(k.toLong).as("k"),
+        expr("sum_ndcg DIV n_queries").as("ndcg_ppm"),
+        col("n_perfect"),
+        expr("sum_rr DIV n_queries").as("mrr_ppm"))
+  }
+
+  /** DuckDB twin: the EXISTING brute-force and LSH oracle pipelines as
+    * CTE bodies, the discount table as interpolated literals.
+    */
+  val ndcgEvalSql: String = {
+    val wCase = ndcgDiscounts.zipWithIndex.map { case (w, i) =>
+      s"WHEN appr_rnk = ${i + 1} THEN ${w}"
+    }.mkString(" ")
+    s"""WITH truth AS (
+      |  SELECT query_id, neighbor_id, rnk AS true_rnk FROM (
+      |${knnBruteForceSqlFor(AnnRecallQueries, AnnRecallK)}
+      |  )
+      |), approx AS (
+      |  SELECT query_id, neighbor_id, rnk AS appr_rnk FROM (
+      |${knnLshSql}
+      |  ) WHERE query_id < $AnnRecallQueries
+      |), gains AS (
+      |  SELECT a.query_id,
+      |    coalesce(${AnnRecallK + 1} - t.true_rnk, 0)
+      |      * (CASE $wCase END) AS g,
+      |    CASE WHEN t.true_rnk = 1 THEN a.appr_rnk END AS hit_rnk
+      |  FROM approx a LEFT JOIN truth t
+      |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+      |), per_q AS (
+      |  SELECT query_id, CAST(sum(g) AS BIGINT) AS dcg,
+      |    min(hit_rnk) AS hit1
+      |  FROM gains GROUP BY 1
+      |), scored AS (
+      |  SELECT (coalesce(p.dcg, 0) * 1000000) // ${ndcgIdeal} AS ndcg_ppm,
+      |    coalesce(1000000 // p.hit1, 0) AS rr_ppm
+      |  FROM (SELECT DISTINCT query_id FROM truth) q
+      |  LEFT JOIN per_q p USING (query_id)
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST($AnnRecallK AS BIGINT) AS k,
+      |  CAST(CAST(sum(ndcg_ppm) AS BIGINT) // count(*) AS BIGINT) AS ndcg_ppm,
+      |  CAST(sum(CASE WHEN ndcg_ppm = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_perfect,
+      |  CAST(CAST(sum(rr_ppm) AS BIGINT) // count(*) AS BIGINT) AS mrr_ppm
+      |FROM scored""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // IVF (inverted-file) ANN: centroid coarse quantizer + probed lists
   // ---------------------------------------------------------------
 
@@ -2295,6 +2408,7 @@ object Similarity {
     "q_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "q_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
+    "q_ndcg_eval" -> ((s: SparkSession, d: String) => ndcgEval(s, d)),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "q_incr_semantic" -> ((s: SparkSession, d: String) => incrSemanticDedup(s, d)),
     "q_embed_quantize" -> (quantizeInt8 _),
@@ -2319,6 +2433,7 @@ object Similarity {
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_ann_recall" -> annRecallSql,
+    "q_ndcg_eval" -> ndcgEvalSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_incr_semantic" -> incrSemanticDedupSql,
     "q_knn_bruteforce" -> knnBruteForceSql,

@@ -605,6 +605,42 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getAs[Double]("recall_at_k") > 0.0)
   }
 
+  test("ndcgEval: metric row reproduces a driver-side NDCG/MRR recount") {
+    val n = 20
+    val k = 3
+    val truth = Similarity.knnBruteForce(spark, sf, nQueries = n, k = k)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getInt(1).toLong)).toMap
+    val approx = Similarity.knnLsh(spark, sf, k = k)
+      .filter(col("query_id") < n)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    val w = Similarity.ndcgDiscounts
+    val ideal = Similarity.ndcgIdeal
+    val qs = truth.keys.map(_._1).toSeq.distinct
+    val perQ = qs.map { q =>
+      val mine = approx.filter(_._1 == q)
+      val dcg = mine.map { case (_, rnk, nb) =>
+        truth.get((q, nb)).map(tr => (k + 1 - tr) * w(rnk.toInt - 1)).getOrElse(0L)
+      }.sum
+      val hit1 = mine.collect {
+        case (_, rnk, nb) if truth.get((q, nb)).contains(1L) => rnk
+      }.sorted.headOption
+      (dcg * 1000000L / ideal, hit1.map(1000000L / _).getOrElse(0L))
+    }
+    val row = Similarity.ndcgEval(spark, sf, nQueries = n, k = k).head()
+    assert(row.getAs[Long]("n_queries") == qs.size.toLong)
+    assert(row.getAs[Long]("ndcg_ppm") == perQ.map(_._1).sum / qs.size)
+    assert(row.getAs[Long]("mrr_ppm") == perQ.map(_._2).sum / qs.size)
+    assert(row.getAs[Long]("n_perfect") == perQ.count(_._1 == 1000000L).toLong)
+    // rank-aware metric is bounded and non-vacuous on this corpus
+    assert(row.getAs[Long]("ndcg_ppm") > 0L &&
+      row.getAs[Long]("ndcg_ppm") <= 1000000L)
+    assert(row.getAs[Long]("mrr_ppm") <= 1000000L)
+    // the discount table is strictly decreasing (a mis-ordered table
+    // would silently reward wrong orderings)
+    assert(w == w.sorted(Ordering[Long].reverse) && w.distinct == w)
+  }
+
   test("hybridRrf: fused scores recompute from the emitted leg ranks; both legs contribute") {
     val rows = Similarity.hybridRrf(spark, sf).collect()
     assert(rows.length == Similarity.HybridTopK)
