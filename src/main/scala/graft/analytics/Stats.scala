@@ -1206,7 +1206,113 @@ object Stats {
       |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** Feature-histogram bin width for [[decisionStump]] — cents, so the
+    * binning is exact integer floor division (part of the operator
+    * contract: candidate thresholds are bin edges, exactly the
+    * histogram trick LightGBM/XGBoost-hist use to make split finding
+    * scale-independent of row count).
+    */
+  val StumpBinCents = 2000000L
+
+  /** Best single decision-stump split: predict "priority order"
+    * (o_orderpriority ∈ {1-URGENT, 2-HIGH}) from o_totalprice, by
+    * minimizing the weighted Gini impurity over histogram-bin
+    * candidate thresholds — the inner loop of every gradient-boosted
+    * tree / random-forest learner, in its scalable histogram form.
+    *
+    * Exactness: impurity in ppm over exact integer class counts —
+    * imp = 1e6 − ((pos² + neg²)·1e6) DIV n² and the weighted score
+    * (n_L·imp_L + n_R·imp_R) DIV n — all operands nonnegative, floor
+    * division identical in both engines, ties broken on the lowest
+    * bin. n²·1e6 stays inside i64 up to n ≈ 3·10⁶ rows; at cluster
+    * scale the histogram is built from a fixed-size sample (what
+    * hist-based learners do anyway), so the bound is a property of
+    * the sample, not the corpus.
+    *
+    * Scale shape: ONE corpus pass aggregates (bin → n, pos); every
+    * downstream step (prefix sums, candidate scoring, argmin) runs on
+    * the bin table — a few hundred rows regardless of corpus size.
+    */
+  def decisionStump(spark: SparkSession, dir: String): DataFrame = {
+    val hist = orders(spark, dir)
+      .select(
+        expr(s"CAST(round(o_totalprice * 100) AS BIGINT) DIV ${StumpBinCents}L")
+          .as("bin"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = hist
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("pl", sum(col("p")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("n")).as("tot_n"),
+        sum(col("p")).as("tot_p"))))
+      .filter(col("nl") > 0 && col("nl") < col("tot_n"))
+      .withColumn("nr", col("tot_n") - col("nl"))
+      .withColumn("pr", col("tot_p") - col("pl"))
+      .withColumn("imp_l", expr(
+        "1000000L - ((pl * pl + (nl - pl) * (nl - pl)) * 1000000L) DIV (nl * nl)"))
+      .withColumn("imp_r", expr(
+        "1000000L - ((pr * pr + (nr - pr) * (nr - pr)) * 1000000L) DIV (nr * nr)"))
+      .withColumn("wg_ppm", expr("(nl * imp_l + nr * imp_r) DIV tot_n"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("wg_ppm").asc, col("bin").asc)))
+      .filter(col("rn") === 1)
+      .select(col("bin").as("split_bin"),
+        ((col("bin") + 1) * StumpBinCents).as("threshold_cents"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        col("nr").as("n_right"), col("pr").as("pos_right"),
+        col("wg_ppm").as("weighted_gini_ppm"),
+        expr("1000000L - ((tot_p * tot_p + (tot_n - tot_p) * (tot_n - tot_p))" +
+          " * 1000000L) DIV (tot_n * tot_n)").as("base_gini_ppm"))
+      .withColumn("gain_ppm", col("base_gini_ppm") - col("weighted_gini_ppm"))
+  }
+
+  val decisionStumpSql: String =
+    s"""WITH hist AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // $StumpBinCents AS bin,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS p
+      |  FROM orders GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(p) AS BIGINT) AS tot_p
+      |  FROM hist
+      |), cum AS (
+      |  SELECT bin,
+      |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS nl,
+      |    CAST(sum(p) OVER (ORDER BY bin) AS BIGINT) AS pl
+      |  FROM hist
+      |), scored AS (
+      |  SELECT bin, nl, pl, tot_n - nl AS nr, tot_p - pl AS pr, tot_n, tot_p,
+      |    1000000 - ((pl * pl + (nl - pl) * (nl - pl)) * 1000000) // (nl * nl)
+      |      AS imp_l,
+      |    1000000 - (((tot_p - pl) * (tot_p - pl)
+      |        + ((tot_n - nl) - (tot_p - pl)) * ((tot_n - nl) - (tot_p - pl)))
+      |      * 1000000) // ((tot_n - nl) * (tot_n - nl)) AS imp_r
+      |  FROM cum CROSS JOIN tot
+      |  WHERE nl > 0 AND nl < tot_n
+      |), ranked AS (
+      |  SELECT *, (nl * imp_l + nr * imp_r) // tot_n AS wg_ppm
+      |  FROM scored
+      |)
+      |SELECT bin AS split_bin,
+      |  (bin + 1) * $StumpBinCents AS threshold_cents,
+      |  nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
+      |  wg_ppm AS weighted_gini_ppm,
+      |  1000000 - ((tot_p * tot_p + (tot_n - tot_p) * (tot_n - tot_p))
+      |    * 1000000) // (tot_n * tot_n) AS base_gini_ppm,
+      |  (1000000 - ((tot_p * tot_p + (tot_n - tot_p) * (tot_n - tot_p))
+      |    * 1000000) // (tot_n * tot_n)) - wg_ppm AS gain_ppm
+      |FROM ranked
+      |ORDER BY wg_ppm ASC, bin ASC
+      |LIMIT 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decision_stump" -> (decisionStump _),
     "q_bootstrap_ci" -> (bootstrapCi _),
     "q_length_resample" -> (lengthResample _),
     "q_snapshot_drift" -> (snapshotDrift _),
@@ -1229,6 +1335,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_decision_stump" -> decisionStumpSql,
     "q_bootstrap_ci" -> bootstrapCiSql,
     "q_length_resample" -> lengthResampleSql,
     "q_snapshot_drift" -> snapshotDriftSql,

@@ -442,4 +442,41 @@ class StatsSpec extends SparkSpec {
       assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9, s"$fl r2=$r2 out of [0,1]")
     }
   }
+
+  test("decision stump: best split matches a driver-side histogram sweep; gain never negative") {
+    import org.apache.spark.sql.functions._
+    val row = graft.analytics.Stats.decisionStump(spark, sf).head()
+    // rebuild the bin histogram and sweep every candidate split
+    val hist = graft.ingest.Sources.orders(spark, sf)
+      .select(
+        expr(s"CAST(round(o_totalprice * 100) AS BIGINT) DIV ${graft.analytics.Stats.StumpBinCents}L")
+          .as("bin"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("pos"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("pos").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val totN = hist.map(_._2).sum
+    val totP = hist.map(_._3).sum
+    def imp(p: Long, n: Long) =
+      1000000L - ((p * p + (n - p) * (n - p)) * 1000000L) / (n * n)
+    var nl = 0L; var pl = 0L
+    val cands = hist.flatMap { case (bin, n, p) =>
+      nl += n; pl += p
+      if (nl > 0 && nl < totN)
+        Some((bin, nl, pl,
+          (nl * imp(pl, nl) + (totN - nl) * imp(totP - pl, totN - nl)) / totN))
+      else None
+    }
+    val best = cands.minBy(c => (c._4, c._1))
+    assert(row.getAs[Long]("split_bin") == best._1)
+    assert(row.getAs[Long]("weighted_gini_ppm") == best._4)
+    assert(row.getAs[Long]("n_left") == best._2 &&
+      row.getAs[Long]("pos_left") == best._3)
+    assert(row.getAs[Long]("n_left") + row.getAs[Long]("n_right") == totN)
+    assert(row.getAs[Long]("pos_left") + row.getAs[Long]("pos_right") == totP)
+    // splitting can never beat the parent by less than zero (floor
+    // rounding is bounded by 1 ppm and cannot flip the sign)
+    assert(row.getAs[Long]("gain_ppm") >= 0L)
+  }
 }
