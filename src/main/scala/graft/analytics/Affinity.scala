@@ -204,6 +204,73 @@ object Affinity {
       |JOIN pairs bc ON bc.part_a = tri.part_b AND bc.part_b = tri.part_c
       |ORDER BY part_a, part_b, part_c""".stripMargin
 
+  /** Association rules {x, y} → z mined from the frequent triples:
+    * every triple emits its three pair-antecedent rules, scored by
+    * confidence (support(xyz)/support(xy)) and lift (confidence over
+    * the consequent's base rate) — the step that turns [[aprioriTriples]]'
+    * support counts into actionable rules, exactly Agrawal–Srikant's
+    * rule-generation phase. Both metrics are exact-integer ppm
+    * (support ⊆ antecedent support, so confidence ≤ 1e6; all DIV
+    * operands nonnegative), making every row hash-portable.
+    *
+    * Scale shape: runs entirely on the FREQUENT-TRIPLE table (already
+    * support-pruned — rule count is 3× triples, never basket-shaped);
+    * the consequent frequency join is against the catalog-sized part
+    * frequency table.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val tri = aprioriTriples(spark, dir)
+    val rules = tri.select(explode(array(
+      struct(col("part_a").as("ant_a"), col("part_b").as("ant_b"),
+        col("part_c").as("cons"), col("support"),
+        col("support_ab").as("ant_support")),
+      struct(col("part_a").as("ant_a"), col("part_c").as("ant_b"),
+        col("part_b").as("cons"), col("support"),
+        col("support_ac").as("ant_support")),
+      struct(col("part_b").as("ant_a"), col("part_c").as("ant_b"),
+        col("part_a").as("cons"), col("support"),
+        col("support_bc").as("ant_support")))).as("r"))
+      .select(col("r.ant_a"), col("r.ant_b"), col("r.cons"),
+        col("r.support"), col("r.ant_support"))
+    val ol = orderParts(spark, dir)
+    val freq = ol.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val n = ol.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    rules
+      .join(freq.select(col("l_partkey").as("cons"), col("cnt")), Seq("cons"))
+      .crossJoin(broadcast(n))
+      .select(col("ant_a"), col("ant_b"), col("cons"), col("support"),
+        col("ant_support"),
+        expr("(support * 1000000L) DIV ant_support").as("conf_ppm"),
+        expr("(support * n_orders * 1000000L) DIV (ant_support * cnt)")
+          .as("lift_ppm"))
+      .orderBy(col("conf_ppm").desc, col("ant_a"), col("ant_b"), col("cons"))
+  }
+
+  val assocRulesSql: String =
+    s"""WITH t AS (
+      |  SELECT * FROM (
+      |${aprioriTriplesSql}
+      |  )
+      |), ol2 AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), freq AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM ol2 GROUP BY 1
+      |), nn AS (
+      |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ol2
+      |), rules AS (
+      |  SELECT part_a AS ant_a, part_b AS ant_b, part_c AS cons,
+      |    support, support_ab AS ant_support FROM t
+      |  UNION ALL
+      |  SELECT part_a, part_c, part_b, support, support_ac FROM t
+      |  UNION ALL
+      |  SELECT part_b, part_c, part_a, support, support_bc FROM t
+      |)
+      |SELECT ant_a, ant_b, cons, support, ant_support,
+      |  (support * 1000000) // ant_support AS conf_ppm,
+      |  (support * n_orders * 1000000) // (ant_support * cnt) AS lift_ppm
+      |FROM rules JOIN freq ON freq.l_partkey = rules.cons CROSS JOIN nn
+      |ORDER BY conf_ppm DESC, ant_a, ant_b, cons""".stripMargin
+
   /** PageRank over the co-purchase graph (edges = pairs with support ≥
     * [[MinSupport]], symmetrized), [[PrIters]] iterations, damping
     * 0.85 — entirely in FIXED-POINT integer arithmetic: ranks are
@@ -939,6 +1006,7 @@ object Affinity {
     "q_part_sssp" -> (partSssp _),
     "q_part_copurchase" -> (partCopurchase _),
     "q_apriori_triples" -> (aprioriTriples _),
+    "q_assoc_rules" -> (assocRules _),
     "q_part_triangles" -> (partTriangles _),
     "q_part_pagerank" -> (partPagerank _),
     "q_pagerank_converged" -> (partPagerankConverged _),
@@ -954,6 +1022,7 @@ object Affinity {
     "q_part_sssp" -> partSsspSql,
     "q_part_copurchase" -> partCopurchaseSql,
     "q_apriori_triples" -> aprioriTriplesSql,
+    "q_assoc_rules" -> assocRulesSql,
     "q_part_triangles" -> partTrianglesSql,
     "q_part_pagerank" -> partPagerankSql,
     "q_pagerank_converged" -> partPagerankConvergedSql,

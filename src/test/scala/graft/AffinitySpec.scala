@@ -189,6 +189,31 @@ class AffinitySpec extends SparkSpec {
       s"direct basket recount $recount != reported ${r0.getAs[Long]("support")}")
   }
 
+  test("assoc rules: three per triple, confidence exact and bounded, lift recomputes") {
+    val triples = Affinity.aprioriTriples(spark, sf).count()
+    val rules = Affinity.assocRules(spark, sf).collect()
+    assert(rules.length == 3 * triples,
+      s"${rules.length} rules from $triples triples — rule expansion wrong")
+    val nOrders = graft.ingest.Sources.lineitem(spark, sf)
+      .select(col("l_orderkey")).distinct().count()
+    val freq = graft.ingest.Sources.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rules.foreach { r =>
+      val s = r.getAs[Long]("support")
+      val as_ = r.getAs[Long]("ant_support")
+      val conf = r.getAs[Long]("conf_ppm")
+      // triple support ⊆ antecedent-pair support ⇒ confidence ≤ 1
+      assert(s <= as_ && conf == s * 1000000L / as_ && conf <= 1000000L)
+      val cnt = freq(r.getAs[Long]("cons"))
+      assert(r.getAs[Long]("lift_ppm") == s * nOrders * 1000000L / (as_ * cnt))
+    }
+    // ordering contract: confidence descending
+    val confs = rules.map(_.getAs[Long]("conf_ppm")).toSeq
+    assert(confs == confs.sorted(Ordering[Long].reverse))
+  }
+
   test("degree assortativity: r in [-1,1] over the symmetrized edge count") {
     val row = graft.analytics.Affinity.degreeAssortativity(spark, sf)
       .collect().head
