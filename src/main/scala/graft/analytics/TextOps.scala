@@ -1278,6 +1278,106 @@ object TextOps {
       |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Containment threshold for [[containmentDup]] — the fraction of
+    * the SMALLER doc's token set that must appear in the bigger one.
+    */
+  val ContainThreshold = 0.9
+
+  /** Containment near-dup: ordered pairs where the smaller document's
+    * token set is ≥ [[ContainThreshold]] inside the bigger one —
+    * C(A,B) = |A∩B| / min(|A|,|B|). Jaccard misses exactly these
+    * pairs (a short doc quoted inside a long one has tiny |A∩B|/|A∪B|
+    * but containment ≈ 1), and sub-document copying — quotations,
+    * boilerplate wrappers, train/test snippets pasted into larger
+    * pages — is the dedup/decontamination case Jaccard-thresholded
+    * pipelines are blind to (Broder'97 distinguishes resemblance from
+    * containment for precisely this reason).
+    *
+    * Scale shape: candidates come from the same rare-first AllPairs
+    * prefix as [[pairwiseJaccard]], applied to the SMALLER side only —
+    * a pair with C ≥ t shares an item inside the smaller doc's first
+    * n − ⌈t·n⌉ + 1 rarest items (pigeonhole on its suffix), compared
+    * in exact scaled integers. Containment has no size-ratio prune
+    * (that asymmetry is the point), so the candidate join is
+    * prefix × block-items: cost Σ_item prefix_df · df — still
+    * rare-gram-collision-bounded, never block². Verification is one
+    * codegen'd array_intersect per candidate.
+    */
+  def containmentDup(spark: SparkSession, dir: String,
+                     threshold: Double = ContainThreshold): DataFrame = {
+    val tDen = 1000000L
+    val tNum = math.round(threshold * tDen) - 1
+    require(tNum > 0, s"threshold too small for rational prunes: $threshold")
+    val sets = tokenSets(spark, dir).localCheckpoint()
+    val items = sets.select(col("doc_id"), col("lang"), col("source"),
+      col("n_item"), explode(col("set")).as("item"))
+    val df = items.groupBy(col("lang"), col("source"), col("item"))
+      .agg(count(lit(1)).as("df"))
+    val withPos = items.join(df, Seq("lang", "source", "item"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("item"))))
+      .localCheckpoint() // feeds the prefix side AND the full probe side
+    val prefix = withPos
+      .filter(lit(tNum) * col("n_item") <=
+        (col("n_item") - col("pos") + 1) * lit(tDen))
+      .select(col("doc_id").as("doc_small"), col("n_item").as("n_small"),
+        col("lang"), col("source"), col("item"))
+    val full = withPos.select(col("doc_id").as("doc_big"),
+      col("n_item").as("n_big"), col("lang"), col("source"), col("item"))
+    val cand = prefix.join(full, Seq("lang", "source", "item"))
+      // small→big is a strict total order: size, then id on ties —
+      // each unordered pair is generated at most once per shared item
+      .filter(col("n_small") < col("n_big") ||
+        (col("n_small") === col("n_big") && col("doc_small") < col("doc_big")))
+      .select(col("doc_small"), col("doc_big")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_small"),
+        col("set").as("set_s"), col("n_item").as("n_small")), Seq("doc_small"))
+      .join(sets.select(col("doc_id").as("doc_big"),
+        col("set").as("set_b"), col("n_item").as("n_big")), Seq("doc_big"))
+      .withColumn("n_inter", size(array_intersect(col("set_s"), col("set_b"))))
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / col("n_small"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_small"), col("doc_big"), col("n_small"),
+        col("n_big").as("n_big"), col("containment"))
+      .orderBy(col("doc_small"), col("doc_big"))
+  }
+
+  val containmentDupSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |    unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+      |  FROM toks a JOIN toks b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.tok = b.tok
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), ordered AS (
+      |  SELECT
+      |    CASE WHEN sa.n_tok < sb.n_tok
+      |           OR (sa.n_tok = sb.n_tok AND da < db) THEN da ELSE db END
+      |      AS doc_small,
+      |    CASE WHEN sa.n_tok < sb.n_tok
+      |           OR (sa.n_tok = sb.n_tok AND da < db) THEN db ELSE da END
+      |      AS doc_big,
+      |    least(sa.n_tok, sb.n_tok) AS n_small,
+      |    greatest(sa.n_tok, sb.n_tok) AS n_big,
+      |    n_inter
+      |  FROM inter
+      |  JOIN sizes sa ON da = sa.doc_id
+      |  JOIN sizes sb ON db = sb.doc_id
+      |)
+      |SELECT doc_small, doc_big, n_small, n_big,
+      |  round(CAST(n_inter AS DOUBLE) / n_small, 6) AS containment
+      |FROM ordered
+      |WHERE round(CAST(n_inter AS DOUBLE) / n_small, 6) >= $ContainThreshold
+      |ORDER BY doc_small, doc_big""".stripMargin
+
   /** L2 (clustering step): near-dup PAIRS → dedup CLUSTERS via
     * connected components (A≈B, B≈C must collapse {A,B,C} even when
     * A≉C), with the canonical doc = min doc_id per cluster. The
@@ -3835,6 +3935,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_naive_bayes" -> (naiveBayes _),
+    "q_containment_dup" -> ((s: SparkSession, d: String) => containmentDup(s, d)),
     "q_source_token_kl" -> (sourceTokenKl _),
     "q_lm_kneser_ney" -> (lmKneserNey _),
     "q_leakage_safe_split" -> (leakageSafeSplit _),
@@ -3889,6 +3990,7 @@ object TextOps {
     */
   val oracles: Map[String, String] = Map(
     "q_naive_bayes" -> naiveBayesSql,
+    "q_containment_dup" -> containmentDupSql,
     "q_source_token_kl" -> sourceTokenKlSql,
     "q_lm_kneser_ney" -> lmKneserNeySql,
     "q_leakage_safe_split" -> leakageSafeSplitSql,

@@ -60,6 +60,33 @@ class TextOpsSpec extends SparkSpec {
     assert(cm.toSeq == again.toSeq, "argmax must be deterministic")
   }
 
+  test("containment dup: prefix-filtered pairs equal a brute-force blocked recount") {
+    val t = TextOps.ContainThreshold
+    val sets = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(col("text"), " ")).as("set"))
+      .withColumn("n", size(col("set")))
+    val a = sets.select(col("doc_id").as("da"), col("lang"), col("source"),
+      col("set").as("sa"), col("n").as("na"))
+    val b = sets.select(col("doc_id").as("db"), col("lang"), col("source"),
+      col("set").as("sb"), col("n").as("nb"))
+    // brute force: every in-block pair, small side normalized first
+    val brute = a.join(b, Seq("lang", "source"))
+      .filter(col("na") < col("nb") ||
+        (col("na") === col("nb") && col("da") < col("db")))
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("c", round(col("ni").cast("double") / col("na"), 6))
+      .filter(col("c") >= t)
+      .select(col("da"), col("db"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = TextOps.containmentDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment")))
+      .toSet
+    assert(got == brute,
+      s"prefix filter lost/invented pairs: got ${got.size}, brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture yields no containment pairs — vacuous")
+  }
+
   test("dup spans: fixtures stay under the oracle position cap") {
     // the SQL twin enumerates positions from a constant series of
     // DupSpanOracleMaxLen — a longer doc would silently lose windows
