@@ -552,6 +552,116 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // ANN quality eval #3: truncated rank-biased overlap (RBO)
+  // ---------------------------------------------------------------
+
+  /** RBO persistence parameter (Webber–Moffat–Zobel 2010): the
+    * geometric top-weighting of agreement depth.
+    */
+  val RboP = 0.9
+
+  /** Depth weights W(d) = floor(1e9·(1−p)·p^(d−1)) — driver constants
+    * interpolated into both sides.
+    */
+  private[graft] val rboWeights: Seq[Long] =
+    (1 to AnnRecallK).map(d =>
+      math.floor(1e9 * (1 - RboP) * math.pow(RboP, d - 1)).toLong)
+
+  /** lcm(1..k) — clears the 1/d agreement denominators so the whole
+    * per-query score is a single exact integer sum.
+    */
+  private[graft] val rboLcm: Long =
+    (1L to AnnRecallK.toLong).reduce((a, b) => a * b / {
+      var x = a; var y = b; while (y != 0) { val t = x % y; x = y; y = t }; x
+    })
+
+  /** Per-match contribution table: a neighbor ranked r_t by truth and
+    * r_a by the index is inside BOTH depth-d prefixes for every
+    * d ≥ max(r_t, r_a), so it adds T(m) = Σ_{d=m..k} W(d)·(lcm/d) —
+    * integer exactly, no per-term division.
+    */
+  private[graft] val rboContrib: Seq[Long] =
+    (1 to AnnRecallK).map(m =>
+      (m to AnnRecallK).map(d => rboWeights(d - 1) * (rboLcm / d)).sum)
+
+  /** Truncated rank-biased overlap of the LSH index against exact
+    * ground truth — the third retrieval eval: recall counts hits,
+    * NDCG grades positions by the TRUTH's ordering, RBO scores
+    * prefix-set agreement with a geometric top-weight (two rankings
+    * that agree on the head but scramble the tail score high; the
+    * persistence p says how far down "the head" reaches). Truncated
+    * at k (no extrapolation term), so a perfect index scores
+    * (1−p^k) · 1e6 ppm — the mass of the first k depths.
+    *
+    * Exactness: each matched neighbor contributes the constant
+    * [[rboContrib]](max(rank_truth, rank_index)); the lcm scaling
+    * clears every 1/d, so per-query scores are single exact-integer
+    * sums divided once (nonnegative DIV) into ppm.
+    *
+    * Scale shape: identical to [[annRecall]]/[[ndcgEval]] — nothing
+    * beyond the two retrieval subtrees ever exceeds sample × k rows.
+    */
+  def rboEval(spark: SparkSession, dir: String,
+              nQueries: Int = AnnRecallQueries,
+              k: Int = AnnRecallK): DataFrame = {
+    require(k == AnnRecallK, "contribution table is sized for AnnRecallK")
+    val truth = knnBruteForce(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("rt"))
+    val approx = knnLsh(spark, dir, k)
+      .filter(col("query_id") < nQueries)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("ra"))
+    val contribCase = rboContrib.zipWithIndex.map { case (c, i) =>
+      s"WHEN m = ${i + 1} THEN ${c}L"
+    }.mkString(" ")
+    val perQ = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .withColumn("m", greatest(col("rt"), col("ra")))
+      .withColumn("t", expr(s"CASE $contribCase END"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("t")).as("s"))
+    truth.select(col("query_id")).distinct()
+      .join(perQ, Seq("query_id"), "left")
+      .select(expr(s"coalesce(s, 0L) DIV ${rboLcm * 1000L}L").as("rbo_ppm"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("rbo_ppm")).as("sum_rbo"),
+        max(col("rbo_ppm")).as("max_rbo_ppm"))
+      .select(col("n_queries"), lit(k.toLong).as("k"),
+        lit(math.round(RboP * 1000000)).as("p_ppm"),
+        expr("sum_rbo DIV n_queries").as("rbo_ppm"),
+        col("max_rbo_ppm"))
+  }
+
+  val rboEvalSql: String = {
+    val contribCase = rboContrib.zipWithIndex.map { case (c, i) =>
+      s"WHEN m = ${i + 1} THEN ${c}"
+    }.mkString(" ")
+    s"""WITH truth AS (
+      |  SELECT query_id, neighbor_id, rnk AS rt FROM (
+      |${knnBruteForceSqlFor(AnnRecallQueries, AnnRecallK)}
+      |  )
+      |), approx AS (
+      |  SELECT query_id, neighbor_id, rnk AS ra FROM (
+      |${knnLshSql}
+      |  ) WHERE query_id < $AnnRecallQueries
+      |), per_q AS (
+      |  SELECT query_id, CAST(sum(CASE $contribCase END) AS BIGINT) AS s
+      |  FROM (SELECT t.query_id, greatest(t.rt, a.ra) AS m
+      |        FROM truth t JOIN approx a
+      |          ON a.query_id = t.query_id
+      |         AND a.neighbor_id = t.neighbor_id)
+      |  GROUP BY 1
+      |), scored AS (
+      |  SELECT coalesce(p.s, 0) // ${rboLcm * 1000L} AS rbo_ppm
+      |  FROM (SELECT DISTINCT query_id FROM truth) q
+      |  LEFT JOIN per_q p USING (query_id)
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST($AnnRecallK AS BIGINT) AS k,
+      |  CAST(${math.round(RboP * 1000000)} AS BIGINT) AS p_ppm,
+      |  CAST(CAST(sum(rbo_ppm) AS BIGINT) // count(*) AS BIGINT) AS rbo_ppm,
+      |  CAST(max(rbo_ppm) AS BIGINT) AS max_rbo_ppm
+      |FROM scored""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // IVF (inverted-file) ANN: centroid coarse quantizer + probed lists
   // ---------------------------------------------------------------
 
@@ -2409,6 +2519,7 @@ object Similarity {
     "q_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "q_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "q_ndcg_eval" -> ((s: SparkSession, d: String) => ndcgEval(s, d)),
+    "q_rbo_eval" -> ((s: SparkSession, d: String) => rboEval(s, d)),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "q_incr_semantic" -> ((s: SparkSession, d: String) => incrSemanticDedup(s, d)),
     "q_embed_quantize" -> (quantizeInt8 _),
@@ -2434,6 +2545,7 @@ object Similarity {
     "q_knn_ivf" -> knnIvfSql,
     "q_ann_recall" -> annRecallSql,
     "q_ndcg_eval" -> ndcgEvalSql,
+    "q_rbo_eval" -> rboEvalSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_incr_semantic" -> incrSemanticDedupSql,
     "q_knn_bruteforce" -> knnBruteForceSql,

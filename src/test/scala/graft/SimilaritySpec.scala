@@ -641,6 +641,29 @@ class SimilaritySpec extends SparkSpec {
     assert(w == w.sorted(Ordering[Long].reverse) && w.distinct == w)
   }
 
+  test("rboEval: contribution table matches first principles; perfect agreement hits the truncation mass") {
+    val k = Similarity.AnnRecallK
+    val w = Similarity.rboWeights
+    val lcm = Similarity.rboLcm
+    // T(m) = Σ_{d=m..k} W(d)·(lcm/d), and lcm really clears every d
+    (1 to k).foreach { m =>
+      assert(lcm % m == 0, s"lcm $lcm not divisible by depth $m")
+      val t = (m to k).map(d => w(d - 1) * (lcm / d)).sum
+      assert(Similarity.rboContrib(m - 1) == t)
+    }
+    // a ranking agreeing with itself at every depth scores the full
+    // truncated mass Σ W(d) (ppm, up to the single floor division)
+    val perfect = (1 to k).map(m => Similarity.rboContrib(m - 1)).sum
+    assert(perfect / (lcm * 1000L) == w.sum / 1000L,
+      "perfect-agreement score must equal the truncated weight mass")
+    val row = Similarity.rboEval(spark, sf).head()
+    val rbo = row.getAs[Long]("rbo_ppm")
+    assert(rbo >= 0L && rbo <= w.sum / 1000L, s"rbo_ppm $rbo out of range")
+    assert(row.getAs[Long]("max_rbo_ppm") >= rbo)
+    // non-vacuous: some query must show head agreement on this corpus
+    assert(row.getAs[Long]("max_rbo_ppm") > 0L)
+  }
+
   test("hybridRrf: fused scores recompute from the emitted leg ranks; both legs contribute") {
     val rows = Similarity.hybridRrf(spark, sf).collect()
     assert(rows.length == Similarity.HybridTopK)
