@@ -2817,6 +2817,111 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Jelinek–Mercer interpolation weight on the bigram term (λ = 3/4;
+    * the unigram floor gets 1−λ).
+    */
+  val JmLambda = 0.75
+
+  /** Jelinek–Mercer interpolated bigram scoring (Jelinek & Mercer
+    * 1980; Chen & Goodman 1999's simplest production smoothing):
+    * per eval document, average NLL under
+    *   P(w2|w1) = λ·c12/c1 + (1−λ)·(c(w2)+1)/(N+V)
+    * — a linear blend of the bigram MLE and the Laplace-smoothed
+    * unigram floor, so an unseen CONTEXT backs off gracefully instead
+    * of flattening to 1/V the way [[lmBigram]]'s pure Laplace does.
+    * Completes the smoothing family: Laplace ([[lmBigram]]),
+    * interpolation (this), absolute discounting ([[lmKneserNey]]).
+    *
+    * λ = 0.75 is an exact binary double and every count ratio divides
+    * identical integers, so both engines evaluate the same IEEE
+    * expression per bigram (the [[lmBigram]] recipe, hash-proven).
+    *
+    * Scale shape: identical to [[lmBigram]] — scan-side bigram
+    * generation, model tables vocabulary-sized, lookup a shuffle join
+    * with nothing assumed broadcastable but the 1-row stats frame.
+    */
+  def lmInterp(spark: SparkSession, dir: String): DataFrame = {
+    def bigrams(c: Column): Column = {
+      val t = split(c, " ")
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", slice(t, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docs = documents(spark, dir)
+    val trainBg = docs.filter(isTrain)
+      .select(explode(bigrams(col("text"))).as("bg"))
+    val c2 = trainBg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val ctx = c2
+      .select(substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
+      .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val uni = docs.filter(isTrain)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val stats = uni.agg(sum(col("cu")).as("n"), count(lit(1)).as("v"))
+    docs.filter(!isTrain)
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(c2, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni.select(col("tok").as("w2"), col("cu")), Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("p",
+        when(coalesce(col("c1"), lit(0L)) > 0,
+          lit(JmLambda) * coalesce(col("c12"), lit(0L)).cast("double") /
+            col("c1")).otherwise(lit(0.0)) +
+        lit(1 - JmLambda) * (coalesce(col("cu"), lit(0L)) + lit(1.0)) /
+          (col("n") + col("v")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigram"),
+        round(avg(-log(col("p"))), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmInterpSql: String =
+    s"""WITH split AS (
+      |  SELECT doc_id, text,
+      |    ${graft.operators.Scale.hashBucketSql("doc_id")} < 80 AS is_train
+      |  FROM documents
+      |), tb AS (
+      |  SELECT array_to_string(list_slice(t, i, i + 1), ' ') AS bg
+      |  FROM (SELECT string_split(text, ' ') AS t
+      |        FROM split WHERE is_train),
+      |    unnest(range(1, len(t))) AS u(i)
+      |), c2 AS (
+      |  SELECT bg, count(*) AS c12 FROM tb GROUP BY bg
+      |), ctx AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+      |  FROM c2 GROUP BY 1
+      |), uni AS (
+      |  SELECT tok, count(*) AS cu
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |        FROM split WHERE is_train)
+      |  GROUP BY tok
+      |), stats AS (
+      |  SELECT CAST(sum(cu) AS BIGINT) AS n, count(*) AS v FROM uni
+      |), eb AS (
+      |  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |        FROM split WHERE NOT is_train),
+      |    unnest(range(1, len(t))) AS u(i)
+      |)
+      |SELECT doc_id, count(*) AS n_bigram,
+      |  round(avg(-ln(
+      |    (CASE WHEN coalesce(c1, 0) > 0
+      |          THEN $JmLambda * CAST(coalesce(c12, 0) AS DOUBLE) / c1
+      |          ELSE 0.0 END)
+      |    + ${1 - JmLambda} * (coalesce(cu, 0) + 1.0) / (n + v))), 6)
+      |    AS avg_nll
+      |FROM eb
+      |LEFT JOIN c2 USING (bg)
+      |LEFT JOIN ctx ON split_part(bg, ' ', 1) = w1
+      |LEFT JOIN uni ON split_part(bg, ' ', 2) = tok
+      |CROSS JOIN stats
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------
   // Interpolated Kneser-Ney bigram model
   // ---------------------------------------------------------------
@@ -3979,6 +4084,7 @@ object TextOps {
     "q_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_lm_bigram" -> (lmBigram _),
+    "q_lm_interp" -> (lmInterp _),
     "q_source_quota" -> ((s: SparkSession, d: String) => sourceQuota(s, d)),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d))
   )
@@ -4034,6 +4140,7 @@ object TextOps {
     "q_contamination" -> contaminationSql,
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_lm_bigram" -> lmBigramSql,
+    "q_lm_interp" -> lmInterpSql,
     "q_source_quota" -> sourceQuotaSql,
     "q_ngram_jaccard" -> ngramJaccardSql
   )

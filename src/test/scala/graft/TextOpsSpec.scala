@@ -60,6 +60,43 @@ class TextOpsSpec extends SparkSpec {
     assert(cm.toSeq == again.toSeq, "argmax must be deterministic")
   }
 
+  test("JM-interpolated LM: one doc's NLL recomputes from raw counts; coverage matches lmBigram") {
+    val jm = TextOps.lmInterp(spark, sf).collect()
+    val laplace = TextOps.lmBigram(spark, sf).collect()
+    // same eval split, same bigramization ⇒ identical doc/bigram counts
+    assert(jm.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      laplace.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // recompute the first eval doc from raw train counts
+    val docId = jm.head.getLong(0)
+    val docs = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // train membership must match the engine's split rule
+    val trainIds = graft.ingest.Sources.documents(spark, sf)
+      .filter(graft.operators.Scale.hashBucket(col("doc_id")) < 80)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val trainToks = trainIds.toSeq.flatMap(id => docs(id).split(" "))
+    val uni = trainToks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bgs = trainIds.toSeq.flatMap(id => docs(id).split(" ").sliding(2)
+      .filter(_.length == 2).map(_.mkString(" ")))
+    val c2 = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = bgs.groupBy(_.split(" ")(0)).map { case (k, v) => k -> v.size.toLong }
+    val n = trainToks.size.toLong
+    val v = uni.size.toLong
+    val evalBgs = docs(docId).split(" ").sliding(2)
+      .filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val nll = evalBgs.map { bg =>
+      val Array(w1, w2) = bg.split(" ")
+      val pBg = if (c1.getOrElse(w1, 0L) > 0)
+        0.75 * c2.getOrElse(bg, 0L).toDouble / c1(w1) else 0.0
+      -math.log(pBg + 0.25 * (uni.getOrElse(w2, 0L) + 1.0) / (n + v))
+    }
+    val expect = BigDecimal(nll.sum / nll.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(jm.head.getAs[Double]("avg_nll") - expect) < 2e-6,
+      s"JM NLL ${jm.head.getAs[Double]("avg_nll")} != recomputed $expect")
+  }
+
   test("containment dup: prefix-filtered pairs equal a brute-force blocked recount") {
     val t = TextOps.ContainThreshold
     val sets = graft.ingest.Sources.documents(spark, sf)
