@@ -314,6 +314,76 @@ object Affinity {
       .select(col("v").as("part"), col("r").as("pr"))
       .orderBy(col("pr").desc, col("part").asc)
 
+  /** Seed-set size for [[partPpr]] — the top-degree anchors. */
+  val PprSeedK = 5
+
+  /** Personalized PageRank from the [[PprSeedK]] highest-degree parts
+    * (ties by id): rank mass flows outward from the catalog's anchor
+    * items, so the output reads "how related is every part to the
+    * core assortment" — the seed-expansion / related-items query a
+    * recommender serves, as opposed to [[partPagerank]]'s global
+    * centrality. Runs on [[graft.operators.Graph.personalizedPagerank]]
+    * — the same co-partitioned integer RDD loop, only the teleport
+    * vector differs — so ranks stay exact BIGINTs and the DuckDB twin
+    * replays the identical recurrence. Seed selection is one
+    * degree aggregation + a deterministic (degree desc, id asc)
+    * top-k; the k-row collect is a query anchor, not a data path.
+    */
+  def partPpr(spark: SparkSession, dir: String): DataFrame = {
+    val edges = prEdges(spark, dir).localCheckpoint()
+    val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src").asc).limit(PprSeedK)
+      .collect().map(_.getLong(0)).toSet
+    graft.operators.Graph.personalizedPagerank(edges, seeds,
+        iters = PrIters, scale = PrScale)
+      .select(col("v").as("part"), col("r").as("ppr"))
+      .orderBy(col("ppr").desc, col("part").asc)
+  }
+
+  private def pprIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+      |  SELECT d.v,
+      |    (CASE WHEN s.v IS NOT NULL
+      |          THEN ($PrScale * 15) // (100 * sk.k) ELSE 0 END) +
+      |    (85 * coalesce(c.contrib, 0)) // 100 AS r, d.d
+      |  FROM deg d
+      |  LEFT JOIN seeds s ON d.v = s.v
+      |  LEFT JOIN (
+      |    SELECT e.dst AS v, CAST(sum(r.r // r.d) AS BIGINT) AS contrib
+      |    FROM edges e JOIN $prev r ON e.src = r.v
+      |    GROUP BY e.dst) c ON d.v = c.v
+      |  CROSS JOIN sk
+      |)""".stripMargin
+
+  val partPprSql: String = {
+    val iters = (1 to PrIters)
+      .map(i => pprIterSql(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), halfe AS (
+      |  ${halfEdgesSql("pa", "pb")}
+      |), edges AS (
+      |  SELECT pa AS src, pb AS dst FROM halfe
+      |  UNION ALL
+      |  SELECT pb, pa FROM halfe
+      |), deg AS (
+      |  SELECT src AS v, count(*) AS d FROM edges GROUP BY 1
+      |), seeds AS (
+      |  SELECT v FROM deg ORDER BY d DESC, v ASC LIMIT $PprSeedK
+      |), sk AS (
+      |  SELECT count(*) AS k FROM seeds
+      |), r0 AS (
+      |  SELECT deg.v,
+      |    CASE WHEN s.v IS NOT NULL THEN $PrScale // sk.k ELSE 0 END AS r,
+      |    deg.d
+      |  FROM deg LEFT JOIN seeds s ON deg.v = s.v CROSS JOIN sk
+      |),
+      |$iters
+      |SELECT v AS part, CAST(r AS BIGINT) AS ppr
+      |FROM r$PrIters
+      |ORDER BY ppr DESC, part ASC""".stripMargin
+  }
+
   private def prIterSql(prev: String, cur: String): String =
     s"""$cur AS (
       |  SELECT d.v, ($PrScale * 15) // (100 * nn.n) +
@@ -1009,6 +1079,7 @@ object Affinity {
     "q_assoc_rules" -> (assocRules _),
     "q_part_triangles" -> (partTriangles _),
     "q_part_pagerank" -> (partPagerank _),
+    "q_part_ppr" -> (partPpr _),
     "q_pagerank_converged" -> (partPagerankConverged _),
     "q_part_bfs" -> (partBfs _),
     "q_hits_bipartite" -> (hitsBipartite _),
@@ -1025,6 +1096,7 @@ object Affinity {
     "q_assoc_rules" -> assocRulesSql,
     "q_part_triangles" -> partTrianglesSql,
     "q_part_pagerank" -> partPagerankSql,
+    "q_part_ppr" -> partPprSql,
     "q_pagerank_converged" -> partPagerankConvergedSql,
     "q_part_bfs" -> partBfsSql,
     "q_hits_bipartite" -> hitsBipartiteSql,

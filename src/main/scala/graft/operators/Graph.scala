@@ -173,6 +173,19 @@ object Graph {
                scale: Long = 1000000000000L): DataFrame =
     prCore(edges, iters, None, scale)._1
 
+  /** Personalized PageRank: the biased random surfer whose initial
+    * mass AND 15% restart both land only on `seeds` — the
+    * query-anchored centrality behind "related to these items"
+    * recommendations and seed-expansion (local community) queries.
+    * Same co-partitioned integer loop as [[pagerank]]; only the
+    * teleport vector changes, so all the exactness and one-shuffle-
+    * per-round properties carry over verbatim.
+    */
+  def personalizedPagerank(edges: DataFrame, seeds: Set[Long],
+                           iters: Int = 3,
+                           scale: Long = 1000000000000L): DataFrame =
+    prCore(edges, iters, None, scale, Some(seeds))._1
+
   /** Shared PageRank inner loop, deliberately at the RDD layer — the
     * one place in the engine where the Dataset API is the WRONG tool
     * and the exception the build rules allow for. An iterative graph
@@ -210,7 +223,8 @@ object Graph {
     * freeCheckpoint discipline keeps working.
     */
   private def prCore(edges: DataFrame, iters: Int, tolerance: Option[Long],
-                     scale: Long): (DataFrame, Int) = {
+                     scale: Long,
+                     seeds: Option[Set[Long]] = None): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
     val (er, part) = partitionCached(spark, edges
@@ -225,8 +239,24 @@ object Graph {
       .empty[org.apache.spark.rdd.RDD[_]]
     try {
       require(n > 0, "pagerank needs a non-empty edge list")
-      val base = (scale * 15) / (100 * n)
-      val init = scale / n
+      // uniform teleport by default; a seed set redirects BOTH the
+      // initial mass and the 15% restart to the seeds (personalized
+      // PageRank — Page et al.'s biased surfer). The set is tiny by
+      // contract (a query anchor, not data), captured in the task
+      // closure like any literal. Same integer recurrence otherwise,
+      // so the seeds = None path is bit-identical to the original.
+      val (baseOf, initOf): (Long => Long, Long => Long) = seeds match {
+        case None =>
+          val b = (scale * 15) / (100 * n)
+          val i0 = scale / n
+          ((_: Long) => b, (_: Long) => i0)
+        case Some(s) =>
+          require(s.nonEmpty, "personalized pagerank needs seeds")
+          val b = (scale * 15) / (100 * s.size)
+          val i0 = scale / s.size
+          ((v: Long) => if (s(v)) b else 0L,
+            (v: Long) => if (s(v)) i0 else 0L)
+      }
       // Rounds run in BLOCKS of up to PrBlock with ONE action per
       // block: each vertex row carries the block's rank history
       // (newest first), so the per-round movement scalars all ride a
@@ -244,7 +274,12 @@ object Graph {
       // round-at-a-time loop the oracle replays.
       // frame value = (d, rs) with rs(0) the newest rank and
       // rs(last) the rank entering the block.
-      var frame = degR.mapValues(d => (d, Array(init)))
+      // keyed map (init depends on v) — mapPartitions with
+      // preservesPartitioning keeps the shared partitioner that makes
+      // every loop join partition-local
+      var frame = degR.mapPartitions(
+        _.map { case (v, d) => (v, (d, Array(initOf(v)))) },
+        preservesPartitioning = true)
       var pinned: org.apache.spark.rdd.RDD[_] = null
       var rounds = 0
       var stopAt = -1 // chronological round-in-block that converged
@@ -260,8 +295,10 @@ object Graph {
             .reduceByKey(part, _ + _)
           // partition-local again; prepend the new rank to the history
           cur = cur.leftOuterJoin(contrib)
-            .mapValues { case ((d, rs), c) =>
-              (d, (base + (85 * c.getOrElse(0L)) / 100) +: rs) }
+            .mapPartitions(
+              _.map { case (v, ((d, rs), c)) =>
+                (v, (d, (baseOf(v) + (85 * c.getOrElse(0L)) / 100) +: rs)) },
+              preservesPartitioning = true)
           cur.persist(StorageLevel.MEMORY_AND_DISK)
           live += cur
         }
@@ -318,7 +355,9 @@ object Graph {
       // `stopAt` of the block sits at rs(rs.length − 1 − stopAt);
       // a fixed-iteration run keeps rs(0)
       val ranks = {
-        if (pinned == null) degR.mapValues(d => (init, d)) // zero rounds
+        if (pinned == null) degR.mapPartitions( // zero rounds
+          _.map { case (v, d) => (v, (initOf(v), d)) },
+          preservesPartitioning = true)
         else {
           val f = pinned.asInstanceOf[org.apache.spark.rdd.RDD[
             (Long, (Long, Array[Long]))]]

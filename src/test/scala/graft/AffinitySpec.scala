@@ -56,6 +56,29 @@ class AffinitySpec extends SparkSpec {
       "symmetric leaves must tie exactly (integer determinism)")
   }
 
+  test("personalized pagerank: seed bias, unreachable zero, all-seeds reduces to uniform") {
+    // path 1-2-3-4 plus isolated pair 5-6: teleport pinned to {1}
+    val edges = edgeDf((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+    val ppr = Graph.personalizedPagerank(edges, Set(1L), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("r")).toMap
+    // mass decays with distance from the seed
+    assert(ppr(1L) > ppr(3L), "seed must outrank a 2-hop vertex")
+    assert(ppr(2L) > ppr(4L), "1-hop must outrank 3-hop")
+    // the disconnected component gets NO mass (global pagerank gives
+    // every vertex at least the teleport floor — the defining
+    // difference of the personalized variant)
+    assert(ppr(5L) == 0L && ppr(6L) == 0L,
+      "unreachable vertices must hold zero personalized rank")
+    // seeding EVERY vertex is exactly the uniform teleport: bit-equal
+    // to the global operator on the same graph
+    val allV = Set(1L, 2L, 3L, 4L, 5L, 6L)
+    val uni = Graph.personalizedPagerank(edges, allV, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("r")).toMap
+    val global = Graph.pagerank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("r")).toMap
+    assert(uni == global, "all-seeds PPR must be bit-identical to pagerank")
+  }
+
   test("pagerank conserves scaled mass up to truncation loss") {
     val scale = 1000000000000L
     val pr = Graph.pagerank(
