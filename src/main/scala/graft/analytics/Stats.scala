@@ -1311,8 +1311,124 @@ object Stats {
       |ORDER BY wg_ppm ASC, bin ASC
       |LIMIT 1""".stripMargin
 
+  /** Extended-price bin width (cents) for [[featureImportance]]. */
+  val FiPriceBinCents = 500000L
+
+  /** Split-gain feature ranking: the best decision-stump split is
+    * computed for THREE lineitem features at once (extendedprice /
+    * quantity / discount, each exactly integer-binned) against the
+    * label returnflag = 'R', and features are ranked by Gini gain —
+    * the single-tree feature-importance signal every boosted-tree
+    * trainer reports, in its scalable histogram form.
+    *
+    * Scale shape: ONE corpus pass — each row explodes into its three
+    * (feature, bin) incidences scan-side, one shuffle aggregates the
+    * joint histogram; prefix sums, split scoring and both argmins
+    * (per-feature best split, cross-feature rank) run on the
+    * histogram table (Σ bins, corpus-size-independent). Same exact
+    * ppm arithmetic as [[decisionStump]] — see its i64 bound.
+    */
+  def featureImportance(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select(
+      expr(s"CAST(round(l_extendedprice * 100) AS BIGINT) DIV ${FiPriceBinCents}L")
+        .as("b_price"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("b_qty"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("b_disc"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+    val hist = li.select(explode(array(
+        struct(lit("extendedprice").as("feature"), col("b_price").as("bin")),
+        struct(lit("quantity").as("feature"), col("b_qty").as("bin")),
+        struct(lit("discount").as("feature"), col("b_disc").as("bin"))))
+        .as("fb"), col("pos"))
+      .groupBy(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val cumW = Window.partitionBy(col("feature")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy(col("feature"))
+      .agg(sum(col("n")).as("tot_n"), sum(col("p")).as("tot_p"))
+    val scored = hist
+      .withColumn("nl", sum(col("n")).over(cumW))
+      .withColumn("pl", sum(col("p")).over(cumW))
+      .join(tot, Seq("feature"))
+      .filter(col("nl") > 0 && col("nl") < col("tot_n"))
+      .withColumn("nr", col("tot_n") - col("nl"))
+      .withColumn("pr", col("tot_p") - col("pl"))
+      .withColumn("imp_l", expr(
+        "1000000L - ((pl * pl + (nl - pl) * (nl - pl)) * 1000000L) DIV (nl * nl)"))
+      .withColumn("imp_r", expr(
+        "1000000L - ((pr * pr + (nr - pr) * (nr - pr)) * 1000000L) DIV (nr * nr)"))
+      .withColumn("wg_ppm", expr("(nl * imp_l + nr * imp_r) DIV tot_n"))
+      .withColumn("base_ppm", expr(
+        "1000000L - ((tot_p * tot_p + (tot_n - tot_p) * (tot_n - tot_p))" +
+          " * 1000000L) DIV (tot_n * tot_n)"))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("feature"))
+        .orderBy(col("wg_ppm").asc, col("bin").asc)))
+      .filter(col("rn") === 1)
+      .withColumn("gain_ppm", col("base_ppm") - col("wg_ppm"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("gain_ppm").desc, col("feature").asc)))
+      .select(col("rank"), col("feature"), col("bin").as("split_bin"),
+        col("nl").as("n_left"), col("wg_ppm").as("weighted_gini_ppm"),
+        col("gain_ppm"))
+      .orderBy(col("rank"))
+  }
+
+  val featureImportanceSql: String =
+    s"""WITH rows_ AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // $FiPriceBinCents
+      |      AS b_price,
+      |    CAST(round(l_quantity) AS BIGINT) AS b_qty,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS b_disc,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      |  FROM lineitem
+      |), hist AS (
+      |  SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(pos) AS BIGINT) AS p
+      |  FROM (
+      |    SELECT 'extendedprice' AS feature, b_price AS bin, pos FROM rows_
+      |    UNION ALL
+      |    SELECT 'quantity', b_qty, pos FROM rows_
+      |    UNION ALL
+      |    SELECT 'discount', b_disc, pos FROM rows_
+      |  ) GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT feature, CAST(sum(n) AS BIGINT) AS tot_n,
+      |    CAST(sum(p) AS BIGINT) AS tot_p
+      |  FROM hist GROUP BY 1
+      |), cum AS (
+      |  SELECT feature, bin,
+      |    CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS nl,
+      |    CAST(sum(p) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS pl
+      |  FROM hist
+      |), scored AS (
+      |  SELECT cum.feature, bin, nl, pl, tot_n - nl AS nr, tot_p - pl AS pr,
+      |    tot_n, tot_p,
+      |    1000000 - ((pl * pl + (nl - pl) * (nl - pl)) * 1000000) // (nl * nl)
+      |      AS imp_l,
+      |    1000000 - (((tot_p - pl) * (tot_p - pl)
+      |        + ((tot_n - nl) - (tot_p - pl)) * ((tot_n - nl) - (tot_p - pl)))
+      |      * 1000000) // ((tot_n - nl) * (tot_n - nl)) AS imp_r
+      |  FROM cum JOIN tot USING (feature)
+      |  WHERE nl > 0 AND nl < tot_n
+      |), best AS (
+      |  SELECT *, (nl * imp_l + nr * imp_r) // tot_n AS wg_ppm,
+      |    1000000 - ((tot_p * tot_p + (tot_n - tot_p) * (tot_n - tot_p))
+      |      * 1000000) // (tot_n * tot_n) AS base_ppm,
+      |    row_number() OVER (PARTITION BY feature
+      |      ORDER BY (nl * imp_l + nr * imp_r) // tot_n ASC, bin ASC) AS rn
+      |  FROM scored
+      |)
+      |SELECT row_number() OVER (ORDER BY base_ppm - wg_ppm DESC, feature ASC)
+      |    AS rank,
+      |  feature, bin AS split_bin, nl AS n_left,
+      |  wg_ppm AS weighted_gini_ppm, base_ppm - wg_ppm AS gain_ppm
+      |FROM best WHERE rn = 1
+      |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decision_stump" -> (decisionStump _),
+    "q_feature_importance" -> (featureImportance _),
     "q_bootstrap_ci" -> (bootstrapCi _),
     "q_length_resample" -> (lengthResample _),
     "q_snapshot_drift" -> (snapshotDrift _),
@@ -1336,6 +1452,7 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "q_decision_stump" -> decisionStumpSql,
+    "q_feature_importance" -> featureImportanceSql,
     "q_bootstrap_ci" -> bootstrapCiSql,
     "q_length_resample" -> lengthResampleSql,
     "q_snapshot_drift" -> snapshotDriftSql,

@@ -443,6 +443,37 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("feature importance: one row per feature, gains ranked, quantity recomputes via stump math") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Stats.featureImportance(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("feature")).toSet ==
+      Set("extendedprice", "quantity", "discount"))
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    val gains = rows.map(_.getAs[Long]("gain_ppm")).toSeq
+    assert(gains == gains.sorted(Ordering[Long].reverse))
+    assert(gains.forall(_ >= 0L))
+    // recompute the quantity feature's best split from its histogram
+    val hist = graft.ingest.Sources.lineitem(spark, sf)
+      .select(expr("CAST(round(l_quantity) AS BIGINT)").as("bin"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("pos").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val totN = hist.map(_._2).sum; val totP = hist.map(_._3).sum
+    def imp(p: Long, n: Long) =
+      1000000L - ((p * p + (n - p) * (n - p)) * 1000000L) / (n * n)
+    var nl = 0L; var pl = 0L
+    val best = hist.flatMap { case (bin, n, p) =>
+      nl += n; pl += p
+      if (nl > 0 && nl < totN)
+        Some((bin, (nl * imp(pl, nl) + (totN - nl) * imp(totP - pl, totN - nl)) / totN))
+      else None
+    }.minBy(c => (c._2, c._1))
+    val qRow = rows.find(_.getAs[String]("feature") == "quantity").get
+    assert(qRow.getAs[Long]("split_bin") == best._1)
+    assert(qRow.getAs[Long]("weighted_gini_ppm") == best._2)
+  }
+
   test("decision stump: best split matches a driver-side histogram sweep; gain never negative") {
     import org.apache.spark.sql.functions._
     val row = graft.analytics.Stats.decisionStump(spark, sf).head()
