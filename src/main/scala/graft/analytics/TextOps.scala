@@ -3592,6 +3592,129 @@ object TextOps {
        |ORDER BY phrase, doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // TextRank keyword extraction (PageRank on the word graph)
+  // ---------------------------------------------------------------
+
+  /** Words returned per language by [[textrank]], iteration count and
+    * the rank fixed-point scale (same constants discipline as the
+    * co-purchase PageRank family).
+    */
+  val TextrankTopK = 10
+  val TextrankIters = 3
+  val TextrankScale = 1000000000000L
+
+  /** Portable 48-bit vertex id for a (lang, word) node: first 12
+    * md5-hex chars — the engine-neutral hash family every
+    * MinHash/bucket operator here uses, wide enough that a vocabulary
+    * would need ~2²⁴ types for collisions to be likely (the spec
+    * asserts injectivity on the fixtures at every SF).
+    */
+  private def wordVid(lang: Column, w: Column): Column =
+    conv(substring(md5(concat_ws("|", lang, w)), 1, 12), 16, 10).cast("long")
+
+  private def wordVidSql(lang: String, w: String): String =
+    s"CAST(('0x' || substr(md5($lang || '|' || $w), 1, 12)) AS BIGINT)"
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * over the word ADJACENCY graph — vertices are (lang, word),
+    * undirected edges connect tokens that appear adjacent in any
+    * document — then the top-[[TextrankTopK]] words per language by
+    * rank. The graph-centrality complement of [[rakeKeywords]]'
+    * degree/frequency heuristic: a word scores high when its
+    * NEIGHBORS score high, not merely when it is frequent.
+    *
+    * Runs on [[graft.operators.Graph.pagerank]] — the co-partitioned
+    * exact-integer RDD loop — so ranks are deterministic BIGINTs and
+    * the oracle replays the identical recurrence over the identical
+    * md5-derived vertex ids. Scale shape: adjacency pairs are
+    * generated scan-side (one guarded transform per doc), the graph
+    * is vocabulary²-bounded but Zipf-sparse (distinct ADJACENT pairs),
+    * and everything after the one distinct-pairs shuffle runs on
+    * vocabulary-sized frames.
+    */
+  def textrank(spark: SparkSession, dir: String,
+               k: Int = TextrankTopK): DataFrame = {
+    val t = split(col("text"), " ")
+    val pairsExpr = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"),
+          element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val adj = documents(spark, dir)
+      .select(col("lang"), explode(pairsExpr).as("p"))
+      .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .distinct()
+      .localCheckpoint() // feeds the edge build AND the vocab map-back
+    val edges = adj.select(wordVid(col("lang"), col("w1")).as("src"),
+        wordVid(col("lang"), col("w2")).as("dst"))
+      .union(adj.select(wordVid(col("lang"), col("w2")).as("src"),
+        wordVid(col("lang"), col("w1")).as("dst")))
+      .distinct()
+    val pr = graft.operators.Graph.pagerank(edges,
+      iters = TextrankIters, scale = TextrankScale)
+    val vocab = adj.select(col("lang"), col("w1").as("word"))
+      .union(adj.select(col("lang"), col("w2").as("word")))
+      .distinct()
+      .withColumn("v", wordVid(col("lang"), col("word")))
+    vocab.join(pr, Seq("v"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("r").desc, col("word").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("word"), col("r").as("tr"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val textrankSql: String = {
+    val iter = (prev: String, cur: String) =>
+      s"""$cur AS (
+        |  SELECT d.v, ($TextrankScale * 15) // (100 * nn.n) +
+        |    (85 * coalesce(c.contrib, 0)) // 100 AS r, d.d
+        |  FROM deg d
+        |  LEFT JOIN (
+        |    SELECT e.dst AS v, CAST(sum(r.r // r.d) AS BIGINT) AS contrib
+        |    FROM edges e JOIN $prev r ON e.src = r.v
+        |    GROUP BY e.dst) c ON d.v = c.v
+        |  CROSS JOIN nn
+        |)""".stripMargin
+    val iters = (1 to TextrankIters)
+      .map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH adj AS (
+      |  SELECT DISTINCT lang, t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT lang, string_split(text, ' ') AS t FROM documents),
+      |    unnest(range(1, len(t))) AS u(i)
+      |  WHERE t[i] <> t[i + 1]
+      |), edges AS (
+      |  SELECT ${wordVidSql("lang", "w1")} AS src,
+      |         ${wordVidSql("lang", "w2")} AS dst
+      |  FROM adj
+      |  UNION
+      |  SELECT ${wordVidSql("lang", "w2")},
+      |         ${wordVidSql("lang", "w1")}
+      |  FROM adj
+      |), deg AS (
+      |  SELECT src AS v, count(*) AS d FROM edges GROUP BY 1
+      |), nn AS (
+      |  SELECT count(*) AS n FROM deg
+      |), r0 AS (
+      |  SELECT v, $TextrankScale // nn.n AS r, d FROM deg CROSS JOIN nn
+      |),
+      |$iters, vocab AS (
+      |  SELECT DISTINCT lang, word, ${wordVidSql("lang", "word")} AS v
+      |  FROM (SELECT lang, w1 AS word FROM adj
+      |        UNION ALL SELECT lang, w2 FROM adj)
+      |), ranked AS (
+      |  SELECT lang, word, CAST(r AS BIGINT) AS tr,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY r DESC, word ASC) AS rnk
+      |  FROM vocab JOIN r$TextrankIters USING (v)
+      |)
+      |SELECT lang, rnk, word, tr
+      |FROM ranked WHERE rnk <= $TextrankTopK
+      |ORDER BY lang, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // RAKE keyword extraction
   // ---------------------------------------------------------------
 
@@ -4055,6 +4178,7 @@ object TextOps {
     "q_top_terms_shift" -> (topTermsShift _),
     "q_dsir_select" -> (dsirSelect _),
     "q_rake_keywords" -> ((s: SparkSession, d: String) => rakeKeywords(s, d)),
+    "q_textrank" -> ((s: SparkSession, d: String) => textrank(s, d)),
     "q_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
     "q_vocab_oov" -> ((s: SparkSession, d: String) => vocabOov(s, d)),
     "q_corpus_curation" -> (corpusCuration _),
@@ -4111,6 +4235,7 @@ object TextOps {
     "q_top_terms_shift" -> topTermsShiftSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rake_keywords" -> rakeKeywordsSql,
+    "q_textrank" -> textrankSql,
     "q_phrase_search" -> phraseSearchSql,
     "q_vocab_oov" -> vocabOovSql,
     "q_corpus_curation" -> corpusCurationSql,

@@ -97,6 +97,31 @@ class TextOpsSpec extends SparkSpec {
       s"JM NLL ${jm.head.getAs[Double]("avg_nll")} != recomputed $expect")
   }
 
+  test("textrank: vertex ids injective at every SF; per-lang top-k well-formed") {
+    // id collisions would silently merge two words' ranks — assert the
+    // 48-bit md5 id is injective over every fixture vocabulary
+    for (dir <- Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val vocab = graft.ingest.Sources.documents(spark, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+        .withColumn("v", conv(substring(md5(concat_ws("|", col("lang"),
+          col("w"))), 1, 12), 16, 10).cast("long"))
+      val words = vocab.count()
+      val ids = vocab.select(col("v")).distinct().count()
+      assert(words == ids, s"$dir: ${words - ids} vertex-id collisions")
+    }
+    val rows = TextOps.textrank(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.length <= TextOps.TextrankTopK)
+      val ranks = rs.map(_.getAs[Int]("rnk")).toSeq.sorted
+      assert(ranks == (1 to rs.length), s"$lang ranks not dense: $ranks")
+      // ranks weakly decrease down the list (ties broken by word asc)
+      val trs = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("tr")).toSeq
+      assert(trs.zip(trs.tail).forall { case (a, b) => a >= b })
+      assert(trs.forall(_ > 0L))
+    }
+  }
+
   test("containment dup: prefix-filtered pairs equal a brute-force blocked recount") {
     val t = TextOps.ContainThreshold
     val sets = graft.ingest.Sources.documents(spark, sf)
