@@ -976,7 +976,13 @@ object Affinity {
         org.apache.spark.sql.expressions.Window.partitionBy(col("comm"))))
       .orderBy(col("part"))
 
-  val partCommunitiesSql: String = {
+  /** The LPA recurrence as chained CTE bodies over `edges` — the ONE
+    * SQL twin of [[graft.operators.Graph.labelPropagation]], shared by
+    * the communities oracle and the modularity oracle so the label
+    * rule cannot drift between them. Ends with `l{LpaRounds}` =
+    * (v, lab).
+    */
+  private def lpaCtesSql: String = {
     val rounds = (1 to LpaRounds).map { i =>
       s"""cnt$i AS (
         |  SELECT e.dst AS v, l.lab, count(*) AS c
@@ -989,6 +995,13 @@ object Affinity {
         |  WHERE c = mc GROUP BY v
         |)""".stripMargin
     }.mkString(",\n")
+    s"""l0 AS (
+      |  SELECT DISTINCT src AS v, src AS lab FROM edges
+      |),
+      |$rounds""".stripMargin
+  }
+
+  val partCommunitiesSql: String =
     s"""WITH ol AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       |), halfe AS (
@@ -997,15 +1010,92 @@ object Affinity {
       |  SELECT pa AS src, pb AS dst FROM halfe
       |  UNION ALL
       |  SELECT pb, pa FROM halfe
-      |), l0 AS (
-      |  SELECT DISTINCT src AS v, src AS lab FROM edges
       |),
-      |$rounds
+      |$lpaCtesSql
       |SELECT v AS part, lab AS comm,
       |  CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS comm_size
       |FROM l$LpaRounds
       |ORDER BY part""".stripMargin
+
+  /** Newman modularity of the LPA partition — the quality audit that
+    * says whether the detected communities are denser than a random
+    * graph with the same degrees: Q = Σ_c [e_c/M − (D_c/M)²] over the
+    * DIRECTED symmetrized edge multiset (M = |E| = 2m, e_c = directed
+    * intra-community edges, D_c = Σ degrees). Emitted as the exact
+    * integer pair (q_num = Σ(e_c·M − D_c²), q_den = M²) plus
+    * q_ppm = ((q_num + q_den)·1e6) DIV q_den − 1e6 — the repo's
+    * offset trick, since Q may be negative and negative DIV semantics
+    * differ across engines while the shifted operand is provably
+    * positive (Q > −1 always).
+    *
+    * Scale shape: LPA itself is the co-partitioned loop; the audit
+    * adds two label joins against the edge list (one shuffle each)
+    * and everything else runs on community-sized frames. i64 bound:
+    * needs M² < 9.2e18 — M up to ~3e9 directed edges, far beyond the
+    * co-purchase graph at any tested scale.
+    */
+  def partModularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = prEdges(spark, dir).localCheckpoint()
+    val labels = graft.operators.Graph.labelPropagation(edges, LpaRounds)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val dc = labels.join(deg, labels("v") === deg("src"))
+      .groupBy(col("lab")).agg(sum(col("d")).as("dc"))
+    val eIn = edges
+      .join(labels.select(col("v").as("src"), col("lab").as("ls")),
+        Seq("src"))
+      .join(labels.select(col("v").as("dst"), col("lab").as("ld")),
+        Seq("dst"))
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("lab")).agg(count(lit(1)).as("ec"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    dc.join(eIn, Seq("lab"), "left")
+      .select(col("lab"), coalesce(col("ec"), lit(0L)).as("ec"), col("dc"))
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_comms"),
+        sum(expr("ec * m - dc * dc")).as("q_num"),
+        max(col("m")).as("m_edges"))
+      .select(col("n_comms"), col("m_edges"), col("q_num"),
+        expr("m_edges * m_edges").as("q_den"),
+        expr("((q_num + m_edges * m_edges) * 1000000L)" +
+          " DIV (m_edges * m_edges) - 1000000L").as("q_ppm"))
   }
+
+  val partModularitySql: String =
+    s"""WITH ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), halfe AS (
+      |  ${halfEdgesSql("pa", "pb")}
+      |), edges AS (
+      |  SELECT pa AS src, pb AS dst FROM halfe
+      |  UNION ALL
+      |  SELECT pb, pa FROM halfe
+      |),
+      |$lpaCtesSql, deg AS (
+      |  SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1
+      |), dc AS (
+      |  SELECT l.lab, CAST(sum(deg.d) AS BIGINT) AS dc
+      |  FROM l$LpaRounds l JOIN deg ON deg.v = l.v
+      |  GROUP BY 1
+      |), ein AS (
+      |  SELECT ls.lab, CAST(count(*) AS BIGINT) AS ec
+      |  FROM edges e
+      |  JOIN l$LpaRounds ls ON ls.v = e.src
+      |  JOIN l$LpaRounds ld ON ld.v = e.dst
+      |  WHERE ls.lab = ld.lab
+      |  GROUP BY 1
+      |), mm AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m FROM edges
+      |), per AS (
+      |  SELECT dc.lab, coalesce(ein.ec, 0) AS ec, dc.dc
+      |  FROM dc LEFT JOIN ein USING (lab)
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_comms,
+      |  max(m) AS m_edges,
+      |  CAST(sum(ec * m - dc * dc) AS BIGINT) AS q_num,
+      |  max(m) * max(m) AS q_den,
+      |  ((CAST(sum(ec * m - dc * dc) AS BIGINT) + max(m) * max(m))
+      |    * 1000000) // (max(m) * max(m)) - 1000000 AS q_ppm
+      |FROM per CROSS JOIN mm""".stripMargin
 
   /** Core order for [[partKCore]]: the 2-core — strip pendant trees
     * until only cycle-bearing structure remains. Chosen so the core
@@ -1073,6 +1163,7 @@ object Affinity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_part_kcore" -> (partKCore _),
     "q_part_communities" -> (partCommunities _),
+    "q_part_modularity" -> (partModularity _),
     "q_part_sssp" -> (partSssp _),
     "q_part_copurchase" -> (partCopurchase _),
     "q_apriori_triples" -> (aprioriTriples _),
@@ -1090,6 +1181,7 @@ object Affinity {
   val oracles: Map[String, String] = Map(
     "q_part_kcore" -> partKCoreSql,
     "q_part_communities" -> partCommunitiesSql,
+    "q_part_modularity" -> partModularitySql,
     "q_part_sssp" -> partSsspSql,
     "q_part_copurchase" -> partCopurchaseSql,
     "q_apriori_triples" -> aprioriTriplesSql,

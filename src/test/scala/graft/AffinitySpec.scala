@@ -237,6 +237,34 @@ class AffinitySpec extends SparkSpec {
     assert(confs == confs.sorted(Ordering[Long].reverse))
   }
 
+  test("modularity: q_num recomputes from labels and edges; ppm bounded") {
+    val row = Affinity.partModularity(spark, sf).head()
+    val edges = Affinity.prEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Graph.labelPropagation(
+        Affinity.prEdges(spark, sf), Affinity.LpaRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = edges.length.toLong
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val dc = deg.groupBy { case (v, _) => labels(v) }
+      .map { case (c, vs) => c -> vs.values.sum }
+    val ec = edges.filter { case (s, d) => labels(s) == labels(d) }
+      .groupBy { case (s, _) => labels(s) }
+      .map { case (c, es) => c -> es.length.toLong }
+    val qNum = dc.map { case (c, d) => ec.getOrElse(c, 0L) * m - d * d }.sum
+    assert(row.getAs[Long]("m_edges") == m)
+    assert(row.getAs[Long]("n_comms") == dc.size.toLong)
+    assert(row.getAs[Long]("q_num") == qNum,
+      s"q_num ${row.getAs[Long]("q_num")} != recomputed $qNum")
+    assert(row.getAs[Long]("q_den") == m * m)
+    val ppm = row.getAs[Long]("q_ppm")
+    assert(ppm > -1000000L && ppm < 1000000L)
+    // the offset trick equals floor(q_num/q_den) scaling done in BigInt
+    val expectPpm = ((BigInt(qNum) + BigInt(m) * m) * 1000000 /
+      (BigInt(m) * m) - 1000000).toLong
+    assert(ppm == expectPpm)
+  }
+
   test("degree assortativity: r in [-1,1] over the symmetrized edge count") {
     val row = graft.analytics.Affinity.degreeAssortativity(spark, sf)
       .collect().head
