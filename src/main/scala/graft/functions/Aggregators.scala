@@ -282,12 +282,73 @@ object Aggregators {
     (score: Column, id: Column, tag: Column) => u(score, id, tag)
   }
 
+  /** Estimator count for the AMS F2 sketch. */
+  val AmsEstimators = 8
+
+  /** AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996)
+    * over the token stream, audited against the exact F2 = Σ c_t² —
+    * the third sketch in the family (HLL estimates distinct count =
+    * F0, Count-Min point frequencies, AMS the self-join size F2 that
+    * sizes skew/join planning). Each of [[AmsEstimators]] estimators
+    * is (Σ_t sign_j(t)·c_t)² with ±1 signs from the engine-portable
+    * md5 word — E[est] = F2 exactly, Var ≤ 2F2²/k. Sign-sums are
+    * plain integer sums, so the sketch is a lawful distributed
+    * aggregate (mergeable in any partial order) and every output is
+    * exact integer, ppm by positive DIV.
+    *
+    * Scale shape: at 100 TB the k sign-sums accumulate directly on
+    * the token STREAM (one pass, k longs of state per partition — no
+    * vocab table needed); here they derive from the already-aggregated
+    * count table so the exact-F2 audit shares its one shuffle.
+    */
+  def amsF2Tokens(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds exact F2 AND the k estimator sums
+    val exact = counts.agg(sum(expr("c * c")).as("exact_f2"))
+    counts
+      .crossJoin(broadcast(spark.range(AmsEstimators).select(col("id").as("j"))))
+      .withColumn("sign", expr(
+        "CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), '_', tok)), 1, 8), 16, 10) AS BIGINT) % 2 = 0" +
+          " THEN 1L ELSE -1L END"))
+      .groupBy(col("j"))
+      .agg(sum(col("sign") * col("c")).as("s"))
+      .select(col("j"), expr("s * s").as("est_f2"))
+      .crossJoin(broadcast(exact))
+      .select(col("j"), col("est_f2"), col("exact_f2"),
+        expr("(est_f2 * 1000000L) DIV exact_f2").as("est_ppm"))
+      .orderBy(col("j"))
+  }
+
+  val amsF2TokensSql: String =
+    s"""WITH counts AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok
+      |), exact_f AS (
+      |  SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM counts
+      |), ests AS (
+      |  SELECT j, CAST(sum(
+      |      (CASE WHEN CAST(('0x' || substr(md5(j::VARCHAR || '_' || tok), 1, 8))
+      |                 AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) * c)
+      |    AS BIGINT) AS s
+      |  FROM counts CROSS JOIN (SELECT unnest(range(0, $AmsEstimators)) AS j)
+      |  GROUP BY j
+      |)
+      |SELECT j, s * s AS est_f2, exact_f2,
+      |  ((s * s) * 1000000) // exact_f2 AS est_ppm
+      |FROM ests CROSS JOIN exact_f
+      |ORDER BY j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ams_f2" -> (amsF2Tokens _),
     "q_event_moments" -> (eventMoments _),
     "q_countmin_tokens" -> (countMinTokens _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ams_f2" -> amsF2TokensSql,
     "q_event_moments" -> eventMomentsSql,
     "q_countmin_tokens" -> countMinTokensSql
   )

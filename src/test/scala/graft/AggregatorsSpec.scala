@@ -143,4 +143,31 @@ class AggregatorsSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("AMS F2: estimators recompute from raw counts; mean is in the unbiased ballpark") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.functions.Aggregators.amsF2Tokens(spark, sf).collect()
+    assert(rows.length == graft.functions.Aggregators.AmsEstimators)
+    val exact = rows.head.getAs[Long]("exact_f2")
+    assert(rows.forall(_.getAs[Long]("exact_f2") == exact))
+    // recompute estimator j = 0 driver-side with the same md5 signs
+    val counts = graft.ingest.Sources.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val s0 = counts.map { case (tok, c) =>
+      val w = java.lang.Long.parseLong(md5hex("0_" + tok).substring(0, 8), 16)
+      (if (w % 2 == 0) 1L else -1L) * c
+    }.sum
+    assert(rows.find(_.getLong(0) == 0L).get.getAs[Long]("est_f2") == s0 * s0)
+    assert(exact == counts.map { case (_, c) => c * c }.sum)
+    // unbiasedness sanity on the fixture: the 8-estimator mean stays
+    // within a small constant factor of the exact moment
+    val mean = rows.map(_.getAs[Long]("est_f2")).sum / rows.length
+    assert(mean > exact / 10 && mean < exact * 10,
+      s"AMS mean $mean implausibly far from exact $exact")
+  }
 }
