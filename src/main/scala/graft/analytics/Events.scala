@@ -1216,7 +1216,96 @@ object Events {
       |FROM fin WHERE d > 0
       |ORDER BY day""".stripMargin
 
+  /** Pre/post boundary for [[diffInDiff]] — the experiment "launch"
+    * instant, interpolated into both sides.
+    */
+  val DidBoundary = "2024-01-16"
+
+  /** Difference-in-differences readout — the experiment-analysis
+    * primitive: users split into treatment (odd user_id) and control
+    * (even), the corpus into pre/post at [[DidBoundary]], per-cell
+    * event-value means in exact micro-dollars, and the DiD estimate
+    * (Δtreat − Δcontrol) that removes both the group baseline and the
+    * secular time trend. On this synthetic corpus no treatment
+    * exists, so the estimate doubles as an A/A test — the readout a
+    * real pipeline runs FIRST to validate its assignment hashing and
+    * metric plumbing.
+    *
+    * Exactness: cents are exact integers; each cell mean is one
+    * positive-operand DIV into micro-dollars; the (possibly negative)
+    * differences happen only AFTER the four floors, so both engines
+    * subtract identical integers. Scale: one corpus pass → a 4-cell
+    * aggregate; the group/period labels are scan-side expressions so
+    * partial aggregation absorbs everything map-side.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .select(
+        when(col("user_id") % 2 === 1, "treat").otherwise("control").as("grp"),
+        when(col("ts") < lit(DidBoundary).cast("timestamp"), "pre")
+          .otherwise("post").as("period"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("grp"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .withColumn("mean_micro", expr("(s * 10000L) DIV n"))
+    val row = cells
+      .select(concat_ws("_", col("grp"), col("period")).as("cell"),
+        col("n"), col("mean_micro"))
+      .groupBy()
+      .pivot("cell", Seq("control_pre", "control_post",
+        "treat_pre", "treat_post"))
+      .agg(first(col("n")).as("n"), first(col("mean_micro")).as("mean_micro"))
+    row.select(
+      col("control_pre_n"), col("control_post_n"),
+      col("treat_pre_n"), col("treat_post_n"),
+      col("control_pre_mean_micro").as("control_pre_micro"),
+      col("control_post_mean_micro").as("control_post_micro"),
+      col("treat_pre_mean_micro").as("treat_pre_micro"),
+      col("treat_post_mean_micro").as("treat_post_micro"),
+      ((col("treat_post_mean_micro") - col("treat_pre_mean_micro")) -
+        (col("control_post_mean_micro") - col("control_pre_mean_micro")))
+        .as("did_micro"))
+  }
+
+  val diffInDiffSql: String =
+    s"""WITH cells AS (
+      |  SELECT CASE WHEN user_id % 2 = 1 THEN 'treat' ELSE 'control' END
+      |      AS grp,
+      |    CASE WHEN ts < TIMESTAMP '$DidBoundary' THEN 'pre' ELSE 'post' END
+      |      AS period,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+      |  FROM events
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT grp, period, n, (s * 10000) // n AS mean_micro FROM cells
+      |)
+      |SELECT
+      |  max(CASE WHEN grp = 'control' AND period = 'pre' THEN n END)
+      |    AS control_pre_n,
+      |  max(CASE WHEN grp = 'control' AND period = 'post' THEN n END)
+      |    AS control_post_n,
+      |  max(CASE WHEN grp = 'treat' AND period = 'pre' THEN n END)
+      |    AS treat_pre_n,
+      |  max(CASE WHEN grp = 'treat' AND period = 'post' THEN n END)
+      |    AS treat_post_n,
+      |  max(CASE WHEN grp = 'control' AND period = 'pre' THEN mean_micro END)
+      |    AS control_pre_micro,
+      |  max(CASE WHEN grp = 'control' AND period = 'post' THEN mean_micro END)
+      |    AS control_post_micro,
+      |  max(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean_micro END)
+      |    AS treat_pre_micro,
+      |  max(CASE WHEN grp = 'treat' AND period = 'post' THEN mean_micro END)
+      |    AS treat_post_micro,
+      |  (max(CASE WHEN grp = 'treat' AND period = 'post' THEN mean_micro END)
+      |   - max(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean_micro END))
+      |  - (max(CASE WHEN grp = 'control' AND period = 'post' THEN mean_micro END)
+      |     - max(CASE WHEN grp = 'control' AND period = 'pre' THEN mean_micro END))
+      |    AS did_micro
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_diff_in_diff" -> (diffInDiff _),
     "q_kaplan_meier" -> (kaplanMeier _),
     "q_asof_forward" -> (asofForward _),
     "q_asof_nearest" -> (asofNearest _),
@@ -1240,6 +1329,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q_kaplan_meier" -> kaplanMeierSql,
+    "q_diff_in_diff" -> diffInDiffSql,
     "q_asof_forward" -> asofForwardSql,
     "q_asof_nearest" -> asofNearestSql,
     "q_conversion_hazard" -> conversionHazardSql,

@@ -362,4 +362,37 @@ class EventsSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(rows.head.getAs[Long]("n_risk") <= nSignup)
   }
+
+  test("diff-in-diff: cells recompute from raw events; identity holds") {
+    import org.apache.spark.sql.functions._
+    val row = graft.analytics.Events.diffInDiff(spark, sf).head()
+    val raw = graft.ingest.Sources.events(spark, sf)
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val bound = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    def cell(treat: Boolean, post: Boolean) = {
+      val xs = raw.filter { case (u, ts, _) =>
+        (u % 2 == 1) == treat && ts.after(bound) == post &&
+          (post || ts.before(bound)) }
+      (xs.length.toLong, xs.map(_._3).sum)
+    }
+    val (nCpre, sCpre) = cell(treat = false, post = false)
+    val (nTpost, sTpost) = cell(treat = true, post = true)
+    assert(row.getAs[Long]("control_pre_n") == nCpre)
+    assert(row.getAs[Long]("treat_post_n") == nTpost)
+    assert(row.getAs[Long]("control_pre_micro") == sCpre * 10000L / nCpre)
+    assert(row.getAs[Long]("treat_post_micro") == sTpost * 10000L / nTpost)
+    // the emitted estimate is exactly the four-mean identity
+    val did = (row.getAs[Long]("treat_post_micro")
+      - row.getAs[Long]("treat_pre_micro")) -
+      (row.getAs[Long]("control_post_micro")
+        - row.getAs[Long]("control_pre_micro"))
+    assert(row.getAs[Long]("did_micro") == did)
+    // every event is in exactly one cell
+    assert(row.getAs[Long]("control_pre_n") + row.getAs[Long]("control_post_n")
+      + row.getAs[Long]("treat_pre_n") + row.getAs[Long]("treat_post_n")
+      == raw.length.toLong)
+  }
 }
