@@ -283,14 +283,84 @@ object Sinks {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Time travel over [[ManifestTable]] snapshots: commit the orders
+    * fact as version 1, commit an urgent-doubled revision as version
+    * 2, then read BOTH versions back by version number and diff them —
+    * the audit/rollback query a lakehouse table format exists to
+    * answer ("what changed between yesterday's snapshot and today's").
+    * Old files stay readable because a commit only publishes a new
+    * manifest (atomic rename); nothing is rewritten in place.
+    *
+    * Exactness: cents are exact integers and the doubling is a
+    * power-of-two, so the oracle recomputes the identical diff from
+    * the raw table with a CASE — proving version isolation, not just
+    * row counts. Scale shape: version reads list the manifest (a
+    * driver-side file-name read, corpus-independent) and scan only
+    * the referenced parquet; the diff is one equi-join keyed on the
+    * primary key.
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tt_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_tt").toString
+      val o = Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = ManifestTable.replace(o, path)
+      val v2 = ManifestTable.replace(
+        o.withColumn("cents",
+          when(col("o_orderpriority") === "1-URGENT", col("cents") * 2)
+            .otherwise(col("cents"))), path)
+      val a = ManifestTable.read(spark, path, Some(v1))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("cents").as("cents_v1"))
+      val b = ManifestTable.read(spark, path, Some(v2))
+        .select(col("o_orderkey"), col("cents").as("cents_v2"))
+      val out = a.join(b, Seq("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents_v1")).as("cents_v1"),
+          sum(col("cents_v2")).as("cents_v2"),
+          sum(when(col("cents_v1") =!= col("cents_v2"), 1L).otherwise(0L))
+            .as("n_changed"))
+        .withColumn("delta_cents", col("cents_v2") - col("cents_v1"))
+        .withColumn("n_versions",
+          lit(ManifestTable.versions(spark, path).size.toLong))
+        .orderBy(col("o_orderpriority"))
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val timeTravelSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents_v1,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |           THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+      |           ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+      |    AS BIGINT) AS cents_v2,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |                 AND round(o_totalprice * 100) <> 0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+      |           ELSE 0 END) AS BIGINT) AS delta_cents,
+      |  2 AS n_versions
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert_orders" -> (upsertOrders _),
+    "q_time_travel" -> (timeTravel _),
     "q_format_roundtrip" -> (formatRoundtrip _),
     "q_schema_merge" -> (schemaMerge _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_upsert_orders" -> upsertOrdersSql,
+    "q_time_travel" -> timeTravelSql,
     "q_format_roundtrip" -> formatRoundtripSql,
     "q_schema_merge" -> schemaMergeSql
   )

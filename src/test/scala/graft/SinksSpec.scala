@@ -468,4 +468,28 @@ class ManifestSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path, Some(c2))
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("time travel: version reads are isolated; v1 unchanged after the v2 commit") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tt_spec_").toFile
+    try {
+      val path = new java.io.File(tmp, "t").toString
+      val df1 = spark.range(10).select(col("id"), (col("id") * 2).as("x"))
+      val v1 = graft.sinks.ManifestTable.replace(df1, path)
+      val df2 = spark.range(10).select(col("id"), (col("id") * 3).as("x"))
+      val v2 = graft.sinks.ManifestTable.replace(df2, path)
+      assert(v2 > v1)
+      // v1 read AFTER the v2 commit still sees the old rows exactly
+      val back1 = graft.sinks.ManifestTable.read(spark, path, Some(v1))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(back1 == (0L until 10L).map(i => (i, i * 2)).toSet)
+      val back2 = graft.sinks.ManifestTable.read(spark, path, Some(v2))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(back2 == (0L until 10L).map(i => (i, i * 3)).toSet)
+      // default read = latest
+      val latest = graft.sinks.ManifestTable.read(spark, path)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(latest == back2)
+    } finally graft.sinks.Sinks.deleteRecursively(tmp)
+  }
 }
