@@ -1088,7 +1088,59 @@ object TimeSeries {
       |FROM d JOIN s ON d.event_type = s.event_type AND d.dow = s.dow
       |ORDER BY d.event_type, d.day_idx""".stripMargin
 
+  /** First forecasted day (inclusive) of the [[forecastBacktest]]
+    * holdout — the last week of the 30-day corpus.
+    */
+  val BacktestFromDay = 23
+
+  /** Seasonal-naive forecast backtest: predict each holdout day's
+    * per-type revenue as the value one season (7 days) earlier, then
+    * score sMAPE / MAE / bias over the holdout — the baseline
+    * backtest every forecasting pipeline runs FIRST, because a model
+    * that cannot beat seasonal-naive is not a model. Errors are exact
+    * integer ppm/cents: per-day sMAPE is (2e6·|f−a|) DIV (f+a)
+    * (day-cent sums are positive), the per-type mean is a second
+    * positive DIV, and bias is a raw signed sum (no division — the
+    * repo's negative-DIV discipline).
+    *
+    * Scale shape: one corpus pass builds the daily table; the
+    * forecast is a self-join on (type, day−7) over day-count-sized
+    * frames; everything downstream is per-type constants.
+    */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(spark, dir)
+    val f = daily.select(col("event_type"),
+      (col("day_idx") + 7).as("day_idx"), col("cents").as("fc"))
+    daily.filter(col("day_idx") >= BacktestFromDay)
+      .join(f, Seq("event_type", "day_idx"))
+      .withColumn("ae", abs(col("fc") - col("cents")))
+      .withColumn("smape_ppm",
+        expr("(2000000L * ae) DIV (fc + cents)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(smape_ppm) DIV count(1)").as("smape_ppm"),
+        expr("sum(ae) DIV count(1)").as("mae_cents"),
+        sum(col("fc") - col("cents")).as("bias_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val forecastBacktestSql: String =
+    s"""WITH $dailyCentsSql
+      |SELECT a.event_type,
+      |  CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum((2000000 * abs(f.cents - a.cents)) // (f.cents + a.cents))
+      |    AS BIGINT) // count(*) AS smape_ppm,
+      |  CAST(sum(abs(f.cents - a.cents)) AS BIGINT) // count(*) AS mae_cents,
+      |  CAST(sum(f.cents - a.cents) AS BIGINT) AS bias_cents
+      |FROM daily a
+      |JOIN daily f ON f.event_type = a.event_type
+      |            AND f.day_idx = a.day_idx - 7
+      |WHERE a.day_idx >= $BacktestFromDay
+      |GROUP BY a.event_type
+      |ORDER BY a.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast_backtest" -> (forecastBacktest _),
     "q_stl_lite" -> (stlLite _),
     "q_ar1_fit" -> (ar1Fit _),
     "q_rolling_median" -> (rollingMedian _),
@@ -1108,6 +1160,7 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_forecast_backtest" -> forecastBacktestSql,
     "q_stl_lite" -> stlLiteSql,
     "q_ar1_fit" -> ar1FitSql,
     "q_rolling_median" -> rollingMedianSql,

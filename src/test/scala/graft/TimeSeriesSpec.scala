@@ -570,4 +570,33 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("forecast backtest: sMAPE/MAE recompute from the daily table; holdout window exact") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.ingest.Sources.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "d").agg(sum("cents").as("cents"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byKey = daily.map { case (t, d, c) => (t, d) -> c }.toMap
+    val rows = graft.analytics.TimeSeries.forecastBacktest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val hold = daily.filter { case (tt, d, _) =>
+        tt == t && d >= graft.analytics.TimeSeries.BacktestFromDay &&
+          byKey.contains((tt, d - 7)) }
+      val terms = hold.map { case (_, d, a) =>
+        val f = byKey((t, d - 7))
+        (2000000L * math.abs(f - a) / (f + a), math.abs(f - a), f - a)
+      }
+      assert(r.getAs[Long]("n_days") == hold.length.toLong)
+      assert(r.getAs[Long]("smape_ppm") == terms.map(_._1).sum / hold.length)
+      assert(r.getAs[Long]("mae_cents") == terms.map(_._2).sum / hold.length)
+      assert(r.getAs[Long]("bias_cents") == terms.map(_._3).sum)
+      assert(r.getAs[Long]("smape_ppm") >= 0L &&
+        r.getAs[Long]("smape_ppm") <= 2000000L)
+    }
+  }
 }
