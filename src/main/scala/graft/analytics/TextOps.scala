@@ -4051,6 +4051,22 @@ object TextOps {
     * corpus. Output is the |classes|² confusion matrix.
     */
   def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    nbScores(spark, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("c").asc)))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_source"), col("c"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("true_source"), col("c").as("pred_source"), col("n_docs"))
+      .orderBy(col("true_source"), col("pred_source"))
+  }
+
+  /** The per-(test doc, class) integer score table behind
+    * [[naiveBayes]] and [[nbCalibration]] — one definition so the
+    * model the confusion matrix evaluates IS the model the
+    * calibration curve audits.
+    */
+  private def nbScores(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
     val train = docs.filter(col("doc_id") % 2 === 0)
@@ -4097,18 +4113,14 @@ object TextOps {
       .join(broadcast(prior.select(col("source").as("c"), col("prior_micro"))),
         Seq("c"))
       .withColumn("score", col("tok_score") + col("prior_micro"))
-    scored
-      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("c").asc)))
-      .filter(col("rn") === 1)
-      .groupBy(col("true_source"), col("c"))
-      .agg(count(lit(1)).as("n_docs"))
-      .select(col("true_source"), col("c").as("pred_source"), col("n_docs"))
-      .orderBy(col("true_source"), col("pred_source"))
+    scored.select(col("doc_id"), col("true_source"), col("c"), col("score"))
   }
 
-  val naiveBayesSql: String =
-    """WITH docs AS (
+  /** CTE chain ending in `scored` (doc_id, true_source, c, score) —
+    * the SQL twin of [[nbScores]], shared by both NB oracles.
+    */
+  private val nbScoredCtes: String =
+    """docs AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS toks
       |  FROM documents
       |), cwc AS (
@@ -4149,7 +4161,10 @@ object TextOps {
       |  LEFT JOIN ltab ON ltab.c = cl.source AND ltab.tok = tc.tok
       |  JOIN prior pr ON pr.source = cl.source
       |  GROUP BY 1, 2, 3
-      |), pred AS (
+      |)""".stripMargin
+
+  val naiveBayesSql: String =
+    s"""WITH $nbScoredCtes, pred AS (
       |  SELECT true_source, c AS pred_source
       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
       |          ORDER BY score DESC, c ASC) AS rn
@@ -4161,8 +4176,70 @@ object TextOps {
       |GROUP BY 1, 2
       |ORDER BY true_source, pred_source""".stripMargin
 
+  /** Margin-bin width (micro-nats) and bin cap for [[nbCalibration]]. */
+  val NbCalBinMicros = 200000L
+  val NbCalMaxBin = 9L
+
+  /** Reliability curve for the [[naiveBayes]] classifier: test docs
+    * bucketed by decision margin (best minus second-best class score,
+    * in exact micro-nats — the integer confidence proxy), with
+    * per-bucket accuracy in ppm. The eval that tells a curation
+    * pipeline whether its quality-classifier scores can be THRESHOLDED
+    * (a well-calibrated margin ⇒ accuracy rises with the bucket) or
+    * only ranked. All integers: margins are differences of exact
+    * scores, buckets are one positive DIV (capped), accuracy a second.
+    *
+    * Scale shape: everything after [[nbScores]] runs on |classes|
+    * rows per doc, then one bounded aggregate over ≤ 10 buckets.
+    */
+  def nbCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = nbScores(spark, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("c").asc)))
+      .filter(col("rn") <= 2)
+    val best = ranked.filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_source"), col("c").as("pred"),
+        col("score").as("s1"))
+    val second = ranked.filter(col("rn") === 2)
+      .select(col("doc_id"), col("score").as("s2"))
+    best.join(second, Seq("doc_id"))
+      .withColumn("margin", col("s1") - col("s2"))
+      .withColumn("bin",
+        least(expr(s"margin DIV ${NbCalBinMicros}L"), lit(NbCalMaxBin)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("true_source"), 1L).otherwise(0L))
+          .as("n_correct"),
+        expr("sum(margin) DIV count(1)").as("avg_margin_micro"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000L) DIV n_docs"))
+      .orderBy(col("bin"))
+  }
+
+  val nbCalibrationSql: String =
+    s"""WITH $nbScoredCtes, ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, c ASC) AS rn
+      |  FROM scored
+      |), j AS (
+      |  SELECT b.doc_id, b.true_source, b.c AS pred, b.score - s.score AS margin
+      |  FROM ranked b JOIN ranked s
+      |    ON b.doc_id = s.doc_id AND b.rn = 1 AND s.rn = 2
+      |), binned AS (
+      |  SELECT least(margin // $NbCalBinMicros, $NbCalMaxBin) AS bin,
+      |    margin, CASE WHEN pred = true_source THEN 1 ELSE 0 END AS ok
+      |  FROM j
+      |)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(ok) AS BIGINT) AS n_correct,
+      |  CAST(sum(margin) AS BIGINT) // count(*) AS avg_margin_micro,
+      |  (CAST(sum(ok) AS BIGINT) * 1000000) // count(*) AS acc_ppm
+      |FROM binned
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_naive_bayes" -> (naiveBayes _),
+    "q_nb_calibration" -> (nbCalibration _),
     "q_containment_dup" -> ((s: SparkSession, d: String) => containmentDup(s, d)),
     "q_source_token_kl" -> (sourceTokenKl _),
     "q_lm_kneser_ney" -> (lmKneserNey _),
@@ -4220,6 +4297,7 @@ object TextOps {
     */
   val oracles: Map[String, String] = Map(
     "q_naive_bayes" -> naiveBayesSql,
+    "q_nb_calibration" -> nbCalibrationSql,
     "q_containment_dup" -> containmentDupSql,
     "q_source_token_kl" -> sourceTokenKlSql,
     "q_lm_kneser_ney" -> lmKneserNeySql,

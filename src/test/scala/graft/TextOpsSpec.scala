@@ -122,6 +122,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("nb calibration: bins partition the test split; accuracy reconciles with the confusion matrix") {
+    val cal = TextOps.nbCalibration(spark, sf).collect()
+    val cm = TextOps.naiveBayes(spark, sf).collect()
+    // every test doc has >= 2 classes to rank (train has >= 2 sources),
+    // so bins partition exactly the docs the confusion matrix counts
+    assert(cal.map(_.getAs[Long]("n_docs")).sum ==
+      cm.map(_.getAs[Long]("n_docs")).sum)
+    // total correct across bins == the confusion-matrix diagonal
+    val diag = cm.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(cal.map(_.getAs[Long]("n_correct")).sum == diag)
+    cal.foreach { r =>
+      val acc = r.getAs[Long]("acc_ppm")
+      assert(acc >= 0L && acc <= 1000000L)
+      assert(acc == r.getAs[Long]("n_correct") * 1000000L /
+        r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("bin") >= 0L && r.getAs[Long]("bin") <= 9L)
+    }
+  }
+
   test("containment dup: prefix-filtered pairs equal a brute-force blocked recount") {
     val t = TextOps.ContainThreshold
     val sets = graft.ingest.Sources.documents(spark, sf)
