@@ -4061,16 +4061,17 @@ object TextOps {
       .orderBy(col("true_source"), col("pred_source"))
   }
 
-  /** The per-(test doc, class) integer score table behind
-    * [[naiveBayes]] and [[nbCalibration]] — one definition so the
-    * model the confusion matrix evaluates IS the model the
-    * calibration curve audits.
+  /** The trained NB model as three small frames:
+    * classes (source, oov_micro, prior_micro), ltab (c, tok, l_micro).
+    * Public so the STREAMING scorer ([[graft.streaming.Pipeline
+    * .nbScoreStream]]) can broadcast the identical model the batch
+    * evaluation trained — the train-offline / score-online split every
+    * production classifier deployment has.
     */
-  private def nbScores(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-    val train = docs.filter(col("doc_id") % 2 === 0)
-    val test = docs.filter(col("doc_id") % 2 === 1)
+  def nbModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val train = documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("source"), split(col("text"), " ").as("toks"))
     // (class, token) train counts — vocabulary-sized after the one
     // corpus shuffle; feeds the class totals, the vocab count and the
     // likelihood table
@@ -4081,39 +4082,69 @@ object TextOps {
       .localCheckpoint()
     val vocab = cwc.select(col("tok")).distinct()
       .agg(count(lit(1)).as("v"))
-    val classes = cwc.groupBy(col("source"))
-      .agg(sum(col("c_wc")).as("n_c"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("oov_micro",
-        floor(lit(1e6) * log(lit(1.0) /
-          (col("n_c") + col("v")).cast("double"))).cast("long"))
     val prior = train.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))
       .select(col("source"),
         floor(lit(1e6) * log(col("n_docs").cast("double") /
           col("n_train").cast("double"))).cast("long").as("prior_micro"))
+    val classes = cwc.groupBy(col("source"))
+      .agg(sum(col("c_wc")).as("n_c"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("oov_micro",
+        floor(lit(1e6) * log(lit(1.0) /
+          (col("n_c") + col("v")).cast("double"))).cast("long"))
+      .join(prior, Seq("source"))
     val ltab = cwc.join(classes.select(col("source"), col("n_c"), col("v")),
         Seq("source"))
       .select(col("source").as("c"), col("tok"),
         floor(lit(1e6) * log((col("c_wc") + 1).cast("double") /
           (col("n_c") + col("v")).cast("double"))).cast("long").as("l_micro"))
-    val tc = test
-      .select(col("doc_id"), col("source").as("true_source"),
-        explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("true_source"), col("tok"))
-      .agg(count(lit(1)).as("n"))
-    val scored = tc
+    (classes.select(col("source"), col("oov_micro"), col("prior_micro")),
+      ltab)
+  }
+
+  /** Score a (doc_id, extra…, toks) frame against an NB model — the
+    * ONE scoring recurrence shared by the batch eval queries and the
+    * streaming scorer: per (doc, class), prior + Σ n_tok·L(tok, c)
+    * with the per-class OOV fallback. Stateless except one
+    * (doc, class)-keyed aggregation, so the identical plan runs over
+    * a bounded OR a streaming frame.
+    */
+  private[graft] def nbScoreDocs(docs: DataFrame, classes: DataFrame,
+                                 ltab: DataFrame,
+                                 carry: Seq[String]): DataFrame = {
+    val carryCols = carry.map(col)
+    val tokTerms = docs
+      .select((col("doc_id") +: carryCols) :+
+        explode(col("toks")).as("tok"): _*)
       .crossJoin(broadcast(classes.select(col("source").as("c"),
         col("oov_micro"))))
       .join(broadcast(ltab), Seq("c", "tok"), "left")
-      .withColumn("term", col("n") * coalesce(col("l_micro"), col("oov_micro")))
-      .groupBy(col("doc_id"), col("true_source"), col("c"))
-      .agg(sum(col("term")).as("tok_score"))
-      .join(broadcast(prior.select(col("source").as("c"), col("prior_micro"))),
-        Seq("c"))
-      .withColumn("score", col("tok_score") + col("prior_micro"))
-    scored.select(col("doc_id"), col("true_source"), col("c"), col("score"))
+      .select((col("doc_id") +: carryCols) :+ col("c") :+
+        coalesce(col("l_micro"), col("oov_micro")).as("term"): _*)
+    val priorTerms = docs
+      .select((col("doc_id") +: carryCols): _*)
+      .crossJoin(broadcast(classes.select(col("source").as("c"),
+        col("prior_micro").as("term"))))
+    tokTerms.unionByName(priorTerms)
+      .groupBy((col("doc_id") +: carryCols) :+ col("c"): _*)
+      .agg(sum(col("term")).as("score"))
+  }
+
+  /** The per-(test doc, class) integer score table behind
+    * [[naiveBayes]] and [[nbCalibration]] — one definition so the
+    * model the confusion matrix evaluates IS the model the
+    * calibration curve audits.
+    */
+  private def nbScores(spark: SparkSession, dir: String): DataFrame = {
+    val (classes, ltab) = nbModel(spark, dir)
+    val test = documents(spark, dir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source").as("true_source"),
+        split(col("text"), " ").as("toks"))
+    nbScoreDocs(test, classes, ltab, Seq("true_source"))
+      .select(col("doc_id"), col("true_source"), col("c"), col("score"))
   }
 
   /** CTE chain ending in `scored` (doc_id, true_source, c, score) —

@@ -537,6 +537,29 @@ object Pipeline {
       .toDF()
   }
 
+  /** Streaming Naive-Bayes scoring: incoming documents scored against
+    * a model TRAINED OFFLINE ([[graft.analytics.TextOps.nbModel]]) —
+    * the train-offline / score-online split of every production
+    * quality-classifier deployment (the ingest gate that tags or
+    * drops documents as they arrive). The scoring recurrence is the
+    * SAME code path the batch evaluation runs
+    * ([[graft.analytics.TextOps.nbScoreDocs]]): token terms and the
+    * per-doc prior row union into ONE (doc, class)-keyed streaming
+    * aggregation (update mode), every model lookup a broadcast
+    * stream-static join. Integer scores make the streamed result
+    * BIT-EQUAL to the batch scorer once all rows are processed — the
+    * spec asserts exactly that.
+    *
+    * State: one long per (doc, class) in flight — bounded by the
+    * micro-batch's document count × |classes|, aged by the sink's
+    * key, never the corpus.
+    */
+  def nbScoreStream(docs: DataFrame, classes: DataFrame,
+                    ltab: DataFrame): DataFrame =
+    graft.analytics.TextOps.nbScoreDocs(
+      docs.select(col("doc_id"), split(col("text"), " ").as("toks")),
+      classes, ltab, carry = Seq.empty)
+
   def dedupProbeStream(docs: DataFrame, historyIndex: DataFrame,
                        minEst: Double = 0.75): DataFrame = {
     import graft.analytics.TextOps

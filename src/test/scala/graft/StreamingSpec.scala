@@ -801,4 +801,45 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming NB scoring is bit-equal to the batch scorer over the same docs") {
+    import spark.implicits._
+    val dir = sf
+    val (classes, ltab) = graft.analytics.TextOps.nbModel(spark, dir)
+    // pin the model frames: both consumers (stream + batch reference)
+    // must score against the identical trained tables
+    val cls = classes.localCheckpoint(true)
+    val lt = ltab.localCheckpoint(true)
+    val testDocs = graft.ingest.Sources.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val scored = Pipeline.nbScoreStream(
+      input.toDF().toDF("doc_id", "text"), cls, lt)
+    val q = scored.writeStream
+      .format("memory").queryName("nb_stream")
+      .outputMode("update")
+      .start()
+    // two batches: scores must converge to the full-corpus result even
+    // when a doc's tokens arrive entirely within one batch
+    input.addData(testDocs.take(testDocs.length / 2).toSeq)
+    q.processAllAvailable()
+    input.addData(testDocs.drop(testDocs.length / 2).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // each doc arrives whole in one batch, so every (doc, class) key
+    // emits exactly one update row
+    val finalRows = spark.table("nb_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.analytics.TextOps.nbScoreDocs(
+        graft.ingest.Sources.documents(spark, dir)
+          .filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), split(col("text"), " ").as("toks")),
+        cls, lt, Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(finalRows.keySet == batch.keySet)
+    val diffs = batch.collect { case (k, v) if finalRows(k) != v => k }
+    assert(diffs.isEmpty, s"${diffs.size} (doc, class) scores diverge: ${diffs.take(3)}")
+  }
 }
