@@ -4228,6 +4228,7 @@ object TextOps {
       .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("c").asc)))
       .filter(col("rn") <= 2)
+      .localCheckpoint() // feeds the best AND the runner-up branch
     val best = ranked.filter(col("rn") === 1)
       .select(col("doc_id"), col("true_source"), col("c").as("pred"),
         col("score").as("s1"))
