@@ -976,6 +976,87 @@ object Affinity {
         org.apache.spark.sql.expressions.Window.partitionBy(col("comm"))))
       .orderBy(col("part"))
 
+  /** Predicted links returned by [[linkPrediction]]. */
+  val LinkPredTopK = 25
+
+  /** Link prediction by neighborhood overlap: the top non-edges of the
+    * co-purchase graph ranked by common-neighbor count and Jaccard —
+    * "these two parts are never bought together YET, but share many
+    * co-purchase partners": the classic similarity-based recommender
+    * signal (Liben-Nowell & Kleinberg 2003). Common-neighbor counts
+    * fall out of wedge AGGREGATION: every 2-path a−b−c is one wedge,
+    * so cn(a,c) = wedge count per (a,c); wedges generate scan-side
+    * from each center's sorted neighbor set (Σ C(deg,2), bounded per
+    * task like the basket explosion), existing edges are anti-joined
+    * away, and the Jaccard is exact integer ppm over
+    * (deg_a + deg_c − cn). At a 100 TB graph the hub term of
+    * Σ C(deg,2) is the knob: real deployments degree-cap or sample
+    * hub centers (documented contract — the synthetic graph needs no
+    * cap).
+    */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val half = halfEdges(spark, dir)
+      .select(col("part_a").as("u"), col("part_b").as("v"))
+      .localCheckpoint() // feeds wedges, the anti-join AND degrees
+    val sym = half.select(col("u").as("b"), col("v").as("n"))
+      .union(half.select(col("v").as("b"), col("u").as("n")))
+    val wedges = sym.groupBy(col("b"))
+      .agg(sort_array(collect_set(col("n"))).as("ns"))
+      .select(explode(flatten(transform(col("ns"), (x, i) =>
+        transform(slice(col("ns"), i + 2, size(col("ns"))), y =>
+          struct(x.as("a"), y.as("c")))))).as("w"))
+      .select(col("w.a"), col("w.c"))
+    val cn = wedges.groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("cn"))
+      .join(half, col("a") === col("u") && col("c") === col("v"),
+        "left_anti")
+    val deg = sym.groupBy(col("b")).agg(count(lit(1)).as("deg"))
+    cn.join(deg.select(col("b").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("b").as("c"), col("deg").as("dc")), Seq("c"))
+      .withColumn("jaccard_ppm", expr("(cn * 1000000L) DIV (da + dc - cn)"))
+      .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("jaccard_ppm").desc, col("cn").desc,
+          col("a").asc, col("c").asc)))
+      .filter(col("rnk") <= LinkPredTopK)
+      .select(col("rnk"), col("a").as("part_a"), col("c").as("part_c"),
+        col("cn"), col("da"), col("dc"), col("jaccard_ppm"))
+      .orderBy(col("rnk"))
+  }
+
+  val linkPredictionSql: String =
+    s"""WITH ol AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), halfe AS (
+      |  ${halfEdgesSql("u", "v")}
+      |), sym AS (
+      |  SELECT u AS b, v AS n FROM halfe
+      |  UNION ALL
+      |  SELECT v, u FROM halfe
+      |), wedges AS (
+      |  SELECT s1.n AS a, s2.n AS c
+      |  FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.n < s2.n
+      |), cn AS (
+      |  SELECT a, c, CAST(count(*) AS BIGINT) AS cn
+      |  FROM wedges w
+      |  WHERE NOT EXISTS (SELECT 1 FROM halfe e
+      |                    WHERE e.u = w.a AND e.v = w.c)
+      |  GROUP BY 1, 2
+      |), deg AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1
+      |), scored AS (
+      |  SELECT cn.a, cn.c, cn.cn, d1.deg AS da, d2.deg AS dc,
+      |    (cn.cn * 1000000) // (d1.deg + d2.deg - cn.cn) AS jaccard_ppm
+      |  FROM cn
+      |  JOIN deg d1 ON d1.b = cn.a
+      |  JOIN deg d2 ON d2.b = cn.c
+      |)
+      |SELECT row_number() OVER (ORDER BY jaccard_ppm DESC, cn DESC,
+      |    a ASC, c ASC) AS rnk,
+      |  a AS part_a, c AS part_c, cn, da, dc, jaccard_ppm
+      |FROM scored
+      |ORDER BY jaccard_ppm DESC, cn DESC, a ASC, c ASC
+      |LIMIT $LinkPredTopK""".stripMargin
+
   /** The LPA recurrence as chained CTE bodies over `edges` — the ONE
     * SQL twin of [[graft.operators.Graph.labelPropagation]], shared by
     * the communities oracle and the modularity oracle so the label
@@ -1164,6 +1245,7 @@ object Affinity {
     "q_part_kcore" -> (partKCore _),
     "q_part_communities" -> (partCommunities _),
     "q_part_modularity" -> (partModularity _),
+    "q_link_prediction" -> (linkPrediction _),
     "q_part_sssp" -> (partSssp _),
     "q_part_copurchase" -> (partCopurchase _),
     "q_apriori_triples" -> (aprioriTriples _),
@@ -1182,6 +1264,7 @@ object Affinity {
     "q_part_kcore" -> partKCoreSql,
     "q_part_communities" -> partCommunitiesSql,
     "q_part_modularity" -> partModularitySql,
+    "q_link_prediction" -> linkPredictionSql,
     "q_part_sssp" -> partSsspSql,
     "q_part_copurchase" -> partCopurchaseSql,
     "q_apriori_triples" -> aprioriTriplesSql,

@@ -265,6 +265,35 @@ class AffinitySpec extends SparkSpec {
     assert(ppm == expectPpm)
   }
 
+  test("link prediction: no predicted pair is an edge; cn and jaccard recompute") {
+    val rows = Affinity.linkPrediction(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Affinity.LinkPredTopK)
+    val edges = graft.ingest.Sources.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .collect().flatMap { r =>
+        val ps = r.getSeq[Long](1).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length)
+          yield (ps(i), ps(j))
+      }
+      .groupBy(identity).filter(_._2.length >= 2).keySet
+    val nbrs = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    rows.foreach { r =>
+      val (a, c) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_c"))
+      assert(!edges.contains((a, c)), s"predicted pair ($a,$c) IS an edge")
+      val cn = (nbrs(a) & nbrs(c)).size.toLong
+      assert(r.getAs[Long]("cn") == cn, s"cn mismatch for ($a,$c)")
+      assert(r.getAs[Long]("da") == nbrs(a).size.toLong)
+      assert(r.getAs[Long]("jaccard_ppm") ==
+        cn * 1000000L / (nbrs(a).size + nbrs(c).size - cn))
+    }
+    // ranking is by the emitted score, descending
+    val js = rows.map(_.getAs[Long]("jaccard_ppm")).toSeq
+    assert(js == js.sorted(Ordering[Long].reverse))
+  }
+
   test("degree assortativity: r in [-1,1] over the symmetrized edge count") {
     val row = graft.analytics.Affinity.degreeAssortativity(spark, sf)
       .collect().head
