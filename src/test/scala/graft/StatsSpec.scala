@@ -510,4 +510,30 @@ class StatsSpec extends SparkSpec {
     // rounding is bounded by 1 ppm and cannot flip the sign)
     assert(row.getAs[Long]("gain_ppm") >= 0L)
   }
+
+  test("WOE/IV: bins reconcile with the stump histogram; woe recomputes; zero-information total") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Stats.woeIv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tp = rows.map(_.getAs[Long]("n_pos")).sum
+    val tn = rows.map(_.getAs[Long]("n_neg")).sum
+    val b = rows.length.toLong
+    assert(tp + tn == graft.ingest.Sources.orders(spark, sf).count())
+    rows.foreach { r =>
+      val np = r.getAs[Long]("n_pos"); val nn = r.getAs[Long]("n_neg")
+      val woe = math.floor(1e6 * math.log(
+        ((np + 1).toDouble / (tp + b)) / ((nn + 1).toDouble / (tn + b)))).toLong
+      assert(r.getAs[Long]("woe_micro") == woe, s"woe mismatch at bin ${r.getLong(0)}")
+      val dp = np * 1000000L / tp - nn * 1000000L / tn
+      assert(r.getAs[Long]("iv_contrib") == dp * woe)
+    }
+    // priorities are assigned independently of price in the synthetic
+    // corpus; sparse tail bins inflate IV through smoothing (the
+    // well-known micro-bin artifact), but the total must still sit
+    // well under the >= 0.3 "strong feature" band (3e11 in micro*ppm)
+    // and can only dip below zero by per-bin rounding slack
+    val iv = rows.map(_.getAs[Long]("iv_contrib")).sum
+    assert(iv > -1000000L, s"IV $iv negative beyond rounding slack")
+    assert(iv < 300000000000L, s"IV $iv implausibly high for an uninformative feature")
+  }
 }
