@@ -1495,7 +1495,101 @@ object Stats {
       |FROM hist CROSS JOIN tot
       |ORDER BY bin""".stripMargin
 
+  /** Split-conformal miscoverage α in percent (10 ⇒ 90% intervals). */
+  val ConformalAlphaPct = 10L
+
+  /** Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    * 2018): a three-way deterministic split of the event stream —
+    * train fits the per-type mean predictor, calibration takes the
+    * ⌈(n+1)(1−α)⌉-th order statistic of absolute residuals as the
+    * interval half-width, test measures empirical coverage — the
+    * distribution-free guarantee (coverage ≥ 1−α in expectation)
+    * every production prediction-interval service is built on.
+    *
+    * Exactness: values in micro-dollars, the predictor one positive
+    * DIV, the quantile an exact ORDER STATISTIC (no interpolation),
+    * the ceil an integer identity ((n+1)·(100−α)+99) DIV 100, and
+    * coverage one final ppm DIV — bit-portable end to end.
+    *
+    * Scale shape: one corpus pass tags splits scan-side; the quantile
+    * is a per-type rank (per-type calibration rows in one task is the
+    * textbook shape — at larger scale swap in the sketch-quantile
+    * operator and accept its ε); test scoring is a broadcast join of
+    * the per-type constants.
+    */
+  def conformal(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"),
+      (col("event_id") % 3).as("fold"),
+      (round(col("value") * 100).cast("long") * 10000L).as("v_micro"))
+    val mean = ev.filter(col("fold") === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_train"), sum(col("v_micro")).as("s"))
+      .withColumn("mean_micro", expr("s DIV n_train"))
+      .select(col("event_type"), col("n_train"), col("mean_micro"))
+    val cal = ev.filter(col("fold") === 1)
+      .join(broadcast(mean), Seq("event_type"))
+      .withColumn("r", abs(col("v_micro") - col("mean_micro")))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("event_type")).orderBy(col("r").asc)))
+    val nCal = cal.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr(
+        s"((n_cal + 1) * (100 - $ConformalAlphaPct) + 99) DIV 100"))
+    val qhat = cal.join(broadcast(nCal), Seq("event_type"))
+      .filter(col("rn") === least(col("k"), col("n_cal")))
+      .select(col("event_type"), col("n_cal"), col("r").as("qhat_micro"))
+    ev.filter(col("fold") === 2)
+      .join(broadcast(mean), Seq("event_type"))
+      .join(broadcast(qhat), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_train"), col("n_cal"),
+        col("mean_micro"), col("qhat_micro"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("v_micro") - col("mean_micro")) <=
+          col("qhat_micro"), 1L).otherwise(0L)).as("n_in"))
+      .withColumn("coverage_ppm", expr("(n_in * 1000000L) DIV n_test"))
+      .select(col("event_type"), col("n_train"), col("n_cal"),
+        col("n_test"), col("mean_micro"), col("qhat_micro"),
+        col("coverage_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val conformalSql: String =
+    s"""WITH ev AS (
+      |  SELECT event_type, event_id % 3 AS fold,
+      |    CAST(round(value * 100) AS BIGINT) * 10000 AS v_micro
+      |  FROM events
+      |), mean_ AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+      |    CAST(sum(v_micro) AS BIGINT) // count(*) AS mean_micro
+      |  FROM ev WHERE fold = 0 GROUP BY 1
+      |), cal AS (
+      |  SELECT ev.event_type, abs(v_micro - mean_micro) AS r,
+      |    row_number() OVER (PARTITION BY ev.event_type
+      |      ORDER BY abs(v_micro - mean_micro) ASC) AS rn
+      |  FROM ev JOIN mean_ USING (event_type) WHERE fold = 1
+      |), ncal AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+      |    ((count(*) + 1) * (100 - $ConformalAlphaPct) + 99) // 100 AS k
+      |  FROM cal GROUP BY 1
+      |), qhat AS (
+      |  SELECT cal.event_type, n_cal, r AS qhat_micro
+      |  FROM cal JOIN ncal USING (event_type)
+      |  WHERE rn = least(k, n_cal)
+      |)
+      |SELECT ev.event_type, n_train, n_cal,
+      |  CAST(count(*) AS BIGINT) AS n_test, mean_micro, qhat_micro,
+      |  (CAST(sum(CASE WHEN abs(v_micro - mean_micro) <= qhat_micro
+      |           THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*)
+      |    AS coverage_ppm
+      |FROM ev
+      |JOIN mean_ USING (event_type)
+      |JOIN qhat ON qhat.event_type = ev.event_type
+      |WHERE fold = 2
+      |GROUP BY 1, 2, 3, 5, 6
+      |ORDER BY ev.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conformal" -> (conformal _),
     "q_decision_stump" -> (decisionStump _),
     "q_woe_iv" -> (woeIv _),
     "q_feature_importance" -> (featureImportance _),
@@ -1521,6 +1615,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_conformal" -> conformalSql,
     "q_decision_stump" -> decisionStumpSql,
     "q_woe_iv" -> woeIvSql,
     "q_feature_importance" -> featureImportanceSql,

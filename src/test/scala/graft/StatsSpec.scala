@@ -536,4 +536,34 @@ class StatsSpec extends SparkSpec {
     assert(iv > -1000000L, s"IV $iv negative beyond rounding slack")
     assert(iv < 300000000000L, s"IV $iv implausibly high for an uninformative feature")
   }
+
+  test("conformal: quantile is the exact order statistic; coverage lands near 1 - alpha") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Stats.conformal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.ingest.Sources.events(spark, sf)
+      .select(col("event_type"), (col("event_id") % 3).as("fold"),
+        (round(col("value") * 100).cast("long") * 10000L).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val train = raw.filter(x => x._1 == t && x._2 == 0L).map(_._3)
+      val mean = train.sum / train.length
+      assert(r.getAs[Long]("mean_micro") == mean)
+      val cal = raw.filter(x => x._1 == t && x._2 == 1L)
+        .map(x => math.abs(x._3 - mean)).sorted
+      val k = ((cal.length + 1) * 90 + 99) / 100
+      val qhat = cal(math.min(k, cal.length) - 1)
+      assert(r.getAs[Long]("qhat_micro") == qhat, s"qhat mismatch for $t")
+      val test = raw.filter(x => x._1 == t && x._2 == 2L)
+      val inCnt = test.count(x => math.abs(x._3 - mean) <= qhat)
+      assert(r.getAs[Long]("coverage_ppm") ==
+        inCnt.toLong * 1000000L / test.length)
+      // the conformal guarantee: coverage concentrates near 1 - alpha
+      // (finite-sample slack on a few hundred test rows)
+      val cov = r.getAs[Long]("coverage_ppm")
+      assert(cov > 800000L && cov <= 1000000L,
+        s"coverage $cov for $t outside the plausible 90% band")
+    }
+  }
 }
