@@ -1216,6 +1216,59 @@ object Events {
       |FROM fin WHERE d > 0
       |ORDER BY day""".stripMargin
 
+  /** Paths returned by [[topPaths]] and the n-gram length. */
+  val PathTopK = 10
+  val PathLen = 3
+
+  /** Top event paths: the [[PathTopK]] most frequent length-
+    * [[PathLen]] event-type sequences users actually walk — the
+    * product-analytics "what do people do next" readout that funnels
+    * (fixed steps) and transition matrices (one hop) both miss.
+    * Each user's event stream is ordered by (ts, event_id) — the
+    * repo's deterministic event order — and n-grams are generated
+    * SCAN-SIDE from the per-user array (no self-joins); counting is
+    * one path-vocabulary-sized aggregation.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(transform(col("evs"), e => e.getField("event_type")).as("ets"))
+    seqs
+      .filter(size(col("ets")) >= PathLen)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ets")) - (PathLen - 1)),
+        i => concat_ws(">", slice(col("ets"), i, lit(PathLen))))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(PathTopK)
+      .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("n").desc, col("path").asc)))
+      .select(col("rnk"), col("path"), col("n"))
+      .orderBy(col("rnk"))
+  }
+
+  val topPathsSql: String =
+    s"""WITH seqs AS (
+      |  SELECT user_id,
+      |    array_agg(event_type ORDER BY date_trunc('microseconds', ts),
+      |              event_id) AS ets
+      |  FROM events GROUP BY 1
+      |), grams AS (
+      |  SELECT array_to_string(list_slice(ets, i, i + ${PathLen - 1}), '>')
+      |      AS path
+      |  FROM seqs, unnest(range(1, len(ets) - ${PathLen - 2})) AS u(i)
+      |  WHERE len(ets) >= $PathLen
+      |)
+      |SELECT row_number() OVER (ORDER BY count(*) DESC, path ASC) AS rnk,
+      |  path, CAST(count(*) AS BIGINT) AS n
+      |FROM grams
+      |GROUP BY path
+      |ORDER BY n DESC, path ASC
+      |LIMIT $PathTopK""".stripMargin
+
   /** Pre/post boundary for [[diffInDiff]] — the experiment "launch"
     * instant, interpolated into both sides.
     */
@@ -1306,6 +1359,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_diff_in_diff" -> (diffInDiff _),
+    "q_top_paths" -> (topPaths _),
     "q_kaplan_meier" -> (kaplanMeier _),
     "q_asof_forward" -> (asofForward _),
     "q_asof_nearest" -> (asofNearest _),
@@ -1330,6 +1384,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "q_kaplan_meier" -> kaplanMeierSql,
     "q_diff_in_diff" -> diffInDiffSql,
+    "q_top_paths" -> topPathsSql,
     "q_asof_forward" -> asofForwardSql,
     "q_asof_nearest" -> asofNearestSql,
     "q_conversion_hazard" -> conversionHazardSql,

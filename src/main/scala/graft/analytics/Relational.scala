@@ -777,7 +777,126 @@ object Relational {
       |WHERE rk <= 3
       |ORDER BY n_name, rk""".stripMargin
 
+  /** RFM customer segmentation — the marketing-analytics staple:
+    * recency (days since last order, vs the corpus max date so the
+    * anchor is data-derived and identical on both engines), frequency
+    * (order count) and monetary (lifetime cents) quintiled into 1–5
+    * scores (5 best) with fully deterministic tie-breaks
+    * (metric, custkey), then customers counted per (r, f, m) cell.
+    * ntile semantics (equal buckets, remainder to the first) match
+    * across engines because the ORDER BY is a total order.
+    *
+    * Scale shape: one orders pass → per-customer aggregate; the three
+    * ntiles are global sorts of the CUSTOMER table (dimension-sized —
+    * at a 100 TB fact that frame is still the small side; a truly
+    * huge customer dimension would swap ntile for percentile cuts
+    * from the sketch-quantile operator).
+    */
+  def rfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+      .crossJoin(broadcast(orders(spark, dir)
+        .agg(max(to_date(col("o_orderdate"))).as("anchor"))))
+      .withColumn("r_days", datediff(col("anchor"), col("last_d")))
+    val scored = perCust
+      .withColumn("r_score", ntile(5).over(Window.orderBy(
+        col("r_days").desc, col("o_custkey").asc)))
+      .withColumn("f_score", ntile(5).over(Window.orderBy(
+        col("f").asc, col("o_custkey").asc)))
+      .withColumn("m_score", ntile(5).over(Window.orderBy(
+        col("m").asc, col("o_custkey").asc)))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val rfmSegmentationSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+      |    CAST(count(*) AS BIGINT) AS f,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+      |  FROM orders GROUP BY 1
+      |), anc AS (
+      |  SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders
+      |), scored AS (
+      |  SELECT o_custkey, f, m,
+      |    datediff('day', last_d, anchor) AS r_days,
+      |    ntile(5) OVER (ORDER BY datediff('day', last_d, anchor) DESC,
+      |      o_custkey ASC) AS r_score,
+      |    ntile(5) OVER (ORDER BY f ASC, o_custkey ASC) AS f_score,
+      |    ntile(5) OVER (ORDER BY m ASC, o_custkey ASC) AS m_score
+      |  FROM pc CROSS JOIN anc
+      |)
+      |SELECT r_score, f_score, m_score,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(m) AS BIGINT) AS cents
+      |FROM scored
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** ABC / Pareto classification of the part catalog by revenue:
+    * parts ranked by lifetime extended-price revenue, class A while
+    * the cumulative share is ≤ 80%, B to 95%, C after — the inventory
+    * 80/20 readout. Cumulative comparisons stay exact integers
+    * (cum·100 vs total·80 — never a float share); per-class share is
+    * one final ppm DIV.
+    *
+    * Scale shape: one lineitem pass → per-part revenue; the running
+    * sum is a window over the catalog-sized frame.
+    */
+  def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum", sum(col("cents")).over(w))
+      .crossJoin(broadcast(rev.agg(sum(col("cents")).as("tot"))))
+      .withColumn("abc",
+        when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
+      .withColumn("share_ppm", expr(
+        "(cents * 1000000L) DIV sum(cents) OVER ()"))
+      .orderBy(col("abc"))
+  }
+
+  val paretoAbcSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(cents) AS BIGINT) AS tot FROM rev
+      |), cls AS (
+      |  SELECT l_partkey, cents,
+      |    CASE WHEN CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC)
+      |              AS BIGINT) * 100 <= tot * 80 THEN 'A'
+      |         WHEN CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC)
+      |              AS BIGINT) * 100 <= tot * 95 THEN 'B'
+      |         ELSE 'C' END AS abc
+      |  FROM rev CROSS JOIN tot
+      |), agg AS (
+      |  SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+      |    CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM cls GROUP BY 1
+      |)
+      |SELECT abc, n_parts, cents,
+      |  (cents * 1000000) // (SELECT CAST(sum(cents) AS BIGINT) FROM agg)
+      |    AS share_ppm
+      |FROM agg
+      |ORDER BY abc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segmentation" -> (rfmSegmentation _),
+    "q_pareto_abc" -> (paretoAbc _),
     "q_supplier_share" -> (supplierShare _),
     "q_table_diff" -> (tableDiff _),
     "q_pricing_summary" -> (pricingSummary _),
@@ -804,6 +923,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rfm_segmentation" -> rfmSegmentationSql,
+    "q_pareto_abc" -> paretoAbcSql,
     "q_supplier_share" -> supplierShareSql,
     "q_table_diff" -> tableDiffSql,
     "q_pricing_summary" -> pricingSummarySql,

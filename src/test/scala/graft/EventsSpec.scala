@@ -395,4 +395,28 @@ class EventsSpec extends SparkSpec {
       + row.getAs[Long]("treat_pre_n") + row.getAs[Long]("treat_post_n")
       == raw.length.toLong)
   }
+
+  test("top paths: counts recompute from per-user ordered event streams") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Events.topPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= graft.analytics.Events.PathTopK)
+    val streams = graft.ingest.Sources.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (x._2.getTime, x._2.getNanos, x._3))
+        .map(_._4).toSeq).toMap
+    val counts = streams.values.flatMap(ets =>
+      if (ets.length >= 3) ets.sliding(3).map(_.mkString(">")) else Nil)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(counts(r.getAs[String]("path")) == r.getAs[Long]("n"),
+        s"count mismatch for ${r.getAs[String]("path")}")
+    }
+    // the emitted list IS the global top-k under (n desc, path asc)
+    val expect = counts.toSeq.sortBy { case (p2, n) => (-n, p2) }
+      .take(rows.length).map(_._1)
+    assert(rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[String]("path")).toSeq
+      == expect)
+  }
 }

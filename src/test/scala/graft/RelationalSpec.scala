@@ -165,4 +165,43 @@ class RelationalSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("RFM: scores are 1..5 quintiles partitioning all customers; cells reconcile") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Relational.rfmSegmentation(spark, sf).collect()
+    val nCust = graft.ingest.Sources.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c); assert(v >= 1 && v <= 5, s"$c=$v")
+      }
+    }
+    // each quintile holds n/5 +- 1 customers (ntile remainder rule)
+    val perR = rows.groupBy(_.getAs[Int]("r_score")).view
+      .mapValues(_.map(_.getAs[Long]("n_customers")).sum)
+    assert(perR.values.max - perR.values.min <= 1,
+      s"r quintiles not equi-depth: $perR")
+  }
+
+  test("Pareto ABC: classes partition catalog revenue with the 80/95 boundaries") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Relational.paretoAbc(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    val totParts = graft.ingest.Sources.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == totParts)
+    val cents = rows.map(r => r.getString(0) -> r.getAs[Long]("cents")).toMap
+    val tot = cents.values.sum
+    // class sums ARE the boundary cumulatives: last-A cumulative <= 80%,
+    // last-B cumulative <= 95% (exact integer comparisons by construction)
+    assert(cents("A") * 100 <= tot * 80, "A block exceeds the 80% boundary")
+    assert((cents("A") + cents("B")) * 100 <= tot * 95,
+      "A+B block exceeds the 95% boundary")
+    assert(cents("A") > cents("C"), "head class must out-earn the tail class")
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    rows.zip(shares).foreach { case (r, sp) =>
+      assert(sp == r.getAs[Long]("cents") * 1000000L / tot)
+    }
+  }
 }
