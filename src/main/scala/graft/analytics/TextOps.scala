@@ -3938,6 +3938,86 @@ object TextOps {
        |LIMIT $DsirTopK""".stripMargin
   }
 
+  /** Cross-source unigram cross-entropy matrix — the Moore–Lewis
+    * (2010) domain-similarity readout a data-selection pipeline runs
+    * before mixing: entry (model m, eval e) is the average NLL of
+    * source e's tokens under source m's Laplace-smoothed unigram LM,
+    * in exact micro-nats. Low off-diagonal entries mark near-duplicate
+    * SOURCES (candidates for dedup or down-weighting); the
+    * Moore–Lewis selection score is the column difference against the
+    * in-domain model, directly readable from the matrix.
+    *
+    * Fixed-point discipline: one ln per (source × vocabulary) row plus
+    * one OOV constant per source (smoothing uses the GLOBAL vocab so
+    * every model is normalized over the same event space); per-pair
+    * sums are exact integers; the mean is one positive DIV per matrix
+    * cell.
+    *
+    * Scale shape: ONE corpus shuffle (the (source, token) count table
+    * — shared shape with [[sourceTokenKl]]); the matrix join is
+    * (vocab × sources) rows, Heaps-law-bounded; output is |sources|².
+    */
+  def domainXent(spark: SparkSession, dir: String): DataFrame = {
+    val st = documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // model tables AND eval counts both read it
+    val v = st.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    val models = st.groupBy(col("source")).agg(sum(col("c")).as("n_m"))
+      .crossJoin(broadcast(v))
+      .select(col("source").as("m"), col("n_m"), col("v"),
+        (-floor(lit(1e6) * log(lit(1.0) /
+          (col("n_m") + col("v")).cast("double")))).cast("long")
+          .as("oov_micro"))
+    val ltab = st.join(models.select(col("m").as("source"), col("n_m"),
+        col("v")), Seq("source"))
+      .select(col("source").as("m"), col("tok"),
+        (-floor(lit(1e6) * log((col("c") + 1).cast("double") /
+          (col("n_m") + col("v")).cast("double")))).cast("long")
+          .as("l_micro"))
+    st.select(col("source").as("e"), col("tok"), col("c"))
+      .crossJoin(broadcast(models.select(col("m"), col("oov_micro"))))
+      .join(broadcast(ltab), Seq("m", "tok"), "left")
+      .withColumn("nll", col("c") * coalesce(col("l_micro"), col("oov_micro")))
+      .groupBy(col("m"), col("e"))
+      .agg(sum(col("c")).as("n_tok"), sum(col("nll")).as("s"))
+      .withColumn("xent_micro", expr("s DIV n_tok"))
+      .select(col("m").as("model_source"), col("e").as("eval_source"),
+        col("n_tok"), col("xent_micro"))
+      .orderBy(col("model_source"), col("eval_source"))
+  }
+
+  val domainXentSql: String =
+    """WITH st AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), vv AS (
+      |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM st
+      |), models AS (
+      |  SELECT source AS m, CAST(sum(c) AS BIGINT) AS n_m, v,
+      |    -CAST(floor(1e6 * ln(1.0 /
+      |      CAST(CAST(sum(c) AS BIGINT) + v AS DOUBLE))) AS BIGINT)
+      |      AS oov_micro
+      |  FROM st CROSS JOIN vv GROUP BY source, v
+      |), ltab AS (
+      |  SELECT st.source AS m, st.tok,
+      |    -CAST(floor(1e6 * ln(CAST(c + 1 AS DOUBLE) /
+      |      CAST(n_m + v AS DOUBLE))) AS BIGINT) AS l_micro
+      |  FROM st JOIN models ON models.m = st.source
+      |)
+      |SELECT mo.m AS model_source, ev.source AS eval_source,
+      |  CAST(sum(ev.c) AS BIGINT) AS n_tok,
+      |  CAST(sum(ev.c * coalesce(lt.l_micro, mo.oov_micro)) AS BIGINT)
+      |    // CAST(sum(ev.c) AS BIGINT) AS xent_micro
+      |FROM st ev
+      |CROSS JOIN models mo
+      |LEFT JOIN ltab lt ON lt.m = mo.m AND lt.tok = ev.tok
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Per-source unigram KL divergence against the corpus mixture —
     * the data-mixing audit that says WHICH source's token
     * distribution strays from the blend it feeds (PSI/KS cover
@@ -4274,6 +4354,7 @@ object TextOps {
     "q_nb_calibration" -> (nbCalibration _),
     "q_containment_dup" -> ((s: SparkSession, d: String) => containmentDup(s, d)),
     "q_source_token_kl" -> (sourceTokenKl _),
+    "q_domain_xent" -> (domainXent _),
     "q_lm_kneser_ney" -> (lmKneserNey _),
     "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_minhash_recall" -> (minhashRecall _),
@@ -4332,6 +4413,7 @@ object TextOps {
     "q_nb_calibration" -> nbCalibrationSql,
     "q_containment_dup" -> containmentDupSql,
     "q_source_token_kl" -> sourceTokenKlSql,
+    "q_domain_xent" -> domainXentSql,
     "q_lm_kneser_ney" -> lmKneserNeySql,
     "q_leakage_safe_split" -> leakageSafeSplitSql,
     "q_minhash_recall" -> minhashRecallSql,

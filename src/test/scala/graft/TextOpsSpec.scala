@@ -1556,4 +1556,34 @@ class TextOpsSpec extends SparkSpec {
         r.getAs[Long]("top_contrib_micro") == top._3, s"$s top token")
     }
   }
+
+  test("domain xent: full matrix, diagonal minimizes each eval column, one cell recomputes") {
+    val rows = TextOps.domainXent(spark, sf).collect()
+    val srcs = rows.map(_.getString(0)).distinct.sorted
+    assert(rows.length == srcs.length * srcs.length, "matrix not complete")
+    // a source's own LM must fit it at least as well as any other
+    // model fits it (Gibbs' inequality up to smoothing + floor slack:
+    // allow a 1% micro-nat tolerance rather than strictness)
+    rows.groupBy(_.getString(1)).foreach { case (e, cell) =>
+      val self = cell.find(_.getString(0) == e).get.getAs[Long]("xent_micro")
+      val best = cell.map(_.getAs[Long]("xent_micro")).min
+      assert(self <= (best * 101) / 100,
+        s"own-source model badly beaten on $e: self $self vs best $best")
+    }
+    // recompute one off-diagonal cell from raw counts
+    val (m, e) = (srcs.head, srcs.last)
+    val toks = graft.ingest.Sources.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val v = toks.map(_._2).distinct.length.toLong
+    val cm = toks.filter(_._1 == m).groupBy(_._2).view.mapValues(_.length.toLong)
+    val nM = cm.values.sum
+    def l(w: String) = -math.floor(1e6 * math.log(
+      (cm.getOrElse(w, 0L) + 1).toDouble / (nM + v))).toLong
+    val evalToks = toks.filter(_._1 == e).map(_._2)
+    val expect = evalToks.map(l).sum / evalToks.length
+    val got = rows.find(r => r.getString(0) == m && r.getString(1) == e)
+      .get.getAs[Long]("xent_micro")
+    assert(got == expect, s"cell ($m,$e): $got != $expect")
+  }
 }
