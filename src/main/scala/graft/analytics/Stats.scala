@@ -541,6 +541,77 @@ object Stats {
       |GROUP BY a.p_brand
       |ORDER BY a.p_brand""".stripMargin
 
+  /** Edit-distance threshold for [[entityClusters]] — tight, so a
+    * cluster means "the same catalog entity spelled slightly
+    * differently", not merely "similar".
+    */
+  val EntityMaxDist = 2
+
+  /** Entity resolution: blocked fuzzy match → transitive closure →
+    * entity table. The full record-linkage pipeline (Fellegi–Sunter
+    * blocking + compare + cluster): candidate pairs come from the
+    * (brand, type) block with the |len| lower bound and the codegen'd
+    * Damerau distance at ≤ [[EntityMaxDist]]; A≈B, B≈C must land in
+    * ONE entity even when A̸≈C, so pairs run through the same
+    * co-partitioned connected-components loop the dedup family uses;
+    * the canonical record is the minimum part key. Output is the
+    * multi-record entities (singletons suppressed — they are the
+    * catalog itself).
+    *
+    * Scale shape: pair generation is block-bounded (never catalog²);
+    * the closure is the RDD CC loop (one shuffle per round); the
+    * oracle recomputes the closure as a recursive CTE over the same
+    * pair set — feasible because pairs are threshold-sparse.
+    */
+  def entityClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StringDistances.damerauLevenshtein
+    val p = part(spark, dir).select(col("p_brand"), col("p_type"),
+      col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_type"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_type"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    val pairs = a.join(b, Seq("p_brand", "p_type"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= EntityMaxDist)
+      .filter(damerauLevenshtein(col("name_a"), col("name_b")) <=
+        EntityMaxDist)
+      .select(col("key_a"), col("key_b"))
+    graft.operators.Graph.connectedComponents(
+        pairs.select(col("key_a").as("src"), col("key_b").as("dst")))
+      .groupBy(col("comp").as("entity"))
+      .agg(count(lit(1)).as("n_records"),
+        concat_ws(",", transform(sort_array(collect_list(col("v"))),
+          x => x.cast("string"))).as("part_keys"))
+      .orderBy(col("entity"))
+  }
+
+  val entityClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+      |   AND a.p_partkey < b.p_partkey
+      |   AND abs(length(a.p_name) - length(b.p_name)) <= $EntityMaxDist
+      |  WHERE damerau_levenshtein(a.p_name, b.p_name) <= $EntityMaxDist
+      |), edges AS (
+      |  SELECT key_a AS src, key_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT key_b, key_a FROM pairs
+      |), verts AS (SELECT DISTINCT src AS v FROM edges),
+      |reach(v, r) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+      |), comp AS (
+      |  SELECT v AS key, min(r) AS entity FROM reach GROUP BY v
+      |)
+      |SELECT entity, CAST(count(*) AS BIGINT) AS n_records,
+      |  array_to_string(list_sort(list(key)), ',') AS part_keys
+      |FROM comp
+      |GROUP BY entity
+      |ORDER BY entity""".stripMargin
+
   /** Max edit distance for [[damerauMatch]] — interpolated into both
     * the Column plan and the oracle SQL.
     */
@@ -1609,6 +1680,7 @@ object Stats {
     "q_priority_metrics_unpivot" -> (priorityMetricsUnpivot _),
     "q_part_fuzzy_match" -> ((s: SparkSession, d: String) => partFuzzyMatch(s, d)),
     "q_damerau_match" -> (damerauMatch _),
+    "q_entity_clusters" -> (entityClusters _),
     "q_ols_normal_eq" -> (olsNormalEq _),
     "q_anova_priority" -> (anovaPriority _),
     "q_weighted_median" -> (weightedMedian _)
@@ -1616,6 +1688,7 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "q_conformal" -> conformalSql,
+    "q_entity_clusters" -> entityClustersSql,
     "q_decision_stump" -> decisionStumpSql,
     "q_woe_iv" -> woeIvSql,
     "q_feature_importance" -> featureImportanceSql,

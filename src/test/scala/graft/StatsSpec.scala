@@ -566,4 +566,44 @@ class StatsSpec extends SparkSpec {
         s"coverage $cov for $t outside the plausible 90% band")
     }
   }
+
+  test("entity clusters: every cluster is edge-connected; canonical is the min key") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.StringDistances.damerauLevenshtein
+    val rows = graft.analytics.Stats.entityClusters(spark, sf).collect()
+    assert(rows.nonEmpty, "no multi-record entities in the fixture — vacuous")
+    val t = graft.analytics.Stats.EntityMaxDist
+    val p = graft.ingest.Sources.part(spark, sf)
+    val pairs = p.select(col("p_brand"), col("p_type"),
+        col("p_partkey").as("ka"), col("p_name").as("na"))
+      .join(p.select(col("p_brand"), col("p_type"),
+        col("p_partkey").as("kb"), col("p_name").as("nb")),
+        Seq("p_brand", "p_type"))
+      .filter(col("ka") < col("kb") &&
+        damerauLevenshtein(col("na"), col("nb")) <= t)
+      .collect().map(r => (r.getAs[Long]("ka"), r.getAs[Long]("kb")))
+    val adj = pairs.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val keys = r.getAs[String]("part_keys").split(",").map(_.toLong)
+      assert(r.getAs[Long]("entity") == keys.min,
+        "canonical entity id must be the cluster's min key")
+      assert(r.getAs[Long]("n_records") == keys.length.toLong)
+      assert(keys.length >= 2, "CC emits only connected (multi-record) vertices")
+      // connectivity: BFS within the cluster reaches every member
+      val inSet = keys.toSet
+      var seen = Set(keys.head)
+      var frontier = Set(keys.head)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(k => adj.getOrElse(k, Set.empty))
+          .intersect(inSet) -- seen
+        seen ++= frontier
+      }
+      assert(seen == inSet, s"cluster ${r.getAs[Long]("entity")} not connected")
+    }
+    // completeness: every vertex that HAS a fuzzy pair is in some cluster
+    val clustered = rows.flatMap(_.getAs[String]("part_keys").split(",")
+      .map(_.toLong)).toSet
+    assert(clustered == adj.keySet, "cluster membership != paired vertices")
+  }
 }
