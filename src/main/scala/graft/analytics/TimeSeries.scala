@@ -1139,7 +1139,131 @@ object TimeSeries {
       |GROUP BY a.event_type
       |ORDER BY a.event_type""".stripMargin
 
+  /** PAA segment length (days) and motif word length (symbols) for
+    * [[saxMotifs]].
+    */
+  val SaxSegDays = 2
+  val SaxWordLen = 4
+
+  /** SAX-style symbolic motif discovery (Lin–Keogh–Lonardi–Chiu 2003,
+    * discretization reworked to the repo's exact-integer discipline):
+    * each type's daily-revenue series is piecewise-aggregated
+    * ([[SaxSegDays]]-day integer means), discretized to a 4-letter
+    * alphabet by the series' OWN exact quartile order statistics
+    * (rank-based breakpoints replace the classic z-normal Gaussian
+    * table — no float normalization anywhere, and the symbols adapt
+    * per series exactly like z-norming intends), and the most
+    * frequent length-[[SaxWordLen]] symbol word is reported — the
+    * recurring weekly "shape" of the series. Ties break on the
+    * lexicographically smallest word.
+    *
+    * Scale shape: one corpus pass → the day table; everything after
+    * (PAA, order statistics, word counts) runs on day-count-sized
+    * frames per type.
+    */
+  def saxMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(spark, dir)
+      .withColumn("idx", row_number().over(Window
+        .partitionBy(col("event_type")).orderBy(col("day_idx"))) - 1)
+    val paa = daily
+      .withColumn("seg", expr(s"idx DIV $SaxSegDays"))
+      .groupBy(col("event_type"), col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .filter(col("n") === SaxSegDays) // drop the ragged tail segment
+      .withColumn("v", expr("s DIV n"))
+    val ranked = paa
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("event_type")).orderBy(col("v").asc, col("seg").asc)))
+      .localCheckpoint() // feeds the breakpoint pick AND the symbols
+    val nSeg = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_seg"))
+    // conditional picks (not min/max over the filtered rows): the
+    // three rank positions coincide for tiny series and must then
+    // yield q1 = q2 = q3 rather than a broken difference
+    val bps = ranked.join(broadcast(nSeg), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === expr("(n_seg + 3) DIV 4"), col("v"))).as("q1"),
+        max(when(col("rn") === expr("(n_seg + 1) DIV 2"), col("v"))).as("q2"),
+        max(when(col("rn") === expr("(3 * n_seg + 3) DIV 4"), col("v")))
+          .as("q3"))
+    val sym = ranked.join(broadcast(bps), Seq("event_type"))
+      .withColumn("sym",
+        when(col("v") <= col("q1"), "a")
+          .when(col("v") <= col("q2"), "b")
+          .when(col("v") <= col("q3"), "c")
+          .otherwise("d"))
+    val words = sym
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("seg"), col("sym")))).as("ss"))
+      .select(col("event_type"),
+        transform(col("ss"), s => s.getField("sym")).as("syms"))
+      .filter(size(col("syms")) >= SaxWordLen)
+      .select(col("event_type"), explode(transform(
+        sequence(lit(1), size(col("syms")) - (SaxWordLen - 1)),
+        i => concat_ws("", slice(col("syms"), i, lit(SaxWordLen)))))
+        .as("word"))
+      .groupBy(col("event_type"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    words
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("word").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("word").as("motif"), col("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val saxMotifsSql: String = {
+    val s = SaxSegDays
+    val w = SaxWordLen
+    s"""WITH $dailyCentsSql, idxed AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day_idx) - 1
+      |      AS idx
+      |  FROM daily
+      |), paa AS (
+      |  SELECT event_type, idx // $s AS seg,
+      |    CAST(sum(cents) AS BIGINT) // count(*) AS v
+      |  FROM idxed GROUP BY 1, 2
+      |  HAVING count(*) = $s
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |      ORDER BY v ASC, seg ASC) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n_seg
+      |  FROM paa
+      |), bps AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN rn = (n_seg + 3) // 4 THEN v END) AS q1,
+      |    max(CASE WHEN rn = (n_seg + 1) // 2 THEN v END) AS q2,
+      |    max(CASE WHEN rn = (3 * n_seg + 3) // 4 THEN v END) AS q3
+      |  FROM ranked
+      |  GROUP BY 1
+      |), sym AS (
+      |  SELECT r.event_type, r.seg,
+      |    CASE WHEN v <= q1 THEN 'a' WHEN v <= q2 THEN 'b'
+      |         WHEN v <= q3 THEN 'c' ELSE 'd' END AS sym
+      |  FROM ranked r JOIN bps USING (event_type)
+      |), seqs AS (
+      |  SELECT event_type, array_agg(sym ORDER BY seg) AS syms
+      |  FROM sym GROUP BY 1
+      |), words AS (
+      |  SELECT event_type,
+      |    array_to_string(list_slice(syms, i, i + ${w - 1}), '') AS word
+      |  FROM seqs, unnest(range(1, len(syms) - ${w - 2})) AS u(i)
+      |  WHERE len(syms) >= $w
+      |), counted AS (
+      |  SELECT event_type, word, CAST(count(*) AS BIGINT) AS n
+      |  FROM words GROUP BY 1, 2
+      |)
+      |SELECT event_type, word AS motif, n
+      |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |        ORDER BY n DESC, word ASC) AS rn FROM counted)
+      |WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sax_motifs" -> (saxMotifs _),
     "q_forecast_backtest" -> (forecastBacktest _),
     "q_stl_lite" -> (stlLite _),
     "q_ar1_fit" -> (ar1Fit _),
@@ -1161,6 +1285,7 @@ object TimeSeries {
 
   val oracles: Map[String, String] = Map(
     "q_forecast_backtest" -> forecastBacktestSql,
+    "q_sax_motifs" -> saxMotifsSql,
     "q_stl_lite" -> stlLiteSql,
     "q_ar1_fit" -> ar1FitSql,
     "q_rolling_median" -> rollingMedianSql,

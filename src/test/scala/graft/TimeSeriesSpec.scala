@@ -599,4 +599,37 @@ class TimeSeriesSpec extends SparkSpec {
         r.getAs[Long]("smape_ppm") <= 2000000L)
     }
   }
+
+  test("SAX motifs: symbols recompute from PAA quartiles; motif is the true argmax") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.TimeSeries.saxMotifs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.ingest.Sources.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "d").agg(sum("cents").as("cents"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val series = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+      val paa = series.grouped(2).filter(_.length == 2)
+        .map(seg => seg.sum / 2).toArray
+      val sortedV = paa.zipWithIndex.sortBy(x => (x._1, x._2)).map(_._1)
+      val n = paa.length
+      val (q1, q2, q3) = (sortedV((n + 3) / 4 - 1),
+        sortedV((n + 1) / 2 - 1), sortedV((3 * n + 3) / 4 - 1))
+      val syms = paa.map(v =>
+        if (v <= q1) "a" else if (v <= q2) "b" else if (v <= q3) "c" else "d")
+      val words = syms.sliding(4).filter(_.length == 4).map(_.mkString)
+        .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val best = words.toSeq.minBy { case (w2, c) => (-c, w2) }
+      assert(r.getAs[String]("motif") == best._1,
+        s"$t motif ${r.getAs[String]("motif")} != ${best._1}")
+      assert(r.getAs[Long]("n") == best._2)
+      // the alphabet is genuinely used (quartile split of a 15-point
+      // series cannot put everything in one symbol)
+      assert(syms.distinct.length >= 2, s"$t degenerate symbolization")
+    }
+  }
 }
