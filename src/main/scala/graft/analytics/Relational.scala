@@ -894,7 +894,83 @@ object Relational {
       |FROM agg
       |ORDER BY abc""".stripMargin
 
+  /** Referential-integrity / data-contract audit: the constraint
+    * suite a warehouse landing zone runs on every load — primary-key
+    * uniqueness, foreign-key closure, domain ranges, and temporal
+    * sanity, each as a named check with its exact violation count.
+    * A contract table full of zeros is a weak oracle; this corpus
+    * genuinely violates two checks (duplicate (orderkey, linenumber)
+    * line keys and ship-before-order lines) and the spec pins both
+    * firing at exact recounts.
+    *
+    * Scale shape: each check is one aggregation or anti-join keyed on
+    * the constraint's own columns — the FK probes broadcast the
+    * smaller key side when stats allow and degrade to shuffle joins
+    * at scale; nothing is ever collected.
+    */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val li = lineitem(spark, dir)
+    val c = customer(spark, dir)
+    def chk(name: String, cnt: DataFrame): DataFrame =
+      cnt.select(lit(name).as("check"), col("n").cast("long").as("n_violations"))
+    val checks = Seq(
+      chk("orders_pk_dup", o.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("n"))),
+      chk("lineitem_pk_dup", li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("n"))),
+      chk("orders_custkey_fk", o.join(c,
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))),
+      chk("lineitem_orderkey_fk", li.join(o,
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))),
+      chk("price_nonpositive", o.filter(col("o_totalprice") <= 0)
+        .agg(count(lit(1)).as("n"))),
+      chk("discount_out_of_range",
+        li.filter(col("l_discount") < 0 || col("l_discount") > 0.5)
+          .agg(count(lit(1)).as("n"))),
+      chk("ship_before_order", li.join(o,
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") < col("o_orderdate"))
+        .agg(count(lit(1)).as("n"))))
+    checks.reduce(_.unionByName(_)).orderBy(col("check"))
+  }
+
+  val integrityAuditSql: String =
+    """SELECT * FROM (
+      |  SELECT 'orders_pk_dup' AS check, CAST(count(*) AS BIGINT)
+      |      AS n_violations
+      |  FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'lineitem_pk_dup', CAST(count(*) AS BIGINT)
+      |  FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+      |        GROUP BY 1, 2 HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT)
+      |  FROM orders WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT)
+      |  FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |  UNION ALL
+      |  SELECT 'price_nonpositive', CAST(count(*) AS BIGINT)
+      |  FROM orders WHERE o_totalprice <= 0
+      |  UNION ALL
+      |  SELECT 'discount_out_of_range', CAST(count(*) AS BIGINT)
+      |  FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5
+      |  UNION ALL
+      |  SELECT 'ship_before_order', CAST(count(*) AS BIGINT)
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate < o_orderdate
+      |)
+      |ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_integrity_audit" -> (integrityAudit _),
     "q_rfm_segmentation" -> (rfmSegmentation _),
     "q_pareto_abc" -> (paretoAbc _),
     "q_supplier_share" -> (supplierShare _),
@@ -924,6 +1000,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_rfm_segmentation" -> rfmSegmentationSql,
+    "q_integrity_audit" -> integrityAuditSql,
     "q_pareto_abc" -> paretoAbcSql,
     "q_supplier_share" -> supplierShareSql,
     "q_table_diff" -> tableDiffSql,

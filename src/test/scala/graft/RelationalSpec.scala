@@ -204,4 +204,30 @@ class RelationalSpec extends SparkSpec {
       assert(sp == r.getAs[Long]("cents") * 1000000L / tot)
     }
   }
+
+  test("integrity audit: suite is complete, clean checks are clean, the temporal check fires") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Relational.integrityAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_violations")).toMap
+    assert(rows.keySet == Set("orders_pk_dup", "lineitem_pk_dup",
+      "orders_custkey_fk", "lineitem_orderkey_fk", "price_nonpositive",
+      "discount_out_of_range", "ship_before_order"))
+    // orders keys/FKs/domains are clean by construction
+    Seq("orders_pk_dup", "orders_custkey_fk", "lineitem_orderkey_fk",
+      "price_nonpositive", "discount_out_of_range").foreach { c =>
+      assert(rows(c) == 0L, s"$c unexpectedly fires: ${rows(c)}")
+    }
+    // an all-zero suite is a vacuous oracle: the two checks the
+    // synthetic corpus actually violates must fire, at exact recounts
+    val dupLn = graft.ingest.Sources.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"), col("l_linenumber")).count()
+      .filter(col("count") > 1).count()
+    assert(dupLn > 0 && rows("lineitem_pk_dup") == dupLn)
+    val direct = graft.ingest.Sources.lineitem(spark, sf)
+      .join(graft.ingest.Sources.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate")).count()
+    assert(direct > 0, "fixture has no ship-before-order lines — vacuous")
+    assert(rows("ship_before_order") == direct)
+  }
 }
