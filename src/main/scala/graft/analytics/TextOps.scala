@@ -3978,7 +3978,9 @@ object TextOps {
           .as("l_micro"))
     st.select(col("source").as("e"), col("tok"), col("c"))
       .crossJoin(broadcast(models.select(col("m"), col("oov_micro"))))
-      .join(broadcast(ltab), Seq("m", "tok"), "left")
+      // unhinted for the same reason as nbScoreDocs: the model table
+      // is vocabulary-sized and must be allowed to shuffle at scale
+      .join(ltab, Seq("m", "tok"), "left")
       .withColumn("nll", col("c") * coalesce(col("l_micro"), col("oov_micro")))
       .groupBy(col("m"), col("e"))
       .agg(sum(col("c")).as("n_tok"), sum(col("nll")).as("s"))
@@ -4200,7 +4202,12 @@ object TextOps {
         explode(col("toks")).as("tok"): _*)
       .crossJoin(broadcast(classes.select(col("source").as("c"),
         col("oov_micro"))))
-      .join(broadcast(ltab), Seq("c", "tok"), "left")
+      // NO broadcast hint on the likelihood table: it is
+      // vocabulary × classes — small enough that AQE size-picks a
+      // broadcast at these SFs, but Heaps-law-growing, so at corpus
+      // scale the lookup must be free to become a shuffle join on
+      // (class, token) rather than OOM the driver
+      .join(ltab, Seq("c", "tok"), "left")
       .select((col("doc_id") +: carryCols) :+ col("c") :+
         coalesce(col("l_micro"), col("oov_micro")).as("term"): _*)
     val priorTerms = docs
