@@ -247,7 +247,7 @@ object Affinity {
   }
 
   val assocRulesSql: String =
-    s"""WITH t AS (
+    s"""WITH t AS MATERIALIZED (
       |  SELECT * FROM (
       |${aprioriTriplesSql}
       |  )
