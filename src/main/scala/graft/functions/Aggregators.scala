@@ -341,7 +341,81 @@ object Aggregators {
       |FROM ests CROSS JOIN exact_f
       |ORDER BY j""".stripMargin
 
+  /** Equi-join size estimation by Count-Min inner product (Cormode &
+    * Muthukrishnan 2005, §4.2): |A ⋈ B| = Σ_k cA(k)·cB(k) is estimated
+    * by min_i Σ_b cmsA[i][b]·cmsB[i][b] — the cardinality probe a
+    * planner (or a pipeline author) runs BEFORE committing to a
+    * shuffle join whose output might be quadratic. One-sided like the
+    * point estimate: est ≥ exact always, over by εN_A·N_B/w w.h.p.
+    * Probed here on the genuinely non-FK join events.user_id ⋈
+    * orders.o_custkey, audited against the exact Σ-product.
+    *
+    * The sketch rows rebuild from per-(row, bucket) indicator counts
+    * (the [[CountMin]] bucket rule), so the DuckDB twin reproduces
+    * every counter — and therefore the estimate — bit-for-bit. Scale
+    * shape: two corpus passes into d×w counters each (fixed size);
+    * the inner product is a d×w-bounded join; the exact audit is one
+    * key-count join (key-cardinality-sized, not join-output-sized).
+    */
+  def joinSizeSketch(spark: SparkSession, dir: String): DataFrame = {
+    def counters(keys: DataFrame): DataFrame = keys
+      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("i"),
+        col("k"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("k")), lit(1) + col("i") * 8, lit(8)), 16, 10)
+          .cast("long"), lit(CmsWidth.toLong)))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val ev = Sources.events(spark, dir)
+      .select(col("user_id").cast("string").as("k"))
+    val od = Sources.orders(spark, dir)
+      .select(col("o_custkey").cast("string").as("k"))
+    val est = counters(ev).join(counters(od)
+        .select(col("i"), col("bucket"), col("cnt").as("cnt_b")),
+        Seq("i", "bucket"))
+      .groupBy(col("i"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("cms_est"))
+    val exact = ev.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      .join(od.groupBy(col("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_size"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_size"), col("cms_est"),
+        (col("cms_est") - col("exact_size")).as("overcount"),
+        lit(CmsDepth.toLong).as("d"), lit(CmsWidth.toLong).as("w"))
+  }
+
+  val joinSizeSketchSql: String =
+    s"""WITH ek AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+      |), ok AS (
+      |  SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+      |), hrows AS (
+      |  SELECT unnest(range(0, $CmsDepth)) AS i
+      |), ca AS (
+      |  SELECT i, CAST(('0x' || substr(md5(k), 1 + 8 * i, 8)) AS BIGINT)
+      |      % $CmsWidth AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM ek CROSS JOIN hrows GROUP BY 1, 2
+      |), cb AS (
+      |  SELECT i, CAST(('0x' || substr(md5(k), 1 + 8 * i, 8)) AS BIGINT)
+      |      % $CmsWidth AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM ok CROSS JOIN hrows GROUP BY 1, 2
+      |), est AS (
+      |  SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM (
+      |    SELECT ca.i, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+      |    FROM ca JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket
+      |    GROUP BY 1)
+      |), exact_ AS (
+      |  SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT) AS exact_size
+      |  FROM (SELECT k, count(*) AS c FROM ek GROUP BY 1) a
+      |  JOIN (SELECT k, count(*) AS c FROM ok GROUP BY 1) b USING (k)
+      |)
+      |SELECT exact_size, cms_est, cms_est - exact_size AS overcount,
+      |  CAST($CmsDepth AS BIGINT) AS d, CAST($CmsWidth AS BIGINT) AS w
+      |FROM exact_ CROSS JOIN est""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_size_sketch" -> (joinSizeSketch _),
     "q_ams_f2" -> (amsF2Tokens _),
     "q_event_moments" -> (eventMoments _),
     "q_countmin_tokens" -> (countMinTokens _)
@@ -349,6 +423,7 @@ object Aggregators {
 
   val oracles: Map[String, String] = Map(
     "q_ams_f2" -> amsF2TokensSql,
+    "q_join_size_sketch" -> joinSizeSketchSql,
     "q_event_moments" -> eventMomentsSql,
     "q_countmin_tokens" -> countMinTokensSql
   )

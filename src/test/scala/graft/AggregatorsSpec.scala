@@ -170,4 +170,29 @@ class AggregatorsSpec extends SparkSpec {
     assert(mean > exact / 10 && mean < exact * 10,
       s"AMS mean $mean implausibly far from exact $exact")
   }
+
+  test("join-size sketch: one-sided estimate; exact recomputes from key counts") {
+    import org.apache.spark.sql.functions._
+    val row = graft.functions.Aggregators.joinSizeSketch(spark, sf).head()
+    val exact = row.getAs[Long]("exact_size")
+    val est = row.getAs[Long]("cms_est")
+    // one-sided bound: CMS inner products only ever overcount
+    assert(est >= exact, s"inner-product estimate $est below exact $exact")
+    assert(row.getAs[Long]("overcount") == est - exact)
+    // recompute exact from key frequencies
+    val evC = graft.ingest.Sources.events(spark, sf)
+      .groupBy(col("user_id").cast("string").as("k")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val odC = graft.ingest.Sources.orders(spark, sf)
+      .groupBy(col("o_custkey").cast("string").as("k")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = evC.map { case (k, c) => c * odC.getOrElse(k, 0L) }.sum
+    assert(exact == direct, s"exact $exact != key-count recompute $direct")
+    assert(direct > 0, "probe join is empty — vacuous fixture")
+    // the estimate is useful, not degenerate: within the epsilon bound
+    // e/w * Na * Nb of the exact size
+    val na = evC.values.sum; val nb = odC.values.sum
+    val bound = exact + (3 * na * nb) / (row.getAs[Long]("w"))
+    assert(est <= bound, s"estimate $est beyond the CMS error bound $bound")
+  }
 }
