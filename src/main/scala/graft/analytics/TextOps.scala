@@ -3938,6 +3938,99 @@ object TextOps {
        |LIMIT $DsirTopK""".stripMargin
   }
 
+  /** Documents selected by [[setCoverSelect]] and its shingle width. */
+  val SetCoverK = 10
+  val SetCoverN = 3
+
+  /** Greedy maximum-coverage data selection (the classic (1−1/e)
+    * submodular greedy): pick [[SetCoverK]] documents, each round
+    * taking the document covering the most NOT-yet-covered 3-gram
+    * shingles — facility-location-style subset selection, the
+    * coverage-driven complement of score-based picks like DSIR (a
+    * coverage pick never spends budget on a near-duplicate of an
+    * already-chosen doc, which is why curation stacks run both).
+    * Ties break on the lowest doc_id; emits each round's pick, its
+    * marginal gain, and cumulative corpus-gram coverage in ppm.
+    *
+    * Scale shape: the covered-gram set is a DISTRIBUTED frame, never
+    * driver state — each round is one anti-join of the (doc, gram)
+    * incidence against it plus a TakeOrdered(1) argmax; K rounds ⇒ K
+    * bounded shuffles. The only collect is the 1-row argmax (a query
+    * anchor). The gram definition is the ONE [[gramArray]] rule the
+    * dedup/contamination family shares.
+    */
+  def setCoverSelect(spark: SparkSession, dir: String): DataFrame = {
+    val items = docGrams(spark, dir, SetCoverN).localCheckpoint()
+    val totGrams = items.select(col("gram")).distinct().count()
+    var covered = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gram",
+          org.apache.spark.sql.types.StringType))))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var cum = 0L
+    for (r <- 1 to SetCoverK) {
+      val best = items.join(covered, Seq("gram"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (docId, gain) = (best(0).getLong(0), best(0).getLong(1))
+        cum += gain
+        picks += ((r, docId, gain, cum))
+        covered = covered
+          .union(items.filter(col("doc_id") === docId).select(col("gram")))
+          .distinct()
+          .localCheckpoint() // truncate the K-round union lineage
+      }
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("rnk", "doc_id", "gain", "cum_grams")
+      .withColumn("coverage_ppm",
+        expr(s"(cum_grams * 1000000L) DIV ${totGrams}L"))
+      .orderBy(col("rnk"))
+  }
+
+  val setCoverSelectSql: String = {
+    val gramCte =
+      """items AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents))
+        |)""".stripMargin
+    val rounds = (1 to SetCoverK).map { r =>
+      val prevCov = if (r == 1) "" else
+        s"  WHERE NOT EXISTS (SELECT 1 FROM c${r - 1} WHERE c${r - 1}.gram = i.gram)\n"
+      val covBody = if (r == 1)
+        s"SELECT gram FROM items WHERE doc_id = (SELECT doc_id FROM b$r)"
+      else
+        s"""SELECT gram FROM c${r - 1}
+           |  UNION
+           |  SELECT gram FROM items WHERE doc_id = (SELECT doc_id FROM b$r)""".stripMargin
+      s"""b$r AS MATERIALIZED (
+        |  SELECT i.doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM items i
+        |$prevCov  GROUP BY 1 ORDER BY gain DESC, doc_id ASC LIMIT 1
+        |), c$r AS MATERIALIZED (
+        |  $covBody
+        |)""".stripMargin
+    }.mkString(",\n")
+    val finalRows = (1 to SetCoverK).map { r =>
+      s"""SELECT $r AS rnk, doc_id, gain,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c$r) AS cum_grams
+         |FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $gramCte,
+      |tot AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS n FROM items),
+      |$rounds
+      |SELECT rnk, doc_id, gain, cum_grams,
+      |  (cum_grams * 1000000) // (SELECT n FROM tot) AS coverage_ppm
+      |FROM ($finalRows)
+      |ORDER BY rnk""".stripMargin
+  }
+
   /** Cross-source unigram cross-entropy matrix — the Moore–Lewis
     * (2010) domain-similarity readout a data-selection pipeline runs
     * before mixing: entry (model m, eval e) is the average NLL of
@@ -4362,6 +4455,7 @@ object TextOps {
     "q_containment_dup" -> ((s: SparkSession, d: String) => containmentDup(s, d)),
     "q_source_token_kl" -> (sourceTokenKl _),
     "q_domain_xent" -> (domainXent _),
+    "q_set_cover" -> (setCoverSelect _),
     "q_lm_kneser_ney" -> (lmKneserNey _),
     "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_minhash_recall" -> (minhashRecall _),
@@ -4421,6 +4515,7 @@ object TextOps {
     "q_containment_dup" -> containmentDupSql,
     "q_source_token_kl" -> sourceTokenKlSql,
     "q_domain_xent" -> domainXentSql,
+    "q_set_cover" -> setCoverSelectSql,
     "q_lm_kneser_ney" -> lmKneserNeySql,
     "q_leakage_safe_split" -> leakageSafeSplitSql,
     "q_minhash_recall" -> minhashRecallSql,

@@ -1586,4 +1586,34 @@ class TextOpsSpec extends SparkSpec {
       .get.getAs[Long]("xent_micro")
     assert(got == expect, s"cell ($m,$e): $got != $expect")
   }
+
+  test("set cover: greedy invariants — gains non-increasing, disjoint increments, true argmax per round") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.setCoverSelect(spark, sf).collect()
+    assert(rows.length == TextOps.SetCoverK)
+    val gains = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("gain"))
+    // submodularity: marginal gains never increase along the greedy path
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      s"gains not non-increasing: ${gains.toSeq}")
+    // cumulative coverage is exactly the running gain sum
+    val cums = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("cum_grams"))
+    assert(cums.toSeq == gains.scanLeft(0L)(_ + _).tail.toSeq)
+    // replay greedy driver-side from raw grams and pin every pick
+    val items = graft.ingest.Sources.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect().map { r =>
+        val t = r.getSeq[String](1)
+        r.getLong(0) -> t.sliding(TextOps.SetCoverN)
+          .filter(_.length == TextOps.SetCoverN).map(_.mkString(" ")).toSet
+      }.toMap
+    var covered = Set.empty[String]
+    rows.sortBy(_.getAs[Int]("rnk")).foreach { r =>
+      val best = items.map { case (id, g) => (id, (g -- covered).size.toLong) }
+        .toSeq.minBy { case (id, g) => (-g, id) }
+      assert(r.getAs[Long]("doc_id") == best._1 &&
+        r.getAs[Long]("gain") == best._2,
+        s"round ${r.getAs[Int]("rnk")}: pick ${r.getAs[Long]("doc_id")}/${r.getAs[Long]("gain")} != replay $best")
+      covered ++= items(best._1)
+    }
+  }
 }
