@@ -4031,6 +4031,69 @@ object TextOps {
       |ORDER BY rnk""".stripMargin
   }
 
+  /** Chao2 richness estimate + Good–Turing unseen mass over 3-gram
+    * shingle INCIDENCE (per-document presence, the sampling-unit form
+    * of the species-richness family) — the crawl-planning readout:
+    * "how many distinct shingles does this language's population
+    * hold beyond what we've collected, and what fraction of the next
+    * document's grams will be new". Chao2's bias-corrected form
+    * D + ((m−1)/m)·q1(q1−1)/(2(q2+1)) is always defined (no q2=0
+    * pole) and emitted in exact milli units via one nonnegative DIV;
+    * the Good–Turing new-gram rate is q1/incidences in ppm.
+    *
+    * Scale shape: one corpus pass into the (lang, gram, doc-count)
+    * incidence table (shingle-vocabulary-sized); everything after is
+    * per-language constants.
+    */
+  def chao2Richness(spark: SparkSession, dir: String): DataFrame = {
+    val inc = documents(spark, dir)
+      .select(col("lang"), col("doc_id"), explode(gramArray(3)).as("gram"))
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("f"))
+    val m = documents(spark, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("m_docs"))
+    inc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("d_grams"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("q1"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("q2"),
+        sum(col("f")).as("incidences"))
+      .join(broadcast(m), Seq("lang"))
+      .withColumn("chao2_milli", expr(
+        "d_grams * 1000L + ((m_docs - 1) * q1 * (q1 - 1) * 1000L)" +
+          " DIV (m_docs * 2 * (q2 + 1))"))
+      .withColumn("unseen_ppm", expr("(q1 * 1000000L) DIV incidences"))
+      .select(col("lang"), col("m_docs"), col("d_grams"), col("q1"),
+        col("q2"), col("chao2_milli"), col("unseen_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val chao2RichnessSql: String =
+    """WITH inc AS (
+      |  SELECT lang, gram, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT DISTINCT lang, doc_id,
+      |          md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS gram
+      |        FROM (SELECT lang, doc_id, t,
+      |                unnest(range(1, greatest(len(t) - 1, 1))) AS i
+      |              FROM (SELECT lang, doc_id, string_split(text, ' ') AS t
+      |                    FROM documents)))
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS m_docs
+      |  FROM documents GROUP BY 1
+      |), agg AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS d_grams,
+      |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+      |    CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS q2,
+      |    CAST(sum(f) AS BIGINT) AS incidences
+      |  FROM inc GROUP BY 1
+      |)
+      |SELECT agg.lang, m_docs, d_grams, q1, q2,
+      |  d_grams * 1000 + ((m_docs - 1) * q1 * (q1 - 1) * 1000)
+      |    // (m_docs * 2 * (q2 + 1)) AS chao2_milli,
+      |  (q1 * 1000000) // incidences AS unseen_ppm
+      |FROM agg JOIN m USING (lang)
+      |ORDER BY lang""".stripMargin
+
   /** Cross-source unigram cross-entropy matrix — the Moore–Lewis
     * (2010) domain-similarity readout a data-selection pipeline runs
     * before mixing: entry (model m, eval e) is the average NLL of
@@ -4456,6 +4519,7 @@ object TextOps {
     "q_source_token_kl" -> (sourceTokenKl _),
     "q_domain_xent" -> (domainXent _),
     "q_set_cover" -> (setCoverSelect _),
+    "q_chao2_richness" -> (chao2Richness _),
     "q_lm_kneser_ney" -> (lmKneserNey _),
     "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_minhash_recall" -> (minhashRecall _),
@@ -4516,6 +4580,7 @@ object TextOps {
     "q_source_token_kl" -> sourceTokenKlSql,
     "q_domain_xent" -> domainXentSql,
     "q_set_cover" -> setCoverSelectSql,
+    "q_chao2_richness" -> chao2RichnessSql,
     "q_lm_kneser_ney" -> lmKneserNeySql,
     "q_leakage_safe_split" -> leakageSafeSplitSql,
     "q_minhash_recall" -> minhashRecallSql,

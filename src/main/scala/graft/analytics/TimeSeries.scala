@@ -1262,7 +1262,72 @@ object TimeSeries {
       |ORDER BY event_type""".stripMargin
   }
 
+  /** Cohort lifetime-value curve — [[cohortRetention]]'s revenue twin:
+    * per (cohort year, years-since-first-order), the CUMULATIVE
+    * revenue per cohort member in exact micro-dollars — the payback
+    * readout ("how much has the 1996 cohort spent per head by year
+    * 2") that retention counts alone can't answer. Cohort size is the
+    * year-0 member count; cumulative cents are a running window sum;
+    * the per-head division is one positive-operand DIV per cell.
+    *
+    * Scale shape: one orders pass (min-year per customer rides the
+    * same aggregation as the revenue cells); everything after runs on
+    * cohort × offset cells.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(spark, dir)
+      .select(col("o_custkey"),
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"), col("yr"))
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("cohort_yr",
+        min(col("yr")).over(Window.partitionBy(col("o_custkey"))))
+    val cells = perCust
+      .withColumn("yr_offset", col("yr") - col("cohort_yr"))
+      .groupBy(col("cohort_yr"), col("yr_offset"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_active"))
+    val w = Window.partitionBy(col("cohort_yr")).orderBy(col("yr_offset"))
+    cells
+      .withColumn("cum_cents", sum(col("cents"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cohort_size", first(col("n_active")).over(w))
+      .withColumn("ltv_micro_per_head",
+        expr("(cum_cents * 10000L) DIV cohort_size"))
+      .select(col("cohort_yr"), col("yr_offset"), col("n_active"),
+        col("cum_cents"), col("cohort_size"), col("ltv_micro_per_head"))
+      .orderBy(col("cohort_yr"), col("yr_offset"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1, 2
+      |), wc AS (
+      |  SELECT *, min(yr) OVER (PARTITION BY o_custkey) AS cohort_yr
+      |  FROM pc
+      |), cells AS (
+      |  SELECT cohort_yr, yr - cohort_yr AS yr_offset,
+      |    CAST(sum(cents) AS BIGINT) AS cents,
+      |    CAST(count(*) AS BIGINT) AS n_active
+      |  FROM wc GROUP BY 1, 2
+      |)
+      |SELECT cohort_yr, yr_offset, n_active,
+      |  CAST(sum(cents) OVER (PARTITION BY cohort_yr ORDER BY yr_offset)
+      |    AS BIGINT) AS cum_cents,
+      |  first(n_active) OVER (PARTITION BY cohort_yr ORDER BY yr_offset)
+      |    AS cohort_size,
+      |  (CAST(sum(cents) OVER (PARTITION BY cohort_yr ORDER BY yr_offset)
+      |    AS BIGINT) * 10000)
+      |    // first(n_active) OVER (PARTITION BY cohort_yr ORDER BY yr_offset)
+      |    AS ltv_micro_per_head
+      |FROM cells
+      |ORDER BY cohort_yr, yr_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_ltv" -> (cohortLtv _),
     "q_sax_motifs" -> (saxMotifs _),
     "q_forecast_backtest" -> (forecastBacktest _),
     "q_stl_lite" -> (stlLite _),
@@ -1286,6 +1351,7 @@ object TimeSeries {
   val oracles: Map[String, String] = Map(
     "q_forecast_backtest" -> forecastBacktestSql,
     "q_sax_motifs" -> saxMotifsSql,
+    "q_cohort_ltv" -> cohortLtvSql,
     "q_stl_lite" -> stlLiteSql,
     "q_ar1_fit" -> ar1FitSql,
     "q_rolling_median" -> rollingMedianSql,

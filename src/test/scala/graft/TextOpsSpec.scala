@@ -1616,4 +1616,26 @@ class TextOpsSpec extends SparkSpec {
       covered ++= items(best._1)
     }
   }
+
+  test("chao2: estimate bounds observed richness; q1/q2 recompute from doc incidence") {
+    val rows = TextOps.chao2Richness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.ingest.Sources.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val inc = docs.filter(_._1 == lang).flatMap { case (_, _, t) =>
+        t.split(" ").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet.toSeq
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(r.getAs[Long]("d_grams") == inc.size.toLong)
+      assert(r.getAs[Long]("q1") == inc.values.count(_ == 1L).toLong)
+      assert(r.getAs[Long]("q2") == inc.values.count(_ == 2L).toLong)
+      // the richness estimate can never fall below what was observed
+      assert(r.getAs[Long]("chao2_milli") >= r.getAs[Long]("d_grams") * 1000L)
+      val up = r.getAs[Long]("unseen_ppm")
+      assert(up >= 0L && up <= 1000000L)
+    }
+  }
 }

@@ -632,4 +632,32 @@ class TimeSeriesSpec extends SparkSpec {
       assert(syms.distinct.length >= 2, s"$t degenerate symbolization")
     }
   }
+
+  test("cohort LTV: per-head curve is monotone and recomputes from raw orders") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.TimeSeries.cohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.ingest.Sources.orders(spark, sf)
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cohortOf = raw.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (cy, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // cumulative per-head value never decreases along the curve
+      val ltv = sorted.map(_.getAs[Long]("ltv_micro_per_head"))
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => b >= a },
+        s"cohort $cy LTV not monotone: ${ltv.toSeq}")
+      // cohort size = members whose first year is cy
+      val size = cohortOf.count(_._2 == cy).toLong
+      assert(sorted.head.getAs[Long]("cohort_size") == size)
+      // recompute one cell's cumulative cents
+      val off = sorted.last.getLong(1)
+      val cum = raw.filter { case (c, y, _) =>
+        cohortOf(c) == cy && y - cy <= off }.map(_._3).sum
+      assert(sorted.last.getAs[Long]("cum_cents") == cum)
+      assert(sorted.last.getAs[Long]("ltv_micro_per_head") ==
+        cum * 10000L / size)
+    }
+  }
 }
