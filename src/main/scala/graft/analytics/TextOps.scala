@@ -4094,6 +4094,83 @@ object TextOps {
       |FROM agg JOIN m USING (lang)
       |ORDER BY lang""".stripMargin
 
+  /** KS discrimination of the NB classifier margin — the
+    * two-sample Kolmogorov–Smirnov statistic between the margin
+    * distributions of CORRECTLY and INCORRECTLY classified test docs
+    * (the "KS" every scorecard quotes: how separable are the score
+    * distributions of the two outcomes; KS ≈ 0 means the margin
+    * carries no signal about correctness and cannot gate anything).
+    * Exact arithmetic: margins are integer micro-nats, each empirical
+    * CDF value is one positive DIV, D is a max over |difference of
+    * floors| at the observed margins — deterministic on both engines;
+    * ties in D break on the smallest margin.
+    *
+    * Scale shape: everything after [[nbScores]] is |classes| rows per
+    * doc, then one sort-window over the test-split-sized margin table
+    * (at corpus scale the CDF sweep becomes the sketch-quantile walk,
+    * same note as [[graft.analytics.Stats.conformal]]).
+    */
+  def nbKs(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = nbScores(spark, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("c").asc)))
+      .filter(col("rn") <= 2)
+      .localCheckpoint()
+    val labeled = ranked.filter(col("rn") === 1)
+      .select(col("doc_id"),
+        when(col("c") === col("true_source"), 1L).otherwise(0L).as("ok"),
+        col("score").as("s1"))
+      .join(ranked.filter(col("rn") === 2)
+        .select(col("doc_id"), col("score").as("s2")), Seq("doc_id"))
+      .withColumn("margin", col("s1") - col("s2"))
+    val tot = labeled.agg(sum(col("ok")).as("n_ok"),
+      sum(lit(1L) - col("ok")).as("n_bad"))
+    val w = Window.orderBy(col("margin"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    labeled
+      .withColumn("c_ok", sum(col("ok")).over(w))
+      .withColumn("c_bad", sum(lit(1L) - col("ok")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("d_ppm", abs(
+        expr("(c_ok * 1000000L) DIV n_ok") -
+          expr("(c_bad * 1000000L) DIV n_bad")))
+      .orderBy(col("d_ppm").desc, col("margin").asc)
+      .limit(1)
+      .select(col("n_ok").as("n_correct"), col("n_bad").as("n_incorrect"),
+        col("d_ppm").as("ks_ppm"), col("margin").as("at_margin_micro"))
+  }
+
+  /** (lazy: [[nbScoredCtes]] initializes later in the file — the
+    * [[minhashRecallSql]] precedent.)
+    */
+  lazy val nbKsSql: String =
+    s"""WITH $nbScoredCtes, ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, c ASC) AS rn
+      |  FROM scored
+      |), labeled AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN b.c = b.true_source THEN 1 ELSE 0 END AS ok,
+      |    b.score - s.score AS margin
+      |  FROM ranked b JOIN ranked s
+      |    ON b.doc_id = s.doc_id AND b.rn = 1 AND s.rn = 2
+      |), tot AS (
+      |  SELECT CAST(sum(ok) AS BIGINT) AS n_ok,
+      |    CAST(sum(1 - ok) AS BIGINT) AS n_bad
+      |  FROM labeled
+      |), cum AS (
+      |  SELECT margin,
+      |    CAST(sum(ok) OVER (ORDER BY margin, doc_id) AS BIGINT) AS c_ok,
+      |    CAST(sum(1 - ok) OVER (ORDER BY margin, doc_id) AS BIGINT) AS c_bad
+      |  FROM labeled
+      |)
+      |SELECT n_ok AS n_correct, n_bad AS n_incorrect,
+      |  abs((c_ok * 1000000) // n_ok - (c_bad * 1000000) // n_bad) AS ks_ppm,
+      |  margin AS at_margin_micro
+      |FROM cum CROSS JOIN tot
+      |ORDER BY ks_ppm DESC, margin ASC
+      |LIMIT 1""".stripMargin
+
   /** Cross-source unigram cross-entropy matrix — the Moore–Lewis
     * (2010) domain-similarity readout a data-selection pipeline runs
     * before mixing: entry (model m, eval e) is the average NLL of
@@ -4307,8 +4384,12 @@ object TextOps {
     * production classifier deployment has.
     */
   def nbModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // the LM family's hash split, NOT doc_id parity: the synthetic
+    // corpus assigns source = f(doc_id mod |sources|), so a parity
+    // split would put disjoint class sets in train and test and the
+    // eval would be structurally incapable of a correct prediction
     val train = documents(spark, dir)
-      .filter(col("doc_id") % 2 === 0)
+      .filter(isTrain)
       .select(col("source"), split(col("text"), " ").as("toks"))
     // (class, token) train counts — vocabulary-sized after the one
     // corpus shuffle; feeds the class totals, the vocab count and the
@@ -4383,7 +4464,7 @@ object TextOps {
   private def nbScores(spark: SparkSession, dir: String): DataFrame = {
     val (classes, ltab) = nbModel(spark, dir)
     val test = documents(spark, dir)
-      .filter(col("doc_id") % 2 === 1)
+      .filter(!isTrain)
       .select(col("doc_id"), col("source").as("true_source"),
         split(col("text"), " ").as("toks"))
     nbScoreDocs(test, classes, ltab, Seq("true_source"))
@@ -4394,13 +4475,14 @@ object TextOps {
     * the SQL twin of [[nbScores]], shared by both NB oracles.
     */
   private val nbScoredCtes: String =
-    """docs AS (
-      |  SELECT doc_id, source, string_split(text, ' ') AS toks
+    s"""docs AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |    ${graft.operators.Scale.hashBucketSql("doc_id")} < 80 AS is_train
       |  FROM documents
       |), cwc AS (
       |  SELECT source, tok, count(*) AS c_wc
       |  FROM (SELECT source, unnest(toks) AS tok FROM docs
-      |        WHERE doc_id % 2 = 0)
+      |        WHERE is_train)
       |  GROUP BY 1, 2
       |), vocab AS (
       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cwc
@@ -4413,9 +4495,9 @@ object TextOps {
       |), prior AS (
       |  SELECT source, CAST(floor(1e6 * ln(
       |      CAST(count(*) AS DOUBLE) /
-      |      (SELECT CAST(count(*) AS DOUBLE) FROM docs WHERE doc_id % 2 = 0)))
+      |      (SELECT CAST(count(*) AS DOUBLE) FROM docs WHERE is_train)))
       |    AS BIGINT) AS prior_micro
-      |  FROM docs WHERE doc_id % 2 = 0 GROUP BY 1
+      |  FROM docs WHERE is_train GROUP BY 1
       |), ltab AS (
       |  SELECT cwc.source AS c, cwc.tok,
       |    CAST(floor(1e6 * ln(CAST(c_wc + 1 AS DOUBLE) /
@@ -4424,7 +4506,7 @@ object TextOps {
       |), tc AS (
       |  SELECT doc_id, source AS true_source, tok, count(*) AS n
       |  FROM (SELECT doc_id, source, unnest(toks) AS tok FROM docs
-      |        WHERE doc_id % 2 = 1)
+      |        WHERE NOT is_train)
       |  GROUP BY 1, 2, 3
       |), scored AS (
       |  SELECT tc.doc_id, tc.true_source, cl.source AS c,
@@ -4515,6 +4597,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_naive_bayes" -> (naiveBayes _),
     "q_nb_calibration" -> (nbCalibration _),
+    "q_nb_ks" -> (nbKs _),
     "q_containment_dup" -> ((s: SparkSession, d: String) => containmentDup(s, d)),
     "q_source_token_kl" -> (sourceTokenKl _),
     "q_domain_xent" -> (domainXent _),
@@ -4576,6 +4659,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q_naive_bayes" -> naiveBayesSql,
     "q_nb_calibration" -> nbCalibrationSql,
+    "q_nb_ks" -> nbKsSql,
     "q_containment_dup" -> containmentDupSql,
     "q_source_token_kl" -> sourceTokenKlSql,
     "q_domain_xent" -> domainXentSql,

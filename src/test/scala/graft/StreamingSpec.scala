@@ -811,7 +811,7 @@ class StreamingSpec extends SparkSpec {
     val cls = classes.localCheckpoint(true)
     val lt = ltab.localCheckpoint(true)
     val testDocs = graft.ingest.Sources.documents(spark, dir)
-      .filter(col("doc_id") % 2 === 1)
+      .filter(graft.operators.Scale.hashBucket(col("doc_id")) >= 80)
       .select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val input = MemoryStream[(Long, String)](spark)
@@ -834,7 +834,7 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     val batch = graft.analytics.TextOps.nbScoreDocs(
         graft.ingest.Sources.documents(spark, dir)
-          .filter(col("doc_id") % 2 === 1)
+          .filter(graft.operators.Scale.hashBucket(col("doc_id")) >= 80)
           .select(col("doc_id"), split(col("text"), " ").as("toks")),
         cls, lt, Seq.empty)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
