@@ -19,6 +19,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.spark.Sessions.local(cpus, cpus)
     // Warm up the session (executor threads, codegen compiler, parquet
@@ -86,10 +87,20 @@ object Bench {
     // Per-query detail first, compact total summary as the FINAL line:
     // the driver keeps only the output tail, and a 99-entry map on the
     // same line as the total previously truncated the total away.
-    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"queries_max","queries":$qmax,"sf":"$sfDir"}""")
-    println(s"""{"metric":"queries_rel_spread","queries":$qspread,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","runs":$nRuns,"agg":"min","order":"interleaved","errors":$errors,"streaming_rows_per_sec":$streaming}""")
+    val lines = Seq(
+      s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""",
+      s"""{"metric":"queries_max","queries":$qmax,"sf":"$sfDir"}""",
+      s"""{"metric":"queries_rel_spread","queries":$qspread,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","runs":$nRuns,"agg":"min","order":"interleaved","errors":$errors,"streaming_rows_per_sec":$streaming,"full_artifact":"$benchOut"}""")
+    // The driver's tail capture truncated ~2/3 of the round-8 per-query
+    // map, blinding round-over-round diffs — so the FULL artifact also
+    // lands in a file (path echoed in the total line above).
+    try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
+    }
+    lines.foreach(println)
     spark.stop()
   }
 }

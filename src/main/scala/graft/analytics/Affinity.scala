@@ -1011,13 +1011,20 @@ object Affinity {
       .join(half, col("a") === col("u") && col("c") === col("v"),
         "left_anti")
     val deg = sym.groupBy(col("b")).agg(count(lit(1)).as("deg"))
+    // ranking tail follows the bm25Ranked discipline: TakeOrdered cut
+    // to the k-row frame FIRST (orderBy+limit plans as
+    // TakeOrderedAndProject — per-partition heaps, no global sort, no
+    // single-partition window over the candidate set), rank assigned
+    // AFTER the cut so the only unpartitioned window runs on k rows
     cn.join(deg.select(col("b").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("b").as("c"), col("deg").as("dc")), Seq("c"))
       .withColumn("jaccard_ppm", expr("(cn * 1000000L) DIV (da + dc - cn)"))
+      .orderBy(col("jaccard_ppm").desc, col("cn").desc,
+        col("a").asc, col("c").asc)
+      .limit(LinkPredTopK)
       .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions
         .Window.orderBy(col("jaccard_ppm").desc, col("cn").desc,
           col("a").asc, col("c").asc)))
-      .filter(col("rnk") <= LinkPredTopK)
       .select(col("rnk"), col("a").as("part_a"), col("c").as("part_c"),
         col("cn"), col("da"), col("dc"), col("jaccard_ppm"))
       .orderBy(col("rnk"))

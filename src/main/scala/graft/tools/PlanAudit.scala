@@ -13,6 +13,17 @@ import org.apache.spark.sql.GraftBridge
   * with build-side provenance printed — the round-6 audit's bare
   * broadcast COUNT misread a corpus-sized postings broadcast as a
   * 3-row phrase frame.
+  *
+  * `spwindow` (round 9) is the second hard gate: single-partition
+  * WindowExec over an unbounded corpus-derived frame (see
+  * [[PlanForensics.singlePartitionWindows]]) — the round-8 judge
+  * found two of these (q_price_deciles' ntile over the raw fact
+  * table, q_link_prediction's rank over all wedge candidates) that
+  * the broadcast-only audit was blind to. `spwagg` is the soft tier
+  * (an aggregate bounds the frame to its group domain — safe only if
+  * the domain is corpus-independent, which a docstring must argue);
+  * `win`/`wgl` report how many window nodes exist and how many got
+  * Spark's InferWindowGroupLimit rewrite.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -24,7 +35,17 @@ object PlanAudit {
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
     qs.foreach { case (name, fn) =>
       try {
-        val fin = GraftBridge.finalPlan(fn(spark, sf))
+        val df = fn(spark, sf)
+        // window forensics run on the STATIC physical plan: AQE's
+        // EliminateLimits strips a limit whose bound runtime stats
+        // prove redundant (measured: priceDeciles' 34-row offsets
+        // cap), which would erase exactly the cardinality proof the
+        // window detector keys on. Empty partitionSpec is structural
+        // — identical pre/post AQE — so static loses nothing there.
+        // Broadcast forensics stay on the FINAL plan, where they must
+        // be (size-picked vs forced is a runtime distinction).
+        val static = df.queryExecution.sparkPlan
+        val fin = GraftBridge.finalPlan(df)
         val p = fin.toString
         val nodes = PlanForensics.walk(fin)
         def n(cls: String) =
@@ -53,6 +74,11 @@ object PlanAudit {
               fn(spark, sf).queryExecution.executedPlan)
             finally spark.conf.set(key, prev)
           }
+        val spw = PlanForensics.singlePartitionWindows(static)
+        val spwRaw = spw.filter(_.bound == "none")
+        val spwCkpt = spw.filter(_.bound == "ckpt")
+        val spwAgg = spw.filter(_.bound == "agg")
+        val (nWin, nWgl) = PlanForensics.windowGroupLimits(fin)
         val flag =
           (if (forced.nonEmpty)
              s"  !! FORCED raw corpus broadcast: ${forced.mkString(", ")}"
@@ -60,8 +86,14 @@ object PlanAudit {
              s"  ~ size-pick raw broadcast (re-plans to shuffle at scale): ${raw.map(_.tables).mkString(", ")}"
            else "") +
           (if (soft.isEmpty) ""
-           else s"  ~ filter-bounded corpus broadcast (verify selectivity): ${soft.map(_.tables).mkString(", ")}")
-        println(f"$name%-32s scans=$scans shuffles=$shuffles bcast=$bcast reused=$reused bnlj=$bnlj cart=$cart corpusbcast=${forced.size}$flag")
+           else s"  ~ filter-bounded corpus broadcast (verify selectivity): ${soft.map(_.tables).mkString(", ")}") +
+          (if (spwRaw.isEmpty) ""
+           else s"  !! RAW single-partition window over: ${spwRaw.map(_.tables).mkString(", ")}") +
+          (if (spwCkpt.isEmpty) ""
+           else s"  ~ checkpoint-fed single-partition window (verify the checkpointed frame's bound): ${spwCkpt.map(_.tables).mkString(", ")}") +
+          (if (spwAgg.isEmpty) ""
+           else s"  ~ agg-bounded single-partition window (verify group domain): ${spwAgg.map(_.tables).mkString(", ")}")
+        println(f"$name%-32s scans=$scans shuffles=$shuffles bcast=$bcast reused=$reused bnlj=$bnlj cart=$cart corpusbcast=${forced.size} spwindow=${spwRaw.size} spwckpt=${spwCkpt.size} spwagg=${spwAgg.size} win=$nWin wgl=$nWgl$flag")
         if (sys.env.contains("GRAFT_AUDIT_VERBOSE") && corpus.nonEmpty)
           println(p)
       } catch {

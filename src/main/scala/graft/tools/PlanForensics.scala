@@ -90,4 +90,116 @@ object PlanForensics {
     */
   def rawCorpusBroadcasts(root: SparkPlan): Seq[String] =
     corpusBroadcasts(root).filterNot(_.filtered).map(_.tables)
+
+  /** Limit-type nodes: a CONSTANT cardinality bound, independent of
+    * both corpus size and group domains. The only bound class that
+    * makes a single-partition sort/window safe unconditionally.
+    */
+  private val LimitBounding: Set[String] = Set(
+    "GlobalLimitExec", "CollectLimitExec", "LocalLimitExec",
+    "TakeOrderedAndProjectExec")
+
+  private val AggNodes: Set[String] = Set(
+    "HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec")
+
+  /** A single-partition (empty partitionSpec) window over a
+    * corpus-derived frame, classified by what sits between the window
+    * and the corpus leaf:
+    *
+    *  - `aggBounded = false` (the HARD flag): nothing but row-preserving
+    *    ops — the window's one task sorts the corpus itself
+    *    (round-8 q_price_deciles: `Exchange SinglePartition` over the
+    *    orders fact table).
+    *  - `aggBounded = true` (the SOFT flag): an aggregate collapses the
+    *    frame first, but an aggregate bounds only to its GROUP DOMAIN —
+    *    which for shapes like wedge-pair counting (round-8
+    *    q_link_prediction) grows superlinearly with the corpus. A human
+    *    (or a docstring) must say why the domain is small; the
+    *    provably-safe alternative is an explicit in-plan `limit` above
+    *    the aggregate, which this detector honors as a full bound.
+    *
+    * `tables` names the corpus scans reached; a `ckpt` entry means the
+    * path ends at a localCheckpoint RDD leaf — provenance unknown to
+    * the plan, so it is treated as corpus-derived (round 8's
+    * q_link_prediction hid its lineitem scan behind exactly such a
+    * checkpoint; a detector that only matched FileSourceScan would
+    * have missed the round's headline finding).
+    *
+    * Unlike broadcasts there is no forced-vs-size-pick re-plan here:
+    * an empty partitionSpec is structural — the planner NEVER
+    * re-plans it at scale, which is what makes the shape a hard
+    * ceiling rather than a self-correcting size pick.
+    */
+  final case class CorpusWindow(tables: String, bound: String) {
+    def aggBounded: Boolean = bound != "none"
+  }
+
+  private def emptyPartitionSpec(p: SparkPlan): Boolean = p match {
+    case w: org.apache.spark.sql.execution.window.WindowExec =>
+      w.partitionSpec.isEmpty
+    case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+      w.partitionSpec.isEmpty
+    case _ => false
+  }
+
+  /** One entry per single-partition window whose input subtree reaches
+    * a corpus-sized leaf without crossing a limit. Empty = every
+    * global-order window in the plan runs on a constant-bounded frame.
+    */
+  def singlePartitionWindows(root: SparkPlan): Seq[CorpusWindow] = {
+    // (leaf name, was an aggregate crossed on the way down?)
+    def reach(p: SparkPlan, agg: Boolean): Seq[(String, Boolean)] = {
+      val cls = p.getClass.getSimpleName
+      if (LimitBounding(cls)) Seq.empty
+      else if (cls.contains("FileSourceScan"))
+        CorpusTables.filter(t => p.toString.contains(s"$t.parquet"))
+          .map(t => (t, agg))
+      else if (cls == "RDDScanExec") Seq(("ckpt", agg))
+      else GraftBridge.planChildren(p)
+        .flatMap(reach(_, agg || AggNodes(cls)))
+    }
+    walk(root).filter(emptyPartitionSpec).flatMap { w =>
+      // start from the window's CHILDREN — reach(w, …) would classify
+      // the window node's own class instead of its input path
+      val fromChildren = GraftBridge.planChildren(w)
+        .flatMap(reach(_, agg = false))
+      if (fromChildren.isEmpty) None
+      else {
+        val tabs = fromChildren.map(_._1).distinct.sorted.mkString("+")
+        // three tiers: a provable corpus FileScan reached with no agg
+        // is the hard "none"; checkpoint-only leaves are "ckpt"
+        // (provenance opaque to the plan — the checkpointed frame's
+        // own bound must be argued); otherwise "agg"
+        val bound =
+          if (fromChildren.exists { case (t, agg) => t != "ckpt" && !agg })
+            "none"
+          else if (fromChildren.exists { case (t, agg) => t == "ckpt" && !agg })
+            "ckpt"
+          else "agg"
+        Some(CorpusWindow(tabs, bound))
+      }
+    }
+  }
+
+  /** The hard flags only: a single-partition window directly over a
+    * corpus-sized frame — the round-8 q_price_deciles shape.
+    */
+  def rawSinglePartitionWindows(root: SparkPlan): Seq[String] =
+    singlePartitionWindows(root).filter(_.bound == "none").map(_.tables)
+
+  /** WindowGroupLimit probe: (total window nodes, group-limit nodes).
+    * Spark's InferWindowGroupLimit is supposed to rewrite
+    * `rank <= k`-filtered windows into a pre-window top-k pass — the
+    * round-8 judge probe showed it did NOT fire on q_link_prediction's
+    * rank filter, which is why rank-then-filter must be written as
+    * limit-then-rank in this repo. This counter keeps the rewrite's
+    * presence/absence visible per query so future rank filters that
+    * silently miss the rewrite are caught even when their frames are
+    * bounded today.
+    */
+  def windowGroupLimits(root: SparkPlan): (Int, Int) = {
+    val nodes = walk(root).map(_.getClass.getSimpleName)
+    (nodes.count(n => n == "WindowExec" || n == "WindowGroupLimitExec"),
+      nodes.count(_ == "WindowGroupLimitExec"))
+  }
 }

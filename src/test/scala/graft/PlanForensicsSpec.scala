@@ -62,4 +62,105 @@ class PlanForensicsSpec extends SparkSpec {
         col("o_custkey") === col("c_custkey"))
     assert(graft.tools.PlanForensics.corpusBroadcasts(fin(dim)).isEmpty)
   }
+
+  // ——— single-partition window detector (round 9) ———————————————
+  // The round-8 judge found two single-task window sorts the
+  // broadcast-only audit was blind to. These specs pin the detector
+  // on the exact pre-fix shapes, so "spwindow=0 everywhere" can't
+  // mean a broken detector. Windows are audited on the STATIC
+  // physical plan (AQE's EliminateLimits strips redundant limit
+  // proofs — see PlanAudit).
+  private def stat(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan
+  private def spw(df: org.apache.spark.sql.DataFrame) =
+    graft.tools.PlanForensics.singlePartitionWindows(stat(df))
+
+  import org.apache.spark.sql.expressions.Window
+
+  test("raw single-partition window over a fact table is hard-flagged (the r8 q_price_deciles shape)") {
+    val bad = graft.ingest.Sources.orders(spark, sf)
+      .withColumn("d", ntile(10).over(
+        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+    val f = spw(bad)
+    assert(f.exists(w => w.bound == "none" && w.tables.contains("orders")),
+      s"raw fact-table window not flagged: $f")
+  }
+
+  test("agg-fed and checkpoint-fed single-partition windows are soft-flagged (the r8 q_link_prediction shape)") {
+    // an aggregate sits between window and scan — bounded only by its
+    // GROUP DOMAIN, which the detector cannot certify
+    val agged = graft.ingest.Sources.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("n").desc, col("o_custkey"))))
+    val fa = spw(agged)
+    assert(fa.exists(w => w.bound == "agg" && w.tables.contains("orders")),
+      s"agg-fed window not soft-flagged: $fa")
+    // a localCheckpoint hides the scan behind an RDD leaf — the
+    // detector must treat the opaque leaf as corpus-derived, or it
+    // misses exactly the r8 headline finding (linkPrediction
+    // checkpoints its edge list before the candidate ranking)
+    val ckpt = graft.ingest.Sources.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).localCheckpoint()
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+    val fc = spw(ckpt)
+    assert(fc.exists(_.bound == "ckpt"),
+      s"checkpoint-fed window not soft-flagged: $fc")
+  }
+
+  test("limit-bounded and partitioned windows stay clean") {
+    // the bm25Ranked discipline: TakeOrdered cut FIRST, rank after
+    val ranked = graft.ingest.Sources.orders(spark, sf)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+    assert(spw(ranked).isEmpty,
+      s"limit-bounded window wrongly flagged: ${spw(ranked)}")
+    // a PARTITIONED window is Spark's parallel path — never flagged
+    val part = graft.ingest.Sources.orders(spark, sf)
+      .withColumn("r", row_number().over(Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))))
+    assert(spw(part).isEmpty,
+      s"partitioned window wrongly flagged: ${spw(part)}")
+  }
+
+  test("the two r8 findings audit clean post-fix") {
+    assert(spw(graft.analytics.Stats.priceDeciles(spark, sf)).isEmpty,
+      "q_price_deciles still plans a single-partition window over the fact table")
+    assert(spw(graft.analytics.Affinity.linkPrediction(spark, sf)).isEmpty,
+      "q_link_prediction still ranks the full candidate set in one task")
+  }
+
+  test("InferWindowGroupLimit fires on partitioned rank-filters and NOT on unpartitioned ones") {
+    // Pins the Spark 4.1 behavior the r8 judge probe discovered
+    // manually: a `rank <= k` filter over a PARTITIONED window gets
+    // the group-limit rewrite (partial + final WindowGroupLimitExec),
+    // but the UNPARTITIONED variant gets NOTHING — it really does
+    // sort the whole input in one task, which is why rank-then-filter
+    // over a global order must be written limit-then-rank in this
+    // repo. If a Spark upgrade changes either side, this fails and
+    // the discipline gets re-evaluated.
+    val part = graft.ingest.Sources.orders(spark, sf)
+      .withColumn("r", row_number().over(Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)))
+      .filter(col("r") <= 2)
+    assert(graft.tools.PlanForensics.windowGroupLimits(stat(part)) === ((3, 2)),
+      "partitioned rank-filter lost the WindowGroupLimit rewrite")
+    val global = graft.ingest.Sources.orders(spark, sf)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("o_totalprice").desc)))
+      .filter(col("r") <= 2)
+    // the UNPARTITIONED variant gets no group-limit — instead 4.1's
+    // LimitPushDownThroughWindow plants a TakeOrderedAndProject BELOW
+    // the window (probed: the r8 link_prediction plan shows the rule
+    // does NOT fire on every real shape — its multi-column rank
+    // survived to a bare single-task Window — so the repo discipline
+    // stays limit-then-rank rather than trusting the rewrite)
+    assert(graft.tools.PlanForensics.windowGroupLimits(stat(global)) === ((1, 0)),
+      "unpartitioned rank-filter unexpectedly got a group-limit rewrite")
+    assert(spw(global).isEmpty,
+      "limit-pushed rank-filter wrongly flagged — TakeOrderedAndProject below the window IS the bound")
+  }
 }

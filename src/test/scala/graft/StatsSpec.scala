@@ -281,6 +281,36 @@ class StatsSpec extends SparkSpec {
     assert(ks >= 0.0 && ks <= 1.0)
   }
 
+  test("price deciles: 2-phase sharded rank is bit-identical to the window ntile") {
+    // the distributed global rank (round-9 rewrite of the
+    // single-partition ntile window) must reproduce Spark's own
+    // ntile(10) bucket-for-bucket — INCLUDING the front-loaded
+    // remainder rows — at a row count not divisible by 10
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    def viaNtile(input: org.apache.spark.sql.DataFrame) = input
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"),
+        round(sum(col("o_totalprice")), 2).as("mass"))
+      .orderBy(col("decile")).collect().map(_.toSeq).toSeq
+    // full table (what the oracle gates) AND a filtered frame whose
+    // row count is NOT ≡ 0 (mod 10): sf0.001 orders is exactly 1500
+    // rows, so the full table alone never exercises the front-loaded
+    // remainder buckets
+    val full = graft.ingest.Sources.orders(spark, sf)
+    assert(Stats.priceDeciles(spark, sf).collect().map(_.toSeq).toSeq
+      == viaNtile(full), "sharded rank deciles diverge on the full table")
+    val odd = full.filter(col("o_orderkey") % 7 =!= 0)
+    val nOdd = odd.count()
+    assert(nOdd % 10 != 0, s"probe subset n=$nOdd still divisible by 10")
+    assert(Stats.decilesOf(odd).collect().map(_.toSeq).toSeq
+      == viaNtile(odd),
+      s"sharded rank deciles diverge at n=$nOdd (remainder=${nOdd % 10})")
+  }
+
   test("sketch quantiles: estimate matches a driver-side histogram walk, error within one bin") {
     val rows = Stats.sketchQuantiles(spark, sf).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq == Seq("p50", "p90", "p99"))
