@@ -563,7 +563,15 @@ object Stats {
     * oracle recomputes the closure as a recursive CTE over the same
     * pair set — feasible because pairs are threshold-sparse.
     */
-  def entityClusters(spark: SparkSession, dir: String): DataFrame = {
+  def entityClusters(spark: SparkSession, dir: String): DataFrame =
+    entityReadout(entityBlockPairs(spark, dir))
+
+  /** Block-1 candidate pairs — exact (brand, type) block, length
+    * lower bound, codegen'd Damerau kernel — shared by
+    * [[entityClusters]] and [[entityClustersLsh]] so the two passes
+    * cannot drift.
+    */
+  private def entityBlockPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.StringDistances.damerauLevenshtein
     val p = part(spark, dir).select(col("p_brand"), col("p_type"),
       col("p_partkey"), col("p_name"))
@@ -571,12 +579,18 @@ object Stats {
       col("p_partkey").as("key_a"), col("p_name").as("name_a"))
     val b = p.select(col("p_brand"), col("p_type"),
       col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    val pairs = a.join(b, Seq("p_brand", "p_type"))
+    a.join(b, Seq("p_brand", "p_type"))
       .filter(col("key_a") < col("key_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= EntityMaxDist)
       .filter(damerauLevenshtein(col("name_a"), col("name_b")) <=
         EntityMaxDist)
       .select(col("key_a"), col("key_b"))
+  }
+
+  /** Shared closure + readout: CC over a pair set, entities keyed by
+    * min part key, singletons suppressed.
+    */
+  private def entityReadout(pairs: DataFrame): DataFrame =
     graft.operators.Graph.connectedComponents(
         pairs.select(col("key_a").as("src"), col("key_b").as("dst")))
       .groupBy(col("comp").as("entity"))
@@ -584,7 +598,6 @@ object Stats {
         concat_ws(",", transform(sort_array(collect_list(col("v"))),
           x => x.cast("string"))).as("part_keys"))
       .orderBy(col("entity"))
-  }
 
   val entityClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
@@ -594,6 +607,124 @@ object Stats {
       |   AND a.p_partkey < b.p_partkey
       |   AND abs(length(a.p_name) - length(b.p_name)) <= $EntityMaxDist
       |  WHERE damerau_levenshtein(a.p_name, b.p_name) <= $EntityMaxDist
+      |), edges AS (
+      |  SELECT key_a AS src, key_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT key_b, key_a FROM pairs
+      |), verts AS (SELECT DISTINCT src AS v FROM edges),
+      |reach(v, r) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+      |), comp AS (
+      |  SELECT v AS key, min(r) AS entity FROM reach GROUP BY v
+      |)
+      |SELECT entity, CAST(count(*) AS BIGINT) AS n_records,
+      |  array_to_string(list_sort(list(key)), ',') AS part_keys
+      |FROM comp
+      |GROUP BY entity
+      |ORDER BY entity""".stripMargin
+
+  /** MinHash lanes for the [[entityClustersLsh]] second blocking pass
+    * (r = 1: each lane is its own band — recall ≈ 1−(1−J)^4, so a
+    * one-word spelling variant on a five-word name (J ≈ 2/3) is
+    * caught with ≈ 99% probability; production linkage at lower
+    * target Jaccard moves to r = 2 with more lanes to shrink the
+    * buckets, same shapes).
+    */
+  val EntityLshLanes = 4
+
+  /** [[entityClusters]] with a SECOND, block-crossing candidate pass:
+    * name-token MinHash lanes (the dedup family's engine-portable
+    * md5 hash family, K = [[EntityLshLanes]], r = 1) bucket records
+    * by each lane's min token hash REGARDLESS of (brand, type), so a
+    * spelling variant entered under the wrong brand or type — which
+    * the exact block is structurally blind to — still reaches the
+    * Damerau compare. Pairs from both passes union (set semantics)
+    * before the same CC closure; the Fellegi–Sunter structure is
+    * unchanged, only the blocking key set grew.
+    *
+    * Scale shape: the signature build is scan-side (the one-pass
+    * [[graft.functions.MinHashSigs]] kernel, no explode before the
+    * bucket join); candidate volume is Σ_buckets |bucket|² where a
+    * bucket is "records sharing one lane's min-hash token" — bounded
+    * by the name-token document frequencies, never catalog²; the
+    * first-agreeing-lane discipline dedupes multi-lane collisions
+    * with ZERO extra shuffle (no pair-level distinct before the
+    * kernel); the cross-pass union IS a distinct, on the
+    * threshold-sparse surviving pairs only.
+    */
+  def entityClustersLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StringDistances.damerauLevenshtein
+    val toks = array_distinct(split(col("p_name"), " "))
+    val sigs = part(spark, dir)
+      .select(col("p_partkey"), col("p_name"),
+        transform(toks, t => md5(t)).as("mds"))
+      .select(col("p_partkey"), col("p_name"),
+        graft.functions.MinHashOps.minhashSigs(
+          transform(col("mds"), s =>
+            conv(substring(s, 1, 8), 16, 10).cast("long")),
+          transform(col("mds"), s =>
+            conv(substring(s, 9, 8), 16, 10).cast("long")),
+          EntityLshLanes, graft.analytics.TextOps.MinHashP).as("sig"))
+    val banded = sigs.select(col("p_partkey"), col("p_name"), col("sig"),
+      posexplode(col("sig")).as(Seq("lane", "m")))
+    val a = banded.select(col("p_partkey").as("key_a"),
+      col("p_name").as("name_a"), col("sig").as("sig_a"),
+      col("lane"), col("m"))
+    val b = banded.select(col("p_partkey").as("key_b"),
+      col("p_name").as("name_b"), col("sig").as("sig_b"),
+      col("lane"), col("m"))
+    val lshPairs = a.join(b, Seq("lane", "m"))
+      .filter(col("key_a") < col("key_b"))
+      .filter(col("lane") === graft.functions.MinHashOps.firstAgreeBand(
+        col("sig_a"), col("sig_b"), EntityLshLanes))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <=
+        EntityMaxDist)
+      .filter(damerauLevenshtein(col("name_a"), col("name_b")) <=
+        EntityMaxDist)
+      .select(col("key_a"), col("key_b"))
+    entityReadout(
+      entityBlockPairs(spark, dir).union(lshPairs).distinct())
+  }
+
+  val entityClustersLshSql: String =
+    s"""WITH RECURSIVE p1 AS (
+      |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+      |   AND a.p_partkey < b.p_partkey
+      |   AND abs(length(a.p_name) - length(b.p_name)) <= $EntityMaxDist
+      |  WHERE damerau_levenshtein(a.p_name, b.p_name) <= $EntityMaxDist
+      |), ptoks AS (
+      |  SELECT p_partkey,
+      |    unnest(list_distinct(string_split(p_name, ' '))) AS tok
+      |  FROM part
+      |), h AS (
+      |  SELECT p_partkey,
+      |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+      |  FROM ptoks
+      |), sig AS (
+      |  SELECT p_partkey, i,
+      |    min((h1 + i * h2) % ${graft.analytics.TextOps.MinHashP}) AS m
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, $EntityLshLanes)) AS i) seeds
+      |  GROUP BY p_partkey, i
+      |), cand AS (
+      |  SELECT DISTINCT sa.p_partkey AS key_a, sb.p_partkey AS key_b
+      |  FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.m = sb.m
+      |  WHERE sa.p_partkey < sb.p_partkey
+      |), p2 AS (
+      |  SELECT c.key_a, c.key_b
+      |  FROM cand c
+      |  JOIN part pa ON pa.p_partkey = c.key_a
+      |  JOIN part pb ON pb.p_partkey = c.key_b
+      |  WHERE abs(length(pa.p_name) - length(pb.p_name)) <= $EntityMaxDist
+      |    AND damerau_levenshtein(pa.p_name, pb.p_name) <= $EntityMaxDist
+      |), pairs AS (
+      |  SELECT key_a, key_b FROM p1
+      |  UNION
+      |  SELECT key_a, key_b FROM p2
       |), edges AS (
       |  SELECT key_a AS src, key_b AS dst FROM pairs
       |  UNION ALL
@@ -1653,11 +1784,22 @@ object Stats {
     *
     * Scale shape: one corpus pass tags splits scan-side; the quantile
     * is a per-type rank (per-type calibration rows in one task is the
-    * textbook shape — at larger scale swap in the sketch-quantile
-    * operator and accept its ε); test scoring is a broadcast join of
-    * the per-type constants.
+    * textbook shape — the tested scale path is [[conformalSketch]],
+    * which swaps the rank for the histogram-sketch walk and whose ε
+    * the spec pins at one bin width); test scoring is a broadcast
+    * join of the per-type constants.
     */
   def conformal(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, mean) = conformalBase(spark, dir)
+    conformalReadout(ev, mean, conformalQhatExact(ev, mean))
+  }
+
+  /** Split tagging + per-type mean predictor — the front shared by the
+    * exact and sketch conformal variants, factored so their qhat
+    * definitions are the ONLY difference.
+    */
+  private def conformalBase(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val ev = events(spark, dir).select(col("event_type"),
       (col("event_id") % 3).as("fold"),
       (round(col("value") * 100).cast("long") * 10000L).as("v_micro"))
@@ -1666,18 +1808,43 @@ object Stats {
       .agg(count(lit(1)).as("n_train"), sum(col("v_micro")).as("s"))
       .withColumn("mean_micro", expr("s DIV n_train"))
       .select(col("event_type"), col("n_train"), col("mean_micro"))
-    val cal = ev.filter(col("fold") === 1)
-      .join(broadcast(mean), Seq("event_type"))
+    (ev, mean)
+  }
+
+  /** Per-type calibration residuals (event_type, r) — fold-1 rows
+    * against the fold-0 predictor.
+    */
+  private def conformalResiduals(ev: DataFrame, mean: DataFrame): DataFrame =
+    ev.filter(col("fold") === 1)
+      .join(broadcast(mean.select(col("event_type"), col("mean_micro"))),
+        Seq("event_type"))
       .withColumn("r", abs(col("v_micro") - col("mean_micro")))
-      .withColumn("rn", row_number().over(Window
-        .partitionBy(col("event_type")).orderBy(col("r").asc)))
-    val nCal = cal.groupBy(col("event_type"))
+      .select(col("event_type"), col("r"))
+
+  /** Per-type calibration size and conformal rank
+    * k = ⌈(n+1)(1−α)⌉ from any (event_type, …) calibration frame.
+    */
+  private def conformalNCal(cal: DataFrame): DataFrame =
+    cal.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_cal"))
       .withColumn("k", expr(
         s"((n_cal + 1) * (100 - $ConformalAlphaPct) + 99) DIV 100"))
-    val qhat = cal.join(broadcast(nCal), Seq("event_type"))
+
+  /** qhat as the exact k-th order statistic of the residuals. */
+  private def conformalQhatExact(ev: DataFrame, mean: DataFrame): DataFrame = {
+    val cal = conformalResiduals(ev, mean)
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("event_type")).orderBy(col("r").asc)))
+    cal.join(broadcast(conformalNCal(cal)), Seq("event_type"))
       .filter(col("rn") === least(col("k"), col("n_cal")))
       .select(col("event_type"), col("n_cal"), col("r").as("qhat_micro"))
+  }
+
+  /** Test-fold coverage readout shared by both variants: qhat must be
+    * (event_type, n_cal, qhat_micro).
+    */
+  private def conformalReadout(ev: DataFrame, mean: DataFrame,
+                               qhat: DataFrame): DataFrame =
     ev.filter(col("fold") === 2)
       .join(broadcast(mean), Seq("event_type"))
       .join(broadcast(qhat), Seq("event_type"))
@@ -1691,7 +1858,6 @@ object Stats {
         col("n_test"), col("mean_micro"), col("qhat_micro"),
         col("coverage_ppm"))
       .orderBy(col("event_type"))
-  }
 
   val conformalSql: String =
     s"""WITH ev AS (
@@ -1728,8 +1894,100 @@ object Stats {
       |GROUP BY 1, 2, 3, 5, 6
       |ORDER BY ev.event_type""".stripMargin
 
+  /** Residual-histogram bin width (micro-dollars) for
+    * [[conformalSketch]] — 10 whole dollars of absolute residual per
+    * bin, so qhat's sketch error is ≤ $10 by construction.
+    */
+  val ConformalSkqWidth = 10000000L
+
+  /** [[conformal]] with the calibration quantile taken from the
+    * mergeable histogram sketch instead of the exact per-type rank —
+    * the round-8 docstring's "becomes the sketch-quantile walk at
+    * scale" made real and oracle-gated (same recipe as
+    * [[sketchQuantiles]]: fixed-width bins, nearest-rank bin pick,
+    * integer interpolation inside the bin). The spec pins
+    * |qhat_sketch − qhat_exact| ≤ [[ConformalSkqWidth]] per type.
+    *
+    * Scale shape: the sketch state is (event_type, bin → count) —
+    * value-domain-bounded and elementwise-addable, so the calibration
+    * fold never needs a per-type sort or rank; the cumulative walk
+    * runs per type over ≤ range/width bins (a PARTITIONED window on a
+    * bounded frame), and everything else is the shared conformal
+    * machinery. Interpolation is integer DIV, so both engines emit
+    * identical micro-dollar qhats and the coverage ppm stays
+    * hash-exact.
+    */
+  def conformalSketch(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, mean) = conformalBase(spark, dir)
+    val calR = conformalResiduals(ev, mean)
+    val bins = calR
+      .select(col("event_type"), expr(s"r DIV $ConformalSkqWidth").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(Window
+        .partitionBy(col("event_type")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_cum", col("cum") - col("cnt"))
+    val nCal = conformalNCal(calR)
+    val qhat = cum.join(broadcast(nCal), Seq("event_type"))
+      .withColumn("kk", least(col("k"), col("n_cal")))
+      .filter(col("prev_cum") < col("kk") && col("kk") <= col("cum"))
+      .withColumn("qhat_micro", expr(
+        s"bin * $ConformalSkqWidth + " +
+          s"($ConformalSkqWidth * (kk - prev_cum)) DIV cnt"))
+      .select(col("event_type"), col("n_cal"), col("qhat_micro"))
+    conformalReadout(ev, mean, qhat)
+  }
+
+  val conformalSketchSql: String =
+    s"""WITH ev AS (
+      |  SELECT event_type, event_id % 3 AS fold,
+      |    CAST(round(value * 100) AS BIGINT) * 10000 AS v_micro
+      |  FROM events
+      |), mean_ AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+      |    CAST(sum(v_micro) AS BIGINT) // count(*) AS mean_micro
+      |  FROM ev WHERE fold = 0 GROUP BY 1
+      |), calr AS (
+      |  SELECT ev.event_type, abs(v_micro - mean_micro) AS r
+      |  FROM ev JOIN mean_ USING (event_type) WHERE fold = 1
+      |), bins AS (
+      |  SELECT event_type, r // $ConformalSkqWidth AS bin,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM calr GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, bin, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+      |      AS BIGINT) AS cum
+      |  FROM bins
+      |), ncal AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+      |    ((count(*) + 1) * (100 - $ConformalAlphaPct) + 99) // 100 AS k
+      |  FROM calr GROUP BY 1
+      |), qhat AS (
+      |  SELECT event_type, n_cal,
+      |    bin * $ConformalSkqWidth +
+      |      ($ConformalSkqWidth * (least(k, n_cal) - (cum - cnt))) // cnt
+      |      AS qhat_micro
+      |  FROM cum JOIN ncal USING (event_type)
+      |  WHERE cum - cnt < least(k, n_cal) AND least(k, n_cal) <= cum
+      |)
+      |SELECT ev.event_type, n_train, n_cal,
+      |  CAST(count(*) AS BIGINT) AS n_test, mean_micro, qhat_micro,
+      |  (CAST(sum(CASE WHEN abs(v_micro - mean_micro) <= qhat_micro
+      |           THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*)
+      |    AS coverage_ppm
+      |FROM ev
+      |JOIN mean_ USING (event_type)
+      |JOIN qhat ON qhat.event_type = ev.event_type
+      |WHERE fold = 2
+      |GROUP BY 1, 2, 3, 5, 6
+      |ORDER BY ev.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_conformal" -> (conformal _),
+    "q_conformal_sketch" -> (conformalSketch _),
     "q_decision_stump" -> (decisionStump _),
     "q_woe_iv" -> (woeIv _),
     "q_feature_importance" -> (featureImportance _),
@@ -1750,6 +2008,7 @@ object Stats {
     "q_part_fuzzy_match" -> ((s: SparkSession, d: String) => partFuzzyMatch(s, d)),
     "q_damerau_match" -> (damerauMatch _),
     "q_entity_clusters" -> (entityClusters _),
+    "q_entity_clusters_lsh" -> (entityClustersLsh _),
     "q_ols_normal_eq" -> (olsNormalEq _),
     "q_anova_priority" -> (anovaPriority _),
     "q_weighted_median" -> (weightedMedian _)
@@ -1757,7 +2016,9 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "q_conformal" -> conformalSql,
+    "q_conformal_sketch" -> conformalSketchSql,
     "q_entity_clusters" -> entityClustersSql,
+    "q_entity_clusters_lsh" -> entityClustersLshSql,
     "q_decision_stump" -> decisionStumpSql,
     "q_woe_iv" -> woeIvSql,
     "q_feature_importance" -> featureImportanceSql,

@@ -4107,22 +4107,12 @@ object TextOps {
     *
     * Scale shape: everything after [[nbScores]] is |classes| rows per
     * doc, then one sort-window over the test-split-sized margin table
-    * (at corpus scale the CDF sweep becomes the sketch-quantile walk,
-    * same note as [[graft.analytics.Stats.conformal]]).
+    * (the tested scale path is [[nbKsSketch]], which swaps the
+    * per-point CDF sweep for the binned walk and whose underestimate
+    * the spec bounds by the largest bin's mass).
     */
   def nbKs(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = nbScores(spark, dir)
-      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("c").asc)))
-      .filter(col("rn") <= 2)
-      .localCheckpoint()
-    val labeled = ranked.filter(col("rn") === 1)
-      .select(col("doc_id"),
-        when(col("c") === col("true_source"), 1L).otherwise(0L).as("ok"),
-        col("score").as("s1"))
-      .join(ranked.filter(col("rn") === 2)
-        .select(col("doc_id"), col("score").as("s2")), Seq("doc_id"))
-      .withColumn("margin", col("s1") - col("s2"))
+    val labeled = nbMargins(spark, dir)
     val tot = labeled.agg(sum(col("ok")).as("n_ok"),
       sum(lit(1L) - col("ok")).as("n_bad"))
     val w = Window.orderBy(col("margin"), col("doc_id"))
@@ -4139,6 +4129,102 @@ object TextOps {
       .select(col("n_ok").as("n_correct"), col("n_bad").as("n_incorrect"),
         col("d_ppm").as("ks_ppm"), col("margin").as("at_margin_micro"))
   }
+
+  /** Per-test-doc (doc_id, ok, margin) — correctness indicator and
+    * best-minus-runner-up decision margin — shared by the exact and
+    * binned KS variants so a tie-break change cannot desynchronize
+    * them.
+    */
+  private[graft] def nbMargins(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = nbScores(spark, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("c").asc)))
+      .filter(col("rn") <= 2)
+      .localCheckpoint()
+    ranked.filter(col("rn") === 1)
+      .select(col("doc_id"),
+        when(col("c") === col("true_source"), 1L).otherwise(0L).as("ok"),
+        col("score").as("s1"))
+      .join(ranked.filter(col("rn") === 2)
+        .select(col("doc_id"), col("score").as("s2")), Seq("doc_id"))
+      .withColumn("margin", col("s1") - col("s2"))
+  }
+
+  /** Margin-histogram bin width (micro-nats) for [[nbKsSketch]]. */
+  val NbKsBinMicros = 200000L
+
+  /** [[nbKs]] from the mergeable margin histogram instead of the
+    * per-point CDF sweep — the scale path the exact query's docstring
+    * promised. Both outcome classes bin their margins on the same
+    * fixed [[NbKsBinMicros]] grid; the CDF difference is evaluated at
+    * BIN BOUNDARIES only, so the statistic is a lower bound on the
+    * exact D that misses at most the largest single bin's probability
+    * mass (the spec pins exactly that sandwich). Sketch state is
+    * (bin → ok count, bad count): margin-range/width rows,
+    * corpus-size-independent, elementwise-addable — no global sort of
+    * the margin table anywhere.
+    *
+    * The cumulative walk's unpartitioned window runs on the bounded
+    * bin table (the [[graft.analytics.Stats.sketchQuantiles]]
+    * discipline), never the doc-level frame.
+    */
+  def nbKsSketch(spark: SparkSession, dir: String): DataFrame = {
+    val binned = nbMargins(spark, dir)
+      .select(expr(s"margin DIV $NbKsBinMicros").as("bin"), col("ok"))
+      .groupBy(col("bin"))
+      .agg(sum(col("ok")).as("ok_n"),
+        sum(lit(1L) - col("ok")).as("bad_n"))
+    val tot = binned.agg(sum(col("ok_n")).as("n_ok"),
+      sum(col("bad_n")).as("n_bad"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("c_ok", sum(col("ok_n")).over(w))
+      .withColumn("c_bad", sum(col("bad_n")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("d_ppm", abs(
+        expr("(c_ok * 1000000L) DIV n_ok") -
+          expr("(c_bad * 1000000L) DIV n_bad")))
+      .orderBy(col("d_ppm").desc, col("bin").asc)
+      .limit(1)
+      .select(col("n_ok").as("n_correct"), col("n_bad").as("n_incorrect"),
+        col("d_ppm").as("ks_ppm"), col("bin").as("at_bin"),
+        expr(s"(bin + 1) * $NbKsBinMicros").as("at_margin_hi_micro"))
+  }
+
+  /** (lazy: [[nbScoredCtes]] initializes later in the file.) */
+  lazy val nbKsSketchSql: String =
+    s"""WITH $nbScoredCtes, ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, c ASC) AS rn
+      |  FROM scored
+      |), labeled AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN b.c = b.true_source THEN 1 ELSE 0 END AS ok,
+      |    b.score - s.score AS margin
+      |  FROM ranked b JOIN ranked s
+      |    ON b.doc_id = s.doc_id AND b.rn = 1 AND s.rn = 2
+      |), binned AS (
+      |  SELECT margin // $NbKsBinMicros AS bin,
+      |    CAST(sum(ok) AS BIGINT) AS ok_n,
+      |    CAST(sum(1 - ok) AS BIGINT) AS bad_n
+      |  FROM labeled GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(ok_n) AS BIGINT) AS n_ok,
+      |    CAST(sum(bad_n) AS BIGINT) AS n_bad
+      |  FROM binned
+      |), cum AS (
+      |  SELECT bin,
+      |    CAST(sum(ok_n) OVER (ORDER BY bin) AS BIGINT) AS c_ok,
+      |    CAST(sum(bad_n) OVER (ORDER BY bin) AS BIGINT) AS c_bad
+      |  FROM binned
+      |)
+      |SELECT n_ok AS n_correct, n_bad AS n_incorrect,
+      |  abs((c_ok * 1000000) // n_ok - (c_bad * 1000000) // n_bad) AS ks_ppm,
+      |  bin AS at_bin, (bin + 1) * $NbKsBinMicros AS at_margin_hi_micro
+      |FROM cum CROSS JOIN tot
+      |ORDER BY ks_ppm DESC, bin ASC
+      |LIMIT 1""".stripMargin
 
   /** (lazy: [[nbScoredCtes]] initializes later in the file — the
     * [[minhashRecallSql]] precedent.)
@@ -4598,6 +4684,7 @@ object TextOps {
     "q_naive_bayes" -> (naiveBayes _),
     "q_nb_calibration" -> (nbCalibration _),
     "q_nb_ks" -> (nbKs _),
+    "q_nb_ks_sketch" -> (nbKsSketch _),
     "q_containment_dup" -> ((s: SparkSession, d: String) => containmentDup(s, d)),
     "q_source_token_kl" -> (sourceTokenKl _),
     "q_domain_xent" -> (domainXent _),
@@ -4660,6 +4747,7 @@ object TextOps {
     "q_naive_bayes" -> naiveBayesSql,
     "q_nb_calibration" -> nbCalibrationSql,
     "q_nb_ks" -> nbKsSql,
+    "q_nb_ks_sketch" -> nbKsSketchSql,
     "q_containment_dup" -> containmentDupSql,
     "q_source_token_kl" -> sourceTokenKlSql,
     "q_domain_xent" -> domainXentSql,

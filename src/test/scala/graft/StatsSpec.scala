@@ -597,6 +597,57 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("conformal sketch: qhat within one bin of the exact order statistic; coverage readout exact for its qhat") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.analytics.Stats.conformal(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sk = graft.analytics.Stats.conformalSketch(spark, sf).collect()
+    assert(sk.nonEmpty && sk.length == exact.size,
+      "sketch variant lost or invented event types")
+    val w = graft.analytics.Stats.ConformalSkqWidth
+    sk.foreach { r =>
+      val t = r.getString(0)
+      val e = exact(t)
+      // shared machinery must agree exactly
+      assert(r.getAs[Long]("n_train") == e.getAs[Long]("n_train"))
+      assert(r.getAs[Long]("n_cal") == e.getAs[Long]("n_cal"))
+      assert(r.getAs[Long]("n_test") == e.getAs[Long]("n_test"))
+      assert(r.getAs[Long]("mean_micro") == e.getAs[Long]("mean_micro"))
+      // the pinned sandwich: the sketch interpolates INSIDE the bin
+      // holding the exact rank, so it can miss by at most one width
+      val dq = math.abs(r.getAs[Long]("qhat_micro") - e.getAs[Long]("qhat_micro"))
+      assert(dq <= w, s"$t: sketch qhat off by $dq > bin width $w")
+      // coverage is EXACT for the sketch's own qhat — recompute it
+      val mean = r.getAs[Long]("mean_micro")
+      val qhat = r.getAs[Long]("qhat_micro")
+      val test = graft.ingest.Sources.events(spark, sf)
+        .select(col("event_type"), (col("event_id") % 3).as("fold"),
+          (round(col("value") * 100).cast("long") * 10000L).as("v"))
+        .collect().filter(x => x.getString(0) == t && x.getLong(1) == 2L)
+        .map(_.getLong(2))
+      val inCnt = test.count(v => math.abs(v - mean) <= qhat)
+      assert(r.getAs[Long]("coverage_ppm") ==
+        inCnt.toLong * 1000000L / test.length)
+    }
+  }
+
+  test("entity clusters lsh: refines the exact-block clustering (every exact entity lands whole inside one LSH entity)") {
+    val exact = graft.analytics.Stats.entityClusters(spark, sf).collect()
+      .map(r => r.getAs[String]("part_keys").split(",").map(_.toLong).toSet)
+    val lsh = graft.analytics.Stats.entityClustersLsh(spark, sf).collect()
+      .map(r => r.getAs[String]("part_keys").split(",").map(_.toLong).toSet)
+    assert(exact.nonEmpty && lsh.nonEmpty, "vacuous fixture")
+    // the union of pair sets can only MERGE components, never split
+    // them: each exact entity must be a subset of exactly one LSH
+    // entity, and the LSH pass must not lose any clustered record
+    exact.foreach { e =>
+      val homes = lsh.count(l => e.subsetOf(l))
+      assert(homes == 1, s"exact entity $e split or lost by the LSH pass")
+    }
+    assert(lsh.map(_.size).sum >= exact.map(_.size).sum,
+      "LSH pass dropped clustered records")
+  }
+
   test("entity clusters: every cluster is edge-connected; canonical is the min key") {
     import org.apache.spark.sql.functions._
     import graft.functions.StringDistances.damerauLevenshtein

@@ -1662,4 +1662,32 @@ class TextOpsSpec extends SparkSpec {
     // already shows accuracy rising with margin)
     assert(ks > 0L)
   }
+
+  test("nb ks sketch: binned statistic sandwiched between exact KS and exact KS minus the largest bin's mass") {
+    val exact = TextOps.nbKs(spark, sf).head()
+    val sk = TextOps.nbKsSketch(spark, sf).head()
+    assert(sk.getAs[Long]("n_correct") == exact.getAs[Long]("n_correct"))
+    assert(sk.getAs[Long]("n_incorrect") == exact.getAs[Long]("n_incorrect"))
+    val dExact = exact.getAs[Long]("ks_ppm")
+    val dBin = sk.getAs[Long]("ks_ppm")
+    // evaluate the largest bin's probability mass (per-class, summed)
+    // — the binned CDF agrees with the exact CDF at bin boundaries,
+    // so the sketch can underestimate D by at most that mass; the
+    // ±4 ppm slop covers the four integer-DIV floors involved
+    val w = TextOps.NbKsBinMicros
+    val ms = TextOps.nbMargins(spark, sf)
+      .collect().map(r => (r.getAs[Long]("ok"), r.getAs[Long]("margin")))
+    val nOk = ms.count(_._1 == 1L).toLong
+    val nBad = ms.length - nOk
+    val maxBinMassPpm = ms.groupBy(_._2 / w).values.map { bin =>
+      bin.count(_._1 == 1L).toLong * 1000000L / nOk +
+        bin.count(_._1 == 0L).toLong * 1000000L / nBad
+    }.max
+    assert(dBin <= dExact + 4L,
+      s"binned KS $dBin exceeds exact $dExact beyond DIV slop")
+    assert(dExact - dBin <= maxBinMassPpm + 4L,
+      s"binned KS $dBin misses exact $dExact by more than the max bin mass $maxBinMassPpm")
+    // and on this corpus the sketch must retain the signal
+    assert(dBin > 0L)
+  }
 }
