@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -787,10 +787,13 @@ object Relational {
     * across engines because the ORDER BY is a total order.
     *
     * Scale shape: one orders pass → per-customer aggregate; the three
-    * ntiles are global sorts of the CUSTOMER table (dimension-sized —
-    * at a 100 TB fact that frame is still the small side; a truly
-    * huge customer dimension would swap ntile for percentile cuts
-    * from the sketch-quantile operator).
+    * quintile ranks run through
+    * [[graft.operators.Scale.distributedNtile]] (round 9 — previously
+    * three unpartitioned ntile windows, i.e. three single-task sorts
+    * of the customer frame; dimension-sized today, but the customer
+    * table grows with the business and the distributed rank costs the
+    * same shuffle count while removing the ceiling). Descending
+    * recency rides the same operator by negating the basis.
     */
   def rfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
     val perCust = orders(spark, dir)
@@ -801,13 +804,14 @@ object Relational {
       .crossJoin(broadcast(orders(spark, dir)
         .agg(max(to_date(col("o_orderdate"))).as("anchor"))))
       .withColumn("r_days", datediff(col("anchor"), col("last_d")))
-    val scored = perCust
-      .withColumn("r_score", ntile(5).over(Window.orderBy(
-        col("r_days").desc, col("o_custkey").asc)))
-      .withColumn("f_score", ntile(5).over(Window.orderBy(
-        col("f").asc, col("o_custkey").asc)))
-      .withColumn("m_score", ntile(5).over(Window.orderBy(
-        col("m").asc, col("o_custkey").asc)))
+    val scored = Seq[(String, Column)](
+      ("r_score", -col("r_days")), // ntile over r_days DESC
+      ("f_score", col("f")),
+      ("m_score", col("m")))
+      .foldLeft(perCust) { case (df, (out, basis)) =>
+        graft.operators.Scale.distributedNtile(
+          df, 5, basis, col("o_custkey"), out)
+      }
     scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("cents"))
       .orderBy(col("r_score"), col("f_score"), col("m_score"))

@@ -897,12 +897,6 @@ object Stats {
       |ORDER BY hod, bin""".stripMargin
 
 
-  /** Shard count for the [[priceDeciles]] 2-phase global rank. Output
-    * is shard-count-invariant (the global rank is), so this is a pure
-    * parallelism knob, like [[Packing.PackShards]].
-    */
-  val DecileShards = 32L
-
   /** Equi-depth decile table of order values: exact ntile(10) over a
     * TOTAL order (value, then key — ties must not float between
     * deciles or the per-bucket extrema drift), with per-decile
@@ -912,22 +906,11 @@ object Stats {
     *
     * Scale shape: an unpartitioned `ntile(10)` window would plan as
     * `Exchange SinglePartition` — the ENTIRE fact table sorted in one
-    * task (measured round 8; the round-6 class of inversion). Instead
-    * the global rank is the [[Packing.seqPack]] 2-PHASE SHARDED
-    * prefix sum: rows shard by a price-monotone integer bucket
-    * (cents DIV width — shards are contiguous value ranges, so shard
-    * order ⊕ in-shard order IS the total order), per-shard ranks run
-    * as [[DecileShards]] parallel partitioned windows, per-shard
-    * counts (a ≤ shards+1-row frame) get a prefix sum and broadcast
-    * back; global_rank = shard offset + local rank. The decile is
-    * then the closed-form ntile bucket from (rank, N): the first
-    * N mod 10 buckets take ceil(N/10) rows, the rest floor(N/10) —
-    * bit-identical to the window `ntile`, which is why the unchanged
-    * DuckDB ntile oracle stays the done-gate. Equi-width VALUE shards
-    * bound parallelism, not balance — a pathologically skewed value
-    * column would pile into few shards; the swap there is
-    * repartitionByRange (sampled boundaries) feeding the same
-    * offset algebra.
+    * task (measured round 8; the round-6 class of inversion). The
+    * rank now comes from [[graft.operators.Scale.distributedNtile]]
+    * (2-phase sharded prefix-sum global rank, closed-form ntile from
+    * (rank, N)) — bit-identical to the window ntile, which is why the
+    * unchanged DuckDB ntile oracle stays the done-gate.
     */
   def priceDeciles(spark: SparkSession, dir: String): DataFrame =
     decilesOf(orders(spark, dir))
@@ -937,55 +920,16 @@ object Stats {
     * row count NOT divisible by 10 (the remainder front-loading is
     * the part a naive `(r-1)*10 DIV n` formula gets wrong).
     */
-  private[graft] def decilesOf(input: DataFrame): DataFrame = {
-    val base = input
-      .select(col("o_orderkey"), col("o_totalprice"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-    // shard width from one scalar agg, kept in-plan via a broadcast
-    // 1-row cross join — no driver collect, corpus-size independent
-    val width = base.agg(min(col("cents")).as("c_lo"),
-      expr(s"(max(cents) - min(cents)) DIV $DecileShards + 1").as("shard_w"))
-    val sharded = base.crossJoin(broadcast(width))
-      .withColumn("shard", expr("(cents - c_lo) DIV shard_w"))
-    val local = Window.partitionBy(col("shard"))
-      .orderBy(col("cents").asc, col("o_orderkey").asc)
-    val withLocal = sharded
-      .withColumn("local_r", row_number().over(local).cast("long"))
-    // phase 2: shard counts — ≤ DecileShards+1 rows, so the
-    // un-sharded prefix window over THIS frame is trivially cheap.
-    // The limit() can never truncate (shard ∈ [0, DecileShards] by
-    // construction) — it exists to put the cardinality PROOF in the
-    // plan, so PlanForensics.singlePartitionWindows sees a hard bound
-    // instead of an agg whose group domain it must trust
-    val offW = Window.orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sharded.groupBy(col("shard"))
-      .agg(count(lit(1)).as("shard_n"))
-      .limit(DecileShards.toInt + 2)
-      .withColumn("shard_off", coalesce(sum(col("shard_n")).over(offW), lit(0L)))
-      .select(col("shard").as("o_shard"), col("shard_off"))
-    val n = base.agg(count(lit(1)).as("n_tot"))
-    withLocal
-      .join(broadcast(offsets), col("shard") === col("o_shard"))
-      .crossJoin(broadcast(n))
-      .withColumn("r", col("shard_off") + col("local_r"))
-      // exact ntile(10) from the global rank: q=N DIV 10, rem=N%10;
-      // buckets 1..rem hold q+1 rows, buckets rem+1..10 hold q (the
-      // greatest(q,1) guard keeps the dead branch ANSI-safe at N<10)
-      .withColumn("decile", expr(
-        """CASE WHEN r <= (n_tot % 10) * (n_tot DIV 10 + 1)
-          |     THEN (r - 1) DIV (n_tot DIV 10 + 1) + 1
-          |     ELSE (n_tot % 10) +
-          |          (r - (n_tot % 10) * (n_tot DIV 10 + 1) - 1)
-          |            DIV greatest(n_tot DIV 10, 1) + 1
-          |END""".stripMargin).cast("int"))
+  private[graft] def decilesOf(input: DataFrame): DataFrame =
+    graft.operators.Scale.distributedNtile(
+        input.select(col("o_orderkey"), col("o_totalprice")),
+        10, round(col("o_totalprice") * 100), col("o_orderkey"), "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("o_totalprice")), 2).as("lo"),
         round(max(col("o_totalprice")), 2).as("hi"),
         round(sum(col("o_totalprice")), 2).as("mass"))
       .orderBy(col("decile"))
-  }
 
   val priceDecilesSql: String =
     """SELECT decile, count(*) AS n,

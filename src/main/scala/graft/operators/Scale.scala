@@ -14,6 +14,113 @@ import graft.ingest.Sources
   */
 object Scale {
 
+  /** Shard count for [[distributedNtile]]'s 2-phase global rank —
+    * a pure parallelism knob (output is shard-count-invariant).
+    */
+  val NtileShards = 32L
+
+  /** Exact distributed `ntile(n)` over the total order (basis asc,
+    * key asc) — the operator that replaces an UNPARTITIONED ntile
+    * window (which plans as `Exchange SinglePartition`: the entire
+    * input sorted in ONE task — the round-8 q_price_deciles finding).
+    *
+    * 2-phase sharded global rank (the seqPack prefix-sum pattern):
+    * rows shard by a basis-monotone integer bucket
+    * ((basis − min) DIV width — shards are contiguous basis ranges,
+    * so shard order ⊕ in-shard order IS the total order); per-shard
+    * ranks run as [[NtileShards]] parallel PARTITIONED windows;
+    * per-shard counts (a ≤ shards+1-row frame, limit-proved in-plan
+    * for the audit) get a prefix sum and broadcast back;
+    * global rank = shard offset + local rank. The bucket is then the
+    * closed-form ntile from (rank, N): the first N mod n buckets take
+    * ⌈N/n⌉ rows, the rest ⌊N/n⌋ — bit-identical to the window
+    * `ntile`, which is why unchanged window-ntile oracles stay the
+    * done-gate for every consumer.
+    *
+    * `basis` must be a LONG expression whose ascending order is the
+    * intended primary sort (negate for descending); `key` breaks ties
+    * totally. Equi-width VALUE shards bound parallelism, not balance
+    * — a pathologically skewed basis piles into few shards; the swap
+    * there is repartitionByRange (sampled boundaries) feeding the
+    * same offset algebra.
+    */
+  def distributedNtile(df: DataFrame, n: Int, basis: Column, key: Column,
+                       out: String): DataFrame = {
+    val u = out
+    rankCore(df, basis, key, u)
+      // exact ntile(n) from the global rank (greatest(q,1) keeps the
+      // dead branch ANSI-safe when N < n)
+      .withColumn(out, expr(
+        s"""CASE WHEN _r_$u <= (_N_$u % $n) * (_N_$u DIV $n + 1)
+           |     THEN (_r_$u - 1) DIV (_N_$u DIV $n + 1) + 1
+           |     ELSE (_N_$u % $n) +
+           |          (_r_$u - (_N_$u % $n) * (_N_$u DIV $n + 1) - 1)
+           |            DIV greatest(_N_$u DIV $n, 1) + 1
+           |END""".stripMargin).cast("int"))
+      .drop(s"_r_$u", s"_N_$u")
+  }
+
+  /** Exact distributed `row_number()` over (basis asc, key asc) — the
+    * same 2-phase global rank as [[distributedNtile]], exposed
+    * directly for consumers that need the rank itself (e.g. Gini /
+    * top-share accounting over all DISTINCT keys of a fact table,
+    * where an unpartitioned window would rank billions of keys in one
+    * task). `out` is a LONG 1-based rank; `totalOut` optionally also
+    * emits the frame's row count (per-row constant) so callers don't
+    * re-aggregate the input.
+    */
+  def distributedRowNumber(df: DataFrame, basis: Column, key: Column,
+                           out: String,
+                           totalOut: Option[String] = None): DataFrame = {
+    val u = out
+    val ranked = rankCore(df, basis, key, u).withColumnRenamed(s"_r_$u", out)
+    totalOut match {
+      case Some(t) => ranked.withColumnRenamed(s"_N_$u", t)
+      case None => ranked.drop(s"_N_$u")
+    }
+  }
+
+  /** Shared 2-phase sharded global rank: returns df + `_r_<u>` (long
+    * 1-based rank over basis asc, key asc) + `_N_<u>` (long total).
+    */
+  private def rankCore(df: DataFrame, basis: Column, key: Column,
+                       u: String): DataFrame = {
+    // materialize the input ONCE: three scalar/shard aggregates plus
+    // the ranked frame all consume it, and without the checkpoint each
+    // consumer re-executes the input lineage — chained applications
+    // then compound MULTIPLICATIVELY (measured: RFM's three chained
+    // quintiles planned 250 scans / 386 shuffles; checkpointed, the
+    // plan is three flat applications)
+    val base = df.withColumn(s"_b_$u", basis.cast("long")).localCheckpoint()
+    val width = base.agg(min(col(s"_b_$u")).as(s"_lo_$u"),
+      expr(s"(max(_b_$u) - min(_b_$u)) DIV $NtileShards + 1").as(s"_w_$u"))
+    val sharded = base.crossJoin(broadcast(width))
+      .withColumn(s"_s_$u", expr(s"(_b_$u - _lo_$u) DIV _w_$u"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"_s_$u")).orderBy(col(s"_b_$u").asc, key.asc)
+    val withLocal = sharded
+      .withColumn(s"_lr_$u", row_number().over(local).cast("long"))
+    val offW = org.apache.spark.sql.expressions.Window
+      .orderBy(col(s"_s_$u"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // the limit can never truncate (shard ∈ [0, NtileShards]); it
+    // encodes the cardinality PROOF in the plan so the single-column
+    // prefix window audits as limit-bounded, not trust-the-agg
+    val offsets = sharded.groupBy(col(s"_s_$u"))
+      .agg(count(lit(1)).as(s"_n_$u"))
+      .limit(NtileShards.toInt + 2)
+      .withColumn(s"_off_$u",
+        coalesce(sum(col(s"_n_$u")).over(offW), lit(0L)))
+      .select(col(s"_s_$u").as(s"_os_$u"), col(s"_off_$u"))
+    val tot = base.agg(count(lit(1)).as(s"_N_$u"))
+    withLocal
+      .join(broadcast(offsets), col(s"_s_$u") === col(s"_os_$u"))
+      .crossJoin(broadcast(tot))
+      .withColumn(s"_r_$u", col(s"_off_$u") + col(s"_lr_$u"))
+      .drop(s"_b_$u", s"_lo_$u", s"_w_$u", s"_s_$u", s"_lr_$u",
+        s"_os_$u", s"_off_$u")
+  }
+
   /** Two-stage salted aggregation for skewed group keys: stage 1
     * splits each hot key across `saltBuckets` reducers (groupBy key +
     * salt), stage 2 combines the partials. Works for any algebraic
@@ -420,12 +527,14 @@ object Scale {
     * statistic is deterministic).
     *
     * Scale shape: one map-side-combined count per key (the only
-    * corpus-sized shuffle), then windows over KEY COUNTS — n_keys
-    * rows, orders of magnitude below row count. The ranking window
-    * partitions by the probed key's name, one series per candidate;
-    * at extreme key cardinality the ascending prefix rank would move
-    * to the (key-range shard, 2-phase offset merge) pattern proven in
-    * seq_pack. All moments are exact integers; the three output ratios
+    * corpus-sized shuffle), then ranks over KEY COUNTS — n_keys rows,
+    * orders of magnitude below row count, but n_keys itself is
+    * corpus-scaled (billions of distinct order keys at 100 TB), so
+    * the ranks run through [[distributedRowNumber]] (round 9 —
+    * previously a window partitioned by the key's NAME, i.e. each
+    * candidate's entire distinct-key table sorted in one task:
+    * exactly the single-task ceiling this diagnostic exists to warn
+    * about). All moments are exact integers; the three output ratios
     * are single final divisions.
     */
   def keySkew(spark: SparkSession, dir: String): DataFrame = {
@@ -434,24 +543,19 @@ object Scale {
       val counts = li.groupBy(col(keyCol).as("k"))
         .agg(count(lit(1)).as("c"))
         .select(lit(keyCol).as("key_name"), col("k"), col("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("key_name"))
-      val asc = w.orderBy(col("c").asc, col("k").asc)
-      val desc = w.orderBy(col("c").desc, col("k").asc)
-      counts
-        .withColumn("i", row_number().over(asc))
-        .withColumn("r", row_number().over(desc))
-        .withColumn("nk", count(lit(1)).over(w))
+      // ascending rank i (Gini accounting) and descending rank r
+      // (top-1% cut, via negated basis); both LONG — the Int32
+      // row_number wrap above ~21.4M keys is gone with the window
+      val ranked = distributedRowNumber(
+        distributedRowNumber(counts, col("c"), col("k"), "i"),
+        -col("c"), col("k"), "r", totalOut = Some("nk"))
+      ranked
         .groupBy(col("key_name"))
         .agg(count(lit(1)).as("n_keys"),
           sum(col("c")).as("n_rows"),
           max(col("c")).as("max_rows"),
           sum(col("i") * col("c")).as("ic"),
-          // r is an Int32 row_number: promote BEFORE ×100 or the
-          // predicate wraps negative above ~21.4M keys — exactly the
-          // cardinality this diagnostic exists for (the DuckDB twin's
-          // row_number is already BIGINT)
-          sum(when(col("r").cast("long") * 100 <= col("nk"), col("c"))
+          sum(when(col("r") * 100 <= col("nk"), col("c"))
             .otherwise(lit(0L))).as("top1pct_rows"))
     }
     val all = profile("l_orderkey")

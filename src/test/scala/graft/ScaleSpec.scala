@@ -26,6 +26,39 @@ class ScaleSpec extends SparkSpec {
       s"delta date filter not pushed:\n$p")
   }
 
+  test("distributedNtile is bit-identical to window ntile for several n, both directions") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.ingest.Sources.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // a frame whose count is NOT divisible by any tested n, so the
+    // front-loaded remainder buckets are exercised every time
+    val probe = orders.filter(col("o_orderkey") % 7 =!= 0)
+    for (n <- Seq(3, 5, 10)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val expected = probe
+        .withColumn("t", ntile(n).over(w))
+        .select(col("o_orderkey"), col("t"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = graft.operators.Scale.distributedNtile(
+          probe, n, round(col("o_totalprice") * 100), col("o_orderkey"), "t")
+        .select(col("o_orderkey"), col("t"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"ntile($n) diverges")
+    }
+    // descending basis via negation (the RFM recency path)
+    val wd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_custkey").desc, col("o_orderkey").asc)
+    val expD = probe.withColumn("t", ntile(5).over(wd))
+      .select(col("o_orderkey"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gotD = graft.operators.Scale.distributedNtile(
+        probe, 5, -col("o_custkey"), col("o_orderkey"), "t")
+      .select(col("o_orderkey"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotD == expD, "descending-basis ntile diverges")
+  }
+
   test("salted aggregation equals naive groupBy exactly") {
     val naive = graft.ingest.Sources.orders(spark, sf)
       .join(broadcast(graft.ingest.Sources.customer(spark, sf)),
