@@ -849,16 +849,18 @@ object Relational {
     * one final ppm DIV.
     *
     * Scale shape: one lineitem pass → per-part revenue; the running
-    * sum is a window over the catalog-sized frame.
+    * sum rides [[graft.operators.Scale.distributedPrefixSum]]
+    * (round 9 — previously an unpartitioned window, i.e. the whole
+    * catalog sorted in one task; catalogs grow with the business).
+    * The final 3-row class frame carries an in-plan limit so its
+    * share window audits as bounded.
     */
   def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
     val rev = lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rev
-      .withColumn("cum", sum(col("cents")).over(w))
+    graft.operators.Scale.distributedPrefixSum(
+        rev, -col("cents"), col("l_partkey"), col("cents"), "cum")
       .crossJoin(broadcast(rev.agg(sum(col("cents")).as("tot"))))
       .withColumn("abc",
         when(col("cum") * 100 <= col("tot") * 80, "A")
@@ -866,6 +868,7 @@ object Relational {
           .otherwise("C"))
       .groupBy(col("abc"))
       .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
+      .limit(4) // ≤ 3 classes by construction — the audit's bound proof
       .withColumn("share_ppm", expr(
         "(cents * 1000000L) DIV sum(cents) OVER ()"))
       .orderBy(col("abc"))

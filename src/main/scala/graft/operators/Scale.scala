@@ -80,6 +80,44 @@ object Scale {
     }
   }
 
+  /** Exact distributed INCLUSIVE running sum of `value` over
+    * (basis asc, key asc) — the prefix-sum sibling of
+    * [[distributedRowNumber]] (same 2-phase shape, shard offsets carry
+    * per-shard VALUE totals instead of counts), for cumulative-share
+    * accounting (Pareto/ABC, coverage curves) over frames whose row
+    * count grows with the corpus.
+    */
+  def distributedPrefixSum(df: DataFrame, basis: Column, key: Column,
+                           value: Column, out: String): DataFrame = {
+    val u = out
+    val base = df.withColumn(s"_b_$u", basis.cast("long"))
+      .withColumn(s"_v_$u", value.cast("long")).localCheckpoint()
+    val width = base.agg(min(col(s"_b_$u")).as(s"_lo_$u"),
+      expr(s"(max(_b_$u) - min(_b_$u)) DIV $NtileShards + 1").as(s"_w_$u"))
+    val sharded = base.crossJoin(broadcast(width))
+      .withColumn(s"_s_$u", expr(s"(_b_$u - _lo_$u) DIV _w_$u"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"_s_$u")).orderBy(col(s"_b_$u").asc, key.asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withLocal = sharded
+      .withColumn(s"_lc_$u", sum(col(s"_v_$u")).over(local))
+    val offW = org.apache.spark.sql.expressions.Window
+      .orderBy(col(s"_s_$u"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col(s"_s_$u"))
+      .agg(sum(col(s"_v_$u")).as(s"_n_$u"))
+      .limit(NtileShards.toInt + 2)
+      .withColumn(s"_off_$u",
+        coalesce(sum(col(s"_n_$u")).over(offW), lit(0L)))
+      .select(col(s"_s_$u").as(s"_os_$u"), col(s"_off_$u"))
+    withLocal
+      .join(broadcast(offsets), col(s"_s_$u") === col(s"_os_$u"))
+      .withColumn(out, col(s"_off_$u") + col(s"_lc_$u"))
+      .drop(s"_b_$u", s"_v_$u", s"_lo_$u", s"_w_$u", s"_s_$u",
+        s"_lc_$u", s"_os_$u", s"_off_$u")
+  }
+
   /** Shared 2-phase sharded global rank: returns df + `_r_<u>` (long
     * 1-based rank over basis asc, key asc) + `_N_<u>` (long total).
     */

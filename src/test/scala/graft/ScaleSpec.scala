@@ -59,6 +59,24 @@ class ScaleSpec extends SparkSpec {
     assert(gotD == expD, "descending-basis ntile diverges")
   }
 
+  test("distributedPrefixSum equals the inclusive window running sum, descending basis") {
+    import org.apache.spark.sql.functions._
+    val rev = graft.ingest.Sources.lineitem(spark, sf)
+      .groupBy(col("l_partkey").as("k"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc, col("k").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expected = rev.withColumn("cum", sum(col("v")).over(w))
+      .select(col("k"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.operators.Scale.distributedPrefixSum(
+        rev, -col("v"), col("k"), col("v"), "cum")
+      .select(col("k"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "sharded prefix sum diverges from window cumsum")
+  }
+
   test("salted aggregation equals naive groupBy exactly") {
     val naive = graft.ingest.Sources.orders(spark, sf)
       .join(broadcast(graft.ingest.Sources.customer(spark, sf)),
