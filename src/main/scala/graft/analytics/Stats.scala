@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -558,7 +558,10 @@ object Stats {
     * multi-record entities (singletons suppressed — they are the
     * catalog itself).
     *
-    * Scale shape: pair generation is block-bounded (never catalog²);
+    * Scale shape: pair generation is block-bounded (never catalog²)
+    * AND deduped to distinct (brand, type, name) groups before the
+    * kernel (see [[entityBlockPairs]] — star edges keep the closure
+    * identical at linear edge count);
     * the closure is the RDD CC loop (one shuffle per round); the
     * oracle recomputes the closure as a recursive CTE over the same
     * pair set — feasible because pairs are threshold-sparse.
@@ -566,25 +569,48 @@ object Stats {
   def entityClusters(spark: SparkSession, dir: String): DataFrame =
     entityReadout(entityBlockPairs(spark, dir))
 
-  /** Block-1 candidate pairs — exact (brand, type) block, length
+  /** Block-1 candidate edges — exact (brand, type) block, length
     * lower bound, codegen'd Damerau kernel — shared by
     * [[entityClusters]] and [[entityClustersLsh]] so the two passes
     * cannot drift.
+    *
+    * Round 9 restructures pair generation around the oldest ER
+    * optimization there is — DEDUPE TO DISTINCT RECORDS BEFORE THE
+    * QUADRATIC KERNEL: the catalog is grouped to distinct
+    * (brand, type, name) with a min-key representative; the Damerau
+    * kernel runs on DISTINCT-name pairs only, and each part connects
+    * to its group rep by one STAR edge (a group's all-pairs clique
+    * and its star have the same connected components, at linear
+    * instead of quadratic edge count). On the synthetic catalog the
+    * name-diversity is tiny (64 distinct names across 20k parts at
+    * sf0.1), so the old form ran ~3M kernel calls where ~2k suffice —
+    * and on a real catalog this is exactly the standardize → group →
+    * block → compare pipeline. The closure (and therefore the
+    * unchanged recursive-CTE oracle) is provably identical.
     */
   private def entityBlockPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.StringDistances.damerauLevenshtein
     val p = part(spark, dir).select(col("p_brand"), col("p_type"),
       col("p_partkey"), col("p_name"))
-    val a = p.select(col("p_brand"), col("p_type"),
-      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand"), col("p_type"),
-      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand", "p_type"))
-      .filter(col("key_a") < col("key_b") &&
+    // one group row per distinct (brand, type, name) — reused by the
+    // star edges AND both sides of the distinct-pair kernel
+    val groups = p.groupBy(col("p_brand"), col("p_type"), col("p_name"))
+      .agg(min(col("p_partkey")).as("rep"))
+      .localCheckpoint()
+    val star = p.join(groups, Seq("p_brand", "p_type", "p_name"))
+      .filter(col("p_partkey") =!= col("rep"))
+      .select(col("rep").as("key_a"), col("p_partkey").as("key_b"))
+    val a = groups.select(col("p_brand"), col("p_type"),
+      col("rep").as("rep_a"), col("p_name").as("name_a"))
+    val b = groups.select(col("p_brand"), col("p_type"),
+      col("rep").as("rep_b"), col("p_name").as("name_b"))
+    val cross = a.join(b, Seq("p_brand", "p_type"))
+      .filter(col("rep_a") < col("rep_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= EntityMaxDist)
       .filter(damerauLevenshtein(col("name_a"), col("name_b")) <=
         EntityMaxDist)
-      .select(col("key_a"), col("key_b"))
+      .select(col("rep_a").as("key_a"), col("rep_b").as("key_b"))
+    star.union(cross)
   }
 
   /** Shared closure + readout: CC over a pair set, entities keyed by
@@ -625,19 +651,26 @@ object Stats {
       |GROUP BY entity
       |ORDER BY entity""".stripMargin
 
-  /** MinHash lanes for the [[entityClustersLsh]] second blocking pass
-    * (r = 1: each lane is its own band — recall ≈ 1−(1−J)^4, so a
-    * one-word spelling variant on a five-word name (J ≈ 2/3) is
-    * caught with ≈ 99% probability; production linkage at lower
-    * target Jaccard moves to r = 2 with more lanes to shrink the
-    * buckets, same shapes).
+  /** MinHash lanes / bands for the [[entityClustersLsh]] second
+    * blocking pass: 8 lanes in 4 bands of r = 2 — candidates must
+    * agree on BOTH lanes of some band. r = 1 was measured first and
+    * REJECTED: with tiny token sets over a small shared vocabulary,
+    * the token whose hash is globally minimal becomes the lane
+    * minimum for every record containing it, so single-lane buckets
+    * go hub-shaped (measured 60 s at sf0.1 vs ~3 s for the whole
+    * exact pass — quadratic pair volume in the hub bucket). r = 2
+    * multiplies bucket membership probabilities (P² per pair), which
+    * collapses the hubs; recall at the one-word-variant Jaccard
+    * (J ≈ 2/3 on a five-word name) is 1−(1−J²)⁴ ≈ 90%, the standard
+    * recall/candidate-volume trade a second blocking pass makes.
     */
-  val EntityLshLanes = 4
+  val EntityLshLanes = 8
+  val EntityLshBands = 4
 
   /** [[entityClusters]] with a SECOND, block-crossing candidate pass:
-    * name-token MinHash lanes (the dedup family's engine-portable
-    * md5 hash family, K = [[EntityLshLanes]], r = 1) bucket records
-    * by each lane's min token hash REGARDLESS of (brand, type), so a
+    * name-token MinHash bands (the dedup family's engine-portable
+    * md5 hash family, [[EntityLshLanes]] lanes in [[EntityLshBands]]
+    * bands of 2) bucket records REGARDLESS of (brand, type), so a
     * spelling variant entered under the wrong brand or type — which
     * the exact block is structurally blind to — still reaches the
     * Damerau compare. Pairs from both passes union (set semantics)
@@ -647,45 +680,62 @@ object Stats {
     * Scale shape: the signature build is scan-side (the one-pass
     * [[graft.functions.MinHashSigs]] kernel, no explode before the
     * bucket join); candidate volume is Σ_buckets |bucket|² where a
-    * bucket is "records sharing one lane's min-hash token" — bounded
-    * by the name-token document frequencies, never catalog²; the
-    * first-agreeing-lane discipline dedupes multi-lane collisions
+    * bucket is "records agreeing on BOTH lanes of a band" — r = 2
+    * exists precisely to keep those buckets small (see
+    * [[EntityLshLanes]] for the measured r = 1 hub blowup); the
+    * first-agreeing-band discipline dedupes multi-band collisions
     * with ZERO extra shuffle (no pair-level distinct before the
     * kernel); the cross-pass union IS a distinct, on the
     * threshold-sparse surviving pairs only.
     */
   def entityClustersLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.StringDistances.damerauLevenshtein
+    val p = part(spark, dir).select(col("p_partkey"), col("p_name"))
+    // the same dedupe-before-compare restructuring as
+    // [[entityBlockPairs]], with GLOBAL name groups (this pass is the
+    // block-crossing one): signatures, banding and the kernel all run
+    // on distinct names; identical-name parts connect by star edges
+    val groups = p.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("rep"))
+      .localCheckpoint()
+    val star = p.join(groups, Seq("p_name"))
+      .filter(col("p_partkey") =!= col("rep"))
+      .select(col("rep").as("key_a"), col("p_partkey").as("key_b"))
     val toks = array_distinct(split(col("p_name"), " "))
-    val sigs = part(spark, dir)
-      .select(col("p_partkey"), col("p_name"),
+    val sigs = groups
+      .select(col("rep"), col("p_name"),
         transform(toks, t => md5(t)).as("mds"))
-      .select(col("p_partkey"), col("p_name"),
+      .select(col("rep"), col("p_name"),
         graft.functions.MinHashOps.minhashSigs(
           transform(col("mds"), s =>
             conv(substring(s, 1, 8), 16, 10).cast("long")),
           transform(col("mds"), s =>
             conv(substring(s, 9, 8), 16, 10).cast("long")),
           EntityLshLanes, graft.analytics.TextOps.MinHashP).as("sig"))
-    val banded = sigs.select(col("p_partkey"), col("p_name"), col("sig"),
-      posexplode(col("sig")).as(Seq("lane", "m")))
-    val a = banded.select(col("p_partkey").as("key_a"),
+    val r = EntityLshLanes / EntityLshBands
+    val bandCols: Seq[Column] = (0 until EntityLshBands).map { band =>
+      md5(concat_ws(",", (band * r until (band + 1) * r)
+        .map(i => element_at(col("sig"), i + 1)): _*))
+    }
+    val banded = sigs.select(col("rep"), col("p_name"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("rep").as("rep_a"),
       col("p_name").as("name_a"), col("sig").as("sig_a"),
-      col("lane"), col("m"))
-    val b = banded.select(col("p_partkey").as("key_b"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("rep").as("rep_b"),
       col("p_name").as("name_b"), col("sig").as("sig_b"),
-      col("lane"), col("m"))
-    val lshPairs = a.join(b, Seq("lane", "m"))
-      .filter(col("key_a") < col("key_b"))
-      .filter(col("lane") === graft.functions.MinHashOps.firstAgreeBand(
-        col("sig_a"), col("sig_b"), EntityLshLanes))
+      col("band"), col("bucket"))
+    val lshPairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("rep_a") < col("rep_b"))
+      .filter(col("band") === graft.functions.MinHashOps.firstAgreeBand(
+        col("sig_a"), col("sig_b"), EntityLshBands))
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <=
         EntityMaxDist)
       .filter(damerauLevenshtein(col("name_a"), col("name_b")) <=
         EntityMaxDist)
-      .select(col("key_a"), col("key_b"))
+      .select(col("rep_a").as("key_a"), col("rep_b").as("key_b"))
     entityReadout(
-      entityBlockPairs(spark, dir).union(lshPairs).distinct())
+      entityBlockPairs(spark, dir).union(star).union(lshPairs).distinct())
   }
 
   val entityClustersLshSql: String =
@@ -710,10 +760,14 @@ object Stats {
       |    min((h1 + i * h2) % ${graft.analytics.TextOps.MinHashP}) AS m
       |  FROM h CROSS JOIN (SELECT unnest(range(0, $EntityLshLanes)) AS i) seeds
       |  GROUP BY p_partkey, i
+      |), band AS (
+      |  SELECT p_partkey, i // ${EntityLshLanes / EntityLshBands} AS band,
+      |    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+      |  FROM sig GROUP BY p_partkey, i // ${EntityLshLanes / EntityLshBands}
       |), cand AS (
-      |  SELECT DISTINCT sa.p_partkey AS key_a, sb.p_partkey AS key_b
-      |  FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.m = sb.m
-      |  WHERE sa.p_partkey < sb.p_partkey
+      |  SELECT DISTINCT ba.p_partkey AS key_a, bb.p_partkey AS key_b
+      |  FROM band ba JOIN band bb USING (band, bucket)
+      |  WHERE ba.p_partkey < bb.p_partkey
       |), p2 AS (
       |  SELECT c.key_a, c.key_b
       |  FROM cand c
