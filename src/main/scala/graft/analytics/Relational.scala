@@ -869,8 +869,14 @@ object Relational {
       .groupBy(col("abc"))
       .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
       .limit(4) // ≤ 3 classes by construction — the audit's bound proof
+      // split-multiplier ppm: cents·10⁶ overflows long once corpus
+      // revenue passes ~9.2e12 cents (hit at the 4× weak-scaling run);
+      // (cents·10³ DIV t)·10³ + ((cents·10³ mod t)·10³) DIV t is the
+      // SAME exact integer (both factors stay ≤ t·10³), both engines
+      .withColumn("t", expr("sum(cents) OVER ()"))
       .withColumn("share_ppm", expr(
-        "(cents * 1000000L) DIV sum(cents) OVER ()"))
+        "((cents * 1000L) DIV t) * 1000L + (((cents * 1000L) % t) * 1000L) DIV t"))
+      .drop("t")
       .orderBy(col("abc"))
   }
 
@@ -895,10 +901,11 @@ object Relational {
       |    CAST(sum(cents) AS BIGINT) AS cents
       |  FROM cls GROUP BY 1
       |)
+      |, t AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM agg)
       |SELECT abc, n_parts, cents,
-      |  (cents * 1000000) // (SELECT CAST(sum(cents) AS BIGINT) FROM agg)
+      |  ((cents * 1000) // t) * 1000 + (((cents * 1000) % t) * 1000) // t
       |    AS share_ppm
-      |FROM agg
+      |FROM agg CROSS JOIN t
       |ORDER BY abc""".stripMargin
 
   /** Referential-integrity / data-contract audit: the constraint
