@@ -439,6 +439,222 @@ object Similarity {
       |FROM per_q""".stripMargin
 
   // ---------------------------------------------------------------
+  // Int8 scalar quantization (SQ8): codes, quantized kNN, recall
+  // ---------------------------------------------------------------
+
+  /** Per-vector int8 codes under global per-dimension min/max scalar
+    * quantization — the serving-side compression every production
+    * vector index offers (FAISS `SQ8`, 4× smaller than float32, SIMD
+    * integer dot products): code_d = ⌊(x_d − mn_d)·255 / (mx_d −
+    * mn_d)⌋ capped at 255, constant-dimension 0. Both engines cast to
+    * double first and evaluate the IDENTICAL expression tree, so the
+    * codes are bit-equal cross-engine (min/max are order-insensitive;
+    * the one multiply/divide per code is the same IEEE operation
+    * sequence on both sides).
+    *
+    * Scale shape: the (dim, mn, mx) table is dimension-sized from one
+    * posexplode pass; codes are a scan-side zip_with against the
+    * broadcast 1-row range arrays.
+    */
+  def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val pos = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("d", "x")))
+    val dims = pos.groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val dimArrs = dims.groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("d"), col("mx")))),
+          s => s.getField("mx")).as("mxs"))
+    e.crossJoin(broadcast(dimArrs))
+      .select(col("vec_id"),
+        zip_with(
+          zip_with(col("emb"), col("mns"), (x, m) => x - m),
+          zip_with(col("mxs"), col("mns"), (a, b) => a - b),
+          (c, s) => when(s === 0.0, lit(0L))
+            .otherwise(least(floor((c * 255.0) / s), lit(255L)))).as("q"))
+  }
+
+  /** Midpoint-dequantized float32 reconstructions of the SQ8 codes:
+    * x̂_d = mn_d + (code_d + 0.5)·span_d/255 (constant dims
+    * reconstruct exactly as mn_d). Kept as a separate frame so the
+    * index build (codes) and the serving-side dequant are the two
+    * halves a real deployment stores/computes.
+    */
+  private def sq8Recon(spark: SparkSession, dir: String): DataFrame = {
+    val pos = embeddings(spark, dir)
+      .select(posexplode(transform(col("embedding"),
+        x => x.cast("double"))).as(Seq("d", "x")))
+    val dims = pos.groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val dimArrs = dims.groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("d"), col("mx")))),
+          s => s.getField("mx")).as("mxs"))
+    sq8Codes(spark, dir).crossJoin(broadcast(dimArrs))
+      .select(col("vec_id"),
+        zip_with(
+          zip_with(col("q"), col("mns"), (c, m) => struct(c.as("c"), m.as("m"))),
+          zip_with(col("mxs"), col("mns"), (a, b) => a - b),
+          (cm, s) => when(s === 0.0, cm.getField("m")).otherwise(
+            cm.getField("m") +
+              ((cm.getField("c").cast("double") + 0.5) * s) / 255.0)
+            .cast("float")).as("remb"))
+  }
+
+  /** Top-k under SQ8 compression, ASYMMETRIC scoring (the FAISS
+    * `SQ8` serving shape): the query stays full-precision float, the
+    * corpus side is the midpoint-dequantized reconstruction, score is
+    * their cosine through the same codegen'd kernel as
+    * [[knnBruteForce]]. (A first cut ranked by the raw integer dot of
+    * the SHIFTED codes — measured recall 0.04: the per-dimension
+    * affine shift is NOT monotone under dot products, which is why
+    * every production scalar quantizer dequantizes before scoring.)
+    * Ranking via the bounded-state TopK aggregator; reconstruction is
+    * float32 on both engines so the scores — and their ties — stay
+    * bit-portable.
+    */
+  def sq8Knn(spark: SparkSession, dir: String,
+             nQueries: Int = AnnRecallQueries,
+             k: Int = AnnRecallK): DataFrame = {
+    val q = vectors(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    val c = sq8Recon(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("remb"),
+        vecNorm(col("remb")).as("rnrm"))
+    val tk = graft.functions.Aggregators.topK(k)
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        vecDot(col("qemb"), col("remb")) / (col("qnrm") * col("rnrm")))
+      .groupBy(col("query_id"))
+      .agg(tk(col("cos"), col("neighbor_id"), lit(0L)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("s.id").as("neighbor_id"),
+        round(col("s.score"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Recall@k of the SQ8-quantized ranking against the exact float
+    * brute-force ground truth — the accept/reject number for shipping
+    * the 4×-compressed index (same readout contract as [[annRecall]]:
+    * quantization error shows up as lost truth hits, and n_perfect
+    * counts queries whose whole top-k survived compression).
+    */
+  def sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val k = AnnRecallK
+    val truth = knnBruteForce(spark, dir, AnnRecallQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = sq8Knn(spark, dir, AnnRecallQueries, k)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val perQuery = truth.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("aq").isNotNull, 1L).otherwise(0L)).as("hits"))
+    perQuery.agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("hits")).as("sum_hits"),
+        sum(when(col("hits") === k, 1L).otherwise(0L)).as("n_perfect"))
+      .select(col("n_queries"), lit(k.toLong).as("k"),
+        round(col("sum_hits").cast("double") / (col("n_queries") * k), 6)
+          .as("recall_at_k"),
+        col("n_perfect"))
+  }
+
+  /** CTE chain ending in `codes` (vec_id, q) — the SQL twin of
+    * [[sq8Codes]], shared by both SQ8 oracles.
+    */
+  private val sq8CodesCte: String =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |), dims AS (
+      |  SELECT k AS d, min(emb[k]) AS mn, max(emb[k]) AS mx
+      |  FROM e CROSS JOIN (SELECT unnest(range(1,
+      |    (SELECT len(emb) FROM e LIMIT 1) + 1)) AS k) ks
+      |  GROUP BY 1
+      |), da AS (
+      |  SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+      |  FROM dims
+      |), codes AS (
+      |  SELECT vec_id, list_transform(range(1, len(emb) + 1), d ->
+      |    CASE WHEN mxs[d] - mns[d] = 0 THEN 0
+      |         ELSE least(CAST(floor(((emb[d] - mns[d]) * 255.0) /
+      |           (mxs[d] - mns[d])) AS BIGINT), 255) END) AS q
+      |  FROM e CROSS JOIN da
+      |)""".stripMargin
+
+  /** Ranked asymmetric-SQ8 CTE at the recall sample size, shared by
+    * both oracles: float queries against float32 midpoint
+    * reconstructions, cosine-ranked.
+    */
+  private def sq8RankedCte(nQueries: Int): String =
+    s"""recon AS (
+      |  SELECT c.vec_id,
+      |    list_transform(range(1, len(q) + 1), d ->
+      |      CAST(CASE WHEN mxs[d] - mns[d] = 0 THEN mns[d]
+      |           ELSE mns[d] + ((q[d] + 0.5) * (mxs[d] - mns[d])) / 255.0
+      |           END AS FLOAT)) AS rembf
+      |  FROM codes c CROSS JOIN da
+      |), rn AS (
+      |  SELECT vec_id, list_transform(rembf, x -> CAST(x AS DOUBLE)) AS remb,
+      |    sqrt(list_sum(list_transform(rembf, x -> CAST(x AS DOUBLE) * x)))
+      |      AS rnrm
+      |  FROM recon
+      |), nq AS (
+      |  SELECT vec_id AS query_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qemb,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+      |      AS qnrm
+      |  FROM embeddings WHERE vec_id < $nQueries
+      |), sq8ranked AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(qemb) + 1),
+      |      i -> qemb[i] * c.remb[i])) / (qnrm * c.rnrm) AS cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY list_sum(list_transform(range(1, len(qemb) + 1),
+      |        i -> qemb[i] * c.remb[i])) / (qnrm * c.rnrm) DESC,
+      |        c.vec_id ASC) AS rnk
+      |  FROM nq JOIN rn c ON c.vec_id <> query_id
+      |)""".stripMargin
+
+  val sq8KnnSql: String =
+    s"""WITH $sq8CodesCte, ${sq8RankedCte(AnnRecallQueries)}
+      |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+      |FROM sq8ranked WHERE rnk <= $AnnRecallK
+      |ORDER BY query_id, rnk""".stripMargin
+
+  val sq8RecallSql: String =
+    s"""WITH truth AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |${knnBruteForceSqlFor(AnnRecallQueries, AnnRecallK)}
+      |  )
+      |), $sq8CodesCte, ${sq8RankedCte(AnnRecallQueries)}, approx AS (
+      |  SELECT query_id, neighbor_id FROM sq8ranked
+      |  WHERE rnk <= $AnnRecallK
+      |), per_q AS (
+      |  SELECT t.query_id,
+      |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS hits
+      |  FROM truth t LEFT JOIN approx a
+      |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST($AnnRecallK AS BIGINT) AS k,
+      |  round(CAST(sum(hits) AS DOUBLE) / (count(*) * $AnnRecallK), 6)
+      |    AS recall_at_k,
+      |  CAST(sum(CASE WHEN hits = $AnnRecallK THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_perfect
+      |FROM per_q""".stripMargin
+
+  // ---------------------------------------------------------------
   // ANN quality eval #2: NDCG@k + MRR (rank-aware, beyond recall)
   // ---------------------------------------------------------------
 
@@ -2518,6 +2734,8 @@ object Similarity {
     "q_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "q_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
+    "q_sq8_knn" -> ((s: SparkSession, d: String) => sq8Knn(s, d)),
+    "q_sq8_recall" -> (sq8Recall _),
     "q_ndcg_eval" -> ((s: SparkSession, d: String) => ndcgEval(s, d)),
     "q_rbo_eval" -> ((s: SparkSession, d: String) => rboEval(s, d)),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
@@ -2544,6 +2762,8 @@ object Similarity {
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_ann_recall" -> annRecallSql,
+    "q_sq8_knn" -> sq8KnnSql,
+    "q_sq8_recall" -> sq8RecallSql,
     "q_ndcg_eval" -> ndcgEvalSql,
     "q_rbo_eval" -> rboEvalSql,
     "q_semantic_dedup" -> semanticDedupSql,

@@ -879,4 +879,29 @@ class SimilaritySpec extends SparkSpec {
         s"purity $purity inconsistent with $nl labels")
     }
   }
+
+  test("sq8: codes span 0..255 per non-constant dimension; quantized recall stays high") {
+    import org.apache.spark.sql.functions._
+    val codes = graft.analytics.Similarity.sq8Codes(spark, sf)
+      .select(posexplode(col("q")).as(Seq("d", "c"))).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(codes.nonEmpty)
+    assert(codes.forall { case (_, c) => c >= 0L && c <= 255L },
+      "code outside the int8 range")
+    // per dimension the quantizer is anchored at the observed range:
+    // the min value must map to 0; the max maps to 255 or — when the
+    // float quotient lands a hair above 255 and the cap fires — stays
+    // 255; either way both extremes must be PRESENT
+    codes.groupBy(_._1).foreach { case (d, cs) =>
+      val vals = cs.map(_._2)
+      assert(vals.min == 0L, s"dim $d min code ${vals.min} != 0")
+      assert(vals.max == 255L, s"dim $d max code ${vals.max} != 255")
+    }
+    val r = graft.analytics.Similarity.sq8Recall(spark, sf).head()
+    val recall = r.getAs[Double]("recall_at_k")
+    assert(recall > 0.5 && recall <= 1.0,
+      s"SQ8 recall $recall implausible — 8-bit per-dim quantization " +
+        "should retain most exact neighbors")
+    assert(r.getAs[Long]("n_queries") > 0)
+  }
 }
