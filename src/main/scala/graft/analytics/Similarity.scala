@@ -630,6 +630,52 @@ object Similarity {
       |FROM sq8ranked WHERE rnk <= $AnnRecallK
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** SQ8 reconstruction-distortion audit — the second number (beside
+    * [[sq8Recall]]) a quantized index ships with: per-element absolute
+    * reconstruction error in exact integer micro-units
+    * (⌊|x − x̂|·10⁶⌋ — floored BEFORE summing, so the corpus total is
+    * an order-insensitive integer sum, never a float accumulation),
+    * with the worst element and the mean in ppm of the global value
+    * range. The midpoint dequantizer bounds per-element error by
+    * span/510 + float32 rounding; the audit MEASURES it instead.
+    *
+    * Scale shape: one zip_with pass over (embedding, reconstruction),
+    * one scalar aggregate; the range constant rides the same 1-row
+    * broadcast as the codes.
+    */
+  def sq8Distortion(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val errs = e.join(sq8Recon(spark, dir), Seq("vec_id"))
+      .select(explode(zip_with(col("emb"), col("remb"),
+        (x, r) => floor(abs(x - r.cast("double")) * 1e6).cast("long")))
+        .as("err_micro"))
+    errs.agg(count(lit(1)).as("n_elems"),
+        max(col("err_micro")).as("max_err_micro"),
+        sum(col("err_micro")).as("sum_err_micro"))
+      .withColumn("mean_err_micro", expr("sum_err_micro DIV n_elems"))
+      .select(col("n_elems"), col("max_err_micro"), col("mean_err_micro"))
+  }
+
+  val sq8DistortionSql: String =
+    s"""WITH $sq8CodesCte, recon AS (
+      |  SELECT c.vec_id,
+      |    list_transform(range(1, len(q) + 1), d ->
+      |      CAST(CASE WHEN mxs[d] - mns[d] = 0 THEN mns[d]
+      |           ELSE mns[d] + ((q[d] + 0.5) * (mxs[d] - mns[d])) / 255.0
+      |           END AS FLOAT)) AS rembf
+      |  FROM codes c CROSS JOIN da
+      |), errs AS (
+      |  SELECT unnest(list_transform(range(1, len(emb) + 1), d ->
+      |    CAST(floor(abs(emb[d] - CAST(rembf[d] AS DOUBLE)) * 1e6)
+      |         AS BIGINT))) AS err_micro
+      |  FROM e JOIN recon USING (vec_id)
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_elems,
+      |  CAST(max(err_micro) AS BIGINT) AS max_err_micro,
+      |  CAST(sum(err_micro) AS BIGINT) // count(*) AS mean_err_micro
+      |FROM errs""".stripMargin
+
   val sq8RecallSql: String =
     s"""WITH truth AS (
       |  SELECT query_id, neighbor_id FROM (
@@ -2736,6 +2782,7 @@ object Similarity {
     "q_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "q_sq8_knn" -> ((s: SparkSession, d: String) => sq8Knn(s, d)),
     "q_sq8_recall" -> (sq8Recall _),
+    "q_sq8_distortion" -> (sq8Distortion _),
     "q_ndcg_eval" -> ((s: SparkSession, d: String) => ndcgEval(s, d)),
     "q_rbo_eval" -> ((s: SparkSession, d: String) => rboEval(s, d)),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
@@ -2764,6 +2811,7 @@ object Similarity {
     "q_ann_recall" -> annRecallSql,
     "q_sq8_knn" -> sq8KnnSql,
     "q_sq8_recall" -> sq8RecallSql,
+    "q_sq8_distortion" -> sq8DistortionSql,
     "q_ndcg_eval" -> ndcgEvalSql,
     "q_rbo_eval" -> rboEvalSql,
     "q_semantic_dedup" -> semanticDedupSql,

@@ -903,5 +903,22 @@ class SimilaritySpec extends SparkSpec {
       s"SQ8 recall $recall implausible — 8-bit per-dim quantization " +
         "should retain most exact neighbors")
     assert(r.getAs[Long]("n_queries") > 0)
+    // midpoint dequantization bounds per-element error by span/510
+    // (+ float32 rounding + the floor): measure against the widest
+    // dimension's analytic bound
+    val spans = graft.ingest.Sources.embeddings(spark, sf)
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg((max(col("x").cast("double")) - min(col("x").cast("double")))
+        .as("s"))
+      .collect().map(_.getDouble(1))
+    val dist = graft.analytics.Similarity.sq8Distortion(spark, sf).head()
+    val bound = math.ceil(spans.max * 1e6 / 510.0).toLong + 2L
+    assert(dist.getAs[Long]("max_err_micro") <= bound,
+      s"max reconstruction error ${dist.getAs[Long]("max_err_micro")} " +
+        s"exceeds the midpoint bound $bound")
+    assert(dist.getAs[Long]("mean_err_micro") <=
+      dist.getAs[Long]("max_err_micro"))
+    assert(dist.getAs[Long]("n_elems") > 0)
   }
 }
