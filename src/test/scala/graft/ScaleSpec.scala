@@ -59,6 +59,54 @@ class ScaleSpec extends SparkSpec {
     assert(gotD == expD, "descending-basis ntile diverges")
   }
 
+  test("randomized differential: rank family equals window forms on adversarial frames") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // seeded generator: duplicate-heavy bases (forced ties), negative
+    // values, tiny and mid-size frames, varied n — the shapes the
+    // closed-form ntile and the shard-offset algebra could get wrong
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val size = 1 + rnd.nextInt(300)
+      val n = 2 + rnd.nextInt(11)
+      val dupRange = 1 + rnd.nextInt(20) // small range ⇒ many ties
+      val rows = (1 to size).map { i =>
+        (i.toLong, (rnd.nextInt(2 * dupRange) - dupRange).toLong,
+          rnd.nextInt(1000).toLong)
+      }
+      val df = rows.toDF("k", "b", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("b").asc, col("k").asc)
+      val expN = df.withColumn("t", ntile(n).over(w))
+        .select(col("k"), col("t")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val gotN = graft.operators.Scale.distributedNtile(
+          df, n, col("b"), col("k"), "t")
+        .select(col("k"), col("t")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(gotN == expN, s"trial $trial: ntile($n) diverges at size $size")
+      val expR = df.withColumn("r", row_number().over(w).cast("long"))
+        .select(col("k"), col("r")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotR = graft.operators.Scale.distributedRowNumber(
+          df, col("b"), col("k"), "r")
+        .select(col("k"), col("r")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotR == expR, s"trial $trial: row_number diverges")
+      val wc = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val expS = df.withColumn("c", sum(col("v")).over(wc))
+        .select(col("k"), col("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotS = graft.operators.Scale.distributedPrefixSum(
+          df, col("b"), col("k"), col("v"), "c")
+        .select(col("k"), col("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotS == expS, s"trial $trial: prefix sum diverges")
+    }
+  }
+
   test("distributedPrefixSum equals the inclusive window running sum, descending basis") {
     import org.apache.spark.sql.functions._
     val rev = graft.ingest.Sources.lineitem(spark, sf)
