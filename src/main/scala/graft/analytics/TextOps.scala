@@ -4106,20 +4106,28 @@ object TextOps {
     * ties in D break on the smallest margin.
     *
     * Scale shape: everything after [[nbScores]] is |classes| rows per
-    * doc, then one sort-window over the test-split-sized margin table
-    * (the tested scale path is [[nbKsSketch]], which swaps the
-    * per-point CDF sweep for the binned walk and whose underestimate
-    * the spec bounds by the largest bin's mass).
+    * doc; the two empirical-CDF counts `c_ok`/`c_bad` are INCLUSIVE
+    * prefix sums of the outcome indicators over (margin, doc_id) —
+    * round 10 rebuilds them on
+    * [[graft.operators.Scale.distributedPrefixSum]] (one application
+    * per indicator), replacing the round-9 unpartitioned window that
+    * swept the corpus-scaled margin table through a single task (the
+    * last `spwckpt` flag in the plan audit). Output is provably
+    * identical — a prefix sum is a prefix sum — so the unchanged
+    * window-form oracle below stays the done-gate; the argmax readout
+    * is a distributed top-1 (TakeOrderedAndProject). [[nbKsSketch]]
+    * remains the constant-state variant for stream merging.
     */
   def nbKs(spark: SparkSession, dir: String): DataFrame = {
     val labeled = nbMargins(spark, dir)
     val tot = labeled.agg(sum(col("ok")).as("n_ok"),
       sum(lit(1L) - col("ok")).as("n_bad"))
-    val w = Window.orderBy(col("margin"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    labeled
-      .withColumn("c_ok", sum(col("ok")).over(w))
-      .withColumn("c_bad", sum(lit(1L) - col("ok")).over(w))
+    import graft.operators.Scale
+    Scale.distributedPrefixSum(
+        Scale.distributedPrefixSum(
+          labeled.withColumn("bad", lit(1L) - col("ok")),
+          col("margin"), col("doc_id"), col("ok"), "c_ok"),
+        col("margin"), col("doc_id"), col("bad"), "c_bad")
       .crossJoin(broadcast(tot))
       .withColumn("d_ppm", abs(
         expr("(c_ok * 1000000L) DIV n_ok") -

@@ -19,30 +19,39 @@ object Scale {
     */
   val NtileShards = 32L
 
+  /** Quantile grid for splitting a HOT basis value across shards by
+    * key ([[shardBoundaries]]): cut positions snap to this grid, so
+    * in-value balance is within ~1/KeyCutGrid of ideal.
+    */
+  private val KeyCutGrid = 64
+
   /** Exact distributed `ntile(n)` over the total order (basis asc,
     * key asc) — the operator that replaces an UNPARTITIONED ntile
     * window (which plans as `Exchange SinglePartition`: the entire
     * input sorted in ONE task — the round-8 q_price_deciles finding).
     *
     * 2-phase sharded global rank (the seqPack prefix-sum pattern):
-    * rows shard by a basis-monotone integer bucket
-    * ((basis − min) DIV width — shards are contiguous basis ranges,
-    * so shard order ⊕ in-shard order IS the total order); per-shard
-    * ranks run as [[NtileShards]] parallel PARTITIONED windows;
-    * per-shard counts (a ≤ shards+1-row frame, limit-proved in-plan
-    * for the audit) get a prefix sum and broadcast back;
-    * global rank = shard offset + local rank. The bucket is then the
-    * closed-form ntile from (rank, N): the first N mod n buckets take
-    * ⌈N/n⌉ rows, the rest ⌊N/n⌋ — bit-identical to the window
-    * `ntile`, which is why unchanged window-ntile oracles stay the
-    * done-gate for every consumer.
+    * rows shard by EQUI-DEPTH composite boundaries over the
+    * (basis, key) total order ([[shardBoundaries]] — shards are
+    * contiguous ranges of that order, so shard order ⊕ in-shard order
+    * IS the total order); per-shard ranks run as up to [[NtileShards]]
+    * parallel PARTITIONED windows; per-shard counts (a ≤ shards+1-row
+    * frame, limit-proved in-plan for the audit) get a prefix sum and
+    * broadcast back; global rank = shard offset + local rank. The
+    * bucket is then the closed-form ntile from (rank, N): the first
+    * N mod n buckets take ⌈N/n⌉ rows, the rest ⌊N/n⌋ — bit-identical
+    * to the window `ntile`, which is why unchanged window-ntile
+    * oracles stay the done-gate for every consumer.
     *
-    * `basis` must be a LONG expression whose ascending order is the
+    * INTEGRAL CONTRACT: `basis` and `key` must be INTEGRAL
+    * expressions (they are cast to long — a fractional basis would
+    * silently rank on its truncation); `basis` ascending is the
     * intended primary sort (negate for descending); `key` breaks ties
-    * totally. Equi-width VALUE shards bound parallelism, not balance
-    * — a pathologically skewed basis piles into few shards; the swap
-    * there is repartitionByRange (sampled boundaries) feeding the
-    * same offset algebra.
+    * totally. Boundaries are equi-depth (sampled quantiles), so a
+    * pathologically skewed basis — even 90% of rows on ONE value —
+    * still spreads across shards (hot values split by key quantiles);
+    * round 9's equi-WIDTH value buckets bounded parallelism but not
+    * balance, conceded in this very docstring and fixed in round 10.
     */
   def distributedNtile(df: DataFrame, n: Int, basis: Column, key: Column,
                        out: String): DataFrame = {
@@ -84,20 +93,24 @@ object Scale {
     * (basis asc, key asc) — the prefix-sum sibling of
     * [[distributedRowNumber]] (same 2-phase shape, shard offsets carry
     * per-shard VALUE totals instead of counts), for cumulative-share
-    * accounting (Pareto/ABC, coverage curves) over frames whose row
-    * count grows with the corpus.
+    * accounting (Pareto/ABC, coverage curves, empirical CDFs) over
+    * frames whose row count grows with the corpus.
+    *
+    * INTEGRAL CONTRACT (round-9 advice): `basis`, `key` AND `value`
+    * must be INTEGRAL expressions — all three are cast to long, so a
+    * fractional `value` would silently sum its truncation and diverge
+    * from the window running sum this operator is bit-identical to.
+    * Fixed-point encode (cents, micro-nats) before calling, as every
+    * in-repo consumer does.
     */
   def distributedPrefixSum(df: DataFrame, basis: Column, key: Column,
                            value: Column, out: String): DataFrame = {
     val u = out
-    val base = df.withColumn(s"_b_$u", basis.cast("long"))
-      .withColumn(s"_v_$u", value.cast("long")).localCheckpoint()
-    val width = base.agg(min(col(s"_b_$u")).as(s"_lo_$u"),
-      expr(s"(max(_b_$u) - min(_b_$u)) DIV $NtileShards + 1").as(s"_w_$u"))
-    val sharded = base.crossJoin(broadcast(width))
-      .withColumn(s"_s_$u", expr(s"(_b_$u - _lo_$u) DIV _w_$u"))
+    val sharded = shardedFrame(
+      df.withColumn(s"_v_$u", value.cast("long")), basis, key, u)
     val local = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(s"_s_$u")).orderBy(col(s"_b_$u").asc, key.asc)
+      .partitionBy(col(s"_s_$u"))
+      .orderBy(col(s"_b_$u").asc, col(s"_k_$u").asc)
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val withLocal = sharded
@@ -114,8 +127,95 @@ object Scale {
     withLocal
       .join(broadcast(offsets), col(s"_s_$u") === col(s"_os_$u"))
       .withColumn(out, col(s"_off_$u") + col(s"_lc_$u"))
-      .drop(s"_b_$u", s"_v_$u", s"_lo_$u", s"_w_$u", s"_s_$u",
+      .drop(s"_b_$u", s"_k_$u", s"_v_$u", s"_s_$u",
         s"_lc_$u", s"_os_$u", s"_off_$u")
+  }
+
+  /** Equi-depth composite shard boundaries over the (basis, key)
+    * total order — phase 0 of the 2-phase rank family. Boundaries are
+    * sampled quantiles of the BASIS (approx_percentile at
+    * [[NtileShards]]−1 evenly spaced ranks); a basis value spanning
+    * ≥ 2 quantile slots (a HOT value — up to the 90%-on-one-value
+    * zipfian worst case) is additionally split WITHIN the value by
+    * quantiles of the KEY, snapped to the [[KeyCutGrid]] grid, so
+    * per-shard balance holds for ANY input distribution, not just
+    * spread-out ones. The returned pairs are ascending cut points:
+    * a row lands in shard = #{cuts ≤ (basis, key) lexicographically};
+    * (v, Long.MinValue) cuts BEFORE all rows of basis v.
+    *
+    * Output of every consumer is boundary-INVARIANT (the offset
+    * algebra computes exact global ranks for any monotone, contiguous
+    * sharding), so the sampling approximation affects only balance —
+    * which is why approx_percentile's estimation error is acceptable
+    * where it never would be in a result.
+    */
+  private[graft] def shardBoundaries(base: DataFrame, b: String,
+                                     k: String): Seq[(Long, Long)] = {
+    val s = NtileShards.toInt
+    val probs = (1 until s).map(i => i.toDouble / s).mkString(", ")
+    val row = base.agg(
+      expr(s"approx_percentile($b, array($probs), 10000)").as("_q")).head()
+    if (row.isNullAt(0)) return Seq.empty
+    val bq = row.getSeq[Long](0)
+    // multiplicity m ≥ 2 means the value holds ≥ ~m/NtileShards of all
+    // rows: split it into m key-quantile slices (one extra aggregate,
+    // only paid on skewed inputs)
+    val hot: Map[Long, Int] = bq.groupBy(identity).view.mapValues(_.size)
+      .toMap.filter(_._2 >= 2)
+    val keyCuts: Map[Long, Seq[Long]] =
+      if (hot.isEmpty) Map.empty
+      else {
+        val gridProbs = (1 until KeyCutGrid)
+          .map(i => i.toDouble / KeyCutGrid).mkString(", ")
+        base.filter(col(b).isin(hot.keys.toSeq: _*))
+          .groupBy(col(b))
+          .agg(expr(s"approx_percentile($k, array($gridProbs), 10000)")
+            .as("_kq"))
+          .collect()
+          .map { r =>
+            val v = r.getLong(0)
+            val grid = r.getSeq[Long](1)
+            val m = hot(v)
+            v -> (1 until m).map { j =>
+              grid(math.min(grid.size - 1,
+                math.max(0, j * KeyCutGrid / m - 1)))
+            }
+          }.toMap
+      }
+    bq.distinct.sorted.flatMap { v =>
+      (v, Long.MinValue) +: keyCuts.getOrElse(v, Seq.empty)
+        .distinct.sorted.map(c => (v, c))
+    }
+  }
+
+  /** Shard id of (b, k) under `bnds`: the count of boundary cuts at
+    * or below the row in (basis, key) order — a flat codegen'd sum of
+    * ≤ [[NtileShards]]−1 comparison terms, monotone in the total
+    * order by construction (each term is).
+    */
+  private[graft] def shardCol(bnds: Seq[(Long, Long)], b: Column,
+                              k: Column): Column =
+    if (bnds.isEmpty) lit(0L)
+    else bnds.map { case (pb, pk) =>
+      when(b > pb || (b === pb && k >= pk), 1L).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Checkpoint `df` with long `_b_<u>`/`_k_<u>` sort columns and the
+    * equi-depth `_s_<u>` shard id — the shared phase 0 of
+    * [[rankCore]] and [[distributedPrefixSum]].
+    */
+  private[graft] def shardedFrame(df: DataFrame, basis: Column,
+                                  key: Column, u: String): DataFrame = {
+    // materialize the input ONCE: the boundary sample, the shard/total
+    // aggregates and the ranked frame all consume it, and without the
+    // checkpoint each consumer re-executes the input lineage — chained
+    // applications then compound MULTIPLICATIVELY (measured: RFM's
+    // three chained quintiles planned 250 scans / 386 shuffles;
+    // checkpointed, the plan is three flat applications)
+    val base = df.withColumn(s"_b_$u", basis.cast("long"))
+      .withColumn(s"_k_$u", key.cast("long")).localCheckpoint()
+    val bnds = shardBoundaries(base, s"_b_$u", s"_k_$u")
+    base.withColumn(s"_s_$u", shardCol(bnds, col(s"_b_$u"), col(s"_k_$u")))
   }
 
   /** Shared 2-phase sharded global rank: returns df + `_r_<u>` (long
@@ -123,19 +223,10 @@ object Scale {
     */
   private def rankCore(df: DataFrame, basis: Column, key: Column,
                        u: String): DataFrame = {
-    // materialize the input ONCE: three scalar/shard aggregates plus
-    // the ranked frame all consume it, and without the checkpoint each
-    // consumer re-executes the input lineage — chained applications
-    // then compound MULTIPLICATIVELY (measured: RFM's three chained
-    // quintiles planned 250 scans / 386 shuffles; checkpointed, the
-    // plan is three flat applications)
-    val base = df.withColumn(s"_b_$u", basis.cast("long")).localCheckpoint()
-    val width = base.agg(min(col(s"_b_$u")).as(s"_lo_$u"),
-      expr(s"(max(_b_$u) - min(_b_$u)) DIV $NtileShards + 1").as(s"_w_$u"))
-    val sharded = base.crossJoin(broadcast(width))
-      .withColumn(s"_s_$u", expr(s"(_b_$u - _lo_$u) DIV _w_$u"))
+    val sharded = shardedFrame(df, basis, key, u)
     val local = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(s"_s_$u")).orderBy(col(s"_b_$u").asc, key.asc)
+      .partitionBy(col(s"_s_$u"))
+      .orderBy(col(s"_b_$u").asc, col(s"_k_$u").asc)
     val withLocal = sharded
       .withColumn(s"_lr_$u", row_number().over(local).cast("long"))
     val offW = org.apache.spark.sql.expressions.Window
@@ -150,12 +241,12 @@ object Scale {
       .withColumn(s"_off_$u",
         coalesce(sum(col(s"_n_$u")).over(offW), lit(0L)))
       .select(col(s"_s_$u").as(s"_os_$u"), col(s"_off_$u"))
-    val tot = base.agg(count(lit(1)).as(s"_N_$u"))
+    val tot = sharded.agg(count(lit(1)).as(s"_N_$u"))
     withLocal
       .join(broadcast(offsets), col(s"_s_$u") === col(s"_os_$u"))
       .crossJoin(broadcast(tot))
       .withColumn(s"_r_$u", col(s"_off_$u") + col(s"_lr_$u"))
-      .drop(s"_b_$u", s"_lo_$u", s"_w_$u", s"_s_$u", s"_lr_$u",
+      .drop(s"_b_$u", s"_k_$u", s"_s_$u", s"_lr_$u",
         s"_os_$u", s"_off_$u")
   }
 

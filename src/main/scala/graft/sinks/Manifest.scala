@@ -238,8 +238,12 @@ object ManifestTable {
     val paths = names.map(n => s"$path/$DataDir/$n")
     if (paths.isEmpty) return names
     val df = spark.read.parquet(paths: _*)
+    // timestamps (round 10) ride the same double envelope as numerics
+    // — cast(timestamp as double) is epoch seconds — so time-keyed
+    // sinks can prune on event time ([[upsertPruned]]'s whole point)
     val numeric = df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        || f.dataType == org.apache.spark.sql.types.TimestampType =>
         f.name
     }.toSeq
     if (numeric.isEmpty) return names
@@ -268,6 +272,58 @@ object ManifestTable {
         s"$n\t$st"
       }.getOrElse(n) // empty files produce no group -> bare name
     }
+  }
+
+  /** Copy-on-write UPSERT that rewrites only the files the batch can
+    * touch (round 10 — the amortization that took the streaming alert
+    * sink off O(table) per micro-batch): files whose recorded
+    * [min, max] for `pruneCol` intersects the batch's own range are
+    * read and merged with the batch ([[Sinks.upsert]] semantics:
+    * matching `keys` replaced, new keys appended); every OTHER
+    * committed file carries into the new manifest line-for-line —
+    * stats included, file untouched on disk. Files with no recorded
+    * bounds for `pruneCol` (legacy lines, all-null) always merge:
+    * skipping must be conservative, exactly as in [[pruneFiles]].
+    *
+    * For a time-keyed table (`pruneCol` = event time) batches touch
+    * only the recent tail, so per-batch work is O(batch + tail), not
+    * O(table) — the merge-into-partition shape every lakehouse upsert
+    * runs. Exactly-once under foreachBatch replay is preserved: a
+    * replayed batch prunes to the same (or wider) file set — a file
+    * holding key (k, t) always intersects a batch containing t — and
+    * the key merge is idempotent. An EMPTY batch commits nothing
+    * (returns None) instead of rewriting the table unchanged.
+    *
+    * `pruneCol` must be numeric or timestamp (the stats envelope);
+    * bounds compare in its double cast (epoch seconds for timestamps).
+    * Single-writer per table, like every committer here.
+    */
+  def upsertPruned(batch: DataFrame, path: String, keys: Seq[String],
+                   pruneCol: String): Option[Long] = {
+    import org.apache.spark.sql.functions.{col => c, min => mn, max => mx}
+    val spark = batch.sparkSession
+    if (latestVersion(spark, path).isEmpty) {
+      // first commit: nothing to merge; an empty first batch still
+      // commits (it creates the table, matching replace-based history)
+      return Some(replace(batch, path))
+    }
+    val r = batch.agg(mn(c(pruneCol)).cast("double").as("lo"),
+      mx(c(pruneCol)).cast("double").as("hi")).head()
+    if (r.isNullAt(0)) return None
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val lines = snapshotLines(spark, path, None)
+    val (touch, keep) = lines.partition { l =>
+      statsOf(l).get(pruneCol).forall { case (fmn, fmx) =>
+        fmx >= lo && fmn <= hi }
+    }
+    val merged =
+      if (touch.isEmpty) batch
+      else Sinks.upsert(
+        spark.read.parquet(
+          touch.map(l => s"$path/$DataDir/${nameOf(l)}"): _*),
+        batch, keys)
+    val names = stage(merged, path)
+    Some(commit(spark, path, keep ++ withStats(spark, path, names)))
   }
 
   /** The snapshot files whose recorded [min, max] for `column`

@@ -94,9 +94,17 @@ object PlanForensics {
   /** Limit-type nodes: a CONSTANT cardinality bound, independent of
     * both corpus size and group domains. The only bound class that
     * makes a single-partition sort/window safe unconditionally.
+    * LocalLimitExec is deliberately ABSENT: a local limit caps rows
+    * PER PARTITION (total = k × numPartitions, corpus-scaled via the
+    * partition count), so a LocalLimit-only path — e.g. a limit pushed
+    * below an exchange whose GlobalLimit got optimized away — must NOT
+    * silence the detector (round-9 advice: treating it as a full bound
+    * is a false negative in a safety audit). In every legitimate
+    * in-plan limit proof the GlobalLimit/CollectLimit sits above its
+    * LocalLimit, so honoring only the global forms loses nothing.
     */
   private val LimitBounding: Set[String] = Set(
-    "GlobalLimitExec", "CollectLimitExec", "LocalLimitExec",
+    "GlobalLimitExec", "CollectLimitExec",
     "TakeOrderedAndProjectExec")
 
   private val AggNodes: Set[String] = Set(
@@ -186,6 +194,47 @@ object PlanForensics {
     */
   def rawSinglePartitionWindows(root: SparkPlan): Seq[String] =
     singlePartitionWindows(root).filter(_.bound == "none").map(_.tables)
+
+  /** Post-EXECUTION metric probe (round 10): the measured INPUT row
+    * count of every single-partition window in the final plan —
+    * the number that turns the `spwagg` tier's docstring claims
+    * ("the group domain is corpus-independent") into measurements.
+    * A window is 1:1 in cardinality, so its input count is read from
+    * the nearest descendant node that carries a `numOutputRows`
+    * metric after the plan has run (the bounding aggregate itself in
+    * the agg tier). Executes the frame through its OWN QueryExecution
+    * (an RDD count — `df.write` would build a separate execution and
+    * strand the metrics), then walks the final adaptive plan.
+    *
+    * Returns one (input-leaf label, measured rows) pair per
+    * single-partition window, in plan-walk order; −1 when no counted
+    * descendant exists (never observed — aggregates and scans all
+    * carry the metric).
+    */
+  def spWindowInputRows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] = {
+    df.queryExecution.executedPlan.execute().count(): Unit
+    val fin = GraftBridge.finalPlan(df)
+    def firstCounted(p: SparkPlan): Option[Long] =
+      p.metrics.get("numOutputRows").map(_.value).orElse(
+        GraftBridge.planChildren(p).view.flatMap(firstCounted).headOption)
+    walk(fin).filter(emptyPartitionSpec).map { w =>
+      def leaves(p: SparkPlan): Seq[String] = {
+        val cls = p.getClass.getSimpleName
+        if (cls.contains("FileSourceScan"))
+          CorpusTables.filter(t => p.toString.contains(s"$t.parquet")) match {
+            case Nil => Seq("dim"); case ts => ts
+          }
+        else if (cls == "RDDScanExec") Seq("ckpt")
+        else GraftBridge.planChildren(p).flatMap(leaves)
+      }
+      val label = leaves(w).distinct.sorted.mkString("+") match {
+        case "" => "const"; case s => s
+      }
+      val rows = GraftBridge.planChildren(w).view
+        .flatMap(firstCounted).headOption.getOrElse(-1L)
+      (label, rows)
+    }
+  }
 
   /** WindowGroupLimit probe: (total window nodes, group-limit nodes).
     * Spark's InferWindowGroupLimit is supposed to rewrite

@@ -1,0 +1,71 @@
+package graft.tools
+
+/** Measured bounds for the `spwagg` soft tier (round 10): every
+  * single-partition window that PlanAudit classifies as agg-bounded
+  * rides a docstring ARGUMENT that its group domain (digits, bins,
+  * months, sources…) is corpus-independent. This harness makes the
+  * bound mechanical: run each flagged query at sf0.1 and at a K×
+  * [[ScaleUp.materialize]] replica, read every single-partition
+  * window's measured INPUT row count from the executed plan
+  * ([[PlanForensics.spWindowInputRows]]), and FAIL (exit 1) if any
+  * window's input grew materially with the corpus — flat = the
+  * domain claim is proven, grown = the docstring lied.
+  *
+  * Tolerance: ratio ≤ [[Tolerance]] passes. Domains are not all
+  * bit-constant — a margin-histogram's bin count tracks the margin
+  * RANGE (which can widen slightly under the disjoint-vocab 4×
+  * morph), month/source domains are exactly constant — so the gate
+  * is "does not scale with rows" (4× data must not mean ~4× window
+  * input), not "identical".
+  *
+  * args: [scaledDir] [k] [query...] — defaults /tmp/graft_scaled, 4,
+  * [[DefaultQueries]] (the queries whose static plans carry spwagg
+  * flags in the round-10 audit). Reuses an existing scaled dir.
+  */
+object WindowBounds {
+
+  val Tolerance = 1.5
+
+  /** Queries whose static plans carry agg-bounded single-partition
+    * windows (from the round-10 PlanAudit sweep — keep in sync).
+    */
+  val DefaultQueries: Seq[String] = Seq.empty // filled from the audit
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_scaled")
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val qs = if (args.length > 2) args.drop(2).toSeq else DefaultQueries
+    val spark = graft.spark.Sessions.local("32", "32")
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val marker = new java.io.File(s"$out/lineitem.parquet")
+    if (!marker.exists()) ScaleUp.materialize(spark, src, out, k)
+    var grown = 0
+    println(f"${"query"}%-28s win ${"input"}%-14s ${"rows@1x"}%10s ${s"rows@${k}x"}%10s  ratio")
+    qs.foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      try {
+        val base = PlanForensics.spWindowInputRows(fn(spark, src))
+        val big = PlanForensics.spWindowInputRows(fn(spark, out))
+        if (base.size != big.size)
+          println(s"$q  WINDOW COUNT DIFFERS: ${base.size} vs ${big.size}")
+        base.zip(big).zipWithIndex.foreach {
+          case (((lbl, a), (_, b)), i) =>
+            val ratio = if (a > 0) b.toDouble / a else if (b == 0) 1.0 else Double.PositiveInfinity
+            val bad = ratio > Tolerance
+            if (bad) grown += 1
+            println(f"$q%-28s  $i%2d $lbl%-14s $a%10d $b%10d  $ratio%5.2f${if (bad) "  !! GROWS WITH CORPUS" else ""}")
+        }
+      } catch {
+        case e: Throwable =>
+          grown += 1
+          println(s"$q ERROR ${e.getMessage.take(100)}")
+      }
+    }
+    spark.stop()
+    if (grown > 0) {
+      println(s"$grown single-partition window(s) grew past ${Tolerance}x — the agg-bound claim failed")
+      sys.exit(1)
+    }
+  }
+}

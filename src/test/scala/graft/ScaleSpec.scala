@@ -107,6 +107,81 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("zipfian basis: equi-depth shards stay balanced with 90% of rows on ONE value, outputs bit-identical") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the round-9 equi-width buckets' conceded worst case: a heavy-
+    // tailed basis where one value holds 90% of the mass — equi-width
+    // sharding piles it into a single shard (parallelism 1); the
+    // round-10 equi-depth boundaries must split the hot value by KEY
+    // quantiles and keep every shard within a small constant of ideal
+    val n = 20000
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to n).map { i =>
+      val b = if (i % 10 != 0) 42L else rnd.nextInt(1000).toLong - 500L
+      (i.toLong, b, (1 + rnd.nextInt(5)).toLong)
+    }
+    val df = rows.toDF("k", "b", "v")
+    val sharded = Scale.shardedFrame(df, col("b"), col("k"), "z")
+    val counts = sharded.groupBy(col("_s_z")).count()
+      .collect().map(_.getLong(1))
+    val ideal = n.toDouble / Scale.NtileShards
+    assert(counts.length > Scale.NtileShards.toInt / 2,
+      s"hot value not split across shards: only ${counts.length} shards used")
+    assert(counts.max <= 4 * ideal,
+      s"shard imbalance under zipfian basis: max ${counts.max} rows vs ideal $ideal")
+    // and the rank family stays bit-identical to the window forms on
+    // exactly this adversarial frame
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b").asc, col("k").asc)
+    val expR = df.withColumn("r", row_number().over(w).cast("long"))
+      .select(col("k"), col("r")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotR = Scale.distributedRowNumber(df, col("b"), col("k"), "r")
+      .select(col("k"), col("r")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotR == expR, "zipfian row_number diverges from window form")
+    val expN = df.withColumn("t", ntile(7).over(w))
+      .select(col("k"), col("t")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gotN = Scale.distributedNtile(df, 7, col("b"), col("k"), "t")
+      .select(col("k"), col("t")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotN == expN, "zipfian ntile diverges from window form")
+  }
+
+  test("prefix-sum pair (empirical-CDF shape): chained applications match the window CDF counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the q_nb_ks rebuild shape: TWO prefix sums over the same
+    // (margin, doc_id) order, one per outcome indicator — the second
+    // application runs on the first's output (carrying its c_ok
+    // column through shardedFrame's checkpoint), which is the part a
+    // single-application differential never exercises
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { i =>
+      (i.toLong, (rnd.nextInt(40) - 20).toLong,
+        if (rnd.nextBoolean()) 1L else 0L)
+    }
+    val df = rows.toDF("doc_id", "margin", "ok")
+      .withColumn("bad", lit(1L) - col("ok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("margin"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val exp = df
+      .withColumn("c_ok", sum(col("ok")).over(w))
+      .withColumn("c_bad", sum(col("bad")).over(w))
+      .select(col("doc_id"), col("c_ok"), col("c_bad")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = Scale.distributedPrefixSum(
+        Scale.distributedPrefixSum(
+          df, col("margin"), col("doc_id"), col("ok"), "c_ok"),
+        col("margin"), col("doc_id"), col("bad"), "c_bad")
+      .select(col("doc_id"), col("c_ok"), col("c_bad")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp, "chained prefix-sum pair diverges from window CDF")
+  }
+
   test("distributedPrefixSum equals the inclusive window running sum, descending basis") {
     import org.apache.spark.sql.functions._
     val rev = graft.ingest.Sources.lineitem(spark, sf)

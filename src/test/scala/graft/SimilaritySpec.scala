@@ -889,13 +889,16 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.forall { case (_, c) => c >= 0L && c <= 255L },
       "code outside the int8 range")
     // per dimension the quantizer is anchored at the observed range:
-    // the min value must map to 0; the max maps to 255 or — when the
-    // float quotient lands a hair above 255 and the cap fires — stays
-    // 255; either way both extremes must be PRESENT
+    // the min value must map to 0 (x−min is exactly 0, no rounding);
+    // the max is allowed 254 OR 255 — floor((c·255.0)/s) takes TWO
+    // IEEE roundings (multiply, then divide), so at c == s the
+    // quotient can land a hair below 255.0 and floor to 254, the
+    // mirror of the high-side drift the production least(..,255) cap
+    // guards (round-9 advice: exact-255 was fixture-dependent flake)
     codes.groupBy(_._1).foreach { case (d, cs) =>
       val vals = cs.map(_._2)
       assert(vals.min == 0L, s"dim $d min code ${vals.min} != 0")
-      assert(vals.max == 255L, s"dim $d max code ${vals.max} != 255")
+      assert(vals.max >= 254L, s"dim $d max code ${vals.max} < 254")
     }
     val r = graft.analytics.Similarity.sq8Recall(spark, sf).head()
     val recall = r.getAs[Double]("recall_at_k")
