@@ -300,30 +300,62 @@ object ManifestTable {
     */
   def upsertPruned(batch: DataFrame, path: String, keys: Seq[String],
                    pruneCol: String): Option[Long] = {
-    import org.apache.spark.sql.functions.{col => c, min => mn, max => mx}
     val spark = batch.sparkSession
     if (latestVersion(spark, path).isEmpty) {
       // first commit: nothing to merge; an empty first batch still
       // commits (it creates the table, matching replace-based history)
       return Some(replace(batch, path))
     }
-    val r = batch.agg(mn(c(pruneCol)).cast("double").as("lo"),
-      mx(c(pruneCol)).cast("double").as("hi")).head()
-    if (r.isNullAt(0)) return None
-    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    // Stage FIRST: inside foreachBatch every action on `batch`
+    // re-executes the micro-batch plan — state store reads included —
+    // so a separate min/max pass would double the stateful cost
+    // (measured: the agg-then-stage first cut was SLOWER than the full
+    // rewrite it replaced). The staged files' own manifest stats
+    // already carry the batch's pruneCol range for free.
+    val dataDir = s"$path/$DataDir"
+    def paths(ns: Seq[String]) = ns.map(n => s"$dataDir/$n")
+    val names = stage(batch, path)
+    def dropStaged(ns: Seq[String]): Unit = {
+      val fs = fsOf(spark, new org.apache.hadoop.fs.Path(dataDir))
+      ns.foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$dataDir/$n"), false): Unit)
+    }
+    val newLines = withStats(spark, path, names)
+    val ranges = newLines.flatMap(l => statsOf(l).get(pruneCol))
     val lines = snapshotLines(spark, path, None)
+    if (ranges.isEmpty) {
+      // no recorded range: an EMPTY batch (commit nothing) or an
+      // all-null pruneCol (cannot prune — conservative full merge)
+      if (spark.read.parquet(paths(names): _*).isEmpty) {
+        dropStaged(names); return None
+      }
+      val merged = Sinks.upsert(read(spark, path),
+        spark.read.parquet(paths(names): _*), keys)
+      val names2 = stage(merged, path)
+      val v = commit(spark, path, withStats(spark, path, names2))
+      dropStaged(names)
+      return Some(v)
+    }
+    val lo = ranges.map(_._1).min
+    val hi = ranges.map(_._2).max
     val (touch, keep) = lines.partition { l =>
       statsOf(l).get(pruneCol).forall { case (fmn, fmx) =>
         fmx >= lo && fmn <= hi }
     }
-    val merged =
-      if (touch.isEmpty) batch
-      else Sinks.upsert(
-        spark.read.parquet(
-          touch.map(l => s"$path/$DataDir/${nameOf(l)}"): _*),
-        batch, keys)
-    val names = stage(merged, path)
-    Some(commit(spark, path, keep ++ withStats(spark, path, names)))
+    if (touch.isEmpty) {
+      // fast path — the steady state of a time-keyed table: the batch
+      // cannot collide with any committed key, so its staged files
+      // join the manifest as-is (no old file read, no rewrite)
+      Some(commit(spark, path, keep ++ newLines))
+    } else {
+      val merged = Sinks.upsert(
+        spark.read.parquet(paths(touch.map(nameOf)): _*),
+        spark.read.parquet(paths(names): _*), keys)
+      val names2 = stage(merged, path)
+      val v = commit(spark, path, keep ++ withStats(spark, path, names2))
+      dropStaged(names)
+      Some(v)
+    }
   }
 
   /** The snapshot files whose recorded [min, max] for `column`
