@@ -4161,16 +4161,30 @@ object TextOps {
   /** Margin-histogram bin width (micro-nats) for [[nbKsSketch]]. */
   val NbKsBinMicros = 200000L
 
+  /** Bin-domain CLAMP for [[nbKsSketch]] (round 10): margins past
+    * `NbKsMaxBin × NbKsBinMicros` land in the tail bin, so the sketch
+    * state is ≤ NbKsMaxBin+1 rows BY CONSTRUCTION — not merely
+    * "margin-range/width" (the round-10 WindowBounds harness measured
+    * that range growing 5→16 bins under the 4× morph: content-, not
+    * row-count-driven, but unbounded in principle; extreme documents
+    * can push the max margin arbitrarily high). Margins are ≥ 0
+    * (best minus runner-up), so only the high side needs the clamp.
+    */
+  val NbKsMaxBin = 64L
+
   /** [[nbKs]] from the mergeable margin histogram instead of the
     * per-point CDF sweep — the scale path the exact query's docstring
     * promised. Both outcome classes bin their margins on the same
-    * fixed [[NbKsBinMicros]] grid; the CDF difference is evaluated at
-    * BIN BOUNDARIES only, so the statistic is a lower bound on the
-    * exact D that misses at most the largest single bin's probability
-    * mass (the spec pins exactly that sandwich). Sketch state is
-    * (bin → ok count, bad count): margin-range/width rows,
-    * corpus-size-independent, elementwise-addable — no global sort of
-    * the margin table anywhere.
+    * fixed [[NbKsBinMicros]] grid, clamped to [[NbKsMaxBin]]; the CDF
+    * difference is evaluated at BIN BOUNDARIES only, so the statistic
+    * is a lower bound on the exact D that misses at most the largest
+    * single bin's probability mass (the spec pins exactly that
+    * sandwich — and the bound survives the clamp, because the merged
+    * tail bin's mass is itself counted in "largest bin", and removing
+    * evaluation points can only LOWER a max). Sketch state is
+    * (bin → ok count, bad count): ≤ [[NbKsMaxBin]]+1 rows, provably
+    * corpus-independent, elementwise-addable — no global sort of the
+    * margin table anywhere.
     *
     * The cumulative walk's unpartitioned window runs on the bounded
     * bin table (the [[graft.analytics.Stats.sketchQuantiles]]
@@ -4178,7 +4192,9 @@ object TextOps {
     */
   def nbKsSketch(spark: SparkSession, dir: String): DataFrame = {
     val binned = nbMargins(spark, dir)
-      .select(expr(s"margin DIV $NbKsBinMicros").as("bin"), col("ok"))
+      .select(expr(
+        s"least(margin DIV $NbKsBinMicros, ${NbKsMaxBin}L)").as("bin"),
+        col("ok"))
       .groupBy(col("bin"))
       .agg(sum(col("ok")).as("ok_n"),
         sum(lit(1L) - col("ok")).as("bad_n"))
@@ -4213,7 +4229,7 @@ object TextOps {
       |  FROM ranked b JOIN ranked s
       |    ON b.doc_id = s.doc_id AND b.rn = 1 AND s.rn = 2
       |), binned AS (
-      |  SELECT margin // $NbKsBinMicros AS bin,
+      |  SELECT least(margin // $NbKsBinMicros, $NbKsMaxBin) AS bin,
       |    CAST(sum(ok) AS BIGINT) AS ok_n,
       |    CAST(sum(1 - ok) AS BIGINT) AS bad_n
       |  FROM labeled GROUP BY 1

@@ -26,10 +26,26 @@ object WindowBounds {
 
   val Tolerance = 1.5
 
-  /** Queries whose static plans carry agg-bounded single-partition
-    * windows (from the round-10 PlanAudit sweep — keep in sync).
+  /** Windows bounded by an explicit DOMAIN constant instead of a flat
+    * row count: a clamped histogram's bin count may legitimately vary
+    * BELOW its clamp (corpus content moves the occupied range), so the
+    * gate for these is measured@Kx ≤ cap, not flatness. The cap is the
+    * production constant itself — if the operator's clamp drifts, this
+    * fails loudly.
     */
-  val DefaultQueries: Seq[String] = Seq.empty // filled from the audit
+  val DomainCaps: Map[String, Long] = Map(
+    "q_nb_ks_sketch" -> (graft.analytics.TextOps.NbKsMaxBin + 1))
+
+  /** Queries whose static plans carry agg-bounded (or checkpoint-fed)
+    * single-partition windows (from the round-10 PlanAudit sweep —
+    * keep in sync with `spwagg`/`spwckpt` flags).
+    */
+  val DefaultQueries: Seq[String] = Seq(
+    "q_benford_digits", "q_conversion_hazard", "q_curriculum_stages",
+    "q_decision_stump", "q_feature_importance", "q_kaplan_meier",
+    "q_ks_drift", "q_length_resample", "q_mix_weights",
+    "q_nb_ks_sketch", "q_order_skyline", "q_psi_drift",
+    "q_sketch_quantiles", "q_snapshot_drift", "q_source_gini")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_scaled")
@@ -52,9 +68,13 @@ object WindowBounds {
         base.zip(big).zipWithIndex.foreach {
           case (((lbl, a), (_, b)), i) =>
             val ratio = if (a > 0) b.toDouble / a else if (b == 0) 1.0 else Double.PositiveInfinity
-            val bad = ratio > Tolerance
+            val cap = DomainCaps.get(q)
+            val bad = ratio > Tolerance && cap.forall(b > _)
             if (bad) grown += 1
-            println(f"$q%-28s  $i%2d $lbl%-14s $a%10d $b%10d  $ratio%5.2f${if (bad) "  !! GROWS WITH CORPUS" else ""}")
+            val note =
+              if (bad) "  !! GROWS WITH CORPUS"
+              else cap.map(c => s"  (domain cap $c)").getOrElse("")
+            println(f"$q%-28s  $i%2d $lbl%-14s $a%10d $b%10d  $ratio%5.2f$note")
         }
       } catch {
         case e: Throwable =>
