@@ -163,4 +163,26 @@ class PlanForensicsSpec extends SparkSpec {
     assert(spw(global).isEmpty,
       "limit-pushed rank-filter wrongly flagged — TakeOrderedAndProject below the window IS the bound")
   }
+
+  test("spWindowInputRows measures the bounding aggregate's output as the window's input") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // a single-partition window over a 7-row aggregate: the probe must
+    // execute the frame and read EXACTLY 7 from the nearest counted
+    // descendant (the final HashAggregate), one entry per window —
+    // this is the measurement WindowBounds' 1×-vs-4× gate rests on
+    val agg = spark.range(1000)
+      .groupBy((col("id") % 7).as("g"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(Window.orderBy(col("n").desc, col("g"))))
+    val m = graft.tools.PlanForensics.spWindowInputRows(agg)
+    assert(m.size == 1, s"expected one single-partition window, got $m")
+    assert(m.head._2 == 7L, s"window input should be the 7-row group domain: $m")
+    // a partitioned window must NOT appear
+    val part = spark.range(1000)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("id") % 7).orderBy(col("id"))))
+    assert(graft.tools.PlanForensics.spWindowInputRows(part).isEmpty,
+      "partitioned window wrongly measured as single-partition")
+  }
 }

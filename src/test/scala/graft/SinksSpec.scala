@@ -492,4 +492,54 @@ class ManifestSpec extends SparkSpec {
       assert(latest == back2)
     } finally graft.sinks.Sinks.deleteRecursively(tmp)
   }
+
+  test("upsertPruned: non-overlap keeps old files untouched; overlap merges by key; empty commits nothing") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.sinks.ManifestTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsp_").toFile
+    try {
+      val path = new java.io.File(tmp, "t").toString
+      def frame(rows: (Long, Long, String)*) =
+        rows.toDF("k", "t", "v").repartition(1)
+      // first commit: creates the table (replace path)
+      val v1 = ManifestTable.upsertPruned(frame((1L, 10L, "a"), (2L, 20L, "b")),
+        path, Seq("k"), "t")
+      assert(v1.isDefined)
+      val files1 = ManifestTable.snapshotFiles(spark, path).toSet
+      // NON-overlapping batch (t=100 vs committed [10,20]): the fast
+      // path — every old file carries into the new manifest verbatim,
+      // nothing on disk is rewritten
+      val v2 = ManifestTable.upsertPruned(frame((3L, 100L, "c")),
+        path, Seq("k"), "t")
+      assert(v2.exists(_ > v1.get))
+      val files2 = ManifestTable.snapshotFiles(spark, path).toSet
+      assert(files1.subsetOf(files2),
+        s"old files must survive a non-overlapping commit: $files1 vs $files2")
+      assert(ManifestTable.read(spark, path).count() == 3)
+      // OVERLAPPING batch replaces by key: k=1 (t=10) gets a new value;
+      // the t=100 file is outside the batch's range and must survive
+      val file100 = (files2 -- files1)
+      val v3 = ManifestTable.upsertPruned(frame((1L, 10L, "z")),
+        path, Seq("k"), "t")
+      assert(v3.exists(_ > v2.get))
+      val files3 = ManifestTable.snapshotFiles(spark, path).toSet
+      assert(file100.subsetOf(files3),
+        "file outside the batch's key range was rewritten")
+      assert(files1.intersect(files3).isEmpty,
+        "overlapping files must be replaced by the merge")
+      val rows = ManifestTable.read(spark, path)
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      assert(rows == Map(1L -> "z", 2L -> "b", 3L -> "c"),
+        s"merge semantics broke: $rows")
+      // EMPTY batch: no commit at all (not a rewritten-identical table)
+      val before = ManifestTable.latestVersion(spark, path)
+      val vEmpty = ManifestTable.upsertPruned(
+        frame((1L, 10L, "a")).filter(lit(false)), path, Seq("k"), "t")
+      assert(vEmpty.isEmpty)
+      assert(ManifestTable.latestVersion(spark, path) == before)
+      assert(ManifestTable.read(spark, path).count() == 3)
+    } finally graft.sinks.Sinks.deleteRecursively(tmp)
+  }
 }
