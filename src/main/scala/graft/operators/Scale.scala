@@ -655,37 +655,58 @@ object Scale {
     * ties contribute the same Σ i·cᵢ under any tie order, so the
     * statistic is deterministic).
     *
-    * Scale shape: one map-side-combined count per key (the only
-    * corpus-sized shuffle), then ranks over KEY COUNTS — n_keys rows,
-    * orders of magnitude below row count, but n_keys itself is
-    * corpus-scaled (billions of distinct order keys at 100 TB), so
-    * the ranks run through [[distributedRowNumber]] (round 9 —
-    * previously a window partitioned by the key's NAME, i.e. each
-    * candidate's entire distinct-key table sorted in one task:
-    * exactly the single-task ceiling this diagnostic exists to warn
-    * about). All moments are exact integers; the three output ratios
-    * are single final divisions.
+    * Scale shape (round 10 — the count-of-counts closure): one
+    * map-side-combined count per key (the only corpus-sized shuffle),
+    * then every rank-weighted statistic closes over the COUNT-OF-
+    * COUNTS table f(c) = #keys with exactly c rows — ≤ O(√N) rows
+    * (distinct count values sum to ≤ N), orders of magnitude below
+    * even the n_keys frame the round-9 form ranked. The key identity
+    * never matters: keys tie only on equal c, an equal-c block
+    * occupies a contiguous rank range whose rank-sum is an arithmetic
+    * series (f·s + f(f+1)/2 — tie order irrelevant, the same
+    * invariance the window form's docstring argued), and the top-1%
+    * cut takes whole blocks plus an interchangeable boundary slice
+    * (every boundary key carries the same c), so ic / top1pct_rows /
+    * max are EXACT and bit-identical to the row_number oracle, which
+    * stays unchanged as the gate. One [[distributedPrefixSum]] over
+    * f(c) per candidate key replaces round 9's two N-sized
+    * [[distributedRowNumber]] applications (measured: 6 corpus-frame
+    * checkpoints → 3 tiny ones). All moments are exact integers; the
+    * three output ratios are single final divisions. (ic saturates
+    * long around n_keys ~ 3e9 · avg_c — the same ceiling as the
+    * window form's Σ i·c; rescale to sampled keys past that.)
     */
   def keySkew(spark: SparkSession, dir: String): DataFrame = {
     val li = Sources.lineitem(spark, dir)
     def profile(keyCol: String): DataFrame = {
       val counts = li.groupBy(col(keyCol).as("k"))
         .agg(count(lit(1)).as("c"))
-        .select(lit(keyCol).as("key_name"), col("k"), col("c"))
-      // ascending rank i (Gini accounting) and descending rank r
-      // (top-1% cut, via negated basis); both LONG — the Int32
-      // row_number wrap above ~21.4M keys is gone with the window
-      val ranked = distributedRowNumber(
-        distributedRowNumber(counts, col("c"), col("k"), "i"),
-        -col("c"), col("k"), "r", totalOut = Some("nk"))
-      ranked
+      val coc = counts.groupBy(col("c")).agg(count(lit(1)).as("f"))
+      // inclusive Σf over c ascending; c is unique per row, so it is
+      // its own total tie-break
+      val cum = distributedPrefixSum(coc, col("c"), col("c"),
+        col("f"), "cumf")
+      val tot = coc.agg(sum(col("f")).as("nk"),
+        sum(col("c") * col("f")).as("nr"), max(col("c")).as("mx"))
+      cum.crossJoin(broadcast(tot))
+        // ascending block start s = keys strictly below this c;
+        // the block's Σ(rank)·c = c · (f·s + f(f+1)/2)
+        .withColumn("s", col("cumf") - col("f"))
+        .withColumn("ic_c", col("c") *
+          (col("f") * col("s") + expr("(f * (f + 1)) DIV 2")))
+        // descending: keys strictly above = nk − cumf; the top-1%
+        // cut T = nk DIV 100 takes min(f, T − above) keys here
+        .withColumn("t1_c", col("c") *
+          greatest(lit(0L), least(col("f"),
+            expr("nk DIV 100") - (col("nk") - col("cumf")))))
+        .select(lit(keyCol).as("key_name"), col("nk"), col("nr"),
+          col("mx"), col("ic_c"), col("t1_c"))
         .groupBy(col("key_name"))
-        .agg(count(lit(1)).as("n_keys"),
-          sum(col("c")).as("n_rows"),
-          max(col("c")).as("max_rows"),
-          sum(col("i") * col("c")).as("ic"),
-          sum(when(col("r") * 100 <= col("nk"), col("c"))
-            .otherwise(lit(0L))).as("top1pct_rows"))
+        .agg(max(col("nk")).as("n_keys"),
+          max(col("nr")).as("n_rows"),
+          max(col("mx")).as("max_rows"),
+          sum(col("ic_c")).as("ic"),
+          sum(col("t1_c")).as("top1pct_rows"))
     }
     val all = profile("l_orderkey")
       .unionByName(profile("l_partkey"))

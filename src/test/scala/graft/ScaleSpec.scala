@@ -200,6 +200,56 @@ class ScaleSpec extends SparkSpec {
     assert(got == expected, "sharded prefix sum diverges from window cumsum")
   }
 
+  test("key-skew count-of-counts closure equals the window-rank form on tie-heavy random frames") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the round-10 q_key_skew rebuild derives ic = Σ rank·c and the
+    // top-1% row mass from f(c) alone; ties are the dangerous part
+    // (equal-c blocks must contribute an order-invariant rank sum and
+    // an interchangeable boundary slice), so the generator forces
+    // heavy ties via a tiny count range over many keys
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      val nKeys = 200 + rnd.nextInt(800)
+      val rows = (1 to nKeys).map(k =>
+        (k.toLong, (1 + rnd.nextInt(2 + rnd.nextInt(6))).toLong))
+      val counts = rows.toDF("k", "c")
+      // window form (the oracle's shape)
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").asc, col("k").asc)
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("k").asc)
+      val win = counts
+        .withColumn("i", row_number().over(wAsc).cast("long"))
+        .withColumn("r", row_number().over(wDesc).cast("long"))
+        .withColumn("nk", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+        .agg(sum(col("i") * col("c")).as("ic"),
+          sum(when(col("r") * 100 <= col("nk"), col("c"))
+            .otherwise(lit(0L))).as("t1"))
+        .collect().head
+      // count-of-counts closure (the production shape)
+      val coc = counts.groupBy(col("c")).agg(count(lit(1)).as("f"))
+      val cum = Scale.distributedPrefixSum(coc, col("c"), col("c"),
+        col("f"), "cumf")
+      val tot = coc.agg(sum(col("f")).as("nk"))
+      val closed = cum.crossJoin(broadcast(tot))
+        .withColumn("s", col("cumf") - col("f"))
+        .withColumn("ic_c", col("c") *
+          (col("f") * col("s") + expr("(f * (f + 1)) DIV 2")))
+        .withColumn("t1_c", col("c") *
+          greatest(lit(0L), least(col("f"),
+            expr("nk DIV 100") - (col("nk") - col("cumf")))))
+        .agg(sum(col("ic_c")).as("ic"), sum(col("t1_c")).as("t1"))
+        .collect().head
+      assert(closed.getLong(0) == win.getLong(0),
+        s"trial $trial: ic diverges (${closed.getLong(0)} vs ${win.getLong(0)})")
+      assert(closed.getLong(1) == win.getLong(1),
+        s"trial $trial: top-1% mass diverges (${closed.getLong(1)} vs ${win.getLong(1)})")
+    }
+  }
+
   test("salted aggregation equals naive groupBy exactly") {
     val naive = graft.ingest.Sources.orders(spark, sf)
       .join(broadcast(graft.ingest.Sources.customer(spark, sf)),
