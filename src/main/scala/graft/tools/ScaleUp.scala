@@ -121,7 +121,11 @@ object ScaleUp {
       // round-7 additions: the new heavy families
       "q_leakage_safe_split", "q_minhash_recall", "q_hubness_audit",
       "q_mutual_knn", "q_incr_semantic", "q_hard_negatives_ivf",
-      "q_dsir_select", "q_lm_kneser_ney", "q_phrase_search")
+      "q_dsir_select", "q_lm_kneser_ney", "q_phrase_search",
+      // round-9/10 rebuilds: the distributed-rank consumers and the
+      // KS pair — the queries whose scale shape changed most recently
+      "q_price_deciles", "q_rfm_segmentation", "q_pareto_abc",
+      "q_key_skew", "q_nb_ks", "q_nb_ks_sketch")
     val spark = graft.spark.Sessions.local("32", "32")
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
