@@ -293,20 +293,25 @@ object Quality {
     * float midpoint. Means divide exact integer cent sums by exact
     * counts.
     *
-    * Scale shape: ONE shuffle on event_type; rank and group size come
-    * from two window functions over the same partitioning, the two
-    * fence rows per group are filtered out of that same frame and
-    * broadcast back — no second scan, no per-row join against
-    * anything wider than #groups rows.
+    * Scale shape (round 10): the per-type rank previously rode
+    * `Window.partitionBy(event_type)` over the RAW event rows —
+    * parallelism |event types| (5), each task sorting corpus/5: the
+    * q_price_deciles single-task ceiling divided by a small constant.
+    * Rank and group size now come from
+    * [[graft.operators.Scale.distributedGroupedRowNumber]] (per-group
+    * 2-phase sharded rank, all 32 shards busy per type); the two
+    * fence rows per group filter out of that same frame and broadcast
+    * back — no second scan, no per-row join against anything wider
+    * than #groups rows, and the window-form oracle is unchanged as
+    * the bit-identity gate.
     */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
-    val part = Window.partitionBy(col("event_type"))
-    val w = part.orderBy(col("cents").asc, col("event_id").asc)
-    val ranked = events(spark, dir)
-      .select(col("event_type"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(part))
+    val ranked = graft.operators.Scale.distributedGroupedRowNumber(
+      events(spark, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+      col("event_type"), col("cents"), col("event_id"), "rnk",
+      totalOut = Some("n"))
     val fences = ranked
       .filter(col("rnk") === expr(s"(n * $WinsorLoPct + 99) DIV 100") ||
         col("rnk") === expr(s"(n * $WinsorHiPct + 99) DIV 100"))

@@ -1828,11 +1828,21 @@ object Stats {
       .withColumn("k", expr(
         s"((n_cal + 1) * (100 - $ConformalAlphaPct) + 99) DIV 100"))
 
-  /** qhat as the exact k-th order statistic of the residuals. */
+  /** qhat as the exact k-th order statistic of the residuals.
+    * Round 10: the per-type rank rides
+    * [[graft.operators.Scale.distributedGroupedRowNumber]] instead of
+    * a `partitionBy(event_type)` window — the calibration frame is
+    * HALF THE CORPUS and event types are a fixed domain, so the
+    * window capped parallelism at |types| with corpus/|types| rows
+    * per task. Ties on r need no tie-break column: whichever tied row
+    * lands at rank k carries the same r, so the selected qhat (the
+    * only thing read out) is tie-order-invariant — and the oracle's
+    * window form stays the gate.
+    */
   private def conformalQhatExact(ev: DataFrame, mean: DataFrame): DataFrame = {
-    val cal = conformalResiduals(ev, mean)
-      .withColumn("rn", row_number().over(Window
-        .partitionBy(col("event_type")).orderBy(col("r").asc)))
+    val cal = graft.operators.Scale.distributedGroupedRowNumber(
+      conformalResiduals(ev, mean),
+      col("event_type"), col("r"), col("r"), "rn")
     cal.join(broadcast(conformalNCal(cal)), Seq("event_type"))
       .filter(col("rn") === least(col("k"), col("n_cal")))
       .select(col("event_type"), col("n_cal"), col("r").as("qhat_micro"))

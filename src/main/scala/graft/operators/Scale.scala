@@ -25,6 +25,14 @@ object Scale {
     */
   private val KeyCutGrid = 64
 
+  /** approx_percentile accuracy for boundary sampling: boundaries
+    * only affect BALANCE (outputs are boundary-invariant), and a
+    * 1/1000 quantile error is negligible against the 1/32 target
+    * shard mass — while GK-sketch cost grows with accuracy (measured:
+    * 10000 cost whole seconds on a 1M-row frame).
+    */
+  private val BoundaryAccuracy = 1000
+
   /** Exact distributed `ntile(n)` over the total order (basis asc,
     * key asc) — the operator that replaces an UNPARTITIONED ntile
     * window (which plans as `Exchange SinglePartition`: the entire
@@ -154,7 +162,7 @@ object Scale {
     val s = NtileShards.toInt
     val probs = (1 until s).map(i => i.toDouble / s).mkString(", ")
     val row = base.agg(
-      expr(s"approx_percentile($b, array($probs), 10000)").as("_q")).head()
+      expr(s"approx_percentile($b, array($probs), $BoundaryAccuracy)").as("_q")).head()
     if (row.isNullAt(0)) return Seq.empty
     val bq = row.getSeq[Long](0)
     // multiplicity m ≥ 2 means the value holds ≥ ~m/NtileShards of all
@@ -169,7 +177,7 @@ object Scale {
           .map(i => i.toDouble / KeyCutGrid).mkString(", ")
         base.filter(col(b).isin(hot.keys.toSeq: _*))
           .groupBy(col(b))
-          .agg(expr(s"approx_percentile($k, array($gridProbs), 10000)")
+          .agg(expr(s"approx_percentile($k, array($gridProbs), $BoundaryAccuracy)")
             .as("_kq"))
           .collect()
           .map { r =>
@@ -189,16 +197,22 @@ object Scale {
   }
 
   /** Shard id of (b, k) under `bnds`: the count of boundary cuts at
-    * or below the row in (basis, key) order — a flat codegen'd sum of
-    * ≤ [[NtileShards]]−1 comparison terms, monotone in the total
-    * order by construction (each term is).
+    * or below the row in (basis, key) order — monotone in the total
+    * order by construction. Round 10 (second cut): a
+    * [[graft.functions.ShardOf]] codegen expression carrying the cut
+    * table as a reference object, replacing the original
+    * sum-of-when-terms whose ~cuts-sized expression tree cost ~1 s of
+    * pure Catalyst/Janino overhead per query (measured
+    * data-independent in tools/WinsProbe).
     */
   private[graft] def shardCol(bnds: Seq[(Long, Long)], b: Column,
                               k: Column): Column =
     if (bnds.isEmpty) lit(0L)
-    else bnds.map { case (pb, pk) =>
-      when(b > pb || (b === pb && k >= pk), 1L).otherwise(0L)
-    }.reduce(_ + _)
+    else org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ShardOf(
+        org.apache.spark.sql.GraftBridge.expression(b),
+        org.apache.spark.sql.GraftBridge.expression(k),
+        bnds.map(_._1).toArray, bnds.map(_._2).toArray))
 
   /** Checkpoint `df` with long `_b_<u>`/`_k_<u>` sort columns and the
     * equi-depth `_s_<u>` shard id — the shared phase 0 of
@@ -216,6 +230,143 @@ object Scale {
       .withColumn(s"_k_$u", key.cast("long")).localCheckpoint()
     val bnds = shardBoundaries(base, s"_b_$u", s"_k_$u")
     base.withColumn(s"_s_$u", shardCol(bnds, col(s"_b_$u"), col(s"_k_$u")))
+  }
+
+  /** Hard cap on the group-domain size [[distributedGroupedRowNumber]]
+    * accepts: boundaries are collected per group and compiled into the
+    * shard expression, so the domain must be driver-small.
+    */
+  val MaxRankGroups = 32
+
+  /** Exact distributed per-GROUP `row_number()` over (basis asc,
+    * key asc) WITHIN each group — the operator for windows
+    * partitioned by a FIXED SMALL domain (event types, return flags,
+    * languages). `Window.partitionBy(group)` caps parallelism at the
+    * domain size and each task sorts corpus/|domain| rows: the
+    * q_price_deciles single-task ceiling divided by a small constant,
+    * which at 100× is the same ceiling (round 10 — found by the
+    * fixed-domain window sweep that followed the WindowBounds work).
+    *
+    * Same 2-phase shape as [[rankCore]] with every stage group-aware:
+    * per-group equi-depth (basis, key) boundaries (ONE grouped
+    * percentile pass + one hot-value key-quantile pass, driver-
+    * collected), local ranks as (group × shard) partitioned windows,
+    * per-(group, shard) counts prefix-summed within their group — a
+    * ≤ |domain|·(shards+2)-row frame, limit-proved in-plan — and
+    * broadcast back; per-group rank = in-group shard offset + local
+    * rank, bit-identical to the window form for unique (basis, key).
+    *
+    * CONTRACT: |group domain| ≤ [[MaxRankGroups]] (enforced — a
+    * corpus-scaled partition key like user or document id should KEEP
+    * its plain partitioned window, whose parallelism already grows
+    * with the corpus); `group` must be non-null (null never equals
+    * the compiled boundary keys); `basis`/`key` integral as
+    * everywhere in the family. `totalOut` optionally emits the
+    * per-group row count — the `count().over(partitionBy(group))`
+    * companion the window form pairs with its rank.
+    */
+  def distributedGroupedRowNumber(df: DataFrame, group: Column,
+                                  basis: Column, key: Column, out: String,
+                                  totalOut: Option[String] = None): DataFrame = {
+    val u = out
+    val base = df.withColumn(s"_g_$u", group.cast("string"))
+      .withColumn(s"_b_$u", basis.cast("long"))
+      .withColumn(s"_k_$u", key.cast("long")).localCheckpoint()
+    val s = NtileShards.toInt
+    val probs = (1 until s).map(i => i.toDouble / s).mkString(", ")
+    val bRows = base.groupBy(col(s"_g_$u"))
+      .agg(expr(s"approx_percentile(_b_$u, array($probs), $BoundaryAccuracy)").as("_q"))
+      .collect()
+    require(bRows.length <= MaxRankGroups,
+      s"distributedGroupedRowNumber: ${bRows.length} groups exceed the " +
+        s"$MaxRankGroups cap — a domain this large should use a plain " +
+        "partitioned window (its parallelism is the domain size)")
+    val hot: Seq[(String, Long, Int)] = bRows.toSeq.flatMap { r =>
+      val g = r.getString(0)
+      val bq = if (r.isNullAt(1)) Seq.empty[Long] else r.getSeq[Long](1)
+      bq.groupBy(identity).collect {
+        case (v, occ) if occ.size >= 2 => (g, v, occ.size)
+      }
+    }
+    val keyCuts: Map[(String, Long), Seq[Long]] =
+      if (hot.isEmpty) Map.empty
+      else {
+        val gridProbs = (1 until KeyCutGrid)
+          .map(i => i.toDouble / KeyCutGrid).mkString(", ")
+        val mult = hot.map { case (g, v, m) => (g, v) -> m }.toMap
+        val pred = hot.map { case (g, v, _) =>
+          col(s"_g_$u") === g && col(s"_b_$u") === v
+        }.reduce(_ || _)
+        base.filter(pred)
+          .groupBy(col(s"_g_$u"), col(s"_b_$u"))
+          .agg(expr(s"approx_percentile(_k_$u, array($gridProbs), $BoundaryAccuracy)")
+            .as("_kq"))
+          .collect()
+          .map { r =>
+            val g = r.getString(0); val v = r.getLong(1)
+            val grid = r.getSeq[Long](2)
+            val m = mult((g, v))
+            (g, v) -> (1 until m).map { j =>
+              grid(math.min(grid.size - 1,
+                math.max(0, j * KeyCutGrid / m - 1)))
+            }
+          }.toMap
+      }
+    val bndsByGroup: Seq[(String, Seq[(Long, Long)])] = bRows.toSeq.map { r =>
+      val g = r.getString(0)
+      val bq = if (r.isNullAt(1)) Seq.empty[Long] else r.getSeq[Long](1)
+      g -> bq.distinct.sorted.flatMap { v =>
+        (v, Long.MinValue) +: keyCuts.getOrElse((g, v), Seq.empty)
+          .distinct.sorted.map(c => (v, c))
+      }
+    }
+    // per-group cut tables ride as ONE reference object (see
+    // [[graft.functions.GroupShardOf]]) — the per-group when-chain
+    // first cut compiled a |groups|·|cuts|-term tree into every stage
+    val cutsMap = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    bndsByGroup.foreach { case (g, bnds) =>
+      cutsMap.put(org.apache.spark.unsafe.types.UTF8String.fromString(g),
+        (bnds.map(_._1) ++ bnds.map(_._2)).toArray)
+    }
+    val shardExpr = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.GroupShardOf(
+        org.apache.spark.sql.GraftBridge.expression(col(s"_g_$u")),
+        org.apache.spark.sql.GraftBridge.expression(col(s"_b_$u")),
+        org.apache.spark.sql.GraftBridge.expression(col(s"_k_$u")),
+        cutsMap))
+    val sharded = base.withColumn(s"_s_$u", shardExpr)
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"_g_$u"), col(s"_s_$u"))
+      .orderBy(col(s"_b_$u").asc, col(s"_k_$u").asc)
+    val withLocal = sharded
+      .withColumn(s"_lr_$u", row_number().over(local).cast("long"))
+    val offW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"_g_$u")).orderBy(col(s"_s_$u"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val counts = sharded.groupBy(col(s"_g_$u"), col(s"_s_$u"))
+      .agg(count(lit(1)).as(s"_n_$u"))
+      .limit(MaxRankGroups * (s + 2))
+    val offsets = counts
+      .withColumn(s"_off_$u",
+        coalesce(sum(col(s"_n_$u")).over(offW), lit(0L)))
+      .select(col(s"_g_$u").as(s"_og_$u"), col(s"_s_$u").as(s"_os_$u"),
+        col(s"_off_$u"))
+    val ranked = withLocal
+      .join(broadcast(offsets),
+        col(s"_g_$u") === col(s"_og_$u") && col(s"_s_$u") === col(s"_os_$u"))
+      .withColumn(out, col(s"_off_$u") + col(s"_lr_$u"))
+    val withTotal = totalOut match {
+      case Some(t) =>
+        val tot = counts.groupBy(col(s"_g_$u"))
+          .agg(sum(col(s"_n_$u")).as(t))
+          .select(col(s"_g_$u").as(s"_tg_$u"), col(t))
+        ranked.join(broadcast(tot), col(s"_g_$u") === col(s"_tg_$u"))
+          .drop(s"_tg_$u")
+      case None => ranked
+    }
+    withTotal.drop(s"_g_$u", s"_b_$u", s"_k_$u", s"_s_$u", s"_lr_$u",
+      s"_og_$u", s"_os_$u", s"_off_$u")
   }
 
   /** Shared 2-phase sharded global rank: returns df + `_r_<u>` (long

@@ -150,6 +150,43 @@ class ScaleSpec extends SparkSpec {
     assert(gotN == expN, "zipfian ntile diverges from window form")
   }
 
+  test("distributedGroupedRowNumber equals per-group window ranks; totals match; domain cap enforced") {
+    val spark2 = spark
+    import spark2.implicits._
+    // per-group zipfian: group "g0" piles 90% of its basis mass on one
+    // value (the in-group worst case), the others spread; unique keys
+    // keep the window form a total order so bit-equality is exact
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 5000).map { i =>
+      val g = s"g${i % 5}"
+      val b = if (i % 5 == 0 && i % 10 != 5) 7L
+              else rnd.nextInt(100).toLong - 50L
+      (g, i.toLong, b)
+    }
+    val df = rows.toDF("g", "k", "b")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("b").asc, col("k").asc)
+    val exp = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .select(col("k"), col("rn"), col("n")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = Scale.distributedGroupedRowNumber(
+        df, col("g"), col("b"), col("k"), "rn", totalOut = Some("n"))
+      .select(col("k"), col("rn"), col("n")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp, "grouped rank diverges from the partitioned window form")
+    // the driver-small contract is enforced, not silently degraded
+    val wide = (1 to 200).map(i => (s"w$i", i.toLong, i.toLong))
+      .toDF("g", "k", "b")
+    val e = intercept[IllegalArgumentException] {
+      Scale.distributedGroupedRowNumber(
+        wide, col("g"), col("b"), col("k"), "rn")
+    }
+    assert(e.getMessage.contains("cap"))
+  }
+
   test("prefix-sum pair (empirical-CDF shape): chained applications match the window CDF counts") {
     val spark2 = spark
     import spark2.implicits._
