@@ -3238,12 +3238,24 @@ object TextOps {
   private val quotaOrderSql: String =
     graft.operators.Scale.hashBucketSql("'quota:' || CAST(doc_id AS VARCHAR)")
 
+  /** Round 10: the per-(lang, source) rank rides
+    * [[graft.operators.Scale.distributedGroupedRowNumber]] — the
+    * quota window ran over the RAW document rows partitioned by a
+    * fixed ~|langs|·|sources| domain, i.e. corpus/|domain| rows
+    * sorted per task (the winsorize class of ceiling). The quota
+    * basis is the 100-value salted hash bucket, maximally tied — the
+    * grouped operator's hot-value key-quantile split is what keeps
+    * its shards balanced. Window oracle unchanged as the gate.
+    */
   def sourceQuota(spark: SparkSession, dir: String,
                   cap: Int = QuotaCap): DataFrame = {
-    val w = Window.partitionBy(col("lang"), col("source"))
-      .orderBy(quotaOrder, col("doc_id"))
-    documents(spark, dir)
-      .withColumn("rn", row_number().over(w))
+    graft.operators.Scale.distributedGroupedRowNumber(
+      documents(spark, dir),
+      // NUL-joined composite group key: a separator no lang/source
+      // value can contain, so distinct (lang, source) pairs never
+      // merge into one rank group
+      concat_ws("\u0000", col("lang"), col("source")),
+      quotaOrder, col("doc_id"), "rn")
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),

@@ -233,10 +233,16 @@ object Scale {
   }
 
   /** Hard cap on the group-domain size [[distributedGroupedRowNumber]]
-    * accepts: boundaries are collected per group and compiled into the
-    * shard expression, so the domain must be driver-small.
+    * accepts: per-group boundaries are collected driver-side
+    * (|groups| × shards longs) and the per-(group, shard) offset
+    * frame broadcasts (|groups| × (shards+2) rows) — trivial to a few
+    * thousand groups, which covers every FIXED domain (types, flags,
+    * lang × source). A key whose cardinality grows with the corpus
+    * (user, document) must keep its plain partitioned window — its
+    * parallelism already grows — and trips this cap loudly instead of
+    * silently collecting an unbounded boundary table.
     */
-  val MaxRankGroups = 32
+  val MaxRankGroups = 1024
 
   /** Exact distributed per-GROUP `row_number()` over (basis asc,
     * key asc) WITHIN each group — the operator for windows
@@ -294,10 +300,14 @@ object Scale {
         val gridProbs = (1 until KeyCutGrid)
           .map(i => i.toDouble / KeyCutGrid).mkString(", ")
         val mult = hot.map { case (g, v, m) => (g, v) -> m }.toMap
-        val pred = hot.map { case (g, v, _) =>
-          col(s"_g_$u") === g && col(s"_b_$u") === v
-        }.reduce(_ || _)
-        base.filter(pred)
+        // membership via ONE InSet on a packed composite — the value
+        // suffix is spaceless numeric text, so the LAST space splits
+        // unambiguously and distinct (group, value) pairs cannot
+        // collide. An OR-chain of |hot| conjunctions would rebuild
+        // exactly the expression-tree blowup ShardOf exists to avoid
+        val packed = hot.map { case (g, v, _) => s"$g $v" }
+        base.filter(concat_ws(" ", col(s"_g_$u"),
+            col(s"_b_$u").cast("string")).isin(packed: _*))
           .groupBy(col(s"_g_$u"), col(s"_b_$u"))
           .agg(expr(s"approx_percentile(_k_$u, array($gridProbs), $BoundaryAccuracy)")
             .as("_kq"))

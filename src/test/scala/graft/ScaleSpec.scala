@@ -177,8 +177,10 @@ class ScaleSpec extends SparkSpec {
       .select(col("k"), col("rn"), col("n")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == exp, "grouped rank diverges from the partitioned window form")
-    // the driver-small contract is enforced, not silently degraded
-    val wide = (1 to 200).map(i => (s"w$i", i.toLong, i.toLong))
+    // the driver-small contract is enforced, not silently degraded:
+    // a corpus-scaled key (here: more groups than the cap) must trip
+    val wide = (1 to Scale.MaxRankGroups + 50)
+      .map(i => (s"w$i", i.toLong, i.toLong))
       .toDF("g", "k", "b")
     val e = intercept[IllegalArgumentException] {
       Scale.distributedGroupedRowNumber(
