@@ -3253,8 +3253,17 @@ object TextOps {
       documents(spark, dir),
       // NUL-joined composite group key: a separator no lang/source
       // value can contain, so distinct (lang, source) pairs never
-      // merge into one rank group
-      concat_ws("\u0000", col("lang"), col("source")),
+      // merge into one rank group. Each side is null-TAGGED before
+      // joining (round-11 advice): concat_ws silently SKIPS null
+      // elements, so (null, "x") and ("x", null) would both have
+      // encoded to "x" and merged -- and collided with non-null
+      // pairs -- where the window oracle keeps null partitions
+      // distinct. Tagging ("v" + value, null -> "n") is injective:
+      // every non-null encoding starts with "v", so "n" cannot
+      // collide with one.
+      concat_ws("\u0000",
+        coalesce(concat(lit("v"), col("lang")), lit("n")),
+        coalesce(concat(lit("v"), col("source")), lit("n"))),
       quotaOrder, col("doc_id"), "rn")
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -4120,26 +4129,30 @@ object TextOps {
     * Scale shape: everything after [[nbScores]] is |classes| rows per
     * doc; the two empirical-CDF counts `c_ok`/`c_bad` are INCLUSIVE
     * prefix sums of the outcome indicators over (margin, doc_id) —
-    * round 10 rebuilds them on
-    * [[graft.operators.Scale.distributedPrefixSum]] (one application
-    * per indicator), replacing the round-9 unpartitioned window that
-    * swept the corpus-scaled margin table through a single task (the
-    * last `spwckpt` flag in the plan audit). Output is provably
-    * identical — a prefix sum is a prefix sum — so the unchanged
-    * window-form oracle below stays the done-gate; the argmax readout
-    * is a distributed top-1 (TakeOrderedAndProject). [[nbKsSketch]]
-    * remains the constant-state variant for stream merging.
+    * round 10 rebuilt them on
+    * [[graft.operators.Scale.distributedPrefixSum]], replacing the
+    * round-9 unpartitioned window that swept the corpus-scaled margin
+    * table through a single task (the last `spwckpt` flag in the plan
+    * audit); round 11 fuses the two chained applications into ONE
+    * [[graft.operators.Scale.distributedPrefixSums]] call — both
+    * indicators ride the SAME (margin, doc_id) order, so chaining
+    * paid the phase-0 cost (localCheckpoint + boundary sample) twice
+    * for identical boundaries. Output is provably identical — a
+    * prefix sum is a prefix sum, and the fused form's offset algebra
+    * is per-payload independent — so the unchanged window-form oracle
+    * below stays the done-gate; the argmax readout is a distributed
+    * top-1 (TakeOrderedAndProject). [[nbKsSketch]] remains the
+    * constant-state variant for stream merging.
     */
   def nbKs(spark: SparkSession, dir: String): DataFrame = {
     val labeled = nbMargins(spark, dir)
     val tot = labeled.agg(sum(col("ok")).as("n_ok"),
       sum(lit(1L) - col("ok")).as("n_bad"))
     import graft.operators.Scale
-    Scale.distributedPrefixSum(
-        Scale.distributedPrefixSum(
-          labeled.withColumn("bad", lit(1L) - col("ok")),
-          col("margin"), col("doc_id"), col("ok"), "c_ok"),
-        col("margin"), col("doc_id"), col("bad"), "c_bad")
+    Scale.distributedPrefixSums(
+        labeled.withColumn("bad", lit(1L) - col("ok")),
+        col("margin"), col("doc_id"),
+        Seq(col("ok") -> "c_ok", col("bad") -> "c_bad"))
       .crossJoin(broadcast(tot))
       .withColumn("d_ppm", abs(
         expr("(c_ok * 1000000L) DIV n_ok") -

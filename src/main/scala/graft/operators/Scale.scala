@@ -14,6 +14,9 @@ import graft.ingest.Sources
   */
 object Scale {
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Scale")
+
   /** Shard count for [[distributedNtile]]'s 2-phase global rank —
     * a pure parallelism knob (output is shard-count-invariant).
     */
@@ -112,31 +115,70 @@ object Scale {
     * in-repo consumer does.
     */
   def distributedPrefixSum(df: DataFrame, basis: Column, key: Column,
-                           value: Column, out: String): DataFrame = {
-    val u = out
-    val sharded = shardedFrame(
-      df.withColumn(s"_v_$u", value.cast("long")), basis, key, u)
+                           value: Column, out: String): DataFrame =
+    distributedPrefixSums(df, basis, key, Seq(value -> out))
+
+  /** MULTI-PAYLOAD [[distributedPrefixSum]]: N inclusive running sums
+    * over ONE (basis asc, key asc) total order, sharing ONE phase 0
+    * (one localCheckpoint, one approx_percentile boundary sample, one
+    * shard assignment), one local per-shard window pass and one
+    * per-shard offset broadcast (the offset frame carries N totals
+    * per shard instead of one).
+    *
+    * Round 11, from the round-10 verdict: chaining two
+    * single-payload applications over the SAME ordering — exactly
+    * what the exact-KS CDF pair did — pays the constant phase-0 cost
+    * twice for identical boundaries. Phase 0 is shared
+    * infrastructure across PAYLOADS, not just within one call.
+    * Output is bit-identical to N chained applications (each payload's
+    * offset algebra is independent given the shared sharding, and the
+    * sharding itself is output-invariant), which the chained-vs-fused
+    * differential spec pins.
+    *
+    * Same INTEGRAL + NON-NULL contract as the single-payload form,
+    * per payload. `payloads` maps value expression → output column;
+    * names must be distinct and absent from `df`.
+    */
+  def distributedPrefixSums(df: DataFrame, basis: Column, key: Column,
+                            payloads: Seq[(Column, String)]): DataFrame = {
+    require(payloads.nonEmpty, "distributedPrefixSums: no payloads")
+    require(payloads.map(_._2).distinct.size == payloads.size,
+      "distributedPrefixSums: duplicate output names")
+    val u = payloads.head._2
+    val withVals = payloads.foldLeft(df) { case (d, (v, name)) =>
+      d.withColumn(s"_v_$name", v.cast("long"))
+    }
+    val sharded = shardedFrame(withVals, basis, key, u)
     val local = org.apache.spark.sql.expressions.Window
       .partitionBy(col(s"_s_$u"))
       .orderBy(col(s"_b_$u").asc, col(s"_k_$u").asc)
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val withLocal = sharded
-      .withColumn(s"_lc_$u", sum(col(s"_v_$u")).over(local))
+    val withLocal = payloads.foldLeft(sharded) { case (d, (_, name)) =>
+      d.withColumn(s"_lc_$name", sum(col(s"_v_$name")).over(local))
+    }
     val offW = org.apache.spark.sql.expressions.Window
       .orderBy(col(s"_s_$u"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = sharded.groupBy(col(s"_s_$u"))
-      .agg(sum(col(s"_v_$u")).as(s"_n_$u"))
-      .limit(NtileShards.toInt + 2)
-      .withColumn(s"_off_$u",
-        coalesce(sum(col(s"_n_$u")).over(offW), lit(0L)))
-      .select(col(s"_s_$u").as(s"_os_$u"), col(s"_off_$u"))
-    withLocal
+    val aggs = payloads.map { case (_, name) =>
+      sum(col(s"_v_$name")).as(s"_n_$name") }
+    val offsets = payloads.foldLeft(
+        sharded.groupBy(col(s"_s_$u"))
+          .agg(aggs.head, aggs.tail: _*)
+          .limit(NtileShards.toInt + 2)) { case (d, (_, name)) =>
+        d.withColumn(s"_off_$name",
+          coalesce(sum(col(s"_n_$name")).over(offW), lit(0L)))
+      }
+      .select(col(s"_s_$u").as(s"_os_$u") +:
+        payloads.map { case (_, name) => col(s"_off_$name") }: _*)
+    val joined = withLocal
       .join(broadcast(offsets), col(s"_s_$u") === col(s"_os_$u"))
-      .withColumn(out, col(s"_off_$u") + col(s"_lc_$u"))
-      .drop(s"_b_$u", s"_k_$u", s"_v_$u", s"_s_$u",
-        s"_lc_$u", s"_os_$u", s"_off_$u")
+    payloads.foldLeft(joined) { case (d, (_, name)) =>
+        d.withColumn(name, col(s"_off_$name") + col(s"_lc_$name"))
+      }
+      .drop(s"_b_$u" +: s"_k_$u" +: s"_s_$u" +: s"_os_$u" +:
+        payloads.flatMap { case (_, name) =>
+          Seq(s"_v_$name", s"_lc_$name", s"_off_$name") }: _*)
   }
 
   /** Equi-depth composite shard boundaries over the (basis, key)
@@ -156,13 +198,28 @@ object Scale {
     * sharding), so the sampling approximation affects only balance —
     * which is why approx_percentile's estimation error is acceptable
     * where it never would be in a result.
+    *
+    * NON-NULL CONTRACT (round-11 advice): a null basis or key would
+    * get a null shard id from the null-intolerant [[shardCol]]
+    * expression and SILENTLY fall out of the null-unsafe offset join
+    * — row loss, where the window form ranks nulls first. No in-repo
+    * consumer feeds nulls; rather than trust future callers, the
+    * boundary sample (a job this phase runs anyway) also counts
+    * null sort keys and fails loudly on the first one. The check is
+    * one extra aggregate expression in an existing pass — zero added
+    * jobs.
     */
   private[graft] def shardBoundaries(base: DataFrame, b: String,
                                      k: String): Seq[(Long, Long)] = {
     val s = NtileShards.toInt
     val probs = (1 until s).map(i => i.toDouble / s).mkString(", ")
     val row = base.agg(
-      expr(s"approx_percentile($b, array($probs), $BoundaryAccuracy)").as("_q")).head()
+      expr(s"approx_percentile($b, array($probs), $BoundaryAccuracy)").as("_q"),
+      sum(when(col(b).isNull || col(k).isNull, 1L).otherwise(0L)).as("_nn")).head()
+    require(row.isNullAt(1) || row.getLong(1) == 0L,
+      s"rank family: ${row.getLong(1)} row(s) have a NULL basis/key — " +
+        "the sharded rank would silently drop them; the window form " +
+        "ranks nulls first. Filter or coalesce before calling.")
     if (row.isNullAt(0)) return Seq.empty
     val bq = row.getSeq[Long](0)
     // multiplicity m ≥ 2 means the value holds ≥ ~m/NtileShards of all
@@ -238,9 +295,11 @@ object Scale {
     * frame broadcasts (|groups| × (shards+2) rows) — trivial to a few
     * thousand groups, which covers every FIXED domain (types, flags,
     * lang × source). A key whose cardinality grows with the corpus
-    * (user, document) must keep its plain partitioned window — its
-    * parallelism already grows — and trips this cap loudly instead of
-    * silently collecting an unbounded boundary table.
+    * (user, document) should keep its plain partitioned window — its
+    * parallelism already grows — so past the cap the operator FALLS
+    * BACK to exactly that window (round 11; a warning is logged).
+    * The boundary collect is limit-bounded to cap+1 rows, so the
+    * detection itself never pulls an unbounded table to the driver.
     */
   val MaxRankGroups = 1024
 
@@ -262,14 +321,21 @@ object Scale {
     * broadcast back; per-group rank = in-group shard offset + local
     * rank, bit-identical to the window form for unique (basis, key).
     *
-    * CONTRACT: |group domain| ≤ [[MaxRankGroups]] (enforced — a
-    * corpus-scaled partition key like user or document id should KEEP
-    * its plain partitioned window, whose parallelism already grows
-    * with the corpus); `group` must be non-null (null never equals
-    * the compiled boundary keys); `basis`/`key` integral as
-    * everywhere in the family. `totalOut` optionally emits the
-    * per-group row count — the `count().over(partitionBy(group))`
-    * companion the window form pairs with its rank.
+    * CONTRACT: `group` must be non-null (null never equals the
+    * compiled boundary keys — enforced loudly); `basis`/`key`
+    * integral AND non-null as everywhere in the family (the grouped
+    * boundary pass counts null sort keys and fails on the first).
+    * |group domain| ≤ [[MaxRankGroups]] is the SHARDED path's
+    * domain: above it the operator FALLS BACK to the plain
+    * partitioned window (round 11 — previously a hard error): a key
+    * whose cardinality grows with the corpus already gets growing
+    * parallelism from `Window.partitionBy(group)` itself, so the
+    * window IS the right plan there and the two paths are
+    * bit-identical for unique (basis, key). The fallback logs a
+    * warning (a FIXED domain near the cap deserves a look) but keeps
+    * the caller running. `totalOut` optionally emits the per-group
+    * row count — the `count().over(partitionBy(group))` companion
+    * the window form pairs with its rank.
     */
   def distributedGroupedRowNumber(df: DataFrame, group: Column,
                                   basis: Column, key: Column, out: String,
@@ -280,13 +346,41 @@ object Scale {
       .withColumn(s"_k_$u", key.cast("long")).localCheckpoint()
     val s = NtileShards.toInt
     val probs = (1 until s).map(i => i.toDouble / s).mkString(", ")
+    // limit bounds the driver collect BEFORE we know the domain size:
+    // a corpus-scaled group key transfers at most cap+1 rows, never
+    // the whole domain, and cap+1 rows is proof enough to fall back
     val bRows = base.groupBy(col(s"_g_$u"))
-      .agg(expr(s"approx_percentile(_b_$u, array($probs), $BoundaryAccuracy)").as("_q"))
+      .agg(expr(s"approx_percentile(_b_$u, array($probs), $BoundaryAccuracy)").as("_q"),
+        sum(when(col(s"_b_$u").isNull || col(s"_k_$u").isNull, 1L)
+          .otherwise(0L)).as("_nn"))
+      .limit(MaxRankGroups + 1)
       .collect()
-    require(bRows.length <= MaxRankGroups,
-      s"distributedGroupedRowNumber: ${bRows.length} groups exceed the " +
-        s"$MaxRankGroups cap — a domain this large should use a plain " +
-        "partitioned window (its parallelism is the domain size)")
+    require(!bRows.exists(_.getString(0) == null),
+      "distributedGroupedRowNumber: NULL group — the compiled shard " +
+        "lookup would silently drop the group's rows; filter or " +
+        "encode nulls before calling (the window form keeps a null " +
+        "partition)")
+    require(bRows.forall(r => r.isNullAt(2) || r.getLong(2) == 0L),
+      "distributedGroupedRowNumber: NULL basis/key rows — the sharded " +
+        "rank would silently drop them; the window form ranks nulls " +
+        "first. Filter or coalesce before calling.")
+    if (bRows.length > MaxRankGroups) {
+      log.warn(s"distributedGroupedRowNumber: > $MaxRankGroups groups — " +
+        "falling back to the plain partitioned window (parallelism " +
+        "grows with the domain there); a FIXED domain this large " +
+        "deserves a look")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(s"_g_$u"))
+        .orderBy(col(s"_b_$u").asc, col(s"_k_$u").asc)
+      val ranked = base.withColumn(out, row_number().over(w).cast("long"))
+      val withTotal = totalOut match {
+        case Some(t) => ranked.withColumn(t, count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(s"_g_$u"))))
+        case None => ranked
+      }
+      return withTotal.drop(s"_g_$u", s"_b_$u", s"_k_$u")
+    }
     val hot: Seq[(String, Long, Int)] = bRows.toSeq.flatMap { r =>
       val g = r.getString(0)
       val bq = if (r.isNullAt(1)) Seq.empty[Long] else r.getSeq[Long](1)

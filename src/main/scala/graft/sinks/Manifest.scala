@@ -297,6 +297,21 @@ object ManifestTable {
     * `pruneCol` must be numeric or timestamp (the stats envelope);
     * bounds compare in its double cast (epoch seconds for timestamps).
     * Single-writer per table, like every committer here.
+    *
+    * CONTRACT (round-11 advice): `pruneCol` must be FUNCTIONALLY
+    * DEPENDENT on `keys` — one of the keys, or derived from them —
+    * and NON-NULL on every batch row. Pruning finds a key's old row
+    * only through the key's pruneCol value: if a key could re-arrive
+    * with a DIFFERENT pruneCol, files holding the stale row can fall
+    * outside the new batch's range and the "matching keys replaced"
+    * promise silently becomes "duplicate keys accumulate". Likewise a
+    * null-pruneCol row leaves no envelope to find it by. Dependence
+    * is unverifiable per-batch at acceptable cost (it is a property
+    * of the KEY across time, not of one batch), so it stays a
+    * documented contract — the alert sink satisfies it with
+    * `alert_time` itself a key — but the null leg is cheap to check
+    * against the staged files (parquet null-count pushdown, no full
+    * read) and is enforced below.
     */
   def upsertPruned(batch: DataFrame, path: String, keys: Seq[String],
                    pruneCol: String): Option[Long] = {
@@ -335,6 +350,22 @@ object ManifestTable {
       val v = commit(spark, path, withStats(spark, path, names2))
       dropStaged(names)
       return Some(v)
+    }
+    // the staged file has bounds, so any null-pruneCol row riding
+    // along would commit UNDER those bounds and become unreachable by
+    // every future prune (the contract's null leg). The probe is
+    // footer-cheap: parquet row-group stats answer an IS NULL filter
+    // without scanning rows. (An ALL-null batch records no bounds at
+    // all and takes the conservative full-merge branch above — safe.)
+    if (!spark.read.parquet(paths(names): _*)
+        .filter(org.apache.spark.sql.functions.col(pruneCol).isNull)
+        .isEmpty) {
+      dropStaged(names)
+      throw new IllegalArgumentException(
+        s"upsertPruned: batch has NULL $pruneCol rows alongside " +
+          "non-null ones — such rows would be invisible to pruning " +
+          "and never replaced; the contract requires a non-null " +
+          "prune column")
     }
     val lo = ranges.map(_._1).min
     val hi = ranges.map(_._2).max

@@ -63,8 +63,14 @@ object WindowBounds {
       try {
         val base = PlanForensics.spWindowInputRows(fn(spark, src))
         val big = PlanForensics.spWindowInputRows(fn(spark, out))
-        if (base.size != big.size)
-          println(s"$q  WINDOW COUNT DIFFERS: ${base.size} vs ${big.size}")
+        if (base.size != big.size) {
+          // a plan whose single-partition-window COUNT changes with
+          // corpus size is itself the regression this harness exists
+          // to catch (round-11 advice: the zip below would silently
+          // truncate to the shorter list and could still exit 0)
+          grown += 1
+          println(s"$q  !! WINDOW COUNT DIFFERS: ${base.size} vs ${big.size}")
+        }
         base.zip(big).zipWithIndex.foreach {
           case (((lbl, a), (_, b)), i) =>
             val ratio = if (a > 0) b.toDouble / a else if (b == 0) 1.0 else Double.PositiveInfinity

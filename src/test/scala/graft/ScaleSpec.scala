@@ -150,7 +150,7 @@ class ScaleSpec extends SparkSpec {
     assert(gotN == expN, "zipfian ntile diverges from window form")
   }
 
-  test("distributedGroupedRowNumber equals per-group window ranks; totals match; domain cap enforced") {
+  test("distributedGroupedRowNumber equals per-group window ranks; totals match; cap falls back to the window") {
     val spark2 = spark
     import spark2.implicits._
     // per-group zipfian: group "g0" piles 90% of its basis mass on one
@@ -177,16 +177,64 @@ class ScaleSpec extends SparkSpec {
       .select(col("k"), col("rn"), col("n")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == exp, "grouped rank diverges from the partitioned window form")
-    // the driver-small contract is enforced, not silently degraded:
-    // a corpus-scaled key (here: more groups than the cap) must trip
-    val wide = (1 to Scale.MaxRankGroups + 50)
-      .map(i => (s"w$i", i.toLong, i.toLong))
-      .toDF("g", "k", "b")
-    val e = intercept[IllegalArgumentException] {
-      Scale.distributedGroupedRowNumber(
-        wide, col("g"), col("b"), col("k"), "rn")
+    // past the cap the operator FALLS BACK to the plain partitioned
+    // window (round 11 — previously a hard error): a corpus-scaled
+    // key's window parallelism already grows with the domain, so the
+    // right behavior is identical output via the window plan, not an
+    // exception. 2,000 groups × a few rows each, ranks + totals
+    // bit-equal to the window form.
+    val nWide = 2000
+    val wideRows = (1 to nWide).flatMap { g =>
+      (1 to 1 + g % 4).map(j => (s"w$g", (g * 10 + j).toLong,
+        ((g * 7 + j * 3) % 50).toLong))
     }
-    assert(e.getMessage.contains("cap"))
+    val wide = wideRows.toDF("g", "k", "b")
+    assert(nWide > Scale.MaxRankGroups)
+    val wExp = wide
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .select(col("k"), col("rn"), col("n")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val wGot = Scale.distributedGroupedRowNumber(
+        wide, col("g"), col("b"), col("k"), "rn", totalOut = Some("n"))
+      .select(col("k"), col("rn"), col("n")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(wGot == wExp,
+      "past-cap fallback diverges from the partitioned window form")
+  }
+
+  test("rank family fails loudly on null sort keys and null groups instead of dropping rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    // round-11 advice: ShardOf/GroupShardOf are null-intolerant, so a
+    // null basis/key/group used to get a null shard id and vanish in
+    // the null-unsafe offset join — SILENT row loss where the window
+    // form ranks nulls first. The contract is now enforced in the
+    // boundary pass (one extra agg expression, zero extra jobs).
+    val df = Seq((Some(1L), 1L), (None, 2L), (Some(3L), 3L))
+      .toDF("b", "k")
+    val e1 = intercept[IllegalArgumentException] {
+      Scale.distributedRowNumber(df, col("b"), col("k"), "r").collect()
+    }
+    assert(e1.getMessage.contains("NULL basis/key"))
+    val e2 = intercept[IllegalArgumentException] {
+      Scale.distributedPrefixSum(df, col("k"), col("b"), col("k"), "c")
+        .collect()
+    }
+    assert(e2.getMessage.contains("NULL basis/key"))
+    val g = Seq((Some("a"), 1L), (None, 2L)).toDF("g", "k")
+    val e3 = intercept[IllegalArgumentException] {
+      Scale.distributedGroupedRowNumber(
+        g, col("g"), col("k"), col("k"), "r").collect()
+    }
+    assert(e3.getMessage.contains("NULL group"))
+    val e4 = intercept[IllegalArgumentException] {
+      Scale.distributedGroupedRowNumber(
+        Seq(("a", Some(1L), 1L), ("a", None, 2L)).toDF("g", "b", "k"),
+        col("g"), col("b"), col("k"), "r").collect()
+    }
+    assert(e4.getMessage.contains("NULL basis/key"))
   }
 
   test("prefix-sum pair (empirical-CDF shape): chained applications match the window CDF counts") {
@@ -219,6 +267,22 @@ class ScaleSpec extends SparkSpec {
       .select(col("doc_id"), col("c_ok"), col("c_bad")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == exp, "chained prefix-sum pair diverges from window CDF")
+    // round 11: the FUSED multi-payload form — one phase 0 (one
+    // checkpoint + one boundary sample) carrying both indicators —
+    // must be bit-identical to the chained pair and to the window
+    // CDF; this is the form q_nb_ks now ships
+    val fused = Scale.distributedPrefixSums(
+        df, col("margin"), col("doc_id"),
+        Seq(col("ok") -> "c_ok", col("bad") -> "c_bad"))
+      .select(col("doc_id"), col("c_ok"), col("c_bad")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fused == exp, "fused prefix-sum pair diverges from window CDF")
+    // and the fused form keeps every input column (schema contract)
+    val cols = Scale.distributedPrefixSums(
+      df, col("margin"), col("doc_id"),
+      Seq(col("ok") -> "c_ok", col("bad") -> "c_bad")).columns.toSet
+    assert(cols == Set("doc_id", "margin", "ok", "bad", "c_ok", "c_bad"),
+      s"fused output columns leaked helpers or dropped inputs: $cols")
   }
 
   test("distributedPrefixSum equals the inclusive window running sum, descending basis") {

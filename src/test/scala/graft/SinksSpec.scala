@@ -540,6 +540,18 @@ class ManifestSpec extends SparkSpec {
       assert(vEmpty.isEmpty)
       assert(ManifestTable.latestVersion(spark, path) == before)
       assert(ManifestTable.read(spark, path).count() == 3)
+      // PARTIAL-null pruneCol (round-11 advice): a null-t row riding
+      // under a file's recorded bounds would be invisible to every
+      // future prune and never replaced — the contract fails loudly
+      // and the table is untouched (staged file cleaned up)
+      val nullBatch = Seq((4L, Some(50L), "d"), (5L, Option.empty[Long], "e"))
+        .toDF("k", "t", "v").repartition(1)
+      val eNull = intercept[IllegalArgumentException] {
+        ManifestTable.upsertPruned(nullBatch, path, Seq("k"), "t")
+      }
+      assert(eNull.getMessage.contains("NULL"))
+      assert(ManifestTable.latestVersion(spark, path) == before)
+      assert(ManifestTable.read(spark, path).count() == 3)
     } finally graft.sinks.Sinks.deleteRecursively(tmp)
   }
 }
