@@ -32,7 +32,7 @@ object StreamBench {
   /** Replay the river corpus as wire JSON through parse→parquet sink;
     * returns rows/sec.
     */
-  private def parquetSinkRate(spark: SparkSession): Double = {
+  private[graft] def parquetSinkRate(spark: SparkSession): Double = {
     import spark.implicits._
     import graft.streaming.Pipeline
     // Producer role (driver-side by design, like kafka/producer.py:
@@ -71,7 +71,7 @@ object StreamBench {
   /** Probe a document batch against the full corpus' band-bucket
     * index; returns probe rows/sec.
     */
-  private def dedupProbeRate(spark: SparkSession, sfDir: String): Double = {
+  private[graft] def dedupProbeRate(spark: SparkSession, sfDir: String): Double = {
     import spark.implicits._
     import graft.analytics.TextOps
     val docs = graft.ingest.Sources.documents(spark, sfDir)
@@ -107,7 +107,7 @@ object StreamBench {
     * atomic commit all on the clock — the end-to-end cost of the
     * exactly-once alert table, not just the parse.
     */
-  private def alertUpsertRate(spark: SparkSession): Double = {
+  private[graft] def alertUpsertRate(spark: SparkSession): Double = {
     import spark.implicits._
     import graft.streaming.Pipeline
     import graft.model.Schemas.SensorReading
@@ -140,7 +140,7 @@ object StreamBench {
     * fold + snapshot emission in Update mode — the cost of keeping a
     * live regression per sensor.
     */
-  private def ar1Rate(spark: SparkSession): Double = {
+  private[graft] def ar1Rate(spark: SparkSession): Double = {
     import spark.implicits._
     import graft.streaming.Pipeline
     import graft.model.Schemas.SensorReading

@@ -4591,6 +4591,51 @@ object TextOps {
       .agg(sum(col("term")).as("score"))
   }
 
+  /** BATCH twin of [[nbScoreDocs]] with a (doc, token) COUNT
+    * pre-aggregation before the ×|classes| expansion (round 11 —
+    * found while chasing why the fused-prefix-sum q_nb_ks rebuild
+    * barely moved the query: [[nbMargins]]' scoring dominates, and
+    * its biggest intermediate was every token INSTANCE replicated per
+    * class). Σ_instances L(tok) ≡ Σ_distinct n·L(tok) in exact
+    * integer micro-nats, so scores are bit-identical (spec-pinned
+    * against [[nbScoreDocs]]) — but the class blowup, the likelihood
+    * probe and the final shuffle all shrink by the token-duplication
+    * factor, and the pre-aggregation itself gets map-side combine on
+    * the un-expanded exploded frame. This is exactly the `tc` CTE the
+    * DuckDB oracle always ran.
+    *
+    * Kept separate from [[nbScoreDocs]] because streaming allows ONE
+    * aggregation per query: the online scorer must fold token
+    * instances directly into its (doc, class) state, while every
+    * batch eval should pre-aggregate. Structured Streaming rejects
+    * this two-agg plan at analysis, so the split cannot silently rot.
+    */
+  private[graft] def nbScoreDocsBatch(docs: DataFrame, classes: DataFrame,
+                                      ltab: DataFrame,
+                                      carry: Seq[String]): DataFrame = {
+    val carryCols = carry.map(col)
+    val tc = docs
+      .select((col("doc_id") +: carryCols) :+
+        explode(col("toks")).as("tok"): _*)
+      .groupBy((col("doc_id") +: carryCols) :+ col("tok"): _*)
+      .agg(count(lit(1)).as("_ntok"))
+    val tokTerms = tc
+      .crossJoin(broadcast(classes.select(col("source").as("c"),
+        col("oov_micro"))))
+      // unhinted for the same Heaps-law reason as [[nbScoreDocs]]
+      .join(ltab, Seq("c", "tok"), "left")
+      .select((col("doc_id") +: carryCols) :+ col("c") :+
+        (col("_ntok") * coalesce(col("l_micro"), col("oov_micro")))
+          .as("term"): _*)
+    val priorTerms = docs
+      .select((col("doc_id") +: carryCols): _*)
+      .crossJoin(broadcast(classes.select(col("source").as("c"),
+        col("prior_micro").as("term"))))
+    tokTerms.unionByName(priorTerms)
+      .groupBy((col("doc_id") +: carryCols) :+ col("c"): _*)
+      .agg(sum(col("term")).as("score"))
+  }
+
   /** The per-(test doc, class) integer score table behind
     * [[naiveBayes]] and [[nbCalibration]] — one definition so the
     * model the confusion matrix evaluates IS the model the
@@ -4602,7 +4647,7 @@ object TextOps {
       .filter(!isTrain)
       .select(col("doc_id"), col("source").as("true_source"),
         split(col("text"), " ").as("toks"))
-    nbScoreDocs(test, classes, ltab, Seq("true_source"))
+    nbScoreDocsBatch(test, classes, ltab, Seq("true_source"))
       .select(col("doc_id"), col("true_source"), col("c"), col("score"))
   }
 

@@ -27,10 +27,19 @@ import org.apache.spark.sql.GraftBridge
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    // --gate (round 11): exit 1 on any HARD flag — forced corpus
+    // broadcast, raw single-partition window, CartesianProduct, or a
+    // query that fails to plan — so scripts/gate.sh can hold the
+    // plan-shape line mechanically instead of a human re-reading the
+    // sweep each round. Soft tiers (size-pick broadcasts, agg/ckpt
+    // windows) stay warnings: they are re-plans-at-scale or
+    // WindowBounds' jurisdiction respectively.
+    val gate = args.contains("--gate")
+    var hard = 0
     val spark = graft.spark.Sessions.local("8", "8")
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    val wanted = args.toSet
+    val wanted = args.filterNot(_ == "--gate").toSet
     val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
     qs.foreach { case (name, fn) =>
@@ -94,13 +103,19 @@ object PlanAudit {
           (if (spwAgg.isEmpty) ""
            else s"  ~ agg-bounded single-partition window (verify group domain): ${spwAgg.map(_.tables).mkString(", ")}")
         println(f"$name%-32s scans=$scans shuffles=$shuffles bcast=$bcast reused=$reused bnlj=$bnlj cart=$cart corpusbcast=${forced.size} spwindow=${spwRaw.size} spwckpt=${spwCkpt.size} spwagg=${spwAgg.size} win=$nWin wgl=$nWgl$flag")
+        hard += forced.size + spwRaw.size + cart
         if (sys.env.contains("GRAFT_AUDIT_VERBOSE") && corpus.nonEmpty)
           println(p)
       } catch {
         case e: Throwable =>
+          hard += 1
           println(s"$name ERROR ${e.getMessage.take(80)}")
       }
     }
     spark.stop()
+    if (gate && hard > 0) {
+      println(s"$hard hard plan flag(s) — forced corpus broadcast, raw single-partition window, cartesian product, or plan error")
+      sys.exit(1)
+    }
   }
 }

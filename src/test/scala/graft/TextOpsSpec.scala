@@ -1690,4 +1690,26 @@ class TextOpsSpec extends SparkSpec {
     // and on this corpus the sketch must retain the signal
     assert(dBin > 0L)
   }
+
+  test("nb batch scorer (doc-token pre-aggregation) is bit-identical to the streaming-shape scorer") {
+    // round 11: nbScores moved to nbScoreDocsBatch, which aggregates
+    // (doc, tok) counts BEFORE the x|classes| expansion; the streaming
+    // scorer keeps the one-aggregation shape. Exact integer micro-nats
+    // mean the two must agree to the bit on every (doc, class) --
+    // this is the pin that lets every batch NB eval (confusion matrix,
+    // calibration, KS) keep its unchanged oracle while the plan shrank
+    import org.apache.spark.sql.functions._
+    val (classes, ltab) = TextOps.nbModel(spark, sf)
+    val test = graft.ingest.Sources.documents(spark, sf)
+      .filter(graft.operators.Scale.hashBucket(col("doc_id")) >= 80)
+      .select(col("doc_id"), col("source").as("true_source"),
+        split(col("text"), " ").as("toks"))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("c"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val a = keyed(TextOps.nbScoreDocs(test, classes, ltab, Seq("true_source")))
+    val b = keyed(TextOps.nbScoreDocsBatch(test, classes, ltab, Seq("true_source")))
+    assert(a.nonEmpty && a == b,
+      s"batch pre-aggregated scorer diverges: ${a.size} vs ${b.size} keys")
+  }
 }
