@@ -285,6 +285,38 @@ class ScaleSpec extends SparkSpec {
       s"fused output columns leaked helpers or dropped inputs: $cols")
   }
 
+  test("fused prefix sums: three payloads, negative values, zipfian basis") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the general multi-payload form beyond the CDF pair: N=3 summed
+    // indicators, one signed (running NET sums are a legit payload —
+    // nothing in the offset algebra assumes non-negativity), over a
+    // 90%-one-value basis so the hot-value key-quantile split is the
+    // path under test, not the spread-out easy case
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 800).map { i =>
+      val basis = if (rnd.nextInt(10) < 9) 7L else rnd.nextInt(40).toLong
+      (i.toLong, basis, rnd.nextInt(3).toLong, (rnd.nextInt(21) - 10).toLong)
+    }
+    val df = rows.toDF("id", "b", "u", "signed")
+      .withColumn("hit", when(col("u") === 1L, 1L).otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    def keyed(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("id"), col("s1"), col("s2"), col("s3")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val exp = keyed(df
+      .withColumn("s1", sum(col("u")).over(w))
+      .withColumn("s2", sum(col("signed")).over(w))
+      .withColumn("s3", sum(col("hit")).over(w)))
+    val got = keyed(Scale.distributedPrefixSums(df, col("b"), col("id"),
+      Seq(col("u") -> "s1", col("signed") -> "s2", col("hit") -> "s3")))
+    assert(got == exp,
+      "3-payload fused prefix sums diverge from the window running sums")
+  }
+
   test("distributedPrefixSum equals the inclusive window running sum, descending basis") {
     import org.apache.spark.sql.functions._
     val rev = graft.ingest.Sources.lineitem(spark, sf)
