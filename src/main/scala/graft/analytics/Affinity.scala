@@ -240,8 +240,16 @@ object Affinity {
       .crossJoin(broadcast(n))
       .select(col("ant_a"), col("ant_b"), col("cons"), col("support"),
         col("ant_support"),
-        expr("(support * 1000000L) DIV ant_support").as("conf_ppm"),
-        expr("(support * n_orders * 1000000L) DIV (ant_support * cnt)")
+        // DECIMAL(38,0) intermediates (round 11): support·n_orders·1e6
+        // overflowed i64 once n_orders ≈ 10¹² (any 100 TB fact table),
+        // and the denominator ant_support·cnt is a count×count product
+        // with the same quadratic ceiling; the ppm OUTPUTS are small —
+        // only the carriers widen, DIV still returns an exact floored
+        // BIGINT. DuckDB twin rides HUGEINT.
+        expr("(CAST(support AS DECIMAL(20,0)) * 1000000L)" +
+          " DIV ant_support").as("conf_ppm"),
+        expr("(CAST(support AS DECIMAL(20,0)) * n_orders * 1000000L)" +
+          " DIV (CAST(ant_support AS DECIMAL(20,0)) * cnt)")
           .as("lift_ppm"))
       .orderBy(col("conf_ppm").desc, col("ant_a"), col("ant_b"), col("cons"))
   }
@@ -266,8 +274,10 @@ object Affinity {
       |  SELECT part_b, part_c, part_a, support, support_bc FROM t
       |)
       |SELECT ant_a, ant_b, cons, support, ant_support,
-      |  (support * 1000000) // ant_support AS conf_ppm,
-      |  (support * n_orders * 1000000) // (ant_support * cnt) AS lift_ppm
+      |  CAST((CAST(support AS HUGEINT) * 1000000) // ant_support
+      |    AS BIGINT) AS conf_ppm,
+      |  CAST((CAST(support AS HUGEINT) * n_orders * 1000000)
+      |    // (CAST(ant_support AS HUGEINT) * cnt) AS BIGINT) AS lift_ppm
       |FROM rules JOIN freq ON freq.l_partkey = rules.cons CROSS JOIN nn
       |ORDER BY conf_ppm DESC, ant_a, ant_b, cons""".stripMargin
 

@@ -1300,7 +1300,11 @@ object Events {
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("grp"), col("period"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
-      .withColumn("mean_micro", expr("(s * 10000L) DIV n"))
+      // decimal carrier (round 11): s is a corpus-scale cents sum —
+      // ×10⁴ overflowed i64 past ~9·10¹⁴ cents ($9T); the micro-mean
+      // output stays a small exact BIGINT
+      .withColumn("mean_micro",
+        expr("(CAST(s AS DECIMAL(20,0)) * 10000L) DIV n"))
     val row = cells
       .select(concat_ws("_", col("grp"), col("period")).as("cell"),
         col("n"), col("mean_micro"))
@@ -1331,7 +1335,9 @@ object Events {
       |  FROM events
       |  GROUP BY 1, 2
       |), m AS (
-      |  SELECT grp, period, n, (s * 10000) // n AS mean_micro FROM cells
+      |  SELECT grp, period, n,
+      |    CAST((CAST(s AS HUGEINT) * 10000) // n AS BIGINT) AS mean_micro
+      |  FROM cells
       |)
       |SELECT
       |  max(CASE WHEN grp = 'control' AND period = 'pre' THEN n END)

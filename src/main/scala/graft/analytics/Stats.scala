@@ -1483,6 +1483,37 @@ object Stats {
     */
   val StumpBinCents = 2000000L
 
+  /** Gini impurity in exact ppm over integer class counts, with
+    * DECIMAL(38,0) intermediates (round 11):
+    * `1e6 − ((p² + (n−p)²)·1e6) DIV n²`. The original all-BIGINT form
+    * overflowed at n ≈ 3·10⁶ rows (n²·1e6 > i64) — not even TPC-H
+    * sf10's orders table fits, let alone a 100 TB corpus. Casting the
+    * square operands to DECIMAL(20,0) makes every product land in
+    * Spark's capped DECIMAL(38,0) (values ≤ ~2·10³⁰ for n ≤ 10¹²,
+    * headroom to n ≈ 3·10¹⁵) and `DIV` on decimals still returns an
+    * exact floored BIGINT; the DuckDB twins take the same route via
+    * HUGEINT. Identical outputs wherever the old form didn't overflow
+    * (same integer algebra, wider carrier) — the oracle gate and the
+    * BigInt differential spec pin both. The per-row cost is nil: the
+    * formula runs on HISTOGRAM rows (Σ bins), never on the corpus.
+    *
+    * Takes column NAMES (the call sites inline it into `expr`); both
+    * operands must be nonnegative BIGINTs with p ≤ n.
+    */
+  private[graft] def giniPpmSql(p: String, n: String): String =
+    s"1000000L - ((CAST($p AS DECIMAL(20,0)) * $p + " +
+      s"CAST($n - $p AS DECIMAL(20,0)) * ($n - $p)) * 1000000L) " +
+      s"DIV (CAST($n AS DECIMAL(20,0)) * $n)"
+
+  /** The DuckDB twin of [[giniPpmSql]]: HUGEINT intermediates, final
+    * BIGINT cast (HUGEINT reaching the comparison layer would arrive
+    * as float64 and break the exact hash).
+    */
+  private[graft] def giniPpmDuck(p: String, n: String): String =
+    s"CAST(1000000 - ((CAST($p AS HUGEINT) * $p + " +
+      s"CAST($n - $p AS HUGEINT) * ($n - $p)) * 1000000) " +
+      s"// (CAST($n AS HUGEINT) * $n) AS BIGINT)"
+
   /** Best single decision-stump split: predict "priority order"
     * (o_orderpriority ∈ {1-URGENT, 2-HIGH}) from o_totalprice, by
     * minimizing the weighted Gini impurity over histogram-bin
@@ -1490,13 +1521,13 @@ object Stats {
     * tree / random-forest learner, in its scalable histogram form.
     *
     * Exactness: impurity in ppm over exact integer class counts —
-    * imp = 1e6 − ((pos² + neg²)·1e6) DIV n² and the weighted score
+    * [[giniPpmSql]] and the weighted score
     * (n_L·imp_L + n_R·imp_R) DIV n — all operands nonnegative, floor
     * division identical in both engines, ties broken on the lowest
-    * bin. n²·1e6 stays inside i64 up to n ≈ 3·10⁶ rows; at cluster
-    * scale the histogram is built from a fixed-size sample (what
-    * hist-based learners do anyway), so the bound is a property of
-    * the sample, not the corpus.
+    * bin. Round 11: the squares ride DECIMAL(38,0)/HUGEINT
+    * intermediates, so the formula is exact to n ≈ 3·10¹⁵ rows on the
+    * FULL corpus — no sampling caveat needed (the all-BIGINT form it
+    * replaces overflowed at n ≈ 3·10⁶).
     *
     * Scale shape: ONE corpus pass aggregates (bin → n, pos); every
     * downstream step (prefix sums, candidate scoring, argmin) runs on
@@ -1521,11 +1552,12 @@ object Stats {
       .filter(col("nl") > 0 && col("nl") < col("tot_n"))
       .withColumn("nr", col("tot_n") - col("nl"))
       .withColumn("pr", col("tot_p") - col("pl"))
-      .withColumn("imp_l", expr(
-        "1000000L - ((pl * pl + (nl - pl) * (nl - pl)) * 1000000L) DIV (nl * nl)"))
-      .withColumn("imp_r", expr(
-        "1000000L - ((pr * pr + (nr - pr) * (nr - pr)) * 1000000L) DIV (nr * nr)"))
-      .withColumn("wg_ppm", expr("(nl * imp_l + nr * imp_r) DIV tot_n"))
+      .withColumn("imp_l", expr(giniPpmSql("pl", "nl")))
+      .withColumn("imp_r", expr(giniPpmSql("pr", "nr")))
+      // the weighted sum rides decimal too: nl·imp_l ≤ n·1e6 was its
+      // own i64 ceiling at n ≈ 9·10¹²
+      .withColumn("wg_ppm", expr("(CAST(nl AS DECIMAL(20,0)) * imp_l" +
+        " + CAST(nr AS DECIMAL(20,0)) * imp_r) DIV tot_n"))
     scored
       .withColumn("rn", row_number().over(
         Window.orderBy(col("wg_ppm").asc, col("bin").asc)))
@@ -1535,8 +1567,7 @@ object Stats {
         col("nl").as("n_left"), col("pl").as("pos_left"),
         col("nr").as("n_right"), col("pr").as("pos_right"),
         col("wg_ppm").as("weighted_gini_ppm"),
-        expr("1000000L - ((tot_p * tot_p + (tot_n - tot_p) * (tot_n - tot_p))" +
-          " * 1000000L) DIV (tot_n * tot_n)").as("base_gini_ppm"))
+        expr(giniPpmSql("tot_p", "tot_n")).as("base_gini_ppm"))
       .withColumn("gain_ppm", col("base_gini_ppm") - col("weighted_gini_ppm"))
   }
 
@@ -1557,25 +1588,21 @@ object Stats {
       |  FROM hist
       |), scored AS (
       |  SELECT bin, nl, pl, tot_n - nl AS nr, tot_p - pl AS pr, tot_n, tot_p,
-      |    1000000 - ((pl * pl + (nl - pl) * (nl - pl)) * 1000000) // (nl * nl)
-      |      AS imp_l,
-      |    1000000 - (((tot_p - pl) * (tot_p - pl)
-      |        + ((tot_n - nl) - (tot_p - pl)) * ((tot_n - nl) - (tot_p - pl)))
-      |      * 1000000) // ((tot_n - nl) * (tot_n - nl)) AS imp_r
+      |    ${giniPpmDuck("pl", "nl")} AS imp_l,
+      |    ${giniPpmDuck("(tot_p - pl)", "(tot_n - nl)")} AS imp_r
       |  FROM cum CROSS JOIN tot
       |  WHERE nl > 0 AND nl < tot_n
       |), ranked AS (
-      |  SELECT *, (nl * imp_l + nr * imp_r) // tot_n AS wg_ppm
+      |  SELECT *, CAST((CAST(nl AS HUGEINT) * imp_l
+      |      + CAST(nr AS HUGEINT) * imp_r) // tot_n AS BIGINT) AS wg_ppm
       |  FROM scored
       |)
       |SELECT bin AS split_bin,
       |  (bin + 1) * $StumpBinCents AS threshold_cents,
       |  nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
       |  wg_ppm AS weighted_gini_ppm,
-      |  1000000 - ((tot_p * tot_p + (tot_n - tot_p) * (tot_n - tot_p))
-      |    * 1000000) // (tot_n * tot_n) AS base_gini_ppm,
-      |  (1000000 - ((tot_p * tot_p + (tot_n - tot_p) * (tot_n - tot_p))
-      |    * 1000000) // (tot_n * tot_n)) - wg_ppm AS gain_ppm
+      |  ${giniPpmDuck("tot_p", "tot_n")} AS base_gini_ppm,
+      |  ${giniPpmDuck("tot_p", "tot_n")} - wg_ppm AS gain_ppm
       |FROM ranked
       |ORDER BY wg_ppm ASC, bin ASC
       |LIMIT 1""".stripMargin
@@ -1595,7 +1622,8 @@ object Stats {
     * joint histogram; prefix sums, split scoring and both argmins
     * (per-feature best split, cross-feature rank) run on the
     * histogram table (Σ bins, corpus-size-independent). Same exact
-    * ppm arithmetic as [[decisionStump]] — see its i64 bound.
+    * ppm arithmetic as [[decisionStump]] — [[giniPpmSql]]'s decimal
+    * intermediates, exact on the full corpus to n ≈ 3·10¹⁵ rows.
     */
   def featureImportance(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir).select(
@@ -1622,14 +1650,11 @@ object Stats {
       .filter(col("nl") > 0 && col("nl") < col("tot_n"))
       .withColumn("nr", col("tot_n") - col("nl"))
       .withColumn("pr", col("tot_p") - col("pl"))
-      .withColumn("imp_l", expr(
-        "1000000L - ((pl * pl + (nl - pl) * (nl - pl)) * 1000000L) DIV (nl * nl)"))
-      .withColumn("imp_r", expr(
-        "1000000L - ((pr * pr + (nr - pr) * (nr - pr)) * 1000000L) DIV (nr * nr)"))
-      .withColumn("wg_ppm", expr("(nl * imp_l + nr * imp_r) DIV tot_n"))
-      .withColumn("base_ppm", expr(
-        "1000000L - ((tot_p * tot_p + (tot_n - tot_p) * (tot_n - tot_p))" +
-          " * 1000000L) DIV (tot_n * tot_n)"))
+      .withColumn("imp_l", expr(giniPpmSql("pl", "nl")))
+      .withColumn("imp_r", expr(giniPpmSql("pr", "nr")))
+      .withColumn("wg_ppm", expr("(CAST(nl AS DECIMAL(20,0)) * imp_l" +
+        " + CAST(nr AS DECIMAL(20,0)) * imp_r) DIV tot_n"))
+      .withColumn("base_ppm", expr(giniPpmSql("tot_p", "tot_n")))
     scored
       .withColumn("rn", row_number().over(Window.partitionBy(col("feature"))
         .orderBy(col("wg_ppm").asc, col("bin").asc)))
@@ -1673,19 +1698,18 @@ object Stats {
       |), scored AS (
       |  SELECT cum.feature, bin, nl, pl, tot_n - nl AS nr, tot_p - pl AS pr,
       |    tot_n, tot_p,
-      |    1000000 - ((pl * pl + (nl - pl) * (nl - pl)) * 1000000) // (nl * nl)
-      |      AS imp_l,
-      |    1000000 - (((tot_p - pl) * (tot_p - pl)
-      |        + ((tot_n - nl) - (tot_p - pl)) * ((tot_n - nl) - (tot_p - pl)))
-      |      * 1000000) // ((tot_n - nl) * (tot_n - nl)) AS imp_r
+      |    ${giniPpmDuck("pl", "nl")} AS imp_l,
+      |    ${giniPpmDuck("(tot_p - pl)", "(tot_n - nl)")} AS imp_r
       |  FROM cum JOIN tot USING (feature)
       |  WHERE nl > 0 AND nl < tot_n
       |), best AS (
-      |  SELECT *, (nl * imp_l + nr * imp_r) // tot_n AS wg_ppm,
-      |    1000000 - ((tot_p * tot_p + (tot_n - tot_p) * (tot_n - tot_p))
-      |      * 1000000) // (tot_n * tot_n) AS base_ppm,
+      |  SELECT *, CAST((CAST(nl AS HUGEINT) * imp_l
+      |      + CAST(nr AS HUGEINT) * imp_r) // tot_n AS BIGINT) AS wg_ppm,
+      |    ${giniPpmDuck("tot_p", "tot_n")} AS base_ppm,
       |    row_number() OVER (PARTITION BY feature
-      |      ORDER BY (nl * imp_l + nr * imp_r) // tot_n ASC, bin ASC) AS rn
+      |      ORDER BY CAST((CAST(nl AS HUGEINT) * imp_l
+      |        + CAST(nr AS HUGEINT) * imp_r) // tot_n AS BIGINT) ASC,
+      |        bin ASC) AS rn
       |  FROM scored
       |)
       |SELECT row_number() OVER (ORDER BY base_ppm - wg_ppm DESC, feature ASC)

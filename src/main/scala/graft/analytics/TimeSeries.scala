@@ -801,9 +801,12 @@ object TimeSeries {
       .agg(sum(col("cents")).as("cents_total"),
         count(lit(1)).as("n_days_total"))
     byDow.join(broadcast(totals), Seq("event_type"))
+      // decimal carrier (round 11): 10⁶ × a corpus-scale cents sum
+      // overflowed i64 past ~9·10¹² cents; the mirrored two-step `//`
+      // sequence is unchanged, only the first step's carrier widens
       .withColumn("seasonal_ppm",
-        expr("((1000000 * cents_dow) DIV cents_total)" +
-          " * n_days_total DIV n_days_dow"))
+        expr("((1000000L * CAST(cents_dow AS DECIMAL(20,0)))" +
+          " DIV cents_total) * n_days_total DIV n_days_dow"))
       .select(col("event_type"), col("dow"), col("n_days_dow"),
         col("cents_dow"), col("seasonal_ppm"))
       .orderBy(col("event_type"), col("dow"))
@@ -822,7 +825,8 @@ object TimeSeries {
        |  FROM daily GROUP BY 1
        |)
        |SELECT b.event_type, b.dow, b.n_days_dow, b.cents_dow,
-       |  ((1000000 * b.cents_dow) // t.cents_total)
+       |  CAST((1000000 * CAST(b.cents_dow AS HUGEINT)) // t.cents_total
+       |    AS BIGINT)
        |    * t.n_days_total // b.n_days_dow AS seasonal_ppm
        |FROM byd b JOIN tot t USING (event_type)
        |ORDER BY event_type, dow""".stripMargin
@@ -1292,8 +1296,11 @@ object TimeSeries {
       .withColumn("cum_cents", sum(col("cents"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cohort_size", first(col("n_active")).over(w))
+      // decimal carrier (round 11): cum_cents is a corpus-scale cents
+      // sum — ×10⁴ overflowed i64 past ~9·10¹⁴ cents
       .withColumn("ltv_micro_per_head",
-        expr("(cum_cents * 10000L) DIV cohort_size"))
+        expr("(CAST(cum_cents AS DECIMAL(20,0)) * 10000L)" +
+          " DIV cohort_size"))
       .select(col("cohort_yr"), col("yr_offset"), col("n_active"),
         col("cum_cents"), col("cohort_size"), col("ltv_micro_per_head"))
       .orderBy(col("cohort_yr"), col("yr_offset"))
@@ -1319,10 +1326,10 @@ object TimeSeries {
       |    AS BIGINT) AS cum_cents,
       |  first(n_active) OVER (PARTITION BY cohort_yr ORDER BY yr_offset)
       |    AS cohort_size,
-      |  (CAST(sum(cents) OVER (PARTITION BY cohort_yr ORDER BY yr_offset)
-      |    AS BIGINT) * 10000)
+      |  CAST((CAST(sum(cents) OVER (PARTITION BY cohort_yr ORDER BY yr_offset)
+      |    AS HUGEINT) * 10000)
       |    // first(n_active) OVER (PARTITION BY cohort_yr ORDER BY yr_offset)
-      |    AS ltv_micro_per_head
+      |    AS BIGINT) AS ltv_micro_per_head
       |FROM cells
       |ORDER BY cohort_yr, yr_offset""".stripMargin
 

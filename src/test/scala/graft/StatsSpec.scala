@@ -687,4 +687,55 @@ class StatsSpec extends SparkSpec {
       .map(_.toLong)).toSet
     assert(clustered == adj.keySet, "cluster membership != paired vertices")
   }
+
+  test("decimal-carrier ppm formulas are exact past the old i64 ceilings (BigInt differential)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    // round 11: giniPpmSql / the lift and micro-mean carriers were
+    // rewritten on DECIMAL(38,0) after a headroom audit found the
+    // all-BIGINT forms overflow at corpus-reachable counts (gini at
+    // n ~ 3e6 rows(!), lift at n_orders ~ 9e12/support). This pins the
+    // widened forms against BigInt ground truth at counts 1000x past
+    // the old ceilings -- the exact values the i64 forms CANNOT
+    // produce -- plus small randoms where old and new must agree.
+    def giniBig(p: Long, n: Long): Long = {
+      val (bp, bn) = (BigInt(p), BigInt(n))
+      (BigInt(1000000) -
+        ((bp * bp + (bn - bp) * (bn - bp)) * 1000000) / (bn * bn)).toLong
+    }
+    val rnd = new scala.util.Random(23)
+    val cases = Seq(
+      (4_000_000_000L, 1_700_000_000L),     // past the 3e6 gini ceiling
+      (9_000_000_000_000L, 123_456_789_012L), // n^2 = 8.1e25 >> i64
+      (1L, 0L), (1L, 1L)                    // degenerate edges
+    ) ++ (1 to 8).map { _ =>
+      val n = 1L + rnd.nextInt(1000000); (n, (rnd.nextDouble() * n).toLong)
+    }
+    val got = cases.toDF("n", "p")
+      .select(col("n"), col("p"),
+        expr(graft.analytics.Stats.giniPpmSql("p", "n")).as("g")).collect()
+    got.foreach { r =>
+      val (n, p) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == giniBig(p, n),
+        s"gini ppm diverges from BigInt at (p=$p, n=$n)")
+    }
+    // the lift carrier: support*n_orders*1e6 and ant_support*cnt both
+    // far past i64
+    val lift = Seq((1_000_000_000L, 3_000_000_000L, 2_000_000_000_000L,
+        500_000_000_000L))
+      .toDF("support", "ant_support", "n_orders", "cnt")
+      .select(expr("(CAST(support AS DECIMAL(20,0)) * n_orders * 1000000L)" +
+        " DIV (CAST(ant_support AS DECIMAL(20,0)) * cnt)").as("lift_ppm"))
+      .head().getLong(0)
+    val liftExp = (BigInt(1_000_000_000L) * BigInt(2_000_000_000_000L) *
+      1000000 / (BigInt(3_000_000_000L) * BigInt(500_000_000_000L))).toLong
+    assert(lift == liftExp, s"lift ppm diverges from BigInt: $lift != $liftExp")
+    // the micro-mean carrier: a $90T cents sum (past the 9e14 ceiling)
+    val micro = Seq((900_000_000_000_000_000L, 7L)).toDF("s", "n")
+      .select(expr("(CAST(s AS DECIMAL(20,0)) * 10000L) DIV n").as("m"))
+      .head().getLong(0)
+    assert(micro == (BigInt(900_000_000_000_000_000L) * 10000 / 7).toLong,
+      "micro mean diverges from BigInt")
+  }
 }
