@@ -862,20 +862,27 @@ object Relational {
     graft.operators.Scale.distributedPrefixSum(
         rev, -col("cents"), col("l_partkey"), col("cents"), "cum")
       .crossJoin(broadcast(rev.agg(sum(col("cents")).as("tot"))))
+      // decimal class boundaries (round 11): cum·100 itself leaves
+      // long once corpus revenue passes ~9.2e16 cents — reachable on
+      // a 100 TB fact table; the comparison is exact on DECIMAL(38,0)
       .withColumn("abc",
-        when(col("cum") * 100 <= col("tot") * 80, "A")
-          .when(col("cum") * 100 <= col("tot") * 95, "B")
+        when(expr("CAST(cum AS DECIMAL(20,0)) * 100" +
+          " <= CAST(tot AS DECIMAL(20,0)) * 80"), "A")
+          .when(expr("CAST(cum AS DECIMAL(20,0)) * 100" +
+            " <= CAST(tot AS DECIMAL(20,0)) * 95"), "B")
           .otherwise("C"))
       .groupBy(col("abc"))
       .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
       .limit(4) // ≤ 3 classes by construction — the audit's bound proof
-      // split-multiplier ppm: cents·10⁶ overflows long once corpus
-      // revenue passes ~9.2e12 cents (hit at the 4× weak-scaling run);
-      // (cents·10³ DIV t)·10³ + ((cents·10³ mod t)·10³) DIV t is the
-      // SAME exact integer (both factors stay ≤ t·10³), both engines
+      // Round 9's split-multiplier ppm fixed the ×10⁶ overflow the 4×
+      // weak-scaling run hit, but still ceilinged at cents ≈ 9.2e15
+      // (its ×10³ factors). The decimal single step is provably the
+      // SAME integer: for c·10³ = q·t + r,
+      // q·10³ + (r·10³) DIV t = (c·10⁶) DIV t — and DECIMAL(38,0)
+      // carries c·10⁶ to c ≈ 10³² cents. Both engines widened.
       .withColumn("t", expr("sum(cents) OVER ()"))
       .withColumn("share_ppm", expr(
-        "((cents * 1000L) DIV t) * 1000L + (((cents * 1000L) % t) * 1000L) DIV t"))
+        "(CAST(cents AS DECIMAL(20,0)) * 1000000L) DIV t"))
       .drop("t")
       .orderBy(col("abc"))
   }
@@ -891,9 +898,9 @@ object Relational {
       |), cls AS (
       |  SELECT l_partkey, cents,
       |    CASE WHEN CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC)
-      |              AS BIGINT) * 100 <= tot * 80 THEN 'A'
+      |              AS HUGEINT) * 100 <= CAST(tot AS HUGEINT) * 80 THEN 'A'
       |         WHEN CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC)
-      |              AS BIGINT) * 100 <= tot * 95 THEN 'B'
+      |              AS HUGEINT) * 100 <= CAST(tot AS HUGEINT) * 95 THEN 'B'
       |         ELSE 'C' END AS abc
       |  FROM rev CROSS JOIN tot
       |), agg AS (
@@ -903,7 +910,7 @@ object Relational {
       |)
       |, t AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM agg)
       |SELECT abc, n_parts, cents,
-      |  ((cents * 1000) // t) * 1000 + (((cents * 1000) % t) * 1000) // t
+      |  CAST((CAST(cents AS HUGEINT) * 1000000) // t AS BIGINT)
       |    AS share_ppm
       |FROM agg CROSS JOIN t
       |ORDER BY abc""".stripMargin

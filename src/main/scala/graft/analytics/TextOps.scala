@@ -4079,9 +4079,15 @@ object TextOps {
         sum(when(col("f") === 2, 1L).otherwise(0L)).as("q2"),
         sum(col("f")).as("incidences"))
       .join(broadcast(m), Seq("lang"))
+      // decimal carrier (round 11): q1·(q1−1) is a vocabulary-scale
+      // SQUARE — the all-BIGINT product ceilinged at q1 ≈ 2·10⁶
+      // singleton types; DECIMAL(38,0) is exact while
+      // m_docs·q1²·10³ < 10³⁸ (q1 = SINGLETON gram types, so even
+      // 10¹¹ docs × 10¹² singletons fits)
       .withColumn("chao2_milli", expr(
-        "d_grams * 1000L + ((m_docs - 1) * q1 * (q1 - 1) * 1000L)" +
-          " DIV (m_docs * 2 * (q2 + 1))"))
+        "d_grams * 1000L + (CAST(m_docs - 1 AS DECIMAL(20,0)) * q1" +
+          " * (q1 - 1) * 1000L)" +
+          " DIV (CAST(m_docs AS DECIMAL(20,0)) * 2 * (q2 + 1))"))
       .withColumn("unseen_ppm", expr("(q1 * 1000000L) DIV incidences"))
       .select(col("lang"), col("m_docs"), col("d_grams"), col("q1"),
         col("q2"), col("chao2_milli"), col("unseen_ppm"))
@@ -4109,8 +4115,10 @@ object TextOps {
       |  FROM inc GROUP BY 1
       |)
       |SELECT agg.lang, m_docs, d_grams, q1, q2,
-      |  d_grams * 1000 + ((m_docs - 1) * q1 * (q1 - 1) * 1000)
-      |    // (m_docs * 2 * (q2 + 1)) AS chao2_milli,
+      |  d_grams * 1000 + CAST((CAST(m_docs - 1 AS HUGEINT) * q1
+      |      * (q1 - 1) * 1000)
+      |    // (CAST(m_docs AS HUGEINT) * 2 * (q2 + 1)) AS BIGINT)
+      |    AS chao2_milli,
       |  (q1 * 1000000) // incidences AS unseen_ppm
       |FROM agg JOIN m USING (lang)
       |ORDER BY lang""".stripMargin

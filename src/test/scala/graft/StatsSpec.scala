@@ -737,5 +737,40 @@ class StatsSpec extends SparkSpec {
       .head().getLong(0)
     assert(micro == (BigInt(900_000_000_000_000_000L) * 10000 / 7).toLong,
       "micro mean diverges from BigInt")
+    // the pareto share carrier: (a) decimal == split-multiplier on
+    // values BOTH can represent (the algebraic identity, executed);
+    // (b) decimal == BigInt past the split form's own 9.2e15 ceiling
+    val shares = ((1 to 8).map { _ =>
+      val t = 1L + math.abs(rnd.nextLong()) % 9_000_000_000_000L
+      (math.abs(rnd.nextLong()) % (t + 1), t)
+    } :+ ((300_000_000_000_000_000L, 900_000_000_000_000_000L)))
+      .toDF("cents", "t")
+      .select(col("cents"), col("t"),
+        expr("(CAST(cents AS DECIMAL(20,0)) * 1000000L) DIV t").as("dec"))
+      .collect()
+    shares.foreach { r =>
+      val (c, t) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == (BigInt(c) * 1000000 / t).toLong,
+        s"decimal share ppm diverges from BigInt at (cents=$c, t=$t)")
+      if (c <= 9_000_000_000_000_000L) {
+        val split = {
+          val q = c * 1000L / t; val rr = c * 1000L % t
+          q * 1000L + rr * 1000L / t
+        }
+        assert(r.getLong(2) == split,
+          s"decimal share != split-multiplier at (cents=$c, t=$t)")
+      }
+    }
+    // the chao2 carrier: q1^2-scale product past the old ~2e6 ceiling
+    val chao = Seq((4_000_000_000L, 7L, 1_000_000L, 50_000_000L))
+      .toDF("q1", "q2", "m_docs", "d_grams")
+      .select(expr("d_grams * 1000L + (CAST(m_docs - 1 AS DECIMAL(20,0))" +
+        " * q1 * (q1 - 1) * 1000L)" +
+        " DIV (CAST(m_docs AS DECIMAL(20,0)) * 2 * (q2 + 1))").as("c"))
+      .head().getLong(0)
+    val chaoExp = (BigInt(50_000_000L) * 1000 +
+      BigInt(999_999L) * BigInt(4_000_000_000L) * BigInt(3_999_999_999L) *
+        1000 / (BigInt(1_000_000L) * 2 * 8)).toLong
+    assert(chao == chaoExp, s"chao2 carrier diverges from BigInt: $chao != $chaoExp")
   }
 }
