@@ -148,6 +148,16 @@ object Graph {
     * Only vertices with at least one OUTGOING edge are ranked (on a
     * symmetrized graph that is every non-isolated vertex, and there
     * are no dangling sinks). Returns (v, r, d): rank and out-degree.
+    *
+    * i64 headroom (round-11 audit): total mass is conserved at
+    * N·scale (minus truncation), so any vertex's incoming-contribution
+    * sum is ≤ N·scale and the `85·Σ` damping step bounds the loop at
+    * N ≤ ~10¹¹ vertices with scale = 10⁶ — an order of magnitude past
+    * a 100 TB web-scale graph's vertex count. Left on BIGINT
+    * deliberately: a decimal carrier would slow every iteration of
+    * the hot loop for headroom the mass-conservation bound shows is
+    * not needed (unlike the histogram-frame formulas, which got the
+    * decimal treatment for free).
     */
   /** Convergence-driven PageRank: iterate until the total absolute
     * rank movement Σ|r − r'| drops to `tolerance` (in `scale` units)
