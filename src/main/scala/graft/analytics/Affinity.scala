@@ -627,9 +627,13 @@ object Affinity {
       .agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        // decimal product moments (round 11): x, y are endpoint
+        // DEGREES — a hub-hub edge's x·y alone brushes i64 at ~10⁹
+        // degrees, and the edge-summed moments leave it far earlier;
+        // the Pearson readout below is double anyway
+        sum(col("x").cast("decimal(20,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(20,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(20,0)") * col("y")).as("syy"))
       .select(col("n").as("n_edges"),
         when(
           sqrt(col("n").cast("double") * col("sxx").cast("double") -

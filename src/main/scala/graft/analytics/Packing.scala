@@ -347,12 +347,18 @@ object Packing {
       .withColumn("i", row_number().over(w).cast("long"))
       .agg(count(lit(1)).as("n_sources"),
         sum(col("toks")).as("total_tokens"),
-        sum(col("i") * col("toks")).as("s"),
+        // decimal carriers (round 11): rank-weighted token sums and
+        // the ×10⁶ Gini numerator leave i64 once the corpus holds
+        // ~10¹² tokens across ~10⁴ sources; outputs stay small BIGINTs
+        sum(col("i").cast("decimal(20,0)") * col("toks")).as("s"),
         max(col("toks")).as("max_toks"))
       .select(col("n_sources"), col("total_tokens"),
-        expr("(1000000 * (2 * s - (n_sources + 1) * total_tokens))" +
-          " DIV (n_sources * total_tokens)").as("gini_micro"),
-        expr("(1000000 * max_toks) DIV total_tokens").as("top_share_ppm"))
+        expr("(1000000 * (2 * s - CAST(n_sources + 1 AS DECIMAL(20,0))" +
+          " * total_tokens))" +
+          " DIV (CAST(n_sources AS DECIMAL(20,0)) * total_tokens)")
+          .as("gini_micro"),
+        expr("(1000000 * CAST(max_toks AS DECIMAL(20,0)))" +
+          " DIV total_tokens").as("top_share_ppm"))
   }
 
   /** DuckDB twin: same rank order, same exact rational. */
@@ -368,10 +374,12 @@ object Packing {
       |)
       |SELECT count(*) AS n_sources,
       |  CAST(sum(toks) AS BIGINT) AS total_tokens,
-      |  (1000000 * (2 * CAST(sum(i * toks) AS BIGINT)
-      |              - (count(*) + 1) * CAST(sum(toks) AS BIGINT)))
-      |    // (count(*) * CAST(sum(toks) AS BIGINT)) AS gini_micro,
-      |  (1000000 * max(toks)) // CAST(sum(toks) AS BIGINT) AS top_share_ppm
+      |  CAST((1000000 * (2 * sum(CAST(i AS HUGEINT) * toks)
+      |              - (count(*) + 1) * CAST(sum(toks) AS HUGEINT)))
+      |    // (count(*) * CAST(sum(toks) AS HUGEINT)) AS BIGINT)
+      |    AS gini_micro,
+      |  CAST((1000000 * CAST(max(toks) AS HUGEINT))
+      |    // sum(toks) AS BIGINT) AS top_share_ppm
       |FROM ranked""".stripMargin
 
   /** Dataset-card summary — the one-row corpus statement a dataset

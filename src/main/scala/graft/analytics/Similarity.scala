@@ -1834,10 +1834,14 @@ object Similarity {
       .join(occ, Seq("vec_id"), "left")
       .select(coalesce(col("nk"), lit(0L)).as("nk"))
     val hist = full.groupBy(col("nk")).agg(count(lit(1)).as("n_vecs"))
+    // decimal product moments (round 11): nk is a vector's occurrence
+    // count across ALL top-k lists — a mega-hub's nk³ alone leaves
+    // i64 at nk ≈ 2·10⁶; DECIMAL(38,0) carries nk³ to nk ≈ 10¹²
+    // (the corpus size), and the skewness readout below is double
     val moments = full.agg(count(lit(1)).as("n"),
       sum(col("nk")).as("s1"),
-      sum(col("nk") * col("nk")).as("s2"),
-      sum(col("nk") * col("nk") * col("nk")).as("s3"))
+      sum(col("nk").cast("decimal(20,0)") * col("nk")).as("s2"),
+      sum(col("nk").cast("decimal(20,0)") * col("nk") * col("nk")).as("s3"))
     hist.crossJoin(broadcast(moments))
       .withColumn("mean", col("s1").cast("double") / col("n"))
       .withColumn("m2",

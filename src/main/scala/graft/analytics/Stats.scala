@@ -220,9 +220,11 @@ object Stats {
     * (regr_slope is single-feature): price ~ quantity + discount per
     * return flag, fit exactly the way a 100 TB job must: ONE
     * distributed aggregation computes the ten sufficient statistics
-    * (the X'X / X'y moments — all EXACT BIGINTs: quantity ≤ 50,
-    * discount in integer percent, price in integer dollars keeps
-    * every Σ and Σ·Σ product far inside i64), then the 3×3 solve is
+    * (the X'X / X'y moments — exact integers on DECIMAL(38,0)
+    * carriers since round 11: Σy² leaves i64 around 10⁹ rows at
+    * these value scales, and DuckDB's sum(BIGINT) is HUGEINT
+    * natively, so both engines hold the identical exact integers at
+    * any corpus size), then the 3×3 solve is
     * Cramer's rule as ONE fixed-arity double expression per
     * coefficient — no iteration, no driver data path, no
     * order-dependent float accumulation anywhere (the only doubles
@@ -241,13 +243,16 @@ object Stats {
       .agg(
         count(lit(1)).as("n"),
         sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
-        sum(col("x1") * col("x1")).as("s11"),
-        sum(col("x2") * col("x2")).as("s22"),
-        sum(col("x1") * col("x2")).as("s12"),
+        // decimal product moments (round 11): Σy² leaves i64 around
+        // 10⁹ rows at these value scales; every consumer below casts
+        // to double for the determinant, so only the carrier widens
+        sum(col("x1").cast("decimal(20,0)") * col("x1")).as("s11"),
+        sum(col("x2").cast("decimal(20,0)") * col("x2")).as("s22"),
+        sum(col("x1").cast("decimal(20,0)") * col("x2")).as("s12"),
         sum(col("y")).as("sy"),
-        sum(col("x1") * col("y")).as("s1y"),
-        sum(col("x2") * col("y")).as("s2y"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(col("x1").cast("decimal(20,0)") * col("y")).as("s1y"),
+        sum(col("x2").cast("decimal(20,0)") * col("y")).as("s2y"),
+        sum(col("y").cast("decimal(20,0)") * col("y")).as("syy"))
     val nd = col("n").cast("double")
     val s1d = col("s1").cast("double"); val s2d = col("s2").cast("double")
     val s11d = col("s11").cast("double"); val s22d = col("s22").cast("double")
@@ -364,7 +369,9 @@ object Stats {
         round(col("o_totalprice")).cast("long").as("y"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_g"), sum(col("y")).as("s_g"),
-        sum(col("y") * col("y")).as("q_g"))
+        // decimal carrier: Σy² over a corpus-scale group leaves i64
+        // around 10⁹ rows at order-total value scales
+        sum(col("y").cast("decimal(20,0)") * col("y")).as("q_g"))
       .withColumn("term_g",
         floor(col("s_g").cast("double") * col("s_g").cast("double") /
           col("n_g").cast("double")).cast("long"))
@@ -1414,7 +1421,10 @@ object Stats {
       }
     val repMeans = rep.withColumn("w", w)
       .groupBy(col("pri"), col("rep"))
-      .agg(sum(col("w") * col("cents")).as("s"), sum(col("w")).as("n"))
+      // decimal carrier: w·cents sums over a corpus-scale (pri, rep)
+      // group leave i64 past ~2e10 rows at these value scales
+      .agg(sum(col("w").cast("decimal(20,0)") * col("cents")).as("s"),
+        sum(col("w")).as("n"))
       .withColumn("m",
         when(col("n") > 0, col("s") / (lit(100.0) * col("n")))
           .otherwise(lit(0.0)))

@@ -504,17 +504,21 @@ object TimeSeries {
       .groupBy(col("event_type"), col("day_idx"))
       .agg(sum(col("cents")).as("cents"))
 
-  /** The six exact BIGINT moments of an (x, y) pair stream — no FP
-    * accumulation order anywhere. Day-cent sums up to ~2e7 (sf0.1)
-    * keep Σxy ≲ 1e16, inside i64; a 1000× corpus needs the cent sums
-    * rescaled (or DECIMAL(38) moments) before the squares.
+  /** The six exact moments of an (x, y) pair stream — no FP
+    * accumulation order anywhere. Round 11: the product moments ride
+    * DECIMAL(38,0) (cast BEFORE the multiply, so even the per-row
+    * product never touches i64) — the old BIGINT form documented its
+    * own ceiling ("a 1000× corpus needs the cent sums rescaled");
+    * now Σxy is exact to ~10³⁸. Every consumer casts the moments to
+    * double for the Pearson/AR(1) readout, and DuckDB's sum(BIGINT)
+    * is HUGEINT natively, so both engines see the identical integers.
     */
   private val momentAggs: Seq[Column] = Seq(
     count(lit(1)).as("n"),
     sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-    sum(col("x") * col("y")).as("sxy"),
-    sum(col("x") * col("x")).as("sxx"),
-    sum(col("y") * col("y")).as("syy"))
+    sum(col("x").cast("decimal(20,0)") * col("y")).as("sxy"),
+    sum(col("x").cast("decimal(20,0)") * col("x")).as("sxx"),
+    sum(col("y").cast("decimal(20,0)") * col("y")).as("syy"))
 
   /** Pearson correlation from the moments — the ONLY doubles in the
     * ACF/CCF pipelines, written ONCE so the Spark tree and (via
@@ -730,7 +734,10 @@ object TimeSeries {
       .select(col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
-        sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
+        sum(col("n")).as("s1"),
+        // decimal carrier: n is events/day — its square leaves i64
+        // past ~3e9 events on one (type, day)
+        sum(col("n").cast("decimal(20,0)") * col("n")).as("s2"))
       .withColumn("mean", col("s1").cast("double") / col("n_days"))
       .withColumn("variance",
         col("s2").cast("double") / col("n_days") - col("mean") * col("mean"))
