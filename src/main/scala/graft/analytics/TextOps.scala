@@ -4357,7 +4357,13 @@ object TextOps {
       // unhinted for the same reason as nbScoreDocs: the model table
       // is vocabulary-sized and must be allowed to shuffle at scale
       .join(ltab, Seq("m", "tok"), "left")
-      .withColumn("nll", col("c") * coalesce(col("l_micro"), col("oov_micro")))
+      // decimal carrier (round 11): c·l_micro is a token-count ×
+      // ~3·10⁷ micro-nat product — per-row it brushes i64 at
+      // c ≈ 3·10¹¹ and the (model, eval) sum crosses it at ~10¹²
+      // corpus tokens; DIV on the decimal sum still returns the exact
+      // BIGINT mean
+      .withColumn("nll", col("c").cast("decimal(20,0)") *
+        coalesce(col("l_micro"), col("oov_micro")))
       .groupBy(col("m"), col("e"))
       .agg(sum(col("c")).as("n_tok"), sum(col("nll")).as("s"))
       .withColumn("xent_micro", expr("s DIV n_tok"))
@@ -4388,8 +4394,9 @@ object TextOps {
       |)
       |SELECT mo.m AS model_source, ev.source AS eval_source,
       |  CAST(sum(ev.c) AS BIGINT) AS n_tok,
-      |  CAST(sum(ev.c * coalesce(lt.l_micro, mo.oov_micro)) AS BIGINT)
-      |    // CAST(sum(ev.c) AS BIGINT) AS xent_micro
+      |  CAST(sum(CAST(ev.c AS HUGEINT)
+      |           * coalesce(lt.l_micro, mo.oov_micro))
+      |    // CAST(sum(ev.c) AS HUGEINT) AS BIGINT) AS xent_micro
       |FROM st ev
       |CROSS JOIN models mo
       |LEFT JOIN ltab lt ON lt.m = mo.m AND lt.tok = ev.tok
@@ -4409,6 +4416,10 @@ object TextOps {
     * emitted unscaled (micro-nat · token units, no division — a
     * near-identical distribution's floor terms can leave the total
     * slightly negative, and a negative DIV diverges across engines).
+    * i64 headroom (round-11 audit): the emitted total is a BIGINT by
+    * output contract, good to ~10¹⁴ tokens at 10⁵-micro-nat average
+    * drift — a source would need both web-corpus length AND severe
+    * drift to leave it, at which point the drift verdict is obvious.
     * Each source also reports its highest-contribution token — the
     * single word most responsible for the drift.
     *

@@ -1125,8 +1125,10 @@ object TimeSeries {
     daily.filter(col("day_idx") >= BacktestFromDay)
       .join(f, Seq("event_type", "day_idx"))
       .withColumn("ae", abs(col("fc") - col("cents")))
+      // decimal carrier (round 11): ae is a DAILY cents total — 2·10⁶
+      // × it leaves i64 past ~$46B/day; the per-day ppm output is tiny
       .withColumn("smape_ppm",
-        expr("(2000000L * ae) DIV (fc + cents)"))
+        expr("(2000000L * CAST(ae AS DECIMAL(20,0))) DIV (fc + cents)"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         expr("sum(smape_ppm) DIV count(1)").as("smape_ppm"),
@@ -1139,7 +1141,8 @@ object TimeSeries {
     s"""WITH $dailyCentsSql
       |SELECT a.event_type,
       |  CAST(count(*) AS BIGINT) AS n_days,
-      |  CAST(sum((2000000 * abs(f.cents - a.cents)) // (f.cents + a.cents))
+      |  CAST(sum((2000000 * CAST(abs(f.cents - a.cents) AS HUGEINT))
+      |      // (f.cents + a.cents))
       |    AS BIGINT) // count(*) AS smape_ppm,
       |  CAST(sum(abs(f.cents - a.cents)) AS BIGINT) // count(*) AS mae_cents,
       |  CAST(sum(f.cents - a.cents) AS BIGINT) AS bias_cents
