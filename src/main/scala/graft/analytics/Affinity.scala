@@ -624,16 +624,24 @@ object Affinity {
     prEdges(spark, dir)
       .join(deg.select(col("p").as("src"), col("d").as("x")), Seq("src"))
       .join(deg.select(col("p").as("dst"), col("d").as("y")), Seq("dst"))
+      // count-of-counts closure (round 11, second cut): the first cut
+      // put decimal multiplies on every EDGE row (x·y brushes i64 at
+      // ~10⁹-degree hubs, so the carrier must widen somewhere) and
+      // measured +0.3 s solo at sf0.1. Degree PAIRS are few — the
+      // distinct-degree count is O(√m)-ish on a power law — so
+      // grouping edges by (x, y) first collapses the corpus map-side
+      // into a pair-type frame and the wide math runs on THAT:
+      // Σ_edges x·y ≡ Σ_pairs cnt·x·y exactly, per-edge work is back
+      // to a long hash key, and the moments are identical integers
+      // (the window-free analogue of keySkew's f(c) closure).
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
       .agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        // decimal product moments (round 11): x, y are endpoint
-        // DEGREES — a hub-hub edge's x·y alone brushes i64 at ~10⁹
-        // degrees, and the edge-summed moments leave it far earlier;
-        // the Pearson readout below is double anyway
-        sum(col("x").cast("decimal(20,0)") * col("y")).as("sxy"),
-        sum(col("x").cast("decimal(20,0)") * col("x")).as("sxx"),
-        sum(col("y").cast("decimal(20,0)") * col("y")).as("syy"))
+        sum(col("cnt")).as("n"),
+        sum(col("cnt").cast("decimal(20,0)") * col("x")).as("sx"),
+        sum(col("cnt").cast("decimal(20,0)") * col("y")).as("sy"),
+        sum(col("cnt").cast("decimal(20,0)") * col("x") * col("y")).as("sxy"),
+        sum(col("cnt").cast("decimal(20,0)") * col("x") * col("x")).as("sxx"),
+        sum(col("cnt").cast("decimal(20,0)") * col("y") * col("y")).as("syy"))
       .select(col("n").as("n_edges"),
         when(
           sqrt(col("n").cast("double") * col("sxx").cast("double") -

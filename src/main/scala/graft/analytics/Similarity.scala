@@ -1834,14 +1834,21 @@ object Similarity {
       .join(occ, Seq("vec_id"), "left")
       .select(coalesce(col("nk"), lit(0L)).as("nk"))
     val hist = full.groupBy(col("nk")).agg(count(lit(1)).as("n_vecs"))
-    // decimal product moments (round 11): nk is a vector's occurrence
-    // count across ALL top-k lists — a mega-hub's nk³ alone leaves
-    // i64 at nk ≈ 2·10⁶; DECIMAL(38,0) carries nk³ to nk ≈ 10¹²
-    // (the corpus size), and the skewness readout below is double
-    val moments = full.agg(count(lit(1)).as("n"),
-      sum(col("nk")).as("s1"),
-      sum(col("nk").cast("decimal(20,0)") * col("nk")).as("s2"),
-      sum(col("nk").cast("decimal(20,0)") * col("nk") * col("nk")).as("s3"))
+      .localCheckpoint() // feeds BOTH the output rows and the moments
+    // decimal product moments off the histogram (round 11): nk is a
+    // vector's occurrence count across ALL top-k lists — a mega-hub's
+    // nk³ alone leaves i64 at nk ≈ 2·10⁶, so the carrier must widen;
+    // closing the moments over the ALREADY-COMPUTED count-of-counts
+    // hist (Σ_vectors nk^p ≡ Σ_hist n_vecs·nk^p exactly) keeps the
+    // DECIMAL(38,0) math on the tiny distinct-nk frame and deletes
+    // the second corpus-length aggregation the first cut paid.
+    // Carrier bound unchanged: exact while n_vecs·nk³ < 10³⁸.
+    val moments = hist.agg(sum(col("n_vecs")).as("n"),
+      sum(col("n_vecs").cast("decimal(20,0)") * col("nk")).as("s1"),
+      sum(col("n_vecs").cast("decimal(20,0)") * col("nk") * col("nk"))
+        .as("s2"),
+      sum(col("n_vecs").cast("decimal(20,0)") * col("nk") * col("nk")
+        * col("nk")).as("s3"))
     hist.crossJoin(broadcast(moments))
       .withColumn("mean", col("s1").cast("double") / col("n"))
       .withColumn("m2",
