@@ -636,7 +636,10 @@ object Affinity {
       // (the window-free analogue of keySkew's f(c) closure).
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
       .agg(
-        sum(col("cnt")).as("n"),
+        // coalesce (round-12 advice): sum over ZERO pair rows is NULL
+        // where the pre-closure count(lit(1)) form returned 0 — keep
+        // the empty-edge-set row shape of the original
+        coalesce(sum(col("cnt")), lit(0L)).as("n"),
         sum(col("cnt").cast("decimal(20,0)") * col("x")).as("sx"),
         sum(col("cnt").cast("decimal(20,0)") * col("y")).as("sy"),
         sum(col("cnt").cast("decimal(20,0)") * col("x") * col("y")).as("sxy"),

@@ -4082,8 +4082,10 @@ object TextOps {
       // decimal carrier (round 11): q1·(q1−1) is a vocabulary-scale
       // SQUARE — the all-BIGINT product ceilinged at q1 ≈ 2·10⁶
       // singleton types; DECIMAL(38,0) is exact while
-      // m_docs·q1²·10³ < 10³⁸ (q1 = SINGLETON gram types, so even
-      // 10¹¹ docs × 10¹² singletons fits)
+      // m_docs·q1²·10³ < 10³⁸ — e.g. 10¹¹ docs needs q1 < ~3·10¹¹
+      // singleton types (10¹² singletons would put the product AT the
+      // precision-38 cap, where non-ANSI decimal overflow returns
+      // NULL silently, as with every carrier in this audit)
       .withColumn("chao2_milli", expr(
         "d_grams * 1000L + (CAST(m_docs - 1 AS DECIMAL(20,0)) * q1" +
           " * (q1 - 1) * 1000L)" +

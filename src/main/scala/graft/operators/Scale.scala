@@ -321,21 +321,33 @@ object Scale {
     * broadcast back; per-group rank = in-group shard offset + local
     * rank, bit-identical to the window form for unique (basis, key).
     *
-    * CONTRACT: `group` must be non-null (null never equals the
-    * compiled boundary keys — enforced loudly); `basis`/`key`
+    * CONTRACT: on the SHARDED path (|group domain| ≤
+    * [[MaxRankGroups]]) `group` must be non-null (null never equals
+    * the compiled boundary keys — enforced loudly) and `basis`/`key`
     * integral AND non-null as everywhere in the family (the grouped
     * boundary pass counts null sort keys and fails on the first).
-    * |group domain| ≤ [[MaxRankGroups]] is the SHARDED path's
-    * domain: above it the operator FALLS BACK to the plain
-    * partitioned window (round 11 — previously a hard error): a key
-    * whose cardinality grows with the corpus already gets growing
+    * Enforcement there is COMPLETE, not sampled: the boundary
+    * collect's `limit(cap+1)` returning ≤ cap rows proves the
+    * grouped domain fit under the cap, so every group — and every
+    * group's null counts — was inspected (round-12 advice: the
+    * requires used to run before the fallback decision, so groups
+    * outside the truncated sample escaped them nondeterministically).
+    * Above the cap the operator FALLS BACK to the plain partitioned
+    * window (round 11 — previously a hard error): a key whose
+    * cardinality grows with the corpus already gets growing
     * parallelism from `Window.partitionBy(group)` itself, so the
     * window IS the right plan there and the two paths are
-    * bit-identical for unique (basis, key). The fallback logs a
-    * warning (a FIXED domain near the cap deserves a look) but keeps
-    * the caller running. `totalOut` optionally emits the per-group
-    * row count — the `count().over(partitionBy(group))` companion
-    * the window form pairs with its rank.
+    * bit-identical for unique (basis, key). The fallback does NOT
+    * enforce the null contract — it doesn't need to: the window
+    * drops nothing, it keeps a null-group partition and ranks null
+    * basis/key rows nulls-first (ordinary window semantics, which
+    * the caller inherits). Loud failure exists to prevent the
+    * sharded path's silent ROW LOSS; the fallback has no such loss.
+    * The fallback logs a warning (a FIXED domain near the cap
+    * deserves a look) but keeps the caller running. `totalOut`
+    * optionally emits the per-group row count — the
+    * `count().over(partitionBy(group))` companion the window form
+    * pairs with its rank.
     */
   def distributedGroupedRowNumber(df: DataFrame, group: Column,
                                   basis: Column, key: Column, out: String,
@@ -355,15 +367,22 @@ object Scale {
           .otherwise(0L)).as("_nn"))
       .limit(MaxRankGroups + 1)
       .collect()
-    require(!bRows.exists(_.getString(0) == null),
-      "distributedGroupedRowNumber: NULL group — the compiled shard " +
-        "lookup would silently drop the group's rows; filter or " +
-        "encode nulls before calling (the window form keeps a null " +
-        "partition)")
-    require(bRows.forall(r => r.isNullAt(2) || r.getLong(2) == 0L),
-      "distributedGroupedRowNumber: NULL basis/key rows — the sharded " +
-        "rank would silently drop them; the window form ranks nulls " +
-        "first. Filter or coalesce before calling.")
+    if (bRows.length <= MaxRankGroups) {
+      // ≤ cap rows out of limit(cap+1) proves the sample is the WHOLE
+      // grouped domain, so these checks are complete — past the cap
+      // the fallback window below inherits ordinary window null
+      // semantics (null partition kept, nulls-first rank; nothing
+      // dropped), see the CONTRACT above
+      require(!bRows.exists(_.getString(0) == null),
+        "distributedGroupedRowNumber: NULL group — the compiled shard " +
+          "lookup would silently drop the group's rows; filter or " +
+          "encode nulls before calling (the window form keeps a null " +
+          "partition)")
+      require(bRows.forall(r => r.isNullAt(2) || r.getLong(2) == 0L),
+        "distributedGroupedRowNumber: NULL basis/key rows — the sharded " +
+          "rank would silently drop them; the window form ranks nulls " +
+          "first. Filter or coalesce before calling.")
+    }
     if (bRows.length > MaxRankGroups) {
       log.warn(s"distributedGroupedRowNumber: > $MaxRankGroups groups — " +
         "falling back to the plain partitioned window (parallelism " +

@@ -311,22 +311,25 @@ object ManifestTable {
     * documented contract — the alert sink satisfies it with
     * `alert_time` itself a key — but the null leg is cheap to check
     * against the staged files (parquet null-count pushdown, no full
-    * read) and is enforced below.
+    * read) and is enforced on EVERY commit, the table-creating first
+    * one included (round-12 advice: the old first-commit shortcut
+    * through [[replace]] skipped the probe, so a partial-null first
+    * batch could seed the table with rows invisible to every future
+    * prune).
     */
   def upsertPruned(batch: DataFrame, path: String, keys: Seq[String],
                    pruneCol: String): Option[Long] = {
     val spark = batch.sparkSession
-    if (latestVersion(spark, path).isEmpty) {
-      // first commit: nothing to merge; an empty first batch still
-      // commits (it creates the table, matching replace-based history)
-      return Some(replace(batch, path))
-    }
     // Stage FIRST: inside foreachBatch every action on `batch`
     // re-executes the micro-batch plan — state store reads included —
     // so a separate min/max pass would double the stateful cost
     // (measured: the agg-then-stage first cut was SLOWER than the full
     // rewrite it replaced). The staged files' own manifest stats
-    // already carry the batch's pruneCol range for free.
+    // already carry the batch's pruneCol range for free. The first
+    // commit stages through the SAME path (not [[replace]]) so the
+    // partial-null probe below sees the staged footers before the
+    // table exists.
+    val firstCommit = latestVersion(spark, path).isEmpty
     val dataDir = s"$path/$DataDir"
     def paths(ns: Seq[String]) = ns.map(n => s"$dataDir/$n")
     val names = stage(batch, path)
@@ -337,6 +340,30 @@ object ManifestTable {
     }
     val newLines = withStats(spark, path, names)
     val ranges = newLines.flatMap(l => statsOf(l).get(pruneCol))
+    // a staged file with bounds means any null-pruneCol row riding
+    // along would commit UNDER those bounds and become unreachable by
+    // every future prune (the contract's null leg). The probe is
+    // footer-cheap: parquet row-group stats answer an IS NULL filter
+    // without scanning rows. (An ALL-null batch records no bounds at
+    // all and takes the conservative branches below — safe.) It runs
+    // BEFORE the first-commit branch so the contract holds from the
+    // very first batch (round-12 advice fix).
+    if (ranges.nonEmpty && !spark.read.parquet(paths(names): _*)
+        .filter(org.apache.spark.sql.functions.col(pruneCol).isNull)
+        .isEmpty) {
+      dropStaged(names)
+      throw new IllegalArgumentException(
+        s"upsertPruned: batch has NULL $pruneCol rows alongside " +
+          "non-null ones — such rows would be invisible to pruning " +
+          "and never replaced; the contract requires a non-null " +
+          "prune column")
+    }
+    if (firstCommit) {
+      // first commit: nothing to merge; an empty (or all-null) first
+      // batch still commits — it creates the table, matching the
+      // replace-based history this branch used to delegate to
+      return Some(commit(spark, path, newLines))
+    }
     val lines = snapshotLines(spark, path, None)
     if (ranges.isEmpty) {
       // no recorded range: an EMPTY batch (commit nothing) or an
@@ -350,22 +377,6 @@ object ManifestTable {
       val v = commit(spark, path, withStats(spark, path, names2))
       dropStaged(names)
       return Some(v)
-    }
-    // the staged file has bounds, so any null-pruneCol row riding
-    // along would commit UNDER those bounds and become unreachable by
-    // every future prune (the contract's null leg). The probe is
-    // footer-cheap: parquet row-group stats answer an IS NULL filter
-    // without scanning rows. (An ALL-null batch records no bounds at
-    // all and takes the conservative full-merge branch above — safe.)
-    if (!spark.read.parquet(paths(names): _*)
-        .filter(org.apache.spark.sql.functions.col(pruneCol).isNull)
-        .isEmpty) {
-      dropStaged(names)
-      throw new IllegalArgumentException(
-        s"upsertPruned: batch has NULL $pruneCol rows alongside " +
-          "non-null ones — such rows would be invisible to pruning " +
-          "and never replaced; the contract requires a non-null " +
-          "prune column")
     }
     val lo = ranges.map(_._1).min
     val hi = ranges.map(_._2).max

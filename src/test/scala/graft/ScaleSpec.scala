@@ -235,6 +235,34 @@ class ScaleSpec extends SparkSpec {
         col("g"), col("b"), col("k"), "r").collect()
     }
     assert(e4.getMessage.contains("NULL basis/key"))
+    // PAST THE CAP the fallback window inherits ordinary window null
+    // semantics instead of the loud failure (round-12 advice: the old
+    // code ran the requires on the limit(cap+1) sample, so whether a
+    // null in an unsampled group threw depended on which groups the
+    // un-ordered LIMIT happened to pick — nondeterministic
+    // enforcement). Deterministic contract now: domain ≤ cap → loud
+    // failure, always; domain > cap → window semantics (null group
+    // keeps its partition, null basis ranks first), nothing dropped.
+    val nWide = Scale.MaxRankGroups + 76
+    val wideRows = (1 to 2 * nWide).map { i =>
+      val g = i % nWide // two rows per group: rank order is exercised
+      val grp = if (g == 3) None else Some(s"n$g")
+      val b = if (i % 7 == 0) None else Some((i % 50).toLong)
+      (grp, b, i.toLong)
+    }
+    val wide = wideRows.toDF("g", "b", "k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("b").asc, col("k").asc)
+    val exp = wide.withColumn("r", row_number().over(w).cast("long"))
+      .select(col("k"), col("r")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Scale.distributedGroupedRowNumber(
+        wide, col("g"), col("b"), col("k"), "r")
+      .select(col("k"), col("r")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 2 * nWide, "fallback must not drop null rows")
+    assert(got == exp,
+      "past-cap fallback with nulls diverges from window null semantics")
   }
 
   test("prefix-sum pair (empirical-CDF shape): chained applications match the window CDF counts") {

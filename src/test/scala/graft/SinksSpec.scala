@@ -552,6 +552,32 @@ class ManifestSpec extends SparkSpec {
       assert(eNull.getMessage.contains("NULL"))
       assert(ManifestTable.latestVersion(spark, path) == before)
       assert(ManifestTable.read(spark, path).count() == 3)
+      // PARTIAL-null on the FIRST commit (round-12 advice): the old
+      // first-commit shortcut through replace() skipped the probe, so
+      // a mixed batch could seed the table with forever-unreachable
+      // rows — now the same loud failure fires before any table exists
+      val path2 = new java.io.File(tmp, "t2").toString
+      val eFirst = intercept[IllegalArgumentException] {
+        ManifestTable.upsertPruned(nullBatch, path2, Seq("k"), "t")
+      }
+      assert(eFirst.getMessage.contains("NULL"))
+      assert(ManifestTable.latestVersion(spark, path2).isEmpty,
+        "a failed first commit must not create the table")
+      // an ALL-null first batch still commits (conservative, matching
+      // the non-first all-null full-merge semantics: no bounds are
+      // recorded, so nothing is ever wrongly pruned past it)
+      val allNull = Seq((6L, Option.empty[Long], "f"))
+        .toDF("k", "t", "v").repartition(1)
+      val vAllNull = ManifestTable.upsertPruned(allNull, path2, Seq("k"), "t")
+      assert(vAllNull.isDefined)
+      assert(ManifestTable.read(spark, path2).count() == 1)
+      // and an EMPTY first batch creates the (empty) table, matching
+      // the replace-based history the old branch delegated to
+      val path3 = new java.io.File(tmp, "t3").toString
+      val vEmptyFirst = ManifestTable.upsertPruned(
+        frame((1L, 10L, "a")).filter(lit(false)), path3, Seq("k"), "t")
+      assert(vEmptyFirst.isDefined)
+      assert(ManifestTable.read(spark, path3).count() == 0)
     } finally graft.sinks.Sinks.deleteRecursively(tmp)
   }
 }
