@@ -4,7 +4,7 @@
 # and the measured single-partition-window bounds. Any leg failing
 # fails the gate; run before calling a round done.
 #
-#   scripts/gate.sh                # full: oracle + plan audit + window bounds
+#   scripts/gate.sh                # full: oracle + plan audit + window/broadcast bounds
 #   scripts/gate.sh q_a q_b ...    # oracle subset only (iteration mode)
 #
 # Legs:
@@ -12,10 +12,14 @@
 #      oracle at sf0.01 (schema/rows/exact values, driver-identical).
 #   2. graft.tools.PlanAudit --gate — final post-AQE plans; exits 1 on
 #      any HARD flag (forced corpus broadcast, raw single-partition
-#      window, cartesian product, plan error).
+#      window, cartesian product, plan error, or drift between the
+#      soft-broadcast query set and BroadcastBounds.DefaultQueries).
 #   3. graft.tools.WindowBounds    — every agg-bounded single-partition
 #      window's measured input rows at sf0.1 vs a 4x replica; exits 1
 #      if any grows with the corpus (or the window count changes).
+#   4. graft.tools.BroadcastBounds — every "~"-flagged corpus broadcast's
+#      measured build-side rows at sf0.1 vs the 4x replica; exits 1 if
+#      one grows without demonstrating the size-pick re-plan (round 12).
 #
 # Plain-java invocations (not sbt runMain) so the three legs share one
 # compile and skip two 20 s sbt startups; the add-opens set mirrors
@@ -39,10 +43,10 @@ JOPTS="--add-opens=java.base/java.lang=ALL-UNNAMED \
 -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx8g"
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 
-echo "== gate 0/3: compile =="
+echo "== gate 0/4: compile =="
 sbt -batch compile || exit 1
 
-echo "== gate 1/3: DuckDB oracle (local_verify.py) =="
+echo "== gate 1/4: DuckDB oracle (local_verify.py) =="
 python3 scripts/local_verify.py /root/testdata/sf0.01 /tmp/graft_verify "$@" || exit 1
 
 if [ "$#" -gt 0 ]; then
@@ -50,12 +54,16 @@ if [ "$#" -gt 0 ]; then
   exit 0
 fi
 
-echo "== gate 2/3: plan audit (hard flags fail) =="
+echo "== gate 2/4: plan audit (hard flags fail) =="
 # shellcheck disable=SC2086
 java $JOPTS -cp "$CP" graft.tools.PlanAudit --gate || exit 1
 
-echo "== gate 3/3: single-partition window bounds (1x vs 4x) =="
+echo "== gate 3/4: single-partition window bounds (1x vs 4x) =="
 # shellcheck disable=SC2086
 java $JOPTS -cp "$CP" graft.tools.WindowBounds || exit 1
 
-echo "GATE GREEN: oracle + plan shape + window bounds"
+echo "== gate 4/4: corpus-broadcast bounds (1x vs 4x) =="
+# shellcheck disable=SC2086
+java $JOPTS -cp "$CP" graft.tools.BroadcastBounds || exit 1
+
+echo "GATE GREEN: oracle + plan shape + window bounds + broadcast bounds"

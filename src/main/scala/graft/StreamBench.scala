@@ -107,20 +107,30 @@ object StreamBench {
     * atomic commit all on the clock — the end-to-end cost of the
     * exactly-once alert table, not just the parse.
     */
-  private[graft] def alertUpsertRate(spark: SparkSession): Double = {
+  private[graft] def alertUpsertRate(spark: SparkSession,
+      nSensors: Int = 64, tws: Boolean = false): Double = {
     import spark.implicits._
     import graft.streaming.Pipeline
     import graft.model.Schemas.SensorReading
     val input = MemoryStream[SensorReading](spark)
-    val nSensors = 64
+    // nSensors IS the state size (one AlertState per key): 64 = the
+    // toy floor every round has tracked; pass 2048 for the many-key
+    // shape where per-key store overhead dominates (the round-12
+    // HDFS-vs-RocksDB decision needs both points). Total rows stay
+    // 8192 so rates compare across state sizes — which caps nSensors
+    // at 2048: below 4 readings per key the 3-consecutive streak
+    // never completes and the produced-no-alerts require below fires
+    // (correctly — a bench that emits nothing measured nothing).
     val rows = (0 until 8192).map { i =>
       val bad = (i / nSensors) % 8 < 4 // alternating bad/healthy runs
-      SensorReading(f"S${i % nSensors}%03d",
+      SensorReading(f"S${i % nSensors}%04d",
         java.sql.Timestamp.valueOf(f"2024-01-01 ${i / nSensors / 60}%02d:${i / nSensors % 60}%02d:00"),
         Some(if (bad) 5.0f else 7.5f), Some(50f), Some(100f))
     }
     val dir = tempDir("alertwh")
-    val q = Pipeline.alertsToWarehouse(input.toDS(), s"$dir/gold",
+    val mk = if (tws) Pipeline.alertsToWarehouseTws _
+             else Pipeline.alertsToWarehouse _
+    val q = mk(input.toDS(), s"$dir/gold",
       s"$dir/chk", org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
     val t0 = System.nanoTime()
     try {

@@ -456,19 +456,29 @@ object Similarity {
     * posexplode pass; codes are a scan-side zip_with against the
     * broadcast 1-row range arrays.
     */
-  def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir).select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("emb"))
-    val pos = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("d", "x")))
+  /** The SQ8 training constants: one row of per-dimension global
+    * [min, max] arrays — the k×dim-style driver anchor every SQ8
+    * stage broadcasts (shared by codes / recon / distortion so the
+    * three stages provably quantize against the same ranges).
+    */
+  private def sq8DimArrs(spark: SparkSession, dir: String): DataFrame = {
+    val pos = embeddings(spark, dir)
+      .select(posexplode(transform(col("embedding"),
+        x => x.cast("double"))).as(Seq("d", "x")))
     val dims = pos.groupBy(col("d"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val dimArrs = dims.groupBy()
+    dims.groupBy()
       .agg(
         transform(array_sort(collect_list(struct(col("d"), col("mn")))),
           s => s.getField("mn")).as("mns"),
         transform(array_sort(collect_list(struct(col("d"), col("mx")))),
           s => s.getField("mx")).as("mxs"))
-    e.crossJoin(broadcast(dimArrs))
+  }
+
+  def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    e.crossJoin(broadcast(sq8DimArrs(spark, dir)))
       .select(col("vec_id"),
         zip_with(
           zip_with(col("emb"), col("mns"), (x, m) => x - m),
@@ -484,18 +494,7 @@ object Similarity {
     * halves a real deployment stores/computes.
     */
   private def sq8Recon(spark: SparkSession, dir: String): DataFrame = {
-    val pos = embeddings(spark, dir)
-      .select(posexplode(transform(col("embedding"),
-        x => x.cast("double"))).as(Seq("d", "x")))
-    val dims = pos.groupBy(col("d"))
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val dimArrs = dims.groupBy()
-      .agg(
-        transform(array_sort(collect_list(struct(col("d"), col("mn")))),
-          s => s.getField("mn")).as("mns"),
-        transform(array_sort(collect_list(struct(col("d"), col("mx")))),
-          s => s.getField("mx")).as("mxs"))
-    sq8Codes(spark, dir).crossJoin(broadcast(dimArrs))
+    sq8Codes(spark, dir).crossJoin(broadcast(sq8DimArrs(spark, dir)))
       .select(col("vec_id"),
         zip_with(
           zip_with(col("q"), col("mns"), (c, m) => struct(c.as("c"), m.as("m"))),
@@ -639,17 +638,37 @@ object Similarity {
     * range. The midpoint dequantizer bounds per-element error by
     * span/510 + float32 rounding; the audit MEASURES it instead.
     *
-    * Scale shape: one zip_with pass over (embedding, reconstruction),
-    * one scalar aggregate; the range constant rides the same 1-row
-    * broadcast as the codes.
+    * Scale shape: quantize → dequantize → error is a pure per-element
+    * function of (x, mn_d, mx_d), so the whole audit is ONE zip_with
+    * pass over the embeddings scan plus the 1-row range broadcast and
+    * a scalar aggregate — no join at all. (A first cut joined the
+    * raw embeddings against the [[sq8Recon]] frame on vec_id: both
+    * sides corpus-sized, and the round-12 BroadcastBounds harness
+    * measured the planner's size-picked build side growing 4× with a
+    * 4× corpus — a self-join the operator never needed, since both
+    * sides derive from the same scan. The inline form's math is
+    * bit-identical: same code, same midpoint dequant, same float32
+    * rounding point.)
     */
   def sq8Distortion(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir).select(col("vec_id"),
+    val e = embeddings(spark, dir).select(
       transform(col("embedding"), x => x.cast("double")).as("emb"))
-    val errs = e.join(sq8Recon(spark, dir), Seq("vec_id"))
-      .select(explode(zip_with(col("emb"), col("remb"),
-        (x, r) => floor(abs(x - r.cast("double")) * 1e6).cast("long")))
-        .as("err_micro"))
+    val errs = e.crossJoin(broadcast(sq8DimArrs(spark, dir)))
+      .select(explode(zip_with(
+        zip_with(col("emb"), col("mns"),
+          (x, m) => struct(x.as("x"), m.as("m"))),
+        zip_with(col("mxs"), col("mns"), (a, b) => a - b),
+        (xm, s) => {
+          val x = xm.getField("x"); val m = xm.getField("m")
+          // the code exactly as sq8Codes compiles it
+          val code = when(s === 0.0, lit(0L))
+            .otherwise(least(floor(((x - m) * 255.0) / s), lit(255L)))
+          // the reconstruction exactly as sq8Recon compiles it,
+          // float32 rounding point included
+          val recon = when(s === 0.0, m).otherwise(
+            m + ((code.cast("double") + 0.5) * s) / 255.0).cast("float")
+          floor(abs(x - recon.cast("double")) * 1e6).cast("long")
+        })).as("err_micro"))
     errs.agg(count(lit(1)).as("n_elems"),
         max(col("err_micro")).as("max_err_micro"),
         sum(col("err_micro")).as("sum_err_micro"))

@@ -706,7 +706,28 @@ object Pipeline {
   def alertsToWarehouse(readings: Dataset[SensorReading], path: String,
                         checkpoint: String,
                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    alerts(readings).toDF().writeStream
+    warehouseSink(alerts(readings).toDF(), path, checkpoint, trigger)
+
+  /** [[alertsToWarehouse]] on the Spark-4-native state API
+    * (round 12): identical foreachBatch → [[graft.sinks.ManifestTable]]
+    * egress with [[alertsTws]] as the stateful stage. Requires the
+    * RocksDB state store provider (transformWithState rejects the
+    * default HDFS-backed store) — which is what a 100 TB deployment
+    * runs anyway: state off-heap, spilling to disk instead of
+    * competing with execution memory. Shipped alongside (not instead
+    * of) the flatMapGroupsWithState lane: StreamBench measures both
+    * at toy and many-key state sizes and the README records which one
+    * the default rides on and why.
+    */
+  def alertsToWarehouseTws(readings: Dataset[SensorReading], path: String,
+                           checkpoint: String,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    warehouseSink(alertsTws(readings).toDF(), path, checkpoint, trigger)
+
+  private def warehouseSink(alertStream: org.apache.spark.sql.DataFrame,
+                            path: String, checkpoint: String,
+                            trigger: Trigger): StreamingQuery =
+    alertStream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession

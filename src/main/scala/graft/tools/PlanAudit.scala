@@ -42,6 +42,12 @@ object PlanAudit {
     val wanted = args.filterNot(_ == "--gate").toSet
     val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+    // queries whose plans carry "~" corpus-broadcast notes this run —
+    // compared against BroadcastBounds.DefaultQueries after a FULL
+    // sweep, so the measured-bounds harness can never silently miss a
+    // new soft broadcast (round 12; the WindowBounds count-mismatch
+    // lesson applied to list membership)
+    val bcastFlagged = scala.collection.mutable.Set.empty[String]
     qs.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sf)
@@ -103,6 +109,7 @@ object PlanAudit {
           (if (spwAgg.isEmpty) ""
            else s"  ~ agg-bounded single-partition window (verify group domain): ${spwAgg.map(_.tables).mkString(", ")}")
         println(f"$name%-32s scans=$scans shuffles=$shuffles bcast=$bcast reused=$reused bnlj=$bnlj cart=$cart corpusbcast=${forced.size} spwindow=${spwRaw.size} spwckpt=${spwCkpt.size} spwagg=${spwAgg.size} win=$nWin wgl=$nWgl$flag")
+        if (forced.isEmpty && corpus.nonEmpty) bcastFlagged += name
         hard += forced.size + spwRaw.size + cart
         if (sys.env.contains("GRAFT_AUDIT_VERBOSE") && corpus.nonEmpty)
           println(p)
@@ -113,8 +120,22 @@ object PlanAudit {
       }
     }
     spark.stop()
+    if (wanted.isEmpty) {
+      // full sweep: the soft-broadcast query set must equal the list
+      // BroadcastBounds measures, or a scale claim is going unmeasured
+      val expected = BroadcastBounds.DefaultQueries.toSet
+      val missing = bcastFlagged.toSet -- expected
+      val stale = expected -- bcastFlagged
+      if (missing.nonEmpty || stale.nonEmpty) {
+        hard += 1
+        if (missing.nonEmpty) println(
+          s"!! soft corpus broadcast NOT in BroadcastBounds.DefaultQueries (unmeasured scale claim): ${missing.toSeq.sorted.mkString(", ")}")
+        if (stale.nonEmpty) println(
+          s"!! BroadcastBounds.DefaultQueries entries no longer flagged (stale list): ${stale.toSeq.sorted.mkString(", ")}")
+      }
+    }
     if (gate && hard > 0) {
-      println(s"$hard hard plan flag(s) — forced corpus broadcast, raw single-partition window, cartesian product, or plan error")
+      println(s"$hard hard plan flag(s) — forced corpus broadcast, raw single-partition window, cartesian product, plan error, or BroadcastBounds list drift")
       sys.exit(1)
     }
   }

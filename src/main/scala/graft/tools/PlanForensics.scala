@@ -55,8 +55,22 @@ object PlanForensics {
     * cardinality-bounded.
     */
   def corpusBroadcasts(root: SparkPlan): Seq[CorpusBroadcast] =
+    corpusBroadcastNodes(root).map(_._2)
+
+  /** Node-bearing variant of [[corpusBroadcasts]] so a post-execution
+    * probe can read the flagged exchanges' own metrics. Deduped by
+    * node IDENTITY: `walk` crosses ReusedExchangeExec into the same
+    * exchange instance, which would double-count its measurement
+    * (structural `.distinct` would instead merge two genuinely
+    * separate broadcasts with equal subtrees).
+    */
+  private[tools] def corpusBroadcastNodes(root: SparkPlan)
+      : Seq[(SparkPlan, CorpusBroadcast)] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     walk(root)
       .filter(_.getClass.getSimpleName == "BroadcastExchangeExec")
+      .filter(seen.add)
       .flatMap { b =>
         val sub = walk(b)
         val bounded = sub.exists(n => Bounding(n.getClass.getSimpleName))
@@ -80,16 +94,44 @@ object PlanForensics {
                   !p.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])
               case _ => false
             }
-            Some(CorpusBroadcast(tabs.distinct.sorted.mkString("+"), filtered))
+            Some(b -> CorpusBroadcast(
+              tabs.distinct.sorted.mkString("+"), filtered))
           } else None
         }
       }
+  }
 
   /** The hard flags only: raw (not even filter-bounded) fact-table
     * broadcasts — the round-6 q_phrase_search shape.
     */
   def rawCorpusBroadcasts(root: SparkPlan): Seq[String] =
     corpusBroadcasts(root).filterNot(_.filtered).map(_.tables)
+
+  /** Post-EXECUTION metric probe for the corpus-broadcast soft tiers
+    * (round 12 — the BroadcastBounds analogue of
+    * [[spWindowInputRows]]): the measured build-side row count and
+    * serialized byte size of every flagged broadcast in the final
+    * plan, read from the exchange's own `numOutputRows`/`dataSize`
+    * metrics after the frame has run. These are the numbers that turn
+    * the audit's "~ verify selectivity" / "~ re-plans at scale" notes
+    * into measurements: a probe-bounded filter must hold its rows
+    * flat across a corpus scale-up; a size-picked broadcast must
+    * either disappear (the re-plan) or stay under the planner's
+    * threshold.
+    */
+  final case class BroadcastMeasure(tables: String, filtered: Boolean,
+                                    rows: Long, bytes: Long)
+
+  def corpusBroadcastRows(df: org.apache.spark.sql.DataFrame)
+      : Seq[BroadcastMeasure] = {
+    df.queryExecution.executedPlan.execute().count(): Unit
+    val fin = GraftBridge.finalPlan(df)
+    corpusBroadcastNodes(fin).map { case (b, cb) =>
+      BroadcastMeasure(cb.tables, cb.filtered,
+        b.metrics.get("numOutputRows").map(_.value).getOrElse(-1L),
+        b.metrics.get("dataSize").map(_.value).getOrElse(-1L))
+    }
+  }
 
   /** Limit-type nodes: a CONSTANT cardinality bound, independent of
     * both corpus size and group domains. The only bound class that

@@ -392,6 +392,63 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("n_consecutive") == 3))
   }
 
+  test("tws alert warehouse: mid-stream kill, restart, exactly-once on RocksDB") {
+    // the transformWithState twin of the soak above (round 12): same
+    // foreachBatch -> ManifestTable egress, the Spark-4-native state
+    // API as the stateful stage, RocksDB as the (required) store —
+    // the exactly-once contract must hold identically across a
+    // mid-stream kill + checkpoint restart before the twin can be a
+    // candidate default.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_alert_tws_wh").toString
+      val input = MemoryStream[SensorReading](spark)
+      val ids = (1 to 12).map(i => f"T$i%02d")
+      def badRun(id: String) = Seq(
+        reading(id, "2024-01-01 00:00:00", ph = 5.0f),
+        reading(id, "2024-01-01 00:10:00", ph = 5.1f),
+        reading(id, "2024-01-01 00:20:00", ph = 5.2f)) // 3rd fires
+      input.addData(ids.take(3).flatMap(badRun): _*)
+      val q1 = Pipeline.alertsToWarehouseTws(input.toDS(), s"$dir/gold",
+        s"$dir/chk", Trigger.ProcessingTime("50 milliseconds"))
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        var fed = 3
+        while (fed < 12 && System.currentTimeMillis() < deadline) {
+          input.addData(ids.slice(fed, fed + 3).flatMap(badRun): _*)
+          fed += 3
+          Thread.sleep(120)
+        }
+        assert(fed == 12, "feeder starved")
+        while (graft.sinks.ManifestTable.latestVersion(spark, s"$dir/gold").isEmpty &&
+               System.currentTimeMillis() < deadline) Thread.sleep(50)
+      } finally q1.stop()
+      q1.awaitTermination()
+      val q2 = Pipeline.alertsToWarehouseTws(input.toDS(), s"$dir/gold",
+        s"$dir/chk")
+      q2.awaitTermination()
+      val gold = graft.sinks.ManifestTable.read(spark, s"$dir/gold")
+      val rows = gold.collect()
+      assert(rows.length == 12,
+        s"exactly-once violated: ${rows.length} alert rows for 12 sensors")
+      assert(rows.map(r => (r.getAs[String]("sensor_id"),
+        r.getAs[Timestamp]("alert_time"))).toSet ==
+        ids.map(id => (id, ts("2024-01-01 00:20:00"))).toSet,
+        "alert identities drifted across the kill/restart")
+      assert(rows.forall(_.getAs[Int]("n_consecutive") == 3))
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("kafka-sink framing round-trips through the wire parser") {
     import spark.implicits._
     val canonical = Seq(reading("DARGLE_030", "2023-01-01 00:00:00",
