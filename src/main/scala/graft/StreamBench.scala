@@ -76,9 +76,13 @@ object StreamBench {
     import graft.analytics.TextOps
     val docs = graft.ingest.Sources.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    // static history index: built once, cached — the serving shape
-    // (a daily pipeline reads the materialized index, not rebuilds it)
-    val index = TextOps.bandIndexOf(docs).cache()
+    // static history index: built once, cached in the JOIN's layout —
+    // the serving shape (a daily pipeline reads the materialized index,
+    // not rebuilds it; round-12 DedupProfile measured the join-layout
+    // cache worth ~9% because the static side then satisfies the join's
+    // distribution+ordering from the cache every micro-batch)
+    val index = graft.streaming.Pipeline.dedupIndexLayout(
+      TextOps.bandIndexOf(docs)).cache()
     index.count()
     // probe batch: a bounded slice replayed as the "today" stream
     val probeRows = docs.orderBy(col("doc_id")).limit(8192)

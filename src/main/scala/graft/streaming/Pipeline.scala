@@ -560,6 +560,24 @@ object Pipeline {
       docs.select(col("doc_id"), split(col("text"), " ").as("toks")),
       classes, ltab, carry = Seq.empty)
 
+  /** Serving layout for [[dedupProbeStream]]'s history index: the
+    * stream-static band-bucket join re-plans the static side every
+    * micro-batch, and a cache materialized in the join's own
+    * distribution + ordering (hash-partitioned and sorted on the four
+    * join keys) satisfies those requirements from the cache, so only
+    * the probe-batch side shuffles per batch. Round-12 `DedupProfile`
+    * split the lane's warm floor — micro-batch machinery ~0.50 s,
+    * +signature CPU ~0.47 s, +join machinery ~1.65 s per 8192-row
+    * probe — and this layout recovers ~9% of the total (1,908 →
+    * 2,085 rows/s warm); the rest of the join cost is the per-batch
+    * probe-side shuffle + agreement filter, which scales with the
+    * batch, not the corpus. Layout-only: same rows, same schema.
+    */
+  def dedupIndexLayout(historyIndex: DataFrame): DataFrame = {
+    val keys = Seq("lang", "source", "band", "bucket").map(col)
+    historyIndex.repartition(keys: _*).sortWithinPartitions(keys: _*)
+  }
+
   def dedupProbeStream(docs: DataFrame, historyIndex: DataFrame,
                        minEst: Double = 0.75): DataFrame = {
     import graft.analytics.TextOps

@@ -68,11 +68,8 @@ object DedupProfile {
     val plain = TextOps.bandIndexOf(docs).cache()
     run("full", Some(plain))(s =>
       graft.streaming.Pipeline.dedupProbeStream(s, plain))
-    val keys = Seq("lang", "source", "band", "bucket")
-    val laid = TextOps.bandIndexOf(docs)
-      .repartition(keys.map(col): _*)
-      .sortWithinPartitions(keys.map(col): _*)
-      .cache()
+    val laid = graft.streaming.Pipeline.dedupIndexLayout(
+      TextOps.bandIndexOf(docs)).cache()
     run("prepart", Some(laid))(s =>
       graft.streaming.Pipeline.dedupProbeStream(s, laid))
     spark.stop()

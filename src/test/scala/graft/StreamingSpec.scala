@@ -770,7 +770,10 @@ class StreamingSpec extends SparkSpec {
       (2L, "completely different historical content about rivers and sensors", "en", "src0"),
       (3L, "ein ganz anderes deutsches dokument ohne duplikate", "de", "src1"))
       .toDF("doc_id", "text", "lang", "source")
-    val index = graft.analytics.TextOps.bandIndexOf(history).cache()
+    // the serving-layout cache (round 12) must be semantically invisible:
+    // every assertion below holds on the laid-out index too
+    val index = Pipeline.dedupIndexLayout(
+      graft.analytics.TextOps.bandIndexOf(history)).cache()
     val input = MemoryStream[(Long, String, String, String)](spark)
     val docs = input.toDF().toDF("doc_id", "text", "lang", "source")
     val out = Pipeline.dedupProbeStream(docs, index)
