@@ -2260,8 +2260,24 @@ object TextOps {
     val hist = banded.filter(!isBatch)
       .select(col("doc_id").as("dup_of"), col("sig").as("sig_h"),
         col("lang"), col("source"), col("band"), col("bucket"))
-    val batch = banded.filter(isBatch)
-    val best = batch.join(hist, Seq("lang", "source", "band", "bucket"))
+    probeVerdict(banded.filter(isBatch), hist,
+      sigs.filter(isBatch).select(col("doc_id")).distinct(), minEstJaccard)
+  }
+
+  /** Shared verdict tail of [[incrementalDedup]] and
+    * [[incrementalDedupPruned]]: probe×history bucket equi-join,
+    * signature-agreement score (identical for a pair in every
+    * colliding band, so `first` per pair is deterministic), best
+    * match per batch doc with deterministic tie-break, and the
+    * total-function left join emitting is_dup=0 for clean docs. Both
+    * callers MUST produce identical output — the pruned path's whole
+    * contract is that file skipping is physically invisible.
+    */
+  private def probeVerdict(probeBanded: DataFrame, histBanded: DataFrame,
+                           batchIds: DataFrame,
+                           minEstJaccard: Double): DataFrame = {
+    val best = probeBanded
+      .join(histBanded, Seq("lang", "source", "band", "bucket"))
       .withColumn("est_jaccard", sigAgreement(col("sig"), col("sig_h")))
       .groupBy(col("doc_id"), col("dup_of"))
       .agg(first(col("est_jaccard")).as("est_jaccard"))
@@ -2270,7 +2286,7 @@ object TextOps {
         .orderBy(col("est_jaccard").desc, col("dup_of").asc)))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("dup_of"), col("est_jaccard"))
-    sigs.filter(isBatch).select(col("doc_id")).distinct()
+    batchIds
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_of").isNotNull, 1L).otherwise(0L).as("is_dup"),
@@ -2327,6 +2343,119 @@ object TextOps {
       |      WHERE ${graft.operators.Scale.isBatchSql("doc_id")}) d
       |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // L2+: disk-backed dedup serving index with file skipping
+  // (round 12). The streaming/incremental probe's per-batch join
+  // SCANS the whole history index (the probe side is batch-sized so
+  // the planner builds the hash table on IT — the right pick, but
+  // per-batch work is O(index), which at a 100 TB corpus means every
+  // micro-batch re-reads the corpus index). The serving index fixes
+  // the asymptotic: history is committed through [[graft.sinks
+  // .ManifestTable]] range-laid on a packed numeric band-bucket key,
+  // so every data file owns a tight key envelope in the manifest
+  // stats, and a probe batch opens ONLY the files whose envelopes
+  // intersect its own key set — per-batch work O(batch + matching
+  // files), never O(index).
+  // ---------------------------------------------------------------
+
+  /** Packed sort/stats key of a band-bucket row: band·2⁴⁸ + the first
+    * 48 bits of the bucket md5. 51 bits total (band < 8), so the
+    * manifest's double stats envelope carries it EXACTLY (doubles are
+    * exact to 2⁵³; the envelope's ±1-ulp widening is conservative
+    * anyway). Monotone in (band, bucket-prefix): a range layout on
+    * this key clusters each band's buckets contiguously.
+    */
+  private def bandBucketKey: Column =
+    col("band").cast("long") * (1L << 48) +
+      expr("conv(substring(bucket, 1, 12), 16, 10)").cast("long")
+
+  /** Target file count of the serving index. Toy-scale default keeps
+    * every file's envelope narrow enough that a small probe provably
+    * skips most files (the spec pins it); a deployment sizes this to
+    * ~128 MB files exactly like any lakehouse table.
+    */
+  val DedupIndexFiles = 32
+
+  /** Commit a banded history index (doc_id, lang, source, sig, band,
+    * bucket) as the dedup SERVING table: bkey-keyed, range-laid so
+    * each file owns a contiguous key envelope, manifest-committed so
+    * the stats ride the snapshot ([[graft.sinks.ManifestTable
+    * .replace]] — appends of tomorrow's cleared batch would use the
+    * same stage+commit path). Returns the committed version.
+    */
+  def dedupIndexWrite(histBanded: DataFrame, path: String): Long =
+    graft.sinks.ManifestTable.replace(
+      histBanded.withColumn("bkey", bandBucketKey)
+        .repartitionByRange(DedupIndexFiles, col("bkey"))
+        .sortWithinPartitions(col("bkey")),
+      path)
+
+  /** The serving-index files a probe batch must open: each file's
+    * bkey envelope (file-count-sized DRIVER metadata — the manifest
+    * itself, the same anchor class as shard boundaries) is expanded
+    * per band and equi-joined to the probe's banded rows on band with
+    * the range residual, so the matched-file set — bounded by the
+    * FILE COUNT, never the probe size — is the only thing collected.
+    * Files with no recorded bkey stats are kept unconditionally
+    * (skipping must be conservative). Returns (kept, total).
+    */
+  private[graft] def dedupPrunedFiles(spark: SparkSession, path: String,
+      probeBanded: DataFrame): (Seq[String], Int) = {
+    val stats = graft.sinks.ManifestTable.snapshotStats(spark, path)
+    val bandSpan = (1L << 48).toDouble
+    val (enveloped, blind) = stats.partition(_._2.contains("bkey"))
+    val envRows = enveloped.flatMap { case (f, st) =>
+      val (mn, mx) = st("bkey")
+      val bLo = math.max(0L, math.floor(mn / bandSpan).toLong)
+      val bHi = math.min((LshBands - 1).toLong, math.floor(mx / bandSpan).toLong)
+      (bLo to bHi).map(b => (f, b.toInt, mn, mx))
+    }
+    val hit =
+      if (envRows.isEmpty) Seq.empty[String]
+      else {
+        import spark.implicits._
+        val env = envRows.toDF("f", "e_band", "mn", "mx")
+        probeBanded.select(col("band"), bandBucketKey.as("bkey"))
+          .join(broadcast(env), col("band") === col("e_band") &&
+            col("bkey") >= col("mn") && col("bkey") <= col("mx"))
+          .select(col("f")).distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+    ((hit ++ blind.map(_._1)).distinct, stats.size)
+  }
+
+  /** [[incrementalDedup]] through the disk-backed serving index:
+    * history is committed with [[dedupIndexWrite]], the probe opens
+    * only [[dedupPrunedFiles]], and the verdict tail is the SHARED
+    * [[probeVerdict]] — so the output is identical row-for-row to the
+    * in-memory path and the same DuckDB oracle gates both. What this
+    * query adds over q_incr_dedup is the PHYSICAL claim: file
+    * skipping changes which bytes are read, never which rows match.
+    */
+  def incrementalDedupPruned(spark: SparkSession, dir: String,
+                             minEstJaccard: Double = 0.75): DataFrame = {
+    import graft.sinks.ManifestTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_idx_").toFile
+    try {
+      val path = new java.io.File(tmp, "dedup_index").toString
+      val sigs = sigArrays(spark, dir).localCheckpoint()
+      val banded = bandedOf(sigs)
+      val isBatch = graft.operators.Scale.isBatch(col("doc_id"))
+      dedupIndexWrite(banded.filter(!isBatch), path)
+      val probe = banded.filter(isBatch)
+      val (kept, _) = dedupPrunedFiles(spark, path, probe)
+      val histRaw =
+        if (kept.isEmpty) ManifestTable.read(spark, path).filter(lit(false))
+        else ManifestTable.readFiles(spark, path, kept)
+      val hist = histRaw.select(col("doc_id").as("dup_of"),
+        col("sig").as("sig_h"),
+        col("lang"), col("source"), col("band"), col("bucket"))
+      probeVerdict(probe, hist,
+        sigs.filter(isBatch).select(col("doc_id")).distinct(), minEstJaccard)
+        .localCheckpoint(eager = true)
+    } finally graft.sinks.Sinks.deleteRecursively(tmp)
+  }
 
   // ---------------------------------------------------------------
   // L2: SimHash (oracle-checked: fingerprints derive from the same
@@ -4843,6 +4972,7 @@ object TextOps {
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => minHashLsh(s, d)),
     "q_source_leakage" -> ((s: SparkSession, d: String) => sourceLeakage(s, d)),
     "q_incr_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
+    "q_incr_dedup_pruned" -> ((s: SparkSession, d: String) => incrementalDedupPruned(s, d)),
     "q_simhash_dedup" -> ((s: SparkSession, d: String) => simHashDedup(s, d)),
     "q_doc_fingerprint" -> (docFingerprints _),
     "q_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
@@ -4890,6 +5020,9 @@ object TextOps {
     "q_minhash_lsh" -> minHashLshSql,
     "q_source_leakage" -> sourceLeakageSql,
     "q_incr_dedup" -> incrementalDedupSql,
+    // the pruned path must be physically different, semantically
+    // identical — the SAME oracle gates both
+    "q_incr_dedup_pruned" -> incrementalDedupSql,
     "q_simhash_dedup" -> simHashDedupSql,
     "q_doc_fingerprint" -> docFingerprintsSql,
     "q_dedup_exact" -> dedupExactSql,

@@ -416,6 +416,21 @@ object ManifestTable {
     (kept, entries.size)
   }
 
+  /** Read exactly `names` (relative to `data/`) from the table — the
+    * skipping-read primitive for callers that compute their own kept
+    * set from [[snapshotStats]] envelopes (multi-range / key-set
+    * probes that [[readBetween]]'s single interval can't express,
+    * e.g. the dedup serving index's band-bucket probe). The caller
+    * owns conservatism: files with no recorded stats for its prune
+    * column must be included in `names`.
+    */
+  def readFiles(spark: SparkSession, path: String,
+                names: Seq[String]): DataFrame = {
+    require(names.nonEmpty,
+      "readFiles: empty file set — use read() with a filter instead")
+    spark.read.parquet(names.map(n => s"$path/$DataDir/$n"): _*)
+  }
+
   /** Range read through the skipping index: only files whose bounds
     * intersect [lo, hi] are opened; the residual per-row predicate
     * still applies (file bounds are an envelope, not the rows).

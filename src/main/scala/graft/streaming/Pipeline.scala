@@ -561,17 +561,21 @@ object Pipeline {
       classes, ltab, carry = Seq.empty)
 
   /** Serving layout for [[dedupProbeStream]]'s history index: the
-    * stream-static band-bucket join re-plans the static side every
-    * micro-batch, and a cache materialized in the join's own
-    * distribution + ordering (hash-partitioned and sorted on the four
-    * join keys) satisfies those requirements from the cache, so only
-    * the probe-batch side shuffles per batch. Round-12 `DedupProfile`
-    * split the lane's warm floor — micro-batch machinery ~0.50 s,
-    * +signature CPU ~0.47 s, +join machinery ~1.65 s per 8192-row
-    * probe — and this layout recovers ~9% of the total (1,908 →
-    * 2,085 rows/s warm); the rest of the join cost is the per-batch
-    * probe-side shuffle + agreement filter, which scales with the
-    * batch, not the corpus. Layout-only: same rows, same schema.
+    * cache materialized in the join's distribution + ordering
+    * (hash-partitioned and sorted on the four join keys). Honest
+    * measurement (round-12 `DedupProfile`, INTERLEAVED 6-pass A/B —
+    * the first sequential cut's apparent ~9% was warmup ordering):
+    * throughput is a WASH vs the plain cache, because the executed
+    * plan broadcasts the batch-sized PROBE side and streams the index
+    * through the join — the static side's partitioning never binds.
+    * Kept as the principled layout for the sort-merge regime (probe
+    * batches past the broadcast threshold), where the laid-out cache
+    * satisfies the join's requirements and only the probe shuffles.
+    * The real at-scale fix for this lane's O(index)-scan-per-batch
+    * cost is the DISK-BACKED skipping index —
+    * [[graft.analytics.TextOps.dedupIndexWrite]] /
+    * `incrementalDedupPruned`: per-batch work O(batch + matching
+    * files). Layout-only: same rows, same schema.
     */
   def dedupIndexLayout(historyIndex: DataFrame): DataFrame = {
     val keys = Seq("lang", "source", "band", "bucket").map(col)

@@ -44,34 +44,41 @@ object DedupProfile {
     val probeRows = docs.orderBy(col("doc_id")).limit(8192)
       .as[(Long, String, String, String)].collect()
 
-    def run(tag: String, index: Option[DataFrame])(
-        mk: DataFrame => DataFrame): Unit = {
-      index.foreach { i => i.count(): Unit } // materialize the cache once
-      (1 to runs).foreach { pass =>
-        val input = MemoryStream[(Long, String, String, String)](spark)
-        val stream = input.toDF().toDF("doc_id", "text", "lang", "source")
-        val q = mk(stream).writeStream
-          .outputMode("append").format("noop").start()
-        val t0 = System.nanoTime()
-        try probeRows.grouped(2048).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          q.processAllAvailable()
-        } finally q.stop()
-        val secs = (System.nanoTime() - t0) / 1e9
-        println(f"[dprof] $tag%-8s pass$pass: ${probeRows.length / secs}%7.1f rows/s  ($secs%5.2f s)")
-      }
-      index.foreach(_.unpersist(blocking = true))
+    def onePass(tag: String, pass: Int)(mk: DataFrame => DataFrame): Unit = {
+      val input = MemoryStream[(Long, String, String, String)](spark)
+      val stream = input.toDF().toDF("doc_id", "text", "lang", "source")
+      val q = mk(stream).writeStream
+        .outputMode("append").format("noop").start()
+      val t0 = System.nanoTime()
+      try probeRows.grouped(2048).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[dprof] $tag%-8s pass$pass: ${probeRows.length / secs}%7.1f rows/s  ($secs%5.2f s)")
     }
 
-    run("noop", None)(identity)
-    run("sig", None)(TextOps.bandIndexOf)
+    def run(tag: String)(mk: DataFrame => DataFrame): Unit =
+      (1 to runs).foreach(onePass(tag, _)(mk))
+
+    run("noop")(identity)
+    run("sig")(TextOps.bandIndexOf)
+    // full vs prepart INTERLEAVED (round-12 second cut): the first cut
+    // ran every full pass, then every prepart pass, in one JVM — and
+    // this lane's warmup curve is wide enough (±43% first-to-best,
+    // README) that ordering alone can manufacture a variant gap.
+    // Alternating passes hit both variants with the same warmup state.
     val plain = TextOps.bandIndexOf(docs).cache()
-    run("full", Some(plain))(s =>
-      graft.streaming.Pipeline.dedupProbeStream(s, plain))
     val laid = graft.streaming.Pipeline.dedupIndexLayout(
       TextOps.bandIndexOf(docs)).cache()
-    run("prepart", Some(laid))(s =>
-      graft.streaming.Pipeline.dedupProbeStream(s, laid))
+    plain.count(); laid.count()
+    (1 to runs).foreach { pass =>
+      onePass("full", pass)(s =>
+        graft.streaming.Pipeline.dedupProbeStream(s, plain))
+      onePass("prepart", pass)(s =>
+        graft.streaming.Pipeline.dedupProbeStream(s, laid))
+    }
+    plain.unpersist(blocking = true); laid.unpersist(blocking = true)
     spark.stop()
   }
 }

@@ -1000,6 +1000,48 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("pruned serving-index dedup: identical verdicts, and the probe provably skips files") {
+    // semantic invisibility: the disk-backed, file-skipped path must
+    // reproduce the in-memory incremental dedup row-for-row
+    val full = TextOps.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(r.fieldIndex("dup_of"))),
+        Option(r.get(r.fieldIndex("est_jaccard"))))).toSet
+    val pruned = TextOps.incrementalDedupPruned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(r.fieldIndex("dup_of"))),
+        Option(r.get(r.fieldIndex("est_jaccard"))))).toSet
+    assert(pruned == full,
+      s"pruned path diverged: ${pruned.diff(full)} vs ${full.diff(pruned)}")
+
+    // physical claim: a small probe opens FEW of the index files. The
+    // index is range-laid on the packed (band, bucket-prefix) key, so
+    // a 3-doc probe (<= 24 band-bucket keys) must hit well under half
+    // of the 32 file envelopes; a conservative regression (stats lost,
+    // layout collapsed) shows up here as kept == total.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpf_").toFile
+    try {
+      val path = new java.io.File(dir, "idx").toString
+      val docs = graft.ingest.Sources.documents(spark, sf)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      TextOps.dedupIndexWrite(TextOps.bandIndexOf(docs), path)
+      val probe = TextOps.bandIndexOf(docs.orderBy(col("doc_id")).limit(3))
+      val (kept, total) = TextOps.dedupPrunedFiles(spark, path, probe)
+      assert(total == TextOps.DedupIndexFiles,
+        s"index layout collapsed: $total files")
+      assert(kept.nonEmpty, "probe of indexed docs cannot skip everything")
+      assert(kept.size <= total / 2,
+        s"no real skipping: ${kept.size} of $total files kept")
+      // skipped files really don't matter: the kept set contains every
+      // file holding the probe's own (band, bucket) rows
+      val keptRows = graft.sinks.ManifestTable.readFiles(spark, path, kept)
+      val missing = probe.select(col("band"), col("bucket")).distinct()
+        .join(keptRows.select(col("band"), col("bucket")).distinct(),
+          Seq("band", "bucket"), "left_anti").count()
+      assert(missing == 0, s"$missing probe buckets absent from kept files")
+    } finally graft.sinks.Sinks.deleteRecursively(dir)
+  }
+
   test("bigram LM: NLL bounds and bigram mass per eval doc") {
     val rows = TextOps.lmBigram(spark, sf).collect()
     assert(rows.nonEmpty)
