@@ -2425,34 +2425,49 @@ object TextOps {
     ((hit ++ blind.map(_._1)).distinct, stats.size)
   }
 
+  /** One probe batch against a committed serving index: band the
+    * batch, open ONLY [[dedupPrunedFiles]], and emit the verdict
+    * through the SHARED [[probeVerdict]] tail — identical row-for-row
+    * to what [[incrementalDedup]] would say about the same (batch,
+    * history) split. The per-micro-batch unit of the streaming lane
+    * ([[graft.streaming.Pipeline.dedupProbePrunedToWarehouse]]) and
+    * of [[incrementalDedupPruned]].
+    */
+  def probePrunedBatch(batchDocs: DataFrame, indexPath: String,
+                       minEstJaccard: Double = 0.75): DataFrame = {
+    import graft.sinks.ManifestTable
+    val spark = batchDocs.sparkSession
+    val sigs = sigArraysOf(batchDocs)
+    val probe = bandedOf(sigs)
+    val (kept, _) = dedupPrunedFiles(spark, indexPath, probe)
+    val histRaw =
+      if (kept.isEmpty)
+        ManifestTable.read(spark, indexPath).filter(lit(false))
+      else ManifestTable.readFiles(spark, indexPath, kept)
+    val hist = histRaw.select(col("doc_id").as("dup_of"),
+      col("sig").as("sig_h"),
+      col("lang"), col("source"), col("band"), col("bucket"))
+    probeVerdict(probe, hist,
+      sigs.select(col("doc_id")).distinct(), minEstJaccard)
+  }
+
   /** [[incrementalDedup]] through the disk-backed serving index:
-    * history is committed with [[dedupIndexWrite]], the probe opens
-    * only [[dedupPrunedFiles]], and the verdict tail is the SHARED
-    * [[probeVerdict]] — so the output is identical row-for-row to the
-    * in-memory path and the same DuckDB oracle gates both. What this
-    * query adds over q_incr_dedup is the PHYSICAL claim: file
+    * history is committed with [[dedupIndexWrite]], the probe runs
+    * [[probePrunedBatch]] — so the output is identical row-for-row to
+    * the in-memory path and the same DuckDB oracle gates both. What
+    * this query adds over q_incr_dedup is the PHYSICAL claim: file
     * skipping changes which bytes are read, never which rows match.
     */
   def incrementalDedupPruned(spark: SparkSession, dir: String,
                              minEstJaccard: Double = 0.75): DataFrame = {
-    import graft.sinks.ManifestTable
     val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_idx_").toFile
     try {
       val path = new java.io.File(tmp, "dedup_index").toString
-      val sigs = sigArrays(spark, dir).localCheckpoint()
-      val banded = bandedOf(sigs)
+      val docs = documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
       val isBatch = graft.operators.Scale.isBatch(col("doc_id"))
-      dedupIndexWrite(banded.filter(!isBatch), path)
-      val probe = banded.filter(isBatch)
-      val (kept, _) = dedupPrunedFiles(spark, path, probe)
-      val histRaw =
-        if (kept.isEmpty) ManifestTable.read(spark, path).filter(lit(false))
-        else ManifestTable.readFiles(spark, path, kept)
-      val hist = histRaw.select(col("doc_id").as("dup_of"),
-        col("sig").as("sig_h"),
-        col("lang"), col("source"), col("band"), col("bucket"))
-      probeVerdict(probe, hist,
-        sigs.filter(isBatch).select(col("doc_id")).distinct(), minEstJaccard)
+      dedupIndexWrite(bandIndexOf(docs.filter(!isBatch)), path)
+      probePrunedBatch(docs.filter(isBatch), path, minEstJaccard)
         .localCheckpoint(eager = true)
     } finally graft.sinks.Sinks.deleteRecursively(tmp)
   }

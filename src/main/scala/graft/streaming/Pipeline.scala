@@ -746,6 +746,35 @@ object Pipeline {
                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     warehouseSink(alertsTws(readings).toDF(), path, checkpoint, trigger)
 
+  /** Streaming lane of the disk-backed skipping probe (round 12):
+    * foreachBatch — the per-batch file prune is driver-side manifest
+    * METADATA work (collecting a file list), not expressible inside a
+    * continuous streaming plan — runs [[graft.analytics.TextOps
+    * .probePrunedBatch]] against the committed serving index and
+    * upserts the verdicts into a manifest gold table keyed by doc_id:
+    * the alert lane's exactly-once pattern, so a micro-batch replayed
+    * after a crash re-commits the same verdict rows instead of
+    * duplicating them (doc_id is both key and pruneCol — functional
+    * dependence trivially holds). Per-batch cost O(batch + matching
+    * files), never O(index) — the asymptotic that lets this lane run
+    * against a corpus-sized history.
+    */
+  def dedupProbePrunedToWarehouse(docs: DataFrame, indexPath: String,
+      path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      minEst: Double = 0.75): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val verdict = graft.analytics.TextOps
+          .probePrunedBatch(batch, indexPath, minEst)
+        graft.sinks.ManifestTable.upsertPruned(
+          verdict.repartition(1), path, Seq("doc_id"), "doc_id"): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   private def warehouseSink(alertStream: org.apache.spark.sql.DataFrame,
                             path: String, checkpoint: String,
                             trigger: Trigger): StreamingQuery =

@@ -20,16 +20,23 @@ import org.apache.spark.sql.functions._
   *               .dedupProbeStream]]: + the stream-static band-bucket
   *               join and agreement filter against the cached index.
   *  - `prepart`— full, but the cached index is repartitioned AND
-  *               sorted on the join keys BEFORE caching: if the
-  *               static side's per-batch exchange+sort is the cost,
-  *               this recovers it (streaming micro-batches re-plan
-  *               the static side every batch; a cache materialized
-  *               in join layout satisfies the join's distribution and
-  *               ordering requirements, so only the 2048-row probe
-  *               side shuffles per batch).
+  *               sorted on the join keys BEFORE caching. Measured a
+  *               WASH once full/prepart passes were INTERLEAVED (the
+  *               sequential first cut read ~9% — warmup ordering on a
+  *               lane whose curve is ±43% first-to-best): the executed
+  *               plan broadcasts the batch-sized PROBE and streams the
+  *               index through the join, so the static side's layout
+  *               never binds.
+  *  - `pruned` — the disk-backed skipping index
+  *               ([[graft.analytics.TextOps.probePrunedBatch]] in
+  *               foreachBatch): per-batch work O(batch + matching
+  *               files) instead of the cached lanes' O(index) scan —
+  *               slower at this toy index size, the only shape that
+  *               holds when the index is corpus-sized.
   *
   * Reading: sig−noop = signature CPU, full−sig = join machinery,
-  * prepart vs full = the recoverable fraction of the join cost.
+  * prepart vs full = layout effect (null), pruned = the at-scale lane's
+  * toy-scale constant.
   */
 object DedupProfile {
   def main(args: Array[String]): Unit = {
@@ -79,6 +86,40 @@ object DedupProfile {
         graft.streaming.Pipeline.dedupProbeStream(s, laid))
     }
     plain.unpersist(blocking = true); laid.unpersist(blocking = true)
+
+    // disk-backed skipping probe (round 12): the asymptotically right
+    // lane — per-batch work O(batch + matching files), never O(index).
+    // At THIS corpus (sf0.1, a 32-file toy index) each micro-batch
+    // pays driver metadata pruning + a fresh pruned parquet read that
+    // the in-memory cache lanes never pay, so expect it BELOW them
+    // here; the lane exists because the cached lanes' per-batch cost
+    // grows with the CORPUS while this one's grows with the batch.
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_dprof_idx_").toFile
+    try {
+      val idx = new java.io.File(idxDir, "idx").toString
+      TextOps.dedupIndexWrite(TextOps.bandIndexOf(docs), idx)
+      (1 to runs).foreach { pass =>
+        val input = MemoryStream[(Long, String, String, String)](spark)
+        val stream = input.toDF().toDF("doc_id", "text", "lang", "source")
+        val chk = java.nio.file.Files
+          .createTempDirectory("graft_dprof_chk_").toString
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            TextOps.probePrunedBatch(b, idx)
+              .write.mode("overwrite").format("noop").save()
+          }
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+          .start()
+        val t0 = System.nanoTime()
+        try probeRows.grouped(2048).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[dprof] pruned   pass$pass: ${probeRows.length / secs}%7.1f rows/s  ($secs%5.2f s)")
+      }
+    } finally graft.sinks.Sinks.deleteRecursively(idxDir)
     spark.stop()
   }
 }

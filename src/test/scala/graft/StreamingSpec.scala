@@ -806,6 +806,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pruned skipping-probe stream: verdicts equal the batch twin, one row per doc across batches") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "src0"),
+      (2L, "completely different historical content about rivers and sensors", "en", "src0"),
+      (3L, "ein ganz anderes deutsches dokument ohne duplikate", "de", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val probeDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again", "en", "src0"),
+      (101L, "entirely novel text that matches nothing in the history", "en", "src0"),
+      (103L, "completely different historical content about rivers and sensors", "en", "src0"),
+      (104L, "another novel document from the second micro batch", "en", "src0"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_").toFile
+    try {
+      val idx = new java.io.File(dir, "idx").toString
+      val gold = new java.io.File(dir, "gold").toString
+      val chk = new java.io.File(dir, "chk").toString
+      graft.analytics.TextOps.dedupIndexWrite(
+        graft.analytics.TextOps.bandIndexOf(history), idx)
+      val input = MemoryStream[(Long, String, String, String)](spark)
+      val docs = input.toDF().toDF("doc_id", "text", "lang", "source")
+      val q = Pipeline.dedupProbePrunedToWarehouse(docs, idx, gold, chk,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try {
+        input.addData(probeDocs.take(2))
+        q.processAllAvailable()
+        input.addData(probeDocs.drop(2))
+        q.processAllAvailable()
+      } finally q.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("is_dup"),
+          Option(r.get(r.fieldIndex("dup_of"))),
+          Option(r.get(r.fieldIndex("est_jaccard"))))
+      val got = graft.sinks.ManifestTable.read(spark, gold).collect()
+      // exactly one verdict row per probe doc, across both micro-batches
+      assert(got.length == probeDocs.length,
+        s"expected ${probeDocs.length} verdicts, got ${got.length}")
+      // the streaming lane must say exactly what the batch twin says
+      val want = graft.analytics.TextOps.probePrunedBatch(
+        probeDocs.toDF("doc_id", "text", "lang", "source"), idx).collect()
+      assert(got.map(key).toSet == want.map(key).toSet,
+        s"stream verdicts diverged:\n${got.map(key).toSet}\nvs\n${want.map(key).toSet}")
+      // semantic spot checks: the planted copies flag, the novels pass
+      val byId = got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("is_dup")).toMap
+      assert(byId(100L) == 1L && byId(103L) == 1L)
+      assert(byId(101L) == 0L && byId(104L) == 0L)
+    } finally graft.sinks.Sinks.deleteRecursively(dir)
+  }
+
   test("rate-paced replay emits the bounded frame's rows progressively in order") {
     import spark.implicits._
     val bounded = Seq(("r0", 1.0), ("r1", 2.0), ("r2", 3.0)).toDF("tag", "v")
