@@ -222,23 +222,36 @@ object Pipeline {
           } else AlertState(0, ms)
       }
       state.update(st)
-      if (st.lastEventMs > 0 && st.lastEventMs != prev.lastEventMs) {
-        if (prev.lastEventMs > 0)
-          getHandle.deleteTimer(prev.lastEventMs + EvictAfterMs)
+      // chained eviction timer (round 12): register ONCE on a key's
+      // first event; [[handleExpiredTimer]] re-arms while the key is
+      // active, so the deadline is exact ON FIRE without being
+      // re-written every batch. Removes 2 RocksDB timer writes per
+      // key per micro-batch. Throughput effect at toy scale: a WASH —
+      // an alternating old/new StreamProbe A/B at 2048 keys measured
+      // means within 1% (694 vs 699 rows/s), so the tws lane's gap to
+      // fmgws is NOT timer traffic (per-key typed-state encoding and
+      // the timer-CF scan are what remain). Kept because fewer state
+      // writes is strictly no worse and the fire-time chain is the
+      // simpler contract.
+      if (prev.lastEventMs == 0 && st.lastEventMs > 0)
         getHandle.registerTimer(st.lastEventMs + EvictAfterMs)
-      }
       out.result().iterator
     }
 
     override def handleExpiredTimer(key: String,
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Alert] = {
-      // a superseded timer can still fire; only evict if the sensor
-      // has genuinely been silent for the whole horizon
-      if (state.exists() &&
-          expiredTimerInfo.getExpiryTimeInMs() >=
-            state.get().lastEventMs + EvictAfterMs)
-        state.clear()
+      // only evict if the sensor has genuinely been silent for the
+      // whole horizon; otherwise RE-ARM at the true deadline — this
+      // fire-time chain is what lets handleInputRows skip per-batch
+      // timer rewrites entirely
+      if (state.exists()) {
+        val last = state.get().lastEventMs
+        if (expiredTimerInfo.getExpiryTimeInMs() >= last + EvictAfterMs)
+          state.clear()
+        else
+          getHandle.registerTimer(last + EvictAfterMs)
+      }
       Iterator.empty
     }
   }
