@@ -127,8 +127,12 @@ object Pipeline {
         col("session_window.end").as("session_end"),
         col("sensor_id"), col("n"), col("avg_ph"))
 
-  /** Out-of-band predicate (F1 thresholds; missing values don't vote). */
-  private def isOutOfBand(r: SensorReading): Boolean = {
+  /** Out-of-band predicate (F1 thresholds; missing values don't vote).
+    * `private[graft]` so [[graft.tools.TwsProfile]]'s stripped-down
+    * processor variants fold the IDENTICAL predicate — a profile that
+    * re-implemented it would measure its own copy.
+    */
+  private[graft] def isOutOfBand(r: SensorReading): Boolean = {
     val phBad = r.ph_value.exists(p => p < 6.5f || p > 8.5f)
     val doBad = r.do_value.exists(_ < 30f)
     phBad || doBad
@@ -771,6 +775,13 @@ object Pipeline {
     * dependence trivially holds). Per-batch cost O(batch + matching
     * files), never O(index) — the asymptotic that lets this lane run
     * against a corpus-sized history.
+    *
+    * The micro-batch source executes ONCE per batch (r12 advice named
+    * a triple execution here — prune collect, upsert null-probe,
+    * stage write): [[graft.analytics.TextOps.probePrunedBatch]]
+    * persists its signature frame and returns an eagerly materialized
+    * local checkpoint, so the upsert's two actions replay blocks, not
+    * the stateful plan.
     */
   def dedupProbePrunedToWarehouse(docs: DataFrame, indexPath: String,
       path: String, checkpoint: String,

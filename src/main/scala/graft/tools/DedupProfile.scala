@@ -95,14 +95,19 @@ object DedupProfile {
     // here; the lane exists because the cached lanes' per-batch cost
     // grows with the CORPUS while this one's grows with the batch.
     val idxDir = java.nio.file.Files.createTempDirectory("graft_dprof_idx_").toFile
+    // per-pass checkpoint dirs are tracked and reaped with the index
+    // dir (r12 ADVICE: they used to leak under /tmp across runs)
+    val chkDirs = Vector.newBuilder[java.io.File]
     try {
       val idx = new java.io.File(idxDir, "idx").toString
       TextOps.dedupIndexWrite(TextOps.bandIndexOf(docs), idx)
       (1 to runs).foreach { pass =>
         val input = MemoryStream[(Long, String, String, String)](spark)
         val stream = input.toDF().toDF("doc_id", "text", "lang", "source")
-        val chk = java.nio.file.Files
-          .createTempDirectory("graft_dprof_chk_").toString
+        val chkFile = java.nio.file.Files
+          .createTempDirectory("graft_dprof_chk_").toFile
+        chkDirs += chkFile
+        val chk = chkFile.toString
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (b: DataFrame, _: Long) =>
             TextOps.probePrunedBatch(b, idx)
@@ -119,7 +124,10 @@ object DedupProfile {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[dprof] pruned   pass$pass: ${probeRows.length / secs}%7.1f rows/s  ($secs%5.2f s)")
       }
-    } finally graft.sinks.Sinks.deleteRecursively(idxDir)
+    } finally {
+      graft.sinks.Sinks.deleteRecursively(idxDir)
+      chkDirs.result().foreach(graft.sinks.Sinks.deleteRecursively)
+    }
     spark.stop()
   }
 }
