@@ -2391,38 +2391,101 @@ object TextOps {
         .sortWithinPartitions(col("bkey")),
       path)
 
-  /** The serving-index files a probe batch must open: each file's
-    * bkey envelope (file-count-sized DRIVER metadata — the manifest
-    * itself, the same anchor class as shard boundaries) is expanded
-    * per band and equi-joined to the probe's banded rows on band with
-    * the range residual, so the matched-file set — bounded by the
-    * FILE COUNT, never the probe size — is the only thing collected.
-    * Files with no recorded bkey stats are kept unconditionally
-    * (skipping must be conservative). Returns (kept, total).
+  /** Sorted interval index over a snapshot's bkey file envelopes,
+    * broadcast ONCE PER SNAPSHOT VERSION and reused by every probe
+    * batch against that version (r12 VERDICT #3: the previous shape
+    * re-read the manifest, re-expanded envelopes per band and
+    * re-broadcast a files-sized local relation EVERY micro-batch —
+    * file-count work in the driver's per-batch hot loop, fatal at a
+    * ~10⁶-file corpus index). `starts` is ascending; `runMax(i)` is
+    * the running max of `ends(0..i)` so containment lookups stay
+    * correct for OVERLAPPING envelopes (a non-range-laid index after
+    * appends): walk left from the upper bound while runMax ≥ key.
+    */
+  private final case class DedupEnvIndex(starts: Array[Double],
+      ends: Array[Double], runMax: Array[Double], names: Array[String])
+
+  /** (version, envelope broadcast, stat-less file names, total files)
+    * per index path. Version is re-resolved per call (one FS listing —
+    * snapshot freshness), the heavy part (manifest parse, sort,
+    * broadcast) runs once per version.
+    */
+  private val dedupEnvCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.broadcast.Broadcast[DedupEnvIndex],
+      Seq[String], Int)]()
+
+  private def dedupEnvIndexFor(spark: SparkSession, path: String)
+      : (org.apache.spark.broadcast.Broadcast[DedupEnvIndex], Seq[String], Int) = {
+    import graft.sinks.ManifestTable
+    val v = ManifestTable.latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed dedup index at $path"))
+    val cached = dedupEnvCache.get(path)
+    if (cached != null && cached._1 == v) (cached._2, cached._3, cached._4)
+    else {
+      val stats = ManifestTable.snapshotStats(spark, path, Some(v))
+      val (enveloped, blind) = stats.partition(_._2.contains("bkey"))
+      val sorted = enveloped
+        .map { case (f, st) => val (mn, mx) = st("bkey"); (mn, mx, f) }
+        .sortBy(_._1)
+      val starts = sorted.map(_._1).toArray
+      val ends = sorted.map(_._2).toArray
+      val runMax = ends.clone()
+      var i = 1
+      while (i < runMax.length) {
+        runMax(i) = math.max(runMax(i - 1), runMax(i)); i += 1
+      }
+      val bc = spark.sparkContext.broadcast(
+        DedupEnvIndex(starts, ends, runMax, sorted.map(_._3).toArray))
+      val entry = (v, bc, blind.map(_._1), stats.size)
+      val prev = dedupEnvCache.put(path, entry)
+      if (prev != null) prev._2.unpersist(blocking = false)
+      (bc, entry._3, entry._4)
+    }
+  }
+
+  /** The serving-index files a probe batch must open. The probe's
+    * packed bkeys are matched to file envelopes DISTRIBUTED — each
+    * task binary-searches the broadcast interval index — and only the
+    * matched file NAMES (bounded by the file count, and in practice by
+    * the matching-file count, never the probe size) come back to the
+    * driver. Range containment alone is exact here: bkey packs the
+    * band into its top bits, so `bkey ∈ [mn, mx]` already implies the
+    * old expansion's band-equality leg. Files with no recorded bkey
+    * stats are kept unconditionally (skipping must be conservative).
+    * Per-batch cost: O(probe·log files) task work + O(matched)
+    * driver/collect; the per-version envelope build is amortized by
+    * [[dedupEnvIndexFor]]. Returns (kept, total).
     */
   private[graft] def dedupPrunedFiles(spark: SparkSession, path: String,
       probeBanded: DataFrame): (Seq[String], Int) = {
-    val stats = graft.sinks.ManifestTable.snapshotStats(spark, path)
-    val bandSpan = (1L << 48).toDouble
-    val (enveloped, blind) = stats.partition(_._2.contains("bkey"))
-    val envRows = enveloped.flatMap { case (f, st) =>
-      val (mn, mx) = st("bkey")
-      val bLo = math.max(0L, math.floor(mn / bandSpan).toLong)
-      val bHi = math.min((LshBands - 1).toLong, math.floor(mx / bandSpan).toLong)
-      (bLo to bHi).map(b => (f, b.toInt, mn, mx))
-    }
+    val (bc, blind, total) = dedupEnvIndexFor(spark, path)
     val hit =
-      if (envRows.isEmpty) Seq.empty[String]
+      if (bc.value.starts.isEmpty) Seq.empty[String]
       else {
         import spark.implicits._
-        val env = envRows.toDF("f", "e_band", "mn", "mx")
-        probeBanded.select(col("band"), bandBucketKey.as("bkey"))
-          .join(broadcast(env), col("band") === col("e_band") &&
-            col("bkey") >= col("mn") && col("bkey") <= col("mx"))
-          .select(col("f")).distinct()
-          .collect().map(_.getString(0)).toSeq
+        probeBanded.select(bandBucketKey.as("bkey")).as[Long]
+          .mapPartitions { it =>
+            val env = bc.value
+            val seen = new scala.collection.mutable.BitSet(env.names.length)
+            it.foreach { k =>
+              val kd = k.toDouble
+              // upper bound: first index with start > kd
+              var lo = 0; var hi = env.starts.length
+              while (lo < hi) {
+                val m = (lo + hi) >>> 1
+                if (env.starts(m) <= kd) lo = m + 1 else hi = m
+              }
+              var i = lo - 1
+              while (i >= 0 && env.runMax(i) >= kd) {
+                if (env.ends(i) >= kd) seen += i
+                i -= 1
+              }
+            }
+            seen.iterator.map(env.names(_))
+          }
+          .distinct().collect().toSeq
       }
-    ((hit ++ blind.map(_._1)).distinct, stats.size)
+    ((hit ++ blind).distinct, total)
   }
 
   /** One probe batch against a committed serving index: band the

@@ -46,7 +46,7 @@ import graft.streaming.Pipeline.{Alert, AlertState, AlertThreshold}
   * degradation is purely per-touched-key (suspect a) — linear in
   * batch's key count, flat in store size, safe at scale.
   *
-  * args: [passes] (default 2)
+  * args: [passes] [exp] (default 2, all; exp = 1 | 2 | all)
   */
 object TwsProfile {
 
@@ -123,6 +123,7 @@ object TwsProfile {
 
   def main(args: Array[String]): Unit = {
     val passes = args.headOption.map(_.toInt).getOrElse(2)
+    val exp = args.drop(1).headOption.getOrElse("all")
     val spark = graft.spark.Sessions.local("32", "32")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -155,7 +156,8 @@ object TwsProfile {
     }
 
     // Experiment 1: variant split, 8192 rows, 64 vs 2048 keys
-    for (nKeys <- Seq(64, 2048); pass <- 1 to passes) {
+    for (nKeys <- Seq(64, 2048); pass <- 1 to passes;
+         if exp == "1" || exp == "all") {
       val rows = mkRows(8192, nKeys)
       drive(s"fmgws/k$nKeys", pass, HdfsProvider, rows,
         ds => Pipeline.alerts(ds).toDF())
@@ -172,7 +174,7 @@ object TwsProfile {
     // 2k -> 64k; a per-batch time trend = cost scaling with TOTAL
     // state, flat = cost per touched key only
     val trendRows = mkRows(65536, 65536)
-    for (pass <- 1 to passes) {
+    for (pass <- 1 to passes; if exp == "2" || exp == "all") {
       drive("tws_state/trend64k", pass, RocksProvider, trendRows,
         ds => tws(ds, new StateOnlyProcessor).toDF(), perBatch = true)
       drive("tws_full/trend64k", pass, RocksProvider, trendRows,
