@@ -1042,6 +1042,36 @@ class TextOpsSpec extends SparkSpec {
     } finally graft.sinks.Sinks.deleteRecursively(dir)
   }
 
+  test("pruned file set follows the snapshot version (envelope-cache invalidation)") {
+    // the r13 per-version broadcast envelope index is cached per path;
+    // a stale hit after a new snapshot commit would silently prune
+    // against the OLD file envelopes — this pins the invalidation:
+    // replace the index under the same path and the prune must see the
+    // new version's files (names change with the staging token, so any
+    // old-version name in the kept set is a stale cache)
+    val dir = java.nio.file.Files.createTempDirectory("graft_envinv_").toFile
+    try {
+      val path = new java.io.File(dir, "idx").toString
+      val docs = graft.ingest.Sources.documents(spark, sf)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      TextOps.dedupIndexWrite(TextOps.bandIndexOf(docs), path)
+      val probe = TextOps.bandIndexOf(docs.orderBy(col("doc_id")).limit(3))
+      val (kept1, total1) = TextOps.dedupPrunedFiles(spark, path, probe)
+      val v1Files = graft.sinks.ManifestTable.snapshotFiles(spark, path).toSet
+      assert(kept1.forall(v1Files), "kept names must come from v1's manifest")
+      // commit a NEW snapshot (half the docs) at the same path
+      TextOps.dedupIndexWrite(
+        TextOps.bandIndexOf(docs.filter(col("doc_id") % 2 === 0)), path)
+      val v2Files = graft.sinks.ManifestTable.snapshotFiles(spark, path).toSet
+      assert((v1Files & v2Files).isEmpty, "staging tokens must differ")
+      val (kept2, total2) = TextOps.dedupPrunedFiles(spark, path, probe)
+      assert(total1 == TextOps.DedupIndexFiles && total2 == TextOps.DedupIndexFiles)
+      assert(kept2.nonEmpty && kept2.forall(v2Files),
+        s"stale envelope cache: kept names not from the new snapshot " +
+          s"(${kept2.filterNot(v2Files).take(3)})")
+    } finally graft.sinks.Sinks.deleteRecursively(dir)
+  }
+
   test("bigram LM: NLL bounds and bigram mass per eval doc") {
     val rows = TextOps.lmBigram(spark, sf).collect()
     assert(rows.nonEmpty)
