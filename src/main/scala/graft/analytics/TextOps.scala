@@ -2391,6 +2391,28 @@ object TextOps {
         .sortWithinPartitions(col("bkey")),
       path)
 
+  /** APPEND a cleared tranche to the serving index — the daily
+    * lifecycle step [[dedupIndexWrite]]'s docstring promises: the new
+    * rows are range-laid AMONG THEMSELVES (tight per-file envelopes)
+    * and committed via [[graft.sinks.ManifestTable.append]], so
+    * existing files carry over untouched while the new files' key
+    * envelopes OVERLAP the old layout's. That is exactly the case the
+    * prune's interval search handles (runMax walk — containment stays
+    * exact under overlap), at the cost of a probe key now matching up
+    * to one file per tranche instead of one overall; periodic
+    * [[dedupIndexWrite]] re-lays the whole index when the tranche
+    * count grows. Appends use fewer files than a full write (the
+    * tranche is a day, not the corpus): ceil(tranche share) with a
+    * floor of 1.
+    */
+  def dedupIndexAppend(trancheBanded: DataFrame, path: String,
+                       files: Int = math.max(1, DedupIndexFiles / 4)): Long =
+    graft.sinks.ManifestTable.append(
+      trancheBanded.withColumn("bkey", bandBucketKey)
+        .repartitionByRange(files, col("bkey"))
+        .sortWithinPartitions(col("bkey")),
+      path)
+
   /** Sorted interval index over a snapshot's bkey file envelopes,
     * broadcast ONCE PER SNAPSHOT VERSION and reused by every probe
     * batch against that version (r12 VERDICT #3: the previous shape
@@ -2549,32 +2571,68 @@ object TextOps {
     * this query adds over q_incr_dedup is the PHYSICAL claim: file
     * skipping changes which bytes are read, never which rows match.
     */
+  /** Build-or-reuse plumbing shared by the serving-index queries:
+    * under the bench flag the committed index is served from
+    * [[dedupIndexCache]] (keyed so the write-path and append-path
+    * indexes never collide); otherwise build-probe-delete.
+    */
+  private def withServingIndex(cacheKey: String)
+      (build: java.io.File => String)
+      (use: String => DataFrame): DataFrame =
+    if (sys.props.get("graft.bench.cacheDedupIndex").contains("true")) {
+      val path = dedupIndexCache.computeIfAbsent(cacheKey, { _ =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_dedup_idx_cache_").toFile
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          graft.sinks.Sinks.deleteRecursively(tmp)))
+        build(tmp)
+      })
+      use(path)
+    } else {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dedup_idx_").toFile
+      try use(build(tmp))
+      finally graft.sinks.Sinks.deleteRecursively(tmp)
+    }
+
   def incrementalDedupPruned(spark: SparkSession, dir: String,
                              minEstJaccard: Double = 0.75): DataFrame = {
     val docs = documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val isBatch = graft.operators.Scale.isBatch(col("doc_id"))
-    def buildIndex(into: java.io.File): String = {
+    withServingIndex(dir) { into =>
       val path = new java.io.File(into, "dedup_index").toString
       dedupIndexWrite(bandIndexOf(docs.filter(!isBatch)), path)
       path
-    }
-    if (sys.props.get("graft.bench.cacheDedupIndex").contains("true")) {
-      val path = dedupIndexCache.computeIfAbsent(dir, { _ =>
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_dedup_idx_cache_").toFile
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          graft.sinks.Sinks.deleteRecursively(tmp)))
-        buildIndex(tmp)
-      })
-      probePrunedBatch(docs.filter(isBatch), path, minEstJaccard)
-    } else {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_dedup_idx_").toFile
-      try probePrunedBatch(docs.filter(isBatch), buildIndex(tmp),
-        minEstJaccard)
-      finally graft.sinks.Sinks.deleteRecursively(tmp)
-    }
+    }(path => probePrunedBatch(docs.filter(isBatch), path, minEstJaccard))
+  }
+
+  /** [[incrementalDedup]] through a serving index built by WRITE then
+    * APPEND — the daily index lifecycle: history is split in two
+    * deterministic tranches (doc_id parity — engine-independent), the
+    * first committed range-laid with [[dedupIndexWrite]], the second
+    * appended with [[dedupIndexAppend]], so the probe runs against an
+    * index whose file ENVELOPES OVERLAP (the post-append physical
+    * state). Output identical row-for-row to [[incrementalDedup]] and
+    * [[incrementalDedupPruned]] — the same DuckDB oracle gates all
+    * three physical paths. What this query adds over
+    * q_incr_dedup_pruned: the prune's overlap-tolerant interval
+    * containment (the runMax walk) is exercised by the ORACLE GATE,
+    * not only by a spec.
+    */
+  def incrementalDedupAppended(spark: SparkSession, dir: String,
+                               minEstJaccard: Double = 0.75): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val isBatch = graft.operators.Scale.isBatch(col("doc_id"))
+    withServingIndex(s"$dir#appended") { into =>
+      val path = new java.io.File(into, "dedup_index").toString
+      val hist = bandIndexOf(docs.filter(!isBatch))
+        .localCheckpoint(eager = true) // two tranche writes, one sig pass
+      dedupIndexWrite(hist.filter(col("doc_id") % 2 === 0), path)
+      dedupIndexAppend(hist.filter(col("doc_id") % 2 =!= 0), path)
+      path
+    }(path => probePrunedBatch(docs.filter(isBatch), path, minEstJaccard))
   }
 
   // ---------------------------------------------------------------
@@ -5093,6 +5151,7 @@ object TextOps {
     "q_source_leakage" -> ((s: SparkSession, d: String) => sourceLeakage(s, d)),
     "q_incr_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "q_incr_dedup_pruned" -> ((s: SparkSession, d: String) => incrementalDedupPruned(s, d)),
+    "q_incr_dedup_appended" -> ((s: SparkSession, d: String) => incrementalDedupAppended(s, d)),
     "q_simhash_dedup" -> ((s: SparkSession, d: String) => simHashDedup(s, d)),
     "q_doc_fingerprint" -> (docFingerprints _),
     "q_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
@@ -5143,6 +5202,7 @@ object TextOps {
     // the pruned path must be physically different, semantically
     // identical — the SAME oracle gates both
     "q_incr_dedup_pruned" -> incrementalDedupSql,
+    "q_incr_dedup_appended" -> incrementalDedupSql,
     "q_simhash_dedup" -> simHashDedupSql,
     "q_doc_fingerprint" -> docFingerprintsSql,
     "q_dedup_exact" -> dedupExactSql,

@@ -226,6 +226,28 @@ object ManifestTable {
     commit(spark, path, withStats(spark, path, names))
   }
 
+  /** APPEND `df` as new files alongside the current snapshot's: the
+    * new manifest carries every existing line verbatim (stats
+    * included, files untouched on disk) plus the staged files' lines.
+    * Creates the table if no snapshot exists. No key semantics — rows
+    * are added, never replaced (that is [[upsertPruned]]); the append
+    * path is for accumulating immutable facts (e.g. the dedup serving
+    * index absorbing tomorrow's cleared batch). NOTE for readers that
+    * prune on a stats envelope: appended files' envelopes may OVERLAP
+    * existing ones (the table is no longer globally range-laid until
+    * the next [[replace]]/[[compact]] re-lays it) — consumers must
+    * use overlap-tolerant containment, as the dedup prune's interval
+    * search does.
+    */
+  def append(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val names = stage(df, path)
+    val existing =
+      if (latestVersion(spark, path).isEmpty) Seq.empty[String]
+      else snapshotLines(spark, path, None)
+    commit(spark, path, existing ++ withStats(spark, path, names))
+  }
+
   /** Manifest lines for staged `names` with per-file numeric min/max
     * appended — ONE Spark job over the staged files (grouped by
     * `input_file_name`), the same pass a lakehouse writer folds into

@@ -1042,6 +1042,52 @@ class TextOpsSpec extends SparkSpec {
     } finally graft.sinks.Sinks.deleteRecursively(dir)
   }
 
+  test("appended serving index: identical verdicts through overlapping envelopes") {
+    // semantic invisibility of the append lifecycle: write tranche A,
+    // APPEND tranche B, probe — row-identical to the in-memory path
+    val full = TextOps.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(r.fieldIndex("dup_of"))),
+        Option(r.get(r.fieldIndex("est_jaccard"))))).toSet
+    val appended = TextOps.incrementalDedupAppended(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(r.fieldIndex("dup_of"))),
+        Option(r.get(r.fieldIndex("est_jaccard"))))).toSet
+    assert(appended == full,
+      s"appended path diverged: ${appended.diff(full)} vs ${full.diff(appended)}")
+
+    // physical claim: after an append the index REALLY holds
+    // overlapping envelopes (else this spec exercises nothing the
+    // pruned spec doesn't), and the prune stays conservative through
+    // them — every probe bucket is present in the kept files
+    val dir = java.nio.file.Files.createTempDirectory("graft_dapp_").toFile
+    try {
+      val path = new java.io.File(dir, "idx").toString
+      val docs = graft.ingest.Sources.documents(spark, sf)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val hist = TextOps.bandIndexOf(docs)
+      TextOps.dedupIndexWrite(hist.filter(col("doc_id") % 2 === 0), path)
+      TextOps.dedupIndexAppend(hist.filter(col("doc_id") % 2 =!= 0), path)
+      val stats = graft.sinks.ManifestTable.snapshotStats(spark, path)
+        .flatMap { case (_, st) => st.get("bkey") }.sortBy(_._1)
+      val overlaps = stats.sliding(2).count {
+        case Seq((_, aMax), (bMin, _)) => bMin <= aMax
+        case _ => false
+      }
+      assert(overlaps > 0,
+        "append produced a globally range-laid index — the overlap path is untested")
+      val probe = TextOps.bandIndexOf(docs.orderBy(col("doc_id")).limit(3))
+      val (kept, total) = TextOps.dedupPrunedFiles(spark, path, probe)
+      assert(kept.nonEmpty && kept.size < total,
+        s"prune did nothing through overlap: ${kept.size} of $total")
+      val keptRows = graft.sinks.ManifestTable.readFiles(spark, path, kept)
+      val missing = probe.select(col("band"), col("bucket")).distinct()
+        .join(keptRows.select(col("band"), col("bucket")).distinct(),
+          Seq("band", "bucket"), "left_anti").count()
+      assert(missing == 0, s"$missing probe buckets absent from kept files")
+    } finally graft.sinks.Sinks.deleteRecursively(dir)
+  }
+
   test("pruned file set follows the snapshot version (envelope-cache invalidation)") {
     // the r13 per-version broadcast envelope index is cached per path;
     // a stale hit after a new snapshot commit would silently prune
