@@ -29,6 +29,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * version — the loser retries against the next version. Single-writer
   * per table remains the intended deployment (as with Delta, multiple
   * writers additionally need conflict checking between snapshots).
+  * Round 14 adds the two conflict checks the engine's own
+  * read-modify-write commits need: [[append]] re-reads the base
+  * snapshot after losing a version race (so concurrent appends
+  * serialize instead of silently dropping each other's files), and
+  * [[upsertPruned]] fails LOUD on a concurrent commit instead of
+  * publishing a merge built from a stale file list — inside
+  * foreachBatch the streaming engine's batch retry is the safe
+  * re-read-and-redo loop.
   */
 object ManifestTable {
 
@@ -138,9 +146,9 @@ object ManifestTable {
     * each part file to a collision-free name. Crashing here leaves
     * only unreferenced garbage.
     */
-  private[graft] def stage(df: DataFrame, path: String): Seq[String] = {
+  private[graft] def stage(df: DataFrame, path: String,
+      token: String = java.util.UUID.randomUUID().toString): Seq[String] = {
     val spark = df.sparkSession
-    val token = java.util.UUID.randomUUID().toString
     val stagingDir = new org.apache.hadoop.fs.Path(s"$path/.staging-$token")
     val dataDir = new org.apache.hadoop.fs.Path(s"$path/$DataDir")
     val fs = fsOf(spark, stagingDir)
@@ -167,6 +175,30 @@ object ManifestTable {
     */
   private[graft] def commit(spark: SparkSession, path: String,
                             files: Seq[String]): Long = {
+    var attempt = 0
+    var v = latestVersion(spark, path).getOrElse(-1L) + 1
+    while (attempt < MaxCommitRetries) {
+      if (commitAt(spark, path, files, v)) return v
+      v = math.max(v + 1, latestVersion(spark, path).getOrElse(-1L) + 1)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commit: lost $MaxCommitRetries version races at $path")
+  }
+
+  /** Attempt to publish snapshot `files` at EXACTLY version `v`.
+    * Returns false if that version was claimed by a racing committer
+    * (tmp manifest cleaned up, nothing published) — the
+    * optimistic-concurrency primitive for READ-MODIFY-WRITE commits,
+    * whose line list was derived from the base snapshot and is stale
+    * the moment another version lands: the caller must re-read and
+    * rebuild before retrying ([[append]] does; [[upsertPruned]]
+    * surfaces the conflict instead). [[commit]]'s blind retry at the
+    * next version is only safe for self-contained line lists
+    * ([[replace]]). Throws on real IO failure.
+    */
+  private def commitAt(spark: SparkSession, path: String,
+                       files: Seq[String], v: Long): Boolean = {
     val mdir = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
     val fs = fsOf(spark, mdir)
     // re-validate the staged files immediately before publishing: a
@@ -182,38 +214,31 @@ object ManifestTable {
     fs.mkdirs(mdir)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       mdir.toUri, spark.sparkContext.hadoopConfiguration)
-    var attempt = 0
-    var v = latestVersion(spark, path).getOrElse(-1L) + 1
-    while (attempt < MaxCommitRetries) {
-      val tmp = new org.apache.hadoop.fs.Path(
-        mdir, s".tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
-      try {
-        // Options.Rename.NONE: fail (don't overwrite) if the version
-        // was claimed between our listing and now
-        fc.rename(tmp, manifestPath(path, v))
-        return v
-      } catch {
-        // ONLY a claimed version is a race worth retrying — hadoop's
-        // and nio's already-exists both; any other IOException
-        // (permissions, quota, dead namenode) is a real failure and
-        // must surface with its cause, not be ground through 20
-        // retries into a misleading "lost races" error
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          fs.delete(tmp, false)
-          v = math.max(v + 1, latestVersion(spark, path).getOrElse(-1L) + 1)
-          attempt += 1
-        case e: java.io.IOException =>
-          fs.delete(tmp, false)
-          throw new IllegalStateException(
-            s"commit: cannot publish manifest v$v at $path", e)
-      }
+    val tmp = new org.apache.hadoop.fs.Path(
+      mdir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    try {
+      // Options.Rename.NONE: fail (don't overwrite) if the version
+      // was claimed between the caller's listing and now
+      fc.rename(tmp, manifestPath(path, v))
+      true
+    } catch {
+      // ONLY a claimed version is a race worth reporting as such —
+      // hadoop's and nio's already-exists both; any other IOException
+      // (permissions, quota, dead namenode) is a real failure and
+      // must surface with its cause, not be ground through 20
+      // retries into a misleading "lost races" error
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        false
+      case e: java.io.IOException =>
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"commit: cannot publish manifest v$v at $path", e)
     }
-    throw new IllegalStateException(
-      s"commit: lost $MaxCommitRetries version races at $path")
   }
 
   /** Replace the table content with `df` in one atomic commit. The
@@ -242,10 +267,81 @@ object ManifestTable {
   def append(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val names = stage(df, path)
-    val existing =
-      if (latestVersion(spark, path).isEmpty) Seq.empty[String]
-      else snapshotLines(spark, path, None)
-    commit(spark, path, existing ++ withStats(spark, path, names))
+    appendStaged(spark, path, withStats(spark, path, names))
+  }
+
+  /** The append RMW loop: read the base snapshot, attempt a commit at
+    * exactly base+1, and on a lost version race RE-READ and rebuild —
+    * never retry with the stale line list (r13 advice: commit()'s
+    * blind next-version retry would silently drop the racing
+    * committer's files from the table). Concurrent appends therefore
+    * serialize: each loser folds the winner's lines into its next
+    * attempt, and every tranche survives.
+    */
+  private def appendStaged(spark: SparkSession, path: String,
+                           newLines: Seq[String]): Long = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val base = latestVersion(spark, path)
+      val existing = base match {
+        case Some(v) => snapshotLines(spark, path, Some(v))
+        case None => Seq.empty[String]
+      }
+      val target = base.getOrElse(-1L) + 1
+      if (commitAt(spark, path, existing ++ newLines, target)) return target
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"append: lost $MaxCommitRetries version races at $path")
+  }
+
+  /** Idempotent [[append]] for exactly-once streaming accretion: the
+    * staged files carry a `txn-<txnId>-` name prefix that rides the
+    * committed manifest, so "did this transaction already commit?" is
+    * answered by the snapshot itself — one atomic rename covers both
+    * the data visibility and the txn marker (the trick Delta encodes
+    * as `txn` actions in its log). If the LATEST snapshot already
+    * carries the marker the call is a no-op returning None — which is
+    * exactly what a foreachBatch REPLAY after a crash between the
+    * append and the checkpoint commit must do. txnId must be unique
+    * per logical batch and stable across restarts (e.g. the
+    * foreachBatch batchId), and the check only consults the latest
+    * snapshot — a [[replace]]/compaction between the crash and the
+    * replay re-lays the marker away (callers for whom that rare
+    * window matters must make re-appends semantically harmless, as
+    * the dedup probe's pair-level dedupe does).
+    */
+  def appendOnce(df: DataFrame, path: String, txnId: String): Option[Long] = {
+    require(txnId.nonEmpty && txnId.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_'),
+      s"appendOnce: txnId must be [A-Za-z0-9._]+ (rides file names " +
+        s"and manifest lines), got '$txnId'")
+    val spark = df.sparkSession
+    val prefix = s"txn-$txnId-"
+    val already = latestVersion(spark, path).exists(v =>
+      snapshotFiles(spark, path, Some(v)).exists(_.startsWith(prefix)))
+    if (already) None
+    else {
+      val names = stage(df, path,
+        token = prefix + java.util.UUID.randomUUID().toString)
+      Some(appendStaged(spark, path, withStats(spark, path, names)))
+    }
+  }
+
+  /** Cheap identity of a committed manifest FILE: (length, mtime) from
+    * one FS stat. Lets a cache distinguish "same version number,
+    * different table" — a table deleted and recreated at the same path
+    * restarts version numbering at 0, and version alone would serve
+    * stale cached state (r13 advice). UUID-based staged names make an
+    * accidental (version, length, mtime) triple collision across
+    * recreations practically impossible, at stat cost instead of a
+    * manifest re-read.
+    */
+  private[graft] def manifestIdentity(spark: SparkSession, path: String,
+                                      v: Long): (Long, Long) = {
+    val mp = manifestPath(path, v)
+    val st = fsOf(spark, mp).getFileStatus(mp)
+    (st.getLen, st.getModificationTime)
   }
 
   /** Manifest lines for staged `names` with per-file numeric min/max
@@ -351,7 +447,8 @@ object ManifestTable {
     // commit stages through the SAME path (not [[replace]]) so the
     // partial-null probe below sees the staged footers before the
     // table exists.
-    val firstCommit = latestVersion(spark, path).isEmpty
+    val baseVersion = latestVersion(spark, path)
+    val firstCommit = baseVersion.isEmpty
     val dataDir = s"$path/$DataDir"
     def paths(ns: Seq[String]) = ns.map(n => s"$dataDir/$n")
     val names = stage(batch, path)
@@ -359,6 +456,25 @@ object ManifestTable {
       val fs = fsOf(spark, new org.apache.hadoop.fs.Path(dataDir))
       ns.foreach(n => fs.delete(
         new org.apache.hadoop.fs.Path(s"$dataDir/$n"), false): Unit)
+    }
+    // every publish below was derived from `baseVersion`'s snapshot
+    // (the kept lines AND the merged content), so it must land at
+    // exactly baseVersion+1: a lost version race means a concurrent
+    // commit our merge didn't see, and publishing anyway would
+    // silently erase it. Fail LOUD instead (r13 advice) — inside
+    // foreachBatch the engine's batch retry re-reads and re-merges;
+    // batch callers see an honest single-writer-contract violation.
+    def publish(linesOut: Seq[String], cleanup: Seq[String]): Long = {
+      val target = baseVersion.getOrElse(-1L) + 1
+      if (commitAt(spark, path, linesOut, target)) target
+      else {
+        dropStaged(cleanup)
+        throw new IllegalStateException(
+          s"upsertPruned: concurrent commit detected at $path (merge " +
+            s"was built from v${baseVersion.getOrElse(-1L)} but v$target " +
+            "was claimed) — re-read and retry; this table requires a " +
+            "single upserting writer")
+      }
     }
     val newLines = withStats(spark, path, names)
     val ranges = newLines.flatMap(l => statsOf(l).get(pruneCol))
@@ -384,19 +500,19 @@ object ManifestTable {
       // first commit: nothing to merge; an empty (or all-null) first
       // batch still commits — it creates the table, matching the
       // replace-based history this branch used to delegate to
-      return Some(commit(spark, path, newLines))
+      return Some(publish(newLines, names))
     }
-    val lines = snapshotLines(spark, path, None)
+    val lines = snapshotLines(spark, path, baseVersion)
     if (ranges.isEmpty) {
       // no recorded range: an EMPTY batch (commit nothing) or an
       // all-null pruneCol (cannot prune — conservative full merge)
       if (spark.read.parquet(paths(names): _*).isEmpty) {
         dropStaged(names); return None
       }
-      val merged = Sinks.upsert(read(spark, path),
+      val merged = Sinks.upsert(read(spark, path, baseVersion),
         spark.read.parquet(paths(names): _*), keys)
       val names2 = stage(merged, path)
-      val v = commit(spark, path, withStats(spark, path, names2))
+      val v = publish(withStats(spark, path, names2), names ++ names2)
       dropStaged(names)
       return Some(v)
     }
@@ -410,13 +526,13 @@ object ManifestTable {
       // fast path — the steady state of a time-keyed table: the batch
       // cannot collide with any committed key, so its staged files
       // join the manifest as-is (no old file read, no rewrite)
-      Some(commit(spark, path, keep ++ newLines))
+      Some(publish(keep ++ newLines, names))
     } else {
       val merged = Sinks.upsert(
         spark.read.parquet(paths(touch.map(nameOf)): _*),
         spark.read.parquet(paths(names): _*), keys)
       val names2 = stage(merged, path)
-      val v = commit(spark, path, keep ++ withStats(spark, path, names2))
+      val v = publish(keep ++ withStats(spark, path, names2), names ++ names2)
       dropStaged(names)
       Some(v)
     }

@@ -799,6 +799,49 @@ object Pipeline {
       .trigger(trigger)
       .start()
 
+  /** The CLOSED daily-accretion loop on the disk serving index (r13
+    * verdict #1): [[dedupProbePrunedToWarehouse]] only READ a static
+    * index — this lane's foreachBatch probes batch N, upserts the
+    * verdicts, and APPENDS batch N's novel signatures so batch N+1
+    * flags duplicates against them (the disk twin of the in-memory
+    * [[dedupProbeStream]] re-planning its static side per batch).
+    *
+    * Exactly-once end to end, every replay window covered:
+    *  - verdict upsert: key-replace on doc_id (idempotent, the alert
+    *    lane's pattern);
+    *  - index append: [[graft.analytics.TextOps.probeAppendBatch]]'s
+    *    txn marker (`txn-b<batchId>-` staged names riding the atomic
+    *    manifest commit) makes a replayed append a detected no-op;
+    *  - verdict DETERMINISM under replay: the probe's history side
+    *    excludes the batch's own doc_ids, so a replay that races its
+    *    predecessor's already-committed append still computes the
+    *    identical verdict rows (the mid-kill soak spec drives this).
+    *
+    * txnIds are scoped by batchId, so ONE accreting stream per index
+    * (the manifest's single-writer contract anyway). Growing tranche
+    * count degrades kept-files per probe ~linearly (measured:
+    * `tools/PruneBound` appended lane); the append path re-lays the
+    * index via [[graft.analytics.TextOps.compactDedupIndex]] once
+    * envelope overlap depth exceeds `relayDepth`.
+    */
+  def dedupProbeAppendToWarehouse(docs: DataFrame, indexPath: String,
+      path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      minEst: Double = 0.75,
+      relayDepth: Int = graft.analytics.TextOps.DedupRelayDepth): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val verdict = graft.analytics.TextOps.probeAppendBatch(
+          batch, indexPath, txnId = s"b$batchId",
+          minEstJaccard = minEst, relayDepth = relayDepth)
+        graft.sinks.ManifestTable.upsertPruned(
+          verdict.repartition(1), path, Seq("doc_id"), "doc_id"): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   private def warehouseSink(alertStream: org.apache.spark.sql.DataFrame,
                             path: String, checkpoint: String,
                             trigger: Trigger): StreamingQuery =

@@ -29,7 +29,20 @@ import org.apache.spark.sql.functions._
   * task work, matched-size collect); `legacy` should grow linearly —
   * the curve that motivated the rewrite.
   *
-  * args: [calls-per-cell] (default 10)
+  * Round-14 APPENDED lane (r13 verdict #2: "measure the prune and the
+  * verdict as tranche count grows, then ship the re-lay trigger"):
+  * the SAME corpus laid as T ∈ {1..64} appended tranches over REAL
+  * data files (total file count held ~constant at 64, so tranche
+  * count — i.e. envelope overlap depth — is the only variable).
+  * Measures per T: overlap depth, kept files for a 512-doc probe,
+  * and the full probe→verdict seconds (file reads included); verdict
+  * rows are checked IDENTICAL across every layout, and a final
+  * [[graft.analytics.TextOps.compactDedupIndex]] row shows the
+  * re-lay restoring the T=1 floor. The growth curve is what
+  * `TextOps.DedupRelayDepth` bounds in production.
+  *
+  * args: [calls-per-cell] (default 10) [lane: synthetic|appended|all]
+  * (default all)
   */
 object PruneBound {
 
@@ -81,14 +94,96 @@ object PruneBound {
     (hit ++ blind.map(_._1)).distinct.size
   }
 
+  /** The appended-layout lane: same corpus, T tranches, ~64 total
+    * files; growth of kept-files and probe-verdict seconds with
+    * tranche count, and the compaction recovery row.
+    */
+  private def appendedLane(spark: SparkSession, docs: DataFrame,
+                           calls: Int): Unit = {
+    import graft.analytics.TextOps
+    val isBatch = graft.operators.Scale.isBatch(col("doc_id"))
+    val hist = TextOps.bandIndexOf(docs.filter(!isBatch))
+      .localCheckpoint(true)
+    val probeDocs = docs.filter(isBatch).orderBy(col("doc_id")).limit(512)
+      .localCheckpoint(true)
+    var baseline: Seq[String] = null
+    val dir = java.nio.file.Files.createTempDirectory("graft_tranche_").toFile
+    try {
+      for (t <- Seq(1, 2, 4, 8, 16, 32, 64)) {
+        val path = new java.io.File(dir, s"idx_t$t").toString
+        // T tranches, each range-laid among itself with ~64/T files:
+        // total files ~constant, overlap depth ~T — depth is the
+        // variable, not file count
+        val perTranche = math.max(1, 64 / t)
+        (0 until t).foreach { i =>
+          TextOps.dedupIndexAppend(hist.filter(col("doc_id") % t === i),
+            path, files = perTranche, relayDepth = 0): Unit
+        }
+        report(spark, s"tranches=$t", path, probeDocs, calls,
+          verdict => {
+            if (baseline == null) baseline = verdict
+            require(verdict == baseline,
+              s"verdict diverged at tranches=$t — layout must be " +
+                "physically invisible")
+          })
+        if (t == 64) {
+          // the re-lay trigger's effect: one compaction restores the
+          // write-layout floor on the SAME table
+          val c0 = System.nanoTime()
+          TextOps.compactDedupIndex(spark, path): Unit
+          val compactMs = (System.nanoTime() - c0) / 1e6
+          println(f"[tranchebound] compactDedupIndex on tranches=64 " +
+            f"took $compactMs%.0f ms")
+          report(spark, "tranches=64+compact", path, probeDocs, calls,
+            verdict => require(verdict == baseline,
+              "verdict diverged after compaction"))
+        }
+      }
+    } finally graft.sinks.Sinks.deleteRecursively(dir)
+  }
+
+  private def report(spark: SparkSession, tag: String, path: String,
+                     probeDocs: DataFrame, calls: Int,
+                     check: Seq[String] => Unit): Unit = {
+    import graft.analytics.TextOps
+    val depth = TextOps.dedupIndexOverlapDepth(spark, path)
+    val total = graft.sinks.ManifestTable.snapshotFiles(spark, path).size
+    val probe = TextOps.bandIndexOf(probeDocs)
+    // warm call pays the per-snapshot envelope build
+    TextOps.dedupPrunedFiles(spark, path, probe): Unit
+    var kept = 0
+    val pruneTs = (1 to calls).map { _ =>
+      val t0 = System.nanoTime()
+      kept = TextOps.dedupPrunedFiles(spark, path, probe)._1.size
+      (System.nanoTime() - t0) / 1e6
+    }
+    var verdict: Seq[String] = null
+    val probeTs = (1 to calls).map { _ =>
+      val t0 = System.nanoTime()
+      val v = TextOps.probePrunedBatch(probeDocs, path)
+      verdict = v.collect().map(_.toString).sorted.toSeq
+      (System.nanoTime() - t0) / 1e6
+    }
+    check(verdict)
+    println(f"[tranchebound] $tag%-20s depth=$depth%3d files=$total%3d " +
+      f"kept=$kept%3d  prune: min=${pruneTs.min}%7.1f ms " +
+      f"mean=${pruneTs.sum / pruneTs.size}%7.1f  " +
+      f"probe+verdict: min=${probeTs.min}%8.1f ms " +
+      f"mean=${probeTs.sum / probeTs.size}%8.1f")
+  }
+
   def main(args: Array[String]): Unit = {
     val calls = args.headOption.map(_.toInt).getOrElse(10)
+    val lane = args.lift(1).getOrElse("all")
     val spark = graft.spark.Sessions.local("32", "32")
     spark.sparkContext.setLogLevel("ERROR")
     import graft.analytics.TextOps
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = graft.ingest.Sources.documents(spark, sf)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+    if (lane == "appended" || lane == "all") appendedLane(spark, docs, calls)
+    if (lane == "synthetic" || lane == "all") {
 
     val dir = java.nio.file.Files.createTempDirectory("graft_prunebound_").toFile
     try {
@@ -124,6 +219,7 @@ object PruneBound {
         probe.unpersist(blocking = true): Unit
       }
     } finally graft.sinks.Sinks.deleteRecursively(dir)
+    }
     spark.stop()
   }
 }

@@ -614,4 +614,131 @@ class ManifestSpec extends SparkSpec {
       assert(ManifestTable.read(spark, path3).count() == 0)
     } finally graft.sinks.Sinks.deleteRecursively(tmp)
   }
+
+  test("concurrent appends serialize: every tranche survives the race (r13 advice/directive)") {
+    // append is a read-modify-write; before round 14 a lost version
+    // race retried with the STALE base lines, silently dropping the
+    // racing committer's files. The fix re-reads the base after each
+    // lost race — so N racing appends must ALL land, whatever the
+    // interleaving.
+    import graft.sinks.ManifestTable
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_apprace_").toFile
+    try {
+      val path = new java.io.File(tmp, "t").toString
+      ManifestTable.replace(Seq(0L).toDF("id").repartition(1), path)
+      val n = 4
+      val barrier = new java.util.concurrent.CyclicBarrier(n)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to n).map { i =>
+        new Thread(() => {
+          try {
+            val df = Seq(i.toLong).toDF("id").repartition(1)
+            // all four stage+commit sequences start together
+            barrier.await()
+            ManifestTable.append(df, path): Unit
+          } catch { case t: Throwable => errs.add(t): Unit }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(60000))
+      assert(errs.isEmpty, s"append racer failed: ${errs.peek()}")
+      val got = ManifestTable.read(spark, path)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == (0L to n.toLong).toSet,
+        s"a racing append's tranche was dropped: $got")
+      // one version per append, plus the seed replace
+      assert(ManifestTable.versions(spark, path).size == n + 1)
+    } finally graft.sinks.Sinks.deleteRecursively(tmp)
+  }
+
+  test("appendOnce: a replayed txn is a detected no-op; distinct txns commit") {
+    import graft.sinks.ManifestTable
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_apponce_").toFile
+    try {
+      val path = new java.io.File(tmp, "t").toString
+      // creates the table
+      val v0 = ManifestTable.appendOnce(Seq(1L).toDF("id").repartition(1),
+        path, "b0")
+      assert(v0.contains(0L))
+      // replay of the SAME txn (foreachBatch crash-replay): no-op
+      val replay = ManifestTable.appendOnce(
+        Seq(99L).toDF("id").repartition(1), path, "b0")
+      assert(replay.isEmpty, "replayed txn must not re-append")
+      assert(ManifestTable.read(spark, path)
+        .collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // next batch's txn commits alongside
+      val v1 = ManifestTable.appendOnce(Seq(2L).toDF("id").repartition(1),
+        path, "b1")
+      assert(v1.contains(1L))
+      assert(ManifestTable.read(spark, path)
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      // marker rides the manifest itself: file names carry the txn
+      val names = ManifestTable.snapshotFiles(spark, path)
+      assert(names.exists(_.startsWith("txn-b0-")) &&
+        names.exists(_.startsWith("txn-b1-")))
+      // txn ids that could collide as prefixes must not ("b1" vs "b10")
+      assert(ManifestTable.appendOnce(Seq(3L).toDF("id").repartition(1),
+        path, "b10").isDefined)
+      // and an unsafe txn id is refused, not mangled
+      intercept[IllegalArgumentException] {
+        ManifestTable.appendOnce(Seq(4L).toDF("id"), path, "a/b")
+      }
+    } finally graft.sinks.Sinks.deleteRecursively(tmp)
+  }
+
+  test("upsertPruned fails LOUD when a commit lands inside its read-merge window") {
+    // deterministic interleaving: the upsert's batch frame blocks in
+    // stage() on a latch (after the base version was captured), a
+    // competing replace commits, the latch releases — the upsert must
+    // now refuse to publish its stale merge instead of erasing the
+    // competing commit (r13 advice: commit()'s silent next-version
+    // retry was exactly that erasure).
+    import graft.sinks.ManifestTable
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsrace_").toFile
+    try {
+      val path = new java.io.File(tmp, "t").toString
+      ManifestTable.replace(
+        Seq((1L, 10L, "a")).toDF("k", "t", "v").repartition(1), path)
+      SinksSpec.gate = new java.util.concurrent.CountDownLatch(1)
+      val gated = org.apache.spark.sql.functions.udf { (k: Long) =>
+        SinksSpec.gate.await(60, java.util.concurrent.TimeUnit.SECONDS); k
+      }
+      val batch = Seq((2L, 20L, "b")).toDF("k", "t", "v")
+        .withColumn("k", gated(col("k"))).repartition(1)
+      val result = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, Option[Long]]]()
+      val t = new Thread(() =>
+        result.set(
+          try Right(ManifestTable.upsertPruned(batch, path, Seq("k"), "t"))
+          catch { case e: Throwable => Left(e) }))
+      t.start()
+      Thread.sleep(500) // let the upsert capture its base version
+      ManifestTable.replace(
+        Seq((9L, 90L, "z")).toDF("k", "t", "v").repartition(1), path)
+      SinksSpec.gate.countDown()
+      t.join(60000)
+      result.get() match {
+        case Left(e) =>
+          assert(e.getMessage != null &&
+            e.getMessage.contains("concurrent commit"),
+            s"expected the concurrent-commit refusal, got: $e")
+          // the competing commit survives untouched
+          assert(ManifestTable.read(spark, path)
+            .collect().map(_.getLong(0)).toSeq == Seq(9L))
+        case Right(_) =>
+          fail("upsertPruned published a merge built from a stale snapshot")
+      }
+    } finally graft.sinks.Sinks.deleteRecursively(tmp)
+  }
+}
+
+object SinksSpec {
+  /** Latch gating the upsert-race spec's batch evaluation (static so
+    * local-mode executor threads see it without closure capture).
+    */
+  @volatile var gate: java.util.concurrent.CountDownLatch = _
 }

@@ -211,8 +211,14 @@ class StreamingSpec extends SparkSpec {
       }
       assert(fed == 40, "feeder starved")
       // wait until the job has committed SOMETHING but not necessarily
-      // everything, then kill it mid-stream
-      while (!new java.io.File(s"$dir/data").exists() &&
+      // everything, then kill it mid-stream. Probe with an actual read:
+      // the data DIR existing is not enough — under load the first
+      // batch may not have committed yet, and a schema-less read after
+      // the kill would fail the fixture, not the contract
+      def committed(): Long =
+        try spark.read.parquet(s"$dir/data").count()
+        catch { case _: org.apache.spark.sql.AnalysisException => -1L }
+      while (committed() < 1 &&
              System.currentTimeMillis() < deadline) Thread.sleep(50)
     } finally q1.stop()
     q1.awaitTermination()
@@ -852,6 +858,131 @@ class StreamingSpec extends SparkSpec {
       val byId = got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("is_dup")).toMap
       assert(byId(100L) == 1L && byId(103L) == 1L)
       assert(byId(101L) == 0L && byId(104L) == 0L)
+    } finally graft.sinks.Sinks.deleteRecursively(dir)
+  }
+
+  test("probe-append stream: cross-batch duplicate flags against the APPENDED tranche") {
+    // the closed daily-accretion loop (r14): batch N's novel docs are
+    // appended to the DISK index inside foreachBatch, so batch N+1's
+    // duplicates flag against them — not only against initial history
+    import spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again",
+        "en", "src0")).toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpa_").toFile
+    try {
+      val idx = new java.io.File(dir, "idx").toString
+      val gold = new java.io.File(dir, "gold").toString
+      val chk = new java.io.File(dir, "chk").toString
+      graft.analytics.TextOps.dedupIndexWrite(
+        graft.analytics.TextOps.bandIndexOf(history), idx)
+      val input = MemoryStream[(Long, String, String, String)](spark)
+      val docs = input.toDF().toDF("doc_id", "text", "lang", "source")
+      val q = Pipeline.dedupProbeAppendToWarehouse(docs, idx, gold, chk,
+        Trigger.ProcessingTime(0))
+      try {
+        input.addData(
+          // novel: must be APPENDED
+          (100L, "a brand new never seen document about mountain weather",
+            "en", "src0"),
+          // dup of initial history
+          (101L, "the quick brown fox jumps over the lazy dog again and again",
+            "en", "src0"))
+        q.processAllAvailable()
+        input.addData(
+          // copy of batch-1's APPENDED doc 100 — the accretion claim
+          (200L, "a brand new never seen document about mountain weather",
+            "en", "src0"),
+          (201L, "yet another unrelated novel document entirely",
+            "en", "src0"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = graft.sinks.ManifestTable.read(spark, gold).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("is_dup"),
+            Option(r.get(r.fieldIndex("dup_of"))))).toMap
+      assert(got.size == 4, s"expected 4 verdicts, got $got")
+      assert(got(101L) == ((1L, Some(1L))), s"history dup missed: $got")
+      assert(got(100L) == ((0L, None)))
+      assert(got(201L) == ((0L, None)))
+      assert(got(200L) == ((1L, Some(100L))),
+        s"cross-batch duplicate did not flag against the appended " +
+          s"tranche: ${got(200L)}")
+      // only novel docs accreted
+      val idxIds = graft.sinks.ManifestTable.read(spark, idx)
+        .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+      assert(idxIds == Set(1L, 100L, 201L), s"index accretion wrong: $idxIds")
+    } finally graft.sinks.Sinks.deleteRecursively(dir)
+  }
+
+  test("probe-append stream: mid-stream kill, restart — verdicts exactly-once, index appended exactly once") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again",
+        "en", "src0")).toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpak_").toFile
+    try {
+      val idx = new java.io.File(dir, "idx").toString
+      val gold = new java.io.File(dir, "gold").toString
+      val chk = new java.io.File(dir, "chk").toString
+      graft.analytics.TextOps.dedupIndexWrite(
+        graft.analytics.TextOps.bandIndexOf(history), idx)
+      val input = MemoryStream[(Long, String, String, String)](spark)
+      val docs = input.toDF().toDF("doc_id", "text", "lang", "source")
+      // mutually DISSIMILAR soak docs (mostly per-doc tokens): sharing
+      // only 2 of ~9 tokens keeps true Jaccard ~0.2, far under the
+      // 0.75 threshold, so accreted soak docs never flag each other
+      def doc(i: Long) =
+        (i, s"soak document alpha$i beta$i gamma$i delta$i epsilon$i " +
+          s"zeta$i eta$i", "en", "src0")
+      // continuous trigger, feed while running, kill mid-stream;
+      // relay DISABLED so the exactly-once-append assertion below
+      // cannot be masked by a compaction's duplicate squeeze
+      val q1 = Pipeline.dedupProbeAppendToWarehouse(docs, idx, gold, chk,
+        Trigger.ProcessingTime("50 milliseconds"), relayDepth = 0)
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        var fed = 0L
+        while (fed < 12 && System.currentTimeMillis() < deadline) {
+          input.addData(doc(100 + fed), doc(100 + fed + 1))
+          fed += 2
+          Thread.sleep(120)
+        }
+        assert(fed == 12, "feeder starved")
+        while (graft.sinks.ManifestTable.latestVersion(spark, gold).isEmpty &&
+               System.currentTimeMillis() < deadline) Thread.sleep(50)
+      } finally q1.stop()
+      q1.awaitTermination()
+      // dup of a doc appended BEFORE the kill + one more novel, then
+      // restart from the same checkpoint and drain
+      val d100 = doc(100)
+      input.addData((300L, d100._2, d100._3, d100._4), doc(301))
+      val q2 = Pipeline.dedupProbeAppendToWarehouse(docs, idx, gold, chk,
+        relayDepth = 0)
+      q2.awaitTermination()
+      val gotRows = graft.sinks.ManifestTable.read(spark, gold).collect()
+      // exactly one verdict per doc across the kill/restart
+      assert(gotRows.length == 14,
+        s"exactly-once violated: ${gotRows.length} verdicts for 14 docs")
+      val got = gotRows.map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("is_dup"),
+          Option(r.get(r.fieldIndex("dup_of"))))).toMap
+      assert(got(300L) == ((1L, Some(100L))),
+        s"post-restart dup must flag against the pre-kill appended " +
+          s"tranche: ${got(300L)}")
+      assert((100L to 111L).forall(i => got(i) == ((0L, None))), s"$got")
+      assert(got(301L) == ((0L, None)))
+      // the index holds each appended doc EXACTLY once (no replayed
+      // double-append): every doc_id has exactly one row per band
+      val bandCounts = graft.sinks.ManifestTable.read(spark, idx)
+        .groupBy(col("doc_id"), col("band")).count()
+        .filter(col("count") > 1).count()
+      assert(bandCounts == 0,
+        "a replayed micro-batch double-appended into the index")
+      val idxIds = graft.sinks.ManifestTable.read(spark, idx)
+        .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+      assert(idxIds == ((100L to 111L).toSet + 1L + 301L),
+        s"index accretion wrong after kill/restart: $idxIds")
     } finally graft.sinks.Sinks.deleteRecursively(dir)
   }
 

@@ -1118,6 +1118,150 @@ class TextOpsSpec extends SparkSpec {
     } finally graft.sinks.Sinks.deleteRecursively(dir)
   }
 
+  test("envelope cache keys on manifest IDENTITY: a recreated index at the same path is re-read") {
+    // r13 advice (medium): version numbering restarts at 0 when a
+    // table is deleted and recreated at the same path, so a
+    // version-only cache key would serve the OLD table's envelopes —
+    // and a probe falling outside them silently reports zero
+    // duplicates. The fix keys on (version, manifest length, mtime).
+    val dir = java.nio.file.Files.createTempDirectory("graft_envid_").toFile
+    try {
+      val path = new java.io.File(dir, "idx").toString
+      val docs = graft.ingest.Sources.documents(spark, sf)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      TextOps.dedupIndexWrite(TextOps.bandIndexOf(docs), path)
+      val probe = TextOps.bandIndexOf(docs.orderBy(col("doc_id")).limit(3))
+      TextOps.dedupPrunedFiles(spark, path, probe): Unit // cache v0
+      assert(graft.sinks.ManifestTable.latestVersion(spark, path)
+        .contains(0L))
+      // delete and RECREATE at the same path: version 0 again, new files
+      graft.sinks.Sinks.deleteRecursively(new java.io.File(path))
+      TextOps.dedupIndexWrite(
+        TextOps.bandIndexOf(docs.filter(col("doc_id") % 2 === 0)), path)
+      assert(graft.sinks.ManifestTable.latestVersion(spark, path)
+        .contains(0L), "fixture: recreation must restart at version 0")
+      val newFiles = graft.sinks.ManifestTable.snapshotFiles(spark, path).toSet
+      val (kept, _) = TextOps.dedupPrunedFiles(spark, path, probe)
+      assert(kept.nonEmpty && kept.forall(newFiles),
+        s"stale envelope cache across a same-path recreation: " +
+          s"${kept.filterNot(newFiles).take(3)}")
+      // and the full probe still answers correctly against the new table
+      val verdict = TextOps.probePrunedBatch(
+        docs.orderBy(col("doc_id")).limit(3), path).collect()
+      assert(verdict.length == 3)
+    } finally graft.sinks.Sinks.deleteRecursively(dir)
+  }
+
+  test("append re-lay trigger: overlap depth past the threshold compacts, verdicts invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_relay_").toFile
+    try {
+      val path = new java.io.File(dir, "idx").toString
+      val spark2 = spark
+      import spark2.implicits._
+      val docs = graft.ingest.Sources.documents(spark, sf)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val isBatch = graft.operators.Scale.isBatch(col("doc_id"))
+      val hist = TextOps.bandIndexOf(docs.filter(!isBatch))
+        .localCheckpoint(true)
+      val batch = docs.filter(isBatch)
+      // fresh write: depth is the range-laid floor (1–2: inclusive
+      // endpoints of adjacent envelopes may touch)
+      TextOps.dedupIndexWrite(hist.filter(col("doc_id") % 4 === 0), path)
+      val floor = TextOps.dedupIndexOverlapDepth(spark, path)
+      assert(floor <= 2, s"range-laid depth should be ~1, got $floor")
+      // three appends with the trigger DISABLED (relayDepth=0): each
+      // tranche tiles the key space once more — depth grows
+      (1 to 3).foreach { i =>
+        TextOps.dedupIndexAppend(hist.filter(col("doc_id") % 4 === i),
+          path, files = 4, relayDepth = 0): Unit
+      }
+      val grown = TextOps.dedupIndexOverlapDepth(spark, path)
+      assert(grown > floor && grown >= 3,
+        s"appends should stack envelope depth, got $grown (floor $floor)")
+      val verdictBefore = TextOps.probePrunedBatch(batch, path).collect()
+        .map(_.toString).sorted.toSeq
+      // one more append WITH a threshold the snapshot already exceeds:
+      // the trigger must re-lay the whole index in the same call (the
+      // sentinel doc's unique tokens cannot collide with any probe)
+      val extra = TextOps.bandIndexOf(Seq(
+        (999999L, "zzq unique relay trigger sentinel wwx yyv qqj",
+          "en", "srcZ")).toDF("doc_id", "text", "lang", "source"))
+      TextOps.dedupIndexAppend(extra, path, files = 1,
+        relayDepth = 2): Unit
+      val relaid = TextOps.dedupIndexOverlapDepth(spark, path)
+      assert(relaid <= 2,
+        s"re-lay should restore the range-laid floor, got $relaid")
+      assert(graft.sinks.ManifestTable.snapshotFiles(spark, path).size ==
+        TextOps.DedupIndexFiles,
+        "re-lay should produce the full write layout")
+      // physical-only: the probe answers identically pre/post re-lay
+      val verdictAfter = TextOps.probePrunedBatch(batch, path).collect()
+        .map(_.toString).sorted.toSeq
+      assert(verdictAfter == verdictBefore,
+        "compaction changed verdicts — re-lay must be physically invisible")
+    } finally graft.sinks.Sinks.deleteRecursively(dir)
+  }
+
+  test("probeAppendBatch: accretes novel docs; a crash-replay computes the identical verdict and appends nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pab_").toFile
+    try {
+      val path = new java.io.File(dir, "idx").toString
+      val spark2 = spark
+      import spark2.implicits._
+      val history = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again and again",
+          "en", "src0"),
+        (2L, "completely different historical content about rivers and sensors",
+          "en", "src0")).toDF("doc_id", "text", "lang", "source")
+      TextOps.dedupIndexWrite(TextOps.bandIndexOf(history), path)
+      val batch = Seq(
+        // dup of history doc 1
+        (100L, "the quick brown fox jumps over the lazy dog again and again",
+          "en", "src0"),
+        // novel
+        (101L, "entirely novel text that matches nothing in the history",
+          "en", "src0"),
+        // within-batch copy of the novel doc: judged against HISTORY
+        // only, so it passes clean this batch and both land in the index
+        (102L, "entirely novel text that matches nothing in the history",
+          "en", "src0")).toDF("doc_id", "text", "lang", "source")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1),
+          Option(r.get(r.fieldIndex("dup_of"))),
+          Option(r.get(r.fieldIndex("est_jaccard"))))
+      val v1 = TextOps.probeAppendBatch(batch, path, txnId = "b0")
+        .collect().map(key).toSet
+      assert(v1 == Set(
+        (100L, 1L, Some(1L), Some(1.0)),
+        (101L, 0L, None, None),
+        (102L, 0L, None, None)), s"first-run verdict wrong: $v1")
+      // the novel docs (and ONLY they) accreted into the index
+      val idxIds = graft.sinks.ManifestTable.read(spark, path)
+        .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+      assert(idxIds == Set(1L, 2L, 101L, 102L),
+        s"index accretion wrong: $idxIds")
+      val versionsAfter = graft.sinks.ManifestTable.versions(spark, path)
+      // CRASH-REPLAY: same batch, same txnId, index already appended.
+      // The verdict must be IDENTICAL (batch's own ids are excluded
+      // from the history side — no self-matches, no within-batch
+      // matches through the half-committed tranche) and the append a
+      // detected no-op.
+      val v2 = TextOps.probeAppendBatch(batch, path, txnId = "b0")
+        .collect().map(key).toSet
+      assert(v2 == v1, s"replay verdict diverged:\n$v2\nvs\n$v1")
+      assert(graft.sinks.ManifestTable.versions(spark, path) == versionsAfter,
+        "replay re-appended — txn marker not honored")
+      // a NEXT batch flags against the appended tranche
+      val next = Seq(
+        (200L, "entirely novel text that matches nothing in the history",
+          "en", "src0")).toDF("doc_id", "text", "lang", "source")
+      val v3 = TextOps.probeAppendBatch(next, path, txnId = "b1")
+        .collect().map(key).toSet
+      assert(v3 == Set((200L, 1L, Some(101L), Some(1.0))),
+        s"cross-batch accretion failed: $v3")
+    } finally graft.sinks.Sinks.deleteRecursively(dir)
+  }
+
   test("bigram LM: NLL bounds and bigram mass per eval doc") {
     val rows = TextOps.lmBigram(spark, sf).collect()
     assert(rows.nonEmpty)
