@@ -2840,6 +2840,40 @@ object TextOps {
     }(path => probePrunedBatch(docs.filter(isBatch), path, minEstJaccard))
   }
 
+  /** [[incrementalDedup]] through a serving index whose build goes
+    * append → append → append → TRIGGERED RE-LAY: four doc_id-quarter
+    * tranches accrete with the relay disabled, then the last append
+    * runs with `relayDepth = 2` — a threshold the snapshot already
+    * exceeds — so the oracle-gated path goes through
+    * [[dedupIndexOverlapDepth]] and [[compactDedupIndex]] before the
+    * probe. Output identical row-for-row to the other three physical
+    * paths under the SAME DuckDB oracle: what q_incr_dedup_appended
+    * proved for the overlap walk, this proves for the COMPACTION —
+    * re-laying (and its exact-duplicate squeeze) changes which bytes
+    * a probe reads, never which rows match. The require makes Verify
+    * itself fail loudly if the trigger ever stops firing (the physical
+    * precondition, not just the row answer).
+    */
+  def incrementalDedupCompacted(spark: SparkSession, dir: String,
+                                minEstJaccard: Double = 0.75): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val isBatch = graft.operators.Scale.isBatch(col("doc_id"))
+    withServingIndex(s"$dir#compacted") { into =>
+      val path = new java.io.File(into, "dedup_index").toString
+      val hist = bandIndexOf(docs.filter(!isBatch))
+        .localCheckpoint(eager = true) // four tranche writes, one sig pass
+      (0 until 4).foreach { i =>
+        dedupIndexAppend(hist.filter(col("doc_id") % 4 === i), path,
+          files = math.max(1, DedupIndexFiles / 4),
+          relayDepth = if (i < 3) 0 else 2): Unit
+      }
+      require(dedupIndexOverlapDepth(spark, path) <= 2,
+        "q_incr_dedup_compacted fixture: the re-lay trigger did not fire")
+      path
+    }(path => probePrunedBatch(docs.filter(isBatch), path, minEstJaccard))
+  }
+
   // ---------------------------------------------------------------
   // L2: SimHash (oracle-checked: fingerprints derive from the same
   // engine-portable md5 words as MinHash, and the banding is
@@ -5357,6 +5391,7 @@ object TextOps {
     "q_incr_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "q_incr_dedup_pruned" -> ((s: SparkSession, d: String) => incrementalDedupPruned(s, d)),
     "q_incr_dedup_appended" -> ((s: SparkSession, d: String) => incrementalDedupAppended(s, d)),
+    "q_incr_dedup_compacted" -> ((s: SparkSession, d: String) => incrementalDedupCompacted(s, d)),
     "q_simhash_dedup" -> ((s: SparkSession, d: String) => simHashDedup(s, d)),
     "q_doc_fingerprint" -> (docFingerprints _),
     "q_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
@@ -5408,6 +5443,7 @@ object TextOps {
     // identical — the SAME oracle gates both
     "q_incr_dedup_pruned" -> incrementalDedupSql,
     "q_incr_dedup_appended" -> incrementalDedupSql,
+    "q_incr_dedup_compacted" -> incrementalDedupSql,
     "q_simhash_dedup" -> simHashDedupSql,
     "q_doc_fingerprint" -> docFingerprintsSql,
     "q_dedup_exact" -> dedupExactSql,

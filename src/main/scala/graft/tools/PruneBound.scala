@@ -94,9 +94,16 @@ object PruneBound {
     (hit ++ blind.map(_._1)).distinct.size
   }
 
-  /** The appended-layout lane: same corpus, T tranches, ~64 total
-    * files; growth of kept-files and probe-verdict seconds with
-    * tranche count, and the compaction recovery row.
+  /** The appended-layout lane, modeling the DAILY shape: each tranche
+    * appends with a FIXED file count (DedupIndexFiles/4 = 8, the
+    * append path's documented daily share), so T tranches leave 8·T
+    * files whose envelopes each tile the key space once — overlap
+    * depth ~T. Probed FAT (512 docs — a big micro-batch whose keys
+    * blanket the space: kept-files = all of them at every T, so its
+    * cost curve is pure file-count) and THIN (16 docs — the
+    * steady-state micro-batch, where kept-files growth ∝ depth is
+    * visible). Verdict rows are require()d identical across every
+    * layout and after the final compaction.
     */
   private def appendedLane(spark: SparkSession, docs: DataFrame,
                            calls: Int): Unit = {
@@ -104,28 +111,32 @@ object PruneBound {
     val isBatch = graft.operators.Scale.isBatch(col("doc_id"))
     val hist = TextOps.bandIndexOf(docs.filter(!isBatch))
       .localCheckpoint(true)
-    val probeDocs = docs.filter(isBatch).orderBy(col("doc_id")).limit(512)
-      .localCheckpoint(true)
-    var baseline: Seq[String] = null
+    val probes = Seq(
+      "fat512" -> docs.filter(isBatch).orderBy(col("doc_id")).limit(512)
+        .localCheckpoint(true),
+      "thin16" -> docs.filter(isBatch).orderBy(col("doc_id")).limit(16)
+        .localCheckpoint(true))
+    val baselines = scala.collection.mutable.Map.empty[String, Seq[String]]
+    def checkAll(path: String, tag: String): Unit =
+      probes.foreach { case (pname, pdocs) =>
+        report(spark, s"$tag probe=$pname", path, pdocs, calls,
+          verdict => {
+            val b = baselines.getOrElseUpdate(pname, verdict)
+            require(verdict == b,
+              s"verdict diverged at $tag probe=$pname — layout must " +
+                "be physically invisible")
+          })
+      }
     val dir = java.nio.file.Files.createTempDirectory("graft_tranche_").toFile
     try {
-      for (t <- Seq(1, 2, 4, 8, 16, 32, 64)) {
+      for (t <- Seq(1, 4, 16, 64)) {
         val path = new java.io.File(dir, s"idx_t$t").toString
-        // T tranches, each range-laid among itself with ~64/T files:
-        // total files ~constant, overlap depth ~T — depth is the
-        // variable, not file count
-        val perTranche = math.max(1, 64 / t)
         (0 until t).foreach { i =>
           TextOps.dedupIndexAppend(hist.filter(col("doc_id") % t === i),
-            path, files = perTranche, relayDepth = 0): Unit
+            path, files = math.max(1, TextOps.DedupIndexFiles / 4),
+            relayDepth = 0): Unit
         }
-        report(spark, s"tranches=$t", path, probeDocs, calls,
-          verdict => {
-            if (baseline == null) baseline = verdict
-            require(verdict == baseline,
-              s"verdict diverged at tranches=$t — layout must be " +
-                "physically invisible")
-          })
+        checkAll(path, s"tranches=$t")
         if (t == 64) {
           // the re-lay trigger's effect: one compaction restores the
           // write-layout floor on the SAME table
@@ -134,9 +145,7 @@ object PruneBound {
           val compactMs = (System.nanoTime() - c0) / 1e6
           println(f"[tranchebound] compactDedupIndex on tranches=64 " +
             f"took $compactMs%.0f ms")
-          report(spark, "tranches=64+compact", path, probeDocs, calls,
-            verdict => require(verdict == baseline,
-              "verdict diverged after compaction"))
+          checkAll(path, "tranches=64+compact")
         }
       }
     } finally graft.sinks.Sinks.deleteRecursively(dir)
