@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Manifest-committed parquet table — the minimal transactional layer
   * the offline container can host (the seam where Delta/Iceberg slots
@@ -583,6 +583,133 @@ object ManifestTable {
     } else {
       spark.read.parquet(kept.map(n => s"$path/$DataDir/$n"): _*)
         .filter(c(column) >= lo && c(column) <= hi)
+    }
+  }
+
+  /** CHANGE DATA FEED at file granularity: every row of every data
+    * file present in exactly one of the two snapshots, tagged
+    * `_change_type` = `insert` (files added between `fromVersion` and
+    * `toVersion`) or `delete` (files removed). Because data files are
+    * immutable and commits only swap manifest LINES, the diff of two
+    * manifests is the complete, exact description of what changed —
+    * and files carried verbatim across the window (the vast majority
+    * of a large table under [[append]]/[[upsertPruned]]) contribute
+    * NOTHING to the scan: the feed costs O(changed files), never
+    * O(table). That is what makes a downstream incremental consumer
+    * (see [[Sinks.maintainAgg]]) cheaper than recomputing from the
+    * full snapshot. The reference's lake intent (reference:
+    * streaming/spark_processor.py:42) is Delta, whose Change Data
+    * Feed this mirrors at file granularity.
+    *
+    * Copy-on-write caveat: a rewrite ([[upsertPruned]], [[compact]],
+    * [[deleteWhere]]) re-stages UNCHANGED rows alongside changed ones,
+    * so a carried row in a rewritten file appears as both a delete
+    * (old file) and an insert (new file) — "rewrite noise".
+    * [[netChanges]] cancels it. Versions spanning multiple commits
+    * yield the NET file diff (a file added then removed inside the
+    * window never appears).
+    */
+  def changes(spark: SparkSession, path: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    val from = snapshotFiles(spark, path, Some(fromVersion)).toSet
+    val to = snapshotFiles(spark, path, Some(toVersion)).toSet
+    val added = (to -- from).toSeq.sorted
+    val removed = (from -- to).toSeq.sorted
+    def slice(ns: Seq[String], kind: String): Option[DataFrame] =
+      if (ns.isEmpty) None
+      else Some(readFiles(spark, path, ns)
+        .withColumn("_change_type", lit(kind)))
+    (slice(added, "insert"), slice(removed, "delete")) match {
+      case (Some(a), Some(d)) => a.unionByName(d)
+      case (Some(a), None) => a
+      case (None, Some(d)) => d
+      case (None, None) =>
+        // no file changed: empty feed with the table's schema
+        read(spark, path, Some(toVersion))
+          .withColumn("_change_type", lit("insert"))
+          .filter(lit(false))
+    }
+  }
+
+  /** ROW-LEVEL net change feed: [[changes]] with copy-on-write rewrite
+    * noise cancelled — a row carried byte-identical from a removed
+    * file into an added file is no change, and `exceptAll`'s bag
+    * difference removes exactly those matched insert/delete pairs
+    * (multiplicity-aware, so duplicate rows cancel one-for-one). What
+    * survives is the true row delta: rows only in the new files
+    * (`insert`) and rows only in the old (`delete`); an updated key
+    * appears as one of each. Cost: one shuffle over CHANGED-file rows
+    * only — the cancellation never touches carried files, so the
+    * O(changed files) bound of the file-level feed is preserved.
+    */
+  def netChanges(spark: SparkSession, path: String,
+                 fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val feed = changes(spark, path, fromVersion, toVersion)
+    val ins = feed.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    val del = feed.filter(col("_change_type") === "delete")
+      .drop("_change_type")
+    ins.exceptAll(del).withColumn("_change_type", lit("insert"))
+      .unionByName(del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+  }
+
+  /** Copy-on-write row-level DELETE through the stats envelope: files
+    * whose recorded [min, max] for `pruneCol` intersects [lo, hi] are
+    * rewritten WITHOUT the rows matching `pred`; every other committed
+    * file carries into the new manifest line-for-line, untouched on
+    * disk (same amortization as [[upsertPruned]] — for a range-laid
+    * table the rewrite is O(files that can hold a match), not
+    * O(table)). Files with no recorded bounds for `pruneCol` always
+    * rewrite: skipping must be conservative.
+    *
+    * CONTRACT: every row satisfying `pred` must have `pruneCol` in
+    * [lo, hi] — the envelope is how matching rows are FOUND, and a
+    * match outside it silently survives (the caller owns this because
+    * `pred` is an arbitrary Column the manifest cannot bound itself;
+    * the common GDPR/retention deletes — a key list, a time horizon —
+    * bound naturally). Returns None without committing when no
+    * snapshot file can hold a match or no row actually matches (an
+    * envelope false positive must not rewrite files and burn a
+    * version for a no-op). Single-writer: the commit lands at exactly
+    * base+1 and fails LOUD on a concurrent commit, like
+    * [[upsertPruned]].
+    */
+  def deleteWhere(spark: SparkSession, path: String, pred: Column,
+                  pruneCol: String, lo: Double, hi: Double): Option[Long] = {
+    val baseVersion = latestVersion(spark, path)
+    require(baseVersion.nonEmpty, s"deleteWhere: no committed snapshot at $path")
+    val lines = snapshotLines(spark, path, baseVersion)
+    val (touch, keep) = lines.partition { l =>
+      statsOf(l).get(pruneCol).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    if (touch.isEmpty) return None
+    val touched = readFiles(spark, path, touch.map(nameOf))
+    // envelope false positive: bounds intersect but no row matches —
+    // footer/row-group pushdown answers this without a full scan for
+    // simple predicates, and skipping the rewrite keeps no-ops free
+    if (touched.filter(pred).isEmpty) return None
+    // survivors are the rows where pred is NOT TRUE — a row where pred
+    // evaluates NULL (three-valued logic: a null operand in the
+    // predicate) is not a match and must SURVIVE; a plain !pred would
+    // evaluate NULL there too and silently delete it. The null-safe
+    // <=> makes "not true" explicit.
+    val survivors = touched.filter(!(pred <=> org.apache.spark.sql.functions.lit(true)))
+    val names2 = stage(survivors, path)
+    val linesOut = keep ++ withStats(spark, path, names2)
+    val target = baseVersion.get + 1
+    if (commitAt(spark, path, linesOut, target)) Some(target)
+    else {
+      val fs = fsOf(spark, new org.apache.hadoop.fs.Path(s"$path/$DataDir"))
+      names2.foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/$DataDir/$n"), false): Unit)
+      throw new IllegalStateException(
+        s"deleteWhere: concurrent commit detected at $path (delete was " +
+          s"built from v${baseVersion.get} but v$target was claimed) — " +
+          "re-read and retry; this table requires a single writer")
     }
   }
 

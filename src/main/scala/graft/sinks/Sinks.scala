@@ -351,17 +351,253 @@ object Sinks {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Incremental view maintenance for SUM/COUNT gold aggregates: apply
+    * a NET change feed ([[ManifestTable.netChanges]]) to a previously
+    * materialized aggregate instead of recomputing it from the full
+    * snapshot. Sums and counts form an abelian group — an `insert` row
+    * contributes +value/+1, a `delete` row −value/−1 — so the delta
+    * aggregates over CHANGED rows only, outer-merges with the base on
+    * `groupCols`, and groups whose maintained count reaches zero drop
+    * out. At 100 TB this is the difference between a maintenance job
+    * that reads a day's delta (the changed files) and one that rescans
+    * the table: the delta side is tiny, so Catalyst broadcasts it into
+    * the merge join.
+    *
+    * `base` must carry `groupCols`, LONG `sumCols`, and a LONG count
+    * in `countCol` (exact integer carriers — the same discipline every
+    * oracle-gated money column here uses; FP sums would drift from the
+    * recompute by addition order). `net` is the change feed: the base
+    * columns plus `_change_type`.
+    */
+  def maintainAgg(base: DataFrame, net: DataFrame, groupCols: Seq[String],
+                  sumCols: Seq[String], countCol: String): DataFrame = {
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val aggs = sumCols.map(c => sum(col(c) * sign).as(c)) :+
+      sum(sign).as(countCol)
+    val delta = net.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val d = delta.select(groupCols.map(col) ++
+      (sumCols :+ countCol).map(c => col(c).as(s"${c}__delta")): _*)
+    base.join(d, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ (sumCols :+ countCol).map(c =>
+        (coalesce(col(c), lit(0L)) +
+          coalesce(col(s"${c}__delta"), lit(0L))).as(c)): _*)
+      .filter(col(countCol) > 0)
+  }
+
+  /** Oracle-checked CDC query: commit orders as v1, reprice the urgent
+    * and high priorities through a copy-on-write [[ManifestTable.upsertPruned]]
+    * (v2), then read the ROW-LEVEL net change feed between the two
+    * versions. The upsert's key range spans most of the range-laid
+    * table, so the rewritten files are full of carried rows — the
+    * file-level feed is dominated by rewrite noise, and the `require`
+    * pins that [[ManifestTable.netChanges]] actually cancelled it
+    * (file-level feed strictly larger than the net feed). The oracle
+    * recomputes the true delta from the base table: exactly one insert
+    * (new cents) and one delete (old cents) per repriced order,
+    * nothing else — proving the bag-diff cancellation is exact, not
+    * just smaller.
+    */
+  def cdcNetChanges(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_cdc").toString
+      val o = Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val laid = o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      val v1 = ManifestTable.replace(laid, path)
+      val updates = o
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .withColumn("cents",
+          when(col("o_orderpriority") === "1-URGENT", col("cents") * 2)
+            .otherwise(col("cents") + 1))
+      val v2 = ManifestTable.upsertPruned(updates, path,
+        Seq("o_orderkey"), "o_orderkey").getOrElse(
+        throw new IllegalStateException("upsert committed nothing"))
+      val net = ManifestTable.netChanges(spark, path, v1, v2)
+        .localCheckpoint(eager = true)
+      val noisy = ManifestTable.changes(spark, path, v1, v2).count()
+      require(noisy > net.count(),
+        s"expected copy-on-write rewrite noise in the file-level feed " +
+          s"(got $noisy file-level rows vs ${net.count()} net rows)")
+      val out = net
+        .groupBy(col("_change_type"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+        .orderBy(col("_change_type"), col("o_orderpriority"))
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val cdcNetChangesSql: String =
+    """WITH hot AS (
+      |  SELECT o_orderpriority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |), ch AS (
+      |  SELECT 'insert' AS _change_type, o_orderpriority,
+      |         CASE WHEN o_orderpriority = '1-URGENT' THEN 2 * cents
+      |              ELSE cents + 1 END AS cents
+      |  FROM hot
+      |  UNION ALL
+      |  SELECT 'delete' AS _change_type, o_orderpriority, cents FROM hot
+      |)
+      |SELECT _change_type, o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM ch GROUP BY _change_type, o_orderpriority
+      |ORDER BY _change_type, o_orderpriority""".stripMargin
+
+  /** Oracle-checked copy-on-write delete: range-lay orders by order
+    * year, [[ManifestTable.deleteWhere]] the 1997 urgent rows, and
+    * aggregate the surviving snapshot. The `require` pins the prune:
+    * files whose year envelope misses 1997 must be CARRIED verbatim
+    * (names unchanged in the new manifest), which is the whole point —
+    * a retention/GDPR delete on a range-laid 100 TB table rewrites the
+    * slice that can match, not the table. The oracle recomputes the
+    * survivors with `NOT(pred)` from the base table, proving row
+    * exactness, null-semantics included.
+    */
+  def deleteWhereOrders(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_del_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_del").toString
+      val o = Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          year(col("o_orderdate")).as("order_year"))
+      val laid = o.repartitionByRange(8, col("order_year"), col("o_orderkey"))
+        .sortWithinPartitions("order_year", "o_orderkey")
+      val v1 = ManifestTable.replace(laid, path)
+      val pred = col("order_year") === 1997 &&
+        col("o_orderpriority") === "1-URGENT"
+      val v2 = ManifestTable.deleteWhere(spark, path, pred,
+        "order_year", 1997.0, 1997.0).getOrElse(
+        throw new IllegalStateException("deleteWhere matched no rows"))
+      val before = ManifestTable.snapshotFiles(spark, path, Some(v1)).toSet
+      val after = ManifestTable.snapshotFiles(spark, path, Some(v2)).toSet
+      require((before intersect after).nonEmpty,
+        "deleteWhere rewrote every file — the year-envelope prune failed")
+      require(before != after, "deleteWhere rewrote nothing")
+      val out = ManifestTable.read(spark, path, Some(v2))
+        .groupBy(col("order_year"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"),
+          count(when(col("o_orderpriority") === "1-URGENT", 1))
+            .as("n_urgent"))
+        .orderBy(col("order_year"))
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val deleteWhereSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+      |    AS n_urgent
+      |FROM orders
+      |WHERE NOT (year(o_orderdate) = 1997
+      |           AND o_orderpriority = '1-URGENT')
+      |GROUP BY order_year
+      |ORDER BY order_year""".stripMargin
+
+  /** Oracle-checked incremental view maintenance: materialize a
+    * revenue-by-priority gold aggregate at v1, mutate the table twice —
+    * a copy-on-write reprice of the FIRST key decile
+    * ([[ManifestTable.upsertPruned]], v2) and a retention delete of the
+    * medium-priority LAST decile ([[ManifestTable.deleteWhere]], v3) —
+    * then bring the aggregate to the v3 state by applying the v1→v3
+    * net change feed ([[maintainAgg]]), never rescanning the table.
+    * The `require` pins the incrementality: the feed's file set is a
+    * strict subset of the snapshot (both mutations pruned on the
+    * key-range-laid layout, so most files were carried verbatim and
+    * contribute nothing to the maintenance read). The oracle is the
+    * FULL RECOMPUTE of the v3 state from the base table — maintained
+    * and recomputed must agree cell-for-cell, the defining property of
+    * view maintenance.
+    */
+  def incrViewMaint(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_ivm").toString
+      val o = Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val laid = o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      val v1 = ManifestTable.replace(laid, path)
+      val baseAgg = ManifestTable.read(spark, path, Some(v1))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+        .localCheckpoint(eager = true) // materialized gold, day 1
+      // the decile cuts are integer arithmetic on the key bounds, so
+      // the oracle reproduces them exactly in SQL
+      val bounds = o.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .head()
+      val (mn, mx) = (bounds.getAs[Number](0).longValue,
+        bounds.getAs[Number](1).longValue)
+      val cutLo = mn + (mx - mn) / 10 // first decile: repriced
+      val cutHi = mx - (mx - mn) / 10 // last decile: retention delete
+      val updates = o.filter(col("o_orderkey") <= cutLo)
+        .withColumn("cents", col("cents") + 5L)
+      ManifestTable.upsertPruned(updates, path,
+        Seq("o_orderkey"), "o_orderkey").getOrElse(
+        throw new IllegalStateException("upsert committed nothing"))
+      val v3 = ManifestTable.deleteWhere(spark, path,
+        col("o_orderkey") >= cutHi &&
+          col("o_orderpriority") === "3-MEDIUM",
+        "o_orderkey", cutHi.toDouble, mx.toDouble).getOrElse(
+        throw new IllegalStateException("deleteWhere matched no rows"))
+      // incrementality: the feed reads a strict subset of the files
+      val f1 = ManifestTable.snapshotFiles(spark, path, Some(v1)).toSet
+      val f3 = ManifestTable.snapshotFiles(spark, path, Some(v3)).toSet
+      val changed = (f1 union f3) -- (f1 intersect f3)
+      require(changed.size < (f1 union f3).size,
+        "both mutations rewrote every file — nothing incremental to prove")
+      val net = ManifestTable.netChanges(spark, path, v1, v3)
+      val out = maintainAgg(baseAgg, net,
+        Seq("o_orderpriority"), Seq("cents"), "n_rows")
+        .select(col("o_orderpriority"), col("n_rows"), col("cents"))
+        .orderBy(col("o_orderpriority"))
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val incrViewMaintSql: String =
+    """WITH b AS (
+      |  SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders
+      |), o2 AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey <= mn + (mx - mn) // 10
+      |         THEN CAST(round(o_totalprice * 100) AS BIGINT) + 5
+      |         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents,
+      |    mx - (mx - mn) // 10 AS cut_hi
+      |  FROM orders, b
+      |)
+      |SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM o2
+      |WHERE NOT (o_orderkey >= cut_hi AND o_orderpriority = '3-MEDIUM')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert_orders" -> (upsertOrders _),
     "q_time_travel" -> (timeTravel _),
     "q_format_roundtrip" -> (formatRoundtrip _),
-    "q_schema_merge" -> (schemaMerge _)
+    "q_schema_merge" -> (schemaMerge _),
+    "q_cdc_net_changes" -> (cdcNetChanges _),
+    "q_delete_where" -> (deleteWhereOrders _),
+    "q_incr_view_maint" -> (incrViewMaint _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_upsert_orders" -> upsertOrdersSql,
     "q_time_travel" -> timeTravelSql,
     "q_format_roundtrip" -> formatRoundtripSql,
-    "q_schema_merge" -> schemaMergeSql
+    "q_schema_merge" -> schemaMergeSql,
+    "q_cdc_net_changes" -> cdcNetChangesSql,
+    "q_delete_where" -> deleteWhereSql,
+    "q_incr_view_maint" -> incrViewMaintSql
   )
 }

@@ -734,6 +734,177 @@ class ManifestSpec extends SparkSpec {
       }
     } finally graft.sinks.Sinks.deleteRecursively(tmp)
   }
+
+  test("change data feed: file-level diff carries rewrite noise; netChanges cancels it exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.ManifestTable
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdf_").toFile
+    try {
+      val path = new java.io.File(tmp, "t").toString
+      def frame(rows: (Long, Long, String)*) =
+        rows.toDF("k", "t", "v").repartition(1)
+      val v0 = ManifestTable.replace(frame((1L, 10L, "a"), (2L, 20L, "b")), path)
+      // pure append: the feed is inserts only, no deletes, no noise
+      val v1 = ManifestTable.append(frame((3L, 30L, "c")), path)
+      val feed1 = ManifestTable.netChanges(spark, path, v0, v1).collect()
+      assert(feed1.map(r => (r.getAs[Long]("k"),
+        r.getAs[String]("_change_type"))).toSet == Set((3L, "insert")))
+      // copy-on-write update of k=1: its file (holding k=1 AND k=2) is
+      // rewritten, so the FILE-level feed carries k=2 as both insert
+      // and delete (rewrite noise)...
+      val v2 = ManifestTable.upsertPruned(frame((1L, 10L, "z")),
+        path, Seq("k"), "t").get
+      val fileLevel = ManifestTable.changes(spark, path, v1, v2)
+        .select(col("k"), col("v"), col("_change_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(fileLevel.contains((2L, "b", "insert")) &&
+        fileLevel.contains((2L, "b", "delete")),
+        s"expected carried-row noise in the file-level feed: $fileLevel")
+      // ...and the NET feed cancels it: exactly one insert + one
+      // delete, both for the updated key
+      val net = ManifestTable.netChanges(spark, path, v1, v2)
+        .select(col("k"), col("v"), col("_change_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(net == Set((1L, "z", "insert"), (1L, "a", "delete")),
+        s"net feed must be exactly the updated key's pair: $net")
+      // untouched files contribute nothing to the scan: the feed's
+      // file set is the manifest diff, not the table
+      val f1 = ManifestTable.snapshotFiles(spark, path, Some(v1)).toSet
+      val f2 = ManifestTable.snapshotFiles(spark, path, Some(v2)).toSet
+      assert((f1 intersect f2).nonEmpty,
+        "the appended file should have been carried verbatim")
+      // same-version window: empty feed, schema preserved
+      val same = ManifestTable.changes(spark, path, v2, v2)
+      assert(same.count() == 0 &&
+        same.columns.contains("_change_type"))
+      // a multi-commit window nets at file level too: v0→v2 never
+      // surfaces a file added and removed inside the window
+      val wide = ManifestTable.netChanges(spark, path, v0, v2)
+        .select(col("k"), col("v"), col("_change_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(wide == Set((3L, "c", "insert"),
+        (1L, "z", "insert"), (1L, "a", "delete")), s"window net: $wide")
+      intercept[IllegalArgumentException] {
+        ManifestTable.changes(spark, path, v2, v0)
+      }
+    } finally graft.sinks.Sinks.deleteRecursively(tmp)
+  }
+
+  test("deleteWhere: prunes to intersecting files, keeps null-predicate rows, no-ops commit nothing") {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.ManifestTable
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delw_").toFile
+    try {
+      val path = new java.io.File(tmp, "t").toString
+      // two range-disjoint files: t in [10,20] and t in [100,110]
+      val lowFile = Seq((1L, Some(10L), "a"), (2L, Some(20L), "b"),
+        (3L, Some(15L), null.asInstanceOf[String]))
+        .toDF("k", "t", "v").repartition(1)
+      ManifestTable.replace(lowFile, path)
+      val hiVer = ManifestTable.append(
+        Seq((4L, Some(100L), "d"), (5L, Some(110L), "e"))
+          .toDF("k", "t", "v").repartition(1), path)
+      val hiFiles = ManifestTable.snapshotFiles(spark, path, Some(hiVer)).toSet --
+        ManifestTable.snapshotFiles(spark, path, Some(0L)).toSet
+      // delete v='a' rows in the low range: only the low file rewrites
+      val v = ManifestTable.deleteWhere(spark, path,
+        col("v") === "a", "t", 0.0, 50.0)
+      assert(v.isDefined)
+      val after = ManifestTable.snapshotFiles(spark, path, Some(v.get)).toSet
+      assert(hiFiles.subsetOf(after),
+        "files outside the prune range must be carried verbatim")
+      val rows = ManifestTable.read(spark, path)
+        .collect().map(r => r.getAs[Long]("k")).toSet
+      // k=1 deleted; k=3 has v=NULL → pred is NULL, not TRUE → SURVIVES
+      // (a plain !pred filter would have silently deleted it)
+      assert(rows == Set(2L, 3L, 4L, 5L),
+        s"null-predicate row must survive a delete: $rows")
+      // envelope false positive: range intersects, no row matches →
+      // no rewrite, no version burned
+      val before = ManifestTable.latestVersion(spark, path)
+      assert(ManifestTable.deleteWhere(spark, path,
+        col("v") === "nope", "t", 0.0, 50.0).isEmpty)
+      // disjoint range: nothing can match → None
+      assert(ManifestTable.deleteWhere(spark, path,
+        col("v") === "b", "t", 500.0, 600.0).isEmpty)
+      assert(ManifestTable.latestVersion(spark, path) == before)
+      // delete EVERYTHING a file holds: the file drops out entirely
+      val vAll = ManifestTable.deleteWhere(spark, path,
+        col("t") >= 100L, "t", 100.0, 110.0)
+      assert(vAll.isDefined)
+      assert(ManifestTable.read(spark, path)
+        .collect().map(_.getAs[Long]("k")).toSet == Set(2L, 3L))
+    } finally graft.sinks.Sinks.deleteRecursively(tmp)
+  }
+
+  test("deleteWhere fails LOUD when a commit lands inside its read-rewrite window") {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.ManifestTable
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delrace_").toFile
+    try {
+      val path = new java.io.File(tmp, "t").toString
+      ManifestTable.replace(
+        Seq((1L, 10L, "a")).toDF("k", "t", "v").repartition(1), path)
+      SinksSpec.gate = new java.util.concurrent.CountDownLatch(1)
+      val gated = udf { (v: String) =>
+        SinksSpec.gate.await(60, java.util.concurrent.TimeUnit.SECONDS); v
+      }
+      val result = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, Option[Long]]]()
+      val t = new Thread(() =>
+        result.set(
+          try Right(ManifestTable.deleteWhere(spark, path,
+            gated(col("v")) === "a", "t", 0.0, 50.0))
+          catch { case e: Throwable => Left(e) }))
+      t.start()
+      Thread.sleep(500) // let the delete capture its base version
+      ManifestTable.replace(
+        Seq((9L, 90L, "z")).toDF("k", "t", "v").repartition(1), path)
+      SinksSpec.gate.countDown()
+      t.join(60000)
+      result.get() match {
+        case Left(e) =>
+          assert(e.getMessage != null &&
+            e.getMessage.contains("concurrent commit"),
+            s"expected the concurrent-commit refusal, got: $e")
+          assert(ManifestTable.read(spark, path)
+            .collect().map(_.getLong(0)).toSeq == Seq(9L),
+            "the competing commit must survive untouched")
+        case Right(_) =>
+          fail("deleteWhere published a rewrite built from a stale snapshot")
+      }
+    } finally graft.sinks.Sinks.deleteRecursively(tmp)
+  }
+
+  test("maintainAgg: net-feed deltas reproduce the full recompute; zero-count groups drop") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq(("x", 2L, 30L), ("y", 1L, 5L), ("z", 1L, 7L))
+      .toDF("g", "n", "s")
+      .select(col("g"), col("s"), col("n")) // (groupCols, sumCols, countCol)
+    // feed: update one x row 10→25, insert a new group w, delete ALL
+    // of z; y untouched
+    val net = Seq(
+      ("x", 25L, "insert"), ("x", 10L, "delete"),
+      ("w", 4L, "insert"),
+      ("z", 7L, "delete")).toDF("g", "s", "_change_type")
+    val out = Sinks.maintainAgg(base, net, Seq("g"), Seq("s"), "n")
+      .collect().map(r => (r.getAs[String]("g"),
+        r.getAs[Long]("s"), r.getAs[Long]("n"))).toSet
+    assert(out == Set(("x", 45L, 2L), ("y", 5L, 1L), ("w", 4L, 1L)),
+      s"maintained aggregate diverged from the recompute: $out")
+    // an empty feed maintains the base unchanged
+    val empty = net.filter(lit(false))
+    val same = Sinks.maintainAgg(base, empty, Seq("g"), Seq("s"), "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(same == Set(("x", 30L, 2L), ("y", 5L, 1L), ("z", 7L, 1L)))
+  }
 }
 
 object SinksSpec {
