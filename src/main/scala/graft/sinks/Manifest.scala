@@ -328,6 +328,26 @@ object ManifestTable {
     }
   }
 
+  /** [[replace]] with a caller-chosen staging-token PREFIX riding the
+    * committed file names — the same trick [[appendOnce]] uses: one
+    * atomic manifest rename publishes the data AND whatever marker the
+    * caller encoded in the prefix (e.g. [[Sinks.maintainAggTable]]'s
+    * applied-source-version watermark). `tag` must be manifest-safe
+    * ([A-Za-z0-9._-]+); a UUID is appended so racing ticks cannot
+    * collide on file names.
+    */
+  private[graft] def replaceTagged(df: DataFrame, path: String,
+                                   tag: String): Long = {
+    require(tag.nonEmpty && tag.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"replaceTagged: tag must be [A-Za-z0-9._-]+ (rides file names " +
+        s"and manifest lines), got '$tag'")
+    val spark = df.sparkSession
+    val names = stage(df, path,
+      token = tag + java.util.UUID.randomUUID().toString)
+    commit(spark, path, withStats(spark, path, names))
+  }
+
   /** Cheap identity of a committed manifest FILE: (length, mtime) from
     * one FS stat. Lets a cache distinguish "same version number,
     * different table" — a table deleted and recreated at the same path

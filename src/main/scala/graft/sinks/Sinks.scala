@@ -384,6 +384,79 @@ object Sinks {
       .filter(col(countCol) > 0)
   }
 
+  /** File-name marker carrying the source version a maintained gold
+    * table has applied: the gold snapshot's files are staged with a
+    * `tick-src<V>-` prefix, so the watermark rides the SAME atomic
+    * manifest rename as the data — exactly-once by construction, the
+    * appendOnce txn trick applied to replace.
+    */
+  private val AppliedMarker = "^tick-src(\\d+)-".r
+
+  /** Source version the gold table at `goldPath` has applied, read
+    * from its latest snapshot's file-name markers. None if the gold
+    * table does not exist yet; fails loud on a gold table without
+    * markers (not maintained by [[maintainAggTable]] — ticking it
+    * would silently double-apply history).
+    */
+  def appliedVersion(spark: SparkSession, goldPath: String): Option[Long] =
+    ManifestTable.latestVersion(spark, goldPath).map { v =>
+      val marks = ManifestTable.snapshotFiles(spark, goldPath, Some(v))
+        .flatMap(n => AppliedMarker.findFirstMatchIn(n).map(_.group(1).toLong))
+      require(marks.nonEmpty,
+        s"appliedVersion: gold table at $goldPath carries no tick-src " +
+          "markers — it was not created by maintainAggTable")
+      marks.max
+    }
+
+  /** One maintenance TICK of a continuously-maintained gold aggregate:
+    * bring `goldPath` (grouped sums/counts over the manifest table at
+    * `srcPath`, [[maintainAgg]] semantics) from its applied source
+    * version to the source's latest — reading ONLY the source files
+    * that changed in between ([[ManifestTable.netChanges]]). The gold
+    * table itself is rewritten whole each tick; that is the right
+    * trade because gold is #groups rows while the source is the 100 TB
+    * side — incrementality is about the source READ, not the gold
+    * write.
+    *
+    * First tick creates gold from a full aggregate of the source
+    * (there is no cheaper way to seed). A tick with nothing new
+    * returns None without committing. Exactly-once: the applied
+    * version rides the gold files' names through one atomic commit
+    * ([[appliedVersion]]), so a crashed tick either never published
+    * (the retry recomputes the same delta) or fully published (the
+    * retry reads the new watermark and no-ops) — a replayed tick can
+    * never double-apply a delta. Retention interplay: the source's
+    * [[ManifestTable.vacuum]] horizon must keep the applied version's
+    * manifest readable, i.e. tick at least as often as the source
+    * vacuums — a gap fails loud on the missing manifest, never
+    * silently.
+    */
+  def maintainAggTable(spark: SparkSession, srcPath: String,
+                       goldPath: String, groupCols: Seq[String],
+                       sumCols: Seq[String], countCol: String): Option[Long] = {
+    val srcLatest = ManifestTable.latestVersion(spark, srcPath).getOrElse(
+      throw new IllegalStateException(
+        s"maintainAggTable: no committed snapshot at $srcPath"))
+    def aggsOf(df: DataFrame): DataFrame = {
+      val exprs = sumCols.map(c => sum(col(c)).as(c)) :+
+        count(lit(1)).as(countCol)
+      df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+    }
+    appliedVersion(spark, goldPath) match {
+      case None =>
+        val gold0 = aggsOf(ManifestTable.read(spark, srcPath, Some(srcLatest)))
+        Some(ManifestTable.replaceTagged(gold0, goldPath,
+          s"tick-src$srcLatest-"))
+      case Some(applied) if applied >= srcLatest => None
+      case Some(applied) =>
+        val net = ManifestTable.netChanges(spark, srcPath, applied, srcLatest)
+        val gold1 = maintainAgg(ManifestTable.read(spark, goldPath),
+          net, groupCols, sumCols, countCol)
+        Some(ManifestTable.replaceTagged(gold1, goldPath,
+          s"tick-src$srcLatest-"))
+    }
+  }
+
   /** Oracle-checked CDC query: commit orders as v1, reprice the urgent
     * and high priorities through a copy-on-write [[ManifestTable.upsertPruned]]
     * (v2), then read the ROW-LEVEL net change feed between the two
@@ -581,6 +654,102 @@ object Sinks {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Oracle-checked maintained-gold lifecycle: three "days" of source
+    * mutations with a [[maintainAggTable]] tick after each — day 1
+    * seeds the gold from a full aggregate, day 2 appends a tranche of
+    * new facts, day 3 reprices the first key decile (copy-on-write
+    * upsert) AND retention-deletes the medium-priority last decile,
+    * both applied by ONE tick spanning the two commits. The final gold
+    * must equal the oracle's full recompute of the day-3 state — and
+    * the `require`s pin the lifecycle mechanics the SQL can't see: the
+    * applied-version watermark rides the gold manifest, a replayed
+    * tick is a no-op (exactly-once under crash-retry), and exactly one
+    * gold version exists per tick.
+    */
+  def maintainedGold(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mgold_").toFile
+    try {
+      val src = new java.io.File(tmp, "orders_src").toString
+      val gold = new java.io.File(tmp, "orders_gold").toString
+      val grp = Seq("o_orderpriority")
+      val o = Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val laid = o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      // day 1: seed + first tick (full aggregate, watermark committed)
+      ManifestTable.replace(laid, src)
+      require(maintainAggTable(spark, src, gold, grp,
+        Seq("cents"), "n_rows").isDefined, "seed tick must commit")
+      // day 2: append the day's new facts (disjoint key range), tick
+      val tranche = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_orderpriority"), col("cents"))
+      ManifestTable.append(tranche, src)
+      require(maintainAggTable(spark, src, gold, grp,
+        Seq("cents"), "n_rows").isDefined, "day-2 tick must commit")
+      // day 3: reprice the first decile, retention-delete the medium
+      // last decile — two source commits, ONE tick spans both
+      val bounds = o.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .head()
+      val (mn, mx) = (bounds.getAs[Number](0).longValue,
+        bounds.getAs[Number](1).longValue)
+      val cutLo = mn + (mx - mn) / 10
+      val cutHi = mx - (mx - mn) / 10
+      ManifestTable.upsertPruned(
+        o.filter(col("o_orderkey") <= cutLo)
+          .withColumn("cents", col("cents") + 5L),
+        src, Seq("o_orderkey"), "o_orderkey").getOrElse(
+        throw new IllegalStateException("day-3 upsert committed nothing"))
+      ManifestTable.deleteWhere(spark, src,
+        col("o_orderkey") >= cutHi &&
+          col("o_orderpriority") === "3-MEDIUM",
+        "o_orderkey", cutHi.toDouble, (mx + 200000000L).toDouble).getOrElse(
+        throw new IllegalStateException("day-3 delete matched nothing"))
+      require(maintainAggTable(spark, src, gold, grp,
+        Seq("cents"), "n_rows").isDefined, "day-3 tick must commit")
+      // lifecycle invariants the oracle can't observe
+      require(appliedVersion(spark, gold) ==
+        ManifestTable.latestVersion(spark, src),
+        "watermark must equal the source's latest version after a tick")
+      require(maintainAggTable(spark, src, gold, grp,
+        Seq("cents"), "n_rows").isEmpty,
+        "a replayed tick with nothing new must be a no-op")
+      require(ManifestTable.versions(spark, gold).size == 3,
+        "exactly one gold version per tick")
+      val out = ManifestTable.read(spark, gold)
+        .select(col("o_orderpriority"), col("n_rows"), col("cents"))
+        .orderBy(col("o_orderpriority"))
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val maintainedGoldSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), b AS (
+      |  SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM base
+      |), day2 AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderpriority, cents FROM base
+      |  WHERE o_orderpriority = '2-HIGH'
+      |), day3 AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey <= mn + (mx - mn) // 10
+      |         THEN cents + 5 ELSE cents END AS cents,
+      |    mx - (mx - mn) // 10 AS cut_hi
+      |  FROM day2, b
+      |)
+      |SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM day3
+      |WHERE NOT (o_orderkey >= cut_hi AND o_orderpriority = '3-MEDIUM')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert_orders" -> (upsertOrders _),
     "q_time_travel" -> (timeTravel _),
@@ -588,7 +757,8 @@ object Sinks {
     "q_schema_merge" -> (schemaMerge _),
     "q_cdc_net_changes" -> (cdcNetChanges _),
     "q_delete_where" -> (deleteWhereOrders _),
-    "q_incr_view_maint" -> (incrViewMaint _)
+    "q_incr_view_maint" -> (incrViewMaint _),
+    "q_maintained_gold" -> (maintainedGold _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -598,6 +768,7 @@ object Sinks {
     "q_schema_merge" -> schemaMergeSql,
     "q_cdc_net_changes" -> cdcNetChangesSql,
     "q_delete_where" -> deleteWhereSql,
-    "q_incr_view_maint" -> incrViewMaintSql
+    "q_incr_view_maint" -> incrViewMaintSql,
+    "q_maintained_gold" -> maintainedGoldSql
   )
 }

@@ -905,6 +905,55 @@ class ManifestSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(same == Set(("x", 30L, 2L), ("y", 5L, 1L), ("z", 7L, 1L)))
   }
+
+  test("maintainAggTable: watermark rides the gold manifest; replayed ticks no-op; every mutation kind converges to the recompute") {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.ManifestTable
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mgt_").toFile
+    try {
+      val src = new java.io.File(tmp, "src").toString
+      val gold = new java.io.File(tmp, "gold").toString
+      def tick() = Sinks.maintainAggTable(spark, src, gold,
+        Seq("g"), Seq("s"), "n")
+      def goldNow() = ManifestTable.read(spark, gold)
+        .collect().map(r => (r.getAs[String]("g"),
+          r.getAs[Long]("s"), r.getAs[Long]("n"))).toSet
+      def recompute() = ManifestTable.read(spark, src)
+        .groupBy(col("g")).agg(sum(col("s")).as("s"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      def frame(rows: (Long, String, Long)*) =
+        rows.toDF("k", "g", "s").repartition(1)
+      // seed: full aggregate, watermark = src latest
+      ManifestTable.replace(frame((1L, "x", 10L), (2L, "x", 20L),
+        (3L, "y", 5L)), src)
+      assert(tick().isDefined)
+      assert(goldNow() == recompute())
+      assert(Sinks.appliedVersion(spark, gold) ==
+        ManifestTable.latestVersion(spark, src))
+      // nothing new: replayed tick must not commit (crash-retry path)
+      val vGold = ManifestTable.latestVersion(spark, gold)
+      assert(tick().isEmpty)
+      assert(ManifestTable.latestVersion(spark, gold) == vGold)
+      // append → tick converges
+      ManifestTable.append(frame((4L, "z", 7L)), src)
+      assert(tick().isDefined)
+      assert(goldNow() == recompute())
+      // upsert + delete in one window → ONE tick converges
+      ManifestTable.upsertPruned(frame((1L, "x", 99L)), src, Seq("k"), "k")
+      ManifestTable.deleteWhere(spark, src, col("g") === "y", "k", 3.0, 3.0)
+      assert(tick().isDefined)
+      assert(goldNow() == recompute())
+      assert(goldNow().map(_._1) == Set("x", "z"), "group y must have dropped")
+      // a gold table not created by maintainAggTable fails loud
+      val alien = new java.io.File(tmp, "alien").toString
+      ManifestTable.replace(frame((1L, "x", 1L)), alien)
+      intercept[IllegalArgumentException] {
+        Sinks.appliedVersion(spark, alien)
+      }
+    } finally graft.sinks.Sinks.deleteRecursively(tmp)
+  }
 }
 
 object SinksSpec {
