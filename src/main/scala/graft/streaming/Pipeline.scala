@@ -842,6 +842,47 @@ object Pipeline {
       .trigger(trigger)
       .start()
 
+  /** Streaming facts into a manifest source table WITH a continuously
+    * maintained gold aggregate: each micro-batch key-merges into the
+    * source ([[graft.sinks.ManifestTable.upsertPruned]] — rewrites
+    * only the files the batch can touch) and then TICKS the gold
+    * ([[graft.sinks.Sinks.maintainAggTable]] — applies the source's
+    * net change feed to the materialized aggregate, reading only the
+    * changed files). Downstream dashboards read gold: #groups rows,
+    * always consistent with some committed source snapshot, never a
+    * partially-applied batch.
+    *
+    * Exactly-once in CONTENT under foreachBatch's at-least-once
+    * replay, each leg by its own mechanism: the source upsert is a
+    * key-replace (a replayed batch rewrites the same keys to the same
+    * values — a new, content-identical snapshot); the tick's net feed
+    * over that replay window is pure rewrite noise, which
+    * [[graft.sinks.ManifestTable.netChanges]] cancels to zero rows, so
+    * the maintained gold is unchanged and only its watermark advances.
+    * The contract inherited from upsertPruned applies: `pruneCol`
+    * functionally dependent on `keys` and non-null — and rows must be
+    * KEY-UNIQUE within a micro-batch (dedupe upstream; a key twice in
+    * one batch would survive the merge twice, as in every key-merge
+    * sink here).
+    */
+  def factsToMaintainedGold(facts: DataFrame, srcPath: String,
+      goldPath: String, checkpoint: String,
+      keys: Seq[String], pruneCol: String,
+      groupCols: Seq[String], sumCols: Seq[String], countCol: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    facts.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.sinks.ManifestTable.upsertPruned(batch.repartition(1),
+          srcPath, keys, pruneCol)
+        graft.sinks.Sinks.maintainAggTable(spark, srcPath, goldPath,
+          groupCols, sumCols, countCol): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   private def warehouseSink(alertStream: org.apache.spark.sql.DataFrame,
                             path: String, checkpoint: String,
                             trigger: Trigger): StreamingQuery =

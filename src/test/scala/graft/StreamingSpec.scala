@@ -986,6 +986,61 @@ class StreamingSpec extends SparkSpec {
     } finally graft.sinks.Sinks.deleteRecursively(dir)
   }
 
+  test("maintained-gold stream: mid-stream kill, restart — gold equals the recompute, ticks exactly-once") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mgs_").toFile
+    try {
+      val src = new java.io.File(dir, "src").toString
+      val gold = new java.io.File(dir, "gold").toString
+      val chk = new java.io.File(dir, "chk").toString
+      val input = MemoryStream[(Long, String, Long)](spark)
+      val facts = input.toDF().toDF("k", "g", "s")
+      def start(trigger: Trigger) = Pipeline.factsToMaintainedGold(
+        facts, src, gold, chk, Seq("k"), "k", Seq("g"), Seq("s"), "n",
+        trigger)
+      // continuous trigger; feed three batches — inserts, more
+      // inserts, then an UPDATE of key 1 — and kill mid-stream
+      val q1 = start(Trigger.ProcessingTime("50 milliseconds"))
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        input.addData((1L, "x", 10L), (2L, "y", 5L))
+        // wait for the first tick BEFORE feeding the k=1 update: the
+        // lane requires key-unique rows per micro-batch, and a slow
+        // query start could otherwise fold both k=1 rows into batch 0
+        while (ManifestTable.latestVersion(spark, gold).isEmpty &&
+               System.currentTimeMillis() < deadline) Thread.sleep(50)
+        assert(ManifestTable.latestVersion(spark, gold).isDefined,
+          "gold never ticked before the kill")
+        input.addData((11L, "x", 1L), (12L, "y", 2L))
+        input.addData((1L, "x", 99L)) // key-replace, not a new row
+      } finally q1.stop()
+      q1.awaitTermination()
+      // post-kill: a new group and an update of key 2; restart from
+      // the same checkpoint and drain (replays any in-flight batch)
+      input.addData((3L, "z", 7L), (2L, "y", 50L))
+      val q2 = start(Trigger.AvailableNow())
+      q2.awaitTermination()
+      // source content: every key exactly once, updates won
+      val srcRows = ManifestTable.read(spark, src).collect()
+        .map(r => r.getAs[Long]("k") ->
+          (r.getAs[String]("g"), r.getAs[Long]("s"))).toMap
+      assert(srcRows == Map(1L -> ("x", 99L), 2L -> ("y", 50L),
+        11L -> ("x", 1L), 12L -> ("y", 2L), 3L -> ("z", 7L)),
+        s"source diverged across the kill/restart: $srcRows")
+      // gold equals the full recompute of the final source state
+      val goldRows = ManifestTable.read(spark, gold).collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("s"),
+          r.getAs[Long]("n"))).toSet
+      assert(goldRows == Set(("x", 100L, 2L), ("y", 52L, 2L),
+        ("z", 7L, 1L)),
+        s"maintained gold diverged from the recompute: $goldRows")
+      // the watermark caught up to the source's latest version
+      assert(graft.sinks.Sinks.appliedVersion(spark, gold) ==
+        ManifestTable.latestVersion(spark, src))
+    } finally graft.sinks.Sinks.deleteRecursively(dir)
+  }
+
   test("rate-paced replay emits the bounded frame's rows progressively in order") {
     import spark.implicits._
     val bounded = Seq(("r0", 1.0), ("r1", 2.0), ("r2", 3.0)).toDF("tag", "v")
