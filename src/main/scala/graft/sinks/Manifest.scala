@@ -370,29 +370,44 @@ object ManifestTable {
     * its commit. Columns other than numerics carry no stats; a frame
     * with no numeric columns commits bare names.
     */
+  /** Reserved stats pseudo-column carrying the file's exact ROW COUNT
+    * as a degenerate `n..n` envelope (round 14 — rides the existing
+    * line format, so legacy parsers see it as just another column's
+    * bounds and stay correct). A data column with this name would
+    * collide with the encoding; commits refuse it.
+    */
+  private[graft] val RowsCol = "_rows"
+
   private def withStats(spark: SparkSession, path: String,
                         names: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions._
     val paths = names.map(n => s"$path/$DataDir/$n")
     if (paths.isEmpty) return names
     val df = spark.read.parquet(paths: _*)
+    require(!df.columns.contains(RowsCol),
+      s"commit: '$RowsCol' is a reserved stats name (file row counts) " +
+        "— rename the data column")
     // timestamps (round 10) ride the same double envelope as numerics
     // — cast(timestamp as double) is epoch seconds — so time-keyed
-    // sinks can prune on event time ([[upsertPruned]]'s whole point)
+    // sinks can prune on event time ([[upsertPruned]]'s whole point).
+    // Row counts (round 14) ride as the RowsCol pseudo-column: count
+    // is exact in a double up to 2^53 rows per FILE (a ~petabyte
+    // single file — far past any sane file size), so no ulp widening.
     val numeric = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
         || f.dataType == org.apache.spark.sql.types.TimestampType =>
         f.name
     }.toSeq
-    if (numeric.isEmpty) return names
     val aggs = numeric.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"mn_$c"),
-      max(col(c)).cast("double").as(s"mx_$c")))
+      max(col(c)).cast("double").as(s"mx_$c"))) :+
+      count(lit(1)).cast("double").as("n_rows_stat")
     val byFile = df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val stats = numeric.flatMap { c =>
+        val n = r.getAs[Double]("n_rows_stat")
+        val stats = (numeric.flatMap { c =>
           val mn = r.getAs[Any](s"mn_$c")
           val mx = r.getAs[Any](s"mx_$c")
           if (mn == null || mx == null) None
@@ -402,7 +417,7 @@ object ManifestTable {
           // and pruneFiles would skip a file holding qualifying rows.
           else Some(s"$c=${Math.nextDown(mn.asInstanceOf[Double])}" +
             s"..${Math.nextUp(mx.asInstanceOf[Double])}")
-        }.mkString(";")
+        } :+ s"$RowsCol=$n..$n").mkString(";")
         r.getAs[String]("f") -> stats
       }.toMap
     names.map { n =>
@@ -410,6 +425,26 @@ object ManifestTable {
         s"$n\t$st"
       }.getOrElse(n) // empty files produce no group -> bare name
     }
+  }
+
+  /** Exact row count of a snapshot from manifest METADATA: the sum of
+    * per-file [[RowsCol]] stats — the `SELECT count(*)` shortcut every
+    * lakehouse format provides, O(manifest) driver work with zero data
+    * IO, and it composes with time travel (`version`). Files committed
+    * before round 14 carry no row-count stat; those (and only those)
+    * are scanned — a parquet footer-only count, still no row
+    * materialization — so the answer is always exact, never a guess.
+    */
+  def countRows(spark: SparkSession, path: String,
+                version: Option[Long] = None): Long = {
+    val entries = snapshotLines(spark, path, version)
+      .map(l => nameOf(l) -> statsOf(l).get(RowsCol))
+    val (counted, legacy) = entries.partition(_._2.isDefined)
+    val fromStats = counted.map(_._2.get._1.toLong).sum
+    val fromLegacy =
+      if (legacy.isEmpty) 0L
+      else readFiles(spark, path, legacy.map(_._1)).count()
+    fromStats + fromLegacy
   }
 
   /** Copy-on-write UPSERT that rewrites only the files the batch can

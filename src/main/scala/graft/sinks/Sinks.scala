@@ -750,6 +750,70 @@ object Sinks {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Oracle-checked metadata COUNT(*): three snapshots (replace,
+    * append, copy-on-write delete) counted via
+    * [[ManifestTable.countRows]] — the manifest row-count stats, zero
+    * data IO — against DuckDB's true counts of the same logical
+    * states. Every mutation path must keep the metadata count exact:
+    * replace and append write fresh stats, the delete's rewritten
+    * survivor files get THEIR fresh stats while carried files keep
+    * their lines verbatim. The count comes from the manifest alone
+    * (O(files) driver work), which is what makes `SELECT count(*)`
+    * on a 100 TB table a sub-second metadata answer instead of a
+    * full scan.
+    */
+  def fastCount(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fcnt_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_cnt").toString
+      val o = Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val laid = o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      val v1 = ManifestTable.replace(laid, path)
+      val tranche = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_orderpriority"), col("cents"))
+      val v2 = ManifestTable.append(tranche, path)
+      val bounds = o.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .head()
+      val (mn, mx) = (bounds.getAs[Number](0).longValue,
+        bounds.getAs[Number](1).longValue)
+      val cutLo = mn + (mx - mn) / 10
+      val v3 = ManifestTable.deleteWhere(spark, path,
+        col("o_orderkey") <= cutLo &&
+          col("o_orderpriority") === "1-URGENT",
+        "o_orderkey", mn.toDouble, cutLo.toDouble).getOrElse(
+        throw new IllegalStateException("delete matched no rows"))
+      import spark.implicits._
+      Seq(("v1", ManifestTable.countRows(spark, path, Some(v1))),
+          ("v2", ManifestTable.countRows(spark, path, Some(v2))),
+          ("v3", ManifestTable.countRows(spark, path, Some(v3))))
+        .toDF("snap", "n").orderBy(col("snap"))
+        .localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val fastCountSql: String =
+    """WITH b AS (
+      |  SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders
+      |), n1 AS (SELECT count(*) AS n FROM orders),
+      |n_high AS (
+      |  SELECT count(*) AS n FROM orders WHERE o_orderpriority = '2-HIGH'
+      |), n_del AS (
+      |  SELECT count(*) AS n FROM orders, b
+      |  WHERE o_orderkey <= mn + (mx - mn) // 10
+      |    AND o_orderpriority = '1-URGENT'
+      |)
+      |SELECT 'v1' AS snap, CAST(n1.n AS BIGINT) AS n FROM n1
+      |UNION ALL
+      |SELECT 'v2', CAST(n1.n + n_high.n AS BIGINT) FROM n1, n_high
+      |UNION ALL
+      |SELECT 'v3', CAST(n1.n + n_high.n - n_del.n AS BIGINT)
+      |FROM n1, n_high, n_del
+      |ORDER BY snap""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert_orders" -> (upsertOrders _),
     "q_time_travel" -> (timeTravel _),
@@ -758,7 +822,8 @@ object Sinks {
     "q_cdc_net_changes" -> (cdcNetChanges _),
     "q_delete_where" -> (deleteWhereOrders _),
     "q_incr_view_maint" -> (incrViewMaint _),
-    "q_maintained_gold" -> (maintainedGold _)
+    "q_maintained_gold" -> (maintainedGold _),
+    "q_fast_count" -> (fastCount _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -769,6 +834,7 @@ object Sinks {
     "q_cdc_net_changes" -> cdcNetChangesSql,
     "q_delete_where" -> deleteWhereSql,
     "q_incr_view_maint" -> incrViewMaintSql,
-    "q_maintained_gold" -> maintainedGoldSql
+    "q_maintained_gold" -> maintainedGoldSql,
+    "q_fast_count" -> fastCountSql
   )
 }

@@ -906,6 +906,49 @@ class ManifestSpec extends SparkSpec {
     assert(same == Set(("x", 30L, 2L), ("y", 5L, 1L), ("z", 7L, 1L)))
   }
 
+  test("countRows: metadata counts exact through every mutation; legacy lines fall back to a scan; reserved name refused") {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.ManifestTable
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cnt_").toFile
+    try {
+      val path = new java.io.File(tmp, "t").toString
+      def check(expected: Long, clue: String): Unit = {
+        assert(ManifestTable.countRows(spark, path) == expected, clue)
+        assert(ManifestTable.read(spark, path).count() == expected,
+          s"$clue (ground truth)")
+      }
+      val base = (0L until 100L).map(i => (i, i * 10L, s"r$i"))
+        .toDF("k", "t", "v").repartitionByRange(4, col("k"))
+      val v1 = ManifestTable.replace(base, path)
+      check(100L, "after replace")
+      ManifestTable.append((100L until 120L).map(i => (i, i * 10L, s"r$i"))
+        .toDF("k", "t", "v").repartition(1), path)
+      check(120L, "after append")
+      // time travel: the old snapshot's metadata count is preserved
+      assert(ManifestTable.countRows(spark, path, Some(v1)) == 100L)
+      // key-replace upsert: no cardinality change
+      ManifestTable.upsertPruned(Seq((5L, 50L, "z")).toDF("k", "t", "v")
+        .repartition(1), path, Seq("k"), "t")
+      check(120L, "after upsert (replace, not insert)")
+      // copy-on-write delete: rewritten survivors get fresh counts
+      ManifestTable.deleteWhere(spark, path,
+        col("t") < 100L, "t", 0.0, 99.0)
+      check(110L, "after delete")
+      // LEGACY lines (bare names, pre-row-count format): the count
+      // falls back to scanning exactly those files — still exact
+      val names = ManifestTable.snapshotFiles(spark, path)
+      ManifestTable.commit(spark, path, names)
+      check(110L, "legacy manifest")
+      // a data column colliding with the reserved stats name is refused
+      intercept[IllegalArgumentException] {
+        ManifestTable.replace(Seq((1L, 2L)).toDF("k", "_rows"),
+          new java.io.File(tmp, "t2").toString)
+      }
+    } finally graft.sinks.Sinks.deleteRecursively(tmp)
+  }
+
   test("maintainAggTable: watermark rides the gold manifest; replayed ticks no-op; every mutation kind converges to the recompute") {
     import org.apache.spark.sql.functions._
     import graft.sinks.ManifestTable
