@@ -818,6 +818,114 @@ object Scale {
        |ORDER BY z_bucket""".stripMargin
   }
 
+  /** MANIFEST-committed z-clustered layout (round 14): [[writeZOrdered]]
+    * lays plain parquet; this composes the same Morton curve with
+    * [[graft.sinks.ManifestTable]]'s per-file stats envelopes, which is
+    * where multi-dimensional skipping actually cashes out — every
+    * committed file covers a narrow (x, y) rectangle, so the manifest
+    * records TIGHT min/max for BOTH columns and `pruneFiles`/
+    * `readBetween` skip files for a predicate on EITHER dimension. A
+    * single-column range layout gives perfect envelopes on one
+    * dimension and useless full-range envelopes on the other; at 10⁵+
+    * files a 2-D slice query reads ~√ of what the linear layout reads.
+    * Bounds for the byte-bucket scaler are taken from the frame itself
+    * (one 1-row aggregate).
+    */
+  def replaceZClustered(df: DataFrame, path: String,
+                        xCol: String, yCol: String, nFiles: Int): Long = {
+    val b = df.agg(
+      min(col(xCol)).cast("double").as("mnx"),
+      max(col(xCol)).cast("double").as("mxx"),
+      min(col(yCol)).cast("double").as("mny"),
+      max(col(yCol)).cast("double").as("mxy")).head()
+    val z = zValue(
+      byteBucket(col(xCol), lit(b.getDouble(0)), lit(b.getDouble(1))),
+      byteBucket(col(yCol), lit(b.getDouble(2)), lit(b.getDouble(3))))
+    val laid = df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+    graft.sinks.ManifestTable.replace(laid, path)
+  }
+
+  /** Oracle-checked query: a 2-D slice (a customer band × a date band)
+    * served THROUGH the z-clustered manifest layout — the skipping
+    * read on one dimension, the residual filter on the other — with
+    * require()s pinning that the manifest actually skipped more than
+    * half the files on EACH dimension independently (the property a
+    * linear layout cannot have: ScaleSpec measures its day-envelopes
+    * keeping everything). The oracle recomputes the slice from the raw
+    * table: identical answers, different bytes — layout is physical,
+    * never semantic.
+    */
+  def zClusterSkip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zclu_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_z").toString
+      val o = Sources.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Scale.replaceZClustered(o, path, "o_custkey", "dayn", 64)
+      val b = o.agg(
+        min(col("o_custkey")).as("mnc"), max(col("o_custkey")).as("mxc"),
+        min(col("dayn")).as("mnd"), max(col("dayn")).as("mxd")).head()
+      val (mnc, mxc) = (b.getAs[Number](0).longValue, b.getAs[Number](1).longValue)
+      val (mnd, mxd) = (b.getAs[Number](2).longValue, b.getAs[Number](3).longValue)
+      // a ~10% band on each dimension, bounds integer-derived so the
+      // oracle reproduces them exactly
+      val (loC, hiC) = (mnc + (mxc - mnc) * 2 / 5, mnc + (mxc - mnc) / 2)
+      val (loD, hiD) = (mnd + (mxd - mnd) * 2 / 5, mnd + (mxd - mnd) / 2)
+      import graft.sinks.ManifestTable
+      val (keptX, total) = ManifestTable.pruneFiles(
+        spark, path, "o_custkey", loC.toDouble, hiC.toDouble)
+      val (keptY, _) = ManifestTable.pruneFiles(
+        spark, path, "dayn", loD.toDouble, hiD.toDouble)
+      require(total >= 16, s"z-layout produced only $total files")
+      require(keptX.size * 2 <= total,
+        s"x-dimension did not skip: ${keptX.size}/$total files kept")
+      require(keptY.size * 2 <= total,
+        s"y-dimension did not skip: ${keptY.size}/$total files kept")
+      val out = ManifestTable
+        .readBetween(spark, path, "o_custkey", loC.toDouble, hiC.toDouble)
+        .filter(col("dayn") >= loD && col("dayn") <= hiD)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("cents_sum"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+      out.localCheckpoint(eager = true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
+
+  val zClusterSkipSql: String =
+    """WITH r AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS dayn,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (
+      |  SELECT min(o_custkey) AS mnc, max(o_custkey) AS mxc,
+      |         min(dayn) AS mnd, max(dayn) AS mxd
+      |  FROM r)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  min(o_orderkey) AS min_key,
+      |  max(o_orderkey) AS max_key
+      |FROM r, b
+      |WHERE o_custkey BETWEEN mnc + (mxc - mnc) * 2 // 5
+      |                    AND mnc + (mxc - mnc) // 2
+      |  AND dayn BETWEEN mnd + (mxd - mnd) * 2 // 5
+      |               AND mnd + (mxd - mnd) // 2""".stripMargin
+
   /** Bucketed table writer: co-locates (and pre-sorts) data on the
     * join/agg key so later joins between tables bucketed the same way
     * need NO exchange — the SinksSpec-style proof lives in ScaleSpec.
@@ -1039,6 +1147,7 @@ object Scale {
     "q_order_split" -> (orderSplit _),
     "q_stratified_sample" -> (stratifiedDocSample _),
     "q_zorder_bucket" -> (zOrderStats _),
+    "q_zcluster_skip" -> (zClusterSkip _),
     "q_bloom_pruned_join" -> (bloomPrunedRevenue _)
   )
 
@@ -1050,6 +1159,7 @@ object Scale {
     "q_order_split" -> orderSplitSql,
     "q_stratified_sample" -> stratifiedDocSampleSql,
     "q_zorder_bucket" -> zOrderStatsSql,
+    "q_zcluster_skip" -> zClusterSkipSql,
     "q_bloom_pruned_join" -> bloomPrunedRevenueSql
   )
 }

@@ -37,6 +37,12 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   * publishing a merge built from a stale file list — inside
   * foreachBatch the streaming engine's batch retry is the safe
   * re-read-and-redo loop.
+  *
+  * Round 14 also adds SCHEMA EVOLUTION: each snapshot records its
+  * logical schema as a `#schema` manifest header, appends may ADD
+  * nullable columns without touching committed bytes, and readers
+  * resolve the schema from the log (old files null-fill columns they
+  * predate) — see the header notes at [[snapshotSchema]].
   */
 object ManifestTable {
 
@@ -71,6 +77,87 @@ object ManifestTable {
     */
   private def nameOf(line: String): String = line.split('\t')(0)
 
+  /** SCHEMA EVOLUTION (round 14). A manifest may carry one header line
+    * `#schema\t<StructType json>` recording the snapshot's logical
+    * schema — the union of every column ever committed. Readers
+    * resolve the schema FROM THE LOG and pass it to the parquet scan
+    * (`spark.read.schema(...)`), which null-fills columns a given file
+    * lacks: adding a column to a 100 TB table is one manifest line,
+    * zero data rewritten, zero footer reads at query time (the
+    * `mergeSchema` alternative stats every file's footer per query —
+    * O(files) IO that this header makes O(1)). Lines starting with
+    * `#` are headers, never file names; every line consumer filters
+    * them, and pre-evolution manifests (no header) read exactly as
+    * before. Only ADDING columns is supported: a same-named column
+    * must keep its type — type changes require a [[replace]] rewrite,
+    * and the mismatch fails loudly at append time, not silently at
+    * read time.
+    */
+  private val SchemaMarker = "#schema"
+
+  private def isHeader(line: String): Boolean = line.startsWith("#")
+
+  private def schemaLine(s: org.apache.spark.sql.types.StructType): String = {
+    val j = s.json
+    require(!j.exists(c => c == '\n' || c == '\r' || c == '\t'),
+      "schema header: column names must not contain tab/newline " +
+        "(they ride a line-oriented manifest)")
+    s"$SchemaMarker\t$j"
+  }
+
+  /** The snapshot's recorded logical schema, if its manifest carries a
+    * header (tables written before round 14, or by [[commit]] callers
+    * that never evolved, carry none — their files all share one
+    * schema and the parquet footer is authoritative).
+    */
+  def snapshotSchema(spark: SparkSession, path: String,
+                     version: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] =
+    rawLines(spark, path, version)
+      .find(_.startsWith(s"$SchemaMarker\t"))
+      .map(l => org.apache.spark.sql.types.DataType.fromJson(
+        l.split('\t')(1)).asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Base schema ∪ incoming: base columns keep their position and
+    * type (a type change is refused loudly); columns new to the table
+    * append as nullable; base columns absent from the incoming frame
+    * turn nullable (the new files lack them — reads null-fill).
+    */
+  private def evolvedSchema(base: org.apache.spark.sql.types.StructType,
+                            incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val inByName = incoming.fields.map(f => f.name -> f).toMap
+    val baseNames = base.fieldNames.toSet
+    val kept = base.fields.map { f =>
+      inByName.get(f.name) match {
+        case Some(g) =>
+          require(g.dataType == f.dataType,
+            s"schema evolution: column '${f.name}' would change type " +
+              s"${f.dataType.simpleString} -> ${g.dataType.simpleString}; " +
+              "only ADDING nullable columns is supported — type changes " +
+              "need a replace() rewrite")
+          f.copy(nullable = f.nullable || g.nullable)
+        case None => f.copy(nullable = true)
+      }
+    }
+    val added = incoming.fields.filterNot(f => baseNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(kept ++ added)
+  }
+
+  /** Project `df` onto `schema`'s column order, null-filling columns
+    * it lacks — the in-memory twin of the null-fill a schema-carrying
+    * parquet scan does for old files.
+    */
+  private def alignTo(df: DataFrame,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map(f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
   private def statsOf(line: String): Map[String, (Double, Double)] =
     line.split('\t') match {
       case Array(_, st) => st.split(';').iterator.filter(_.nonEmpty).map { e =>
@@ -96,23 +183,11 @@ object ManifestTable {
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
-  /** Relative file names of snapshot `version` (default: latest). */
-  def snapshotFiles(spark: SparkSession, path: String,
-                    version: Option[Long] = None): Seq[String] = {
-    val v = version.orElse(latestVersion(spark, path)).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $path"))
-    val mp = manifestPath(path, v)
-    val fs = fsOf(spark, mp)
-    val in = fs.open(mp)
-    try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).map(nameOf).toList
-    } finally in.close()
-  }
-
-  /** Raw manifest lines of snapshot `version` (names + stats). */
-  private def snapshotLines(spark: SparkSession, path: String,
-                            version: Option[Long]): Seq[String] = {
+  /** Every nonempty manifest line of snapshot `version`, headers
+    * included — the one place that touches manifest bytes.
+    */
+  private def rawLines(spark: SparkSession, path: String,
+                       version: Option[Long]): Seq[String] = {
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
     val mp = manifestPath(path, v)
@@ -124,6 +199,19 @@ object ManifestTable {
     } finally in.close()
   }
 
+  /** Relative file names of snapshot `version` (default: latest). */
+  def snapshotFiles(spark: SparkSession, path: String,
+                    version: Option[Long] = None): Seq[String] =
+    rawLines(spark, path, version).filterNot(isHeader).map(nameOf)
+
+  /** FILE manifest lines of snapshot `version` (names + stats; header
+    * lines stripped — callers carrying lines verbatim into a new
+    * commit re-derive their own header).
+    */
+  private def snapshotLines(spark: SparkSession, path: String,
+                            version: Option[Long]): Seq[String] =
+    rawLines(spark, path, version).filterNot(isHeader)
+
   /** Per-file numeric column bounds of the snapshot (empty map for
     * legacy lines written before stats existed).
     */
@@ -132,12 +220,24 @@ object ManifestTable {
       : Seq[(String, Map[String, (Double, Double)])] =
     snapshotLines(spark, path, version).map(l => nameOf(l) -> statsOf(l))
 
-  /** The snapshot as a DataFrame — exactly the committed files. */
+  /** The snapshot as a DataFrame — exactly the committed files. A
+    * schema header, when present, is passed to the scan so files
+    * written before a column existed null-fill it (and the resolved
+    * version is pinned ONCE, so the file list and the schema cannot
+    * straddle a concurrent commit).
+    */
   def read(spark: SparkSession, path: String,
            version: Option[Long] = None): DataFrame = {
-    val files = snapshotFiles(spark, path, version)
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val files = snapshotFiles(spark, path, Some(v))
       .map(f => s"$path/$DataDir/$f")
-    spark.read.parquet(files: _*)
+    snapshotSchema(spark, path, Some(v)) match {
+      case Some(s) if files.isEmpty =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** Stage `df` as new immutable files under `data/` WITHOUT making
@@ -206,7 +306,7 @@ object ManifestTable {
     // grace, or under clock skew) may have reaped them, and a
     // committed manifest pointing at vanished files is the one state
     // the protocol must never produce — fail the commit instead
-    val missing = files.map(nameOf).filterNot(f =>
+    val missing = files.filterNot(isHeader).map(nameOf).filterNot(f =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$DataDir/$f")))
     require(missing.isEmpty,
       s"commit: staged files vanished before publish (vacuumed?): " +
@@ -248,7 +348,8 @@ object ManifestTable {
   def replace(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val names = stage(df, path)
-    commit(spark, path, withStats(spark, path, names))
+    commit(spark, path,
+      schemaLine(df.schema) +: withStats(spark, path, names))
   }
 
   /** APPEND `df` as new files alongside the current snapshot's: the
@@ -267,7 +368,7 @@ object ManifestTable {
   def append(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val names = stage(df, path)
-    appendStaged(spark, path, withStats(spark, path, names))
+    appendStaged(spark, path, withStats(spark, path, names), df.schema)
   }
 
   /** The append RMW loop: read the base snapshot, attempt a commit at
@@ -279,7 +380,8 @@ object ManifestTable {
     * attempt, and every tranche survives.
     */
   private def appendStaged(spark: SparkSession, path: String,
-                           newLines: Seq[String]): Long = {
+                           newLines: Seq[String],
+                           incoming: org.apache.spark.sql.types.StructType): Long = {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = latestVersion(spark, path)
@@ -287,8 +389,19 @@ object ManifestTable {
         case Some(v) => snapshotLines(spark, path, Some(v))
         case None => Seq.empty[String]
       }
+      // Snapshot schema = base ∪ incoming. A pre-header base snapshot
+      // (round ≤13, or a raw commit()) records no schema; its files all
+      // share one footer schema by the old invariant, so ONE footer
+      // read recovers it — paid only on the first evolving append, the
+      // header carries it forever after.
+      val baseSchema = base.flatMap(v =>
+        snapshotSchema(spark, path, Some(v)).orElse(
+          existing.headOption.map(l => spark.read.parquet(
+            s"$path/$DataDir/${nameOf(l)}").schema)))
+      val merged = baseSchema.map(evolvedSchema(_, incoming)).getOrElse(incoming)
       val target = base.getOrElse(-1L) + 1
-      if (commitAt(spark, path, existing ++ newLines, target)) return target
+      if (commitAt(spark, path,
+          schemaLine(merged) +: (existing ++ newLines), target)) return target
       attempt += 1
     }
     throw new IllegalStateException(
@@ -324,7 +437,7 @@ object ManifestTable {
     else {
       val names = stage(df, path,
         token = prefix + java.util.UUID.randomUUID().toString)
-      Some(appendStaged(spark, path, withStats(spark, path, names)))
+      Some(appendStaged(spark, path, withStats(spark, path, names), df.schema))
     }
   }
 
@@ -345,7 +458,8 @@ object ManifestTable {
     val spark = df.sparkSession
     val names = stage(df, path,
       token = tag + java.util.UUID.randomUUID().toString)
-    commit(spark, path, withStats(spark, path, names))
+    commit(spark, path,
+      schemaLine(df.schema) +: withStats(spark, path, names))
   }
 
   /** Cheap identity of a committed manifest FILE: (length, mtime) from
@@ -519,9 +633,22 @@ object ManifestTable {
     // silently erase it. Fail LOUD instead (r13 advice) — inside
     // foreachBatch the engine's batch retry re-reads and re-merges;
     // batch callers see an honest single-writer-contract violation.
+    // snapshot schema for the new version: base ∪ batch. A pre-header
+    // base (round ≤13) records no schema; its files all share one
+    // footer schema by the old invariant, so ONE footer read recovers
+    // it — paid once, the committed header carries it forever after.
+    // Old files carried line-for-line null-fill any column they
+    // predate.
+    val baseSchema = baseVersion.flatMap { v =>
+      snapshotSchema(spark, path, Some(v)).orElse(
+        snapshotFiles(spark, path, Some(v)).headOption.map(n =>
+          spark.read.parquet(s"$dataDir/$n").schema))
+    }
+    val headerSchema = baseSchema
+      .map(evolvedSchema(_, batch.schema)).getOrElse(batch.schema)
     def publish(linesOut: Seq[String], cleanup: Seq[String]): Long = {
       val target = baseVersion.getOrElse(-1L) + 1
-      if (commitAt(spark, path, linesOut, target)) target
+      if (commitAt(spark, path, schemaLine(headerSchema) +: linesOut, target)) target
       else {
         dropStaged(cleanup)
         throw new IllegalStateException(
@@ -564,8 +691,9 @@ object ManifestTable {
       if (spark.read.parquet(paths(names): _*).isEmpty) {
         dropStaged(names); return None
       }
-      val merged = Sinks.upsert(read(spark, path, baseVersion),
-        spark.read.parquet(paths(names): _*), keys)
+      val merged = Sinks.upsert(
+        alignTo(read(spark, path, baseVersion), headerSchema),
+        alignTo(spark.read.parquet(paths(names): _*), headerSchema), keys)
       val names2 = stage(merged, path)
       val v = publish(withStats(spark, path, names2), names ++ names2)
       dropStaged(names)
@@ -583,9 +711,13 @@ object ManifestTable {
       // join the manifest as-is (no old file read, no rewrite)
       Some(publish(keep ++ newLines, names))
     } else {
+      // align BOTH sides on the union schema: touched files may
+      // PREDATE a column the table has since gained (null-fill, as
+      // read() does), and a batch adding a column must not crash the
+      // name-wise union inside Sinks.upsert
       val merged = Sinks.upsert(
-        spark.read.parquet(paths(touch.map(nameOf)): _*),
-        spark.read.parquet(paths(names): _*), keys)
+        spark.read.schema(headerSchema).parquet(paths(touch.map(nameOf)): _*),
+        spark.read.schema(headerSchema).parquet(paths(names): _*), keys)
       val names2 = stage(merged, path)
       val v = publish(keep ++ withStats(spark, path, names2), names ++ names2)
       dropStaged(names)
@@ -631,13 +763,20 @@ object ManifestTable {
   def readBetween(spark: SparkSession, path: String, column: String,
                   lo: Double, hi: Double): DataFrame = {
     import org.apache.spark.sql.functions.{col => c, lit}
-    val (kept, _) = pruneFiles(spark, path, column, lo, hi)
+    // pin the version once so the kept set and the schema agree
+    val v = latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val (kept, _) = pruneFiles(spark, path, column, lo, hi, Some(v))
     if (kept.isEmpty) {
       // preserve the schema with zero rows
-      read(spark, path).filter(lit(false))
+      read(spark, path, Some(v)).filter(lit(false))
     } else {
-      spark.read.parquet(kept.map(n => s"$path/$DataDir/$n"): _*)
-        .filter(c(column) >= lo && c(column) <= hi)
+      val ps = kept.map(n => s"$path/$DataDir/$n")
+      val df = snapshotSchema(spark, path, Some(v)) match {
+        case Some(s) => spark.read.schema(s).parquet(ps: _*)
+        case None => spark.read.parquet(ps: _*)
+      }
+      df.filter(c(column) >= lo && c(column) <= hi)
     }
   }
 
@@ -673,12 +812,24 @@ object ManifestTable {
     val to = snapshotFiles(spark, path, Some(toVersion)).toSet
     val added = (to -- from).toSeq.sorted
     val removed = (from -- to).toSeq.sorted
-    def slice(ns: Seq[String], kind: String): Option[DataFrame] =
+    // each slice reads under ITS snapshot's schema (files removed from
+    // `from` may predate a column `to` gained); the union tolerates
+    // the width difference, null-filling the missing side — so the
+    // feed spans a schema-evolution window without a rewrite
+    def slice(ns: Seq[String], kind: String, v: Long): Option[DataFrame] =
       if (ns.isEmpty) None
-      else Some(readFiles(spark, path, ns)
-        .withColumn("_change_type", lit(kind)))
-    (slice(added, "insert"), slice(removed, "delete")) match {
-      case (Some(a), Some(d)) => a.unionByName(d)
+      else {
+        val ps = ns.map(n => s"$path/$DataDir/$n")
+        val df = snapshotSchema(spark, path, Some(v)) match {
+          case Some(s) => spark.read.schema(s).parquet(ps: _*)
+          case None => spark.read.parquet(ps: _*)
+        }
+        Some(df.withColumn("_change_type", lit(kind)))
+      }
+    (slice(added, "insert", toVersion),
+     slice(removed, "delete", fromVersion)) match {
+      case (Some(a), Some(d)) =>
+        a.unionByName(d, allowMissingColumns = true)
       case (Some(a), None) => a
       case (None, Some(d)) => d
       case (None, None) =>
@@ -742,7 +893,15 @@ object ManifestTable {
       statsOf(l).get(pruneCol).forall { case (mn, mx) => mx >= lo && mn <= hi }
     }
     if (touch.isEmpty) return None
-    val touched = readFiles(spark, path, touch.map(nameOf))
+    // read under the snapshot schema (when recorded): `pred` may
+    // reference a column some touched files predate, and the
+    // rewritten survivors must keep the full column set
+    val snapSchema = snapshotSchema(spark, path, baseVersion)
+    val touchPaths = touch.map(l => s"$path/$DataDir/${nameOf(l)}")
+    val touched = snapSchema match {
+      case Some(s) => spark.read.schema(s).parquet(touchPaths: _*)
+      case None => spark.read.parquet(touchPaths: _*)
+    }
     // envelope false positive: bounds intersect but no row matches —
     // footer/row-group pushdown answers this without a full scan for
     // simple predicates, and skipping the rewrite keeps no-ops free
@@ -754,7 +913,8 @@ object ManifestTable {
     // <=> makes "not true" explicit.
     val survivors = touched.filter(!(pred <=> org.apache.spark.sql.functions.lit(true)))
     val names2 = stage(survivors, path)
-    val linesOut = keep ++ withStats(spark, path, names2)
+    val header = snapSchema.map(schemaLine).toSeq
+    val linesOut = header ++ keep ++ withStats(spark, path, names2)
     val target = baseVersion.get + 1
     if (commitAt(spark, path, linesOut, target)) Some(target)
     else {

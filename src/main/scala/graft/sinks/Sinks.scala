@@ -814,6 +814,63 @@ object Sinks {
       |FROM n1, n_high, n_del
       |ORDER BY snap""".stripMargin
 
+  /** Schema evolution through the manifest header (round 14): v1
+    * commits the non-urgent orders WITHOUT a priority column; v2
+    * APPENDS the urgent orders WITH it. Adding the column cost one
+    * manifest header line — zero v1 bytes rewritten, zero footer
+    * reads at query time (the schema is resolved from the log, where
+    * `mergeSchema` would stat every file's footer per query: at 10⁵+
+    * files that is the difference between O(1) and O(files) IO). The
+    * evolved read null-fills the new column on pre-evolution rows,
+    * and time travel to v1 still serves the original two-column
+    * schema — both widths ride the output as proof. The oracle
+    * recomputes every group from the raw table, with the NULL-group
+    * mapping made explicit — proving the null-fill SEMANTICS, not
+    * just row counts.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sevo_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_evo").toString
+      val o = Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = o.filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("cents"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      val v1 = ManifestTable.replace(base, path)
+      val v2 = ManifestTable.append(
+        o.filter(col("o_orderpriority") === "1-URGENT"), path)
+      val nColsV1 = ManifestTable.read(spark, path, Some(v1)).columns.length
+      val evolved = ManifestTable.read(spark, path, Some(v2))
+      val out = evolved
+        .groupBy(coalesce(col("o_orderpriority"), lit("pre-evolution"))
+          .as("grp"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .withColumn("n_cols_v1", lit(nColsV1.toLong))
+        .withColumn("n_cols_v2", lit(evolved.columns.length.toLong))
+        .orderBy(col("grp"))
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH c AS (
+      |  SELECT o_orderkey,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |         o_orderpriority
+      |  FROM orders)
+      |SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority
+      |            ELSE 'pre-evolution' END AS grp,
+      |  count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+      |  CAST(2 AS BIGINT) AS n_cols_v1,
+      |  CAST(3 AS BIGINT) AS n_cols_v2
+      |FROM c
+      |GROUP BY 1
+      |ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert_orders" -> (upsertOrders _),
     "q_time_travel" -> (timeTravel _),
@@ -823,7 +880,8 @@ object Sinks {
     "q_delete_where" -> (deleteWhereOrders _),
     "q_incr_view_maint" -> (incrViewMaint _),
     "q_maintained_gold" -> (maintainedGold _),
-    "q_fast_count" -> (fastCount _)
+    "q_fast_count" -> (fastCount _),
+    "q_schema_evolution" -> (schemaEvolution _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -835,6 +893,7 @@ object Sinks {
     "q_delete_where" -> deleteWhereSql,
     "q_incr_view_maint" -> incrViewMaintSql,
     "q_maintained_gold" -> maintainedGoldSql,
-    "q_fast_count" -> fastCountSql
+    "q_fast_count" -> fastCountSql,
+    "q_schema_evolution" -> schemaEvolutionSql
   )
 }

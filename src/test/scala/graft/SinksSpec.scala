@@ -430,6 +430,135 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("manifest schema evolution: append adds a column without rewriting committed bytes") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mevo").toString
+    val path = s"$dir/t"
+    val v1 = ManifestTable.replace(
+      (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), path)
+    val v1Files = ManifestTable.snapshotFiles(spark, path, Some(v1))
+    val v1Sizes = v1Files.map(f =>
+      f -> new java.io.File(s"$path/data/$f").length()).toMap
+    val v2 = ManifestTable.append(
+      (101L to 120L).map(i => (i, i * 10L, s"tag$i"))
+        .toDF("id", "v", "tag").coalesce(1), path)
+    // evolved read: base columns first, new column null-filled on old rows
+    val evolved = ManifestTable.read(spark, path, Some(v2))
+    assert(evolved.columns.toSeq == Seq("id", "v", "tag"))
+    assert(evolved.filter(col("tag").isNull).count() == 100)
+    assert(evolved.filter(col("tag").isNotNull).count() == 20)
+    // zero bytes of v1 rewritten: files carried verbatim, sizes intact
+    val v2Files = ManifestTable.snapshotFiles(spark, path, Some(v2))
+    assert(v1Files.forall(v2Files.contains), "v1 files dropped by evolution")
+    v1Sizes.foreach { case (f, sz) =>
+      assert(new java.io.File(s"$path/data/$f").length() == sz,
+        s"evolution rewrote committed file $f")
+    }
+    // time travel serves each version's OWN width
+    assert(ManifestTable.read(spark, path, Some(v1)).columns.toSeq ==
+      Seq("id", "v"))
+    assert(ManifestTable.snapshotSchema(spark, path, Some(v2)).get
+      .fieldNames.toSeq == Seq("id", "v", "tag"))
+    // metadata count stays exact across the evolution
+    assert(ManifestTable.countRows(spark, path, Some(v2)) == 120L)
+    // a type change is refused loudly at append time
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(
+        Seq(("200", 0L)).toDF("id", "v"), path)
+    }
+    assert(e.getMessage.contains("only ADDING nullable columns"))
+  }
+
+  test("manifest schema evolution: skipping stays conservative on the added column and DML composes") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mevodml").toString
+    val path = s"$dir/t"
+    ManifestTable.replace(
+      (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), path)
+    ManifestTable.append(
+      (101L to 120L).map(i => (i, i * 10L, i.toDouble))
+        .toDF("id", "v", "score").coalesce(1), path)
+    // range read on the ADDED column: pre-evolution files carry no
+    // bounds for it (kept conservatively); their null rows fail the
+    // residual predicate, so the answer is exact
+    val hits = ManifestTable.readBetween(spark, path, "score", 105.0, 110.0)
+      .select("id").as[Long].collect().sorted
+    assert(hits.toSeq == (105L to 110L),
+      s"readBetween on evolved column: ${hits.mkString(",")}")
+    // copy-on-write delete through the added column: null rows are
+    // "not true" under the predicate and survive
+    val del = ManifestTable.deleteWhere(spark, path,
+      col("score") >= 111.0 && col("score") <= 115.0, "score", 111.0, 115.0)
+    assert(del.nonEmpty, "delete matched nothing")
+    val after = ManifestTable.read(spark, path)
+    assert(after.count() == 115)
+    assert(after.filter(col("score").isNull).count() == 100,
+      "delete through the evolved column dropped null-score rows")
+    // upsert on the evolved table: a key living in a PRE-evolution
+    // file is found and replaced, and the merge carries the full width
+    val up = ManifestTable.upsertPruned(
+      Seq((50L, 999L, 50.5)).toDF("id", "v", "score"), path,
+      Seq("id"), "id")
+    assert(up.nonEmpty)
+    val row50 = ManifestTable.read(spark, path)
+      .filter(col("id") === 50L).collect()
+    assert(row50.length == 1 && row50(0).getAs[Long]("v") == 999L &&
+      row50(0).getAs[Double]("score") == 50.5)
+    assert(ManifestTable.read(spark, path).count() == 115)
+  }
+
+  test("manifest schema evolution: the change feed spans the evolution window null-filled") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mevocdc").toString
+    val path = s"$dir/t"
+    val v1 = ManifestTable.replace(
+      (1L to 50L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), path)
+    val v2 = ManifestTable.append(
+      (51L to 60L).map(i => (i, i * 10L, s"tag$i"))
+        .toDF("id", "v", "tag").coalesce(1), path)
+    val v3 = ManifestTable.deleteWhere(spark, path,
+      col("id") <= 5L, "id", 1.0, 5.0).get
+    // v1→v3: removed files are pre-evolution (narrow) and read under
+    // v1's schema; the union null-fills them to the evolved width
+    val feed = ManifestTable.changes(spark, path, v1, v3)
+    assert(feed.columns.contains("tag"))
+    assert(feed.filter(col("_change_type") === "delete" &&
+      col("tag").isNotNull).count() == 0,
+      "narrow delete slice acquired non-null evolved values")
+    // net feed over the delete window: rewrite noise cancels, leaving
+    // exactly the five deleted rows
+    val net = ManifestTable.netChanges(spark, path, v2, v3)
+    assert(net.filter(col("_change_type") === "insert").count() == 0)
+    val gone = net.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted
+    assert(gone.toSeq == (1L to 5L), s"net delete rows: ${gone.mkString(",")}")
+  }
+
+  test("manifest schema evolution: a legacy headerless table recovers its schema from one footer") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mevoleg").toString
+    val path = s"$dir/t"
+    // craft a pre-round-14 manifest: bare file names, no header
+    val names = ManifestTable.stage(
+      (1L to 30L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), path)
+    ManifestTable.commit(spark, path, names)
+    assert(ManifestTable.snapshotSchema(spark, path).isEmpty)
+    assert(ManifestTable.read(spark, path).columns.toSeq == Seq("id", "v"))
+    // the first evolving append recovers the base schema from a footer
+    // and the header carries it from then on
+    val v = ManifestTable.append(
+      Seq((31L, 310L, "x")).toDF("id", "v", "tag"), path)
+    val s = ManifestTable.snapshotSchema(spark, path, Some(v))
+    assert(s.nonEmpty && s.get.fieldNames.toSeq == Seq("id", "v", "tag"))
+    val back = ManifestTable.read(spark, path, Some(v))
+    assert(back.count() == 31)
+    assert(back.filter(col("tag").isNull).count() == 30)
+  }
+
   test("compact rewrites files without a visibility gap; vacuum reaps history and orphans") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mcompact").toString
