@@ -158,6 +158,116 @@ object ManifestTable {
       else lit(null).cast(f.dataType).as(f.name)): _*)
   }
 
+  /** MERGE-ON-READ DELETION VECTORS (round 14). A `#dv` manifest line
+    * `#dv\t<dvParquet>\t<targetDataFile>\t<nDeleted>` records that
+    * `nDeleted` rows of `targetDataFile` are logically deleted, their
+    * positions listed in `dvParquet` (a tiny parquet under `data/` of
+    * `(_dv_file string, _dv_pos long)` — `_dv_pos` is the row's
+    * ordinal within its file, the position `_metadata.row_index`
+    * exposes at scan time). [[deleteWhereMor]] commits one such
+    * sidecar instead of rewriting touched files: deleting 1k rows
+    * from a 100 TB table is O(matches) bytes written, not O(touched
+    * files) — the write-amplification complement of the copy-on-write
+    * [[deleteWhere]]. Readers ([[read]], [[readBetween]],
+    * [[changes]]) subtract the vectors with a broadcast anti-join on
+    * (file, position); [[materializeDeletes]] folds vectors back into
+    * rewritten files once their deleted fraction makes the read-side
+    * join a worse deal than the rewrite.
+    *
+    * Invariant maintained by every committer: a live `#dv` line's
+    * TARGET file is present in the same manifest, and its positions
+    * are disjoint from every other live line's for that target (a
+    * later delete scans the table DV-filtered, so an already-deleted
+    * row can never re-match). [[countRows]] therefore stays exact
+    * metadata arithmetic: file row sums minus `#dv` line sums.
+    * Copy-on-write ops that rewrite a target ([[upsertPruned]],
+    * [[deleteWhere]], [[materializeDeletes]]) read it DV-filtered and
+    * DROP its `#dv` lines — the deletion is materialized into the
+    * rewrite. The dvParquet may outlive some of its lines (one
+    * sidecar can cover several targets); it is reaped by [[vacuum]]
+    * once no kept manifest references it.
+    */
+  private val DvMarker = "#dv"
+
+  private def isDvLine(line: String): Boolean = line.startsWith(s"$DvMarker\t")
+
+  private def dvLine(dvFile: String, target: String, n: Long): String =
+    s"$DvMarker\t$dvFile\t$target\t$n"
+
+  /** (dvParquet, targetDataFile, nDeleted) of every live `#dv` line. */
+  private[graft] def dvEntries(spark: SparkSession, path: String,
+                               version: Option[Long] = None)
+      : Seq[(String, String, Long)] =
+    rawLines(spark, path, version).filter(isDvLine).map { l =>
+      val p = l.split('\t')
+      (p(1), p(2), p(3).toLong)
+    }
+
+  private def dvLinesOf(spark: SparkSession, path: String,
+                        version: Option[Long]): Seq[String] =
+    rawLines(spark, path, version).filter(isDvLine)
+
+  /** Helper column names riding the DV anti-join; dropped before the
+    * frame leaves the manifest layer.
+    */
+  private val DvFileCol = "_graft_dv_file"
+  private val DvPosCol = "_graft_dv_pos"
+
+  /** Subtract a snapshot's deletion vectors from `scan` — which MUST
+    * sit directly on a parquet file source (the hidden `_metadata`
+    * struct resolves only there). Applies only to rows from files in
+    * `targets`; a no-DV snapshot returns `scan` untouched, paying
+    * nothing. The DV side is tiny by the [[materializeDeletes]]
+    * policy, so the anti-join broadcasts — no shuffle of the data
+    * side.
+    */
+  /** Tag each scanned row with its (file name, in-file position) —
+    * the key a deletion vector addresses. Must be applied directly
+    * over the parquet scan (the hidden `_metadata` struct resolves
+    * only on a file source).
+    */
+  private def withPosKeys(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    df.withColumn(DvFileCol,
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+  }
+
+  /** The snapshot's deleted (file, position) pairs restricted to
+    * `targets`, as a frame keyed [[DvFileCol]]/[[DvPosCol]] — None
+    * when no live vector targets them. The union of the referenced
+    * sidecars is filtered to the targets the LINES name: a sidecar
+    * may carry positions for a file whose line was since dropped by a
+    * rewrite (those rows are gone from the scan anyway, but the
+    * restriction keeps this frame tight for the broadcast).
+    */
+  private def dvFrame(spark: SparkSession, path: String,
+                      version: Option[Long],
+                      targets: Set[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val dvs = dvEntries(spark, path, version)
+      .filter(e => targets.contains(e._2))
+    if (dvs.isEmpty) None
+    else Some(spark.read
+      .parquet(dvs.map(_._1).distinct.map(n => s"$path/$DataDir/$n"): _*)
+      .filter(col("_dv_file").isInCollection(dvs.map(_._2).distinct))
+      .select(col("_dv_file").as(DvFileCol), col("_dv_pos").as(DvPosCol))
+      .distinct())
+  }
+
+  private def dvSubtract(spark: SparkSession, path: String,
+                         version: Option[Long], scan: DataFrame,
+                         targets: Set[String]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    dvFrame(spark, path, version, targets) match {
+      case None => scan
+      case Some(dv) =>
+        withPosKeys(scan)
+          .join(broadcast(dv), Seq(DvFileCol, DvPosCol), "left_anti")
+          .drop(DvFileCol, DvPosCol)
+    }
+  }
+
   private def statsOf(line: String): Map[String, (Double, Double)] =
     line.split('\t') match {
       case Array(_, st) => st.split(';').iterator.filter(_.nonEmpty).map { e =>
@@ -230,14 +340,16 @@ object ManifestTable {
            version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
-    val files = snapshotFiles(spark, path, Some(v))
-      .map(f => s"$path/$DataDir/$f")
-    snapshotSchema(spark, path, Some(v)) match {
+    val names = snapshotFiles(spark, path, Some(v))
+    val files = names.map(f => s"$path/$DataDir/$f")
+    val scan = snapshotSchema(spark, path, Some(v)) match {
       case Some(s) if files.isEmpty =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case Some(s) => spark.read.schema(s).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
     }
+    if (files.isEmpty) scan
+    else dvSubtract(spark, path, Some(v), scan, names.toSet)
   }
 
   /** Stage `df` as new immutable files under `data/` WITHOUT making
@@ -306,7 +418,11 @@ object ManifestTable {
     // grace, or under clock skew) may have reaped them, and a
     // committed manifest pointing at vanished files is the one state
     // the protocol must never produce — fail the commit instead
-    val missing = files.filterNot(isHeader).map(nameOf).filterNot(f =>
+    // data files from plain lines; DV sidecar parquets from #dv lines
+    // (headers otherwise carry no file references)
+    val referenced = files.filterNot(isHeader).map(nameOf) ++
+      files.filter(isDvLine).map(_.split('\t')(1))
+    val missing = referenced.distinct.filterNot(f =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$DataDir/$f")))
     require(missing.isEmpty,
       s"commit: staged files vanished before publish (vacuumed?): " +
@@ -399,9 +515,13 @@ object ManifestTable {
           existing.headOption.map(l => spark.read.parquet(
             s"$path/$DataDir/${nameOf(l)}").schema)))
       val merged = baseSchema.map(evolvedSchema(_, incoming)).getOrElse(incoming)
+      // deletion vectors ride along verbatim: appending files can
+      // neither satisfy nor invalidate a position-level delete on an
+      // EXISTING file
+      val dvCarry = base.toSeq.flatMap(v => dvLinesOf(spark, path, Some(v)))
       val target = base.getOrElse(-1L) + 1
       if (commitAt(spark, path,
-          schemaLine(merged) +: (existing ++ newLines), target)) return target
+          schemaLine(merged) +: (dvCarry ++ existing ++ newLines), target)) return target
       attempt += 1
     }
     throw new IllegalStateException(
@@ -555,10 +675,22 @@ object ManifestTable {
       .map(l => nameOf(l) -> statsOf(l).get(RowsCol))
     val (counted, legacy) = entries.partition(_._2.isDefined)
     val fromStats = counted.map(_._2.get._1.toLong).sum
+    // deletion vectors subtract by THEIR line counts — exact because
+    // live vectors target present files with pairwise-disjoint
+    // positions (the [[deleteWhereMor]] invariant), so no position is
+    // ever counted deleted twice
     val fromLegacy =
       if (legacy.isEmpty) 0L
-      else readFiles(spark, path, legacy.map(_._1)).count()
-    fromStats + fromLegacy
+      else dvSubtract(spark, path, version,
+        readFiles(spark, path, legacy.map(_._1)),
+        legacy.map(_._1).toSet).count()
+    // legacy files predate row-count stats; their vectors (if any)
+    // were subtracted in the scan above, so only COUNTED files'
+    // vectors subtract from the stats sum
+    val legacySet = legacy.map(_._1).toSet
+    val dvOnCounted = dvEntries(spark, path, version)
+      .filterNot(e => legacySet.contains(e._2)).map(_._3).sum
+    fromStats - dvOnCounted + fromLegacy
   }
 
   /** Copy-on-write UPSERT that rewrites only the files the batch can
@@ -708,18 +840,28 @@ object ManifestTable {
     if (touch.isEmpty) {
       // fast path — the steady state of a time-keyed table: the batch
       // cannot collide with any committed key, so its staged files
-      // join the manifest as-is (no old file read, no rewrite)
-      Some(publish(keep ++ newLines, names))
+      // join the manifest as-is (no old file read, no rewrite);
+      // deletion vectors on existing files carry verbatim
+      Some(publish(dvLinesOf(spark, path, baseVersion) ++ keep ++ newLines,
+        names))
     } else {
       // align BOTH sides on the union schema: touched files may
       // PREDATE a column the table has since gained (null-fill, as
       // read() does), and a batch adding a column must not crash the
-      // name-wise union inside Sinks.upsert
+      // name-wise union inside Sinks.upsert. The touched read is
+      // DV-filtered (rewriting materializes the vectors), so touched
+      // files' #dv lines drop; untouched files' carry.
+      val touchNames = touch.map(nameOf)
       val merged = Sinks.upsert(
-        spark.read.schema(headerSchema).parquet(paths(touch.map(nameOf)): _*),
+        dvSubtract(spark, path, baseVersion,
+          spark.read.schema(headerSchema).parquet(paths(touchNames): _*),
+          touchNames.toSet),
         spark.read.schema(headerSchema).parquet(paths(names): _*), keys)
       val names2 = stage(merged, path)
-      val v = publish(keep ++ withStats(spark, path, names2), names ++ names2)
+      val dvCarry = dvLinesOf(spark, path, baseVersion)
+        .filterNot(l => touchNames.contains(l.split('\t')(2)))
+      val v = publish(dvCarry ++ keep ++ withStats(spark, path, names2),
+        names ++ names2)
       dropStaged(names)
       Some(v)
     }
@@ -776,7 +918,12 @@ object ManifestTable {
         case Some(s) => spark.read.schema(s).parquet(ps: _*)
         case None => spark.read.parquet(ps: _*)
       }
-      df.filter(c(column) >= lo && c(column) <= hi)
+      // subtract deletion vectors BEFORE the residual filter (the
+      // hidden _metadata struct resolves on the file scan, not above
+      // arbitrary operators); kept-file targets only — vectors for
+      // skipped files have nothing to subtract from
+      dvSubtract(spark, path, Some(v), df, kept.toSet)
+        .filter(c(column) >= lo && c(column) <= hi)
     }
   }
 
@@ -805,7 +952,7 @@ object ManifestTable {
     */
   def changes(spark: SparkSession, path: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     require(fromVersion <= toVersion,
       s"changes: fromVersion $fromVersion > toVersion $toVersion")
     val from = snapshotFiles(spark, path, Some(fromVersion)).toSet
@@ -813,9 +960,12 @@ object ManifestTable {
     val added = (to -- from).toSeq.sorted
     val removed = (from -- to).toSeq.sorted
     // each slice reads under ITS snapshot's schema (files removed from
-    // `from` may predate a column `to` gained); the union tolerates
-    // the width difference, null-filling the missing side — so the
-    // feed spans a schema-evolution window without a rewrite
+    // `from` may predate a column `to` gained) and subtracts ITS
+    // snapshot's deletion vectors (a row deleted by vector never
+    // logically existed in an added file, and was already gone from a
+    // removed one); the union tolerates the width difference,
+    // null-filling the missing side — so the feed spans
+    // schema-evolution and vector windows without a rewrite
     def slice(ns: Seq[String], kind: String, v: Long): Option[DataFrame] =
       if (ns.isEmpty) None
       else {
@@ -824,20 +974,51 @@ object ManifestTable {
           case Some(s) => spark.read.schema(s).parquet(ps: _*)
           case None => spark.read.parquet(ps: _*)
         }
-        Some(df.withColumn("_change_type", lit(kind)))
+        Some(dvSubtract(spark, path, Some(v), df, ns.toSet)
+          .withColumn("_change_type", lit(kind)))
       }
-    (slice(added, "insert", toVersion),
-     slice(removed, "delete", fromVersion)) match {
-      case (Some(a), Some(d)) =>
-        a.unionByName(d, allowMissingColumns = true)
-      case (Some(a), None) => a
-      case (None, Some(d)) => d
-      case (None, None) =>
-        // no file changed: empty feed with the table's schema
-        read(spark, path, Some(toVersion))
-          .withColumn("_change_type", lit("insert"))
-          .filter(lit(false))
-    }
+    // VECTOR-ONLY deletes change no data file, so the file diff is
+    // blind to them: `#dv` lines new in this window whose target file
+    // is carried across it contribute their positions as row-level
+    // deletes (a vector on a file ADDED in the window is already
+    // excluded from the insert slice — emitting it here too would
+    // delete a row the feed never inserted). Vector lines only ever
+    // DROP alongside their target file (rewrites), so the reverse
+    // delta cannot occur on a carried file.
+    val fromDvLines = dvLinesOf(spark, path, Some(fromVersion)).toSet
+    val carried = from intersect to
+    val deltaDv = dvLinesOf(spark, path, Some(toVersion))
+      .filterNot(fromDvLines).map { l =>
+        val p = l.split('\t'); (p(1), p(2))
+      }.filter(e => carried.contains(e._2))
+    val dvSlice: Option[DataFrame] =
+      if (deltaDv.isEmpty) None
+      else {
+        val targets = deltaDv.map(_._2).distinct
+        val scan = snapshotSchema(spark, path, Some(toVersion)) match {
+          case Some(s) => spark.read.schema(s)
+            .parquet(targets.map(n => s"$path/$DataDir/$n"): _*)
+          case None =>
+            spark.read.parquet(targets.map(n => s"$path/$DataDir/$n"): _*)
+        }
+        val pos = spark.read
+          .parquet(deltaDv.map(_._1).distinct.map(n => s"$path/$DataDir/$n"): _*)
+          .filter(col("_dv_file").isInCollection(targets))
+          .select(col("_dv_file").as(DvFileCol), col("_dv_pos").as(DvPosCol))
+          .distinct()
+        Some(withPosKeys(scan)
+          .join(broadcast(pos), Seq(DvFileCol, DvPosCol), "left_semi")
+          .drop(DvFileCol, DvPosCol)
+          .withColumn("_change_type", lit("delete")))
+      }
+    val slices = Seq(slice(added, "insert", toVersion),
+      slice(removed, "delete", fromVersion), dvSlice).flatten
+    if (slices.isEmpty)
+      // nothing changed: empty feed with the table's schema
+      read(spark, path, Some(toVersion))
+        .withColumn("_change_type", lit("insert"))
+        .filter(lit(false))
+    else slices.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** ROW-LEVEL net change feed: [[changes]] with copy-on-write rewrite
@@ -897,11 +1078,16 @@ object ManifestTable {
     // reference a column some touched files predate, and the
     // rewritten survivors must keep the full column set
     val snapSchema = snapshotSchema(spark, path, baseVersion)
-    val touchPaths = touch.map(l => s"$path/$DataDir/${nameOf(l)}")
-    val touched = snapSchema match {
+    val touchNames = touch.map(nameOf)
+    val touchPaths = touchNames.map(n => s"$path/$DataDir/$n")
+    val touchedRaw = snapSchema match {
       case Some(s) => spark.read.schema(s).parquet(touchPaths: _*)
       case None => spark.read.parquet(touchPaths: _*)
     }
+    // rewriting a file MATERIALIZES its deletion vectors: the read is
+    // DV-filtered, and the rewritten file's #dv lines drop below
+    val touched = dvSubtract(spark, path, baseVersion,
+      touchedRaw, touchNames.toSet)
     // envelope false positive: bounds intersect but no row matches —
     // footer/row-group pushdown answers this without a full scan for
     // simple predicates, and skipping the rewrite keeps no-ops free
@@ -914,7 +1100,9 @@ object ManifestTable {
     val survivors = touched.filter(!(pred <=> org.apache.spark.sql.functions.lit(true)))
     val names2 = stage(survivors, path)
     val header = snapSchema.map(schemaLine).toSeq
-    val linesOut = header ++ keep ++ withStats(spark, path, names2)
+    val dvCarry = dvLinesOf(spark, path, baseVersion)
+      .filterNot(l => touchNames.contains(l.split('\t')(2)))
+    val linesOut = header ++ dvCarry ++ keep ++ withStats(spark, path, names2)
     val target = baseVersion.get + 1
     if (commitAt(spark, path, linesOut, target)) Some(target)
     else {
@@ -924,6 +1112,141 @@ object ManifestTable {
       throw new IllegalStateException(
         s"deleteWhere: concurrent commit detected at $path (delete was " +
           s"built from v${baseVersion.get} but v$target was claimed) — " +
+          "re-read and retry; this table requires a single writer")
+    }
+  }
+
+  /** MERGE-ON-READ row-level DELETE: commit the matching rows'
+    * (file, position) pairs as a deletion-vector sidecar instead of
+    * rewriting the files that hold them. Write cost is O(matching
+    * rows) — a few KB for a typical GDPR key-list or retention delete
+    * — where [[deleteWhere]] rewrites every touched file (gigabytes
+    * on a 100 TB table whose files each hold one matching row).
+    * Readers subtract the vectors with a broadcast anti-join on
+    * (file, position); the read-side overhead is bounded by
+    * [[materializeDeletes]], which folds accumulated vectors back
+    * into rewritten files once their deleted fraction crosses a
+    * threshold — the same deferral trade every lakehouse format makes
+    * (Delta deletion vectors, Iceberg positional deletes).
+    *
+    * Matching rows are found through the same stats-envelope prune as
+    * [[deleteWhere]] (and share its CONTRACT: every row satisfying
+    * `pred` must have `pruneCol` in [lo, hi]); the scan is
+    * DV-FILTERED first, so a row already deleted by an earlier vector
+    * can never re-match — which keeps every live vector's positions
+    * pairwise disjoint and [[countRows]] exact metadata arithmetic.
+    * Rows where `pred` evaluates NULL are not matches and survive,
+    * exactly as in [[deleteWhere]]. Returns None without burning a
+    * version when nothing matches. Single-writer: commits at exactly
+    * base+1 and fails LOUD on a concurrent commit.
+    */
+  def deleteWhereMor(spark: SparkSession, path: String, pred: Column,
+                     pruneCol: String, lo: Double, hi: Double): Option[Long] = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val baseVersion = latestVersion(spark, path)
+    require(baseVersion.nonEmpty,
+      s"deleteWhereMor: no committed snapshot at $path")
+    val lines = snapshotLines(spark, path, baseVersion)
+    val touch = lines.filter { l =>
+      statsOf(l).get(pruneCol).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    if (touch.isEmpty) return None
+    val touchNames = touch.map(nameOf)
+    val snapSchema = snapshotSchema(spark, path, baseVersion)
+    val touchPaths = touchNames.map(n => s"$path/$DataDir/$n")
+    val scan0 = snapSchema match {
+      case Some(s) => spark.read.schema(s).parquet(touchPaths: _*)
+      case None => spark.read.parquet(touchPaths: _*)
+    }
+    val keyed = withPosKeys(scan0)
+    val live = dvFrame(spark, path, baseVersion, touchNames.toSet) match {
+      case Some(dv) =>
+        keyed.join(broadcast(dv), Seq(DvFileCol, DvPosCol), "left_anti")
+      case None => keyed
+    }
+    val matches = live.filter(pred <=> lit(true))
+      .select(col(DvFileCol).as("_dv_file"), col(DvPosCol).as("_dv_pos"))
+      .persist()
+    try {
+      // per-target counts: driver-bounded by the touched-file count,
+      // and exactly what the manifest lines need for countRows
+      val counts = matches.groupBy("_dv_file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      if (counts.isEmpty) return None
+      val dvNames = stage(
+        matches.orderBy("_dv_file", "_dv_pos").coalesce(1), path,
+        token = "dv-" + java.util.UUID.randomUUID().toString)
+      val sidecar = dvNames.head
+      val newDvLines = counts.map { case (t, n) => dvLine(sidecar, t, n) }
+      val header = snapSchema.map(schemaLine).toSeq
+      val dvCarry = dvLinesOf(spark, path, baseVersion)
+      val linesOut = header ++ dvCarry ++ newDvLines ++ lines
+      val target = baseVersion.get + 1
+      if (commitAt(spark, path, linesOut, target)) Some(target)
+      else {
+        val fs = fsOf(spark, new org.apache.hadoop.fs.Path(s"$path/$DataDir"))
+        dvNames.foreach(n => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/$DataDir/$n"), false): Unit)
+        throw new IllegalStateException(
+          s"deleteWhereMor: concurrent commit detected at $path (vector " +
+            s"was built from v${baseVersion.get} but v$target was claimed) " +
+            "— re-read and retry; this table requires a single writer")
+      }
+    } finally matches.unpersist(blocking = false): Unit
+  }
+
+  /** Fold deletion vectors back into the data: every target file
+    * whose deleted fraction is at least `minDeletedFraction` is
+    * rewritten WITHOUT its deleted rows, and its `#dv` lines drop
+    * from the manifest (the vectors are materialized). The default 0
+    * materializes everything — the compaction step that bounds the
+    * read-side anti-join; a threshold (e.g. 0.1) materializes only
+    * the targets where the vector has grown past a tenth of the file,
+    * the Delta-style policy knob. Targets below the threshold keep
+    * their vectors; orphaned sidecars are reaped by [[vacuum]].
+    * Returns None when no vector qualifies. Single-writer, loud on a
+    * concurrent commit.
+    */
+  def materializeDeletes(spark: SparkSession, path: String,
+                         minDeletedFraction: Double = 0.0): Option[Long] = {
+    val baseVersion = latestVersion(spark, path)
+    require(baseVersion.nonEmpty,
+      s"materializeDeletes: no committed snapshot at $path")
+    val dvs = dvEntries(spark, path, baseVersion)
+    if (dvs.isEmpty) return None
+    val lines = snapshotLines(spark, path, baseVersion)
+    val rowsOf = lines.map(l => nameOf(l) -> statsOf(l).get(RowsCol)).toMap
+    val deletedBy = dvs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val pick = deletedBy.filter { case (t, d) =>
+      rowsOf.get(t).flatten match {
+        // no recorded row count (legacy line): fraction unknowable —
+        // materialize conservatively
+        case Some((n, _)) if n > 0 => d.toDouble / n >= minDeletedFraction
+        case _ => true
+      }
+    }.keySet
+    if (pick.isEmpty) return None
+    val (touch, keep) = lines.partition(l => pick.contains(nameOf(l)))
+    val snapSchema = snapshotSchema(spark, path, baseVersion)
+    val touchPaths = touch.map(l => s"$path/$DataDir/${nameOf(l)}")
+    val scan0 = snapSchema match {
+      case Some(s) => spark.read.schema(s).parquet(touchPaths: _*)
+      case None => spark.read.parquet(touchPaths: _*)
+    }
+    val survivors = dvSubtract(spark, path, baseVersion, scan0, pick)
+    val names2 = stage(survivors, path)
+    val dvCarry = dvLinesOf(spark, path, baseVersion)
+      .filterNot(l => pick.contains(l.split('\t')(2)))
+    val header = snapSchema.map(schemaLine).toSeq
+    val linesOut = header ++ dvCarry ++ keep ++ withStats(spark, path, names2)
+    val target = baseVersion.get + 1
+    if (commitAt(spark, path, linesOut, target)) Some(target)
+    else {
+      val fs = fsOf(spark, new org.apache.hadoop.fs.Path(s"$path/$DataDir"))
+      names2.foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/$DataDir/$n"), false): Unit)
+      throw new IllegalStateException(
+        s"materializeDeletes: concurrent commit detected at $path — " +
           "re-read and retry; this table requires a single writer")
     }
   }
@@ -978,7 +1301,8 @@ object ManifestTable {
     val vs = versions(spark, path)
     if (vs.isEmpty) return
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val live = keep.flatMap(v => snapshotFiles(spark, path, Some(v))).toSet
+    val live = keep.flatMap(v => snapshotFiles(spark, path, Some(v)) ++
+      dvEntries(spark, path, Some(v)).map(_._1)).toSet
     val dataDir = new org.apache.hadoop.fs.Path(s"$path/$DataDir")
     val fs = fsOf(spark, dataDir)
     val cutoff = System.currentTimeMillis() - minOrphanAge.toMillis

@@ -574,6 +574,79 @@ object Sinks {
       |GROUP BY order_year
       |ORDER BY order_year""".stripMargin
 
+  /** Oracle-checked MERGE-ON-READ delete (deletion vectors): the same
+    * retention shape as [[deleteWhereOrders]] — range-laid by order
+    * year — but served through [[ManifestTable.deleteWhereMor]], which
+    * commits the matching rows' (file, position) pairs as a tiny
+    * sidecar instead of rewriting the touched files. Two successive
+    * vector deletes land; the `require`s pin the defining property the
+    * copy-on-write twin cannot have: the DATA FILE SET IS IDENTICAL
+    * across all three versions — deleting from a 100 TB table wrote
+    * kilobytes. The result rides three proofs at once: the surviving
+    * groups (read-side anti-join exactness, vs the oracle's NOT(pred)
+    * recompute), the pre-delete total via time travel (`n_v1`), and
+    * the post-delete total from pure manifest METADATA (`n_meta`,
+    * [[ManifestTable.countRows]] — file row sums minus vector line
+    * sums, zero data IO even with vectors live).
+    */
+  def deleteVectorsOrders(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dv_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_dv").toString
+      val o = Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          year(col("o_orderdate")).as("order_year"))
+      val laid = o.repartitionByRange(8, col("order_year"), col("o_orderkey"))
+        .sortWithinPartitions("order_year", "o_orderkey")
+      val v1 = ManifestTable.replace(laid, path)
+      val v2 = ManifestTable.deleteWhereMor(spark, path,
+        col("order_year") === 1997 && col("o_orderpriority") === "1-URGENT",
+        "order_year", 1997.0, 1997.0).getOrElse(
+        throw new IllegalStateException("first vector delete matched nothing"))
+      val v3 = ManifestTable.deleteWhereMor(spark, path,
+        col("order_year") === 1995 && col("cents") % 10L === 3L,
+        "order_year", 1995.0, 1995.0).getOrElse(
+        throw new IllegalStateException("second vector delete matched nothing"))
+      val f1 = ManifestTable.snapshotFiles(spark, path, Some(v1))
+      require(ManifestTable.snapshotFiles(spark, path, Some(v2)) == f1 &&
+        ManifestTable.snapshotFiles(spark, path, Some(v3)) == f1,
+        "vector delete changed the data file set — MOR must rewrite nothing")
+      require(ManifestTable.dvEntries(spark, path, Some(v3)).size >= 2,
+        "expected live deletion vectors after two MOR deletes")
+      val nV1 = ManifestTable.read(spark, path, Some(v1)).count()
+      val nMeta = ManifestTable.countRows(spark, path, Some(v3))
+      val out = ManifestTable.read(spark, path, Some(v3))
+        .groupBy(col("order_year"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"),
+          count(when(col("o_orderpriority") === "1-URGENT", 1))
+            .as("n_urgent"))
+        .withColumn("n_v1", lit(nV1))
+        .withColumn("n_meta", lit(nMeta))
+        .orderBy(col("order_year"))
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val deleteVectorsSql: String =
+    """WITH c AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+      |         o_orderpriority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |s AS (
+      |  SELECT * FROM c
+      |  WHERE NOT (order_year = 1997 AND o_orderpriority = '1-URGENT')
+      |    AND NOT (order_year = 1995 AND cents % 10 = 3))
+      |SELECT order_year, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS cents,
+      |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+      |    AS n_urgent,
+      |  (SELECT count(*) FROM c) AS n_v1,
+      |  (SELECT count(*) FROM s) AS n_meta
+      |FROM s GROUP BY order_year
+      |ORDER BY order_year""".stripMargin
+
   /** Oracle-checked incremental view maintenance: materialize a
     * revenue-by-priority gold aggregate at v1, mutate the table twice —
     * a copy-on-write reprice of the FIRST key decile
@@ -881,7 +954,8 @@ object Sinks {
     "q_incr_view_maint" -> (incrViewMaint _),
     "q_maintained_gold" -> (maintainedGold _),
     "q_fast_count" -> (fastCount _),
-    "q_schema_evolution" -> (schemaEvolution _)
+    "q_schema_evolution" -> (schemaEvolution _),
+    "q_delete_vectors" -> (deleteVectorsOrders _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -894,6 +968,7 @@ object Sinks {
     "q_incr_view_maint" -> incrViewMaintSql,
     "q_maintained_gold" -> maintainedGoldSql,
     "q_fast_count" -> fastCountSql,
-    "q_schema_evolution" -> schemaEvolutionSql
+    "q_schema_evolution" -> schemaEvolutionSql,
+    "q_delete_vectors" -> deleteVectorsSql
   )
 }

@@ -559,6 +559,223 @@ class ManifestSpec extends SparkSpec {
     assert(back.filter(col("tag").isNull).count() == 30)
   }
 
+  test("deletion vectors: MOR delete rewrites nothing, reads subtract, counts stay exact") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mdv").toString
+    val path = s"$dir/t"
+    val v1 = ManifestTable.replace(
+      (1L to 200L).map(i => (i, i * 10L)).toDF("id", "v")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), path)
+    val v1Files = ManifestTable.snapshotFiles(spark, path, Some(v1))
+    val v1Sizes = v1Files.map(f =>
+      f -> new java.io.File(s"$path/data/$f").length()).toMap
+    // MOR delete a band: only the sidecar is written
+    val v2 = ManifestTable.deleteWhereMor(spark, path,
+      col("id") >= 50L && col("id") <= 80L, "id", 50.0, 80.0).get
+    val v2Files = ManifestTable.snapshotFiles(spark, path, Some(v2))
+    assert(v2Files == v1Files, "MOR delete changed the data file set")
+    v1Sizes.foreach { case (f, sz) =>
+      assert(new java.io.File(s"$path/data/$f").length() == sz,
+        s"MOR delete rewrote data file $f")
+    }
+    val after = ManifestTable.read(spark, path, Some(v2))
+    assert(after.count() == 169)
+    assert(after.filter(col("id").between(50L, 80L)).count() == 0)
+    // metadata count subtracts the vector without any data IO
+    assert(ManifestTable.countRows(spark, path, Some(v2)) == 169L)
+    // time travel: v1 still serves the full table
+    assert(ManifestTable.read(spark, path, Some(v1)).count() == 200)
+    // skipping read subtracts vectors too
+    assert(ManifestTable.readBetween(spark, path, "id", 40.0, 60.0)
+      .count() == 10) // 40..49
+    // a second MOR delete: already-deleted rows cannot re-match, so
+    // counts stay disjoint-exact even with an overlapping predicate
+    val v3 = ManifestTable.deleteWhereMor(spark, path,
+      col("id") >= 70L && col("id") <= 100L, "id", 70.0, 100.0).get
+    assert(ManifestTable.countRows(spark, path, Some(v3)) == 149L)
+    assert(ManifestTable.read(spark, path).count() == 149)
+    // no-match: envelope misses entirely -> None, no version burned
+    assert(ManifestTable.deleteWhereMor(spark, path,
+      col("id") > 5000L, "id", 5001.0, 6000.0).isEmpty)
+    // envelope hit but no row matches -> None too
+    assert(ManifestTable.deleteWhereMor(spark, path,
+      col("id") === 60L, "id", 55.0, 65.0).isEmpty,
+      "matched an already-vector-deleted row")
+    assert(ManifestTable.latestVersion(spark, path).get == v3)
+    // null-predicate rows survive (three-valued logic, as deleteWhere)
+    val p2 = s"$dir/t2"
+    ManifestTable.replace(Seq((1L, Some(5L)), (2L, None), (3L, Some(9L)))
+      .toDF("id", "x"), p2)
+    ManifestTable.deleteWhereMor(spark, p2,
+      col("x") > 4L, "id", 1.0, 3.0)
+    val left = ManifestTable.read(spark, p2).select("id").as[Long]
+      .collect().sorted
+    assert(left.toSeq == Seq(2L), s"null-pred rows mishandled: ${left.mkString(",")}")
+  }
+
+  test("deletion vectors: materialize folds by threshold; vacuum reaps orphaned sidecars") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mdvmat").toString
+    val path = s"$dir/t"
+    // two files: ids 1..100 and 101..200
+    ManifestTable.replace(
+      (1L to 200L).map(i => (i, i * 10L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"), path)
+    val files0 = ManifestTable.snapshotFiles(spark, path, None)
+    assert(files0.size == 2)
+    // heavy vector on the first file (40%), light on the second (2%)
+    ManifestTable.deleteWhereMor(spark, path,
+      col("id") <= 40L, "id", 1.0, 40.0)
+    ManifestTable.deleteWhereMor(spark, path,
+      col("id") === 150L || col("id") === 151L, "id", 150.0, 151.0)
+    assert(ManifestTable.countRows(spark, path) == 158L)
+    // threshold 0.1: only the 40%-deleted file materializes
+    val vm = ManifestTable.materializeDeletes(spark, path, 0.1).get
+    val filesM = ManifestTable.snapshotFiles(spark, path, Some(vm))
+    assert(filesM.size == 2)
+    val carried = filesM.toSet intersect files0.toSet
+    assert(carried.size == 1, "threshold materialized both targets")
+    // light vector survives; heavy one is gone; answers unchanged
+    assert(ManifestTable.dvEntries(spark, path, Some(vm)).map(_._2).toSet ==
+      carried, "surviving vector should target the carried file")
+    assert(ManifestTable.countRows(spark, path, Some(vm)) == 158L)
+    assert(ManifestTable.read(spark, path, Some(vm)).count() == 158)
+    // materialize the rest (threshold 0): table is vector-free
+    val vAll = ManifestTable.materializeDeletes(spark, path).get
+    assert(ManifestTable.dvEntries(spark, path, Some(vAll)).isEmpty)
+    assert(ManifestTable.read(spark, path, Some(vAll)).count() == 158)
+    assert(ManifestTable.materializeDeletes(spark, path).isEmpty,
+      "vector-free table should be a no-op")
+    // vacuum keeps sidecars referenced by kept manifests, then reaps
+    // them once history rolls past
+    ManifestTable.vacuum(spark, path, keepVersions = 10,
+      minOrphanAge = java.time.Duration.ZERO)
+    assert(ManifestTable.read(spark, path, Some(vm)).count() == 158,
+      "kept-history vector snapshot must stay readable after vacuum")
+    ManifestTable.vacuum(spark, path, keepVersions = 1,
+      minOrphanAge = java.time.Duration.ZERO)
+    val dataDir = new java.io.File(s"$path/data")
+    assert(!dataDir.listFiles().exists(_.getName.startsWith("dv-")),
+      "orphaned deletion-vector sidecars survived vacuum")
+    assert(ManifestTable.read(spark, path).count() == 158)
+  }
+
+  test("deletion vectors: copy-on-write ops materialize touched targets, carry the rest") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mdvcow").toString
+    val path = s"$dir/t"
+    // two range-laid files: 1..100, 101..200
+    ManifestTable.replace(
+      (1L to 200L).map(i => (i, i * 10L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"), path)
+    ManifestTable.deleteWhereMor(spark, path,
+      col("id") <= 10L, "id", 1.0, 10.0)
+    ManifestTable.deleteWhereMor(spark, path,
+      col("id") >= 191L, "id", 191.0, 200.0)
+    // upsert touching only the low file: its vector materializes into
+    // the rewrite (deleted rows stay deleted, upserted key updated),
+    // the high file's vector carries
+    val vu = ManifestTable.upsertPruned(
+      Seq((50L, 999L)).toDF("id", "v"), path, Seq("id"), "id").get
+    val t = ManifestTable.read(spark, path, Some(vu))
+    assert(t.count() == 180)
+    assert(t.filter(col("id") <= 10L).count() == 0,
+      "vector deletes lost in the CoW merge")
+    assert(t.filter(col("id") === 50L).select("v").as[Long].head() == 999L)
+    val dvAfter = ManifestTable.dvEntries(spark, path, Some(vu))
+    assert(dvAfter.size == 1, s"expected one carried vector, got $dvAfter")
+    assert(ManifestTable.countRows(spark, path, Some(vu)) == 180L)
+    // append carries vectors verbatim
+    val va = ManifestTable.append(
+      Seq((201L, 2010L)).toDF("id", "v"), path)
+    assert(ManifestTable.dvEntries(spark, path, Some(va)).size == 1)
+    assert(ManifestTable.countRows(spark, path, Some(va)) == 181L)
+    // CoW deleteWhere through the remaining vector's file: both the
+    // predicate rows AND the old vector's rows are gone after rewrite
+    val vd = ManifestTable.deleteWhere(spark, path,
+      col("id") === 150L, "id", 150.0, 150.0).get
+    assert(ManifestTable.dvEntries(spark, path, Some(vd)).isEmpty,
+      "rewrite must materialize the touched file's vector")
+    val end = ManifestTable.read(spark, path, Some(vd))
+    assert(end.count() == 180)
+    assert(end.filter(col("id") >= 191L && col("id") <= 200L).count() == 0)
+    assert(ManifestTable.countRows(spark, path, Some(vd)) == 180L)
+  }
+
+  test("deletion vectors: the change feed reports vector deletes once, net-exactly") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mdvcdc").toString
+    val path = s"$dir/t"
+    val v1 = ManifestTable.replace(
+      (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), path)
+    val v2 = ManifestTable.deleteWhereMor(spark, path,
+      col("id") <= 5L, "id", 1.0, 5.0).get
+    // vector-only window: no data file changed, yet the feed carries
+    // exactly the five deleted rows
+    val feed = ManifestTable.changes(spark, path, v1, v2)
+    assert(feed.filter(col("_change_type") === "insert").count() == 0)
+    val gone = feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted
+    assert(gone.toSeq == (1L to 5L), s"vector feed rows: ${gone.mkString(",")}")
+    // a second vector on the same file: the v2->v3 window reports ONLY
+    // the new positions (line-level delta, not the cumulative vector)
+    val v3 = ManifestTable.deleteWhereMor(spark, path,
+      col("id") >= 6L && col("id") <= 8L, "id", 6.0, 8.0).get
+    val gone23 = ManifestTable.changes(spark, path, v2, v3)
+      .filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted
+    assert(gone23.toSeq == (6L to 8L),
+      s"delta window re-reported old vector rows: ${gone23.mkString(",")}")
+    // spanning window nets both vectors; materialization afterwards is
+    // pure rewrite noise (netChanges cancels it to nothing)
+    val net13 = ManifestTable.netChanges(spark, path, v1, v3)
+    assert(net13.filter(col("_change_type") === "insert").count() == 0)
+    assert(net13.filter(col("_change_type") === "delete").count() == 8)
+    val v4 = ManifestTable.materializeDeletes(spark, path).get
+    val net34 = ManifestTable.netChanges(spark, path, v3, v4)
+    assert(net34.count() == 0,
+      "materialization must be invisible to the net feed")
+    // and the spanning v1->v4 window still reports exactly 8 deletes
+    val net14 = ManifestTable.netChanges(spark, path, v1, v4)
+    assert(net14.filter(col("_change_type") === "delete").count() == 8)
+    assert(net14.filter(col("_change_type") === "insert").count() == 0)
+  }
+
+  test("deletion vectors compose with schema evolution: vector on a pre-evolution file") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mdvevo").toString
+    val path = s"$dir/t"
+    ManifestTable.replace(
+      (1L to 50L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), path)
+    ManifestTable.append(
+      (51L to 60L).map(i => (i, i * 10L, s"tag$i"))
+        .toDF("id", "v", "tag").coalesce(1), path)
+    // vector-delete rows living in the PRE-evolution (narrow) file,
+    // through a predicate on a base column
+    val vd = ManifestTable.deleteWhereMor(spark, path,
+      col("id").between(10L, 12L), "id", 10.0, 12.0).get
+    val t = ManifestTable.read(spark, path, Some(vd))
+    assert(t.columns.toSeq == Seq("id", "v", "tag"))
+    assert(t.count() == 57)
+    assert(t.filter(col("id").between(10L, 12L)).count() == 0)
+    assert(t.filter(col("tag").isNull).count() == 47)
+    assert(ManifestTable.countRows(spark, path, Some(vd)) == 57L)
+    // and a predicate on the EVOLVED column: pre-evolution rows are
+    // null there (not true -> survive), evolved rows match
+    val vd2 = ManifestTable.deleteWhereMor(spark, path,
+      col("tag") === "tag55", "id", 55.0, 55.0).get
+    val t2 = ManifestTable.read(spark, path, Some(vd2))
+    assert(t2.count() == 56)
+    assert(t2.filter(col("id") === 55L).count() == 0)
+    assert(ManifestTable.materializeDeletes(spark, path).nonEmpty)
+    assert(ManifestTable.read(spark, path).count() == 56)
+  }
+
   test("compact rewrites files without a visibility gap; vacuum reaps history and orphans") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mcompact").toString
