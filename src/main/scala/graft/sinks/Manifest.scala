@@ -207,6 +207,59 @@ object ManifestTable {
                         version: Option[Long]): Seq[String] =
     rawLines(spark, path, version).filter(isDvLine)
 
+  /** PER-FILE BLOOM POINT-LOOKUP INDEX (round 14). A `#bloom` line
+    * `#bloom\t<sidecarFile>\t<targetDataFile>\t<column>` records that
+    * `sidecarFile` (raw [[org.apache.spark.util.sketch.BloomFilter]]
+    * bytes under `data/`) summarizes `targetDataFile`'s `column`
+    * values. The min/max stats envelope skips RANGE predicates on the
+    * layout key but is useless for EQUALITY on a high-cardinality
+    * column the layout wasn't built on (every file's [min, max] spans
+    * the whole key domain — zero files skipped); a per-file bloom
+    * answers "can this file hold key k?" with a bounded false-positive
+    * rate, so a point lookup opens ~fpp·files instead of all of them —
+    * the Delta bloom-filter-index capability. Values are tested in
+    * their CAST-TO-STRING form on both build and probe (exact for
+    * integer/string columns — the documented support set). Blooms are
+    * only ever an over-approximation of a LIVE file's content, so
+    * deletion vectors never invalidate them (deleted rows surface as
+    * false positives and fall to the residual filter); a REWRITE of
+    * the target does invalidate (false negatives) — every
+    * copy-on-write path drops rewritten targets' `#bloom` lines, and
+    * [[bloomIndex]] re-covers them on its next run.
+    */
+  private val BloomMarker = "#bloom"
+
+  private def isBloomLine(line: String): Boolean =
+    line.startsWith(s"$BloomMarker\t")
+
+  /** (sidecarFile, targetDataFile, column) of every live `#bloom`
+    * line.
+    */
+  private[graft] def bloomEntries(spark: SparkSession, path: String,
+                                  version: Option[Long] = None)
+      : Seq[(String, String, String)] =
+    rawLines(spark, path, version).filter(isBloomLine).map { l =>
+      val p = l.split('\t')
+      (p(1), p(2), p(3))
+    }
+
+  /** Header lines that reference sidecar files and ride alongside the
+    * data-file lines: deletion vectors and bloom indexes. Both carry
+    * verbatim through appends and vector commits; both DROP for a
+    * target a copy-on-write path rewrites (a vector is materialized
+    * by the DV-filtered rewrite; a bloom would go stale — false
+    * NEGATIVES — against rewritten bytes).
+    */
+  private def sideLinesOf(spark: SparkSession, path: String,
+                          version: Option[Long]): Seq[String] =
+    rawLines(spark, path, version).filter(l => isDvLine(l) || isBloomLine(l))
+
+  /** The data-file a side line annotates (field 2 of both kinds). */
+  private def sideTargetOf(line: String): String = line.split('\t')(2)
+
+  /** The sidecar file a side line references (field 1 of both kinds). */
+  private def sideFileOf(line: String): String = line.split('\t')(1)
+
   /** Helper column names riding the DV anti-join; dropped before the
     * frame leaves the manifest layer.
     */
@@ -418,10 +471,10 @@ object ManifestTable {
     // grace, or under clock skew) may have reaped them, and a
     // committed manifest pointing at vanished files is the one state
     // the protocol must never produce — fail the commit instead
-    // data files from plain lines; DV sidecar parquets from #dv lines
+    // data files from plain lines; sidecar files from #dv/#bloom lines
     // (headers otherwise carry no file references)
     val referenced = files.filterNot(isHeader).map(nameOf) ++
-      files.filter(isDvLine).map(_.split('\t')(1))
+      files.filter(l => isDvLine(l) || isBloomLine(l)).map(sideFileOf)
     val missing = referenced.distinct.filterNot(f =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$DataDir/$f")))
     require(missing.isEmpty,
@@ -515,10 +568,10 @@ object ManifestTable {
           existing.headOption.map(l => spark.read.parquet(
             s"$path/$DataDir/${nameOf(l)}").schema)))
       val merged = baseSchema.map(evolvedSchema(_, incoming)).getOrElse(incoming)
-      // deletion vectors ride along verbatim: appending files can
-      // neither satisfy nor invalidate a position-level delete on an
-      // EXISTING file
-      val dvCarry = base.toSeq.flatMap(v => dvLinesOf(spark, path, Some(v)))
+      // deletion vectors and bloom indexes ride along verbatim:
+      // appending files can neither satisfy nor invalidate a
+      // position-level delete or a per-file bloom on an EXISTING file
+      val dvCarry = base.toSeq.flatMap(v => sideLinesOf(spark, path, Some(v)))
       val target = base.getOrElse(-1L) + 1
       if (commitAt(spark, path,
           schemaLine(merged) +: (dvCarry ++ existing ++ newLines), target)) return target
@@ -841,8 +894,8 @@ object ManifestTable {
       // fast path — the steady state of a time-keyed table: the batch
       // cannot collide with any committed key, so its staged files
       // join the manifest as-is (no old file read, no rewrite);
-      // deletion vectors on existing files carry verbatim
-      Some(publish(dvLinesOf(spark, path, baseVersion) ++ keep ++ newLines,
+      // deletion vectors and blooms on existing files carry verbatim
+      Some(publish(sideLinesOf(spark, path, baseVersion) ++ keep ++ newLines,
         names))
     } else {
       // align BOTH sides on the union schema: touched files may
@@ -858,8 +911,8 @@ object ManifestTable {
           touchNames.toSet),
         spark.read.schema(headerSchema).parquet(paths(names): _*), keys)
       val names2 = stage(merged, path)
-      val dvCarry = dvLinesOf(spark, path, baseVersion)
-        .filterNot(l => touchNames.contains(l.split('\t')(2)))
+      val dvCarry = sideLinesOf(spark, path, baseVersion)
+        .filterNot(l => touchNames.contains(sideTargetOf(l)))
       val v = publish(dvCarry ++ keep ++ withStats(spark, path, names2),
         names ++ names2)
       dropStaged(names)
@@ -1100,8 +1153,8 @@ object ManifestTable {
     val survivors = touched.filter(!(pred <=> org.apache.spark.sql.functions.lit(true)))
     val names2 = stage(survivors, path)
     val header = snapSchema.map(schemaLine).toSeq
-    val dvCarry = dvLinesOf(spark, path, baseVersion)
-      .filterNot(l => touchNames.contains(l.split('\t')(2)))
+    val dvCarry = sideLinesOf(spark, path, baseVersion)
+      .filterNot(l => touchNames.contains(sideTargetOf(l)))
     val linesOut = header ++ dvCarry ++ keep ++ withStats(spark, path, names2)
     val target = baseVersion.get + 1
     if (commitAt(spark, path, linesOut, target)) Some(target)
@@ -1179,7 +1232,10 @@ object ManifestTable {
       val sidecar = dvNames.head
       val newDvLines = counts.map { case (t, n) => dvLine(sidecar, t, n) }
       val header = snapSchema.map(schemaLine).toSeq
-      val dvCarry = dvLinesOf(spark, path, baseVersion)
+      // no file rewritten: vectors AND blooms all stay valid (a bloom
+      // over-approximates; vector-deleted rows are false positives the
+      // residual filter absorbs)
+      val dvCarry = sideLinesOf(spark, path, baseVersion)
       val linesOut = header ++ dvCarry ++ newDvLines ++ lines
       val target = baseVersion.get + 1
       if (commitAt(spark, path, linesOut, target)) Some(target)
@@ -1235,8 +1291,8 @@ object ManifestTable {
     }
     val survivors = dvSubtract(spark, path, baseVersion, scan0, pick)
     val names2 = stage(survivors, path)
-    val dvCarry = dvLinesOf(spark, path, baseVersion)
-      .filterNot(l => pick.contains(l.split('\t')(2)))
+    val dvCarry = sideLinesOf(spark, path, baseVersion)
+      .filterNot(l => pick.contains(sideTargetOf(l)))
     val header = snapSchema.map(schemaLine).toSeq
     val linesOut = header ++ dvCarry ++ keep ++ withStats(spark, path, names2)
     val target = baseVersion.get + 1
@@ -1249,6 +1305,177 @@ object ManifestTable {
         s"materializeDeletes: concurrent commit detected at $path — " +
           "re-read and retry; this table requires a single writer")
     }
+  }
+
+  /** Build (or top up) the per-file BLOOM POINT-LOOKUP index on
+    * `column`: every data file of the latest snapshot not yet covered
+    * gets a [[org.apache.spark.util.sketch.BloomFilter]] over its
+    * cast-to-string `column` values, written as a raw-bytes sidecar
+    * under `data/` and referenced by a `#bloom` manifest line. ONE
+    * distributed job builds all missing blooms (per-partition
+    * file-keyed filters merged by key — the map-side combine shape);
+    * the driver only moves the finished filter bytes (~180 KB per
+    * million rows at 1% fpp). Sized per file from the manifest's own
+    * row-count stats. Returns None when every file is already
+    * covered — the call is idempotent and cheap to re-run after
+    * appends or rewrites (which drop their targets' bloom lines).
+    * Integer and string columns are supported (their cast-to-string
+    * is unambiguous); refuse anything else loudly.
+    */
+  def bloomIndex(spark: SparkSession, path: String, column: String,
+                 fpp: Double = 0.01): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.util.sketch.BloomFilter
+    val baseVersion = latestVersion(spark, path)
+    require(baseVersion.nonEmpty, s"bloomIndex: no committed snapshot at $path")
+    val lines = snapshotLines(spark, path, baseVersion)
+    val covered = bloomEntries(spark, path, baseVersion)
+      .filter(_._3 == column).map(_._2).toSet
+    val todo = lines.map(nameOf).filterNot(covered)
+    if (todo.isEmpty) return None
+    val schema = snapshotSchema(spark, path, baseVersion)
+    val dt = schema.map(_.apply(column).dataType).getOrElse(
+      spark.read.parquet(s"$path/$DataDir/${todo.head}").schema
+        .apply(column).dataType)
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(dt),
+      s"bloomIndex: column '$column' is ${dt.simpleString} — only " +
+        "integer and string columns have an unambiguous string form")
+    // expected items per filter: the largest file's row count (stats
+    // metadata; a legacy line without one falls back to a footer count)
+    val rowsOf = lines.map(l => nameOf(l) -> statsOf(l).get(RowsCol)).toMap
+    val expected = math.max(1L, todo.map(n => rowsOf.get(n).flatten
+      .map(_._1.toLong)
+      .getOrElse(spark.read.parquet(s"$path/$DataDir/$n").count())).max)
+    val scan = spark.read.parquet(todo.map(n => s"$path/$DataDir/$n"): _*)
+      .select(input_file_name().as("f"), col(column).cast("string").as("v"))
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte])] = scan.as[(String, String)]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.Map.empty[String, BloomFilter]
+        it.foreach { case (f, v) =>
+          if (v != null) {
+            val name = f.substring(f.lastIndexOf('/') + 1)
+            acc.getOrElseUpdate(name,
+              BloomFilter.create(expected, fpp)).putString(v)
+          }
+        }
+        acc.iterator.map { case (n, b) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          b.writeTo(bos); (n, bos.toByteArray)
+        }
+      }
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val m = BloomFilter.readFrom(a._2)
+        m.mergeInPlace(BloomFilter.readFrom(b._2))
+        val bos = new java.io.ByteArrayOutputStream()
+        m.writeTo(bos); (a._1, bos.toByteArray)
+      }
+      .map(_._2).collect()
+    // an all-null file produced no filter: commit an EMPTY bloom for
+    // it (nothing matches — the strongest possible skip), so coverage
+    // is complete and re-runs are true no-ops
+    val built = perFile.map(_._1).toSet
+    val empties = todo.filterNot(built).map { n =>
+      val b = BloomFilter.create(1L, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos); (n, bos.toByteArray)
+    }
+    val token = "bloom-" + java.util.UUID.randomUUID().toString
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/$DataDir")
+    val fs = fsOf(spark, dataDir)
+    fs.mkdirs(dataDir)
+    val newLines = (perFile ++ empties).sortBy(_._1).zipWithIndex.map {
+      case ((target, bytes), i) =>
+        val sidecar = s"$token-$i.bloom"
+        val out = fs.create(new org.apache.hadoop.fs.Path(dataDir, sidecar), true)
+        try out.write(bytes) finally out.close()
+        s"$BloomMarker\t$sidecar\t$target\t$column"
+    }
+    val header = schema.map(schemaLine).toSeq
+    val carry = sideLinesOf(spark, path, baseVersion)
+    val target = baseVersion.get + 1
+    if (commitAt(spark, path,
+        header ++ carry ++ newLines ++ lines, target)) Some(target)
+    else {
+      newLines.foreach(l => fs.delete(
+        new org.apache.hadoop.fs.Path(dataDir, sideFileOf(l)), false): Unit)
+      throw new IllegalStateException(
+        s"bloomIndex: concurrent commit detected at $path — re-read and " +
+          "retry; this table requires a single writer")
+    }
+  }
+
+  /** Files of the snapshot that MIGHT hold one of `values` for
+    * `column`, per the bloom index: covered files answer from their
+    * filter (distributed — each task loads its sidecars and tests, so
+    * the driver never holds O(files) filter bytes); uncovered files
+    * are kept conservatively. Returns (kept, total).
+    */
+  def pruneFilesBloom(spark: SparkSession, path: String, column: String,
+                      values: Seq[String],
+                      version: Option[Long] = None): (Seq[String], Int) = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val all = snapshotFiles(spark, path, Some(v))
+    val blooms = bloomEntries(spark, path, Some(v))
+      .filter(_._3 == column).map(e => e._2 -> e._1).toMap
+    val (covered, bare) = all.partition(blooms.contains)
+    if (covered.isEmpty) return (all, all.size)
+    import spark.implicits._
+    val vals = spark.sparkContext.broadcast(values.toArray)
+    val dataDir = s"$path/$DataDir"
+    val hits = spark.createDataset(
+        covered.map(n => (n, s"$dataDir/${blooms(n)}")))
+      .repartition(math.min(covered.size,
+        spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        // default Configuration: sidecar paths are plain FS URIs (the
+        // same resolution the parquet scans use on the executors)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.filter { case (_, sc) =>
+          val p = new org.apache.hadoop.fs.Path(sc)
+          val in = p.getFileSystem(conf).open(p)
+          val b = try BloomFilter.readFrom(in) finally in.close()
+          vals.value.exists(b.mightContainString)
+        }.map(_._1)
+      }.collect().toSeq
+    ((hits ++ bare).sorted, all.size)
+  }
+
+  /** POINT LOOKUP through the bloom index: open only the files whose
+    * filter admits one of `values` (plus uncovered files), subtract
+    * deletion vectors, and apply the exact residual predicate. On a
+    * layout not keyed by `column` the stats envelope keeps ~every
+    * file; the bloom keeps ~fpp of them — the difference between a
+    * full-table scan and a handful of file opens for a key lookup on
+    * 100 TB. `values` compare in the column's native type via
+    * `isin` (parquet row-group pushdown applies); the bloom was built
+    * on the cast-to-string form, consistent for the supported
+    * integer/string columns.
+    */
+  def readPoint(spark: SparkSession, path: String, column: String,
+                values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val (kept, _) = pruneFilesBloom(spark, path, column,
+      values.map(String.valueOf), Some(v))
+    if (kept.isEmpty)
+      return read(spark, path, Some(v)).filter(lit(false))
+    val ps = kept.map(n => s"$path/$DataDir/$n")
+    val scan = snapshotSchema(spark, path, Some(v)) match {
+      case Some(s) => spark.read.schema(s).parquet(ps: _*)
+      case None => spark.read.parquet(ps: _*)
+    }
+    dvSubtract(spark, path, Some(v), scan, kept.toSet)
+      .filter(col(column).isin(values: _*))
   }
 
   /** Pre-manifest data at `path`: a gold table written by a plain
@@ -1302,7 +1529,7 @@ object ManifestTable {
     if (vs.isEmpty) return
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val live = keep.flatMap(v => snapshotFiles(spark, path, Some(v)) ++
-      dvEntries(spark, path, Some(v)).map(_._1)).toSet
+      sideLinesOf(spark, path, Some(v)).map(sideFileOf)).toSet
     val dataDir = new org.apache.hadoop.fs.Path(s"$path/$DataDir")
     val fs = fsOf(spark, dataDir)
     val cutoff = System.currentTimeMillis() - minOrphanAge.toMillis

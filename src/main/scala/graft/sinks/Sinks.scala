@@ -647,6 +647,69 @@ object Sinks {
       |FROM s GROUP BY order_year
       |ORDER BY order_year""".stripMargin
 
+  /** Oracle-checked BLOOM POINT LOOKUP: orders laid by DATE, so every
+    * file's o_orderkey stats envelope spans ~the whole key domain and
+    * the min/max prune is USELESS for key equality — the require
+    * proves it (envelope keeps every file even for the probe's narrow
+    * key range is not required; what is required is that the bloom
+    * keeps at most half while the files number ≥ 8). [[ManifestTable
+    * .bloomIndex]] builds one filter per file in ONE distributed job;
+    * the lookup keys are the table's min, median-rank and max order
+    * keys (deterministic integer ranks the oracle reproduces with
+    * ORDER BY/OFFSET), and [[ManifestTable.readPoint]] serves them by
+    * opening only the files whose filter admits a key — at 10⁵ files
+    * the difference between a metadata job plus ~3 file opens and a
+    * full-table scan. The oracle recomputes the same three keys' rows
+    * raw: identical answers, different bytes.
+    */
+  def bloomPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_blp_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_bl").toString
+      val o = Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderdate"))
+      ManifestTable.replace(
+        o.repartitionByRange(16, col("o_orderdate"))
+          .sortWithinPartitions("o_orderdate"), path)
+      ManifestTable.bloomIndex(spark, path, "o_orderkey").getOrElse(
+        throw new IllegalStateException("bloom index built nothing"))
+      val n = o.count()
+      val sortedKeys = o.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      import spark.implicits._
+      val kMin = sortedKeys.limit(1).as[Long].head()
+      val kMed = sortedKeys.offset((n / 2).toInt).limit(1).as[Long].head()
+      val kMax = o.agg(max(col("o_orderkey"))).head().getLong(0)
+      val keys = Seq(kMin, kMed, kMax)
+      val (kept, total) = ManifestTable.pruneFilesBloom(
+        spark, path, "o_orderkey", keys.map(_.toString))
+      require(total >= 16, s"layout produced only $total files")
+      require(kept.size * 2 <= total,
+        s"bloom did not skip: ${kept.size}/$total files kept for 3 keys")
+      val out = ManifestTable.readPoint(spark, path, "o_orderkey", keys)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("cents"))
+        .orderBy(col("o_orderkey"))
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val bloomPointLookupSql: String =
+    """WITH c AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |k AS (
+      |  (SELECT min(o_orderkey) AS k FROM c)
+      |  UNION
+      |  (SELECT o_orderkey FROM c ORDER BY o_orderkey
+      |     LIMIT 1 OFFSET (SELECT count(*) // 2 FROM c))
+      |  UNION
+      |  (SELECT max(o_orderkey) FROM c))
+      |SELECT o_orderkey, o_orderpriority, cents
+      |FROM c WHERE o_orderkey IN (SELECT k FROM k)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Oracle-checked incremental view maintenance: materialize a
     * revenue-by-priority gold aggregate at v1, mutate the table twice —
     * a copy-on-write reprice of the FIRST key decile
@@ -955,7 +1018,8 @@ object Sinks {
     "q_maintained_gold" -> (maintainedGold _),
     "q_fast_count" -> (fastCount _),
     "q_schema_evolution" -> (schemaEvolution _),
-    "q_delete_vectors" -> (deleteVectorsOrders _)
+    "q_delete_vectors" -> (deleteVectorsOrders _),
+    "q_bloom_point_lookup" -> (bloomPointLookup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -969,6 +1033,7 @@ object Sinks {
     "q_maintained_gold" -> maintainedGoldSql,
     "q_fast_count" -> fastCountSql,
     "q_schema_evolution" -> schemaEvolutionSql,
-    "q_delete_vectors" -> deleteVectorsSql
+    "q_delete_vectors" -> deleteVectorsSql,
+    "q_bloom_point_lookup" -> bloomPointLookupSql
   )
 }

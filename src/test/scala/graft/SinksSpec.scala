@@ -776,6 +776,103 @@ class ManifestSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() == 56)
   }
 
+  test("bloom index: point lookups skip files the stats envelope cannot") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbl").toString
+    val path = s"$dir/t"
+    // laid by ts, NOT by id: every file's id envelope spans ~the whole
+    // domain, so the stats prune is useless for id equality
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 4000L).map(i => (i, rng.nextInt(100000).toLong))
+      .map { case (id, ts) => (id, ts, id * 3L) }
+    ManifestTable.replace(rows.toDF("id", "ts", "v")
+      .repartitionByRange(8, col("ts")).sortWithinPartitions("ts"), path)
+    val vB = ManifestTable.bloomIndex(spark, path, "id").get
+    assert(ManifestTable.bloomEntries(spark, path, Some(vB)).size == 8)
+    // envelope keeps everything; bloom keeps a handful
+    val (envKept, total) = ManifestTable.pruneFiles(
+      spark, path, "id", 2000.0, 2002.0)
+    assert(envKept.size == total && total == 8,
+      s"expected useless envelopes on the ts layout: ${envKept.size}/$total")
+    val (blKept, _) = ManifestTable.pruneFilesBloom(
+      spark, path, "id", Seq("2000", "2001", "2002"))
+    assert(blKept.size * 2 <= total,
+      s"bloom did not skip: ${blKept.size}/$total files kept")
+    // exact answers through the skipping read
+    val hit = ManifestTable.readPoint(spark, path, "id",
+      Seq(2000L, 2001L, 2002L))
+      .select("id", "v").as[(Long, Long)].collect().sortBy(_._1)
+    assert(hit.toSeq == Seq((2000L, 6000L), (2001L, 6003L), (2002L, 6006L)))
+    // absent key: no rows (and typically zero files opened)
+    assert(ManifestTable.readPoint(spark, path, "id", Seq(999999L)).count() == 0)
+    // idempotent: full coverage -> no-op, no version burned
+    assert(ManifestTable.bloomIndex(spark, path, "id").isEmpty)
+    assert(ManifestTable.latestVersion(spark, path).get == vB)
+    // unsupported column type is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      val p2 = s"$dir/t2"
+      ManifestTable.replace(Seq((1.5, 2L)).toDF("x", "y"), p2)
+      ManifestTable.bloomIndex(spark, p2, "x")
+    }
+    assert(e.getMessage.contains("unambiguous string form"))
+  }
+
+  test("bloom index: appends top up, rewrites invalidate, vectors compose") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbl2").toString
+    val path = s"$dir/t"
+    ManifestTable.replace(
+      (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"), path)
+    ManifestTable.bloomIndex(spark, path, "id")
+    // append a new file: existing blooms carry; top-up covers ONLY it
+    ManifestTable.append(
+      (101L to 120L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), path)
+    val before = ManifestTable.bloomEntries(spark, path).map(_._1).toSet
+    val vT = ManifestTable.bloomIndex(spark, path, "id").get
+    val entries = ManifestTable.bloomEntries(spark, path, Some(vT))
+    assert(entries.size == 3)
+    assert(before.subsetOf(entries.map(_._1).toSet),
+      "top-up rebuilt existing blooms instead of carrying them")
+    assert(ManifestTable.readPoint(spark, path, "id", Seq(110L))
+      .select("v").as[Long].collect().toSeq == Seq(1100L))
+    // a copy-on-write rewrite drops the touched file's bloom line
+    // (stale bytes would answer with false NEGATIVES) and the lookup
+    // stays exact through conservative keeping
+    ManifestTable.upsertPruned(Seq((50L, 999L)).toDF("id", "v"),
+      path, Seq("id"), "id")
+    val afterRw = ManifestTable.bloomEntries(spark, path)
+    assert(afterRw.size == 2,
+      s"rewritten target kept its stale bloom: $afterRw")
+    assert(ManifestTable.readPoint(spark, path, "id", Seq(50L))
+      .select("v").as[Long].collect().toSeq == Seq(999L))
+    // re-index covers the rewritten file(s) again — full coverage
+    ManifestTable.bloomIndex(spark, path, "id")
+    val nFiles = ManifestTable.snapshotFiles(spark, path).size
+    assert(ManifestTable.bloomEntries(spark, path).size == nFiles)
+    // deletion vectors do NOT invalidate blooms (over-approximation):
+    // the vector-deleted key is absorbed by the DV subtract
+    ManifestTable.deleteWhereMor(spark, path,
+      col("id") === 110L, "id", 110.0, 110.0)
+    assert(ManifestTable.bloomEntries(spark, path).size == nFiles,
+      "vector delete must not drop bloom coverage")
+    assert(ManifestTable.readPoint(spark, path, "id", Seq(110L)).count() == 0)
+    assert(ManifestTable.readPoint(spark, path, "id", Seq(111L))
+      .select("v").as[Long].collect().toSeq == Seq(1110L))
+    // vacuum keeps referenced sidecars, then reaps them with history
+    ManifestTable.vacuum(spark, path, keepVersions = 1,
+      minOrphanAge = java.time.Duration.ZERO)
+    assert(ManifestTable.readPoint(spark, path, "id", Seq(25L)).count() == 1)
+    ManifestTable.compact(spark, path)
+    ManifestTable.vacuum(spark, path, keepVersions = 1,
+      minOrphanAge = java.time.Duration.ZERO)
+    val dataDir = new java.io.File(s"$path/data")
+    assert(!dataDir.listFiles().exists(_.getName.endsWith(".bloom")),
+      "orphaned bloom sidecars survived vacuum after compaction")
+  }
+
   test("compact rewrites files without a visibility gap; vacuum reaps history and orphans") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mcompact").toString
