@@ -343,8 +343,74 @@ object ManifestTable {
       .sorted
   }
 
-  def latestVersion(spark: SparkSession, path: String): Option[Long] =
-    versions(spark, path).lastOption
+  /** Name of the latest-version HINT file: one ASCII number, written
+    * best-effort (temp + rename) after every successful commit. At
+    * 10⁶ commits a directory listing per [[latestVersion]] call is
+    * O(commits) namenode work on EVERY read; the hint makes discovery
+    * O(1) + a forward existence probe. The hint is ADVISORY, never
+    * authoritative: it can lag (a racer's hint write lost, a crash
+    * between rename and hint) but can never point past a live
+    * manifest it didn't see committed, so correctness comes from
+    * probing FORWARD from it until the next version is absent —
+    * usually zero probes. A hint stale by more than [[MaxHintProbes]]
+    * (pathological: every hint write failing for 64 commits) falls
+    * back to the full listing.
+    */
+  private val LatestHint = "_latest"
+  private val MaxHintProbes = 64
+
+  private[graft] def writeLatestHint(spark: SparkSession, path: String,
+                                     v: Long): Unit =
+    try {
+      val mdir = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+      val fs = fsOf(spark, mdir)
+      val tmp = new org.apache.hadoop.fs.Path(
+        mdir, s".hint-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      // plain rename (overwrite-tolerant where the FS allows it); on
+      // a refuse-to-overwrite FS delete-then-rename leaves at worst a
+      // MISSING hint, which readers treat as "list the directory"
+      val dst = new org.apache.hadoop.fs.Path(mdir, LatestHint)
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(dst, false)
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, false): Unit
+      }
+    } catch { case _: java.io.IOException => () } // advisory: never fail a commit
+
+  private def readLatestHint(spark: SparkSession,
+                             path: String): Option[Long] =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir/$LatestHint")
+      val fs = fsOf(spark, hp)
+      if (!fs.exists(hp)) None
+      else {
+        val in = fs.open(hp)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        s.toLongOption
+      }
+    } catch { case _: java.io.IOException => None }
+
+  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+    readLatestHint(spark, path) match {
+      case Some(h) =>
+        val fs = fsOf(spark, manifestPath(path, h))
+        // the hinted version may itself be vacuumed ONLY if newer ones
+        // exist, so a missing manifest-(h) still probes forward before
+        // giving up to the listing
+        var v = h
+        var probes = 0
+        while (probes < MaxHintProbes &&
+            fs.exists(manifestPath(path, v + 1))) {
+          v += 1; probes += 1
+        }
+        if (probes >= MaxHintProbes) versions(spark, path).lastOption
+        else if (fs.exists(manifestPath(path, v))) Some(v)
+        else versions(spark, path).lastOption
+      case None => versions(spark, path).lastOption
+    }
+  }
 
   /** Every nonempty manifest line of snapshot `version`, headers
     * included — the one place that touches manifest bytes.
@@ -492,6 +558,7 @@ object ManifestTable {
       // Options.Rename.NONE: fail (don't overwrite) if the version
       // was claimed between the caller's listing and now
       fc.rename(tmp, manifestPath(path, v))
+      writeLatestHint(spark, path, v)
       true
     } catch {
       // ONLY a claimed version is a race worth reporting as such —

@@ -873,6 +873,43 @@ class ManifestSpec extends SparkSpec {
       "orphaned bloom sidecars survived vacuum after compaction")
   }
 
+  test("latest-version hint: O(1) discovery, advisory under every corruption") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhint").toString
+    val path = s"$dir/t"
+    val v1 = ManifestTable.replace(Seq((1L, 2L)).toDF("a", "b"), path)
+    val hint = new java.io.File(s"$path/_manifests/_latest")
+    assert(hint.exists(), "commit did not write the latest hint")
+    assert(new String(java.nio.file.Files.readAllBytes(hint.toPath)).trim
+      == v1.toString)
+    val v2 = ManifestTable.append(Seq((3L, 4L)).toDF("a", "b"), path)
+    assert(ManifestTable.latestVersion(spark, path).contains(v2))
+    // STALE-LOW hint (a racer's hint write lost): forward probe finds
+    // the true latest
+    java.nio.file.Files.writeString(hint.toPath, v1.toString)
+    assert(ManifestTable.latestVersion(spark, path).contains(v2))
+    // STALE-HIGH hint (table deleted and recreated would restart
+    // versions): falls back to the listing
+    java.nio.file.Files.writeString(hint.toPath, "999")
+    assert(ManifestTable.latestVersion(spark, path).contains(v2))
+    // garbage hint: ignored
+    java.nio.file.Files.writeString(hint.toPath, "not-a-number")
+    assert(ManifestTable.latestVersion(spark, path).contains(v2))
+    // missing hint: plain listing
+    hint.delete()
+    assert(ManifestTable.latestVersion(spark, path).contains(v2))
+    // next commit restores it
+    val v3 = ManifestTable.append(Seq((5L, 6L)).toDF("a", "b"), path)
+    assert(new String(java.nio.file.Files.readAllBytes(hint.toPath)).trim
+      == v3.toString)
+    // vacuum keeps the hint pointing at a live manifest
+    ManifestTable.vacuum(spark, path, keepVersions = 1,
+      minOrphanAge = java.time.Duration.ZERO)
+    assert(ManifestTable.latestVersion(spark, path).contains(v3))
+    assert(ManifestTable.read(spark, path).count() == 3)
+  }
+
   test("compact rewrites files without a visibility gap; vacuum reaps history and orphans") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mcompact").toString
