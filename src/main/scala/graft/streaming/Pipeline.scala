@@ -883,6 +883,49 @@ object Pipeline {
       .trigger(trigger)
       .start()
 
+  /** Streaming RETENTION / right-to-be-forgotten lane over the
+    * merge-on-read delete: each micro-batch carries keys to forget,
+    * and [[graft.sinks.ManifestTable.deleteWhereMor]] commits their
+    * (file, position) pairs as a deletion-vector sidecar — O(matching
+    * rows) bytes per batch, never a file rewrite, so the lane's cost
+    * is independent of table size (the DvBound-measured ~5 KB per
+    * thousand scattered keys).
+    *
+    * Exactly-once WITHOUT a txn marker: foreachBatch replays are
+    * idempotent BY CONSTRUCTION, because the delete scan is itself
+    * DV-filtered — a replayed batch's keys are already vector-deleted,
+    * nothing re-matches, deleteWhereMor returns None and no version
+    * burns. (The same property makes keys duplicated ACROSS batches
+    * harmless.) The commit itself is atomic, so a crash between the
+    * manifest rename and the checkpoint write replays into that
+    * no-op; a crash before the rename replays into a redo.
+    *
+    * `keyCol` must be numeric (its values drive the stats-envelope
+    * prune — the [[graft.sinks.ManifestTable.deleteWhereMor]]
+    * contract holds trivially: a matching row's key IS one of the
+    * batch's keys, so it lies in [min, max] of them). A forget batch
+    * is a regulatory key LIST — driver-small by nature; it is
+    * collected to build the isin predicate and the envelope.
+    */
+  def forgetKeysToTable(keys: DataFrame, path: String, keyCol: String,
+                        checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    keys.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val ks = batch.select(col(keyCol)).distinct().collect()
+          .map(_.get(0)).filter(_ != null)
+        if (ks.nonEmpty) {
+          val ds = ks.map(_.asInstanceOf[Number].doubleValue)
+          graft.sinks.ManifestTable.deleteWhereMor(spark, path,
+            col(keyCol).isin(ks: _*), keyCol, ds.min, ds.max): Unit
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   private def warehouseSink(alertStream: org.apache.spark.sql.DataFrame,
                             path: String, checkpoint: String,
                             trigger: Trigger): StreamingQuery =

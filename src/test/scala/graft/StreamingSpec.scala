@@ -1137,4 +1137,62 @@ class StreamingSpec extends SparkSpec {
     val diffs = batch.collect { case (k, v) if finalRows(k) != v => k }
     assert(diffs.isEmpty, s"${diffs.size} (doc, class) scores diverge: ${diffs.take(3)}")
   }
+
+  test("streaming forget lane: vector deletes, zero rewrite, replay and cross-batch dupes no-op") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    val path = s"$dir/t"
+    val v0 = ManifestTable.replace(
+      (1L to 200L).map(i => (i, i * 10L)).toDF("id", "v")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), path)
+    val files0 = ManifestTable.snapshotFiles(spark, path, Some(v0))
+    val input = MemoryStream[Long](spark)
+    input.addData(10L, 20L, 30L)
+    val q1 = Pipeline.forgetKeysToTable(input.toDF().toDF("id"), path,
+      "id", s"$dir/chk")
+    q1.awaitTermination()
+    assert(ManifestTable.read(spark, path).count() == 197)
+    assert(ManifestTable.countRows(spark, path) == 197L)
+    // zero rewrite: the forget lane only ever adds vector sidecars
+    assert(ManifestTable.snapshotFiles(spark, path) == files0,
+      "forget lane rewrote data files")
+    val vAfter1 = ManifestTable.latestVersion(spark, path).get
+    assert(vAfter1 == v0 + 1, "one nonempty batch must burn one version")
+    // second run, same checkpoint: new keys PLUS a cross-batch dupe
+    // (20 again) — the dupe is already vector-deleted, cannot
+    // re-match, and must not inflate the vector's counts
+    input.addData(40L, 20L, 50L)
+    val q2 = Pipeline.forgetKeysToTable(input.toDF().toDF("id"), path,
+      "id", s"$dir/chk")
+    q2.awaitTermination()
+    assert(ManifestTable.read(spark, path).count() == 195)
+    assert(ManifestTable.countRows(spark, path) == 195L)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("id").isin(10L, 20L, 30L, 40L, 50L)).count() == 0)
+    // REPLAY: a fresh checkpoint re-feeds the same keys from scratch —
+    // every one already deleted, so the lane no-ops without burning a
+    // version (the by-construction exactly-once of the DV-filtered
+    // delete scan)
+    val vBefore = ManifestTable.latestVersion(spark, path).get
+    val replay = MemoryStream[Long](spark)
+    replay.addData(10L, 20L, 30L, 40L, 50L)
+    val q3 = Pipeline.forgetKeysToTable(replay.toDF().toDF("id"), path,
+      "id", s"$dir/chk2")
+    q3.awaitTermination()
+    assert(ManifestTable.latestVersion(spark, path).get == vBefore,
+      "replayed forget keys burned a version")
+    assert(ManifestTable.read(spark, path).count() == 195)
+    // restart on the ORIGINAL checkpoint with nothing new: no-op
+    val q4 = Pipeline.forgetKeysToTable(input.toDF().toDF("id"), path,
+      "id", s"$dir/chk")
+    q4.awaitTermination()
+    assert(ManifestTable.latestVersion(spark, path).get == vBefore)
+    // downstream CDC sees the forgotten rows exactly once
+    val net = ManifestTable.netChanges(spark, path, v0, vBefore)
+    assert(net.filter(col("_change_type") === "insert").count() == 0)
+    assert(net.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 30L, 40L, 50L))
+  }
 }
