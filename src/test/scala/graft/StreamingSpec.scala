@@ -1138,6 +1138,88 @@ class StreamingSpec extends SparkSpec {
     assert(diffs.isEmpty, s"${diffs.size} (doc, class) scores diverge: ${diffs.take(3)}")
   }
 
+  test("graft-table source: initial load, then the exact change feed, exactly once") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val path = s"$dir/t"
+    val v0 = ManifestTable.replace(
+      (1L to 100L).map(i => (i, s"n$i",
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00")))
+        .toDF("id", "name", "ts")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"), path)
+    // foreachBatch → parquet per run: the memory sink cannot recover
+    // from a checkpoint, and per-run output isolation is what lets
+    // each drain assert exactly ITS window's rows
+    def drain(chk: String, out: String): org.apache.spark.sql.DataFrame = {
+      val outDir = s"$dir/$out"
+      val q = spark.readStream.format("graft-table").option("path", path)
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir): Unit
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      try spark.read.parquet(outDir)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.range(0).select(lit(0L).as("id"), lit("").as("name"),
+          lit(null).cast("timestamp").as("ts"), lit("").as("_change_type"))
+          .filter(lit(false))
+      }
+    }
+    // batch 1: the initial load — the whole snapshot as inserts,
+    // timestamps decoded through the row-at-a-time parquet path
+    val load = drain(s"$dir/chk", "src_run1")
+    assert(load.count() == 100)
+    assert(load.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(load.schema.fieldNames.toSeq ==
+      Seq("id", "name", "ts", "_change_type"))
+    val tsOf = load.filter(col("id") === 61L)
+      .select("ts").as[java.sql.Timestamp].head()
+    assert(tsOf == java.sql.Timestamp.valueOf("2024-01-01 00:01:00"),
+      s"timestamp decode broke: $tsOf")
+    // mutate: evolving append, vector delete, copy-on-write upsert
+    ManifestTable.append(
+      (101L to 110L).map(i => (i, s"n$i", null.asInstanceOf[java.sql.Timestamp],
+        s"tag$i")).toDF("id", "name", "ts", "tag").coalesce(1), path)
+    ManifestTable.deleteWhereMor(spark, path,
+      col("id").between(5L, 8L), "id", 5.0, 8.0)
+    val v3 = ManifestTable.upsertPruned(
+      Seq((50L, "FIFTY", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        null.asInstanceOf[String])).toDF("id", "name", "ts", "tag"),
+      path, Seq("id"), "id").get
+    // batch 2 (same checkpoint): exactly the (v0, v3] feed — compared
+    // row-for-row against the BATCH change feed, the defining contract
+    val feed = drain(s"$dir/chk", "src_run2")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, String)] =
+      df.select(col("id"), col("name"),
+          coalesce(col("tag"), lit("-")), col("_change_type"))
+        .as[(Long, String, String, String)].collect().sorted.toSeq
+    val expected = canon(ManifestTable.changes(spark, path, v0, v3))
+    assert(canon(feed) == expected,
+      s"source feed diverges from changes(): got ${canon(feed).size} " +
+        s"rows vs ${expected.size}")
+    // the evolved column arrived (schema refreshed by the new stream
+    // instance), with pre-evolution rows null-filled
+    assert(feed.filter(col("tag").isNotNull).count() == 10)
+    // batch 3: nothing new — zero rows, no version consumed
+    assert(drain(s"$dir/chk", "src_run3").count() == 0)
+    // REPLAY the whole history on a fresh checkpoint: the feed from
+    // scratch must REDUCE to the current table (inserts minus deletes
+    // = state), the invariant any downstream materializer depends on
+    val replay = drain(s"$dir/chk2", "src_replay")
+    val applied = replay.filter(col("_change_type") === "insert")
+      .select("id", "name")
+      .exceptAll(replay.filter(col("_change_type") === "delete")
+        .select("id", "name"))
+    val table = ManifestTable.read(spark, path).select("id", "name")
+    assert(applied.exceptAll(table).count() == 0 &&
+      table.exceptAll(applied).count() == 0,
+      "replayed feed does not reduce to the table state")
+  }
+
   test("streaming forget lane: vector deletes, zero rewrite, replay and cross-batch dupes no-op") {
     import spark.implicits._
     import graft.sinks.ManifestTable
