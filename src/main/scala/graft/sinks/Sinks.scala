@@ -710,6 +710,107 @@ object Sinks {
       |FROM c WHERE o_orderkey IN (SELECT k FROM k)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Oracle-checked STREAMING-SOURCE feed: subscribe to a manifest
+    * table through the DataSource-V2 `graft-table` source
+    * ([[graft.ingest.ManifestTableProvider]]) after a three-mutation
+    * window — an append of shifted urgent orders, a copy-on-write
+    * decile reprice, a scattered merge-on-read delete — and REDUCE
+    * the streamed change feed (inserts `exceptAll` deletes, the
+    * materialization every downstream subscriber performs). The
+    * reduction must equal the table's final state, which the oracle
+    * recomputes from the raw table with the three mutations expressed
+    * in SQL — so the entire DSv2 path (version offsets, per-file
+    * partitions, row-at-a-time parquet decode, vector position
+    * filters, rewrite noise) is gated by DuckDB, not only by specs.
+    * The require pins that rewrite noise and vector deletes REALLY
+    * rode the feed (delete slice nonempty on both counts) — the
+    * reduction is proven over a feed that genuinely contained them.
+    */
+  def streamTableFeed(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stf_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_stf").toString
+      val o = Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      ManifestTable.replace(
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), path)
+      val outDir = new java.io.File(tmp, "feed").toString
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft-table").option("path", path)
+          .load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir): Unit
+          }
+          .option("checkpointLocation", new java.io.File(tmp, "chk").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // run 1: the subscriber starts BEFORE the mutations — the
+      // initial snapshot load
+      drain()
+      val b = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (mn, mx) = (b.getAs[Number](0).longValue, b.getAs[Number](1).longValue)
+      val cutLo = mn + (mx - mn) / 10
+      ManifestTable.append(
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(mx)), path)
+      ManifestTable.upsertPruned(
+        o.filter(col("o_orderkey") <= cutLo)
+          .withColumn("cents", col("cents") + 5L),
+        path, Seq("o_orderkey"), "o_orderkey").getOrElse(
+        throw new IllegalStateException("reprice committed nothing"))
+      val nBefore = ManifestTable.countRows(spark, path)
+      ManifestTable.deleteWhereMor(spark, path,
+        col("cents") % 7L === 3L, "o_orderkey",
+        mn.toDouble, (mx * 2).toDouble).getOrElse(
+        throw new IllegalStateException("vector delete matched nothing"))
+      val nVectorDeleted = nBefore - ManifestTable.countRows(spark, path)
+      // run 2, same checkpoint: exactly the mutation-window feed,
+      // accumulated into the same output alongside the initial load
+      drain()
+      val feed = spark.read.parquet(outDir)
+      val nDel = feed.filter(col("_change_type") === "delete").count()
+      require(nDel > nVectorDeleted,
+        s"feed carried no rewrite noise ($nDel deletes vs " +
+          s"$nVectorDeleted vector-deleted) — the CoW window is not exercised")
+      require(nVectorDeleted > 0, "no vector deletes rode the feed")
+      val ins = feed.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      val del = feed.filter(col("_change_type") === "delete")
+        .drop("_change_type")
+      val out = ins.exceptAll(del)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+        .orderBy(col("o_orderpriority"))
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val streamTableFeedSql: String =
+    """WITH c AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS p,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (SELECT min(k) AS mn, max(k) AS mx FROM c),
+      |repriced AS (
+      |  SELECT k, p,
+      |         CASE WHEN k <= mn + (mx - mn) // 10 THEN cents + 5
+      |              ELSE cents END AS cents
+      |  FROM c, b),
+      |shifted AS (
+      |  SELECT k + mx AS k, p, cents FROM c, b WHERE p = '1-URGENT'),
+      |allr AS (
+      |  SELECT * FROM repriced UNION ALL SELECT * FROM shifted),
+      |fin AS (SELECT * FROM allr WHERE cents % 7 <> 3)
+      |SELECT p AS o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM fin GROUP BY p
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Oracle-checked incremental view maintenance: materialize a
     * revenue-by-priority gold aggregate at v1, mutate the table twice —
     * a copy-on-write reprice of the FIRST key decile
@@ -1019,7 +1120,8 @@ object Sinks {
     "q_fast_count" -> (fastCount _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_delete_vectors" -> (deleteVectorsOrders _),
-    "q_bloom_point_lookup" -> (bloomPointLookup _)
+    "q_bloom_point_lookup" -> (bloomPointLookup _),
+    "q_stream_table_feed" -> (streamTableFeed _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1034,6 +1136,7 @@ object Sinks {
     "q_fast_count" -> fastCountSql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_delete_vectors" -> deleteVectorsSql,
-    "q_bloom_point_lookup" -> bloomPointLookupSql
+    "q_bloom_point_lookup" -> bloomPointLookupSql,
+    "q_stream_table_feed" -> streamTableFeedSql
   )
 }

@@ -182,6 +182,40 @@ object DvBound {
       }
     }
 
+    if (which("source")) {
+      println("== source: graft-table row-at-a-time decode vs vectorized read ==")
+      println("rows\tfiles\tstream_ms\tvectorized_ms\tstream_rows_per_s")
+      Seq(1, 4).foreach { m =>
+        val path = tmpPath("src")
+        val laid = replicated(m).localCheckpoint(eager = true)
+        ManifestTable.replace(laid, path)
+        val rows = n0 * m
+        val outDir = path + "_out"
+        val (tStream, _) = time {
+          val q = spark.readStream.format("graft-table")
+            .option("path", path).load()
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(outDir): Unit
+            }
+            .option("checkpointLocation", path + "_chk")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        require(spark.read.parquet(outDir).count() == rows,
+          "source initial load dropped rows")
+        val (tVec, _) = time(ManifestTable.read(spark, path)
+          .agg(count(lit(1))).head())
+        println(f"$rows\t${16 * m}\t$tStream%.0f\t$tVec%.0f" +
+          f"\t${rows / (tStream / 1000)}%.0f")
+        laid.unpersist(blocking = true)
+        rm(path)
+      }
+      println("(the feed is delta-sized by construction — the decode " +
+        "tax applies to CHANGED files only, never the table)")
+    }
+
     if (which("bloom")) {
       println("== bloom: point lookup vs file count, constant rows ==")
       println("F\tbuild_ms\tprobe_ms\tkept\treadpoint_ms\tfullscan_ms")
