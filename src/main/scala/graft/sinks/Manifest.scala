@@ -752,9 +752,24 @@ object ManifestTable {
         || f.dataType == org.apache.spark.sql.types.TimestampType =>
         f.name
     }.toSeq
+    // NULL COUNTS (round 14, every column regardless of type): ride as
+    // `<col>@n=c..c` pseudo-entries — '@' cannot appear in a committed
+    // column name (refused below), so the key space is disjoint from
+    // real columns and legacy parsers see just another stats entry.
+    // They answer IS NULL / IS NOT NULL at the FILE level: a file with
+    // zero nulls cannot serve IS NULL; one with nulls == rows cannot
+    // serve IS NOT NULL — and both skips stay exact under deletion
+    // vectors (removing rows creates no nulls and un-nulls nothing).
+    val allCols = df.columns.toSeq
+    allCols.foreach(c => require(!c.contains('@') && !c.contains(';') &&
+      !c.contains('=') && !c.contains('\t'),
+      s"commit: column name '$c' contains a stats-format delimiter " +
+        "(@ ; = tab) — rename the column"))
     val aggs = numeric.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"mn_$c"),
-      max(col(c)).cast("double").as(s"mx_$c"))) :+
+      max(col(c)).cast("double").as(s"mx_$c"))) ++
+      allCols.map(c =>
+        count(when(col(c).isNull, 1)).cast("double").as(s"nn_$c")) :+
       count(lit(1)).cast("double").as("n_rows_stat")
     val byFile = df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -771,6 +786,9 @@ object ManifestTable {
           // and pruneFiles would skip a file holding qualifying rows.
           else Some(s"$c=${Math.nextDown(mn.asInstanceOf[Double])}" +
             s"..${Math.nextUp(mx.asInstanceOf[Double])}")
+        } ++ allCols.map { c =>
+          val nn = r.getAs[Double](s"nn_$c")
+          s"$c@n=$nn..$nn"
         } :+ s"$RowsCol=$n..$n").mkString(";")
         r.getAs[String]("f") -> stats
       }.toMap
@@ -1045,6 +1063,62 @@ object ManifestTable {
       dvSubtract(spark, path, Some(v), df, kept.toSet)
         .filter(c(column) >= lo && c(column) <= hi)
     }
+  }
+
+  /** Null-count file skipping (round 14): the files of the snapshot
+    * that can serve rows where `column` IS (`wantNull=true`) or IS NOT
+    * (`false`) null, per the per-file `<col>@n` null-count stats — a
+    * file with zero nulls cannot serve IS NULL; one whose null count
+    * equals its row count cannot serve IS NOT NULL. Files without the
+    * stat (legacy commits, or files that PREDATE the column under
+    * schema evolution — whose rows are ALL null in it, but whose lines
+    * cannot say so) are kept conservatively, EXCEPT the one case the
+    * manifest can decide without the stat: a schema-evolution header
+    * proves a column's existence per snapshot, not per file, so
+    * absence of both the value envelope and the null stat stays
+    * conservative. Both skips are exact under deletion vectors
+    * (removing rows creates no nulls and un-nulls nothing). Returns
+    * (kept, total).
+    */
+  def pruneFilesByNull(spark: SparkSession, path: String, column: String,
+                       wantNull: Boolean,
+                       version: Option[Long] = None): (Seq[String], Int) = {
+    val entries = snapshotLines(spark, path, version)
+      .map(l => (nameOf(l), statsOf(l)))
+    val kept = entries.filter { case (_, st) =>
+      st.get(s"$column@n") match {
+        case None => true // no stat: conservative
+        case Some((nulls, _)) =>
+          val rows = st.get(RowsCol).map(_._1).getOrElse(-1.0)
+          if (wantNull) nulls > 0 else !(rows >= 0 && nulls >= rows)
+      }
+    }.map(_._1)
+    (kept, entries.size)
+  }
+
+  /** IS NOT NULL / IS NULL read through the null-count skip: only
+    * files that can hold qualifying rows are opened; the residual
+    * per-row predicate still applies. The win case is a sparse
+    * column — an optional field populated for a slice of the corpus,
+    * appended generations carrying it vs old ones without — where
+    * the envelope prune is useless (null rows record no bounds) but
+    * whole files are decidable by their null counts.
+    */
+  def readByNull(spark: SparkSession, path: String, column: String,
+                 wantNull: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val v = latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val (kept, _) = pruneFilesByNull(spark, path, column, wantNull, Some(v))
+    if (kept.isEmpty)
+      return read(spark, path, Some(v)).filter(lit(false))
+    val ps = kept.map(n => s"$path/$DataDir/$n")
+    val scan = snapshotSchema(spark, path, Some(v)) match {
+      case Some(s) => spark.read.schema(s).parquet(ps: _*)
+      case None => spark.read.parquet(ps: _*)
+    }
+    dvSubtract(spark, path, Some(v), scan, kept.toSet)
+      .filter(if (wantNull) c(column).isNull else c(column).isNotNull)
   }
 
   /** CHANGE DATA FEED at file granularity: every row of every data

@@ -811,6 +811,73 @@ object Sinks {
       |FROM fin GROUP BY p
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Oracle-checked NULL-COUNT skipping: a sparse optional column —
+    * populated only where cents divides by 3, the "field added for a
+    * slice of the corpus" shape — staged so presence aligns with file
+    * generations (v1 = present rows, appended v2 = null rows). The
+    * min/max envelope is useless here (null rows record no bounds);
+    * the per-file null counts decide WHOLE FILES: the IS NOT NULL
+    * read opens only v1's files, the IS NULL read only v2's, and the
+    * requires pin both prunes strictly (each side's kept set smaller
+    * than the table, union covering it). The oracle recomputes both
+    * sides' aggregates from the raw table with the same CASE
+    * derivation — grouping by nullness, since the two skipping reads
+    * partition the rows exactly.
+    */
+  def nullSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nsk_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_ns").toString
+      val o = Sources.orders(spark, dir)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority"))
+        .withColumn("opt", when(col("cents") % 3L === 0L,
+          col("o_orderpriority")))
+        .drop("o_orderpriority")
+      val present = o.filter(col("opt").isNotNull)
+        .repartitionByRange(2, col("cents")).sortWithinPartitions("cents")
+      val absent = o.filter(col("opt").isNull)
+        .repartitionByRange(2, col("cents")).sortWithinPartitions("cents")
+      ManifestTable.replace(present, path)
+      ManifestTable.append(absent, path)
+      import graft.sinks.ManifestTable
+      val (keptNN, total) = ManifestTable.pruneFilesByNull(
+        spark, path, "opt", wantNull = false)
+      val (keptN, _) = ManifestTable.pruneFilesByNull(
+        spark, path, "opt", wantNull = true)
+      require(total >= 4 && keptNN.size < total && keptN.size < total,
+        s"null-count skip did not prune: $total files, " +
+          s"notnull kept ${keptNN.size}, null kept ${keptN.size}")
+      require(keptNN.size + keptN.size == total,
+        "the two sides must partition a generation-pure layout")
+      val nn = ManifestTable.readByNull(spark, path, "opt", wantNull = false)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+        .withColumn("side", lit("notnull"))
+      val nl = ManifestTable.readByNull(spark, path, "opt", wantNull = true)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+        .withColumn("side", lit("null"))
+      val out = nn.unionByName(nl)
+        .select(col("side"), col("n_rows"), col("cents"))
+        .orderBy(col("side"))
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val nullSkippingSql: String =
+    """WITH c AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |         o_orderpriority AS p
+      |  FROM orders),
+      |t AS (
+      |  SELECT cents,
+      |         CASE WHEN cents % 3 = 0 THEN p END AS opt
+      |  FROM c)
+      |SELECT CASE WHEN opt IS NOT NULL THEN 'notnull' ELSE 'null' END
+      |    AS side,
+      |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM t GROUP BY 1
+      |ORDER BY side""".stripMargin
+
   /** Oracle-checked incremental view maintenance: materialize a
     * revenue-by-priority gold aggregate at v1, mutate the table twice —
     * a copy-on-write reprice of the FIRST key decile
@@ -1121,7 +1188,8 @@ object Sinks {
     "q_schema_evolution" -> (schemaEvolution _),
     "q_delete_vectors" -> (deleteVectorsOrders _),
     "q_bloom_point_lookup" -> (bloomPointLookup _),
-    "q_stream_table_feed" -> (streamTableFeed _)
+    "q_stream_table_feed" -> (streamTableFeed _),
+    "q_null_skipping" -> (nullSkipping _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1137,6 +1205,7 @@ object Sinks {
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_delete_vectors" -> deleteVectorsSql,
     "q_bloom_point_lookup" -> bloomPointLookupSql,
-    "q_stream_table_feed" -> streamTableFeedSql
+    "q_stream_table_feed" -> streamTableFeedSql,
+    "q_null_skipping" -> nullSkippingSql
   )
 }

@@ -910,6 +910,53 @@ class ManifestSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() == 3)
   }
 
+  test("null-count skipping: IS NULL / IS NOT NULL open only decidable files") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mnull").toString
+    val path = s"$dir/t"
+    // three generations: all-null, all-present, mixed
+    ManifestTable.replace(
+      (1L to 100L).map(i => (i, null.asInstanceOf[String]))
+        .toDF("id", "x").coalesce(1), path)
+    ManifestTable.append(
+      (101L to 150L).map(i => (i, s"v$i")).toDF("id", "x").coalesce(1), path)
+    ManifestTable.append(
+      (151L to 160L).map(i => (i, if (i % 2 == 0) s"v$i" else null))
+        .toDF("id", "x").coalesce(1), path)
+    val (keptNN, total) = ManifestTable.pruneFilesByNull(
+      spark, path, "x", wantNull = false)
+    assert(total == 3 && keptNN.size == 2,
+      s"IS NOT NULL kept ${keptNN.size}/$total (all-null file must skip)")
+    val (keptN, _) = ManifestTable.pruneFilesByNull(
+      spark, path, "x", wantNull = true)
+    assert(keptN.size == 2,
+      s"IS NULL kept ${keptN.size}/$total (zero-null file must skip)")
+    // exact answers either way
+    assert(ManifestTable.readByNull(spark, path, "x", wantNull = false)
+      .count() == 55)
+    val nulls = ManifestTable.readByNull(spark, path, "x", wantNull = true)
+      .select("id").as[Long].collect().sorted
+    assert(nulls.length == 105 && nulls.head == 1L && nulls.last == 159L)
+    // deletion vectors compose: skipping stays exact after a vector
+    // delete of present-x rows (deletes create no nulls)
+    ManifestTable.deleteWhereMor(spark, path,
+      col("id").between(101L, 110L), "id", 101.0, 110.0)
+    assert(ManifestTable.readByNull(spark, path, "x", wantNull = false)
+      .count() == 45)
+    assert(ManifestTable.readByNull(spark, path, "x", wantNull = true)
+      .count() == 105)
+    // a legacy line (bare name, no stats) is kept conservatively
+    val p2 = s"$dir/t2"
+    val names = ManifestTable.stage(
+      Seq((1L, "a")).toDF("id", "x").coalesce(1), p2)
+    ManifestTable.commit(spark, p2, names)
+    assert(ManifestTable.pruneFilesByNull(spark, p2, "x",
+      wantNull = true)._1.size == 1)
+    assert(ManifestTable.readByNull(spark, p2, "x", wantNull = true)
+      .count() == 0)
+  }
+
   test("compact rewrites files without a visibility gap; vacuum reaps history and orphans") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mcompact").toString
