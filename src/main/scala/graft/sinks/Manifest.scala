@@ -1121,6 +1121,88 @@ object ManifestTable {
       .filter(if (wantNull) c(column).isNull else c(column).isNotNull)
   }
 
+  /** METADATA-DRIVEN TOP-K (round 14): serve `ORDER BY column DESC
+    * LIMIT k` (or ASC) from the files the stats envelopes prove can
+    * contribute. Sound bound: files sorted by their GUARANTEED side
+    * (min for DESC — every live row of a file is ≥ its min), rows
+    * accumulated until k are guaranteed, give a threshold t = the
+    * last-taken file's min; any file whose max < t cannot hold a
+    * top-k row and is skipped. The accumulation counts only rows that
+    * surely carry a comparable value ≥ the file's min: recorded rows
+    * minus the column's null count (nulls sort out of top-k) minus
+    * the file's vector-deleted count (a deleted row's value is
+    * unknown — assume it was one of the guaranteed ones). Files
+    * without bounds (legacy lines, all-null columns) cannot raise t
+    * and are kept conservatively.
+    *
+    * On a range-laid table this reads ONE OR TWO files for "latest
+    * k" — the difference between a metadata lookup and a full-table
+    * TakeOrdered at 10⁵ files. The residual sort/limit still runs on
+    * the kept rows, so the answer is exact on any layout; the layout
+    * only decides how much is read.
+    */
+  /** The file selection behind [[readTopK]]: (kept names, total). */
+  def topKFiles(spark: SparkSession, path: String, column: String,
+                k: Int, descending: Boolean = true,
+                version: Option[Long] = None): (Seq[String], Int) = {
+    require(k > 0, s"topKFiles: k must be positive, got $k")
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val lines = snapshotLines(spark, path, Some(v))
+    val dvByTarget = dvEntries(spark, path, Some(v))
+      .groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val entries = lines.map { l =>
+      val n = nameOf(l); val st = statsOf(l)
+      val guaranteed = for {
+        (mn, mx) <- st.get(column)
+        (rows, _) <- st.get(RowsCol)
+      } yield {
+        val nulls = st.get(s"$column@n").map(_._1).getOrElse(0.0)
+        val dv = dvByTarget.getOrElse(n, 0L).toDouble
+        (mn, mx, math.max(0.0, rows - nulls - dv))
+      }
+      n -> guaranteed
+    }
+    val bounded = entries.collect { case (n, Some(e)) => (n, e) }
+    val blind = entries.collect { case (n, None) => n }
+    if (bounded.isEmpty) return (entries.map(_._1), entries.size)
+    // guaranteed side: min for DESC (every live row ≥ min), max for ASC
+    val ordered =
+      if (descending) bounded.sortBy { case (_, (mn, _, _)) => -mn }
+      else bounded.sortBy { case (_, (_, mx, _)) => mx }
+    var acc = 0.0; var t = Double.NaN
+    val it = ordered.iterator
+    while (acc < k && it.hasNext) {
+      val (_, (mn, mx, g)) = it.next()
+      acc += g
+      t = if (descending) mn else mx
+    }
+    if (acc < k) (entries.map(_._1), entries.size) // < k guaranteed: all
+    else (bounded.collect {
+      case (n, (mn, mx, _))
+        if (descending && mx >= t) || (!descending && mn <= t) => n
+    } ++ blind, entries.size)
+  }
+
+  def readTopK(spark: SparkSession, path: String, column: String,
+               k: Int, descending: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val v = latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val (kept, _) = topKFiles(spark, path, column, k, descending, Some(v))
+    if (kept.isEmpty)
+      return read(spark, path, Some(v)).filter(lit(false))
+    val ps = kept.map(n => s"$path/$DataDir/$n")
+    val scan = snapshotSchema(spark, path, Some(v)) match {
+      case Some(s) => spark.read.schema(s).parquet(ps: _*)
+      case None => spark.read.parquet(ps: _*)
+    }
+    val live = dvSubtract(spark, path, Some(v), scan, kept.toSet)
+      .filter(c(column).isNotNull)
+    (if (descending) live.orderBy(c(column).desc) else live.orderBy(c(column)))
+      .limit(k)
+  }
+
   /** CHANGE DATA FEED at file granularity: every row of every data
     * file present in exactly one of the two snapshots, tagged
     * `_change_type` = `insert` (files added between `fromVersion` and

@@ -878,6 +878,56 @@ object Sinks {
       |FROM t GROUP BY 1
       |ORDER BY side""".stripMargin
 
+  /** Oracle-checked METADATA TOP-K: "latest 20" on a key-range-laid
+    * table served by [[ManifestTable.readTopK]] — the stats envelopes
+    * pick the boundary file(s), so the require pins the whole point:
+    * at most 2 of the ≥8 files opened where a naive ORDER BY LIMIT
+    * scans the table (a TakeOrdered over 100 TB vs a metadata lookup
+    * plus one file). A vector delete thins the top beforehand: the
+    * selection's guaranteed-row accounting must treat deleted rows as
+    * potentially-top (widening the kept set if needed) and the
+    * DV-filtered read keeps the answer exact — proven against
+    * DuckDB's NOT(pred) + ORDER BY + LIMIT recompute on unique keys.
+    */
+  def metaTopK(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mtk_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_tk").toString
+      val o = Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      ManifestTable.replace(
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), path)
+      val b = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (mn, mx) = (b.getAs[Number](0).longValue, b.getAs[Number](1).longValue)
+      val cut = mn + (mx - mn) * 9 / 10
+      ManifestTable.deleteWhereMor(spark, path,
+        col("o_orderkey") > cut && col("cents") % 5L === 1L,
+        "o_orderkey", cut.toDouble, mx.toDouble).getOrElse(
+        throw new IllegalStateException("top-decile vector delete matched nothing"))
+      val (kept, total) = ManifestTable.topKFiles(spark, path,
+        "o_orderkey", 20)
+      require(total >= 8 && kept.size <= 2,
+        s"metadata top-k did not skip: ${kept.size}/$total files")
+      val out = ManifestTable.readTopK(spark, path, "o_orderkey", 20)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("cents"))
+      out.localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val metaTopKSql: String =
+    """WITH c AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS p,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (SELECT min(k) AS mn, max(k) AS mx FROM c),
+      |d AS (
+      |  SELECT c.* FROM c, b
+      |  WHERE NOT (k > mn + (mx - mn) * 9 // 10 AND cents % 5 = 1))
+      |SELECT k AS o_orderkey, p AS o_orderpriority, cents
+      |FROM d ORDER BY k DESC LIMIT 20""".stripMargin
+
   /** Oracle-checked incremental view maintenance: materialize a
     * revenue-by-priority gold aggregate at v1, mutate the table twice —
     * a copy-on-write reprice of the FIRST key decile
@@ -1189,7 +1239,8 @@ object Sinks {
     "q_delete_vectors" -> (deleteVectorsOrders _),
     "q_bloom_point_lookup" -> (bloomPointLookup _),
     "q_stream_table_feed" -> (streamTableFeed _),
-    "q_null_skipping" -> (nullSkipping _)
+    "q_null_skipping" -> (nullSkipping _),
+    "q_meta_topk" -> (metaTopK _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1206,6 +1257,7 @@ object Sinks {
     "q_delete_vectors" -> deleteVectorsSql,
     "q_bloom_point_lookup" -> bloomPointLookupSql,
     "q_stream_table_feed" -> streamTableFeedSql,
-    "q_null_skipping" -> nullSkippingSql
+    "q_null_skipping" -> nullSkippingSql,
+    "q_meta_topk" -> metaTopKSql
   )
 }

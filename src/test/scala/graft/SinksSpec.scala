@@ -957,6 +957,46 @@ class ManifestSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("metadata top-k: ORDER BY LIMIT answered from the boundary files") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mtopk").toString
+    val path = s"$dir/t"
+    ManifestTable.replace(
+      (1L to 1000L).map(i => (i, i * 3L)).toDF("id", "v")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"), path)
+    // top-10 DESC: one boundary file
+    val (kept10, total) = ManifestTable.topKFiles(spark, path, "id", 10)
+    assert(total == 8 && kept10.size == 1,
+      s"top-10 kept ${kept10.size}/$total files")
+    assert(ManifestTable.readTopK(spark, path, "id", 10)
+      .select("id").as[Long].collect().toSeq == (991L to 1000L).reverse)
+    // bottom-10 ASC mirrors
+    assert(ManifestTable.topKFiles(spark, path, "id", 10,
+      descending = false)._1.size == 1)
+    assert(ManifestTable.readTopK(spark, path, "id", 10,
+      descending = false).select("id").as[Long].collect().toSeq ==
+      (1L to 10L))
+    // k spanning file boundaries widens the kept set, answer exact
+    val (kept200, _) = ManifestTable.topKFiles(spark, path, "id", 200)
+    assert(kept200.size == 2, s"top-200 kept ${kept200.size} files")
+    assert(ManifestTable.readTopK(spark, path, "id", 200)
+      .agg(min(col("id"))).head().getLong(0) == 801L)
+    // vector-deleted rows reduce a file's guaranteed count AND leave
+    // the answer exact (the bound assumes deleted rows were top rows)
+    ManifestTable.deleteWhereMor(spark, path,
+      col("id") >= 996L, "id", 996.0, 1000.0)
+    assert(ManifestTable.readTopK(spark, path, "id", 10)
+      .select("id").as[Long].collect().toSeq == (986L to 995L).reverse)
+    // an appended all-null-column generation: no bounds -> kept
+    // conservatively, filtered by the residual, answer unchanged
+    ManifestTable.append(
+      (1L to 50L).map(i => (null.asInstanceOf[java.lang.Long], i))
+        .toDF("id", "v").coalesce(1), path)
+    assert(ManifestTable.readTopK(spark, path, "id", 5)
+      .select("id").as[Long].collect().toSeq == (991L to 995L).reverse)
+  }
+
   test("compact rewrites files without a visibility gap; vacuum reaps history and orphans") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mcompact").toString
