@@ -926,6 +926,56 @@ object Pipeline {
       .trigger(trigger)
       .start()
 
+  /** TABLE REPLICATION over the change feed: subscribe to a manifest
+    * table through the `graft-table` DSv2 source and mirror it into
+    * another manifest table — the cross-region/DR shape every
+    * lakehouse runs, and the composition proof that the engine's
+    * source and sink lanes close into a loop. Per micro-batch:
+    * updates and inserts land as a key-replace upsert; keys present
+    * only in the delete slice (a pure delete — an updated key's
+    * delete row is superseded by its insert row) land as a
+    * merge-on-read vector delete. Exactly-once WITHOUT txn markers:
+    * the upsert is idempotent by key, and a replayed delete's keys
+    * are already vector-deleted and cannot re-match. `keyCol` must be
+    * the table's numeric key (same envelope contract as
+    * [[forgetKeysToTable]]); the replica converges to the source
+    * snapshot-by-snapshot, not byte-by-byte (its own file layout, its
+    * own history).
+    */
+  def replicateTable(srcPath: String, dstPath: String, keyCol: String,
+                     checkpoint: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.readStream.format("graft-table").option("path", srcPath).load()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val cached = batch.persist()
+        try {
+          val ins = cached.filter(col("_change_type") === "insert")
+            .drop("_change_type")
+          val del = cached.filter(col("_change_type") === "delete")
+            .drop("_change_type")
+          // pure deletes only: an updated key rides the upsert
+          val gone = del.select(col(keyCol))
+            .exceptAll(ins.select(col(keyCol)))
+            .distinct().collect().map(_.get(0)).filter(_ != null)
+          if (!ins.isEmpty)
+            graft.sinks.ManifestTable.upsertPruned(
+              ins.repartition(1), dstPath, Seq(keyCol), keyCol): Unit
+          if (gone.nonEmpty) {
+            val ds = gone.map(_.asInstanceOf[Number].doubleValue)
+            graft.sinks.ManifestTable.deleteWhereMor(sp, dstPath,
+              col(keyCol).isin(gone: _*), keyCol, ds.min, ds.max): Unit
+          }
+        } finally cached.unpersist(blocking = false): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   private def warehouseSink(alertStream: org.apache.spark.sql.DataFrame,
                             path: String, checkpoint: String,
                             trigger: Trigger): StreamingQuery =

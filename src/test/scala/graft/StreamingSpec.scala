@@ -1220,6 +1220,60 @@ class StreamingSpec extends SparkSpec {
       "replayed feed does not reduce to the table state")
   }
 
+  test("table replication: the change-feed subscriber mirrors every mutation kind, replay no-ops") {
+    import spark.implicits._
+    import graft.sinks.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_repl").toString
+    val (src, dst) = (s"$dir/src", s"$dir/dst")
+    ManifestTable.replace(
+      (1L to 100L).map(i => (i, s"n$i", i * 10L)).toDF("id", "name", "v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"), src)
+    def sync(): Unit = {
+      val q = Pipeline.replicateTable(src, dst, "id", s"$dir/chk")
+      q.awaitTermination()
+    }
+    def assertMirror(): Unit = {
+      val a = ManifestTable.read(spark, src).orderBy("id")
+      val b = ManifestTable.read(spark, dst).orderBy("id")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"replica diverged: src ${a.count()} rows vs dst ${b.count()}")
+    }
+    sync(); assertMirror() // initial load
+    // one window with every mutation kind: append, update, vector
+    // delete, copy-on-write delete
+    ManifestTable.append(
+      (101L to 110L).map(i => (i, s"n$i", i * 10L))
+        .toDF("id", "name", "v").coalesce(1), src)
+    ManifestTable.upsertPruned(
+      Seq((50L, "FIFTY", 999L)).toDF("id", "name", "v"),
+      src, Seq("id"), "id")
+    ManifestTable.deleteWhereMor(spark, src,
+      col("id").between(5L, 8L), "id", 5.0, 8.0)
+    ManifestTable.deleteWhere(spark, src,
+      col("id") === 105L, "id", 105.0, 105.0)
+    sync(); assertMirror()
+    assert(ManifestTable.read(spark, dst)
+      .filter(col("id") === 50L).select("name").as[String].head() == "FIFTY")
+    assert(ManifestTable.read(spark, dst)
+      .filter(col("id").between(5L, 8L) || col("id") === 105L)
+      .count() == 0)
+    // replay from scratch into the SAME replica (fresh checkpoint):
+    // the full feed re-applies -- upserts idempotent by key, deletes
+    // cannot re-match -- and the replica is unchanged
+    val vBefore = ManifestTable.latestVersion(spark, dst).get
+    val q = Pipeline.replicateTable(src, dst, "id", s"$dir/chk2")
+    q.awaitTermination()
+    assertMirror()
+    // the replay's delete legs burned no versions (nothing re-matched);
+    // its upsert legs may commit (key-replace no-ops content-wise)
+    val dvBurn = ManifestTable.dvEntries(spark, dst).size
+    assert(dvBurn <= 2,
+      s"replayed deletes accumulated vectors: $dvBurn")
+    assert(ManifestTable.read(spark, dst).count() ==
+      ManifestTable.read(spark, src).count())
+    assert(vBefore <= ManifestTable.latestVersion(spark, dst).get)
+  }
+
   test("streaming forget lane: vector deletes, zero rewrite, replay and cross-batch dupes no-op") {
     import spark.implicits._
     import graft.sinks.ManifestTable
