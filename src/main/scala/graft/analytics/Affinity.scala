@@ -59,7 +59,18 @@ object Affinity {
     // explosion stays inside the order's own task and is bounded by
     // C(basket, 2), the same pair count the join produced. The pair
     // aggregation is the only other shuffle.
-    val ol = orderParts(spark, dir)
+    //
+    // OPTIMIZATION r14 (guide §2.4): feed the RAW 2-column scan, not
+    // [[orderParts]] — collect_set IS a distinct within the order, so
+    // the upstream `.distinct()` only added a second full exchange of
+    // the incidence (distinct exchanges on (orderkey, partkey), then
+    // the basket agg re-exchanges on orderkey). One exchange now;
+    // identical sets out, and partial collect_set still dedupes
+    // map-side before the shuffle. This subtree is shared by every
+    // co-purchase-graph consumer (PageRank/BFS/SSSP/k-core/HITS-adjacent
+    // families, apriori, itemRecs) — one exchange saved in each.
+    val ol = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
     ol.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(flatten(transform(col("ps"), (x, i) =>
@@ -141,7 +152,11 @@ object Affinity {
     */
   def aprioriTriples(spark: SparkSession, dir: String): DataFrame = {
     val pack = 1L << 32 // 2^32 — part keys are < 2^32, so (a·2³²+b) is collision-free
-    val ol = orderParts(spark, dir)
+    // raw 2-column scan, not orderParts: collect_set below dedupes
+    // within the order, so the distinct's extra exchange is redundant
+    // (same r14 optimization as halfEdges)
+    val ol = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
     // the frequent-pair table is consumed FOUR times (packed prune set
     // + three sub-pair support joins); materialize the slim
     // (a, b, support) frame once instead of re-running the basket
@@ -618,10 +633,17 @@ object Affinity {
     * produces the single-row answer.
     */
   def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
-    val deg = prEdges(spark, dir).groupBy(col("src"))
+    // OPTIMIZATION r14: the symmetrized edge list feeds BOTH the
+    // degree table and the edge-tagging joins; materialize it once
+    // (the basket-explosion pair agg is the dominant upstream cost —
+    // same double-consumer discipline as partPpr/partModularity, and
+    // measured faster solo, unlike the cheap 2-column orderParts
+    // whose checkpoint round 13 measured slower)
+    val edges = prEdges(spark, dir).localCheckpoint()
+    val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("d"))
       .select(col("src").as("p"), col("d"))
-    prEdges(spark, dir)
+    edges
       .join(deg.select(col("p").as("src"), col("d").as("x")), Seq("src"))
       .join(deg.select(col("p").as("dst"), col("d").as("y")), Seq("dst"))
       // count-of-counts closure (round 11, second cut): the first cut

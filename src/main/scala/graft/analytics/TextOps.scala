@@ -4529,15 +4529,25 @@ object TextOps {
   def setCoverSelect(spark: SparkSession, dir: String): DataFrame = {
     val items = docGrams(spark, dir, SetCoverN).localCheckpoint()
     val totGrams = items.select(col("gram")).distinct().count()
-    var covered = spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("gram",
-          org.apache.spark.sql.types.StringType))))
+    // OPTIMIZATION r14 (guide §2.4/§3.1): the covered-gram set is
+    // bounded by K · (grams per picked doc) — CORPUS-INDEPENDENT (K
+    // picks of bounded-length documents), so it is driver/broadcast
+    // material, not a distributed frame. The old shape paid, per
+    // greedy round, a distributed anti-join against the accumulated
+    // `covered` frame PLUS a union+distinct shuffle PLUS an eager
+    // localCheckpoint materialization; this shape pays one
+    // InSet-filtered aggregation (the round's only shuffle) and one
+    // narrow collect of the picked doc's grams. Result is identical
+    // by construction: same covered-set semantics, same
+    // (gain desc, doc_id asc) argmax — the oracle SQL is unchanged.
+    val covered = scala.collection.mutable.HashSet.empty[String]
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
     var cum = 0L
     for (r <- 1 to SetCoverK) {
-      val best = items.join(covered, Seq("gram"), "left_anti")
+      val uncovered =
+        if (covered.isEmpty) items
+        else items.filter(!col("gram").isInCollection(covered.toSet))
+      val best = uncovered
         .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("doc_id").asc)
         .limit(1).collect()
@@ -4545,10 +4555,8 @@ object TextOps {
         val (docId, gain) = (best(0).getLong(0), best(0).getLong(1))
         cum += gain
         picks += ((r, docId, gain, cum))
-        covered = covered
-          .union(items.filter(col("doc_id") === docId).select(col("gram")))
-          .distinct()
-          .localCheckpoint() // truncate the K-round union lineage
+        covered ++= items.filter(col("doc_id") === docId)
+          .select(col("gram")).collect().map(_.getString(0))
       }
     }
     import spark.implicits._

@@ -734,6 +734,163 @@ object ManifestTable {
 
   private def withStats(spark: SparkSession, path: String,
                         names: Seq[String]): Seq[String] = {
+    if (names.isEmpty) return names
+    // OPTIMIZATION r14 (guide §6: stats belong to metadata, not a
+    // re-scan): the staged parquet files' FOOTERS already carry exact
+    // min/max, null counts and row counts per column chunk — decoding
+    // them is O(files) metadata reads, where the legacy path re-read
+    // every staged byte through a full Spark job (a second write-sized
+    // pass per commit: at 100 TB that doubles every lifecycle op's IO;
+    // at bench scale it is one extra job + collect per commit). The
+    // footer path must reproduce the legacy stats lines BIT-FOR-BIT
+    // (same double formatting, same entry order, same ulp widening),
+    // so any file whose footer it cannot decode losslessly — nested
+    // columns, decimals, INT96 timestamps, dropped stats (e.g. NaN
+    // columns), missing null counts — falls back to the legacy scan
+    // for the WHOLE commit, keeping output identical by construction.
+    footerStats(spark, path, names).getOrElse(
+      withStatsScan(spark, path, names))
+  }
+
+  /** Decode one staged file's stats line from its parquet footer.
+    * Returns None when ANY column cannot be decoded with exactly the
+    * legacy semantics — the caller then falls back to the scan path
+    * for the whole commit. Bounds ride for the columns Spark types as
+    * numeric or TIMESTAMP (UTC-adjusted micros/millis annotations);
+    * DATE / string / boolean / NTZ columns carry null counts only,
+    * matching the legacy NumericType+TimestampType filter.
+    */
+  private[graft] def footerStats(spark: SparkSession, path: String,
+                                 names: Seq[String]): Option[Seq[String]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      val lines = names.map { n =>
+        val fp = new org.apache.hadoop.fs.Path(s"$path/$DataDir/$n")
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fp, conf))
+        val (schema, blocks) = try {
+          val f = rdr.getFooter
+          (f.getFileMetaData.getSchema,
+            scala.jdk.CollectionConverters.ListHasAsScala(f.getBlocks).asScala.toSeq)
+        } finally rdr.close()
+        val fields = scala.jdk.CollectionConverters
+          .ListHasAsScala(schema.getFields).asScala.toSeq
+        // nested columns: leaf stats do not aggregate to the top-level
+        // column the legacy job measured — bail to the scan path
+        if (!fields.forall(_.isPrimitive)) throw FooterBail
+        val cols = fields.map(_.asPrimitiveType())
+        cols.foreach { c =>
+          val nm = c.getName
+          require(nm != RowsCol,
+            s"commit: '$RowsCol' is a reserved stats name (file row " +
+              "counts) — rename the data column")
+          require(!nm.contains('@') && !nm.contains(';') &&
+            !nm.contains('=') && !nm.contains('\t'),
+            s"commit: column name '$nm' contains a stats-format " +
+              "delimiter (@ ; = tab) — rename the column")
+        }
+        val rows = blocks.map(_.getRowCount).sum
+        if (rows == 0L) n // empty file: legacy emits the bare name
+        else {
+          // per-column chunk metadata in schema order, per block
+          val byCol = cols.map { c =>
+            val chunks = blocks.map { b =>
+              scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns)
+                .asScala.find(_.getPath.toDotString == c.getName)
+                .getOrElse(throw FooterBail)
+            }
+            c -> chunks
+          }
+          // a column is bounds-bearing iff Spark would type it numeric
+          // or TimestampType; the conversion to the recorded double is
+          // EXACTLY the legacy `min(col).cast("double")`
+          def boundsConv(c: org.apache.parquet.schema.PrimitiveType)
+              : Option[Any => Double] = {
+            val ann = c.getLogicalTypeAnnotation
+            (c.getPrimitiveTypeName, ann) match {
+              case (_, _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+                throw FooterBail // exact decimal → double needs the scan path
+              case (INT32, null) =>
+                Some(v => v.asInstanceOf[Int].toDouble)
+              case (INT32, a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                  if a.isSigned => Some(v => v.asInstanceOf[Int].toDouble)
+              case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+                None // DateType: legacy records no bounds
+              case (INT32, _) => throw FooterBail
+              case (INT64, null) =>
+                Some(v => v.asInstanceOf[Long].toDouble)
+              case (INT64, a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                  if a.isSigned => Some(v => v.asInstanceOf[Long].toDouble)
+              case (INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+                  if t.isAdjustedToUTC &&
+                    t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                // TimestampType: cast(ts as double) = micros / 1e6
+                Some(v => v.asInstanceOf[Long] / 1000000.0)
+              case (INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+                  if t.isAdjustedToUTC &&
+                    t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Some(v => v.asInstanceOf[Long] / 1000.0)
+              case (INT64, _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+                None // NTZ / nanos: not TimestampType under this session
+              case (INT64, _) => throw FooterBail
+              case (FLOAT, _) => Some(v => v.asInstanceOf[Float].toDouble)
+              case (DOUBLE, _) => Some(v => v.asInstanceOf[Double])
+              case (INT96, _) => throw FooterBail // no decodable stats
+              case (BOOLEAN | BINARY | FIXED_LEN_BYTE_ARRAY, _) => None
+              case _ => throw FooterBail
+            }
+          }
+          val numericEntries = byCol.flatMap { case (c, chunks) =>
+            boundsConv(c).flatMap { conv =>
+              val sts = chunks.map(_.getStatistics)
+              if (sts.exists(s => s == null || !s.isNumNullsSet)) throw FooterBail
+              val nonNull = sts.filter(_.hasNonNullValue)
+              val nulls = sts.map(_.getNumNulls).sum
+              if (nonNull.isEmpty) {
+                // all-null column ⇔ every value null; otherwise the
+                // writer dropped min/max (NaN, oversize) — scan path
+                if (nulls != rows) throw FooterBail
+                None // legacy: all-null numeric column carries no bounds
+              } else {
+                // mixed all-null / non-null blocks are fine: bounds
+                // from the non-null blocks equal the legacy whole-file
+                // min/max (null rows contribute nothing to min/max)
+                val mn = nonNull.map(s => conv(s.genericGetMin)).min
+                val mx = nonNull.map(s => conv(s.genericGetMax)).max
+                Some(s"${c.getName}=${Math.nextDown(mn)}..${Math.nextUp(mx)}")
+              }
+            }
+          }
+          val nullEntries = byCol.map { case (c, chunks) =>
+            val sts = chunks.map(_.getStatistics)
+            if (sts.exists(s => s == null || !s.isNumNullsSet)) throw FooterBail
+            val nn = sts.map(_.getNumNulls).sum.toDouble
+            s"${c.getName}@n=$nn..$nn"
+          }
+          val stats = (numericEntries ++ nullEntries :+
+            s"$RowsCol=${rows.toDouble}..${rows.toDouble}").mkString(";")
+          s"$n\t$stats"
+        }
+      }
+      Some(lines)
+    } catch {
+      case FooterBail => None
+      case _: java.io.IOException => None // unreadable footer: scan decides
+    }
+  }
+
+  /** Control-flow marker for [[footerStats]]' whole-commit fallback. */
+  private object FooterBail
+      extends scala.util.control.ControlThrowable("footer-stats fallback")
+
+  /** Legacy stats pass: ONE Spark job over the staged files (grouped
+    * by `input_file_name`) — the authoritative semantics the footer
+    * path must reproduce, and the fallback for anything it cannot.
+    */
+  private[graft] def withStatsScan(spark: SparkSession, path: String,
+                                   names: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions._
     val paths = names.map(n => s"$path/$DataDir/$n")
     if (paths.isEmpty) return names

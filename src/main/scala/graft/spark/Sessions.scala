@@ -31,6 +31,14 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // OPTIMIZATION r14: write timestamps as TIMESTAMP_MICROS, not
+      // the legacy INT96 default — micros IS Spark's internal
+      // precision (lossless round-trip), INT96 is deprecated and
+      // carries NO parquet column statistics, which would force every
+      // timestamp-keyed ManifestTable commit onto the legacy
+      // full-rescan stats path (see ManifestTable.footerStats) and
+      // blinds row-group skipping on event-time predicates at scale.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   /** The standard local session used by Verify/Bench/tools. */
   def local(cores: String, shufflePartitions: String): SparkSession = {
