@@ -4207,17 +4207,24 @@ object TextOps {
         i => struct(element_at(t, i).as("w1"),
           element_at(t, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    // OPTIMIZATION r14 (guide §2.4): canonicalize the pair BEFORE the
+    // one distinct — least/greatest collapses "a b" and "b a" into a
+    // single undirected edge, so the symmetrizing union below needs NO
+    // second distinct (canonical pairs are unique ⇒ their two oriented
+    // copies are too; w1 ≠ w2 is already enforced). Same directed edge
+    // set as before — one fewer full exchange of the edge list.
     val adj = documents(spark, dir)
       .select(col("lang"), explode(pairsExpr).as("p"))
-      .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .filter(col("w1") =!= col("w2"))
+      .select(col("lang"), col("p.w1").as("wa"), col("p.w2").as("wb"))
+      .filter(col("wa") =!= col("wb"))
+      .select(col("lang"), least(col("wa"), col("wb")).as("w1"),
+        greatest(col("wa"), col("wb")).as("w2"))
       .distinct()
       .localCheckpoint() // feeds the edge build AND the vocab map-back
     val edges = adj.select(wordVid(col("lang"), col("w1")).as("src"),
         wordVid(col("lang"), col("w2")).as("dst"))
       .union(adj.select(wordVid(col("lang"), col("w2")).as("src"),
         wordVid(col("lang"), col("w1")).as("dst")))
-      .distinct()
     val pr = graft.operators.Graph.pagerank(edges,
       iters = TextrankIters, scale = TextrankScale)
     val vocab = adj.select(col("lang"), col("w1").as("word"))
