@@ -1467,14 +1467,31 @@ object ManifestTable {
     */
   def netChanges(spark: SparkSession, path: String,
                  fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions._
     val feed = changes(spark, path, fromVersion, toVersion)
-    val ins = feed.filter(col("_change_type") === "insert")
-      .drop("_change_type")
-    val del = feed.filter(col("_change_type") === "delete")
-      .drop("_change_type")
-    ins.exceptAll(del).withColumn("_change_type", lit("insert"))
-      .unionByName(del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+    // OPTIMIZATION r14 (guide §2.3/§2.4): the old two-sided
+    // `ins.exceptAll(del) ∪ del.exceptAll(ins)` scanned the changed
+    // files TWICE and shuffled twice (each exceptAll is its own
+    // union+aggregate+replicate plan). One signed-count aggregation
+    // produces the identical BAG in one scan + one shuffle: per
+    // distinct row value, exceptAll keeps max(nIns−nDel, 0) inserts
+    // and max(nDel−nIns, 0) deletes — exactly the sign and magnitude
+    // of (nIns − nDel), restored to row multiplicity by the sequence
+    // explode. NULL grouping equality matches exceptAll's semantics.
+    val cols = feed.columns.filterNot(_ == "_change_type").map(col)
+    feed.groupBy(cols: _*)
+      .agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+          .as("_graft_ni"),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
+          .as("_graft_nd"))
+      .withColumn("_graft_diff", col("_graft_ni") - col("_graft_nd"))
+      .filter(col("_graft_diff") =!= 0L)
+      .withColumn("_change_type",
+        when(col("_graft_diff") > 0, "insert").otherwise("delete"))
+      .withColumn("_graft_dup",
+        explode(sequence(lit(1L), abs(col("_graft_diff")))))
+      .drop("_graft_ni", "_graft_nd", "_graft_diff", "_graft_dup")
   }
 
   /** Copy-on-write row-level DELETE through the stats envelope: files
