@@ -555,9 +555,25 @@ object ManifestTable {
     try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     try {
-      // Options.Rename.NONE: fail (don't overwrite) if the version
-      // was claimed between the caller's listing and now
-      fc.rename(tmp, manifestPath(path, v))
+      // Atomic no-overwrite publish. On a POSIX local FS the
+      // FileContext Rename.NONE path is check-then-act: an exists
+      // probe, then rename(2) — which silently OVERWRITES — so two
+      // racers straddling the probe could BOTH "win" the same version,
+      // the second's bytes replacing the first's (observed as a
+      // manifest whose data and checksum sidecar came from different
+      // committers). link(2) is the real claim primitive there:
+      // hard-linking the fully-written tmp to the final name fails
+      // with EEXIST atomically, so a version is claimed exactly once
+      // and appears with complete content or not at all. Non-local
+      // filesystems keep the FileContext rename, whose no-overwrite
+      // rename is atomic on HDFS.
+      val dst = manifestPath(path, v)
+      if (fs.getScheme == "file") {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false) // drops the tmp name + its crc sidecar
+      } else fc.rename(tmp, dst)
       writeLatestHint(spark, path, v)
       true
     } catch {
