@@ -112,6 +112,11 @@ object Prep {
       .groupBy(col("WaterbodyName"),
         (year(col("d")) * 12 + month(col("d"))).cast("long").as("m_idx"))
       .agg(round(avg(col("wqi")) * 1000).cast("long").as("wqi_milli"))
+      // OPTIMIZATION r14: both sides of the pairwise-slope self-join
+      // consume this months×waterbodies frame — materialize it once
+      // instead of re-running the CSV read (schema inference included)
+      // + prep + monthly aggregate per side
+      .localCheckpoint()
     val b = monthly.select(col("WaterbodyName").as("wb_b"),
       col("m_idx").as("m_b"), col("wqi_milli").as("w_b"))
     val byWb = Window.partitionBy(col("WaterbodyName"))
