@@ -288,40 +288,55 @@ private[ingest] class ManifestChangeReader(p: ManifestChangePartition,
     (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
   }
 
-  override def get(): InternalRow = {
-    val g = current
-    val fileType = g.getType
-    val out = new Array[Any](schema.length)
-    var i = 0
-    while (i < dataFields.length) {
-      val f = dataFields(i)
+  // OPTIMIZATION r14 (guide §1.2 step 2, per-task work): one partition
+  // is one parquet file, so the file's MessageType — and with it every
+  // field's index, its presence (schema evolution), the DataType
+  // dispatch, and the INT96-vs-INT64 probe — is CONSTANT across the
+  // partition's rows. The old get() re-resolved all of that per CELL
+  // (two string-keyed schema lookups + a DataType match per value);
+  // on the initial-snapshot load, where this reader decodes the whole
+  // table, that was the dominant per-row cost. The decode plan hoists
+  // it to once per file: an array of per-column closures, leaving per
+  // cell only the null check and the primitive accessor.
+  private var decoders: Array[Group => Any] = _
+
+  private def buildDecoders(
+      fileType: org.apache.parquet.schema.GroupType): Array[Group => Any] =
+    dataFields.map { f =>
       // schema evolution: a file written before the column existed
       // simply lacks the field — null-fill, as the batch read does
-      out(i) =
-        if (!fileType.containsField(f.name)) null
-        else {
-          val fi = fileType.getFieldIndex(f.name)
-          if (g.getFieldRepetitionCount(fi) == 0) null
-          else f.dataType match {
-            case LongType => g.getLong(fi, 0)
-            case IntegerType => g.getInteger(fi, 0)
-            case DoubleType => g.getDouble(fi, 0)
-            case FloatType => g.getFloat(fi, 0)
-            case BooleanType => g.getBoolean(fi, 0)
-            case StringType =>
-              UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
-            case DateType => g.getInteger(fi, 0)
-            case TimestampType =>
-              val prim = fileType.getType(fi).asPrimitiveType()
-              if (prim.getPrimitiveTypeName ==
-                  org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
-                int96Micros(g.getInt96(fi, 0).getBytes)
-              else g.getLong(fi, 0) // INT64 micros annotation
-            case dt => throw new UnsupportedOperationException(
-              s"graft-table source: column '${f.name}' of type " +
-                s"${dt.simpleString} is outside the supported primitive set")
-          }
+      if (!fileType.containsField(f.name)) (_: Group) => null
+      else {
+        val fi = fileType.getFieldIndex(f.name)
+        val read: Group => Any = f.dataType match {
+          case LongType => (g: Group) => g.getLong(fi, 0)
+          case IntegerType => (g: Group) => g.getInteger(fi, 0)
+          case DoubleType => (g: Group) => g.getDouble(fi, 0)
+          case FloatType => (g: Group) => g.getFloat(fi, 0)
+          case BooleanType => (g: Group) => g.getBoolean(fi, 0)
+          case StringType =>
+            (g: Group) => UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
+          case DateType => (g: Group) => g.getInteger(fi, 0)
+          case TimestampType =>
+            if (fileType.getType(fi).asPrimitiveType().getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
+              (g: Group) => int96Micros(g.getInt96(fi, 0).getBytes)
+            else (g: Group) => g.getLong(fi, 0) // INT64 micros annotation
+          case dt => throw new UnsupportedOperationException(
+            s"graft-table source: column '${f.name}' of type " +
+              s"${dt.simpleString} is outside the supported primitive set")
         }
+        (g: Group) => if (g.getFieldRepetitionCount(fi) == 0) null else read(g)
+      }
+    }
+
+  override def get(): InternalRow = {
+    val g = current
+    if (decoders == null) decoders = buildDecoders(g.getType)
+    val out = new Array[Any](schema.length)
+    var i = 0
+    while (i < decoders.length) {
+      out(i) = decoders(i)(g)
       i += 1
     }
     out(schema.length - 1) = changeTag

@@ -778,13 +778,26 @@ object Sinks {
         s"feed carried no rewrite noise ($nDel deletes vs " +
           s"$nVectorDeleted vector-deleted) — the CoW window is not exercised")
       require(nVectorDeleted > 0, "no vector deletes rode the feed")
-      val ins = feed.filter(col("_change_type") === "insert")
-        .drop("_change_type")
-      val del = feed.filter(col("_change_type") === "delete")
-        .drop("_change_type")
-      val out = ins.exceptAll(del)
+      // OPTIMIZATION r14 (guide §2.3/§2.4): the reduction used to be
+      // ins.exceptAll(del) → groupBy — two filtered scans of the feed
+      // plus exceptAll's own union+aggregate+replicate shuffle before
+      // the priority aggregate. The change feed guarantees deletes are
+      // a sub-bag of inserts (every delete row was previously emitted
+      // as an insert: file-removal deletes skip already-vector-deleted
+      // positions, so each physical row contributes exactly one insert
+      // and at most one later delete), so per row value
+      // nDel ≤ nIns and exceptAll's max(nIns−nDel, 0) IS nIns−nDel:
+      // the aggregate over the survivors equals ONE signed aggregation
+      // over the raw feed — one scan, one shuffle. A group appears in
+      // the exceptAll output iff it keeps ≥1 row, i.e. net > 0, hence
+      // the n_rows > 0 filter (same sub-bag argument). coalesce keeps
+      // n_rows non-nullable like the count(1) it replaces.
+      val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      val out = feed
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+        .agg(coalesce(sum(sign), lit(0L)).as("n_rows"),
+          sum(sign * col("cents")).as("cents"))
+        .filter(col("n_rows") > 0L)
         .orderBy(col("o_orderpriority"))
       out.localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
